@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit rolling polynomial document fingerprint.
+  *
+  * h = Σ h*31 + byte over the UTF-8 bytes (Long wraparound) — the
+  * classic multiplicative rolling hash. A native Catalyst
+  * `Expression` with `doGenCode` so the loop is inlined into
+  * whole-stage codegen: zero boxing, zero UDF serialization — the
+  * preferred shape for a per-row function on a 100 TB scan.
+  *
+  * Capability parallel: the reference keys state by identity fields;
+  * a content fingerprint is the batch-pipeline analog for exact-dup
+  * detection at scale (hash-groupBy instead of string-groupBy keeps
+  * shuffle rows narrow).
+  */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fingerprint64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * 31L + $bytes[$i];
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+object Fingerprint64 {
+  /** Column-API entry point. */
+  def fingerprint64(c: Column): Column =
+    GraftBridge.column(Fingerprint64(GraftBridge.expression(c)))
+
+  /** Register `fingerprint64` for spark.sql use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection.
+  *
+  * Scale path for "find all document pairs with n-gram Jaccard ≥ τ"
+  * without the O(n²) cross join:
+  *   shingle → 64 minhash signatures → `Bands` bands of `RowsPerBand`
+  *   → band-bucket self-join (only colliding docs pair up) → exact
+  *   Jaccard verification on the candidates.
+  *
+  * With 16 bands × 4 rows, a pair with true Jaccard j collides with
+  * probability 1 − (1 − j⁴)¹⁶ (≈ 1 − 3.5e-10 at j = 0.93), so for
+  * near-dup thresholds the candidate set equals the true pair set and
+  * the verify stage makes the result EXACT — the brute-force oracle
+  * and this plan agree.
+  *
+  * Shuffle profile: one exchange to build buckets, one self-join on
+  * (band, bucket) — both keyed, both AQE-skew-splittable. At 100 TB,
+  * giant buckets (boilerplate docs) would be capped/salted; the
+  * verify join touches only candidate pairs.
+  *
+  * All hashing is deterministic: xxhash64 on shingles, then 64 fixed
+  * affine transforms (wraparound arithmetic — consistency is what
+  * LSH needs, not modular-prime purity).
+  */
+object MinHashLSH {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Adds `grams` (distinct k-shingles of `textCol`) to df. */
+  def withShingles(df: DataFrame, textCol: String, k: Int = 3): DataFrame =
+    df.withColumn("grams", expr(
+      s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 0)), i -> substr($textCol, i, $k)))"))
+
+  /** Adds `minhashes: array<bigint>` (length NumHashes). The i-th
+    * signature is min over shingles of the i-seeded xxhash64 —
+    * deterministic, ANSI-safe (no overflowing affine arithmetic).
+    */
+  def withMinHashes(df: DataFrame): DataFrame = {
+    val sigs = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform(grams, g -> xxhash64(g, $i)))")
+    }
+    df.withColumn("minhashes", array(sigs: _*))
+  }
+
+  /** Candidate pairs (id_a < id_b) from banded bucket collisions. */
+  def candidatePairs(df: DataFrame, idCol: String): DataFrame = {
+    val bands = df.select(
+      col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(minhashes, b * $RowsPerBand + 1, $RowsPerBand)))"))
+        .as(Seq("band", "bucket")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Full pipeline: exact near-dup pairs with Jaccard ≥ threshold.
+    * Output: (id_a, id_b, jaccard) — jaccard as exact
+    * |∩| / |∪| double.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val grams = withMinHashes(withShingles(docs.select(col(idCol), col(textCol)), textCol, k))
+    val pairs = candidatePairs(grams, idCol)
+    val gOnly = grams.select(col(idCol), col("grams"))
+    pairs
+      .join(gOnly.withColumnRenamed(idCol, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+      .join(gOnly.withColumnRenamed(idCol, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

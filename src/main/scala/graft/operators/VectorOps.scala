@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators: cosine similarity, exact near-dup
+  * pairs, brute-force ANN top-k, and a random-hyperplane LSH ANN.
+  *
+  * Vectors are `array<float>` columns cast to double for math; dot
+  * products are sequential left-folds (`aggregate` over `zip_with`)
+  * so an external oracle computing the same fold gets bit-identical
+  * doubles.
+  *
+  * Scale posture:
+  *  - brute-force top-k broadcasts the (small) query set against one
+  *    scan of the corpus — embarrassingly parallel, no shuffle until
+  *    the final per-query top-k window over k·|Q| rows.
+  *  - `nearDupPairs` is the exact O(n²) verify/baseline; `AnnLsh`
+  *    buckets both sides by hyperplane sign bits so only same-bucket
+  *    pairs are compared — the 100 TB path.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact all-pairs near-dup: (id_a < id_b, cosine ≥ threshold).
+    * O(n²) — the verification baseline; for large corpora use the
+    * LSH-bucketed variant.
+    */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    v.as("x").join(v.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself when ids collide).
+    * Deterministic: ranked by round(cosine, 6) desc then id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Random-hyperplane LSH sign bits (deterministic seed). */
+  def withLshBucket(df: DataFrame, vecCol: String, planes: Int = 12,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planeVecs: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+    val planeLits = array(planeVecs.map(p => array(p.map(lit): _*)): _*)
+    df.withColumn("_planes", planeLits)
+      .withColumn("bucket", expr(
+        s"""aggregate(
+           |  zip_with(_planes, sequence(0, ${planes - 1}), (p, j) ->
+           |    CASE WHEN aggregate(zip_with(p, $vecCol, (x, y) -> x * y),
+           |                        0D, (acc, z) -> acc + z) > 0
+           |         THEN shiftleft(1L, j) ELSE 0L END),
+           |  0L, (acc, b) -> acc | b)""".stripMargin))
+      .drop("_planes")
+  }
+
+  /** LSH-bucketed ANN: per-query top-k searched only within the
+    * query's bucket (single-probe; recall < 1 by design — the scale
+    * path trades recall for a keyed equi-join instead of a cross
+    * product).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 12): DataFrame = {
+    val c = withLshBucket(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")), "v", planes)
+    val q = withLshBucket(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")), "qv", planes)
+      .withColumnRenamed("bucket", "qbucket")
+    val scored = c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

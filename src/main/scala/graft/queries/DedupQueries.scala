@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.operators.{MinHashLSH, SimHash, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Deduplication + similarity-search queries (SURVEY.md §2 C1-C7).
+  *
+  * The MinHash-LSH and embed-cosine results are EXACT pair sets
+  * (candidates verified against the true metric), so the DuckDB
+  * brute-force oracle must agree — the oracle is the O(n²)
+  * specification, the Spark plan is the scalable implementation.
+  */
+object DedupQueries {
+
+  private val JaccardThreshold = 0.8
+  private val CosineThreshold = 0.45
+
+  // Shared DuckDB shingle CTE (3-char shingles, distinct).
+  private val gramsCte =
+    """g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents)""".stripMargin
+
+  private val jaccardExpr =
+    "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams)))"
+
+  private val cosineExpr =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  val all: Seq[Q] = Seq(
+
+    // C1: exact dedup on normalized text (hash-groupBy keep-first).
+    Q("dedup_exact_docs",
+      """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("kept_doc_id"), col("n_copies"))
+    },
+
+    // C2+C4: MinHash LSH candidates + exact Jaccard verify — equals
+    // the brute-force pair set at this threshold (see MinHashLSH
+    // scaladoc for the collision-probability argument).
+    Q("dedup_minhash_pairs",
+      s"""WITH $gramsCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round($jaccardExpr, 4) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE $jaccardExpr >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+      MinHashLSH
+        .nearDupPairs(table(s, dir, "documents"), "doc_id", "text", JaccardThreshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+
+    // C3: SimHash + pigeonhole-blocked Hamming pairs. Engine-specific
+    // signature → rows-only; exact values pinned in DedupSpec.
+    Q.rowsOnly("dedup_simhash") { (s, dir) =>
+      SimHash.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    },
+
+    // C5: embedding-cosine near-dup, exact pair set.
+    Q("dedup_embed_cosine",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($cosineExpr, 4) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $cosineExpr >= $CosineThreshold""".stripMargin) { (s, dir) =>
+      VectorOps
+        .nearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    },
+
+    // C6: brute-force cosine ANN top-10 for the first 5 vectors.
+    Q("ann_bruteforce_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, id, cosine, rnk FROM ranked WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      VectorOps.bruteForceTopK(
+        vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    },
+
+    // C7: LSH-bucketed ANN — recall-trading scale path, rows-only.
+    Q.rowsOnly("ann_lsh_topk") { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      VectorOps.lshTopK(
+        vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    })
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.functions.{Fingerprint64, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries (SURVEY.md §2 C9-C12) over `documents`.
+  * All rowwise codegen'd column expressions — at 100 TB these are a
+  * single pruned scan, no shuffle at all (the per-lang rollup is the
+  * only exchange, map-side combined).
+  *
+  * Oracle notes: the DuckDB SQL mirrors each formula exactly;
+  * token-length sums use the closed form
+  * Σ|token| = len(norm) − (n_tokens − 1) (norm has single spaces),
+  * which equals the Spark higher-order fold bit-for-bit because both
+  * are integer arithmetic.
+  */
+object TextQueries {
+
+  private def quote(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // DuckDB fragments (computed on `documents.text`):
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val toksSql = s"string_split($normSql, ' ')"
+  private val nTokSql = s"greatest(len($toksSql), 1)"
+  private def hitsSql(ws: Seq[String]): String =
+    s"len(list_filter($toksSql, t -> list_contains(${quote(ws)}, t)))"
+  private val avgTokSql =
+    s"(CAST(length($normSql) - (len($toksSql) - 1) AS DOUBLE) / $nTokSql)"
+  private val punctSql =
+    s"(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1))"
+  private val stopRatioSql =
+    s"(CAST(${hitsSql(TF.EnStop)} AS DOUBLE) / $nTokSql)"
+
+  val all: Seq[Q] = Seq(
+
+    // C11: token counting — whitespace tokens + BPE-ish subword runs.
+    Q("text_tokencount",
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
+         |FROM documents""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
+        TF.subwordCount(col("text")).cast("bigint").as("n_subwords"))
+    },
+
+    // C10: quality scoring.
+    Q("text_quality",
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_exact,
+         |  round($avgTokSql, 4) AS avg_token_len,
+         |  round($stopRatioSql, 4) AS stopword_ratio,
+         |  round($punctSql, 4) AS punct_ratio,
+         |  round(
+         |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |     + (1.0 - least(abs($avgTokSql - 5.0) / 5.0, 1.0)) * 0.3
+         |     + least($stopRatioSql * 4.0, 1.0) * 0.4)
+         |    * (1.0 - least($punctSql * 4.0, 1.0)), 4) AS quality
+         |FROM documents""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_exact"),
+        round(TF.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        round(TF.stopwordRatio(col("text"), TF.EnStop), 4).as("stopword_ratio"),
+        round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TF.qualityScore(col("text")), 4).as("quality"))
+    },
+
+    // C9: heuristic language ID; rollup vs. the labeled lang column.
+    Q("text_langid",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    ${hitsSql(TF.EnStop)} AS h_en,
+         |    ${hitsSql(TF.EsStop)} AS h_es,
+         |    ${hitsSql(TF.DeStop)} AS h_de,
+         |    ${hitsSql(TF.FrStop)} AS h_fr,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN has_cjk THEN 'zh'
+         |       WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0 THEN 'und'
+         |       WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+         |       WHEN h_de >= h_fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM scored""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("lang_pred"))
+    },
+
+    // C12: rolling-hash fingerprint — custom codegen Expression, so
+    // no ANSI-SQL oracle; exact values pinned in TextSpec.
+    Q.rowsOnly("text_fingerprint") { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Fingerprint64.fingerprint64(col("text")).as("fp64"),
+        Fingerprint64.fingerprint64(TF.normalizeText(col("text"))).as("fp64_norm"))
+    })
+}
