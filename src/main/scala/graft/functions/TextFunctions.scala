@@ -27,21 +27,19 @@ object TextFunctions {
   def subwordCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Number of tokens that appear in `words`. */
-  def stopwordHits(c: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(wsTokens(c), t => array_contains(set, t)))
-  }
+  /** Number of tokens that appear in `words` (fused one-pass scan —
+    * see VectorExpressions.TokenSetStats).
+    */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    VectorExpressions.tokenSetStats(wsTokens(c), Seq(words)).getField("hits0")
 
   def stopwordRatio(c: Column, words: Seq[String]): Column =
     stopwordHits(c, words).cast("double") / greatest(tokenCount(c), lit(1)).cast("double")
 
   /** Mean whitespace-token length. */
-  def avgTokenLen(c: Column): Column = {
-    val toks = wsTokens(c)
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  def avgTokenLen(c: Column): Column =
+    VectorExpressions.tokenSetStats(wsTokens(c), Nil).getField("sum_len").cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
 
   def punctRatio(c: Column): Column =
     size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0))).cast("double") /
@@ -73,10 +71,12 @@ object TextFunctions {
     * evidence. Pure expression — mirrors to a SQL CASE for oracles.
     */
   def langId(c: Column): Column = {
-    val en = stopwordHits(c, EnStop)
-    val es = stopwordHits(c, EsStop)
-    val de = stopwordHits(c, DeStop)
-    val fr = stopwordHits(c, FrStop)
+    val stats = VectorExpressions.tokenSetStats(
+      wsTokens(c), Seq(EnStop, EsStop, DeStop, FrStop))
+    val en = stats.getField("hits0")
+    val es = stats.getField("hits1")
+    val de = stats.getField("hits2")
+    val fr = stats.getField("hits3")
     val hasCjk = size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))) > 0
     when(hasCjk, lit("zh"))
       .when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))

@@ -1,0 +1,272 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector / sketch hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * are interpreted per element — measured ~100× slower than a fused
+  * loop on the embedding workloads (a 64-dim cosine over 125k pairs
+  * took minutes). These expressions run the loops in Java:
+  * `ArrayDot` participates in whole-stage codegen (it's per-PAIR on
+  * O(n²)/O(n·k) joins); the per-ROW sketch builders use eval with a
+  * tight loop, which is already off the hot pair path.
+  */
+object VectorExpressions {
+
+  /** splitmix/murmur-style 64-bit finalizer. */
+  @inline private[functions] def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  def arrayDot(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def charShingleHashes(text: Column, k: Int): Column =
+    GraftBridge.column(CharShingleHashes(GraftBridge.expression(text), k))
+
+  def tokenNgramHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(TokenNgramHashes(GraftBridge.expression(tokens), n))
+
+  def minHashSigs(hashes: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSigs(GraftBridge.expression(hashes), numHashes))
+
+  def simHash64(tokenHashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
+
+  def tokenSetStats(tokens: Column, sets: Seq[Seq[String]]): Column =
+    GraftBridge.column(TokenSetStats(GraftBridge.expression(tokens), sets))
+}
+
+/** Sequential-fold dot product of two array<double> columns (null
+  * elements not supported). Fold order matches a left-to-right SQL
+  * `list_dot_product`, so external oracles agree bit-for-bit.
+  */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+}
+
+/** Distinct hashes of every k-char window of a string, sorted.
+  * Byte-windowed (≡ char-windowed for ASCII corpora); one fused pass
+  * replaces `array_distinct(transform(sequence(...), substr(...)))`
+  * and keeps shuffle payloads at 8 bytes/shingle.
+  */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length - k + 1
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      var x = 0L
+      var j = 0
+      while (j < k) { x = (x << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      seen.add(VectorExpressions.fmix64(x))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(child = c)
+}
+
+/** Distinct hashes of every n-token window of a token array, sorted.
+  * The word-shingle analog of CharShingleHashes: token n-grams are
+  * the standard text-dedup shingle (char n-grams saturate when the
+  * corpus shares a small vocabulary — unrelated docs then collide in
+  * every LSH band). Hashing: per-token 31-polynomial over UTF-8
+  * bytes, n-gram combined by a 31-chain, fmix64 finalizer.
+  */
+case class TokenNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val tokHashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val bytes = toks.getUTF8String(i).getBytes
+      var h = 0L
+      var j = 0
+      while (j < bytes.length) { h = h * 31L + bytes(j); j += 1 }
+      // separator step so ["ab","c"] != ["a","bc"] within a window
+      tokHashes(i) = h * 31L + ' '.toLong
+      i += 1
+    }
+    val windows = m - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, windows * 2))
+    i = 0
+    while (i < windows) {
+      var x = 0L
+      var j = 0
+      while (j < n) { x = x * 31L + tokHashes(i + j); j += 1 }
+      seen.add(VectorExpressions.fmix64(x))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenNgramHashes = copy(child = c)
+}
+
+/** All `numHashes` minhash signatures in ONE pass over the element
+  * hashes: sig_i = min over h of fmix64(h ⊕ GOLDEN·(i+1)).
+  */
+case class MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var p = 0
+      while (p < numHashes) {
+        val v = VectorExpressions.fmix64(h ^ (0x9e3779b97f4a7c15L * (p + 1)))
+        if (v < sigs(p)) sigs(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
+}
+
+/** 64-bit SimHash packed from token hashes: bit j is set iff
+  * Σ_tokens (bit j of hash ? +1 : −1) > 0.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** One-pass token statistics: total token length plus membership hits
+  * for up to `sets.size` stopword sets. Replaces one interpreted
+  * higher-order filter per set with a single fused scan.
+  * Output: struct<sum_len: bigint, hits0..hitsN-1: int>.
+  */
+case class TokenSetStats(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val lookups: Array[java.util.HashSet[UTF8String]] =
+    sets.map { ws =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def dataType: DataType = StructType(
+    StructField("sum_len", LongType, nullable = false) +:
+      sets.indices.map(i => StructField(s"hits$i", IntegerType, nullable = false)))
+  override def prettyName: String = "token_set_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    var sumLen = 0L
+    val hits = new Array[Int](lookups.length)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      sumLen += t.numChars()
+      var s = 0
+      while (s < lookups.length) {
+        if (lookups(s).contains(t)) hits(s) += 1
+        s += 1
+      }
+      i += 1
+    }
+    val row = new Array[Any](1 + hits.length)
+    row(0) = sumLen
+    var s = 0
+    while (s < hits.length) { row(s + 1) = hits(s); s += 1 }
+    InternalRow.fromSeq(row.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenSetStats = copy(child = c)
+}

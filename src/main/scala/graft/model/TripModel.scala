@@ -1,0 +1,91 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's telemetry JSON contract re-expressed as a Spark
+  * schema + tolerant parser.
+  *
+  * Reference shape (JSONUtil.kt:127-168): messages are
+  * `{"body": {"tripNumber": N, "timestamp": ISO, "type":
+  * "TripStartRelativeTime"|"TripData"|"TripEnd", ...}}` with
+  * `pidData` carrying a map of OBD-II readings (JSONUtil.kt:25-125).
+  * The reference parses ~15 PID kinds and drops unknown keys
+  * (JSONUtil.kt:116-118); malformed messages become null and are
+  * filtered (TripAggregatorApplication.kt:194).
+  *
+  * Spark-first: ONE wide nullable schema instead of a sealed class
+  * hierarchy — columnar pruning then makes "queries touching only
+  * speed" read only speed; `from_json` in PERMISSIVE mode nulls
+  * malformed rows, and `.filter($"trip_id".isNotNull)` is the
+  * reference's tolerant-parse-then-filter, codegen'd.
+  */
+object TripModel {
+
+  val gpsSchema: StructType = StructType(Seq(
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("heading", DoubleType),
+    StructField("horizontalDilutionOfPrecision", DoubleType),
+    StructField("numberOfSatellites", DoubleType),
+    StructField("hemisphere", StringType),
+    StructField("fixQuality", StringType)))
+
+  val milSchema: StructType = StructType(Seq(
+    StructField("commandedOn", BooleanType),
+    StructField("numCodes", DoubleType)))
+
+  val pidSchema: StructType = StructType(Seq(
+    StructField("VehicleSpeed", DoubleType),
+    StructField("EngineRpm", DoubleType),
+    StructField("EngineCoolantTemp", DoubleType),
+    StructField("CalcEngineLoad", DoubleType),
+    StructField("FuelPressure", DoubleType),
+    StructField("IntakeManifoldAbsPressure", DoubleType),
+    StructField("TimingAdvance", DoubleType),
+    StructField("IntakeAirTemp", DoubleType),
+    StructField("MafAirFlowRate", DoubleType),
+    StructField("ThrottlePosition", DoubleType),
+    StructField("FreezeFrameTroubleCode", StringType),
+    StructField("MilStatus", milSchema),
+    StructField("GpsReading", gpsSchema)))
+
+  val bodySchema: StructType = StructType(Seq(
+    StructField("tripNumber", LongType),
+    StructField("timestamp", StringType),
+    StructField("type", StringType),
+    StructField("odometer", DoubleType),
+    StructField("vehicleProtocol", StringType),
+    StructField("vin", StringType),
+    StructField("fuelConsumed", DoubleType),
+    StructField("pidData", pidSchema)))
+
+  val messageSchema: StructType = StructType(Seq(
+    StructField("body", bodySchema)))
+
+  /** Tolerant parse of a raw JSON string column into flat, pruned
+    * columns. Malformed rows surface as null trip_id (reference:
+    * map-to-null + filter).
+    */
+  def parse(raw: Column): Column = from_json(raw, messageSchema)
+
+  /** Full pipeline stage: raw-string df → flat typed trip events. */
+  def parseRaw(df: DataFrame, rawCol: String): DataFrame =
+    df.withColumn("_msg", parse(col(rawCol)))
+      .select(
+        col("_msg.body.tripNumber").as("trip_id"),
+        to_timestamp(col("_msg.body.timestamp")).as("ts"),
+        col("_msg.body.type").as("event_type"),
+        col("_msg.body.odometer").as("odometer"),
+        col("_msg.body.vehicleProtocol").as("vehicle_protocol"),
+        col("_msg.body.vin").as("vin"),
+        col("_msg.body.fuelConsumed").as("fuel_consumed"),
+        col("_msg.body.pidData.VehicleSpeed").as("speed_kmh"),
+        col("_msg.body.pidData.EngineRpm").as("rpm"),
+        col("_msg.body.pidData.GpsReading.latitude").as("lat"),
+        col("_msg.body.pidData.GpsReading.longitude").as("lon"),
+        col("_msg.body.pidData.GpsReading.fixQuality").as("gps_fix_quality"),
+        col("_msg.body.pidData.MilStatus.commandedOn").as("mil_on"))
+      .filter(col("trip_id").isNotNull)
+}

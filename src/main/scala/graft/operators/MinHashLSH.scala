@@ -32,21 +32,27 @@ object MinHashLSH {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Adds `grams` (distinct k-shingles of `textCol`) to df. */
-  def withShingles(df: DataFrame, textCol: String, k: Int = 3): DataFrame =
-    df.withColumn("grams", expr(
-      s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 0)), i -> substr($textCol, i, $k)))"))
-
-  /** Adds `minhashes: array<bigint>` (length NumHashes). The i-th
-    * signature is min over shingles of the i-seeded xxhash64 —
-    * deterministic, ANSI-safe (no overflowing affine arithmetic).
+  /** Adds `grams` — distinct HASHED word n-gram shingles of `textCol`
+    * (array<bigint>, sorted), tokens split on single spaces. Word
+    * shingles (not char shingles) are the load-bearing choice: on a
+    * corpus with a small shared vocabulary, char-3-gram Jaccard
+    * between UNRELATED docs runs ~0.5 and every LSH band collides
+    * (measured: 5M candidate pairs on 5k docs); word-trigram Jaccard
+    * for the same corpus is ≤ 0.07 for non-dups vs ≥ 0.9 for dups.
+    * Hashing shingles keeps every downstream payload at 8
+    * bytes/shingle; set algebra on hashes equals set algebra on the
+    * strings up to 64-bit collisions (~2⁻⁶⁵ per pair).
     */
-  def withMinHashes(df: DataFrame): DataFrame = {
-    val sigs = (0 until NumHashes).map { i =>
-      expr(s"array_min(transform(grams, g -> xxhash64(g, $i)))")
-    }
-    df.withColumn("minhashes", array(sigs: _*))
-  }
+  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("grams",
+      graft.functions.VectorExpressions.tokenNgramHashes(split(col(textCol), " "), n))
+
+  /** Adds `minhashes: array<bigint>` (length NumHashes), all
+    * signatures computed in one fused pass over the shingle hashes.
+    */
+  def withMinHashes(df: DataFrame): DataFrame =
+    df.withColumn("minhashes",
+      graft.functions.VectorExpressions.minHashSigs(col("grams"), NumHashes))
 
   /** Candidate pairs (id_a < id_b) from banded bucket collisions. */
   def candidatePairs(df: DataFrame, idCol: String): DataFrame = {

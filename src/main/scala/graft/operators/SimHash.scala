@@ -21,22 +21,10 @@ object SimHash {
   /** Adds `simhash: bigint` computed from whitespace tokens of
     * lower(text).
     */
-  def withSimHash(df: DataFrame, textCol: String): DataFrame = {
-    // per-token ±1 contributions folded into a 64-wide count vector
-    val counts =
-      s"""aggregate(
-         |  transform(split(lower($textCol), '\\\\s+'), t -> xxhash64(t)),
-         |  array_repeat(0L, 64),
-         |  (acc, h) -> zip_with(acc, transform(sequence(0, 63), j ->
-         |      CASE WHEN (h >> j) & 1 = 1 THEN 1L ELSE -1L END),
-         |    (a, d) -> a + d))""".stripMargin
-    val pack =
-      s"""aggregate(
-         |  zip_with($counts, sequence(0, 63), (c, j) ->
-         |    CASE WHEN c > 0 THEN shiftleft(1L, j) ELSE 0L END),
-         |  0L, (acc, b) -> acc | b)""".stripMargin
-    df.withColumn("simhash", expr(pack))
-  }
+  def withSimHash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash",
+      graft.functions.VectorExpressions.simHash64(
+        expr(s"transform(split(lower($textCol), '\\\\s+'), t -> xxhash64(t))")))
 
   /** Pairs (id_a < id_b) with Hamming distance ≤ maxHamming (≤ 3 for
     * the 4-block scheme to be exact).

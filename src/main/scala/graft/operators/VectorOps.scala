@@ -22,9 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product (native codegen expression). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.arrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,15 +33,17 @@ object VectorOps {
 
   /** Exact all-pairs near-dup: (id_a < id_b, cosine ≥ threshold).
     * O(n²) — the verification baseline; for large corpora use the
-    * LSH-bucketed variant.
+    * LSH-bucketed variant. Norms are computed once per vector before
+    * the join, so the per-pair work is one fused dot product.
     */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = vecs.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
     v.as("x").join(v.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
       .select(
         col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        cosine(col("x.v"), col("y.v")).as("cosine"))
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -53,10 +54,12 @@ object VectorOps {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -69,16 +72,12 @@ object VectorOps {
     val rng = new scala.util.Random(seed)
     val planeVecs: Seq[Seq[Double]] =
       Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
-    val planeLits = array(planeVecs.map(p => array(p.map(lit): _*)): _*)
-    df.withColumn("_planes", planeLits)
-      .withColumn("bucket", expr(
-        s"""aggregate(
-           |  zip_with(_planes, sequence(0, ${planes - 1}), (p, j) ->
-           |    CASE WHEN aggregate(zip_with(p, $vecCol, (x, y) -> x * y),
-           |                        0D, (acc, z) -> acc + z) > 0
-           |         THEN shiftleft(1L, j) ELSE 0L END),
-           |  0L, (acc, b) -> acc | b)""".stripMargin))
-      .drop("_planes")
+    // one fused dot per plane against a constant-folded literal array;
+    // sign bits OR'd (disjoint powers of two, so + == |)
+    val bucket = planeVecs.zipWithIndex.map { case (p, j) =>
+      when(dot(array(p.map(lit): _*), col(vecCol)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
   }
 
   /** LSH-bucketed ANN: per-query top-k searched only within the
@@ -96,7 +95,7 @@ object VectorOps {
     val scored = c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rnk", row_number().over(w))

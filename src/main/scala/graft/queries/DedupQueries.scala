@@ -16,13 +16,17 @@ object DedupQueries {
   private val JaccardThreshold = 0.8
   private val CosineThreshold = 0.45
 
-  // Shared DuckDB shingle CTE (3-char shingles, distinct).
+  // Shared DuckDB shingle CTE (distinct word trigrams — must define
+  // the same shingle sets as MinHashLSH.withShingles).
   private val gramsCte =
-    """g AS (
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
       |  SELECT doc_id, list_distinct(list_transform(
-      |    range(1, length(text) - 1),
-      |    i -> substr(text, CAST(i AS INT), 3))) AS grams
-      |  FROM documents)""".stripMargin
+      |    range(1, len(toks) - 1),
+      |    i -> concat(toks[CAST(i AS INT)], ' ',
+      |                toks[CAST(i + 1 AS INT)], ' ',
+      |                toks[CAST(i + 2 AS INT)]))) AS grams
+      |  FROM t)""".stripMargin
 
   private val jaccardExpr =
     "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams)))"

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference pipeline
+  * (SURVEY.md §2 A4, A5, D1-D4).
+  *
+  * The reference keys by trip id, holds events in a GlobalWindow and
+  * fires+purges on an inactivity timer (ProcessingTimeTrigger.kt) —
+  * i.e. sessionization with an inactivity gap, aggregating
+  * incrementally (TripAggregatorApplication.kt:58-164).
+  *
+  * Two Spark-native forms:
+  *  - `sessionWindowAgg`: declarative `session_window` + watermark —
+  *    Catalyst/streaming state store handle merging and eviction.
+  *  - `statefulTripAggregate`: `flatMapGroupsWithState` with a
+  *    ProcessingTimeTimeout — the literal analog of the reference's
+  *    min/max-retention trigger, but with O(1) state per key (running
+  *    sums + last point) instead of the reference's per-trip TreeSets
+  *    — the difference between "fits in the state store at 100 TB"
+  *    and "OOMs on a long trip".
+  */
+object SessionPipeline {
+
+  /** One telemetry reading (the events-table shape). */
+  case class Reading(user_id: Long, tsec: Long, lat: Double, lon: Double,
+      speed: Double, value: Double)
+
+  /** Closed-session result — mirrors the reference TripAggregation
+    * fields (TripAggregation.kt:16-25).
+    */
+  case class TripSession(user_id: Long, n_events: Long, start_s: Long,
+      end_s: Long, total_s: Long, stopped_s: Long, moving_s: Long,
+      distance_km: Double, sum_value: Double)
+
+  /** O(1) running state per open session. */
+  case class TripState(nEvents: Long, startS: Long, lastS: Long,
+      lastLat: Double, lastLon: Double, lastSpeed: Double,
+      stoppedS: Long, distanceKm: Double, sumValue: Double)
+
+  /** Declarative event-time session windows (gap = inactivity). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        unix_timestamp(col("session_window.end")).as("end_s"),
+        col("n_events"), col("sum_value"))
+
+  private def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val phi1 = math.toRadians(lat1)
+    val phi2 = math.toRadians(lat2)
+    val dPhi = math.toRadians(lat2 - lat1)
+    val dLambda = math.toRadians(lon2 - lon1)
+    val h = math.pow(math.sin(dPhi / 2), 2) +
+      math.cos(phi1) * math.cos(phi2) * math.pow(math.sin(dLambda / 2), 2)
+    2.0 * 6371.0 * math.asin(math.sqrt(h))
+  }
+
+  /** The reference's incremental AggregateFunction + inactivity
+    * trigger as a stateful streaming operator. Emits a TripSession
+    * when a key sees no events for the processing-time timeout
+    * (== the trigger's FIRE_AND_PURGE on the retention timer).
+    */
+  def statefulTripAggregate(readings: Dataset[Reading],
+      timeoutMs: Long = 4000, lowSpeed: Double = 5.0): Dataset[TripSession] = {
+    import readings.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Reading],
+        state: GroupState[TripState]): Iterator[TripSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(TripSession(
+          userId, s.nEvents, s.startS, s.lastS, s.lastS - s.startS,
+          s.stoppedS, (s.lastS - s.startS) - s.stoppedS,
+          s.distanceKm, s.sumValue))
+      } else {
+        val sorted = rows.toSeq.sortBy(r => (r.tsec, r.value))
+        var s = state.getOption.getOrElse {
+          val h = sorted.head
+          TripState(0L, h.tsec, h.tsec, h.lat, h.lon, h.speed, 0L, 0.0, 0.0)
+        }
+        sorted.foreach { r =>
+          val stoppedDelta =
+            if (s.nEvents > 0 && r.speed < lowSpeed && s.lastSpeed < lowSpeed)
+              r.tsec - s.lastS
+            else 0L
+          val legKm =
+            if (s.nEvents > 0) haversineKm(s.lastLat, s.lastLon, r.lat, r.lon)
+            else 0.0
+          s = TripState(
+            s.nEvents + 1, math.min(s.startS, r.tsec), math.max(s.lastS, r.tsec),
+            r.lat, r.lon, r.speed,
+            s.stoppedS + stoppedDelta, s.distanceKm + legKm,
+            s.sumValue + r.value)
+        }
+        state.update(s)
+        state.setTimeoutDuration(timeoutMs)
+        Iterator.empty
+      }
+    }
+
+    readings
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update)
+  }
+
+  /** D4: streaming dedup within the watermark horizon. */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+}
