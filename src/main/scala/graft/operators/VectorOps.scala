@@ -81,17 +81,22 @@ object VectorOps {
   }
 
   /** LSH-bucketed ANN: per-query top-k searched only within the
-    * query's bucket (single-probe; recall < 1 by design — the scale
-    * path trades recall for a keyed equi-join instead of a cross
-    * product).
+    * query's bucket plus all Hamming-1 neighbor buckets (multi-probe
+    * — a 6-plane space has 64 buckets, so single-probe would leave
+    * most queries in a near-empty bucket). Recall < 1 by design —
+    * the scale path trades recall for a keyed equi-join over
+    * ~(probes/2^planes) of the corpus instead of a cross product.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 12): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 6): DataFrame = {
     val c = withLshBucket(
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")), "v", planes)
+    val probes = lit(0L) +: (0 until planes).map(j => lit(1L << j))
     val q = withLshBucket(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")), "qv", planes)
-      .withColumnRenamed("bucket", "qbucket")
+        queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")), "qv", planes)
+      .withColumn("qbucket",
+        explode(array(probes.map(p => col("bucket").bitwiseXOR(p)): _*)))
+      .drop("bucket")
     val scored = c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),

@@ -47,25 +47,30 @@ class JdbcUpsertSink(
        |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $sets""".stripMargin
   }
 
-  /** ANSI/Derby MERGE with a single-row VALUES source. */
-  private def derbySql(schema: StructType): String = {
-    val typed = cols.map(c => s"CAST(? AS ${sqlType(schema(c).dataType)}) AS $c")
-    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+  /** Derby (no usable MERGE-from-VALUES): classic two-statement
+    * upsert emulation — UPDATE first, INSERT when no row matched.
+    * Derby requires typed parameters inside expressions, so every
+    * `?` is wrapped in CAST(? AS <type>). Parameters: one per value
+    * expression `?` occurrence, then keys.
+    */
+  private[sinks] def derbyUpdateSql(schema: StructType): String = {
     val sets = valCols.map { c =>
-      val e = updateExprs.getOrElse(c, s"s.$c")
-        .replace("excluded.", "s.").replace(s"$table.", "t.")
-      s"t.$c = $e"
+      val slot = s"CAST(? AS ${sqlType(schema(c).dataType)})"
+      val e = updateExprs.getOrElse(c, slot)
+        .replace(s"excluded.$c", slot).replace(s"$table.", "")
+      s"$c = $e"
     }.mkString(", ")
-    s"""MERGE INTO $table t
-       |USING (SELECT ${typed.mkString(", ")} FROM SYSIBM.SYSDUMMY1) s
-       |ON $on
-       |WHEN MATCHED THEN UPDATE SET $sets
-       |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
-       |VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+    val on = keyCols
+      .map(k => s"$k = CAST(? AS ${sqlType(schema(k).dataType)})")
+      .mkString(" AND ")
+    s"UPDATE $table SET $sets WHERE $on"
   }
 
+  private[sinks] def insertSql: String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+
   def upsertSql(schema: StructType): String =
-    if (dialect == "derby") derbySql(schema) else postgresSql
+    if (dialect == "derby") derbyUpdateSql(schema) else postgresSql
 
   private def sqlType(dt: DataType): String = dt match {
     case LongType => "BIGINT"
@@ -108,37 +113,77 @@ class JdbcUpsertSink(
     }
   }
 
-  /** Batch (or foreachBatch) write: one connection per partition,
-    * batched execution every `batchSize` rows.
+  /** Batch (or foreachBatch) write: one connection per partition.
+    * Postgres path: single batched ON CONFLICT statement flushed
+    * every `batchSize` rows (the production shape). Derby path:
+    * UPDATE-then-INSERT emulation per row (test DB only).
     */
   def writeBatch(df: DataFrame, batchId: Long = 0L): Unit = {
-    val schema = df.schema
     val projected = df.select((keyCols ++ valCols).map(df.col): _*)
     val outSchema = projected.schema
-    val sql = upsertSql(outSchema)
     val bs = batchSize
-    val binds = outSchema.fields.map(_.dataType)
-    projected.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
-        val conn = connect()
-        conn.setAutoCommit(false)
-        try {
-          val ps = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { row =>
-            var i = 0
-            while (i < binds.length) {
-              bind(ps, i + 1, binds(i), row, i)
-              i += 1
+    val types = outSchema.fields.map(_.dataType)
+    val nKeys = keyCols.length
+
+    if (dialect == "derby") {
+      val updateSql = derbyUpdateSql(outSchema)
+      val insSql = insertSql
+      // per value column: how many ?-slots its SET expression uses
+      val slotCounts = valCols.map { c =>
+        updateExprs.getOrElse(c, "?")
+          .replace(s"excluded.$c", "?").replace(s"$table.", "")
+          .count(_ == '?')
+      }
+      projected.foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) {
+          val conn = connect()
+          try {
+            val upd = conn.prepareStatement(updateSql)
+            val ins = conn.prepareStatement(insSql)
+            rows.foreach { row =>
+              var idx = 1
+              var v = 0
+              while (v < slotCounts.length) {
+                var s = 0
+                while (s < slotCounts(v)) {
+                  bind(upd, idx, types(nKeys + v), row, nKeys + v)
+                  idx += 1; s += 1
+                }
+                v += 1
+              }
+              var k = 0
+              while (k < nKeys) { bind(upd, idx, types(k), row, k); idx += 1; k += 1 }
+              if (upd.executeUpdate() == 0) {
+                var i = 0
+                while (i < types.length) { bind(ins, i + 1, types(i), row, i); i += 1 }
+                ins.executeUpdate()
+              }
             }
-            ps.addBatch()
-            n += 1
-            if (n % bs == 0) { ps.executeBatch(); conn.commit() }
-          }
-          ps.executeBatch()
-          conn.commit()
-          ps.close()
-        } finally conn.close()
+            upd.close(); ins.close()
+          } finally conn.close()
+        }
+      }
+    } else {
+      val sql = postgresSql
+      projected.foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) {
+          val conn = connect()
+          conn.setAutoCommit(false)
+          try {
+            val ps = conn.prepareStatement(sql)
+            var n = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < types.length) { bind(ps, i + 1, types(i), row, i); i += 1 }
+              ps.addBatch()
+              n += 1
+              if (n % bs == 0) { ps.executeBatch(); conn.commit() }
+            }
+            ps.executeBatch()
+            conn.commit()
+            ps.close()
+          } finally conn.close()
+        }
       }
     }
   }

@@ -1,0 +1,234 @@
+package graft
+
+import graft.functions.{Fingerprint64, GeoFunctions, TextFunctions, VectorExpressions}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Haversine (SURVEY §2 A7). */
+class GeoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("haversine matches known city distance") {
+    // Paris (48.8566, 2.3522) ↔ London (51.5074, -0.1278) ≈ 343.5 km
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("a", "b", "c", "d")
+      .select(GeoFunctions.haversineKm(col("a"), col("b"), col("c"), col("d")).as("km"))
+      .head().getDouble(0)
+    assert(math.abs(d - 343.5) < 1.0, s"got $d")
+  }
+
+  test("haversine zero for identical points") {
+    val d = Seq((10.0, 20.0)).toDF("lat", "lon")
+      .select(GeoFunctions.haversineKm(col("lat"), col("lon"), col("lat"), col("lon")).as("km"))
+      .head().getDouble(0)
+    assert(d == 0.0)
+  }
+}
+
+/** Inactivity sessionization (SURVEY §2 A5). */
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("session boundaries at the gap") {
+    val df = Seq(
+      (1L, 100L, 1L), (1L, 200L, 2L), (1L, 2300L, 3L), // gap 2100 > 1800 → new session
+      (2L, 100L, 4L)).toDF("user_id", "tsec", "event_id")
+    val out = Sessionize.withSessionId(df, col("user_id"), col("tsec"), 1800L,
+        Seq(col("tsec"), col("event_id")))
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+}
+
+/** Trip aggregation semantics vs the reference definition (A6-A8). */
+class TripAggregatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stopped time counts only runs of consecutive low-speed readings") {
+    // speeds: 1, 2 (low run: 10s), 50, 1 (no pair), 2, 3 (low run: 10s)
+    val rows = Seq(
+      (1L, 0L, 0.0, 0.0, 1.0), (1L, 10L, 0.0, 0.0, 2.0),
+      (1L, 20L, 0.0, 0.0, 50.0), (1L, 30L, 0.0, 0.0, 1.0),
+      (1L, 40L, 0.0, 0.0, 2.0), (1L, 50L, 0.0, 0.0, 3.0)
+    ).toDF("user_id", "tsec", "lat", "lon", "speed")
+    val out = TripAggregator.aggregate(rows, col("user_id"), col("tsec"),
+        col("lat"), col("lon"), col("speed"), 5.0,
+        Seq(col("tsec"))).head()
+    assert(out.getAs[Long]("total_s") == 50L)
+    assert(out.getAs[Long]("stopped_s") == 30L) // 0→10 plus 30→40→50
+    assert(out.getAs[Long]("moving_s") == 20L)
+  }
+
+  test("distance sums consecutive haversine legs") {
+    // 1 degree of latitude ≈ 111.19 km; two legs → ≈ 222.4 km
+    val rows = Seq(
+      (1L, 0L, 0.0, 0.0, 10.0), (1L, 10L, 1.0, 0.0, 10.0), (1L, 20L, 2.0, 0.0, 10.0)
+    ).toDF("user_id", "tsec", "lat", "lon", "speed")
+    val out = TripAggregator.aggregate(rows, col("user_id"), col("tsec"),
+      col("lat"), col("lon"), col("speed"), 5.0, Seq(col("tsec"))).head()
+    assert(math.abs(out.getAs[Double]("distance_km") - 222.39) < 0.1)
+  }
+}
+
+/** Text analysis (C9-C12). */
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("langId detects stopword-marked languages and CJK") {
+    val df = Seq(
+      "the cat is on the mat and it is fine",
+      "el gato es de la casa y que bien",
+      "der hund ist nicht das problem und gut",
+      "le chat et les maisons des amis est la",
+      "中文文本在这里",
+      "xyzzy qwerty").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "fr", "zh", "und"))
+  }
+
+  test("token counts and quality are deterministic") {
+    val df = Seq("The quick  brown fox, it is a dog.").toDF("text")
+    val row = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.subwordCount(col("text")).as("sw"),
+      round(TextFunctions.avgTokenLen(col("text")), 4).as("atl"),
+      TextFunctions.stopwordHits(col("text"), TextFunctions.EnStop).as("hits"),
+      round(TextFunctions.qualityScore(col("text")), 4).as("q")).head()
+    assert(row.getAs[Int]("n") == 8)        // whitespace collapsed
+    assert(row.getAs[Int]("sw") == 10)      // 8 words + comma + period
+    assert(row.getAs[Int]("hits") == 4)     // the, it, is, a
+    assert(row.getAs[Double]("q") > 0.0 && row.getAs[Double]("q") <= 1.0)
+  }
+
+  test("fingerprint64 is the rolling 31-hash of utf8 bytes") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + b)
+    val texts = Seq("hello world", "", "München 1€")
+    val got = texts.toDF("t")
+      .select(Fingerprint64.fingerprint64(col("t"))).as[Long].collect().toSeq
+    assert(got == texts.map(ref))
+  }
+
+  test("fingerprint64 registers as a SQL function") {
+    Fingerprint64.register(spark)
+    val r = spark.sql("SELECT fingerprint64('abc') AS f").head().getLong(0)
+    assert(r == ("abc".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + b)))
+  }
+}
+
+/** Dedup family (C1-C5). */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+  private val nearDup = base.replace("delta", "DELTA") // small edit
+  private val unrelated = "one two three four five six seven eight nine ten " * 3
+
+  test("minhash LSH finds the planted near-dup pair and only it") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash jaccard equals exact shingle jaccard") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
+    // word trigrams: doc1 {abc,bcd,cde}, doc2 {abc,bcd,cdx} → J = 2/4
+    val j = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.1)
+      .select("jaccard").as[Double].head()
+    assert(j == 0.5)
+  }
+
+  test("simhash near-dup pairs at small hamming distance") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._2 == 3L))
+  }
+
+  test("embedding cosine near-dup finds parallel vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = VectorOps.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+/** ANN (C6-C7). */
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("brute-force top-k ranks by cosine") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.4359f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.bruteForceTopK(corpus, corpus.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .select("id", "rnk").as[(Long, Int)].collect().toMap
+    assert(out == Map(2L -> 1, 3L -> 2))
+  }
+
+  test("lsh bucketing is deterministic and self-consistent") {
+    val vecs = GraftSession.table(spark, sfDir, "embeddings")
+    val a = VectorOps.withLshBucket(vecs.select($"vec_id", $"embedding".cast("array<double>").as("v")), "v")
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b = VectorOps.withLshBucket(vecs.select($"vec_id", $"embedding".cast("array<double>").as("v")), "v")
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(a == b && a.values.toSet.size > 1)
+  }
+}
+
+/** Multimodal plumbing (C8). */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binary media pipeline: schema, determinism, batch shape") {
+    val docs = Seq((7L, "some payload text")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(spark,
+      Multimodal.asMedia(docs, "text").select($"doc_id", $"media", $"media_meta"), "doc_id")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "n_bytes", "format", "features"))
+    val row = out.head()
+    assert(row.getAs[Long]("id") == 7L)
+    assert(row.getAs[Int]("n_bytes") == 17)
+    val feats = row.getAs[scala.collection.Seq[Double]]("features")
+    assert(feats.length == 8)
+    // deterministic stub: same input → same features
+    assert(feats.toList ==
+      Multimodal.decodeStub("some payload text".getBytes("UTF-8")).toList)
+  }
+}
+
+/** Custom expressions. */
+class VectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("arrayDot matches a reference fold and participates in codegen") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(VectorExpressions.arrayDot(col("a"), col("b"))).as[Double].head()
+    assert(got == 32.0)
+  }
+
+  test("minhash sigs: shared elements imply shared signature minima") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 2L, 3L, 4L))).toDF("x", "y")
+    val r = df.select(
+      VectorExpressions.minHashSigs(col("x"), 16).as("sx"),
+      VectorExpressions.minHashSigs(col("y"), 16).as("sy"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(r._1 == r._2 && r._1.length == 16)
+  }
+
+  test("token ngram hashes: distinct windows, separator-safe") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("ab", "c", "d"))).toDF("x", "y")
+    val r = df.select(
+      VectorExpressions.tokenNgramHashes(col("x"), 3).as("hx"),
+      VectorExpressions.tokenNgramHashes(col("y"), 3).as("hy"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(r._1.length == 2)            // abc, bcd
+    assert(r._2.length == 1)
+    assert(r._1.intersect(r._2).isEmpty) // "ab c d" ≠ "a b c"
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import graft.model.TripModel
+import graft.sinks.JdbcUpsertSink
+import graft.streaming.SessionPipeline
+import graft.streaming.SessionPipeline.Reading
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** An events-shaped streaming test record. */
+case class Ev(user_id: Long, tsec: Long, value: Double)
+case class DedupEv(event_id: Long, ts: java.sql.Timestamp)
+
+/** Tolerant JSON → typed trip events (A1). */
+class TripModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val start =
+    """{"body":{"tripNumber":7,"timestamp":"2020-01-01T00:00:00Z","type":"TripStartRelativeTime",
+      |"odometer":1200,"vehicleProtocol":"CAN11Bit","vin":"VIN123"}}""".stripMargin.replace("\n", "")
+  private val data =
+    """{"body":{"tripNumber":7,"timestamp":"2020-01-01T00:00:05Z","type":"TripData",
+      |"pidData":{"VehicleSpeed":42,"EngineRpm":2100,
+      |"GpsReading":{"latitude":19.4,"longitude":-99.1,"heading":12,
+      |"horizontalDilutionOfPrecision":1,"numberOfSatellites":7,
+      |"hemisphere":"NorthWest","fixQuality":"Standard"},
+      |"MilStatus":{"commandedOn":false,"numCodes":0},
+      |"UnknownPid":{"x":1}}}}""".stripMargin.replace("\n", "")
+  private val end =
+    """{"body":{"tripNumber":7,"timestamp":"2020-01-01T00:10:00Z","type":"TripEnd",
+      |"odometer":1212,"fuelConsumed":1.5}}""".stripMargin.replace("\n", "")
+
+  test("parses the reference message shapes; malformed rows dropped") {
+    val raw = Seq(start, data, end, "not json at all", """{"body":{}}""").toDF("raw")
+    val out = TripModel.parseRaw(raw, "raw").orderBy("ts")
+    val rows = out.collect()
+    assert(rows.length == 3) // malformed + missing tripNumber filtered
+    val d = rows(1)
+    assert(d.getAs[String]("event_type") == "TripData")
+    assert(d.getAs[Double]("speed_kmh") == 42.0)
+    assert(d.getAs[Double]("lat") == 19.4)
+    assert(d.getAs[String]("gps_fix_quality") == "Standard")
+    assert(rows(0).getAs[String]("vin") == "VIN123")
+    assert(rows(2).getAs[Double]("fuel_consumed") == 1.5)
+  }
+}
+
+/** Streaming sessionization + watermark + stateful aggregation (D1-D4). */
+class StreamingSessionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("session_window streaming agg closes sessions at the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = SessionPipeline.sessionWindowAgg(
+      input.toDF(), gap = "2 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      input.addData(
+        Ev(1L, 1000L, 5.0), Ev(1L, 1060L, 7.0), // one session (gap < 2 min)
+        Ev(1L, 10000L, 1.0),                    // separate session
+        Ev(2L, 1000L, 2.0))
+      q.processAllAvailable()
+      // advance the watermark past every closed session
+      input.addData(Ev(9L, 999999L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_out")
+      .select("user_id", "start_s", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 1000L, 2L, 12.0)), s"got $got")
+    assert(got.contains((1L, 10000L, 1L, 1.0)), s"got $got")
+    assert(got.contains((2L, 1000L, 1L, 2.0)), s"got $got")
+  }
+
+  test("stateful trip aggregate emits on inactivity timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Reading]
+    val sessions = SessionPipeline.statefulTripAggregate(
+      input.toDS(), timeoutMs = 500, lowSpeed = 5.0)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("trips_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+
+    input.addData(
+      Reading(1L, 0L, 0.0, 0.0, 1.0, 10.0),
+      Reading(1L, 10L, 1.0, 0.0, 2.0, 20.0))
+    // wait for the inactivity timer to fire (timeout-only batches)
+    var tries = 0
+    while (spark.table("trips_out").isEmpty && tries < 100) {
+      Thread.sleep(200); tries += 1
+    }
+    q.stop()
+    val rows = spark.table("trips_out")
+      .as[SessionPipeline.TripSession].collect()
+    assert(rows.length == 1, s"got ${rows.toSeq}")
+    val t = rows.head
+    assert(t.user_id == 1L && t.n_events == 2L && t.total_s == 10L)
+    assert(t.stopped_s == 10L) // both readings below 5 km/h
+    assert(math.abs(t.distance_km - 111.19) < 0.1)
+    assert(t.sum_value == 30.0)
+  }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DedupEv]
+    val deduped = SessionPipeline.streamingDedup(
+      input.toDF(), Seq("event_id"), "ts", "1 minute")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        DedupEv(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+        DedupEv(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+        DedupEv(2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
+
+/** JDBC batched upsert against embedded Derby (A9). */
+class JdbcSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  test("upsert inserts then accumulates on conflict (reference deposit semantics)") {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE accounts (id BIGINT PRIMARY KEY, balance DOUBLE, is_terminator BOOLEAN)")
+    conn.close()
+
+    val sink = new JdbcUpsertSink(
+      url = url, driver = driver, table = "accounts",
+      keyCols = Seq("id"), valCols = Seq("balance", "is_terminator"),
+      updateExprs = Map(
+        "balance" -> "accounts.balance + excluded.balance",
+        "is_terminator" -> "accounts.is_terminator OR excluded.is_terminator"),
+      batchSize = 2, dialect = "derby")
+
+    sink.writeBatch(Seq((1L, 10.0, false), (2L, 5.0, false))
+      .toDF("id", "balance", "is_terminator"))
+    sink.writeBatch(Seq((1L, 2.5, true), (3L, 1.0, false))
+      .toDF("id", "balance", "is_terminator"))
+
+    val c2 = java.sql.DriverManager.getConnection(url)
+    val rs = c2.createStatement().executeQuery(
+      "SELECT id, balance, is_terminator FROM accounts ORDER BY id")
+    val got = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toList
+    c2.close()
+    assert(got == List((1L, 12.5, true), (2L, 5.0, false), (3L, 1.0, false)))
+  }
+
+  test("postgres dialect renders the reference ON CONFLICT statement") {
+    val sink = new JdbcUpsertSink(
+      url = "jdbc:postgresql://ignored/db", driver = "org.postgresql.Driver",
+      table = "accounts", keyCols = Seq("id"), valCols = Seq("balance"),
+      updateExprs = Map("balance" -> "accounts.balance + excluded.balance"))
+    val sql = sink.upsertSql(org.apache.spark.sql.types.StructType(Nil))
+    assert(sql.contains("ON CONFLICT (id) DO UPDATE SET balance = accounts.balance + excluded.balance"))
+  }
+}

