@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.model.TripModel
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended engine surface: set operators, cube, exact percentiles,
+  * regex, null handling, batch tumbling windows, the as-of join, and
+  * the full raw-JSON trip ingest pipeline (SURVEY.md §2 A1, B19-B24,
+  * D3 batch analog).
+  */
+object ExtendedQueries {
+
+  private val eventsCte =
+    """e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // B19: INTERSECT (distinct set semantics in both engines).
+    Q("intersect_nation_keys",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+
+    // B19: EXCEPT — nations with customers but no suppliers.
+    Q("except_nation_keys",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+
+    // B17: CUBE over status × priority.
+    Q("cube_order_stats",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS value
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("value"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("value"))
+    },
+
+    // B20: exact interpolated percentiles (both engines: linear
+    // interpolation over the sorted set).
+    Q("exact_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+    },
+
+    // B21: regex extraction/counting.
+    Q("regex_part_fields",
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+        |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
+        |FROM part""".stripMargin) { (s, dir) =>
+      table(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("bigint").as("brand_num"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).cast("bigint").as("n_vowels"))
+    },
+
+    // B22: null-handling functions.
+    Q("null_funcs_orders",
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+        |  CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS big_price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
+        when(col("o_totalprice") > 250000, col("o_totalprice")).as("big_price"))
+    },
+
+    // D3 (batch analog): tumbling 1-hour windows via window().
+    Q("tumbling_hourly_events",
+      s"""WITH $eventsCte
+         |SELECT event_type,
+         |  tsec - tsec % 3600 AS hour_start_s,
+         |  count(*) AS n,
+         |  round(sum(value), 2) AS sum_value
+         |FROM e GROUP BY event_type, tsec - tsec % 3600""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          timestamp_seconds(expr("ts div 1000000000")).as("tss"))
+        .groupBy(col("event_type"), window(col("tss"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          col("event_type"),
+          unix_timestamp(col("window.start")).as("hour_start_s"),
+          col("n"), col("sum_value"))
+    },
+
+    // B23: backward as-of join — each event enriched with the
+    // latest prior purchase of the same user (DuckDB native ASOF
+    // JOIN as the oracle; Spark side is the union-sort operator).
+    Q("asof_last_purchase",
+      s"""WITH $eventsCte,
+         |p0 AS (SELECT user_id, tsec, value, event_id FROM e WHERE event_type = 'purchase'),
+         |p AS (
+         |  SELECT user_id, tsec, value FROM (
+         |    SELECT user_id, tsec, value,
+         |      row_number() OVER (PARTITION BY user_id, tsec ORDER BY event_id DESC) AS rn
+         |    FROM p0) WHERE rn = 1)
+         |SELECT e.event_id, e.user_id, e.tsec,
+         |  p.tsec AS asof_purchase_s, p.value AS asof_purchase_value
+         |FROM e ASOF LEFT JOIN p
+         |  ON e.user_id = p.user_id AND e.tsec >= p.tsec""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("tsec"))
+      val w = Window.partitionBy(col("user_id"), col("tsec")).orderBy(col("event_id").desc)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("tsec").as("purchase_s"), col("value").as("purchase_value"))
+        .withColumn("tsec", col("purchase_s"))
+      AsOfJoin.asofBackward(
+          e.select(col("event_id"), col("user_id"), col("tsec")),
+          purchases.select(col("user_id"), col("tsec"), col("purchase_s"), col("purchase_value")),
+          keyCol = "user_id", tsCol = "tsec",
+          valueCols = Seq("purchase_s", "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          col("asof_purchase_s"), col("asof_purchase_value"))
+    },
+
+    // A1 end-to-end: serialize events into the reference's JSON
+    // message shape, parse with the tolerant TripModel schema, and
+    // aggregate — the full Kafka-shaped ingest path under the
+    // correctness gate (the oracle computes the same aggregate
+    // directly, since serialize→parse is the identity on the fields).
+    Q("trip_pipeline_json",
+      s"""WITH $eventsCte
+         |SELECT user_id AS trip_id,
+         |  count(*) AS n_events,
+         |  round(avg(value), 4) AS avg_speed,
+         |  min(tsec) AS first_s,
+         |  max(tsec) AS last_s
+         |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val raw = table(s, dir, "events").select(
+        to_json(struct(struct(
+          col("user_id").as("tripNumber"),
+          date_format(timestamp_seconds(expr("ts div 1000000000")),
+            "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
+          lit("TripData").as("type"),
+          struct(col("value").as("VehicleSpeed")).as("pidData")).as("body"))).as("raw"))
+      TripModel.parseRaw(raw, "raw")
+        .groupBy(col("trip_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg(col("speed_kmh")), 4).as("avg_speed"),
+          min(unix_timestamp(col("ts"))).as("first_s"),
+          max(unix_timestamp(col("ts"))).as("last_s"))
+    })
+}

@@ -232,3 +232,23 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r._1.intersect(r._2).isEmpty) // "ab c d" ≠ "a b c"
   }
 }
+
+/** As-of join (B23). */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("backward as-of picks latest right at or before left ts") {
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 20L), (2L, 5L))
+      .toDF("k", "tsec")
+    val right = Seq((1L, 5L, "a"), (1L, 15L, "b"), (2L, 50L, "z"))
+      .toDF("k", "tsec", "v")
+    val out = AsOfJoin.asofBackward(left, right, "k", "tsec", Seq("v"))
+      .select("k", "tsec", "asof_v").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 5L, Some("a")),   // inclusive: equal ts matches
+      (1L, 10L, Some("a")),
+      (1L, 20L, Some("b")),
+      (2L, 5L, None)))       // right row is in the future
+  }
+}
