@@ -146,6 +146,58 @@ object ExtendedQueries {
           col("asof_purchase_s"), col("asof_purchase_value"))
     },
 
+    // B25: pivot (wide conditional aggregation).
+    Q("pivot_event_counts",
+      s"""WITH $eventsCte
+         |SELECT user_id,
+         |  count(*) FILTER (WHERE event_type = 'click') AS click,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |  count(*) FILTER (WHERE event_type = 'error') AS error,
+         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |  count(*) FILTER (WHERE event_type = 'view') AS view
+         |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "purchase", "error", "signup", "view")
+      val wide = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    },
+
+    // B26: window frames — range frame + first/last value.
+    Q("window_frames_orders",
+      """SELECT o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_similar_price,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, dir) =>
+      val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-50000L, Window.currentRow)
+      val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        count(lit(1)).over(byPrice).as("n_similar_price"),
+        first(col("o_orderkey")).over(byDate).as("first_order"),
+        last(col("o_orderkey")).over(full).as("last_order"))
+    },
+
+    // B27: custom HLL sketch aggregate (mergeable, 4 KiB/group) —
+    // estimate is engine-specific → rows-only; accuracy pinned in
+    // HllSpec.
+    Q.rowsOnly("hll_distinct_parts") { (s, dir) =>
+      graft.functions.HllSketch.register(s)
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.HllSketch.hllDistinct(col("l_partkey")).as("hll_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
     // A1 end-to-end: serialize events into the reference's JSON
     // message shape, parse with the tolerant TripModel schema, and
     // aggregate — the full Kafka-shaped ingest path under the
