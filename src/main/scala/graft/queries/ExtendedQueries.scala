@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.model.TripModel
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -144,6 +144,66 @@ object ExtendedQueries {
           valueCols = Seq("purchase_s", "purchase_value"))
         .select(col("event_id"), col("user_id"), col("tsec"),
           col("asof_purchase_s"), col("asof_purchase_value"))
+    },
+
+    // B28: range join — lineitems shipped inside each top-order's
+    // 30-day promo window. Spark side runs the bucketed equi-join
+    // operator; the oracle states the plain inequality join.
+    Q("range_join_promo_lineitems",
+      """WITH promo AS (
+        |  SELECT o_orderkey AS promo_key,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS start_day
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+        |li AS (
+        |  SELECT l_quantity,
+        |    CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS ship_day
+        |  FROM lineitem)
+        |SELECT promo_key, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
+        |FROM li JOIN promo
+        |  ON ship_day >= start_day AND ship_day <= start_day + 30
+        |GROUP BY promo_key""".stripMargin) { (s, dir) =>
+      val promo = table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+        .select(
+          col("o_orderkey").as("promo_key"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("start_day"))
+        .withColumn("end_day", col("start_day") + 30)
+      val points = table(s, dir, "lineitem").select(
+        col("l_quantity"),
+        expr("unix_timestamp(l_shipdate) div 86400").as("ship_day"))
+      RangeJoin.pointInInterval(points, promo, "ship_day", "start_day", "end_day", 32L)
+        .groupBy(col("promo_key"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("qty"))
+    },
+
+    // C-extra: corpus n-gram statistics — top-5 word bigrams per
+    // language (explode → count → ranked window).
+    Q("text_top_bigrams",
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(toks)),
+        |    i -> concat(toks[CAST(i AS INT)], ' ', toks[CAST(i + 1 AS INT)]))) AS bigram
+        |  FROM t),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram),
+        |r AS (SELECT lang, bigram, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+        |      FROM c)
+        |SELECT lang, bigram, n, rn FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+      table(s, dir, "documents")
+        .select(col("lang"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks"))
+        .filter(size(col("toks")) >= 2) // mirror DuckDB's empty range()
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
     },
 
     // B25: pivot (wide conditional aggregation).

@@ -92,3 +92,36 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 }
+
+/** Range join operator (B28). */
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.RangeJoin
+
+  test("bucketed point-in-interval equals the naive inequality join") {
+    val points = Seq((1L, 5L), (2L, 35L), (3L, 64L), (4L, 100L)).toDF("pid", "x")
+    val intervals = Seq((10L, 0L, 40L), (11L, 30L, 70L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi", 32L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+  }
+}
+
+/** Partitioned-write + partition pruning (SURVEY §5). */
+class PartitionPruningSpec extends SparkTestBase {
+
+  test("filter on a partition column prunes at the file index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val clicks = spark.read.parquet(dir).filter(col("event_type") === "click")
+    clicks.collect()
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter:\n$plan")
+    val expected = GraftSession.table(spark, sfDir, "events")
+      .filter(col("event_type") === "click").count()
+    assert(clicks.count() == expected)
+  }
+}
