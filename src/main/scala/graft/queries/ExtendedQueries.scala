@@ -206,6 +206,23 @@ object ExtendedQueries {
         .filter(col("rn") <= 5)
     },
 
+    // SQL-string entry point: same engine, spark.sql over registered
+    // views (the query text IS the oracle text).
+    Q("sql_api_nation_revenue",
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      graft.GraftSession.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin)
+    },
+
     // B25: pivot (wide conditional aggregation).
     Q("pivot_event_counts",
       s"""WITH $eventsCte
