@@ -36,6 +36,27 @@ object TripModel {
     StructField("commandedOn", BooleanType),
     StructField("numCodes", DoubleType)))
 
+  val pointSchema: StructType = StructType(Seq(
+    StructField("x", DoubleType),
+    StructField("y", DoubleType),
+    StructField("z", DoubleType)))
+
+  /** Reference: RawAccelerometer with offset points + base point
+    * (JSONUtil.kt:79-101, ParameterIdData.kt:366-370).
+    */
+  val accelSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("offsets", ArrayType(pointSchema)),
+    StructField("base", pointSchema))))
+
+  /** Valid enum values (VehicleProtocol.kt, EventData.kt:47-65);
+    * out-of-range strings null out, mirroring the reference's
+    * `valueOf` throw → tolerant-null path.
+    */
+  val vehicleProtocols: Seq[String] = Seq(
+    "VPW1", "PWM", "ISO9141", "ISO14230", "ISO14230FastInit",
+    "CAN11Bit", "CAN29Bit")
+  val gpsFixQualities: Seq[String] = Seq("NoFix", "Standard", "Differential")
+
   val pidSchema: StructType = StructType(Seq(
     StructField("VehicleSpeed", DoubleType),
     StructField("EngineRpm", DoubleType),
@@ -49,7 +70,8 @@ object TripModel {
     StructField("ThrottlePosition", DoubleType),
     StructField("FreezeFrameTroubleCode", StringType),
     StructField("MilStatus", milSchema),
-    StructField("GpsReading", gpsSchema)))
+    StructField("GpsReading", gpsSchema),
+    StructField("RawAccelerometer", accelSchema)))
 
   val bodySchema: StructType = StructType(Seq(
     StructField("tripNumber", LongType),
@@ -78,14 +100,17 @@ object TripModel {
         to_timestamp(col("_msg.body.timestamp")).as("ts"),
         col("_msg.body.type").as("event_type"),
         col("_msg.body.odometer").as("odometer"),
-        col("_msg.body.vehicleProtocol").as("vehicle_protocol"),
+        when(col("_msg.body.vehicleProtocol").isin(vehicleProtocols: _*),
+          col("_msg.body.vehicleProtocol")).as("vehicle_protocol"),
         col("_msg.body.vin").as("vin"),
         col("_msg.body.fuelConsumed").as("fuel_consumed"),
         col("_msg.body.pidData.VehicleSpeed").as("speed_kmh"),
         col("_msg.body.pidData.EngineRpm").as("rpm"),
         col("_msg.body.pidData.GpsReading.latitude").as("lat"),
         col("_msg.body.pidData.GpsReading.longitude").as("lon"),
-        col("_msg.body.pidData.GpsReading.fixQuality").as("gps_fix_quality"),
-        col("_msg.body.pidData.MilStatus.commandedOn").as("mil_on"))
+        when(col("_msg.body.pidData.GpsReading.fixQuality").isin(gpsFixQualities: _*),
+          col("_msg.body.pidData.GpsReading.fixQuality")).as("gps_fix_quality"),
+        col("_msg.body.pidData.MilStatus.commandedOn").as("mil_on"),
+        size(col("_msg.body.pidData.RawAccelerometer")).as("n_accel_samples"))
       .filter(col("trip_id").isNotNull)
 }

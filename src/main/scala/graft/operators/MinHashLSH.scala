@@ -54,14 +54,31 @@ object MinHashLSH {
     df.withColumn("minhashes",
       graft.functions.VectorExpressions.minHashSigs(col("grams"), NumHashes))
 
-  /** Candidate pairs (id_a < id_b) from banded bucket collisions. */
-  def candidatePairs(df: DataFrame, idCol: String): DataFrame = {
+  /** Candidate pairs (id_a < id_b) from banded bucket collisions.
+    *
+    * @param bucketCap drop (band, bucket) groups larger than this
+    *   before pairing — the 100 TB guardrail against boilerplate
+    *   buckets whose |bucket|² pair blow-up would dominate the job.
+    *   Capped buckets mean those docs collide in OTHER bands with
+    *   near-certainty for true near-dups, so recall loss is
+    *   negligible; None = no cap (exact candidate set).
+    */
+  def candidatePairs(df: DataFrame, idCol: String,
+      bucketCap: Option[Int] = None): DataFrame = {
     val bands = df.select(
       col(idCol),
       posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(minhashes, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band", "bucket")))
-    bands.as("x").join(bands.as("y"),
+    val pruned = bucketCap match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))
+        bands.withColumn("_bsize", count(lit(1)).over(w))
+          .filter(col("_bsize") <= cap).drop("_bsize")
+      case None => bands
+    }
+    pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))

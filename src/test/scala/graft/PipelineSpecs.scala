@@ -167,3 +167,61 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(sql.contains("ON CONFLICT (id) DO UPDATE SET balance = accounts.balance + excluded.balance"))
   }
 }
+
+/** Sliding windows + checkpointed recovery (D3, A10). */
+class StreamingWindowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sliding window emits one row per covering window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input.toDF()
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_timestamp(col("window.start")).as("start_s"), col("n"), col("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("slide_out").start()
+    try {
+      input.addData(Ev(1L, 600L, 2.0), Ev(1L, 700L, 3.0))
+      q.processAllAvailable()
+      input.addData(Ev(9L, 999999L, 0.0)) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slide_out")
+      .select("start_s", "n", "v").as[(Long, Long, Double)].collect().toSet
+    // events at 600 & 700 s fall in windows [300,900) and [600,1200)
+    assert(got.contains((300L, 2L, 5.0)), s"got $got")
+    assert(got.contains((600L, 2L, 5.0)), s"got $got")
+  }
+
+  test("checkpointed restart does not reprocess or duplicate output") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src.getAbsolutePath)
+    val schema = spark.read.parquet(src.getAbsolutePath).schema
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src.getAbsolutePath)
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 2)
+    runOnce() // restart from checkpoint: no new data → no new rows
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 2)
+    // new file arrives; restart picks up ONLY the delta
+    Seq((3L, 30.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src.getAbsolutePath)
+    runOnce()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 3)
+  }
+}
