@@ -176,6 +176,39 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("qty"))
     },
 
+    // B28b: the same range join written NAIVELY (pure inequality
+    // join) with the RangeJoinRewrite optimizer rule enabled — the
+    // engine, not the user, turns it into the bucketed hash join.
+    Q("range_join_autorewrite",
+      """WITH promo AS (
+        |  SELECT o_orderkey AS promo_key,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS start_day
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+        |li AS (
+        |  SELECT l_quantity,
+        |    CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS ship_day
+        |  FROM lineitem)
+        |SELECT promo_key, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
+        |FROM li JOIN promo
+        |  ON ship_day >= start_day AND ship_day <= start_day + 30
+        |GROUP BY promo_key""".stripMargin) { (s, dir) =>
+      graft.plans.RangeJoinRewrite.enable(s)
+      s.conf.set("spark.graft.rangejoin.bucketWidth", "32")
+      val promo = table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+        .select(
+          col("o_orderkey").as("promo_key"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("start_day"))
+        .withColumn("end_day", col("start_day") + 30)
+      val points = table(s, dir, "lineitem").select(
+        col("l_quantity"),
+        expr("unix_timestamp(l_shipdate) div 86400").as("ship_day"))
+      points.join(promo,
+          col("ship_day") >= col("start_day") && col("ship_day") <= col("end_day"))
+        .groupBy(col("promo_key"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("qty"))
+    },
+
     // C-extra: corpus n-gram statistics — top-5 word bigrams per
     // language (explode → count → ranked window).
     Q("text_top_bigrams",

@@ -125,3 +125,43 @@ class PartitionPruningSpec extends SparkTestBase {
     assert(clicks.count() == expected)
   }
 }
+
+/** Optimizer extension: naive inequality join → bucketed equi-join. */
+class RangeJoinRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.plans.RangeJoinRewrite
+
+  private def naiveJoin() = {
+    val points = Seq((1L, 5L), (2L, 35L), (3L, 64L), (4L, 100L)).toDF("pid", "x")
+    val intervals = Seq((10L, 0L, 40L), (11L, 30L, 70L)).toDF("iid", "lo", "hi")
+    points.join(intervals, $"x" >= $"lo" && $"x" <= $"hi")
+      .select("pid", "iid")
+  }
+
+  test("rewrites the nested-loop join into a hash join with identical results") {
+    val expected = naiveJoin().as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+
+    RangeJoinRewrite.enable(spark)
+    try {
+      spark.conf.set("spark.graft.rangejoin.bucketWidth", "32")
+      val df = naiveJoin()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("HashJoin"), s"expected hash join:\n$plan")
+      assert(df.as[(Long, Long)].collect().toSet == expected)
+    } finally RangeJoinRewrite.disable(spark)
+  }
+
+  test("ordinary equi-joins are left untouched") {
+    RangeJoinRewrite.enable(spark)
+    try {
+      val a = Seq((1L, "x")).toDF("k", "v")
+      val b = Seq((1L, "y")).toDF("k", "w")
+      val joined = a.join(b, "k")
+      assert(joined.count() == 1)
+    } finally RangeJoinRewrite.disable(spark)
+  }
+}
