@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.functions.{TextFunctions => TF}
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation queries (SURVEY.md §2 C13-C16): the
+  * operations between "raw documents" and "training batches" —
+  * scrubbing, filtering, dedup materialization, sequence packing,
+  * split assignment. Each is a single declarative plan; the
+  * shuffles are one keyed exchange each.
+  */
+object CorpusQueries {
+
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val nTokSql = s"len(string_split($normSql, ' '))"
+
+  // word-trigram near-dup pairs (same definition as dedup_minhash_pairs)
+  private val pairsCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> concat(toks[CAST(i AS INT)], ' ',
+      |                toks[CAST(i + 1 AS INT)], ' ',
+      |                toks[CAST(i + 2 AS INT)]))) AS grams
+      |  FROM t),
+      |drops AS (
+      |  SELECT DISTINCT b.doc_id AS doc_id
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // C13: PII/noise scrubbing — emails, URLs, long digit runs.
+    Q("text_scrub",
+      """SELECT doc_id,
+        |  length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g')) AS scrubbed_len,
+        |  length(text) AS orig_len
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+        "[0-9]{4,}", "<NUM>")
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(scrubbed).as("scrubbed_len"),
+        length(col("text")).as("orig_len"))
+    },
+
+    // C14: quality/language filter pass — the keep/drop decision a
+    // corpus builder runs before training.
+    Q("corpus_filter",
+      s"""SELECT lang, source,
+         |  count(*) AS n_docs,
+         |  sum(CASE WHEN n_chars >= 200 AND $nTokSql >= 30 THEN 1 ELSE 0 END) AS n_kept
+         |FROM documents GROUP BY lang, source""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30, 1)
+            .otherwise(0)).as("n_kept"))
+    },
+
+    // C15: dedup materialization — drop every doc that near-dups a
+    // lower-id doc (MinHash-LSH pairs → anti join), count survivors.
+    Q("corpus_dedup_keep_first",
+      s"""WITH $pairsCte
+         |SELECT source, count(*) AS n_docs_kept
+         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val drops = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"))
+    },
+
+    // C16: greedy sequence packing — assign docs (in stable order,
+    // per language) to fixed token-budget bins by running token
+    // offset; one window pass, integer-exact in both engines.
+    Q("pack_documents",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST($nTokSql AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+         |  FROM d)
+         |SELECT doc_id, lang, n_tok,
+         |  CAST(floor((cum_tok - n_tok) / 2048.0) AS BIGINT) AS bin_id
+         |FROM c""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).cast("bigint").as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor((col("cum_tok") - col("n_tok")) / 2048.0).cast("bigint").as("bin_id"))
+    },
+
+    // C17: deterministic train/val/test split assignment.
+    Q("dataset_split",
+      """SELECT
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |       WHEN doc_id % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 < 9, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    })
+}

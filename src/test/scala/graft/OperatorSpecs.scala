@@ -252,3 +252,25 @@ class AsOfJoinSpec extends SparkTestBase {
       (2L, 5L, None)))       // right row is in the future
   }
 }
+
+/** Corpus scrubbing (C13). */
+class ScrubSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("emails, urls, and long digit runs are redacted") {
+    val scrub = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+        "[0-9]{4,}", "<NUM>")
+    val got = Seq(
+      "contact me at jane.doe+spam@example.co.uk today",
+      "see https://example.com/a?b=1 for details",
+      "card 4111222233334444 expires 12/25")
+      .toDF("text").select(scrub(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "contact me at <EMAIL> today",
+      "see <URL> for details",
+      "card <NUM> expires 12/25"))
+  }
+}
