@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.queries.{CorpusQueries, DedupQueries, ExtendedQueries, Q, RelationalQueries, SessionQueries, StreamingQueries, TextQueries}
+import graft.queries.{CorpusQueries, DedupQueries, ExtendedQueries, Q, RelationalQueries, SessionQueries, StreamingQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,7 +26,7 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     RelationalQueries.all ++ SessionQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ ExtendedQueries.all ++ CorpusQueries.all ++
-      StreamingQueries.all ++ multimodalQueries
+      VectorQueries.all ++ StreamingQueries.all ++ multimodalQueries
 
   /** Flagship: the reference's trip pipeline re-expressed — keyed
     * inactivity sessionization over the event stream.

@@ -52,6 +52,43 @@ object Multimodal {
     feats
   }
 
+  /** Deterministic "frame" decomposition of a payload: fixed-size
+    * byte chunks stand in for video frames; `everyN` samples every
+    * N-th frame (the standard frame-subsampling step). Real codecs
+    * slot in here — chunking/iteration/schema are the contract.
+    */
+  def frameSampleStub(payload: Array[Byte], frameBytes: Int,
+      everyN: Int): Seq[(Int, Array[Double])] = {
+    val nFrames = math.max(1, payload.length / math.max(1, frameBytes))
+    (0 until nFrames by everyN).map { f =>
+      val from = f * frameBytes
+      val until = math.min(payload.length, from + frameBytes)
+      (f, decodeStub(java.util.Arrays.copyOfRange(payload, from, until)))
+    }
+  }
+
+  /** Per-partition frame sampling: one media row explodes into
+    * (id, frame_idx, features) rows — batched iterator transform,
+    * constant memory, no driver involvement.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, idCol: String,
+      frameBytes: Int = 64, everyN: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("features", ArrayType(DoubleType))))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        frameSampleStub(r.getAs[Array[Byte]](mediaIdx), frameBytes, everyN)
+          .iterator.map { case (f, feats) => Row(id, f, feats) }
+      }
+    }(enc)
+  }
+
   /** Batched per-partition feature extraction over the binary column.
     * Iterator-to-iterator transform: constant memory per partition,
     * no driver collect — the Spark-side shape a Pandas-UDF/Arrow

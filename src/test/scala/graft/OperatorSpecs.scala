@@ -274,3 +274,37 @@ class ScrubSpec extends SparkTestBase {
       "card <NUM> expires 12/25"))
   }
 }
+
+/** Frame sampling + nested-column pruning. */
+class MultimodalFramesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("frame sampling explodes media into every-Nth-frame rows") {
+    val docs = Seq((5L, "x" * 300)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.asMedia(docs, "text").select($"doc_id", $"media"),
+      "doc_id", frameBytes = 64, everyN = 2)
+    val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(idx == Seq(0, 2)) // 4 full frames in 300 bytes → every 2nd = 0, 2
+    assert(frames.select("id").as[Long].collect().forall(_ == 5L))
+  }
+
+  test("nested struct columns prune at the parquet reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    val raw = Seq(
+      """{"body":{"tripNumber":1,"timestamp":"2020-01-01T00:00:00Z","type":"TripData",
+        |"pidData":{"VehicleSpeed":10,"EngineRpm":900,
+        |"GpsReading":{"latitude":1.0,"longitude":2.0,"heading":3,
+        |"horizontalDilutionOfPrecision":1,"numberOfSatellites":5,
+        |"hemisphere":"NorthWest","fixQuality":"Standard"}}}}""".stripMargin.replace("\n", ""))
+      .toDF("raw")
+    raw.select(graft.model.TripModel.parse(col("raw")).as("msg"))
+      .write.mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).select("msg.body.pidData.VehicleSpeed")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && plan.contains("VehicleSpeed"))
+    assert(!plan.contains("GpsReading"),
+      s"scan did not prune unused nested fields:\n$plan")
+  }
+}
