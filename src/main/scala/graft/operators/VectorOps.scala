@@ -66,6 +66,54 @@ object VectorOps {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest coarse centroid (one broadcast pass); each query probes
+    * only the `nProbe` cells nearest to it and reranks within them.
+    * Work per query drops from |corpus| to ~nProbe/|cells| of it —
+    * the classic recall/cost dial. All steps are declarative
+    * (broadcast joins + window argmin), so the corpus scan stays a
+    * single pass at any scale.
+    *
+    * @param centroids coarse quantizer: (cid, vector) rows. In
+    *   production these come from k-means (see `kmeans_assign` /
+    *   `embedding_centroids`); any deterministic set works.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String, centroidVecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cent = centroids.select(col(cidCol).as("cid"), asDouble(col(centroidVecCol)).as("cv"))
+
+    def d2(x: Column, y: Column): Column =
+      dot(x, x) - lit(2) * dot(x, y) + dot(y, y)
+
+    // corpus → nearest cell
+    val assignW = Window.partitionBy(col("id")).orderBy(col("_d2"), col("cid"))
+    val assigned = c.join(broadcast(cent))
+      .withColumn("_d2", d2(col("v"), col("cv")))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+
+    // query → nProbe nearest cells
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cid"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("_d2", d2(col("qv"), col("cv")))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    // search only probed cells, rerank by cosine
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+  }
+
   /** Random-hyperplane LSH sign bits (deterministic seed). */
   def withLshBucket(df: DataFrame, vecCol: String, planes: Int = 12,
       dim: Int = 64, seed: Long = 42L): DataFrame = {

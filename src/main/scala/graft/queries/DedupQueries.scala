@@ -103,5 +103,16 @@ object DedupQueries {
       val vecs = table(s, dir, "embeddings")
       VectorOps.lshTopK(
         vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    },
+
+    // C7b: IVF ANN — coarse-quantizer cells (first 8 vectors as the
+    // deterministic codebook), nProbe nearest cells searched.
+    Q.rowsOnly("ann_ivf_topk") { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      val centroids = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      VectorOps.ivfTopK(
+        vecs, vecs.filter(col("vec_id") < 5), centroids,
+        "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
     })
 }

@@ -308,3 +308,33 @@ class MultimodalFramesSpec extends SparkTestBase {
       s"scan did not prune unused nested fields:\n$plan")
   }
 }
+
+/** IVF ANN (C7b). */
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ivf with all cells probed equals brute force") {
+    val vecs = GraftSession.table(spark, sfDir, "embeddings")
+    val queries = vecs.filter($"vec_id" < 3)
+    val centroids = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val ivf = VectorOps.ivfTopK(vecs, queries, centroids,
+        "vec_id", "embedding", "cid", "cv", k = 5, nProbe = 4)
+      .select("query_id", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute) // probing every cell = exhaustive search
+  }
+
+  test("ivf with fewer probes searches a subset but stays deterministic") {
+    val vecs = GraftSession.table(spark, sfDir, "embeddings")
+    val queries = vecs.filter($"vec_id" < 3)
+    val centroids = vecs.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    def run() = VectorOps.ivfTopK(vecs, queries, centroids,
+        "vec_id", "embedding", "cid", "cv", k = 5, nProbe = 2)
+      .select("query_id", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val a = run(); val b = run()
+    assert(a == b && a.nonEmpty)
+  }
+}
