@@ -194,7 +194,9 @@ case class MinHashSigs(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
 }
 
-/** 64-bit SimHash packed from token hashes: bit j is set iff
+/** 64-bit SimHash over an array of TOKENS (strings): each token is
+  * hashed internally (31-polynomial + fmix64 — fused, no interpreted
+  * per-token lambda), then bit j of the signature is set iff
   * Σ_tokens (bit j of hash ? +1 : −1) > 0.
   */
 case class SimHash64(child: Expression)
@@ -203,12 +205,16 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
-    val n = hs.numElements()
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      val bytes = toks.getUTF8String(i).getBytes
+      var t = 0L
+      var b = 0
+      while (b < bytes.length) { t = t * 31L + bytes(b); b += 1 }
+      val h = VectorExpressions.fmix64(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * pair at Hamming ≤ 3 must agree exactly on ≥ 1 block, so a
   * block-value self-join finds all such pairs without O(n²).
   *
-  * Everything is native expression work (xxhash64, bit ops,
+  * Everything is native expression work (fused token hashing, bit ops,
   * higher-order folds) — codegen'd, no UDFs; signatures are 8 bytes
   * per doc so the self-join shuffles narrow rows at 100 TB.
   */
@@ -24,7 +24,7 @@ object SimHash {
   def withSimHash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash",
       graft.functions.VectorExpressions.simHash64(
-        expr(s"transform(split(lower($textCol), '\\\\s+'), t -> xxhash64(t))")))
+        split(lower(col(textCol)), "\\s+")))
 
   /** Pairs (id_a < id_b) with Hamming distance ≤ maxHamming (≤ 3 for
     * the 4-block scheme to be exact).
