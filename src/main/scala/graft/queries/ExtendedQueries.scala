@@ -146,6 +146,49 @@ object ExtendedQueries {
           col("asof_purchase_s"), col("asof_purchase_value"))
     },
 
+    // B31: collection aggregation — order-insensitive collect via
+    // sorted list, compared as a joined string.
+    Q("collect_sorted_priorities",
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("priorities"),
+          count(lit(1)).as("n"))
+    },
+
+    // B32: correlated-subquery semantics — orders above their
+    // customer's average order value.
+    Q("orders_above_cust_avg",
+      """SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      table(s, dir, "orders")
+        .withColumn("_cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("_cust_avg"))
+        .select(col("o_orderkey"))
+    },
+
+    // B33: second-moment aggregates. Rounding respects double
+    // precision at the value's magnitude: var ≈ 2e10 carries ~0.1 of
+    // cross-engine accumulation drift, so it rounds to the nearest
+    // 1e4; sd ≈ 1e5 rounds to cents.
+    Q("moment_stats_orders",
+      """SELECT o_orderstatus,
+        |  round(stddev_samp(o_totalprice), 2) AS sd,
+        |  round(var_samp(o_totalprice), -4) AS var
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(stddev_samp(col("o_totalprice")), 2).as("sd"),
+          round(var_samp(col("o_totalprice")), -4).as("var"))
+    },
+
     // B28: range join — lineitems shipped inside each top-order's
     // 30-day promo window. Spark side runs the bucketed equi-join
     // operator; the oracle states the plain inequality join.

@@ -165,3 +165,30 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     } finally RangeJoinRewrite.disable(spark)
   }
 }
+
+/** Deterministic bottom-k sampling sketch. */
+class BottomKSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.BottomKSample.bottomkSample
+
+  test("sample is deterministic, bounded, and partition-independent") {
+    val li = GraftSession.table(spark, sfDir, "lineitem")
+    def sample(parts: Int): Seq[Long] =
+      li.repartition(parts)
+        .agg(bottomkSample(col("l_orderkey"), 10))
+        .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    val a = sample(2)
+    val b = sample(7)
+    assert(a == b, "sample depends on partitioning")
+    assert(a.length == 10 && a.distinct.length == 10)
+  }
+
+  test("grouped sampling keeps at most k per group") {
+    val li = GraftSession.table(spark, sfDir, "lineitem")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(bottomkSample(col("l_partkey"), 5).as("s"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[scala.collection.Seq[Long]]("s").length == 5))
+  }
+}
