@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.functions.{TextFunctions => TF}
-import graft.operators.MinHashLSH
+import graft.operators.{ConnectedComponents, MinHashLSH}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,28 @@ object CorpusQueries {
       docs.join(drops, Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_kept"))
+    },
+
+    // C15b: transitive dedup clusters — near-dup pairs are not
+    // transitive, so the canonical doc is the min id of the whole
+    // connected component (hash-min label propagation vs a DuckDB
+    // recursive-CTE transitive closure).
+    Q("dedup_clusters",
+      s"""WITH RECURSIVE $pairsCte,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.id)
+         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.8)
+      ConnectedComponents.clusters(pairs.select(col("id_a"), col("id_b")))
     },
 
     // C16: greedy sequence packing — assign docs (in stable order,

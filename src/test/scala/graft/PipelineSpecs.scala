@@ -225,3 +225,34 @@ class StreamingWindowSpec extends SparkTestBase {
     assert(spark.read.parquet(out.getAbsolutePath).count() == 3)
   }
 }
+
+/** Stream-stream join with watermarks + time bounds (D7). */
+class StreamStreamJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("inner join of two streams within a time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val c = clicks.toDF()
+      .select($"user_id", timestamp_seconds($"tsec").as("click_ts"), $"value".as("click_v"))
+      .withWatermark("click_ts", "1 hour")
+    val b = buys.toDF()
+      .select($"user_id".as("buy_user"), timestamp_seconds($"tsec").as("buy_ts"), $"value".as("buy_v"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = c.join(b,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"click_ts" && $"buy_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData(Ev(1L, 1000L, 1.0), Ev(2L, 1000L, 2.0))
+      buys.addData(Ev(1L, 1300L, 10.0))   // within 10 min of user 1's click
+      buys.addData(Ev(2L, 99999L, 20.0))  // far outside the bound
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_out")
+      .select("user_id", "click_v", "buy_v").as[(Long, Double, Double)].collect().toSet
+    assert(got == Set((1L, 1.0, 10.0)), s"got $got")
+  }
+}

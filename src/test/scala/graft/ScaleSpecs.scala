@@ -192,3 +192,17 @@ class BottomKSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[scala.collection.Seq[Long]]("s").length == 5))
   }
 }
+
+/** Connected components (C15b). */
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.ConnectedComponents
+
+  test("chained pairs collapse into one component with min-id label") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+}
