@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative Lloyd k-means over an embedding column — the
+  * batch-clustering operator a corpus pipeline uses for topic
+  * bucketing, IVF codebook training, and diversity sampling.
+  *
+  * Deterministic: centroids init from the k lowest-id vectors; ties
+  * in assignment break on centroid id. Each iteration is two
+  * distributed passes — assignment (broadcast centroids × one corpus
+  * scan, fused `ArrayDot` distances) and M-step (posexplode + keyed
+  * elementwise avg). The driver holds only k centroid vectors
+  * (k × dim doubles), never data rows; iterations are O(scan) at any
+  * corpus size.
+  */
+object KMeans {
+
+  /** @return (assignments: (id, cluster), centroids: (cluster, centroid array)) */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int = 5): (DataFrame, DataFrame) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val d2 = VectorOps.dot(col("v"), col("v")) -
+        lit(2) * VectorOps.dot(col("v"), col("cv")) +
+        VectorOps.dot(col("cv"), col("cv"))
+      val w = Window.partitionBy(col("id")).orderBy(col("_d2"), col("cluster"))
+      v.join(broadcast(centroids))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("id"), col("v"), col("cluster"))
+    }
+
+    def mStep(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dims"))
+        .select(col("cluster"),
+          expr("transform(_dims, d -> d.c)").as("cv"))
+
+    var centroids = v.orderBy(col("id")).limit(k)
+      .select(row_number().over(Window.orderBy(col("id"))).as("cluster"), col("v").as("cv"))
+    var i = 0
+    while (i < iterations) {
+      centroids = mStep(assign(centroids)).cache()
+      centroids.count() // materialize so each iteration is one pass
+      i += 1
+    }
+    (assign(centroids).select(col("id"), col("cluster")), centroids)
+  }
+}

@@ -99,5 +99,15 @@ object TextQueries {
         col("doc_id"),
         Fingerprint64.fingerprint64(col("text")).as("fp64"),
         Fingerprint64.fingerprint64(TF.normalizeText(col("text"))).as("fp64_norm"))
+    },
+
+    // C21: deflate compression ratio — the repetition/noise quality
+    // signal; engine-side deflate has no SQL oracle → rows-only,
+    // behavior pinned in CompressRatioSpec.
+    Q.rowsOnly("text_compress_ratio") { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(graft.functions.CompressRatio.compressRatio(col("text")), 4)
+          .as("compress_ratio"))
     })
 }

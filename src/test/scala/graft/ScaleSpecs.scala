@@ -206,3 +206,47 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 }
+
+/** Iterative k-means (corpus clustering). */
+class KMeansSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.KMeans
+
+  test("separates well-spaced blobs into distinct clusters") {
+    // two tight blobs around (0,0) and (10,10)
+    val pts = Seq(
+      (1L, Array(0.0f, 0.1f)), (2L, Array(0.1f, 0.0f)), (3L, Array(-0.1f, 0.1f)),
+      (11L, Array(10.0f, 10.1f)), (12L, Array(10.1f, 9.9f)), (13L, Array(9.9f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val (assigned, centroids) = KMeans.fit(pts, "vec_id", "embedding", k = 2, iterations = 4)
+    val byCluster = assigned.as[(Long, Int)].collect().groupBy(_._2).values
+      .map(_.map(_._1).toSet).toSet
+    assert(byCluster == Set(Set(1L, 2L, 3L), Set(11L, 12L, 13L)), s"got $byCluster")
+    assert(centroids.count() == 2)
+  }
+
+  test("deterministic across runs") {
+    val vecs = GraftSession.table(spark, sfDir, "embeddings").limit(100)
+    def run() = KMeans.fit(vecs, "vec_id", "embedding", k = 4, iterations = 2)
+      ._1.as[(Long, Int)].collect().toMap
+    assert(run() == run())
+  }
+}
+
+/** Compression-ratio quality signal. */
+class CompressRatioSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.CompressRatio.compressRatio
+
+  test("repetitive text compresses far below random-ish text") {
+    val df = Seq(
+      "spam spam spam spam " * 50,
+      "the quick brown fox jumps over a lazy dog while nine wizards vex").toDF("text")
+    val got = df.select(compressRatio(col("text"))).as[Double].collect().toSeq
+    assert(got(0) < 0.1, s"repetitive ratio ${got(0)}")
+    assert(got(1) > 0.5, s"normal ratio ${got(1)}")
+    // deterministic
+    val again = df.select(compressRatio(col("text"))).as[Double].collect().toSeq
+    assert(got == again)
+  }
+}
