@@ -189,6 +189,25 @@ object ExtendedQueries {
           round(var_samp(col("o_totalprice")), -4).as("var"))
     },
 
+    // B35: unpivot/melt — wide metrics back to long form.
+    Q("unpivot_customer_metrics",
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey,
+        |    CAST(c_nationkey AS DOUBLE) AS nationkey,
+        |    c_acctbal AS acctbal
+        |  FROM customer)
+        |UNPIVOT (val FOR metric IN (nationkey, acctbal))""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("double").as("nationkey"),
+          col("c_acctbal").as("acctbal"))
+        .unpivot(
+          ids = Array(col("c_custkey")),
+          values = Array(col("nationkey"), col("acctbal")),
+          variableColumnName = "metric",
+          valueColumnName = "val")
+    },
+
     // B28: range join — lineitems shipped inside each top-order's
     // 30-day promo window. Spark side runs the bucketed equi-join
     // operator; the oracle states the plain inequality join.

@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 case class Q(
     name: String,
     spark: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String]) {
+  // guard against object-initialization-order nulls sneaking into
+  // the driver's oracle_sql.json (fail at class load, not mid-dump)
+  require(oracle.forall(_ != null), s"null oracle SQL for query $name")
+}
 
 object Q {
   def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =

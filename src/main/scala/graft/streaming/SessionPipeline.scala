@@ -117,6 +117,76 @@ object SessionPipeline {
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update)
   }
 
+  /** One event for the event-time sessionizer. */
+  case class SessEvent(user_id: Long, event_id: Long, tsec: Long, value: Double)
+
+  /** One closed session. */
+  case class SessOut(user_id: Long, start_s: Long, end_s: Long,
+      n_events: Long, sum_value: Double)
+
+  case class SessState(startS: Long, lastS: Long, nEv: Long, sumV: Double)
+
+  /** Custom stateful sessionizer with EVENT-TIME timeout — the
+    * deterministic form of the reference's inactivity trigger
+    * (ProcessingTimeTrigger.kt), suitable for replay verification:
+    * a session closes when a later event of the same key arrives
+    * after the gap, or when the watermark passes last_event + gap.
+    * Emission is therefore a pure function of the data:
+    * every non-final session of a key is emitted; a key's final
+    * session is emitted iff (last_event + gap) < final watermark.
+    * `end_s` is last_event + gap (session_window convention).
+    */
+  def statefulSessionizeEventTime(events: Dataset[SessEvent],
+      gapS: Long, delayS: Long): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+
+    def close(uid: Long, s: SessState): SessOut =
+      SessOut(uid, s.startS, s.lastS + gapS, s.nEv, s.sumV)
+
+    def update(uid: Long, rows: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[SessOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(uid, s))
+      } else {
+        val sorted = rows.toSeq.sortBy(r => (r.tsec, r.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+        var st = state.getOption
+        sorted.foreach { r =>
+          st match {
+            case None =>
+              st = Some(SessState(r.tsec, r.tsec, 1L, r.value))
+            case Some(s) if r.tsec - s.lastS > gapS =>
+              out += close(uid, s)
+              st = Some(SessState(r.tsec, r.tsec, 1L, r.value))
+            case Some(s) =>
+              st = Some(SessState(s.startS, math.max(s.lastS, r.tsec), s.nEv + 1, s.sumV + r.value))
+          }
+        }
+        val s = st.get
+        val deadlineMs = (s.lastS + gapS) * 1000L
+        if (deadlineMs <= state.getCurrentWatermarkMs()) {
+          // already expired relative to the current watermark
+          out += close(uid, s)
+          state.remove()
+        } else {
+          state.update(s)
+          state.setTimeoutTimestamp(deadlineMs)
+        }
+        out.iterator
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** D4: streaming dedup within the watermark horizon. */
   def streamingDedup(events: DataFrame, idCols: Seq[String],
       tsCol: String, watermark: String): DataFrame =
