@@ -293,6 +293,37 @@ object RelationalQueries {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
     },
 
+    // B13b: date-part extraction.
+    Q("date_parts_orders",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow -- duckdb 0=Sun; spark 1=Sun
+        |FROM orders""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"))
+    },
+
+    // B2b: histogram binning over a continuous measure.
+    Q("histogram_order_value",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+    },
+
     // A2: JSON field extraction from the raw props string.
     Q("json_extract_props",
       """SELECT event_id,
