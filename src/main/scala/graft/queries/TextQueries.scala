@@ -92,9 +92,27 @@ object TextQueries {
         TF.langId(col("text")).as("lang_pred"))
     },
 
-    // C12: rolling-hash fingerprint — custom codegen Expression, so
-    // no ANSI-SQL oracle; exact values pinned in TextSpec.
-    Q.rowsOnly("text_fingerprint") { (s, dir) =>
+    // C12: rolling-hash fingerprint — the custom codegen Expression
+    // matched by a HUGEINT modular-arithmetic oracle (h = h·31 + byte
+    // mod 2^64, re-signed; codepoint == byte for this ASCII corpus).
+    Q("text_fingerprint",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        list_transform(string_split_regex(text, ''),
+         |          c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS h,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        list_transform(string_split_regex($normSql, ''),
+         |          c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS hn
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp64,
+         |  CAST(CASE WHEN hn >= 9223372036854775808 THEN hn - 18446744073709551616 ELSE hn END AS BIGINT) AS fp64_norm
+         |FROM f""".stripMargin) { (s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
         Fingerprint64.fingerprint64(col("text")).as("fp64"),
