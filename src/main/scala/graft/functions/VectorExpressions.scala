@@ -211,14 +211,18 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       val bytes = toks.getUTF8String(i).getBytes
-      var t = 0L
-      var b = 0
-      while (b < bytes.length) { t = t * 31L + bytes(b); b += 1 }
-      val h = VectorExpressions.fmix64(t)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      // Empty tokens (leading/trailing separator artifacts) carry no
+      // signal and differ between tokenizers — skip for oracle parity.
+      if (bytes.length > 0) {
+        var t = 0L
+        var b = 0
+        while (b < bytes.length) { t = t * 31L + bytes(b); b += 1 }
+        val h = VectorExpressions.fmix64(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

@@ -30,11 +30,15 @@ object KMeans {
       val d2 = VectorOps.dot(col("v"), col("v")) -
         lit(2) * VectorOps.dot(col("v"), col("cv")) +
         VectorOps.dot(col("cv"), col("cv"))
-      val w = Window.partitionBy(col("id")).orderBy(col("_d2"), col("cluster"))
+      // min_by aggregation, not a window argmin: partial aggregation
+      // combines map-side, so the corpus×k expansion never reaches the
+      // exchange (a per-id window would shuffle+sort all of it).
       v.join(broadcast(centroids))
         .withColumn("_d2", d2)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
+        .groupBy(col("id"))
+        .agg(
+          min_by(col("cluster"), struct(col("_d2"), col("cluster"))).as("cluster"),
+          first(col("v")).as("v"))
         .select(col("id"), col("v"), col("cluster"))
     }
 

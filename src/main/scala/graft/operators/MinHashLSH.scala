@@ -90,9 +90,16 @@ object MinHashLSH {
     * |∩| / |∪| double.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
-    val grams = withMinHashes(withShingles(docs.select(col(idCol), col(textCol)), textCol, k))
-    val pairs = candidatePairs(grams, idCol)
+      threshold: Double, k: Int = 3,
+      bucketCap: Option[Int] = Some(100000)): DataFrame = {
+    // Docs with fewer than k tokens have an empty shingle set: their
+    // minhash signatures are all-identical sentinels (every such pair
+    // collides in every band — a quadratic clique) and their Jaccard
+    // is 0/0. Drop them before banding; the oracle mirrors the filter.
+    val grams = withMinHashes(
+      withShingles(docs.select(col(idCol), col(textCol)), textCol, k)
+        .filter(size(col("grams")) > 0))
+    val pairs = candidatePairs(grams, idCol, bucketCap)
     val gOnly = grams.select(col(idCol), col("grams"))
     pairs
       .join(gOnly.withColumnRenamed(idCol, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")

@@ -47,6 +47,43 @@ object VectorOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact all-pairs near-dup, shaped for a cluster. The O(n²)
+    * similarity arithmetic is unavoidable for an EXACT result on
+    * embeddings with no cluster structure (random-hyperplane LSH at
+    * τ≈0.45 misses threshold pairs; metric-tree pruning finds nothing
+    * to prune when angles concentrate near 90°), but the *plan* need
+    * not be a BroadcastNestedLoopJoin: both sides are hashed into
+    * `blocks` id-blocks and joined on explicit (block_a, block_b)
+    * pair keys — a uniform shuffle equi-join with B(B+1)/2 keys and
+    * (n/B)² work per key. No driver cartesian, no skew, replication
+    * factor B per side (the classic triangle-join trade: B ≈
+    * sqrt(2 × tasks) balances replication against parallelism).
+    * Output is identical to `nearDupPairs` (the spec baseline).
+    */
+  def blockedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    val blockPairs = broadcast(
+      (for { p <- 0 until blocks; q <- p until blocks } yield (p, q)).toDF("bp", "bq"))
+    val left = v.join(blockPairs, col("blk") === col("bp")).drop("blk")
+    val right = v.select(col("id").as("id_r"), col("v").as("v_r"),
+        col("nrm").as("nrm_r"), col("blk"))
+      .join(blockPairs, col("blk") === col("bq")).drop("blk")
+    left.join(right, Seq("bp", "bq"))
+      // p == q block pairs see both orientations — keep one; p < q
+      // pairs appear once with arbitrary id order — normalized below.
+      .filter(col("bp") < col("bq") || col("id") < col("id_r"))
+      .select(
+        least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"),
+        (dot(col("v"), col("v_r")) / (col("nrm") * col("nrm_r"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself when ids collide).
     * Deterministic: ranked by round(cosine, 6) desc then id.
@@ -88,12 +125,15 @@ object VectorOps {
     def d2(x: Column, y: Column): Column =
       dot(x, x) - lit(2) * dot(x, y) + dot(y, y)
 
-    // corpus → nearest cell
-    val assignW = Window.partitionBy(col("id")).orderBy(col("_d2"), col("cid"))
+    // corpus → nearest cell: min_by aggregation, not a window argmin —
+    // partial aggregation combines map-side, so the corpus×k expansion
+    // never hits the exchange (a per-id window would shuffle+sort it).
     val assigned = c.join(broadcast(cent))
       .withColumn("_d2", d2(col("v"), col("cv")))
-      .withColumn("_rn", row_number().over(assignW))
-      .filter(col("_rn") === 1)
+      .groupBy(col("id"))
+      .agg(
+        min_by(col("cid"), struct(col("_d2"), col("cid"))).as("cid"),
+        first(col("v")).as("v"))
       .select(col("id"), col("v"), col("cid"))
 
     // query → nProbe nearest cells

@@ -26,7 +26,7 @@ object CorpusQueries {
       |    i -> concat(toks[CAST(i AS INT)], ' ',
       |                toks[CAST(i + 1 AS INT)], ' ',
       |                toks[CAST(i + 2 AS INT)]))) AS grams
-      |  FROM t),
+      |  FROM t WHERE len(toks) >= 3),
       |drops AS (
       |  SELECT DISTINCT b.doc_id AS doc_id
       |  FROM g a JOIN g b ON a.doc_id < b.doc_id
@@ -59,7 +59,7 @@ object CorpusQueries {
     Q("corpus_filter",
       s"""SELECT lang, source,
          |  count(*) AS n_docs,
-         |  sum(CASE WHEN n_chars >= 200 AND $nTokSql >= 30 THEN 1 ELSE 0 END) AS n_kept
+         |  CAST(sum(CASE WHEN n_chars >= 200 AND $nTokSql >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY lang, source""".stripMargin) { (s, dir) =>
       table(s, dir, "documents")
         .groupBy(col("lang"), col("source"))
@@ -138,7 +138,7 @@ object CorpusQueries {
         |       WHEN doc_id % 10 < 9 THEN 'val'
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs,
-        |  sum(n_chars) AS total_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
       table(s, dir, "documents")
         .withColumn("split",

@@ -26,13 +26,65 @@ object DedupQueries {
       |    i -> concat(toks[CAST(i AS INT)], ' ',
       |                toks[CAST(i + 1 AS INT)], ' ',
       |                toks[CAST(i + 2 AS INT)]))) AS grams
-      |  FROM t)""".stripMargin
+      |  FROM t WHERE len(toks) >= 3)""".stripMargin
 
   private val jaccardExpr =
     "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams)))"
 
   private val cosineExpr =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  // 64-bit wraparound multiply in HUGEINT: (x * C) mod 2^64 with the
+  // product split into 32-bit halves (a full 64×64 product overflows
+  // INT128). C is a compile-time constant, pre-split hi/lo.
+  private def mulMod64(x: String, c: BigInt): String = {
+    val hi = c >> 32
+    val lo = c & 0xffffffffL
+    s"((($x % 4294967296) * $lo + ((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296) * 4294967296) % 18446744073709551616)"
+  }
+
+  // DuckDB re-derivation of VectorExpressions.SimHash64: 31-poly token
+  // hash → fmix64 (xor-shift-33 = // 2^33 on the unsigned HUGEINT
+  // image) → per-bit ±1 majority → 64-bit signature re-signed to
+  // BIGINT; pairs at hamming ≤ 3 via O(n²) scan (the specification —
+  // the Spark plan is the pigeonhole-blocked version).
+  private val simhashOracleSql: String = {
+    val c1 = BigInt("18397679294719823053") // 0xff51afd7ed558ccd
+    val c2 = BigInt("14181476777654086739") // 0xc4ceb9fe1a85ec53
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE len(tok) > 0),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(string_split_regex(tok, ''), c -> CAST(ord(c) AS HUGEINT))),
+       |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS t
+       |  FROM toks),
+       |fm AS (
+       |  SELECT doc_id, xor(d, d // 8589934592) AS h
+       |  FROM (SELECT doc_id, ${mulMod64("c", c2)} AS d
+       |    FROM (SELECT doc_id, xor(b, b // 8589934592) AS c
+       |      FROM (SELECT doc_id, ${mulMod64("a", c1)} AS b
+       |        FROM (SELECT doc_id, xor(t, t // 8589934592) AS a FROM th))))),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN (h // CAST(power(2, j) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM fm, (SELECT unnest(range(64)) AS j)),
+       |persig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN cnt > 0 THEN CAST(power(2, j) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+       |  FROM (SELECT doc_id, j, sum(s) AS cnt FROM bits GROUP BY doc_id, j) GROUP BY doc_id),
+       |sg AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808
+       |      THEN coalesce(u, 0) - 18446744073709551616 ELSE coalesce(u, 0) END AS BIGINT) AS sig
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN persig USING (doc_id))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -61,13 +113,19 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
 
-    // C3: SimHash + pigeonhole-blocked Hamming pairs. Engine-specific
-    // signature → rows-only; exact values pinned in DedupSpec.
-    Q.rowsOnly("dedup_simhash") { (s, dir) =>
+    // C3: SimHash + pigeonhole-blocked Hamming pairs — the engine's
+    // deterministic integer signature reproduced in DuckDB via HUGEINT
+    // modular arithmetic (fmix64 multiplies split into 32-bit halves
+    // because INT128 overflows on a 64×64 product), so the full pair
+    // set is oracle-exact.
+    Q("dedup_simhash", simhashOracleSql) { (s, dir) =>
       SimHash.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     },
 
-    // C5: embedding-cosine near-dup, exact pair set.
+    // C5: embedding-cosine near-dup, exact pair set. The Spark plan is
+    // the blocked all-pairs equi-join (see VectorOps.blockedNearDupPairs
+    // for why exact + this corpus rules out LSH); the DuckDB O(n²) scan
+    // is the specification it must match.
     Q("dedup_embed_cosine",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -75,7 +133,7 @@ object DedupQueries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE $cosineExpr >= $CosineThreshold""".stripMargin) { (s, dir) =>
       VectorOps
-        .nearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
+        .blockedNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     },
 

@@ -216,7 +216,7 @@ object RelationalQueries {
     Q("conditional_agg_orders",
       """SELECT o_orderpriority,
         |  count(*) AS n_orders,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       table(s, dir, "orders")
@@ -338,7 +338,7 @@ object RelationalQueries {
     Q("json_parse_events",
       """SELECT event_type,
         |  count(*) AS n,
-        |  sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       table(s, dir, "events")
         .withColumn("parsed", from_json(col("props"),
