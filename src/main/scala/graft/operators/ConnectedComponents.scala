@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs (id_a, id_b) undirected edges.
+    * @param maxIter safety bound on propagation rounds. Rounds needed
+    *   = max component diameter; if the bound is hit before fixpoint
+    *   this THROWS rather than silently returning wrong cluster ids
+    *   (chains of boilerplate near-dups can exceed small bounds).
     * @return (id, cluster_id) for every endpoint, cluster_id = min
     *         reachable id.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .distinct()
@@ -47,6 +51,11 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds the bound; raise maxIter " +
+          "(each round is one distributed join+aggregate)")
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }

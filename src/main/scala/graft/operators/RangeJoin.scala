@@ -21,16 +21,28 @@ object RangeJoin {
     * (inclusive bounds). `pointCol`, `startCol`, `endCol` must be
     * numeric (same units); all columns of both inputs are kept.
     */
+  // Exact floor(col / w) on integer columns: truncating `div`
+  // corrected for negative remainders. A double-based floor loses
+  // precision at |v| >= 2^53 and silently mis-buckets.
+  private def floorDivSql(colName: String, w: Long): String = {
+    val c = s"CAST(`$colName` AS BIGINT)"
+    s"(CASE WHEN $c % $w < 0 THEN ($c div $w) - 1 ELSE ($c div $w) END)"
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // start > end matches nothing — emit an empty bucket list rather
+    // than letting Sequence throw on a descending range.
     val ip = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor(col(endCol) / bucketWidth).cast("long"))))
+      explode(when(col(startCol) <= col(endCol),
+        sequence(
+          expr(floorDivSql(startCol, bucketWidth)),
+          expr(floorDivSql(endCol, bucketWidth))))
+        .otherwise(typedLit(Array.empty[Long]))))
     val pp = points.withColumn("_bucket",
-      floor(col(pointCol) / bucketWidth).cast("long"))
+      expr(floorDivSql(pointCol, bucketWidth)))
     pp.join(ip, Seq("_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bucket")

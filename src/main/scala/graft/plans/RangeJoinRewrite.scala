@@ -75,12 +75,19 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** floor(e / w) as a long — matches RangeJoin's bucket math,
-    * correct for negatives (unlike integral division).
+  /** floor(e / w) as a long — pure integer arithmetic (truncating
+    * division corrected when the remainder is negative). A
+    * double-based floor would lose precision at |v| ≥  2^53, landing a
+    * point and its containing interval in different buckets and
+    * silently pruning the pair before the re-check predicate runs.
     */
-  private def bucketOf(e: Expression, w: Long): Expression =
-    Cast(Floor(Divide(Cast(e, org.apache.spark.sql.types.DoubleType),
-      Literal(w.toDouble))), LongType)
+  private def bucketOf(e: Expression, w: Long): Expression = {
+    val el = Cast(e, LongType)
+    val lw = Literal(w)
+    val q = IntegralDivide(el, lw)
+    val r = Remainder(el, lw)
+    If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
@@ -94,9 +101,29 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
       // Sequence is TimeZoneAwareExpression: a concrete zone id is
       // required for it to count as resolved, even over longs
-      val seqExpr = Sequence(
-        bucketOf(lo, w), bucketOf(hi, w), Some(Literal(1L)),
+      val loB = bucketOf(lo, w)
+      val hiB = bucketOf(hi, w)
+      val rawSeq = Sequence(loB, hiB, Some(Literal(1L)),
         Some(spark.sessionState.conf.sessionLocalTimeZone))
+      // Guards Sequence can't provide itself:
+      //  - lo > hi matched nothing under BNLJ; unguarded it would
+      //    throw "illegal sequence" at runtime → emit an empty array;
+      //  - a span of vastly more than maxSpanBuckets means the bucket
+      //    width is misconfigured for the data → raise a targeted
+      //    error instead of Sequence's opaque too-long failure.
+      val maxSpan = spark.conf
+        .get("spark.graft.rangejoin.maxSpanBuckets", "4194304").toLong
+      val seqExpr = If(
+        GreaterThan(loB, hiB),
+        Literal.create(Array.empty[Long], rawSeq.dataType),
+        If(
+          GreaterThan(Subtract(hiB, loB), Literal(maxSpan)),
+          Cast(RaiseError(Literal.create(
+            s"graft range-join rewrite: interval spans more than $maxSpan buckets " +
+              s"(bucketWidth=$w); raise spark.graft.rangejoin.bucketWidth or " +
+              "spark.graft.rangejoin.maxSpanBuckets",
+            org.apache.spark.sql.types.StringType)), rawSeq.dataType),
+          rawSeq))
       val generator = Explode(seqExpr)
       val elem = generator.elementSchema.head
       val iBucketAttr =

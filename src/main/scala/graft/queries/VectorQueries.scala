@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.operators.VectorOps
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-analytics queries (SURVEY.md §2 C18-C19): per-label
@@ -56,11 +55,13 @@ object VectorQueries {
         VectorOps.dot(col("v"), col("v"))
           - lit(2) * VectorOps.dot(col("v"), col("cv"))
           + VectorOps.dot(col("cv"), col("cv")), 6)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      // min_by aggregation (map-side combinable) rather than a per-id
+      // window argmin that would shuffle+sort corpus×k rows; the
+      // struct ordering key reproduces the oracle's (d2, cid) tie-break.
       e.join(broadcast(c))
         .select(col("vec_id"), col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("assigned"), col("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("assigned"), col("m.d2").as("d2"))
     })
 }

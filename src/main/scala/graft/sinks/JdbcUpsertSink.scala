@@ -21,6 +21,15 @@ import org.apache.spark.sql.types._
   * DB here). `updateExprs` customizes the conflict action — e.g. the
   * reference's running `balance = balance + excluded.balance`
   * accumulation (TripAggregatorApplication.kt:228-233).
+  *
+  * Failure semantics: the postgres path commits ONE transaction per
+  * partition, so a failed or speculatively-retried task re-applies
+  * against a database that saw none of its rows. Note that
+  * accumulating `updateExprs` (`balance = balance + excluded.balance`)
+  * are still only exactly-once per JOB retry if re-runs are fenced —
+  * key rows by a batch/epoch id (the streaming path passes `batchId`
+  * for exactly this) or stage-and-merge when job-level retries are
+  * possible.
   */
 class JdbcUpsertSink(
     url: String,
@@ -177,7 +186,11 @@ class JdbcUpsertSink(
               while (i < types.length) { bind(ps, i + 1, types(i), row, i); i += 1 }
               ps.addBatch()
               n += 1
-              if (n % bs == 0) { ps.executeBatch(); conn.commit() }
+              // Flush the statement batch for memory, but do NOT
+              // commit mid-partition: a single transaction per
+              // partition means a failed/speculatively-retried task
+              // re-runs against a database that saw none of its rows.
+              if (n % bs == 0) ps.executeBatch()
             }
             ps.executeBatch()
             conn.commit()

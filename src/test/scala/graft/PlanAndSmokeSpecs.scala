@@ -69,6 +69,27 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected a single shuffle, got $exchanges")
   }
 
+  test("dedup scale paths plan no nested-loop or cartesian joins") {
+    // The exact all-pairs semantics must still reach the cluster as
+    // keyed equi-joins: blocked cosine pairs and pigeonhole simhash
+    // pairs both die at 100 TB if any join degrades to BNLJ/cartesian.
+    Seq("dedup_embed_cosine", "dedup_simhash", "dedup_minhash_pairs").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans BNLJ:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+    }
+  }
+
+  test("kmeans/ivf assignment aggregates instead of window-sorting corpus×k rows") {
+    Seq("kmeans_assign", "ann_ivf_topk").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("min_by"), s"$q assignment is not min_by:\n$plan")
+    }
+  }
+
   test("arrayDot is planned natively inside codegen stages") {
     val df = SparkEntry.queries("dedup_embed_cosine")(spark, sfDir)
     df.collect() // finalize THIS QueryExecution's AQE plan
