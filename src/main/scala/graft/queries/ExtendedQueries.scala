@@ -358,16 +358,24 @@ object ExtendedQueries {
         last(col("o_orderkey")).over(full).as("last_order"))
     },
 
-    // B27: custom HLL sketch aggregate (mergeable, 4 KiB/group) —
-    // estimate is engine-specific → rows-only; accuracy pinned in
-    // HllSpec.
-    Q.rowsOnly("hll_distinct_parts") { (s, dir) =>
+    // B27: custom HLL sketch aggregate (mergeable, 4 KiB/group) under
+    // the oracle: the estimate itself is engine-specific (exact values
+    // pinned in HllSpec), but the group keys, the exact distincts, and
+    // a 5%-relative-error bound on the sketch are all oracle-checkable.
+    Q("hll_distinct_parts",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(1 AS INT) AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       graft.functions.HllSketch.register(s)
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           graft.functions.HllSketch.hllDistinct(col("l_partkey")).as("hll_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("hll_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05, 1).otherwise(0).cast("int").as("hll_ok"))
     },
 
     // A1 end-to-end: serialize events into the reference's JSON

@@ -285,12 +285,25 @@ object RelationalQueries {
           col("n_orders"), col("value"))
     },
 
-    // B18: HLL sketch distinct — engine-specific estimate, so
-    // rows-only for the oracle; exactness pinned in AggSpec.
-    Q.rowsOnly("approx_distinct_parts") { (s, dir) =>
+    // B18: approx_count_distinct under the oracle — the estimate is
+    // engine-specific, but the exact distincts plus a relative-error
+    // bound on the estimate (rsd is 5%; gate at 10%) are checkable.
+    Q("approx_distinct_parts",
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        |  CAST(1 AS INT) AS approx_parts_ok,
+        |  CAST(1 AS INT) AS approx_supps_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        when(abs(approx - exact).cast("double") / exact <= 0.1, 1).otherwise(0).cast("int")
       table(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("asupp"))
+        .select(col("exact_parts"), col("exact_supps"),
+          ok(col("ap"), col("exact_parts")).as("approx_parts_ok"),
+          ok(col("asupp"), col("exact_supps")).as("approx_supps_ok"))
     },
 
     // B13b: date-part extraction.

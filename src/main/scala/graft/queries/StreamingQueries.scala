@@ -54,7 +54,78 @@ object StreamingQueries {
 
     Q("streaming_stateful_sessionize", statefulOracle) { (s, dir) =>
       runStatefulStream(s, dir)
+    },
+
+    // D4 under the gate: real streaming dropDuplicatesWithinWatermark
+    // replay. Only the dedup KEYS are emitted (which physical row
+    // survives is batch-order-dependent; the key set is not), so the
+    // batch oracle is exactly DISTINCT keys.
+    Q("streaming_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+      val ev = eventStream(s, dir).select(
+        col("user_id"), col("event_type"),
+        timestamp_seconds(expr("ts div 1000000000")).as("ts"))
+      val deduped = SessionPipeline
+        .streamingDedup(ev, Seq("user_id", "event_type"), "ts", s"$DelayS seconds")
+        .select(col("user_id"), col("event_type"))
+      runToMemory(s, deduped, "graft_stream_dedup")
+    },
+
+    // D7 under the gate: stream-stream inner join (click → purchase
+    // within GapS, per user) with watermarks + the event-time range
+    // constraint that bounds join state. Inner-join emission over a
+    // full AvailableNow replay is exactly the batch join — the oracle
+    // states it directly.
+    Q("streaming_join",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events)
+         |SELECT a.user_id,
+         |  a.event_id AS click_id, b.event_id AS purchase_id,
+         |  b.tsec - a.tsec AS lag_s
+         |FROM e a JOIN e b ON a.user_id = b.user_id
+         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+         |  AND b.tsec >= a.tsec AND b.tsec <= a.tsec + $GapS""".stripMargin) { (s, dir) =>
+      val clicks = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("l_ts"))
+        .withWatermark("l_ts", s"$DelayS seconds")
+      val purchases = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("r_ts"))
+        .withWatermark("r_ts", s"$DelayS seconds")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr(s"INTERVAL $GapS seconds"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_s"))
+      runToMemory(s, joined, "graft_stream_join")
     })
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = table(spark, dir, "events").schema
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+      prefix: String): DataFrame = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 
   // D2 under the gate: the custom flatMapGroupsWithState sessionizer
   // (event-time timeout — the deterministic form of the reference's
