@@ -92,6 +92,32 @@ object TripModel {
     */
   def parse(raw: Column): Column = from_json(raw, messageSchema)
 
+  /** The reference's second input stream: bank-account deposit
+    * messages (BankAccountDeposit.kt — `{"id": N, "amount": X,
+    * "timestamp": T, "is_terminator": B}`), tolerant-parsed
+    * (JSONUtil.kt:16-23: Gson parse, malformed → null → filtered).
+    * PERMISSIVE `from_json` + null-filter is the same contract;
+    * a missing `is_terminator` defaults to false like Gson's
+    * primitive-boolean default.
+    */
+  val depositSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("amount", DoubleType),
+    StructField("timestamp", LongType),
+    StructField("is_terminator", BooleanType)))
+
+  /** Tolerant deposit-message parse: raw-string df → typed rows
+    * (account_id, amount, ts, is_terminator).
+    */
+  def parseDeposits(df: DataFrame, rawCol: String): DataFrame =
+    df.withColumn("_d", from_json(col(rawCol), depositSchema))
+      .select(
+        col("_d.id").as("account_id"),
+        col("_d.amount").as("amount"),
+        col("_d.timestamp").as("ts"),
+        coalesce(col("_d.is_terminator"), lit(false)).as("is_terminator"))
+      .filter(col("account_id").isNotNull)
+
   /** Full pipeline stage: raw-string df → flat typed trip events. */
   def parseRaw(df: DataFrame, rawCol: String): DataFrame =
     df.withColumn("_msg", parse(col(rawCol)))

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    — the difference between "fits in the state store at 100 TB"
   *    and "OOMs on a long trip".
   */
-object SessionPipeline {
+object SessionPipeline extends Serializable {
 
   /** One telemetry reading (the events-table shape). */
   case class Reading(user_id: Long, tsec: Long, lat: Double, lon: Double,
@@ -36,10 +36,28 @@ object SessionPipeline {
       end_s: Long, total_s: Long, stopped_s: Long, moving_s: Long,
       distance_km: Double, sum_value: Double)
 
-  /** O(1) running state per open session. */
+  /** O(1) running state per open session. `deadlineMs` carries the
+    * trigger's armed cleanup time across batches (the reference keeps
+    * it in `cleanupTimeStateDescription` partitioned state,
+    * ProcessingTimeTrigger.kt:13-14).
+    */
   case class TripState(nEvents: Long, startS: Long, lastS: Long,
       lastLat: Double, lastLon: Double, lastSpeed: Double,
-      stoppedS: Long, distanceKm: Double, sumValue: Double)
+      stoppedS: Long, distanceKm: Double, sumValue: Double,
+      deadlineMs: Long = 0L)
+
+  /** The reference trigger's re-arm hysteresis
+    * (ProcessingTimeTrigger.kt:30-42): on an element at `nowMs`, the
+    * cleanup timer is re-armed to now+max ONLY when now+min crosses
+    * the currently armed deadline — elements arriving well before the
+    * deadline leave it untouched, so a steady trickle of events does
+    * not push the purge out forever beyond max-retention hops.
+    */
+  private[graft] def nextDeadline(nowMs: Long, deadlineMs: Long,
+      minRetentionMs: Long, maxRetentionMs: Long): Long =
+    if (deadlineMs == 0L || nowMs + minRetentionMs > deadlineMs)
+      nowMs + maxRetentionMs
+    else deadlineMs
 
   /** Declarative event-time session windows (gap = inactivity). */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
@@ -71,9 +89,15 @@ object SessionPipeline {
     * trigger as a stateful streaming operator. Emits a TripSession
     * when a key sees no events for the processing-time timeout
     * (== the trigger's FIRE_AND_PURGE on the retention timer).
+    *
+    * `minRetentionMs`/`maxRetentionMs` reproduce the reference
+    * trigger's knobs (TripAggregatorApplication.kt:208-210 arms them
+    * at 10 ms / 4 s): the purge deadline re-arms to now+max only when
+    * now+min crosses it — see [[nextDeadline]].
     */
   def statefulTripAggregate(readings: Dataset[Reading],
-      timeoutMs: Long = 4000, lowSpeed: Double = 5.0): Dataset[TripSession] = {
+      maxRetentionMs: Long = 4000, lowSpeed: Double = 5.0,
+      minRetentionMs: Long = 10): Dataset[TripSession] = {
     import readings.sparkSession.implicits._
 
     def update(userId: Long, rows: Iterator[Reading],
@@ -99,14 +123,19 @@ object SessionPipeline {
           val legKm =
             if (s.nEvents > 0) haversineKm(s.lastLat, s.lastLon, r.lat, r.lon)
             else 0.0
-          s = TripState(
-            s.nEvents + 1, math.min(s.startS, r.tsec), math.max(s.lastS, r.tsec),
-            r.lat, r.lon, r.speed,
-            s.stoppedS + stoppedDelta, s.distanceKm + legKm,
-            s.sumValue + r.value)
+          s = s.copy(
+            nEvents = s.nEvents + 1,
+            startS = math.min(s.startS, r.tsec), lastS = math.max(s.lastS, r.tsec),
+            lastLat = r.lat, lastLon = r.lon, lastSpeed = r.speed,
+            stoppedS = s.stoppedS + stoppedDelta, distanceKm = s.distanceKm + legKm,
+            sumValue = s.sumValue + r.value)
         }
-        state.update(s)
-        state.setTimeoutDuration(timeoutMs)
+        val nowMs = state.getCurrentProcessingTimeMs()
+        val deadline = nextDeadline(nowMs, s.deadlineMs, minRetentionMs, maxRetentionMs)
+        state.update(s.copy(deadlineMs = deadline))
+        // always (re)declare the timeout so the armed deadline is
+        // independent of state-store timeout persistence semantics
+        state.setTimeoutDuration(math.max(1L, deadline - nowMs))
         Iterator.empty
       }
     }

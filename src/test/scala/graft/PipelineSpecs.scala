@@ -79,7 +79,7 @@ class StreamingSessionSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Reading]
     val sessions = SessionPipeline.statefulTripAggregate(
-      input.toDS(), timeoutMs = 500, lowSpeed = 5.0)
+      input.toDS(), maxRetentionMs = 500, lowSpeed = 5.0)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("trips_out")
       .trigger(Trigger.ProcessingTime("200 milliseconds")).start()

@@ -52,7 +52,7 @@ class ReferencePipelineSpec extends SparkTestBase {
       .as[Reading]
 
     // 3. incremental keyed aggregation, FIRE_AND_PURGE on inactivity
-    val sessions = SessionPipeline.statefulTripAggregate(readings, timeoutMs = 500)
+    val sessions = SessionPipeline.statefulTripAggregate(readings, maxRetentionMs = 500)
 
     // 4. batched JDBC upsert sink via foreachBatch
     val sink = new JdbcUpsertSink(
@@ -99,5 +99,30 @@ class ReferencePipelineSpec extends SparkTestBase {
     assert(trip7._4 == 60L) // both readings < 5 km/h → whole minute stopped
     assert(math.abs(trip7._5 - 111.19) < 0.1)
     assert(rows(1) == ((8L, 1L, 0L, 0L, 0.0)))
+  }
+
+  test("deposit messages tolerant-parse like the reference (JSONUtil.kt:16-23)") {
+    val raw = Seq(
+      """{"id": 7, "amount": 120.5, "timestamp": 1000, "is_terminator": true}""",
+      """{"id": 8, "amount": 10.0, "timestamp": 2000}""", // missing flag -> false
+      """not json at all""",                              // malformed -> dropped
+      """{"amount": 1.0}"""                               // no id -> dropped
+    ).toDF("raw")
+    val parsed = TripModel.parseDeposits(raw, "raw")
+      .as[(Int, Double, Long, Boolean)].collect().toSet
+    assert(parsed == Set((7, 120.5, 1000L, true), (8, 10.0, 2000L, false)))
+  }
+
+  test("trigger re-arm hysteresis matches ProcessingTimeTrigger.kt:30-42") {
+    import SessionPipeline.nextDeadline
+    // first element: arm at now + max
+    assert(nextDeadline(nowMs = 100, deadlineMs = 0, minRetentionMs = 10,
+      maxRetentionMs = 4000) == 4100)
+    // element well before the deadline: now + min does not cross -> keep
+    assert(nextDeadline(nowMs = 500, deadlineMs = 4100, minRetentionMs = 10,
+      maxRetentionMs = 4000) == 4100)
+    // element inside the min band: now + min crosses -> re-arm at now + max
+    assert(nextDeadline(nowMs = 4095, deadlineMs = 4100, minRetentionMs = 10,
+      maxRetentionMs = 4000) == 8095)
   }
 }
