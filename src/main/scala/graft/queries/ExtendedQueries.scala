@@ -69,6 +69,32 @@ object ExtendedQueries {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
     },
 
+    // B20b: t-digest quantile sketch (the second mergeable sketch,
+    // functions/TDigest.scala) under the oracle — the estimate is
+    // engine-specific (accuracy pinned in TDigestSpec); group keys,
+    // exact interpolated percentiles, and a 2%-relative-error bound
+    // on the sketch are oracle rows.
+    Q("tdigest_order_value",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+        |  CAST(1 AS INT) AS td_p50_ok,
+        |  CAST(1 AS INT) AS td_p95_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      def ok(td: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        when(abs(td - exact) / exact <= 0.02, 1).otherwise(0).cast("int")
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+          graft.functions.TDigest.tdigestQuantile(col("o_totalprice"), 0.5).as("td50"),
+          graft.functions.TDigest.tdigestQuantile(col("o_totalprice"), 0.95).as("td95"))
+        .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
+          ok(col("td50"), col("p50_exact")).as("td_p50_ok"),
+          ok(col("td95"), col("p95_exact")).as("td_p95_ok"))
+    },
+
     // B21: regex extraction/counting.
     Q("regex_part_fields",
       """SELECT p_partkey,

@@ -33,6 +33,79 @@ class SkewJoinSpec extends SparkTestBase {
   }
 }
 
+/** AQE skew-join rehearsal: a hot key big enough to trip the skew
+  * detector must be split at runtime (SURVEY §5 names AQE skew-split
+  * as the skew story for shuffle joins; SkewJoin.saltedInnerJoin is
+  * the explicit fallback tested above).
+  */
+class AqeSkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("AQE splits the hot-key partition in a skewed sort-merge join") {
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // ~80% of rows share key 0; the rest scatter
+      val big = spark.range(0, 50000).select(
+        when($"id" % 5 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        concat(lit("payload-payload-payload-"), $"id").as("pay"))
+      val small = spark.range(0, 1000).select($"id".as("k"), lit("dim").as("d"))
+      val joined = big.join(small, "k")
+      joined.collect() // finalize THIS QueryExecution's adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not engage:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+}
+
+/** t-digest quantile sketch (functions/TDigest.scala). */
+class TDigestSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.TDigest
+  import graft.functions.TDigest.tdigestQuantile
+
+  test("quantiles within 1% on uniform data, independent of partitioning") {
+    val df = spark.range(0, 100000).select($"id".cast("double").as("v"))
+    def q(parts: Int, p: Double): Double =
+      df.repartition(parts).agg(tdigestQuantile(col("v"), p)).head().getDouble(0)
+    assert(math.abs(q(3, 0.5) - 50000) / 50000 < 0.01, s"p50=${q(3, 0.5)}")
+    assert(math.abs(q(8, 0.5) - 50000) / 50000 < 0.01, "partition-count sensitivity")
+    assert(math.abs(q(5, 0.9) - 90000) / 90000 < 0.01, s"p90=${q(5, 0.9)}")
+  }
+
+  test("tail quantiles stay tight and SQL registration works") {
+    TDigest.register(spark)
+    spark.range(0, 100000).select($"id".cast("double").as("v"))
+      .createOrReplaceTempView("td_v")
+    val p999 = spark.sql(
+      "SELECT tdigest_quantile(v, 0.999) FROM td_v").head().getDouble(0)
+    assert(math.abs(p999 - 99900) / 99900 < 0.005, s"p999=$p999")
+  }
+
+  test("groupwise digests on real data bound the exact percentile error") {
+    val rows = GraftSession.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        tdigestQuantile(col("o_totalprice"), 0.5).as("td"),
+        expr("percentile(o_totalprice, 0.5)").as("exact"))
+      .select((abs(col("td") - col("exact")) / col("exact")).as("err"))
+      .as[Double].collect()
+    assert(rows.nonEmpty && rows.forall(_ < 0.02), s"errors: ${rows.toSeq}")
+  }
+}
+
 /** Custom HLL sketch aggregate (B27). */
 class HllSpec extends SparkTestBase {
   import spark.implicits._
