@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Central registry of graft's SQL-callable functions — one list
+  * consumed both by `SparkSessionExtensions.injectFunction`
+  * (builder-time, `graft.plans.GraftExtensions`) and by
+  * [[registerAll]] (runtime, on an existing session).
+  */
+object GraftFunctions {
+
+  type Injection =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def quantileArg(e: Expression): Double = e.eval(null) match {
+    case d: Double => d
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case other => other.toString.toDouble
+  }
+
+  val injections: Seq[Injection] = Seq(
+    (FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
+      (exprs: Seq[Expression]) => Fingerprint64(exprs.head)),
+    (FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
+      (exprs: Seq[Expression]) => HllSketch(exprs.head).toAggregateExpression()),
+    (FunctionIdentifier("tdigest_quantile"),
+      new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
+      (exprs: Seq[Expression]) =>
+        TDigestQuantile(exprs.head, quantileArg(exprs(1))).toAggregateExpression()))
+
+  /** Register every graft SQL function on an existing session. */
+  def registerAll(spark: SparkSession): Unit =
+    injections.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

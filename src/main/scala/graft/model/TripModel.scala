@@ -36,6 +36,23 @@ object TripModel {
     StructField("commandedOn", BooleanType),
     StructField("numCodes", DoubleType)))
 
+  /** Fuel system status flags (JSONUtil.kt:44-55, FuelSystemStatus). */
+  val fuelStatusSchema: StructType = StructType(Seq(
+    StructField("closedLoopO2SensorFault", BooleanType),
+    StructField("closedLoopO2SensorFuelControl", BooleanType),
+    StructField("openLoopDrivingConditions", BooleanType),
+    StructField("openLoopSystemWideFault", BooleanType),
+    StructField("openLoopNotYetSatisfied", BooleanType)))
+
+  /** Secondary air system flags (JSONUtil.kt:68-78,
+    * CommandedSecondaryAirStatus).
+    */
+  val secondaryAirSchema: StructType = StructType(Seq(
+    StructField("pumpCommandedOnForDiagnostics", BooleanType),
+    StructField("downstreamOfFirstCatalyticConverter", BooleanType),
+    StructField("fromOutsideAtmosphereOrOff", BooleanType),
+    StructField("upstreamOfFirstCatalyticConverter", BooleanType)))
+
   val pointSchema: StructType = StructType(Seq(
     StructField("x", DoubleType),
     StructField("y", DoubleType),
@@ -70,6 +87,8 @@ object TripModel {
     StructField("ThrottlePosition", DoubleType),
     StructField("FreezeFrameTroubleCode", StringType),
     StructField("MilStatus", milSchema),
+    StructField("FuelStatus", fuelStatusSchema),
+    StructField("CommandedSecondaryAirStatus", secondaryAirSchema),
     StructField("GpsReading", gpsSchema),
     StructField("RawAccelerometer", accelSchema)))
 
@@ -137,6 +156,10 @@ object TripModel {
         when(col("_msg.body.pidData.GpsReading.fixQuality").isin(gpsFixQualities: _*),
           col("_msg.body.pidData.GpsReading.fixQuality")).as("gps_fix_quality"),
         col("_msg.body.pidData.MilStatus.commandedOn").as("mil_on"),
+        col("_msg.body.pidData.FuelStatus.closedLoopO2SensorFault")
+          .as("fuel_o2_fault"),
+        col("_msg.body.pidData.CommandedSecondaryAirStatus.upstreamOfFirstCatalyticConverter")
+          .as("sec_air_upstream"),
         size(col("_msg.body.pidData.RawAccelerometer")).as("n_accel_samples"))
       .filter(col("trip_id").isNotNull)
 }

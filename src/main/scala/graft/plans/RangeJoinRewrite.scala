@@ -146,6 +146,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => RangeJoinRewrite(session))
+    graft.functions.GraftFunctions.injections.foreach(e.injectFunction)
   }
 }
 

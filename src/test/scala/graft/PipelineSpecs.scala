@@ -26,6 +26,12 @@ class TripModelSpec extends SparkTestBase {
       |"horizontalDilutionOfPrecision":1,"numberOfSatellites":7,
       |"hemisphere":"NorthWest","fixQuality":"Standard"},
       |"MilStatus":{"commandedOn":false,"numCodes":0},
+      |"FuelStatus":{"closedLoopO2SensorFault":true,
+      |"closedLoopO2SensorFuelControl":false,"openLoopDrivingConditions":false,
+      |"openLoopSystemWideFault":false,"openLoopNotYetSatisfied":true},
+      |"CommandedSecondaryAirStatus":{"pumpCommandedOnForDiagnostics":false,
+      |"downstreamOfFirstCatalyticConverter":false,"fromOutsideAtmosphereOrOff":false,
+      |"upstreamOfFirstCatalyticConverter":true},
       |"UnknownPid":{"x":1}}}}""".stripMargin.replace("\n", "")
   private val end =
     """{"body":{"tripNumber":7,"timestamp":"2020-01-01T00:10:00Z","type":"TripEnd",
@@ -41,6 +47,8 @@ class TripModelSpec extends SparkTestBase {
     assert(d.getAs[Double]("speed_kmh") == 42.0)
     assert(d.getAs[Double]("lat") == 19.4)
     assert(d.getAs[String]("gps_fix_quality") == "Standard")
+    assert(d.getAs[Boolean]("fuel_o2_fault"))
+    assert(d.getAs[Boolean]("sec_air_upstream"))
     assert(rows(0).getAs[String]("vin") == "VIN123")
     assert(rows(2).getAs[Double]("fuel_consumed") == 1.5)
   }
