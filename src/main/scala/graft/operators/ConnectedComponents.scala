@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Connected components over an undirected pair list — the cluster
   * step real dedup needs (near-dup pairs are not transitive; the
@@ -12,13 +13,21 @@ import org.apache.spark.sql.functions._
   * label; each round takes the min label across neighbors; stop when
   * no label changes. The driver coordinates ROUNDS (O(component
   * diameter), typically < 5 for near-dup graphs) but every round is
-  * one distributed join+aggregate — no edge list ever sits on the
-  * driver. This is the standard large-graph CC shape (hash-min
-  * propagation).
+  * EXACTLY ONE distributed job: the self row carries the previous
+  * label through the neighbor union, so the same aggregation that
+  * produces the new labels also knows whether each one changed; a
+  * LongAccumulator tallies the changes while the round's result is
+  * materialized by `localCheckpoint(eager = true)`. The checkpoint
+  * also truncates lineage so round N+1 plans against materialized
+  * blocks, not an N-deep chain of joins — the per-round cost stays
+  * flat no matter how many rounds a deep component needs. No edge
+  * list ever sits on the driver. This is the standard large-graph CC
+  * shape (hash-min propagation).
   */
 object ConnectedComponents {
 
-  /** @param pairs (id_a, id_b) undirected edges.
+  /** @param pairs (id_a, id_b) undirected edges; ids must be integral
+    *   (they are cast to long — cluster ids are min-reachable ids).
     * @param maxIter safety bound on propagation rounds. Rounds needed
     *   = max component diameter; if the bound is hit before fixpoint
     *   this THROWS rather than silently returning wrong cluster ids
@@ -27,28 +36,48 @@ object ConnectedComponents {
     *         reachable id.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("id_a").cast(LongType).as("s"), col("id_b").cast(LongType).as("t"))
+      .union(pairs.select(col("id_b").cast(LongType).as("s"), col("id_a").cast(LongType).as("t")))
       .distinct()
-      .cache()
+      // Materialize once: every round joins against this; checkpoint
+      // severs the (possibly expensive) upstream near-dup lineage.
+      .localCheckpoint(true)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrLabels = edges
+      // Self rows carry the previous label in `old`; neighbor rows
+      // carry null. min() ignores nulls, so one aggregation yields
+      // both the new label and the label it replaced.
+      val selfRows = labels.select(col("id"), col("label"), col("label").as("old"))
+      val nbrRows = edges
         .join(labels.withColumnRenamed("id", "t2"), col("t") === col("t2"))
-        .select(col("s").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(nbrLabels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") < col("_old")).count()
+        .select(col("s").as("id"), col("label"), lit(null).cast(LongType).as("old"))
+      val agg = selfRows.union(nbrRows)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+      // Accumulator-only convergence signal: a task retry can only
+      // re-add for rows that genuinely changed, so value == 0 is an
+      // exact fixpoint test. The checkpoint below is the round's one
+      // and only action.
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val next = agg.map { r =>
+        val label = r.getLong(1)
+        if (label < r.getLong(2)) changedAcc.add(1L)
+        Row(r.getLong(0), label)
+      }(enc).localCheckpoint(true)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = changedAcc.value == 0L
       iter += 1
     }
     if (!converged)

@@ -61,7 +61,11 @@ object MinHashLSH {
     *   buckets whose |bucket|² pair blow-up would dominate the job.
     *   Capped buckets mean those docs collide in OTHER bands with
     *   near-certainty for true near-dups, so recall loss is
-    *   negligible; None = no cap (exact candidate set).
+    *   negligible; None = no cap (exact candidate set). When the cap
+    *   ENGAGES it is not silent: the number of pruned (doc, band)
+    *   rows is published as the `graft_lsh_bucket_cap` observed
+    *   metric (CollectMetrics — visible to QueryExecutionListeners
+    *   and the Spark UI, zero plan-shape cost).
     */
   def candidatePairs(df: DataFrame, idCol: String,
       bucketCap: Option[Int] = None): DataFrame = {
@@ -75,6 +79,8 @@ object MinHashLSH {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))
         bands.withColumn("_bsize", count(lit(1)).over(w))
+          .observe("graft_lsh_bucket_cap",
+            sum(when(col("_bsize") > cap, 1L).otherwise(0L)).as("dropped_rows"))
           .filter(col("_bsize") <= cap).drop("_bsize")
       case None => bands
     }
@@ -85,9 +91,14 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Full pipeline: exact near-dup pairs with Jaccard ≥ threshold.
-    * Output: (id_a, id_b, jaccard) — jaccard as exact
-    * |∩| / |∪| double.
+  /** Full pipeline: near-dup pairs with Jaccard ≥ threshold —
+    * EXACT BELOW THE CAP: while no (band, bucket) group exceeds
+    * `bucketCap` the result is the exact brute-force pair set (the
+    * banding argument in the object scaladoc); once the cap engages,
+    * pairs whose every agreeing band is over-cap are dropped, and the
+    * `graft_lsh_bucket_cap` observed metric reports the pruned rows.
+    * Output: (id_a, id_b, jaccard) — jaccard as exact |∩| / |∪|
+    * double.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,

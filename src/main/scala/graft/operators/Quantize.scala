@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Everything is deterministic IEEE arithmetic (floor-based
   * round-half-up, no locale/HALF_EVEN ambiguity), so an external
-  * engine computing the same formula matches bit-for-bit — the
-  * `embed_quantize_int8` query is fully oracle-checked. The lambdas
-  * here run as interpreted higher-order functions; on a true 100 TB
-  * scan the same formulas would move into a fused codegen kernel like
-  * `VectorExpressions.arrayDot` (same contract, one pass).
+  * engine computing the same formula matches bit-for-bit — see the
+  * `embed_quantize_int8` query (VectorQueries), whose scale/code
+  * aggregates and error bound are DuckDB-oracle-checked, and
+  * [[VectorOps.ivfTopKInt8]], which runs its ANN candidate stage on
+  * the quantized image with exact rerank (QuantizeSpec pins both).
+  * The lambdas here run as interpreted higher-order functions; on a
+  * true 100 TB scan the same formulas would move into a fused codegen
+  * kernel like `VectorExpressions.arrayDot` (same contract, one
+  * pass).
   */
 object Quantize {
 

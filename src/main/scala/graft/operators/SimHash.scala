@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *   3. (block, block_val) buckets larger than `blockCap` are dropped
   *      — on a shared-vocabulary corpus 16-bit blocks collide
   *      massively; a capped bucket loses a true pair only if ALL of
-  *      its agreeing blocks are over the cap.
+  *      its agreeing blocks are over the cap. The result is exact
+  *      below the cap; when the cap engages, the pruned row count is
+  *      published as the `graft_simhash_block_cap` observed metric
+  *      rather than vanishing silently.
   *
   * Everything is native expression work (fused token hashing, bit ops)
   * — codegen'd, no UDFs; signatures are 8 bytes per doc so the
@@ -60,6 +63,8 @@ object SimHash {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("block"), col("block_val"))
         blocks.withColumn("_bsize", count(lit(1)).over(w))
+          .observe("graft_simhash_block_cap",
+            sum(when(col("_bsize") > cap, 1L).otherwise(0L)).as("dropped_rows"))
           .filter(col("_bsize") <= cap).drop("_bsize")
       case None => blocks
     }

@@ -115,15 +115,15 @@ object VectorOps {
     *   production these come from k-means (see `kmeans_assign` /
     *   `embedding_centroids`); any deterministic set works.
     */
+  private def d2(x: Column, y: Column): Column =
+    dot(x, x) - lit(2) * dot(x, y) + dot(y, y)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, cidCol: String, centroidVecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val cent = centroids.select(col(cidCol).as("cid"), asDouble(col(centroidVecCol)).as("cv"))
-
-    def d2(x: Column, y: Column): Column =
-      dot(x, x) - lit(2) * dot(x, y) + dot(y, y)
 
     // corpus → nearest cell: min_by aggregation, not a window argmin —
     // partial aggregation combines map-side, so the corpus×k expansion
@@ -151,6 +151,65 @@ object VectorOps {
         round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
     val rankW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF ANN over an int8-QUANTIZED candidate stage with exact rerank
+    * — the storage-scale variant of [[ivfTopK]]: cell assignment and
+    * candidate scoring read the 1-byte/dim [[Quantize]] image of the
+    * corpus (a 4× lighter scan at 100 TB — on a real cluster the codes
+    * column is what sits in the hot store; the float32 vectors are
+    * fetched for candidates only), then the top `oversample·k`
+    * candidates per query are reranked by EXACT cosine on the
+    * full-precision vectors. With oversampling the quantization
+    * error only affects which borderline candidates reach the rerank;
+    * the returned scores are exact.
+    */
+  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String, centroidVecCol: String,
+      k: Int, nProbe: Int = 2, oversample: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cq = Quantize.quantizeInt8(c.select(col("id"), col("v")), "v")
+      .withColumn("dv", Quantize.dequantize(col("q_codes"), col("q_scale")))
+      .select(col("id"), col("dv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cent = centroids.select(col(cidCol).as("cid"), asDouble(col(centroidVecCol)).as("cv"))
+
+    // assignment + probing on the quantized image (same min_by shape
+    // as ivfTopK — map-side combinable)
+    val assigned = cq.join(broadcast(cent))
+      .withColumn("_d2", d2(col("dv"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        min_by(col("cid"), struct(col("_d2"), col("cid"))).as("cid"),
+        first(col("dv")).as("dv"))
+      .select(col("id"), col("dv"), col("cid"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cid"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("_d2", d2(col("qv"), col("cv")))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    // candidate stage: approximate cosine from the dequantized codes,
+    // keep oversample·k per query (ties broken on id — deterministic)
+    val candW = Window.partitionBy(col("query_id")).orderBy(col("_acos").desc, col("id"))
+    val cands = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (dot(col("qv"), col("dv")) / (norm(col("qv")) * norm(col("dv")))).as("_acos"))
+      .withColumn("_rn", row_number().over(candW))
+      .filter(col("_rn") <= k * oversample)
+      .select(col("query_id"), col("id"))
+
+    // exact rerank: fetch full-precision vectors for candidates only
+    val rerank = cands
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    rerank.withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= k)
   }
 

@@ -77,9 +77,16 @@ object CorpusQueries {
          |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          |GROUP BY source""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
+      // The drop set is output-sized (near-dup ids — tiny relative to
+      // the corpus at any scale). Materialize the LSH pipeline ONCE
+      // via localCheckpoint so the anti-join plans against a
+      // ready result instead of re-executing the
+      // shingle→minhash→band→verify lineage, then broadcast it — the
+      // anti-join becomes a map-side hash probe over one corpus scan.
       val drops = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.8)
         .select(col("id_b").as("doc_id")).distinct()
-      docs.join(drops, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_kept"))
     },

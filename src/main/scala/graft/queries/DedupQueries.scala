@@ -48,6 +48,14 @@ object DedupQueries {
   // image) → per-bit ±1 majority → 64-bit signature re-signed to
   // BIGINT; pairs at hamming ≤ 3 via O(n²) scan (the specification —
   // the Spark plan is the pigeonhole-blocked version).
+  //
+  // ASCII-CORPUS CONTRACT: the oracle's token hash folds per-CHARACTER
+  // codepoints (ord(c)) while SimHash64 folds signed UTF-8 BYTES —
+  // identical only while every character is single-byte ASCII (true
+  // for the generated documents corpus, asserted below by the driver's
+  // hash equality itself). On non-ASCII text the engines diverge by
+  // design of the oracle, not of the operator; a multi-byte-correct
+  // oracle would need byte-level BLOB iteration DuckDB SQL lacks.
   private val simhashOracleSql: String = {
     val c1 = BigInt("18397679294719823053") // 0xff51afd7ed558ccd
     val c2 = BigInt("14181476777654086739") // 0xc4ceb9fe1a85ec53
@@ -187,6 +195,8 @@ object DedupQueries {
     Q("ann_recall_gate",
       """SELECT 'ivf' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
         |UNION ALL
+        |SELECT 'ivf8' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
+        |UNION ALL
         |SELECT 'lsh' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, dir) =>
       val vecs = table(s, dir, "embeddings")
       val qs = vecs.filter(col("vec_id") < 50)
@@ -207,6 +217,11 @@ object DedupQueries {
       gate("ivf",
         VectorOps.ivfTopK(vecs, qs, cents, "vec_id", "embedding", "cid", "cv", 10, 3),
         minRecall = 0.5)
+        // int8-candidate variant reranks exactly, so it must not fall
+        // below the float IVF floor (same probes, oversample=4)
+        .unionByName(gate("ivf8",
+          VectorOps.ivfTopKInt8(vecs, qs, cents, "vec_id", "embedding", "cid", "cv", 10, 3),
+          minRecall = 0.5))
         .unionByName(gate("lsh",
           VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10),
           minRecall = 0.15))

@@ -120,12 +120,27 @@ object TextQueries {
     },
 
     // C21: deflate compression ratio — the repetition/noise quality
-    // signal; engine-side deflate has no SQL oracle → rows-only,
-    // behavior pinned in CompressRatioSpec.
-    Q.rowsOnly("text_compress_ratio") { (s, dir) =>
+    // signal. DuckDB cannot deflate, so the oracle checks per-doc
+    // INVARIANTS the engine's ratio must satisfy (the same bound-style
+    // oracle as tdigest/hll): positive; ≤ 1.2 for any text long
+    // enough to amortize the deflate header (< 50 chars exempt); and
+    // < 0.95 for ≥ 500-char text (printable-ASCII entropy ≤ ~6.6
+    // bits/char, so deflate always wins on long inputs). The oracle
+    // emits the constant-true image of each bound — a broken deflate
+    // path turns the row red. Exact ratio values are additionally
+    // pinned in CompressRatioSpec.
+    Q("text_compress_ratio",
+      """SELECT doc_id, length(text) AS n_chars_exact,
+        |  CAST(1 AS INT) AS ratio_pos,
+        |  CAST(1 AS INT) AS ratio_bounded,
+        |  CAST(1 AS INT) AS long_compresses
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val ratio = graft.functions.CompressRatio.compressRatio(col("text"))
       table(s, dir, "documents").select(
         col("doc_id"),
-        round(graft.functions.CompressRatio.compressRatio(col("text")), 4)
-          .as("compress_ratio"))
+        length(col("text")).as("n_chars_exact"),
+        (ratio > 0.0).cast("int").as("ratio_pos"),
+        (length(col("text")) < 50 || ratio <= 1.2).cast("int").as("ratio_bounded"),
+        (length(col("text")) < 500 || ratio < 0.95).cast("int").as("long_compresses"))
     })
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GraftSession.table
-import graft.operators.VectorOps
+import graft.operators.{Quantize, VectorOps}
 import org.apache.spark.sql.functions._
 
 /** Embedding-analytics queries (SURVEY.md §2 C18-C19): per-label
@@ -63,5 +63,39 @@ object VectorQueries {
         .groupBy(col("vec_id"))
         .agg(min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("assigned"), col("m.d2").as("d2"))
+    },
+
+    // C23: symmetric int8 quantization of the embedding column —
+    // per-vector scale, code aggregates, and the scale/2
+    // reconstruction-error bound, all re-derived in DuckDB (identical
+    // IEEE arithmetic: max, divide, floor-round-half-up — no rounding
+    // needed, the doubles are bit-equal). err_ok is the oracle-visible
+    // invariant |code·scale − v| ≤ scale/2 per dimension.
+    Q("embed_quantize_int8",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127 AS q_scale
+        |      FROM e),
+        |c AS (SELECT vec_id, v, q_scale,
+        |        list_transform(v, x -> floor(x / q_scale + 0.5)) AS codes
+        |      FROM s)
+        |SELECT vec_id, q_scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  CAST(list_max(list_transform(codes, x -> abs(x))) AS BIGINT) AS max_abs_code,
+        |  CAST(CASE WHEN len(list_filter(range(len(v)),
+        |      i -> abs(codes[CAST(i + 1 AS INT)] * q_scale - v[CAST(i + 1 AS INT)])
+        |           > q_scale * 0.5000001)) = 0 THEN 1 ELSE 0 END AS INT) AS err_ok
+        |FROM c""".stripMargin) { (s, dir) =>
+      val q = Quantize.quantizeInt8(
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "v")
+      q.select(
+        col("vec_id"), col("q_scale"),
+        aggregate(col("q_codes"), lit(0L), (a, x) => a + x).as("sum_codes"),
+        array_max(transform(col("q_codes"), x => abs(x))).cast("bigint").as("max_abs_code"),
+        forall(
+          zip_with(col("q_codes"), col("v"),
+            (c, x) => abs(c * col("q_scale") - x) <= col("q_scale") * lit(0.5000001)),
+          b => b).cast("int").as("err_ok"))
     })
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end exercise of the library's two public registration
+  * surfaces: builder-time `SparkSessionExtensions` (GraftExtensions)
+  * and runtime `GraftFunctions.registerAll` — every injected SQL
+  * function is invoked through `spark.sql`, and the injected
+  * optimizer rule is shown to fire in the extensions-built session.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  // A session CREATED with .withExtensions — getOrCreate returns the
+  // active session if one exists, so clear the registry first (the
+  // underlying SparkContext is reused) and restore the shared session
+  // afterwards.
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val shared = spark // force SparkTestBase init so the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try f(ext)
+    finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("injected SQL functions run through spark.sql in a withExtensions session") {
+    withExtSession { ext =>
+      import ext.implicits._
+      Seq("alpha beta", "alpha  beta", "gamma").toDF("text")
+        .createOrReplaceTempView("ext_docs")
+      // fingerprint64: SQL call == column-API expression
+      val viaSql = ext.sql("SELECT fingerprint64(text) AS fp FROM ext_docs")
+        .as[Long].collect().toSeq
+      val viaCol = ext.table("ext_docs")
+        .select(graft.functions.Fingerprint64.fingerprint64(col("text")))
+        .as[Long].collect().toSeq
+      assert(viaSql == viaCol && viaSql.distinct.size == 3)
+
+      (1 to 1000).toDF("n").createOrReplaceTempView("ext_nums")
+      val hll = ext.sql("SELECT hll_distinct(n) AS d FROM ext_nums")
+        .as[Long].head()
+      assert(math.abs(hll - 1000) <= 50, s"hll_distinct=$hll not within 5% of 1000")
+
+      val med = ext.sql("SELECT tdigest_quantile(CAST(n AS DOUBLE), 0.5) AS m FROM ext_nums")
+        .as[Double].head()
+      assert(math.abs(med - 500.5) <= 15.0, s"tdigest median=$med")
+    }
+  }
+
+  test("injected optimizer rule rewrites range joins in a withExtensions session") {
+    withExtSession { ext =>
+      import ext.implicits._
+      ext.conf.set("spark.graft.rangejoin.bucketWidth", "32")
+      val points = Seq((1L, 5L), (2L, 35L), (3L, 64L), (4L, 100L)).toDF("pid", "x")
+      val intervals = Seq((10L, 0L, 40L), (11L, 30L, 70L)).toDF("iid", "lo", "hi")
+      val df = points.join(intervals, $"x" >= $"lo" && $"x" <= $"hi")
+        .select("pid", "iid")
+      val got = df.as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"injected rewrite did not fire:\n$plan")
+    }
+  }
+
+  test("registerAll registers the same functions on an existing session") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq("one two", "three").toDF("text").createOrReplaceTempView("reg_docs")
+    val fps = spark.sql("SELECT fingerprint64(text) AS fp FROM reg_docs")
+      .as[Long].collect().toSeq
+    assert(fps.size == 2 && fps.distinct.size == 2)
+    (1 to 200).toDF("n").createOrReplaceTempView("reg_nums")
+    val d = spark.sql(
+      "SELECT hll_distinct(n) AS d, tdigest_quantile(CAST(n AS DOUBLE), 0.9) AS p90 FROM reg_nums")
+      .collect().head
+    assert(math.abs(d.getLong(0) - 200) <= 20)
+    assert(math.abs(d.getDouble(1) - 180.0) <= 10.0)
+  }
+}
+
+/** Int8 quantization: error bound, code range, determinism, and the
+  * quantized-candidate IVF path reranking to EXACT brute-force
+  * results when the candidate stage covers the corpus.
+  */
+class QuantizeSpec extends SparkTestBase {
+  import graft.operators.{Quantize, VectorOps}
+
+  private lazy val vecs =
+    GraftSession.table(spark, sfDir, "embeddings").limit(60).cache()
+
+  test("dequantized reconstruction is within scale/2 per dimension; codes within ±127") {
+    val q = Quantize.quantizeInt8(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "v")
+    val checked = q.select(
+      forall(
+        zip_with(col("q_codes"), col("v"),
+          (c, x) => abs(c * col("q_scale") - x) <= col("q_scale") * lit(0.5000001)),
+        b => b).as("err_ok"),
+      array_max(transform(col("q_codes"), x => abs(x))).as("maxc"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getBoolean(0), "reconstruction error exceeded scale/2")
+      assert(r.getLong(1) <= 127L && r.getLong(1) >= 1L, s"code out of range: ${r.getLong(1)}")
+    }
+  }
+
+  test("quantization is deterministic across runs") {
+    def run() = Quantize.quantizeInt8(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "v")
+      .select(col("vec_id"), col("q_scale"), col("q_codes"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).toSeq.sortBy(_._1)
+    assert(run() == run())
+  }
+
+  test("ivfTopKInt8 with full probes + covering oversample equals brute force exactly") {
+    val queries = vecs.filter(col("vec_id") < 5)
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val k = 5
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id", "cosine", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val bf = key(VectorOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", k))
+    // nProbe covers every cell and k·oversample ≥ |corpus|, so every
+    // vector reaches the exact rerank — the int8 candidate stage can
+    // only affect ordering BEFORE rerank, hence exact equality.
+    val q8 = key(VectorOps.ivfTopKInt8(vecs, queries, cents,
+      "vec_id", "embedding", "cid", "cv", k, nProbe = 4, oversample = 20))
+    assert(q8 == bf, s"int8 IVF diverged from brute force")
+  }
+}
