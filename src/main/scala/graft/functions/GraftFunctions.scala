@@ -30,7 +30,13 @@ object GraftFunctions {
     (FunctionIdentifier("tdigest_quantile"),
       new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
       (exprs: Seq[Expression]) =>
-        TDigestQuantile(exprs.head, quantileArg(exprs(1))).toAggregateExpression()))
+        TDigestQuantile(exprs.head, quantileArg(exprs(1))).toAggregateExpression()),
+    (FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
+      (exprs: Seq[Expression]) => CountMinAgg(exprs.head).toAggregateExpression()),
+    (FunctionIdentifier("cms_lookup"),
+      new ExpressionInfo(classOf[CmsLookup].getName, "cms_lookup"),
+      (exprs: Seq[Expression]) => CmsLookup(exprs.head, exprs(1))))
 
   /** Register every graft SQL function on an existing session. */
   def registerAll(spark: SparkSession): Unit =

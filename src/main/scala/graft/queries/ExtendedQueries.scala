@@ -431,5 +431,78 @@ object ExtendedQueries {
           round(avg(col("speed_kmh")), 4).as("avg_speed"),
           min(unix_timestamp(col("ts"))).as("first_s"),
           max(unix_timestamp(col("ts"))).as("last_s"))
+    },
+
+    // B37: count-min sketch frequency estimates under the oracle —
+    // same bound-style gate as HLL/t-digest: the top-10 exact counts
+    // are oracle-computable; the sketch estimate must sit in
+    // [exact, exact + 10e·N/width] (Markov bound per hash row, min
+    // over depth=4 rows; the sketch is seedless-deterministic, so for
+    // fixed data the booleans are fixed, not probabilistic). Exact
+    // estimate values pinned in CountMinSpec.
+    Q("cms_heavy_hitters",
+      """WITH exact AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, exact_cnt,
+        |  CAST(1 AS INT) AS cms_ge_exact,
+        |  CAST(1 AS INT) AS cms_within_bound
+        |FROM exact
+        |ORDER BY exact_cnt DESC, l_partkey LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.functions.CountMin
+      val li = table(s, dir, "lineitem")
+      // one corpus pass builds the 256 KiB sketch; the key list is
+      // output-sized, so the lookup join is a 1-row broadcast
+      val sketch = li.agg(
+        CountMin.countMinSketch(col("l_partkey")).as("sk"),
+        count(lit(1)).as("n_rows"))
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(10)
+      val est = CountMin.cmsEstimate(col("sk"), col("l_partkey"))
+      top.join(broadcast(sketch))
+        .select(col("l_partkey"), col("exact_cnt"),
+          (est >= col("exact_cnt")).cast("int").as("cms_ge_exact"),
+          (est.cast("double") <= col("exact_cnt")
+            + col("n_rows") * lit(10.0 * math.E / 8192.0))
+            .cast("int").as("cms_within_bound"))
+        .orderBy(col("exact_cnt").desc, col("l_partkey"))
+    },
+
+    // B38: deterministic stratified sampling — fixed-size per-stratum
+    // sample by a seedless integer hash order (the dataset-curation
+    // primitive: reproducible across runs, partitionings, and
+    // engines). The hash is plain modular integer arithmetic both
+    // engines compute identically, so the sampled SET — not just its
+    // size — is oracle-exact.
+    Q("stratified_sample",
+      """WITH h AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    (l_orderkey % 1000003) * 2654435761 + l_linenumber AS hkey
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY hkey, l_orderkey, l_linenumber) AS rn
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sample_key_sum,
+        |  round(sum(l_extendedprice), 2) AS sample_price_sum
+        |FROM r WHERE rn <= 200 GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          ((col("l_orderkey") % 1000003L) * 2654435761L + col("l_linenumber"))
+            .as("hkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 200)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("l_orderkey")).as("sample_key_sum"),
+          round(sum(col("l_extendedprice")), 2).as("sample_price_sum"))
     })
 }

@@ -117,6 +117,21 @@ object StreamingQueries {
       runToMemory(s, joined, "graft_stream_join")
     })
 
+  /** Stateful streaming ops create one state store per shuffle
+    * partition and commit each of them every micro-batch; at replay
+    * scale the per-store fixed cost (init + delta + commit, ×2 for
+    * the final watermark-advancing batch) dominates the row work.
+    * Run the replay gates at 8 state partitions instead of the
+    * session's 32 — correctness is partition-count-independent, and
+    * on a real cluster this knob sizes with state volume, not cores.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = table(spark, dir, "events").schema
     spark.readStream
@@ -126,7 +141,7 @@ object StreamingQueries {
   }
 
   private def runToMemory(spark: SparkSession, df: DataFrame,
-      prefix: String): DataFrame = {
+      prefix: String): DataFrame = withStatePartitions(spark, 8) {
     val name = s"${prefix}_${System.nanoTime()}"
     val q = df.writeStream
       .outputMode("append")
@@ -185,15 +200,17 @@ object StreamingQueries {
     val sessions = SessionPipeline.statefulSessionizeEventTime(events, GapS, DelayS)
       .toDF()
       .withColumn("sum_value", round(col("sum_value"), 2))
-    val name = s"graft_stateful_sessions_${System.nanoTime()}"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    withStatePartitions(spark, 8) {
+      val name = s"graft_stateful_sessions_${System.nanoTime()}"
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
   }
 
   /** Replays events as a real streaming query; returns the memory
@@ -220,14 +237,16 @@ object StreamingQueries {
         unix_timestamp(col("session_window.start")).as("start_s"),
         unix_timestamp(col("session_window.end")).as("end_s"),
         col("n_events"), col("sum_value"))
-    val name = s"graft_stream_sessions_${System.nanoTime()}"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    withStatePartitions(spark, 8) {
+      val name = s"graft_stream_sessions_${System.nanoTime()}"
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
   }
 }

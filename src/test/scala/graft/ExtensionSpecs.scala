@@ -89,6 +89,50 @@ class GraftExtensionsSpec extends SparkTestBase {
   }
 }
 
+/** Count-min sketch: never-undercount guarantee, partition
+  * independence (merge correctness), and SQL registration.
+  */
+class CountMinSpec extends SparkTestBase {
+  import graft.functions.CountMin
+  import spark.implicits._
+
+  test("estimates never undercount and are exact on low-collision data") {
+    val df = (1 to 50).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val sk = df.agg(CountMin.countMinSketch(col("k")).as("sk"))
+    val got = (1 to 50).toDF("key")
+      .join(org.apache.spark.sql.functions.broadcast(sk))
+      .select(col("key"), CountMin.cmsEstimate(col("sk"), col("key").cast("long")).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 to 50).foreach { k =>
+      assert(got(k) >= k.toLong, s"undercount for $k: ${got(k)}")
+      assert(got(k) == k.toLong, s"collision on tiny corpus for $k: ${got(k)}")
+    }
+  }
+
+  test("sketch is partition-independent (merge == single-partition result)") {
+    val li = GraftSession.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"))
+    def est(parts: Int): Array[Long] = {
+      val sk = li.repartition(parts)
+        .agg(CountMin.countMinSketch(col("l_partkey")).as("sk"))
+      (1L to 20L).toDF("key")
+        .join(org.apache.spark.sql.functions.broadcast(sk))
+        .select(CountMin.cmsEstimate(col("sk"), col("key")).as("e"))
+        .orderBy(col("e")).as[Long].collect()
+    }
+    assert(est(1).toSeq == est(7).toSeq)
+  }
+
+  test("count_min/cms_lookup callable through SQL after registerAll") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(1L, 1L, 1L, 2L).toDF("k").createOrReplaceTempView("cms_in")
+    val est = spark.sql(
+      "SELECT cms_lookup(count_min(k), CAST(1 AS BIGINT)) AS e FROM cms_in")
+      .as[Long].head()
+    assert(est == 3L)
+  }
+}
+
 /** Int8 quantization: error bound, code range, determinism, and the
   * quantized-candidate IVF path reranking to EXACT brute-force
   * results when the candidate stage covers the corpus.
