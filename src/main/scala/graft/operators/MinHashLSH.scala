@@ -99,6 +99,17 @@ object MinHashLSH {
     * `graft_lsh_bucket_cap` observed metric reports the pruned rows.
     * Output: (id_a, id_b, jaccard) — jaccard as exact |∩| / |∪|
     * double.
+    *
+    * Exact-duplicate collapse (the web-corpus scale shape, same trick
+    * as SimHash's distinct-signature pairing): docs with IDENTICAL
+    * shingle sets — boilerplate and mirror pages come in clusters of
+    * thousands — are collapsed to one min-id representative before
+    * banding, so a clone cluster contributes ONE row to the quadratic
+    * candidate stage instead of |cluster|² collisions in every band.
+    * Pairs re-expand at output: within a cluster (Jaccard exactly 1)
+    * and across paired clusters (Jaccard is a set function, so every
+    * member pair inherits the representatives' value). Output is
+    * identical to the uncollapsed pipeline.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
@@ -107,18 +118,52 @@ object MinHashLSH {
     // minhash signatures are all-identical sentinels (every such pair
     // collides in every band — a quadratic clique) and their Jaccard
     // is 0/0. Drop them before banding; the oracle mirrors the filter.
-    val grams = withMinHashes(
-      withShingles(docs.select(col(idCol), col(textCol)), textCol, k)
-        .filter(size(col("grams")) > 0))
-    val pairs = candidatePairs(grams, idCol, bucketCap)
-    val gOnly = grams.select(col(idCol), col("grams"))
-    pairs
-      .join(gOnly.withColumnRenamed(idCol, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
-      .join(gOnly.withColumnRenamed(idCol, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+    val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, k)
+      .filter(size(col("grams")) > 0)
+      // 64-bit key of the (sorted, distinct) shingle set; docs sharing
+      // it have equal gram sets up to hash collision (~2⁻⁶⁴ per pair —
+      // the same collision contract as the hashed shingles themselves).
+      .withColumn("gkey", xxhash64(col("grams")))
+    // Materialized once: members (2 longs/doc) is joined twice in the
+    // expansion and once against itself; reps feeds banding + verify.
+    // Without the checkpoint each reference would re-run the shingle
+    // kernel over the corpus.
+    val members = shingled.select(col("gkey"), col(idCol)).localCheckpoint(true)
+    val reps = shingled
+      .groupBy(col("gkey"))
+      .agg(min_by(struct(col(idCol), col("grams")), col(idCol)).as("_r"))
+      .select(col("gkey"), col(s"_r.$idCol").as(idCol), col("_r.grams").as("grams"))
+      .localCheckpoint(true)
+
+    val grams = withMinHashes(reps)
+    val repPairs = candidatePairs(grams, idCol, bucketCap)
+    val gOnly = grams.select(col(idCol), col("grams"), col("gkey"))
+    val verified = repPairs
+      .join(gOnly.select(col(idCol).as("id_a"), col("grams").as("grams_a"),
+        col("gkey").as("gkey_a")), "id_a")
+      .join(gOnly.select(col(idCol).as("id_b"), col("grams").as("grams_b"),
+        col("gkey").as("gkey_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
           size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("gkey_a"), col("gkey_b"), col("jaccard"))
+
+    // Re-expand: cross-cluster pairs inherit the representatives'
+    // jaccard; within-cluster pairs are exact duplicates (jaccard 1).
+    // Both joins are keyed on gkey — output-sized work.
+    val cross = verified
+      .join(members.select(col("gkey").as("gkey_a"), col(idCol).as("_ida")), "gkey_a")
+      .join(members.select(col("gkey").as("gkey_b"), col(idCol).as("_idb")), "gkey_b")
+      .select(
+        least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"),
+        col("jaccard"))
+    val within = members.as("p").join(members.as("q"),
+        col("p.gkey") === col("q.gkey") && col(s"p.$idCol") < col(s"q.$idCol"))
+      .filter(lit(1.0) >= threshold)
+      .select(col(s"p.$idCol").as("id_a"), col(s"q.$idCol").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 }
