@@ -92,6 +92,45 @@ object TripModel {
     StructField("GpsReading", gpsSchema),
     StructField("RawAccelerometer", accelSchema)))
 
+  /** TripEvent payloads (EventData.kt:1-77): accelerometer trigger
+    * events, time-fence / geo-fence events, and GPS events — modeled
+    * as one wide nullable struct (exactly one branch set per event,
+    * the Spark-first image of the sealed hierarchy). Note: the
+    * reference's own `toTrip` (JSONUtil.kt:127-168) never constructs
+    * a TripEvent, so these payloads are dead on its wire today; they
+    * are modeled here so a producer emitting them gets typed, pruned
+    * columns instead of dropped data.
+    */
+  val accelerometerEventSchema: StructType = StructType(Seq(
+    StructField("secondsRelativeToTrigger", DoubleType),
+    StructField("accelerometerType", StringType), // AccelerometerDataType
+    StructField("triggeredAxis", StringType), // TriggeredAxis
+    StructField("samples", ArrayType(pointSchema))))
+
+  val timeFenceSchema: StructType = StructType(Seq(
+    StructField("type", StringType), // Start | End
+    StructField("tripId", DoubleType),
+    StructField("distanceTraveled", DoubleType),
+    StructField("durationInMinutes", DoubleType)))
+
+  val geoFenceSchema: StructType = StructType(Seq(
+    StructField("type", StringType), // Entry | Exit
+    StructField("geoFenceId", DoubleType)))
+
+  val eventDataSchema: StructType = StructType(Seq(
+    StructField("accelerometer", accelerometerEventSchema),
+    StructField("timeFence", timeFenceSchema),
+    StructField("geoFence", geoFenceSchema),
+    StructField("gps", gpsSchema)))
+
+  /** Valid EventData enum values (EventData.kt:5-15,29,39). */
+  val accelerometerTypes: Seq[String] = Seq("Triggered", "Histogram", "Unknown")
+  val triggeredAxes: Seq[String] = Seq(
+    "PositiveXAxis", "NegativeXAxis", "PositiveYAxis",
+    "NegativeYAxis", "PositiveZAxis", "NegativeZAxis")
+  val timeFenceTypes: Seq[String] = Seq("Start", "End")
+  val geoFenceTypes: Seq[String] = Seq("Entry", "Exit")
+
   val bodySchema: StructType = StructType(Seq(
     StructField("tripNumber", LongType),
     StructField("timestamp", StringType),
@@ -100,7 +139,8 @@ object TripModel {
     StructField("vehicleProtocol", StringType),
     StructField("vin", StringType),
     StructField("fuelConsumed", DoubleType),
-    StructField("pidData", pidSchema)))
+    StructField("pidData", pidSchema),
+    StructField("eventData", eventDataSchema)))
 
   val messageSchema: StructType = StructType(Seq(
     StructField("body", bodySchema)))
@@ -167,6 +207,20 @@ object TripModel {
           .as("fuel_o2_fault"),
         col("_msg.body.pidData.CommandedSecondaryAirStatus.upstreamOfFirstCatalyticConverter")
           .as("sec_air_upstream"),
-        size(col("_msg.body.pidData.RawAccelerometer")).as("n_accel_samples"))
+        size(col("_msg.body.pidData.RawAccelerometer")).as("n_accel_samples"),
+        // TripEvent payloads (EventData.kt) — enum-validated like
+        // vehicleProtocol: out-of-range values null out, mirroring the
+        // reference's valueOf-throw → tolerant-null path.
+        when(col("_msg.body.eventData.accelerometer.triggeredAxis").isin(triggeredAxes: _*),
+          col("_msg.body.eventData.accelerometer.triggeredAxis")).as("accel_axis"),
+        col("_msg.body.eventData.accelerometer.secondsRelativeToTrigger")
+          .as("accel_offset_s"),
+        size(col("_msg.body.eventData.accelerometer.samples")).as("n_accel_points"),
+        when(col("_msg.body.eventData.timeFence.type").isin(timeFenceTypes: _*),
+          col("_msg.body.eventData.timeFence.type")).as("time_fence_type"),
+        col("_msg.body.eventData.timeFence.distanceTraveled").as("time_fence_distance"),
+        when(col("_msg.body.eventData.geoFence.type").isin(geoFenceTypes: _*),
+          col("_msg.body.eventData.geoFence.type")).as("geo_fence_type"),
+        col("_msg.body.eventData.geoFence.geoFenceId").cast("int").as("geo_fence_id"))
       .filter(col("trip_id").isNotNull)
 }

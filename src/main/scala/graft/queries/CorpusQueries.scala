@@ -138,6 +138,55 @@ object CorpusQueries {
           floor((col("cum_tok") - col("n_tok")) / 2048.0).cast("bigint").as("bin_id"))
     },
 
+    // C25: overlapping-window document chunking — the RAG/pretraining
+    // primitive that turns long docs into fixed-token windows
+    // (size 128, stride 96 → 32-token overlap). A chunk i exists
+    // while its start is in range and the previous chunk did not
+    // already reach the end: i ≤ max(0, floor((n − 33) / 96)) — the
+    // closed form both engines evaluate in identical IEEE floor
+    // arithmetic. Chunk CONTENT is pinned, not just counts: first and
+    // last token plus exact character length per chunk. One explode,
+    // no shuffle until the (absent) downstream agg — at 100 TB this
+    // is a map-only pass.
+    Q("chunk_documents",
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |n AS (SELECT doc_id, t, len(t) AS n_tok FROM d),
+         |c AS (
+         |  SELECT doc_id, t, n_tok, CAST(i AS INT) AS chunk_id
+         |  FROM n, unnest(range(0,
+         |    CAST(greatest(0, floor((n_tok - 33) / 96.0)) AS BIGINT) + 1)) AS u(i))
+         |SELECT doc_id, chunk_id,
+         |  CAST(chunk_id * 96 AS BIGINT) AS start_tok,
+         |  CAST(least(128, n_tok - chunk_id * 96) AS BIGINT) AS n_tok_chunk,
+         |  t[chunk_id * 96 + 1] AS first_tok,
+         |  t[chunk_id * 96 + least(128, n_tok - chunk_id * 96)] AS last_tok,
+         |  CAST(list_sum(list_transform(
+         |      t[chunk_id * 96 + 1 : chunk_id * 96 + least(128, n_tok - chunk_id * 96)],
+         |      x -> length(x))) + least(128, n_tok - chunk_id * 96) - 1
+         |    AS BIGINT) AS chunk_chars
+         |FROM c""".stripMargin) { (s, dir) =>
+      val toks = table(s, dir, "documents").select(
+        col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("t"))
+        .withColumn("n_tok", size(col("t")))
+      toks
+        .select(col("doc_id"), col("t"), col("n_tok"),
+          explode(sequence(lit(0),
+            greatest(lit(0), floor((col("n_tok") - 33) / 96.0)).cast("int")))
+            .as("chunk_id"))
+        .withColumn("start_tok", (col("chunk_id") * 96).cast("bigint"))
+        .withColumn("n_tok_chunk",
+          least(lit(128), col("n_tok") - col("chunk_id") * 96).cast("bigint"))
+        .withColumn("_chunk", expr("slice(t, cast(start_tok as int) + 1, cast(n_tok_chunk as int))"))
+        .select(
+          col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok_chunk"),
+          element_at(col("_chunk"), 1).as("first_tok"),
+          element_at(col("_chunk"), -1).as("last_tok"),
+          (expr("aggregate(transform(_chunk, x -> length(x)), 0L, (a, x) -> a + x)")
+            + col("n_tok_chunk") - 1).cast("bigint").as("chunk_chars"))
+    },
+
     // C17: deterministic train/val/test split assignment.
     Q("dataset_split",
       """SELECT

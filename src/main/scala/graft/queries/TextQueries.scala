@@ -129,6 +129,48 @@ object TextQueries {
     // emits the constant-true image of each bound — a broken deflate
     // path turns the row red. Exact ratio values are additionally
     // pinned in CompressRatioSpec.
+    // C24: corpus bigram language-model scoring — the classic
+    // perplexity-style quality filter: train add-one-smoothed bigram
+    // probabilities on the corpus itself, score each doc by its mean
+    // bigram log-probability. Everything is counts + ln of identical
+    // rationals, so both engines compute bit-equal logs (mean rounded
+    // 4dp for summation order). Scale shape: two keyed count
+    // aggregations + two keyed joins on (w1, w2)/(w1) — the model
+    // "table" shuffles by vocabulary key, never collected.
+    Q("text_lm_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id,
+         |    t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+         |uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w1) AS vocab FROM big)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(ln((cb + 1.0) / (cu + vocab))), 4) AS avg_logp
+         |FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+         |GROUP BY b.doc_id""".stripMargin) { (s, dir) =>
+      val toks = table(s, dir, "documents").select(
+        col("doc_id"), split(TF.normalizeText(col("text")), " ").as("t"))
+      val big2 = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))"))
+            .as(Seq("_p", "bg")))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = big2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val uc = big2.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      val v = big2.agg(countDistinct(col("w1")).as("vocab"))
+      big2.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("cb") + 1.0) / (col("cu") + col("vocab")))), 4)
+            .as("avg_logp"))
+    },
+
     Q("text_compress_ratio",
       """SELECT doc_id, length(text) AS n_chars_exact,
         |  CAST(1 AS INT) AS ratio_pos,

@@ -52,6 +52,36 @@ class TripModelSpec extends SparkTestBase {
     assert(rows(0).getAs[String]("vin") == "VIN123")
     assert(rows(2).getAs[Double]("fuel_consumed") == 1.5)
   }
+
+  test("parses TripEvent payloads (EventData.kt); invalid enums null out") {
+    val accel =
+      """{"body":{"tripNumber":9,"timestamp":"2020-01-01T01:00:00Z","type":"TripEvent",
+        |"eventData":{"accelerometer":{"secondsRelativeToTrigger":2,
+        |"accelerometerType":"Triggered","triggeredAxis":"NegativeZAxis",
+        |"samples":[{"x":1,"y":2,"z":3},{"x":4,"y":5,"z":6}]}}}}""".stripMargin.replace("\n", "")
+    val fence =
+      """{"body":{"tripNumber":9,"timestamp":"2020-01-01T01:00:05Z","type":"TripEvent",
+        |"eventData":{"timeFence":{"type":"End","tripId":9,"distanceTraveled":12.5,
+        |"durationInMinutes":30},
+        |"geoFence":{"type":"Entry","geoFenceId":77}}}}""".stripMargin.replace("\n", "")
+    val badEnum =
+      """{"body":{"tripNumber":9,"timestamp":"2020-01-01T01:00:10Z","type":"TripEvent",
+        |"eventData":{"accelerometer":{"triggeredAxis":"SidewaysAxis"},
+        |"geoFence":{"type":"Teleport","geoFenceId":1}}}}""".stripMargin.replace("\n", "")
+    val out = TripModel.parseRaw(Seq(accel, fence, badEnum).toDF("raw"), "raw")
+      .orderBy("ts").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("accel_axis") == "NegativeZAxis")
+    assert(out(0).getAs[Double]("accel_offset_s") == 2.0)
+    assert(out(0).getAs[Int]("n_accel_points") == 2)
+    assert(out(1).getAs[String]("time_fence_type") == "End")
+    assert(out(1).getAs[Double]("time_fence_distance") == 12.5)
+    assert(out(1).getAs[String]("geo_fence_type") == "Entry")
+    assert(out(1).getAs[Int]("geo_fence_id") == 77)
+    // reference valueOf() would throw -> tolerant-null here
+    assert(out(2).getAs[String]("accel_axis") == null)
+    assert(out(2).getAs[String]("geo_fence_type") == null)
+  }
 }
 
 /** Streaming sessionization + watermark + stateful aggregation (D1-D4). */
