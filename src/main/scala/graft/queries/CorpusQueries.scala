@@ -187,6 +187,50 @@ object CorpusQueries {
             + col("n_tok_chunk") - 1).cast("bigint").as("chunk_chars"))
     },
 
+    // C26: train/test contamination check — the eval-hygiene pass
+    // (GPT-3 appendix C style): a TEST doc is contaminated if any of
+    // its word 8-grams appears anywhere in the TRAIN split. Spark
+    // joins HASHED shingles (the scale path — 8 bytes per gram on the
+    // exchange, one keyed equi-join); the oracle joins the gram
+    // STRINGS — identical counts up to 64-bit hash collisions, the
+    // same contract every dedup oracle here already rests on. Splits
+    // are dataset_split's doc_id % 10 assignment.
+    Q("contamination_check",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 6),
+        |    i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i + 1 AS INT)],
+        |      toks[CAST(i + 2 AS INT)], toks[CAST(i + 3 AS INT)],
+        |      toks[CAST(i + 4 AS INT)], toks[CAST(i + 5 AS INT)],
+        |      toks[CAST(i + 6 AS INT)], toks[CAST(i + 7 AS INT)]))))  AS g
+        |  FROM t WHERE len(toks) >= 8),
+        |tr AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 < 8),
+        |te AS (SELECT doc_id, g FROM g WHERE doc_id % 10 >= 9)
+        |SELECT te.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overlap,
+        |  CAST(CASE WHEN sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    THEN 1 ELSE 0 END AS INT) AS is_contaminated
+        |FROM te LEFT JOIN tr USING (g)
+        |GROUP BY te.doc_id""".stripMargin) { (s, dir) =>
+      val grams = table(s, dir, "documents").select(
+        col("doc_id"),
+        explode(graft.functions.VectorExpressions.tokenNgramHashes(
+          split(col("text"), " "), 8)).as("g"))
+      val train = grams.filter(col("doc_id") % 10 < 8)
+        .select(col("g")).distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") % 10 >= 9)
+        .join(train, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+          (col("n_overlap") > 0).cast("int").as("is_contaminated"))
+    },
+
     // C17: deterministic train/val/test split assignment.
     Q("dataset_split",
       """SELECT

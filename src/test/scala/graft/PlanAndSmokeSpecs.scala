@@ -99,4 +99,17 @@ class PlanSpec extends SparkTestBase {
     assert("""\*\(\d+\) """.r.findFirstIn(plan).isDefined,
       s"no codegen stage found:\n$plan")
   }
+
+  test("chunk_documents is a map-only pass (no shuffle at all)") {
+    val plan = planOf("chunk_documents")
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — one scan, one explode:\n$plan")
+  }
+
+  test("stratified_sample reuses the window partitioning for the final agg") {
+    val plan = planOf("stratified_sample")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"window + groupBy on the same stratum key should share one shuffle, got $exchanges:\n$plan")
+  }
 }
