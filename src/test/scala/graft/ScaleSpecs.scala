@@ -278,6 +278,20 @@ class ConnectedComponentsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("deep chain needs many propagation rounds; single-job convergence still exact") {
+    // a 30-node path labels hop one edge per round — exercises the
+    // accumulator convergence signal + per-round checkpoint over
+    // many iterations (label must travel the full diameter).
+    val chain = (1 to 29).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.clusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 30 && got.values.forall(_ == 1L), s"got $got")
+    // maxIter smaller than the diameter must THROW, not return wrong ids
+    intercept[IllegalStateException] {
+      ConnectedComponents.clusters(chain, maxIter = 3)
+    }
+  }
 }
 
 /** Iterative k-means (corpus clustering). */
