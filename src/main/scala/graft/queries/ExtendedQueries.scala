@@ -394,11 +394,16 @@ object ExtendedQueries {
         |  CAST(1 AS INT) AS hll_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       graft.functions.HllSketch.register(s)
-      table(s, dir, "lineitem")
+      // sketch + exact companion as two pruned passes joined on the
+      // group key, not one agg with countDistinct — the latter plans
+      // an Expand duplicating every row (see approx_distinct_parts).
+      val li = table(s, dir, "lineitem")
+      val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
-        .agg(
-          graft.functions.HllSketch.hllDistinct(col("l_partkey")).as("hll_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(count(lit(1)).as("exact_parts"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.HllSketch.hllDistinct(col("l_partkey")).as("hll_parts"))
+      sk.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           when(abs(col("hll_parts") - col("exact_parts")).cast("double")
             / col("exact_parts") <= 0.05, 1).otherwise(0).cast("int").as("hll_ok"))

@@ -296,11 +296,20 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin) { (s, dir) =>
       def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
         when(abs(approx - exact).cast("double") / exact <= 0.1, 1).otherwise(0).cast("int")
-      table(s, dir, "lineitem").agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supps"),
+      // Two countDistinct on DIFFERENT columns in one agg would plan
+      // an Expand (every row duplicated per distinct column) — at
+      // scale that multiplies shuffle volume. Three pruned
+      // single-column passes (each with map-side partial distinct)
+      // joined on their 1-row results shuffle only distinct keys.
+      val li = table(s, dir, "lineitem")
+      val ep = li.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("exact_parts"))
+      val es = li.select(col("l_suppkey")).distinct()
+        .agg(count(lit(1)).as("exact_supps"))
+      val sk = li.agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey")).as("asupp"))
+      ep.crossJoin(es).crossJoin(sk)
         .select(col("exact_parts"), col("exact_supps"),
           ok(col("ap"), col("exact_parts")).as("approx_parts_ok"),
           ok(col("asupp"), col("exact_supps")).as("approx_supps_ok"))
