@@ -136,7 +136,10 @@ object TextQueries {
     // rationals, so both engines compute bit-equal logs (mean rounded
     // 4dp for summation order). Scale shape: two keyed count
     // aggregations + two keyed joins on (w1, w2)/(w1) — the model
-    // "table" shuffles by vocabulary key, never collected.
+    // "table" shuffles by vocabulary key, never collected. (The
+    // bigram explode is an interpreted HOF lambda here; a 100 TB run
+    // would fuse it into a codegen kernel like tokenNgramHashes —
+    // same contract, one pass.)
     Q("text_lm_score",
       s"""WITH toks AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
