@@ -97,10 +97,11 @@ object VectorOps {
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k per query (graft.plans.TopK custom operator)
+    // instead of a row_number window — no full sort of the corpus×|Q|
+    // score rows, map-side combine before the exchange
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cosine", false), ("id", true)), k)
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
@@ -144,14 +145,13 @@ object VectorOps {
       .filter(col("_rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid"))
 
-    // search only probed cells, rerank by cosine
+    // search only probed cells, rerank by cosine (bounded-heap top-k)
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
-    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rnk", row_number().over(rankW))
-      .filter(col("rnk") <= k)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cosine", false), ("id", true)), k)
   }
 
   /** IVF ANN over an int8-QUANTIZED candidate stage with exact rerank
@@ -192,14 +192,14 @@ object VectorOps {
       .select(col("query_id"), col("qv"), col("cid"))
 
     // candidate stage: approximate cosine from the dequantized codes,
-    // keep oversample·k per query (ties broken on id — deterministic)
-    val candW = Window.partitionBy(col("query_id")).orderBy(col("_acos").desc, col("id"))
-    val cands = assigned.join(broadcast(probes), Seq("cid"))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"),
-        (dot(col("qv"), col("dv")) / (norm(col("qv")) * norm(col("dv")))).as("_acos"))
-      .withColumn("_rn", row_number().over(candW))
-      .filter(col("_rn") <= k * oversample)
+    // keep oversample·k per query (ties broken on id — deterministic;
+    // bounded-heap top-k, not a window sort)
+    val cands = graft.plans.TopK.perKey(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"),
+          (dot(col("qv"), col("dv")) / (norm(col("qv")) * norm(col("dv")))).as("_acos")),
+      Seq("query_id"), Seq(("_acos", false), ("id", true)), k * oversample)
       .select(col("query_id"), col("id"))
 
     // exact rerank: fetch full-precision vectors for candidates only
@@ -208,9 +208,8 @@ object VectorOps {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("id"),
         round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
-    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
-    rerank.withColumn("rnk", row_number().over(rankW))
-      .filter(col("rnk") <= k)
+    graft.plans.TopK.perKey(rerank, Seq("query_id"),
+      Seq(("cosine", false), ("id", true)), k)
   }
 
   /** Random-hyperplane LSH sign bits (deterministic seed). */
@@ -248,9 +247,7 @@ object VectorOps {
         col("bucket") === col("qbucket") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cosine", false), ("id", true)), k)
   }
 }

@@ -89,6 +89,67 @@ class GraftExtensionsSpec extends SparkTestBase {
   }
 }
 
+/** Custom whole-operator tier: TopKPerKey logical node + strategy +
+  * physical bounded-heap execs must produce EXACTLY the rows and
+  * ranks of the row_number window spelling, without planning a
+  * WindowExec/full sort.
+  */
+class TopKSpec extends SparkTestBase {
+  import graft.plans.TopK
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  private def windowed(k: Int) = {
+    val li = GraftSession.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  private def viaTopK(k: Int) = {
+    val li = GraftSession.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    TopK.perKey(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), k)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+      r.getDouble(3), r.getInt(4))).toSet
+
+  test("equals the row_number window spelling on real data, including ranks") {
+    try {
+      assert(rows(viaTopK(7)) == rows(windowed(7)))
+      assert(rows(viaTopK(1)) == rows(windowed(1)))
+    } finally TopK.disable(spark)
+  }
+
+  test("plans bounded heaps + one exchange, never a WindowExec or full Sort") {
+    try {
+      val df = viaTopK(5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+        s"custom execs missing:\n$plan")
+      assert(!plan.contains("Window"), s"window leaked into:\n$plan")
+      assert(!plan.contains("Sort "), s"full sort leaked into:\n$plan")
+    } finally TopK.disable(spark)
+  }
+
+  test("k larger than any group returns whole groups, ranked") {
+    import spark.implicits._
+    try {
+      val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("g", "v")
+      val got = TopK.perKey(df, Seq("g"), Seq(("v", true)), 10)
+        .as[(String, Long, Int)].collect().toSet
+      assert(got == Set(("a", 1L, 1), ("a", 3L, 2), ("b", 2L, 1)))
+    } finally TopK.disable(spark)
+  }
+}
+
 /** Count-min sketch: never-undercount guarantee, partition
   * independence (merge correctness), and SQL registration.
   */
