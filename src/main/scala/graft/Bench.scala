@@ -11,6 +11,11 @@ import java.nio.file.{Files, Paths}
   *   - queries run in sorted-name order (stable across runs);
   *   - a full untimed warmup pass first, so JVM/JIT/codegen warmup
   *     doesn't land on whichever query happens to run first;
+  *   - each query is then timed `SPARK_GRAFT_BENCH_RUNS` times
+  *     (default 3) and the MEDIAN is reported — single-run numbers on
+  *     a shared 32-thread JVM showed 5× swings on unchanged code, so
+  *     one sample can't distinguish a regression from GC/scheduler
+  *     noise;
   *   - execution is forced through the `noop` datasource write, which
   *     materializes every output row — `.count()` would let Catalyst
   *     collapse narrow projections to a row-count scan.
@@ -20,6 +25,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,31 +49,50 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    queries.foreach { case (n, fn) => run(n, fn) } // warmup (untimed)
-    val results = queries.map { case (n, fn) => n -> run(n, fn) }
+    /** Median of `runsPerQuery` timed runs (−1 if every run failed). */
+    def runMedian(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String = sfDir): Double = {
+      val ts = (1 to runsPerQuery).map(_ => run(name, fn, dir)).filter(_ >= 0).sorted
+      if (ts.isEmpty) -1.0
+      else if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+    }
 
-    // ---- sf_x10 scale probe: the dedup family on a 10× corpus ----
-    // documents/embeddings duplicated 10× with shifted ids (so every
-    // doc gains 9 exact clones — the realistic web-corpus dedup
-    // regime). The LSH/SimHash paths must grow ~linearly (caps and
-    // banding bound the quadratics); embed-cosine is the exact-
-    // by-design O(n²) baseline and is expected to grow ~100×.
+    queries.foreach { case (n, fn) => run(n, fn) } // warmup (untimed)
+    val results = queries.map { case (n, fn) => n -> runMedian(n, fn) }
+
+    // ---- sf_x10 scale probe: dedup + ANN + window/session families
+    // on a 10× corpus — documents/embeddings duplicated with shifted
+    // doc ids (every doc gains 9 exact clones, the realistic
+    // web-corpus dedup regime), events duplicated with shifted USER
+    // ids (10× users, same per-user session shape). The capped/banded
+    // paths must grow ~linearly; embed-cosine is the exact-by-design
+    // O(n²) baseline.
     val scaleProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
     val sfx10 = if (!scaleProbe) Map.empty[String, Double] else {
       import org.apache.spark.sql.functions.{col, lit, max}
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
-      def duplicate(tbl: String, idCol: String): Unit = {
+      def duplicate(tbl: String, idCols: Seq[String]): Unit = {
         val t = spark.read.parquet(s"$sfDir/$tbl.parquet")
-        val shift = t.agg(max(col(idCol))).head().get(0)
-          .asInstanceOf[Number].longValue() + 1L
-        (0 until 10).map(i => t.withColumn(idCol, col(idCol) + lit(i * shift)))
-          .reduce(_ unionByName _)
+        val shifts = idCols.map { c =>
+          c -> (t.agg(max(col(c))).head().get(0)
+            .asInstanceOf[Number].longValue() + 1L)
+        }
+        (0 until 10).map { i =>
+          shifts.foldLeft(t) { case (df, (c, shift)) =>
+            df.withColumn(c, col(c) + lit(i * shift))
+          }
+        }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$x10Dir/$tbl.parquet")
       }
-      duplicate("documents", "doc_id")
-      duplicate("embeddings", "vec_id")
+      duplicate("documents", Seq("doc_id"))
+      duplicate("embeddings", Seq("vec_id"))
+      duplicate("events", Seq("event_id", "user_id"))
       Seq("dedup_minhash_pairs", "dedup_simhash", "dedup_embed_cosine",
-        "dedup_clusters", "dedup_exact_docs")
+        "dedup_clusters", "dedup_exact_docs",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_recall_gate",
+        "text_top_bigrams", "sessionize_events")
         .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 
@@ -78,7 +103,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf_x10":$x10Json,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs_per_query":$runsPerQuery,"sf_x10":$x10Json,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
     println(json)

@@ -46,6 +46,9 @@ object VectorExpressions {
 
   def tokenSetStats(tokens: Column, sets: Seq[Seq[String]]): Column =
     GraftBridge.column(TokenSetStats(GraftBridge.expression(tokens), sets))
+
+  def tokenPairs(tokens: Column): Column =
+    GraftBridge.column(TokenPairs(GraftBridge.expression(tokens)))
 }
 
 /** Sequential-fold dot product of two array<double> columns (null
@@ -233,6 +236,41 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Adjacent token pairs: array<struct<w1, w2>> of the n−1 bigrams of
+  * a token array (empty for n < 2). One fused pass replacing the
+  * interpreted `transform(sequence(...), i -> struct(t[i], t[i+1]))`
+  * HOF spelling on the bigram corpus paths (text_top_bigrams,
+  * text_lm_score) — tokens are referenced, not re-hashed, so the
+  * downstream groupBy sees the exact strings.
+  */
+case class TokenPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "token_pairs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = toks.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = toks.getUTF8String(i)
+      out(i - 1) = InternalRow(prev, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenPairs = copy(child = c)
 }
 
 /** One-pass token statistics: total token length plus membership hits

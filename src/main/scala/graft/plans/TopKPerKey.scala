@@ -66,11 +66,15 @@ object TopKStrategy extends SparkStrategy {
   * Returns (key unsafe row → rows kept), rows defensively copied.
   */
 private[plans] object TopKHeap {
+  val MaxKeysConf = "spark.graft.topk.maxKeysPerPartition"
+  val MaxKeysDefault = 4000000
+
   def accumulate(
       iter: Iterator[InternalRow],
       keyProj: UnsafeProjection,
       ordering: Ordering[InternalRow],
-      k: Int): scala.collection.mutable.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]] = {
+      k: Int,
+      maxKeys: Int): scala.collection.mutable.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]] = {
     val heaps = scala.collection.mutable.HashMap
       .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
     while (iter.hasNext) {
@@ -78,6 +82,13 @@ private[plans] object TopKHeap {
       val key = keyProj(row)
       heaps.get(key) match {
         case None =>
+          if (heaps.size >= maxKeys) {
+            throw new IllegalStateException(
+              s"TopKPerKey: more than $maxKeys distinct keys in one partition " +
+                s"(heap memory is O(k*|keys-per-partition|), unspillable). " +
+                s"Raise $MaxKeysConf, pre-aggregate the key space, or use the " +
+                "row_number window spelling, which sorts but spills.")
+          }
           val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
           h += row.copy()
           heaps.put(key.copy(), h)
@@ -104,16 +115,22 @@ case class TopKPerKeyPartialExec(
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  // Rows never move: per-partition reduction in place.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val maxKeys = conf.getConfString(
+      TopKHeap.MaxKeysConf, TopKHeap.MaxKeysDefault.toString).toInt
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering: Ordering[InternalRow] =
         new LazilyGeneratedOrdering(sortOrder, childOutput)
-      TopKHeap.accumulate(iter, keyProj, ordering, limit)
+      TopKHeap.accumulate(iter, keyProj, ordering, limit, maxKeys)
         .valuesIterator.flatMap(_.iterator)
     }
   }
@@ -140,12 +157,20 @@ case class TopKPerKeyFinalExec(
     if (keys.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // In-place per-partition merge: the key-clustered exchange below
+  // survives this node, so a downstream groupBy on (a superset of)
+  // the keys reuses it instead of planning a second shuffle.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val childOutput = child.output
     val outSchema = output
+    val maxKeys = conf.getConfString(
+      TopKHeap.MaxKeysConf, TopKHeap.MaxKeysDefault.toString).toInt
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering: Ordering[InternalRow] =
@@ -154,7 +179,7 @@ case class TopKPerKeyFinalExec(
         childOutput :+ rankAttr, childOutput :+ rankAttr)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      TopKHeap.accumulate(iter, keyProj, ordering, limit)
+      TopKHeap.accumulate(iter, keyProj, ordering, limit, maxKeys)
         .valuesIterator.flatMap { heap =>
           // dequeueAll yields worst-first; reverse for rank order
           val sorted = heap.dequeueAll.reverseIterator
@@ -175,6 +200,11 @@ case class TopKPerKeyFinalExec(
 /** Column-level API + strategy registration. */
 object TopK {
 
+  /** Per-partition distinct-key ceiling for the bounded heaps (see
+    * the memory contract on [[perKey]]).
+    */
+  val MaxKeysConf: String = TopKHeap.MaxKeysConf
+
   def enable(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -189,6 +219,15 @@ object TopK {
     * tie-break column — to make the result deterministic and equal
     * to the `row_number` spelling). Appends an IntegerType rank
     * column `rnk` (1-based).
+    *
+    * MEMORY CONTRACT: each task holds k rows per DISTINCT KEY it
+    * sees, on-heap, with no spill — O(k·|keys-per-partition|). Right
+    * for low-cardinality keys (languages, strata, query ids) where
+    * WindowExec would instead sort the whole table in |keys| tasks;
+    * wrong for wide key spaces (per-document, per-user), where the
+    * window spelling spills and this would OOM. A guard throws past
+    * `spark.graft.topk.maxKeysPerPartition` distinct keys per
+    * partition (default 4e6) rather than dying on the heap.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {

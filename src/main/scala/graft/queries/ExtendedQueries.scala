@@ -298,7 +298,12 @@ object ExtendedQueries {
     },
 
     // C-extra: corpus n-gram statistics — top-5 word bigrams per
-    // language (explode → count → ranked window).
+    // language. Explode is the fused TokenPairs kernel (no
+    // interpreted HOF lambda); the top-5-per-lang step is the
+    // TopKPerKey whole-operator, NOT a row_number window — lang has
+    // ~5 values, so the window spelling would shuffle the ENTIRE
+    // bigram-count table into 5 tasks and fully sort each, while
+    // TopKPerKey keeps 5-row bounded heaps with a map-side combine.
     Q("text_top_bigrams",
       """WITH t AS (
         |  SELECT lang,
@@ -313,18 +318,20 @@ object ExtendedQueries {
         |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
         |      FROM c)
         |SELECT lang, bigram, n, rn FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
-      table(s, dir, "documents")
+      val counts = table(s, dir, "documents")
         .select(col("lang"),
           split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks"))
         .filter(size(col("toks")) >= 2) // mirror DuckDB's empty range()
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bigram"))
+        .select(col("lang"),
+          explode(graft.functions.VectorExpressions.tokenPairs(col("toks"))).as("bg"))
+        .select(col("lang"), concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bigram"))
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+      // (n desc, bigram) is total per lang — bigram is unique after
+      // the groupBy — so ranks equal the row_number spelling exactly.
+      graft.plans.TopK.perKey(counts, Seq("lang"),
+          Seq(("n", false), ("bigram", true)), 5)
+        .withColumnRenamed("rnk", "rn")
     },
 
     // SQL-string entry point: same engine, spark.sql over registered
@@ -495,15 +502,17 @@ object ExtendedQueries {
         |  CAST(sum(l_orderkey) AS BIGINT) AS sample_key_sum,
         |  round(sum(l_extendedprice), 2) AS sample_price_sum
         |FROM r WHERE rn <= 200 GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
-      table(s, dir, "lineitem")
+      // Bottom-200 per stratum via TopKPerKey (bounded heaps +
+      // map-side combine) — the row_number window would sort the
+      // whole table in |strata| = 3 tasks. (hkey, orderkey,
+      // linenumber) is a total order, so the sampled SET is identical.
+      val hashed = table(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"),
           ((col("l_orderkey") % 1000003L) * 2654435761L + col("l_linenumber"))
             .as("hkey"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 200)
+      graft.plans.TopK.perKey(hashed, Seq("l_returnflag"),
+          Seq(("hkey", true), ("l_orderkey", true), ("l_linenumber", true)), 200)
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_sampled"),

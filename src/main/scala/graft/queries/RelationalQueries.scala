@@ -186,11 +186,11 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY s_nationkey
         |                       ORDER BY s_acctbal DESC, s_suppkey) AS rn
         |  FROM supplier) WHERE rn = 1""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("s_nationkey"))
-        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
-      table(s, dir, "supplier")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // k=1 per nation through TopKPerKey — 25 nations would pin the
+      // row_number window to 25 full-sort tasks at any scale; the
+      // bounded heap keeps one row per nation map-side.
+      graft.plans.TopK.perKey(table(s, dir, "supplier"),
+          Seq("s_nationkey"), Seq(("s_acctbal", false), ("s_suppkey", true)), 1)
         .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
     },
 

@@ -136,10 +136,9 @@ object TextQueries {
     // rationals, so both engines compute bit-equal logs (mean rounded
     // 4dp for summation order). Scale shape: two keyed count
     // aggregations + two keyed joins on (w1, w2)/(w1) — the model
-    // "table" shuffles by vocabulary key, never collected. (The
-    // bigram explode is an interpreted HOF lambda here; a 100 TB run
-    // would fuse it into a codegen kernel like tokenNgramHashes —
-    // same contract, one pass.)
+    // "table" shuffles by vocabulary key, never collected; the bigram
+    // explode is the fused TokenPairs kernel, one pass, no
+    // interpreted lambda.
     Q("text_lm_score",
       s"""WITH toks AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
@@ -160,8 +159,7 @@ object TextQueries {
         col("doc_id"), split(TF.normalizeText(col("text")), " ").as("t"))
       val big2 = toks.filter(size(col("t")) >= 2)
         .select(col("doc_id"),
-          posexplode(expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))"))
-            .as(Seq("_p", "bg")))
+          explode(graft.functions.VectorExpressions.tokenPairs(col("t"))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val bc = big2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
       val uc = big2.groupBy(col("w1")).agg(count(lit(1)).as("cu"))

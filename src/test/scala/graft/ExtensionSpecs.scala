@@ -148,6 +148,42 @@ class TopKSpec extends SparkTestBase {
       assert(got == Set(("a", 1L, 1), ("a", 3L, 2), ("b", 2L, 1)))
     } finally TopK.disable(spark)
   }
+
+  test("registered low-cardinality top-N queries run on TopKPerKey, not a window") {
+    try {
+      Seq("text_top_bigrams", "stratified_sample",
+          "window_top_supplier_per_nation").foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("TopKPerKeyFinal"),
+          s"$q does not plan TopKPerKeyFinalExec:\n$plan")
+        assert(!plan.contains("Window"),
+          s"$q still plans a window sort:\n$plan")
+      }
+    } finally TopK.disable(spark)
+  }
+
+  test("memory guard throws with guidance past maxKeysPerPartition") {
+    import spark.implicits._
+    spark.conf.set(TopK.MaxKeysConf, "10")
+    try {
+      val df = spark.range(1000).toDF("v").withColumn("g", col("v"))
+      val ex = intercept[Throwable] {
+        TopK.perKey(df, Seq("g"), Seq(("v", true)), 2).collect()
+      }
+      val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(messages.contains("distinct keys in one partition"),
+        s"guard did not fire / lost its guidance:\n$messages")
+      // Under the default ceiling the same query runs fine.
+      spark.conf.unset(TopK.MaxKeysConf)
+      assert(TopK.perKey(df, Seq("g"), Seq(("v", true)), 2).count() == 1000)
+    } finally {
+      spark.conf.unset(TopK.MaxKeysConf)
+      TopK.disable(spark)
+    }
+  }
 }
 
 /** Count-min sketch: never-undercount guarantee, partition

@@ -220,6 +220,16 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r._1 == r._2 && r._1.length == 16)
   }
 
+  test("token pairs: adjacent bigram structs, empty below two tokens") {
+    val df = Seq((Seq("a", "b", "c"), Seq("x"))).toDF("x", "y")
+    val r = df.select(
+      VectorExpressions.tokenPairs(col("x")).as("px"),
+      VectorExpressions.tokenPairs(col("y")).as("py"))
+      .as[(Seq[(String, String)], Seq[(String, String)])].head()
+    assert(r._1 == Seq(("a", "b"), ("b", "c")))
+    assert(r._2.isEmpty)
+  }
+
   test("token ngram hashes: distinct windows, separator-safe") {
     val df = Seq(
       (Seq("a", "b", "c", "d"), Seq("ab", "c", "d"))).toDF("x", "y")

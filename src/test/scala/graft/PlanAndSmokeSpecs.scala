@@ -106,10 +106,10 @@ class PlanSpec extends SparkTestBase {
       s"chunking must not shuffle — one scan, one explode:\n$plan")
   }
 
-  test("stratified_sample reuses the window partitioning for the final agg") {
+  test("stratified_sample reuses the TopKPerKey exchange for the final agg") {
     val plan = planOf("stratified_sample")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1,
-      s"window + groupBy on the same stratum key should share one shuffle, got $exchanges:\n$plan")
+      s"TopKPerKey + groupBy on the same stratum key should share one shuffle, got $exchanges:\n$plan")
   }
 }
