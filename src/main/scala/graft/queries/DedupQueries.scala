@@ -225,5 +225,50 @@ object DedupQueries {
         .unionByName(gate("lsh",
           VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10),
           minRecall = 0.15))
+    },
+
+    // C7/C7b recall gate, CLUSTERED regime: the isotropic gate above
+    // proves the scale paths don't silently break, but its floors are
+    // low because isotropic embeddings are ANN's worst case. This row
+    // generates a deterministic mixture-of-Gaussians corpus (16 well-
+    // separated centers, small within-cluster noise — the shape of
+    // real near-dup/embedding-cluster workloads) where sub-linear
+    // probing has no excuse: IVF (2/16 cells probed) and Hamming-1
+    // multi-probe LSH must BOTH reach recall ≥ 0.9 against
+    // brute-force. Generation is seedless closed-form (sin of integer
+    // lattice points), so the row is reproducible anywhere.
+    Q("ann_recall_gate_clustered",
+      """SELECT 'ivf' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
+        |UNION ALL
+        |SELECT 'lsh' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, _) =>
+      val dim = 32
+      val nClusters = 16
+      val vecs = s.range(4000).select(
+        col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), j ->
+             |  CAST(sin(1.0 + (id % $nClusters) * 37.0 + j * 13.0)
+             |       + 0.35 * sin(id * 131.0 + j * 17.0 + 0.5) AS FLOAT))""".stripMargin)
+          .as("embedding"))
+      val cents = s.range(nClusters).select(
+        col("id").as("cid"),
+        expr(s"""transform(sequence(0, ${dim - 1}), j ->
+             |  CAST(sin(1.0 + id * 37.0 + j * 13.0) AS FLOAT))""".stripMargin)
+          .as("cv"))
+      val qs = vecs.filter(col("vec_id") < 50)
+      val bf = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("id"))
+      def gate(method: String, approx: org.apache.spark.sql.DataFrame) =
+        bf.join(
+            approx.select(col("query_id"), col("id"), lit(1).as("hit")),
+            Seq("query_id", "id"), "left")
+          .agg(count(lit(1)).as("n_bf"),
+            sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(lit(method).as("method"), col("n_bf"),
+            when(col("hits").cast("double") / col("n_bf") >= 0.9, 1)
+              .otherwise(0).cast("int").as("recall_ok"))
+      gate("ivf",
+          VectorOps.ivfTopK(vecs, qs, cents, "vec_id", "embedding", "cid", "cv", 10, 2))
+        .unionByName(gate("lsh",
+          VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10)))
     })
 }
