@@ -49,6 +49,9 @@ object VectorExpressions {
 
   def tokenPairs(tokens: Column): Column =
     GraftBridge.column(TokenPairs(GraftBridge.expression(tokens)))
+
+  def tokenRepetitionStats(tokens: Column): Column =
+    GraftBridge.column(TokenRepetitionStats(GraftBridge.expression(tokens)))
 }
 
 /** Sequential-fold dot product of two array<double> columns (null
@@ -271,6 +274,59 @@ case class TokenPairs(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): TokenPairs = copy(child = c)
+}
+
+/** One-pass repetition statistics over a token array — the
+  * Gopher-style repetition quality signals (repetitive boilerplate
+  * and spam have low type-token ratio and a dominant token/bigram).
+  * Output: struct<n_toks, n_distinct, top_tok, n_bigrams,
+  * top_bigram> (all bigint); the ratios (type-token ratio, top-token
+  * fraction, top-bigram fraction) divide out in plain SQL. Exact
+  * counts (hash maps on the token strings, not hashes), one pass, no
+  * explode — the per-doc shape; for CORPUS-level n-gram stats see
+  * text_top_bigrams, which must shuffle by construction.
+  */
+case class TokenRepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_tok", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false)))
+  override def prettyName: String = "token_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val tokCounts = new java.util.HashMap[UTF8String, Array[Int]](math.max(16, n * 2))
+    val bigramCounts = new java.util.HashMap[String, Array[Int]](math.max(16, n * 2))
+    var topTok = 0
+    var topBigram = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var c = tokCounts.get(t)
+      if (c == null) { c = Array(0); tokCounts.put(t.clone(), c) }
+      c(0) += 1
+      if (c(0) > topTok) topTok = c(0)
+      if (prev != null) {
+        val bg = prev.toString + " " + t.toString
+        var bc = bigramCounts.get(bg)
+        if (bc == null) { bc = Array(0); bigramCounts.put(bg, bc) }
+        bc(0) += 1
+        if (bc(0) > topBigram) topBigram = bc(0)
+      }
+      prev = t
+      i += 1
+    }
+    InternalRow(n.toLong, tokCounts.size.toLong, topTok.toLong,
+      math.max(n - 1, 0).toLong, topBigram.toLong)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenRepetitionStats =
+    copy(child = c)
 }
 
 /** One-pass token statistics: total token length plus membership hits

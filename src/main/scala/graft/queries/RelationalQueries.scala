@@ -194,6 +194,32 @@ object RelationalQueries {
         .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
     },
 
+    // B40: bucketed co-located join — both sides written as
+    // bucketed+sorted tables on the join key (the write-time
+    // shuffle), then joined with NO runtime exchange on either side;
+    // the only shuffle in the whole plan is the 5-row mktsegment
+    // rollup. BucketingSpec asserts the exchange-free plan shape;
+    // this row pins the result against the plain-join oracle.
+    Q("bucketed_join_mktsegment",
+      """SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      import graft.sources.Bucketing
+      Bucketing.writeBucketed(
+        table(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_b_orders", "o_custkey", 16)
+      Bucketing.writeBucketed(
+        table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_b_customer", "c_custkey", 16)
+      Bucketing.bucketJoin(s, "graft_b_orders", "graft_b_customer",
+          "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    },
+
     // B11: running aggregate window. The running sum is evaluated in
     // identical frame order on both engines → bit-identical doubles.
     Q("window_running_revenue",

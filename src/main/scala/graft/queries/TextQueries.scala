@@ -172,6 +172,44 @@ object TextQueries {
             .as("avg_logp"))
     },
 
+    // C27: repetition quality signals (Gopher-style): type-token
+    // ratio, top-token fraction, top-bigram fraction — the standard
+    // boilerplate/spam filters. Spark side is ONE fused pass per doc
+    // (TokenRepetitionStats — exact hash-map counts, no explode, no
+    // shuffle); the oracle re-derives the same counts relationally.
+    Q("text_repetition",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |         count(*) AS d, max(c) AS m FROM tc GROUP BY doc_id),
+         |b AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> concat(toks[CAST(i AS INT)], ' ', toks[CAST(i + 1 AS INT)]))) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+         |ba AS (SELECT doc_id, max(c) AS mb, CAST(sum(c) AS BIGINT) AS nb
+         |       FROM bc GROUP BY doc_id)
+         |SELECT ta.doc_id, ta.n AS n_tokens,
+         |  round(CAST(ta.d AS DOUBLE) / ta.n, 4) AS ttr,
+         |  round(CAST(ta.m AS DOUBLE) / ta.n, 4) AS top_token_frac,
+         |  round(coalesce(CAST(ba.mb AS DOUBLE) / ba.nb, 0.0), 4) AS top_bigram_frac
+         |FROM ta LEFT JOIN ba USING (doc_id)""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorExpressions
+      table(s, dir, "documents")
+        .withColumn("_st", VectorExpressions.tokenRepetitionStats(
+          split(TF.normalizeText(col("text")), " ")))
+        .select(
+          col("doc_id"),
+          col("_st.n_toks").as("n_tokens"),
+          round(col("_st.n_distinct").cast("double") / col("_st.n_toks"), 4).as("ttr"),
+          round(col("_st.top_tok").cast("double") / col("_st.n_toks"), 4).as("top_token_frac"),
+          round(when(col("_st.n_bigrams") > 0,
+              col("_st.top_bigram").cast("double") / col("_st.n_bigrams"))
+            .otherwise(0.0), 4).as("top_bigram_frac"))
+    },
+
     Q("text_compress_ratio",
       """SELECT doc_id, length(text) AS n_chars_exact,
         |  CAST(1 AS INT) AS ratio_pos,

@@ -230,6 +230,20 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r._2.isEmpty)
   }
 
+  test("token repetition stats: exact counts in one pass") {
+    val df = Seq(
+      (Seq("a", "a", "b", "a"), Seq("x"))).toDF("x", "y")
+    val r = df.select(
+      VectorExpressions.tokenRepetitionStats(col("x")).as("sx"),
+      VectorExpressions.tokenRepetitionStats(col("y")).as("sy"))
+      .as[((Long, Long, Long, Long, Long), (Long, Long, Long, Long, Long))]
+      .head()
+    // "a a b a": 4 tokens, 2 distinct, top token a×3; bigrams
+    // (a a)(a b)(b a) all distinct → top bigram 1
+    assert(r._1 == ((4L, 2L, 3L, 3L, 1L)))
+    assert(r._2 == ((1L, 1L, 1L, 0L, 0L)))
+  }
+
   test("token ngram hashes: distinct windows, separator-safe") {
     val df = Seq(
       (Seq("a", "b", "c", "d"), Seq("ab", "c", "d"))).toDF("x", "y")

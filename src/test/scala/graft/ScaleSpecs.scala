@@ -337,3 +337,51 @@ class CompressRatioSpec extends SparkTestBase {
     assert(got == again)
   }
 }
+
+/** Bucketed-table co-located join (B40): the write-time shuffle must
+  * buy an exchange-free join at read time.
+  */
+class BucketingSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.sources.Bucketing
+
+  test("same-bucketed tables join with no exchange on either side") {
+    val orders = GraftSession.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val customer = GraftSession.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Bucketing.writeBucketed(orders, "graft_spec_b_orders", "o_custkey", 8)
+    Bucketing.writeBucketed(customer, "graft_spec_b_customer", "c_custkey", 8)
+
+    val joined = Bucketing.bucketJoin(spark,
+      "graft_spec_b_orders", "graft_spec_b_customer", "o_custkey", "c_custkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must be exchange-free:\n$plan")
+    assert("SelectedBucketsCount|Bucketed: true".r.findFirstIn(plan).isDefined,
+      s"scan does not report bucketed layout:\n$plan")
+
+    // same rows as the plain (shuffling) join
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    assert(joined.count() == plain.count())
+    val a = joined.groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = plain.groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("groupBy on the bucket key also reuses the layout (no exchange)") {
+    val agg = spark.table("graft_spec_b_orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("v"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must be exchange-free:\n$plan")
+  }
+}
