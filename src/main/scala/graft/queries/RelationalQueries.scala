@@ -220,6 +220,40 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 2).as("revenue"))
     },
 
+    // B41: runtime bloom-filter join pruning — the semi-join-pushdown
+    // primitive. The selective dim filter (top ~20% of orders) builds
+    // a 128 KiB bloom of its join keys in one agg; the single-row
+    // broadcast prunes fact rows BEFORE the join exchange, so the
+    // shuffle carries ~selectivity·|fact| rows instead of all of
+    // them. False positives die in the exact join that follows;
+    // false negatives are impossible — the oracle is the plain join.
+    // The probe is a codegen expression on the scan (BloomFilter
+    // .scala); at local scale the dim broadcasts anyway, but at
+    // 100 TB (dim over the broadcast threshold → SMJ) this filter is
+    // what keeps the fact exchange small.
+    Q("bloom_pruned_join",
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import graft.functions.BloomFilter
+      val dim = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bloom = dim.agg(BloomFilter.bloomAgg(col("o_orderkey")).as("bf"))
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(broadcast(bloom))
+        .filter(BloomFilter.mightContain(col("bf"), col("l_orderkey")))
+        .drop("bf")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    },
+
     // B11: running aggregate window. The running sum is evaluated in
     // identical frame order on both engines → bit-identical doubles.
     Q("window_running_revenue",
