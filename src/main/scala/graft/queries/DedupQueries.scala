@@ -227,6 +227,21 @@ object DedupQueries {
           minRecall = 0.15))
     },
 
+    // C28: fuzzy record linkage — all distinct part names within
+    // edit distance 2. Vocabulary collapse → complete q-gram count
+    // filter (keyed equi-join, never a cross product) → exact
+    // levenshtein verify; the O(|V|²) DuckDB levenshtein join is the
+    // specification.
+    Q("fuzzy_name_pairs",
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin) { (s, dir) =>
+      graft.operators.FuzzyJoin.editDistancePairs(
+        table(s, dir, "part"), "p_name", maxDist = 2)
+    },
+
     // C7/C7b recall gate, CLUSTERED regime: the isotropic gate above
     // proves the scale paths don't silently break, but its floors are
     // low because isotropic embeddings are ANN's worst case. This row

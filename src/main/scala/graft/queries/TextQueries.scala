@@ -172,6 +172,65 @@ object TextQueries {
             .as("avg_logp"))
     },
 
+    // C29: BM25 relevance scoring for a fixed query — the retrieval/
+    // curation scorer. Per-doc term frequencies come from ONE fused
+    // TokenSetStats pass (three singleton stopword-sets = three tf
+    // counters, no explode); corpus stats (N, avgdl, df per term) are
+    // one tiny agg broadcast back as a single row. Every arithmetic
+    // step is integer-derived doubles combined in the same order in
+    // both engines → bit-equal scores (rounded 4dp for safety).
+    Q("text_bm25",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS dl,
+         |  len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         |  len(list_filter(toks, x -> x = 'table')) AS tf1,
+         |  len(list_filter(toks, x -> x = 'key')) AS tf2
+         |  FROM t),
+         |s AS (SELECT count(*) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |  FROM d)
+         |SELECT doc_id,
+         |  round(
+         |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+         |      * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |    + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+         |      * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+         |      * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25,
+         |  CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_hits
+         |FROM d, s""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorExpressions
+      val terms = Seq("spark", "table", "key")
+      val base = table(s, dir, "documents")
+        .withColumn("toks", split(TF.normalizeText(col("text")), " "))
+        .withColumn("_st", VectorExpressions.tokenSetStats(
+          col("toks"), terms.map(Seq(_))))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          col("_st.hits0").as("tf0"), col("_st.hits1").as("tf1"),
+          col("_st.hits2").as("tf2"))
+      val stats = base.agg(
+        count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+      def term(tf: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column) =
+        log(lit(1) + (col("n") - df + 0.5) / (df + 0.5)) *
+          (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      base.join(broadcast(stats))
+        .select(col("doc_id"),
+          round(term(col("tf0"), col("df0"))
+            + term(col("tf1"), col("df1"))
+            + term(col("tf2"), col("df2")), 4).as("bm25"),
+          ((col("tf0") > 0).cast("int") + (col("tf1") > 0).cast("int")
+            + (col("tf2") > 0).cast("int")).cast("int").as("n_hits"))
+    },
+
     // C27: repetition quality signals (Gopher-style): type-token
     // ratio, top-token fraction, top-bigram fraction — the standard
     // boilerplate/spam filters. Spark side is ONE fused pass per doc

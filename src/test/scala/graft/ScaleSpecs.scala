@@ -446,3 +446,49 @@ class BloomFilterSpec extends SparkTestBase {
       plain.agg(round(sum(col("l_quantity")), 2)).head().getDouble(0))
   }
 }
+
+/** Fuzzy record linkage (C28): q-gram count filter + verify must
+  * equal the brute-force levenshtein join exactly.
+  */
+class FuzzyJoinSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.FuzzyJoin
+  import spark.implicits._
+
+  private def brute(df: org.apache.spark.sql.DataFrame, colName: String,
+      k: Int): Set[(String, String, Int)] = {
+    val n = df.select(col(colName).as("name")).distinct()
+    n.as("a").join(n.as("b"), col("a.name") < col("b.name"))
+      .select(col("a.name"), col("b.name"),
+        levenshtein(col("a.name"), col("b.name")).as("d"))
+      .filter(col("d") <= k)
+      .as[(String, String, Int)].collect().toSet
+  }
+
+  test("equals brute force on part names (k=1 and k=2)") {
+    val part = GraftSession.table(spark, sfDir, "part")
+    Seq(1, 2).foreach { k =>
+      val got = FuzzyJoin.editDistancePairs(part, "p_name", k)
+        .as[(String, String, Int)].collect().toSet
+      assert(got == brute(part, "p_name", k), s"mismatch at k=$k")
+    }
+  }
+
+  test("corner cases: short strings, repeated grams, length bands") {
+    val df = Seq("a", "ab", "abc", "aaaa", "aaab", "abab", "baba",
+      "xxxxxxxxxx", "xxxxxxxxxy", "xxyxxyxxyx", "", "b", "ba").toDF("s")
+    Seq(1, 2).foreach { k =>
+      val got = FuzzyJoin.editDistancePairs(df, "s", k)
+        .as[(String, String, Int)].collect().toSet
+      assert(got == brute(df, "s", k), s"mismatch at k=$k: $got")
+    }
+  }
+
+  test("plans keyed equi-joins only — no cartesian on the gram path") {
+    val part = GraftSession.table(spark, sfDir, "part")
+    val df = FuzzyJoin.editDistancePairs(part, "p_name", 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+}
