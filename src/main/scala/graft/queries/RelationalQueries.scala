@@ -220,6 +220,32 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 2).as("revenue"))
     },
 
+    // B42: z-order (Morton) values — the multi-dimensional layout
+    // key behind writeZOrdered's file skipping (ZOrderSpec measures
+    // the pruning). The Spark side is a pure composition of native
+    // bitwise column ops (fully codegen); the oracle replays the same
+    // mask cascade in DuckDB, pinning bit-exactness.
+    Q("zorder_values", {
+      def step(shift: Int, mask: Long) =
+        s"(x | (x << $shift)) & $mask AS x, (y | (y << $shift)) & $mask AS y"
+      s"""WITH c AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_orderkey % 1024 AS BIGINT) AS x,
+         |    CAST(l_partkey % 1024 AS BIGINT) AS y
+         |  FROM lineitem),
+         |s1 AS (SELECT l_orderkey, l_linenumber, ${step(16, 281470681808895L)} FROM c),
+         |s2 AS (SELECT l_orderkey, l_linenumber, ${step(8, 71777214294589695L)} FROM s1),
+         |s3 AS (SELECT l_orderkey, l_linenumber, ${step(4, 1085102592571150095L)} FROM s2),
+         |s4 AS (SELECT l_orderkey, l_linenumber, ${step(2, 3689348814741910323L)} FROM s3),
+         |s5 AS (SELECT l_orderkey, l_linenumber, ${step(1, 6148914691236517205L)} FROM s4)
+         |SELECT l_orderkey, l_linenumber, x | (y << 1) AS z FROM s5""".stripMargin
+    }) { (s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.sources.ZOrder.zValue(
+          col("l_orderkey") % 1024, col("l_partkey") % 1024).as("z"))
+    },
+
     // B41: runtime bloom-filter join pruning — the semi-join-pushdown
     // primitive. The selective dim filter (top ~20% of orders) builds
     // a 128 KiB bloom of its join keys in one agg; the single-row

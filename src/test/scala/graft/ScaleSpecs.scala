@@ -492,3 +492,57 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 }
+
+/** Z-order layout (B42): per-file min/max stats must prune scans on
+  * BOTH dimensions, where a linear sort prunes only its own.
+  */
+class ZOrderSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.sources.ZOrder
+
+  test("z-value interleaves bits (pinned examples)") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 0L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")))
+      .as[Long].collect().toSeq
+    // interleave(x even bits, y odd bits): (3,5) = x:011 y:101 →
+    // z bits y2x2 y1x1 y0x0 = 10 01 11 = 0b100111 = 39
+    assert(got == Seq(0L, 1L, 2L, 39L, 349525L))
+  }
+
+  test("band predicates prune files on either dimension; linear layout cannot") {
+    val n = 1 << 16
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 1024).as("x"),
+      (col("id") * 40503L % 1024).as("y"))
+    val files = 16
+    val zDir = "/tmp/graft_zorder_test/z"
+    val linDir = "/tmp/graft_zorder_test/linear"
+    ZOrder.writeZOrdered(df, "x", "y", zDir, files)
+    df.repartitionByRange(files, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+
+    // files whose [min,max] stats could contain a row of the band
+    def touched(dir: String, colName: String, lo: Long, hi: Long): Int = {
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length == files, s"expected $files files, got ${parts.length}")
+      parts.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(colName)), max(col(colName))).head()
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+    }
+    val zx = touched(zDir, "x", 100L, 131L)
+    val zy = touched(zDir, "y", 100L, 131L)
+    val lx = touched(linDir, "x", 100L, 131L)
+    val ly = touched(linDir, "y", 100L, 131L)
+    // linear prunes x hard but reads everything for y
+    assert(lx <= 2, s"linear x-band touched $lx")
+    assert(ly == files, s"linear y-band should touch all $files, got $ly")
+    // z-order prunes BOTH bands to a strict subset (~sqrt regime)
+    assert(zx <= files / 2, s"z-order x-band touched $zx of $files")
+    assert(zy <= files / 2, s"z-order y-band touched $zy of $files")
+  }
+}
