@@ -36,7 +36,19 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CountMinAgg(exprs.head).toAggregateExpression()),
     (FunctionIdentifier("cms_lookup"),
       new ExpressionInfo(classOf[CmsLookup].getName, "cms_lookup"),
-      (exprs: Seq[Expression]) => CmsLookup(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => CmsLookup(exprs.head, exprs(1))),
+    (FunctionIdentifier("bloom_filter"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_filter"),
+      (exprs: Seq[Expression]) => BloomAgg(exprs.head).toAggregateExpression()),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))),
+    (FunctionIdentifier("token_pairs"),
+      new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
+      (exprs: Seq[Expression]) => TokenPairs(exprs.head)),
+    (FunctionIdentifier("token_repetition_stats"),
+      new ExpressionInfo(classOf[TokenRepetitionStats].getName, "token_repetition_stats"),
+      (exprs: Seq[Expression]) => TokenRepetitionStats(exprs.head)))
 
   /** Register every graft SQL function on an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -86,6 +86,20 @@ class GraftExtensionsSpec extends SparkTestBase {
       .collect().head
     assert(math.abs(d.getLong(0) - 200) <= 20)
     assert(math.abs(d.getDouble(1) - 180.0) <= 10.0)
+
+    val bm = spark.sql(
+      """SELECT
+        |  bloom_might_contain((SELECT bloom_filter(CAST(n AS BIGINT)) FROM reg_nums),
+        |    CAST(5 AS BIGINT)) AS hit,
+        |  bloom_might_contain((SELECT bloom_filter(CAST(n AS BIGINT)) FROM reg_nums),
+        |    CAST(123456789 AS BIGINT)) AS miss""".stripMargin).head()
+    assert(bm.getBoolean(0) && !bm.getBoolean(1))
+
+    val tr = spark.sql(
+      """SELECT size(token_pairs(split('a a b', ' '))) AS np,
+        |  (token_repetition_stats(split('a a b', ' '))).n_distinct AS nd""".stripMargin)
+      .head()
+    assert(tr.getInt(0) == 2 && tr.getLong(1) == 2L)
   }
 }
 
