@@ -33,10 +33,19 @@ import org.apache.spark.sql.functions.col
 object Bucketing {
 
   /** Write `df` as a bucketed+sorted managed table (overwriting), one
-    * file per bucket.
+    * file per bucket. A managed table's directory outlives the
+    * in-memory catalog of the JVM that wrote it, and CTAS refuses a
+    * pre-existing location — so drop any catalog entry AND clear a
+    * stale location first, making the write idempotent across runs.
     */
   def writeBucketed(df: DataFrame, tableName: String, bucketKey: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(numBuckets, col(bucketKey))
       .write
       .mode(SaveMode.Overwrite)
@@ -44,6 +53,7 @@ object Bucketing {
       .sortBy(bucketKey)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Inner equi-join of two same-bucketed tables on their bucket key.
     * Plans a sort-merge join with NO exchange on either side (the
