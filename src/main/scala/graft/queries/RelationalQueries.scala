@@ -268,12 +268,9 @@ object RelationalQueries {
       val dim = table(s, dir, "orders")
         .filter(col("o_totalprice") > 400000)
         .select(col("o_orderkey"), col("o_orderpriority"))
-      val bloom = dim.agg(BloomFilter.bloomAgg(col("o_orderkey")).as("bf"))
-      table(s, dir, "lineitem")
+      val fact = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"))
-        .join(broadcast(bloom))
-        .filter(BloomFilter.mightContain(col("bf"), col("l_orderkey")))
-        .drop("bf")
+      BloomFilter.pruned(fact, "l_orderkey", dim, "o_orderkey")
         .join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),

@@ -115,6 +115,24 @@ object StreamingQueries {
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_s"))
       runToMemory(s, joined, "graft_stream_join")
+    },
+
+    // D9 under the gate: stream-static enrichment — the most common
+    // production streaming join (events against a slowly-changing
+    // dimension). The static side is broadcast: stateless, no
+    // watermark, no state store; every micro-batch joins against the
+    // same snapshot, so the full AvailableNow replay equals the batch
+    // join, which the oracle states directly.
+    Q("streaming_enrich",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) { (s, dir) =>
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val enriched = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("segment"))
+      runToMemory(s, enriched, "graft_stream_enrich")
     })
 
   /** Stateful streaming ops create one state store per shuffle

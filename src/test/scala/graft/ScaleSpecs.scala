@@ -394,30 +394,28 @@ class BloomFilterSpec extends SparkTestBase {
 
   test("no false negatives; false-positive rate near theory; codegen probe") {
     val keys = spark.range(0, 20000).select(col("id"))
-    val bloom = keys.agg(BloomFilter.bloomAgg(col("id"), 1 << 18, 7).as("bf"))
+    // materialized once, probed as a literal (the pruned() shape —
+    // carrying the image as a joined column copies it into every row)
+    val image = keys.agg(BloomFilter.bloomAgg(col("id"), 1 << 18, 7))
+      .head().getAs[Array[Byte]](0)
     // every inserted key must probe true
-    val misses = keys.join(broadcast(bloom))
-      .filter(!BloomFilter.mightContain(col("bf"), col("id")))
+    val misses = keys
+      .filter(!BloomFilter.mightContain(lit(image), col("id")))
       .count()
     assert(misses == 0, s"$misses false negatives")
     // disjoint keys: fpp for m/n = 2^18/2e4 ≈ 13.1 bits/key, k=7
     // is ~0.55%; assert a generous 2%
     val fp = spark.range(1000000, 1100000).select(col("id"))
-      .join(broadcast(bloom))
-      .filter(BloomFilter.mightContain(col("bf"), col("id")))
+      .filter(BloomFilter.mightContain(lit(image), col("id")))
       .count()
     assert(fp < 2000, s"false-positive count $fp out of 100k (expected ~550)")
     // the probe must run inside a whole-stage-codegen filter
-    val probe = keys.join(broadcast(bloom))
-      .filter(BloomFilter.mightContain(col("bf"), col("id")))
+    val probe = keys.filter(BloomFilter.mightContain(lit(image), col("id")))
     probe.collect()
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"), s"probe missing:\n$plan")
-    // the probe may sit in a Filter or be folded into the join
-    // condition — either way its operator must carry the `*(N)`
-    // whole-stage-codegen prefix
-    assert("""\*\(\d+\)[^\n]*bloom_might_contain""".r.findFirstIn(plan).isDefined,
-      s"probe not inside a codegen stage:\n$plan")
+    assert("""\*\(\d+\)[^\n]*Filter""".r.findFirstIn(plan).isDefined,
+      s"probe filter not codegen'd:\n$plan")
   }
 
   test("filter is partition-independent (merge == single-partition build)") {
@@ -435,10 +433,7 @@ class BloomFilterSpec extends SparkTestBase {
       .select(col("o_orderkey"))
     val fact = GraftSession.table(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
-    val bloom = dim.agg(BloomFilter.bloomAgg(col("o_orderkey")).as("bf"))
-    val pruned = fact.join(broadcast(bloom))
-      .filter(BloomFilter.mightContain(col("bf"), col("l_orderkey")))
-      .drop("bf")
+    val pruned = BloomFilter.pruned(fact, "l_orderkey", dim, "o_orderkey")
       .join(dim, col("l_orderkey") === col("o_orderkey"))
     val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
     assert(pruned.count() == plain.count())
