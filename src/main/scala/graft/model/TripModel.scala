@@ -74,7 +74,53 @@ object TripModel {
     "CAN11Bit", "CAN29Bit")
   val gpsFixQualities: Seq[String] = Seq("NoFix", "Standard", "Differential")
 
+  /** Oxygen-sensor payload shapes (ParameterIdData.kt:
+    * OxygenSensorData / BankOxygenSensorsData / EquivalenceRatio* /
+    * CatalystTemperature*). Struct member names are the Kotlin
+    * property names — Gson's wire names.
+    */
+  val oxygenSensorsDataSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("sensors", ArrayType(StructType(Seq(
+      StructField("voltage", DoubleType),
+      StructField("shortTermFuelTrim", DoubleType))))))))
+  val oxygenPresenceByBankSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("sensors", ArrayType(BooleanType)))))
+  val equivalenceRatioVoltageSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("ratio", DoubleType),
+    StructField("voltage", DoubleType))))
+  val equivalentRatioCurrentSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("ratio", DoubleType),
+    StructField("current", DoubleType))))
+  val catalystTemperatureSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("sensors", ArrayType(StructType(Seq(
+      StructField("temperatureInCelsius", DoubleType))))))))
+
+  /** MonitorStatusInThisDriveCycle: 22 availability/completion flags
+    * (ParameterIdData.kt) — property names verbatim.
+    */
+  val monitorStatusSchema: StructType = StructType(
+    Seq("Misfire", "FuelSystem", "Components", "Catalyst",
+        "HeatedCatalyst", "EvaporativeSystem", "SecondaryAirSystem",
+        "AcRefrigerant", "OxygenSensor", "OxygenSensorHeater",
+        "ExhaustGasRecirculationSystem")
+      .flatMap(t => Seq(
+        StructField(s"is${t}TestAvailable", BooleanType),
+        StructField(s"is${t}TestComplete", BooleanType))))
+
+  /** The wire PIDs the reference's `toTrip` actually parses
+    * (JSONUtil.kt:25-125) use the abbreviated keys below
+    * (EngineRpm, CalcEngineLoad, …). The REST of the
+    * ParameterIdData hierarchy (~40 kinds) is dead in the reference
+    * — `toParameterIdsData` defines no wire key for them and drops
+    * unknown keys — so for completeness they are modeled under
+    * their CLASS NAMES as keys (the natural Gson convention; a
+    * producer emitting them picks the key, the reference never
+    * did). Payload member names are the Kotlin property names,
+    * which ARE Gson's wire names. All nullable; columnar pruning
+    * keeps untouched kinds free.
+    */
   val pidSchema: StructType = StructType(Seq(
+    // --- the 16 kinds on the reference's live wire path ---
     StructField("VehicleSpeed", DoubleType),
     StructField("EngineRpm", DoubleType),
     StructField("EngineCoolantTemp", DoubleType),
@@ -90,7 +136,72 @@ object TripModel {
     StructField("FuelStatus", fuelStatusSchema),
     StructField("CommandedSecondaryAirStatus", secondaryAirSchema),
     StructField("GpsReading", gpsSchema),
-    StructField("RawAccelerometer", accelSchema)))
+    StructField("RawAccelerometer", accelSchema),
+    // --- the dead-in-reference kinds, class-name keys ---
+    StructField("FuelPercentTrim", StructType(Seq(
+      StructField("shortTermFuelPercentTrimInBankOne", DoubleType),
+      StructField("shortTermFuelPercentTrimInBankTwo", DoubleType),
+      StructField("longTermFuelPercentTrimInBankOne", DoubleType),
+      StructField("longTermFuelPercentTrimInBankTwo", DoubleType)))),
+    StructField("OxygenSensorsPresent", StructType(Seq(
+      StructField("isSensorOnePresent", BooleanType),
+      StructField("isSensorTwoPresent", BooleanType),
+      StructField("isSensorThreePresent", BooleanType),
+      StructField("isSensorFourPresent", BooleanType)))),
+    StructField("OxygenSensorsData", oxygenSensorsDataSchema),
+    StructField("OnBoardDiagnosticsStandardConformation",
+      ArrayType(StringType)), // OnBoardDiagnosticsStandard enum names
+    StructField("OxygenSensorsPresenceByBank", oxygenPresenceByBankSchema),
+    StructField("RuntimeSinceEngineStarted", DoubleType),
+    StructField("DistanceTraveledWithMalfunctionIndicatorLampOn", DoubleType),
+    StructField("FuelRailPressureRelativeToManifoldVacuum", DoubleType),
+    StructField("FuelRailPressure", DoubleType),
+    StructField("OxygenEquivalenceRatioVoltage", equivalenceRatioVoltageSchema),
+    StructField("CommandedExhaustGasRecirculation", DoubleType),
+    StructField("ExhaustGasRecirculationError", DoubleType),
+    StructField("CommandedEvaporativePurge", DoubleType),
+    StructField("FuelLevelInput", DoubleType),
+    StructField("WarmUpsSinceCodesWereCleared", DoubleType),
+    StructField("DistanceTraveledSinceCodesWereCleared", DoubleType),
+    StructField("EvaporativeSystemVaporPressure", DoubleType),
+    StructField("BarometricPressure", DoubleType),
+    StructField("OxygenSensorsEquivalentRatioCurrent", equivalentRatioCurrentSchema),
+    StructField("CatalystTemperature", catalystTemperatureSchema),
+    StructField("MonitorStatusInThisDriveCycle", monitorStatusSchema),
+    StructField("ControlModuleVoltage", DoubleType),
+    StructField("AbsoluteLoadValue", DoubleType),
+    StructField("CommandedEquivalenceRatio", DoubleType),
+    StructField("RelativeThrottlePosition", DoubleType),
+    StructField("AmbientAirTemperature", DoubleType),
+    StructField("AbsoluteThrottlePosition", StructType(Seq(
+      StructField("opennessOfThrottleB", DoubleType),
+      StructField("opennessOfThrottleC", DoubleType)))),
+    StructField("AcceleratorPedalPosition", StructType(Seq(
+      StructField("positionPercentD", DoubleType),
+      StructField("positionPercentE", DoubleType),
+      StructField("positionPercentF", DoubleType)))),
+    StructField("CommandedThrottleActuator", DoubleType),
+    StructField("TimeTraveledWithMalfunctionIndicatorLampOn", DoubleType),
+    StructField("TimeSinceTroubleCodesCleared", DoubleType),
+    StructField("MaximumValues", StructType(Seq(
+      StructField("ofEquivalenceRatio", DoubleType),
+      StructField("ofOxygenSensorVoltage", DoubleType),
+      StructField("ofOxygenSensorCurrentInMilliAmperes", DoubleType),
+      StructField("ofIntakeManifoldAbsolutePressureInKiloPascals", DoubleType)))),
+    StructField("MaximumAirFlowRateFromManifoldSensor", DoubleType),
+    StructField("FuelType", StringType), // FuelType enum name
+    StructField("AlcoholFuelDetected", DoubleType),
+    StructField("AbsoluteEvaporativeSystemVaporPressure", DoubleType),
+    StructField("AbsoluteFuelRailPressure", DoubleType),
+    StructField("RelativeAcceleratorGasPedalPosition", DoubleType),
+    StructField("HybridBatteryPackRemainingLife", DoubleType),
+    StructField("EngineOilTemperature", DoubleType),
+    StructField("FuelInjectionTiming", DoubleType),
+    StructField("EngineFuelRate", DoubleType),
+    StructField("NormalizedAccelerometer", StructType(Seq(
+      StructField("offsets", ArrayType(pointSchema)),
+      StructField("base", pointSchema)))),
+    StructField("FuelLevelInputSmoothed", DoubleType)))
 
   /** TripEvent payloads (EventData.kt:1-77): accelerometer trigger
     * events, time-fence / geo-fence events, and GPS events — modeled

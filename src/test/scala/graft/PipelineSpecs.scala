@@ -82,6 +82,45 @@ class TripModelSpec extends SparkTestBase {
     assert(out(2).getAs[String]("accel_axis") == null)
     assert(out(2).getAs[String]("geo_fence_type") == null)
   }
+
+  test("full ParameterIdData breadth parses under class-name keys") {
+    import org.apache.spark.sql.functions.col
+    val msg =
+      """{"body":{"tripNumber":11,"timestamp":"2020-01-01T02:00:00Z","type":"TripData",
+        |"pidData":{"EngineOilTemperature":95,"FuelType":"Diesel",
+        |"EngineFuelRate":7.25,"BarometricPressure":101,
+        |"MonitorStatusInThisDriveCycle":{"isMisfireTestAvailable":true,
+        |"isCatalystTestComplete":false},
+        |"CatalystTemperature":[{"sensors":[{"temperatureInCelsius":300.5}]}],
+        |"OxygenSensorsData":[{"sensors":[{"voltage":0.45,"shortTermFuelTrim":1.2}]}],
+        |"MaximumValues":{"ofEquivalenceRatio":2.0,"ofOxygenSensorVoltage":8,
+        |"ofOxygenSensorCurrentInMilliAmperes":1.5,
+        |"ofIntakeManifoldAbsolutePressureInKiloPascals":255},
+        |"OnBoardDiagnosticsStandardConformation":["OBDII","EOBD"],
+        |"AcceleratorPedalPosition":{"positionPercentD":10,"positionPercentE":11,
+        |"positionPercentF":12}}}}""".stripMargin.replace("\n", "")
+    val row = Seq(msg).toDF("raw")
+      .select(TripModel.parse(col("raw")).as("m"))
+      .select(
+        col("m.body.pidData.EngineOilTemperature").as("oil"),
+        col("m.body.pidData.FuelType").as("fuel"),
+        col("m.body.pidData.MonitorStatusInThisDriveCycle.isMisfireTestAvailable").as("mis"),
+        col("m.body.pidData.MonitorStatusInThisDriveCycle.isCatalystTestComplete").as("cat"),
+        col("m.body.pidData.CatalystTemperature")(0)("sensors")(0)("temperatureInCelsius").as("ct"),
+        col("m.body.pidData.OxygenSensorsData")(0)("sensors")(0)("voltage").as("v"),
+        col("m.body.pidData.MaximumValues.ofEquivalenceRatio").as("mer"),
+        col("m.body.pidData.OnBoardDiagnosticsStandardConformation").as("obd"),
+        col("m.body.pidData.AcceleratorPedalPosition.positionPercentE").as("pedal"))
+      .head()
+    assert(row.getAs[Double]("oil") == 95.0)
+    assert(row.getAs[String]("fuel") == "Diesel")
+    assert(row.getAs[Boolean]("mis") && !row.getAs[Boolean]("cat"))
+    assert(row.getAs[Double]("ct") == 300.5)
+    assert(row.getAs[Double]("v") == 0.45)
+    assert(row.getAs[Double]("mer") == 2.0)
+    assert(row.getSeq[String](row.fieldIndex("obd")) == Seq("OBDII", "EOBD"))
+    assert(row.getAs[Double]("pedal") == 11.0)
+  }
 }
 
 /** Streaming sessionization + watermark + stateful aggregation (D1-D4). */
