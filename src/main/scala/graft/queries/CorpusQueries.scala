@@ -113,6 +113,56 @@ object CorpusQueries {
       ConnectedComponents.clusters(pairs.select(col("id_a"), col("id_b")))
     },
 
+    // C30: the END-TO-END curation pipeline as ONE declarative plan —
+    // scrub → quality filter → exact dedup (keep-first on normalized
+    // scrubbed text) → split assignment → per-(split, lang) counts.
+    // What a corpus builder actually ships: each stage is one of the
+    // pipeline's oracled operators (C13/C14/C1/C17) composed, and the
+    // whole chain still plans as a single job with two keyed
+    // exchanges (dedup group + final rollup).
+    Q("corpus_curate_pipeline",
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |      'https?://[^ ]+', '<URL>', 'g'),
+         |      '[0-9]{4,}', '<NUM>', 'g') AS stext
+         |  FROM documents
+         |  WHERE n_chars >= 200 AND $nTokSql >= 30),
+         |k AS (
+         |  SELECT min(doc_id) AS doc_id,
+         |    min_by(lang, doc_id) AS lang,
+         |    min_by(length(stext), doc_id) AS slen
+         |  FROM f
+         |  GROUP BY regexp_replace(lower(trim(stext)), '\\s+', ' ', 'g'))
+         |SELECT
+         |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |       WHEN doc_id % 10 < 9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(slen) AS BIGINT) AS total_chars
+         |FROM k GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+        "[0-9]{4,}", "<NUM>")
+      table(s, dir, "documents")
+        .filter(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30)
+        .select(col("doc_id"), col("lang"), scrubbed.as("stext"))
+        .groupBy(TF.normalizeText(col("stext")))
+        .agg(
+          min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(length(col("stext")), col("doc_id")).as("slen"))
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 < 9, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("slen")).as("total_chars"))
+    },
+
     // C16: greedy sequence packing — assign docs (in stable order,
     // per language) to fixed token-budget bins by running token
     // offset; one window pass, integer-exact in both engines.
