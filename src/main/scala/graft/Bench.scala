@@ -92,7 +92,9 @@ object Bench {
       Seq("dedup_minhash_pairs", "dedup_simhash", "dedup_embed_cosine",
         "dedup_clusters", "dedup_exact_docs",
         "ann_lsh_topk", "ann_ivf_topk", "ann_recall_gate",
-        "text_top_bigrams", "sessionize_events")
+        "text_top_bigrams", "sessionize_events",
+        "text_bm25", "text_repetition", "text_lm_score",
+        "contamination_check", "corpus_curate_pipeline")
         .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 
