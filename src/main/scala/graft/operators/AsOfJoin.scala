@@ -49,4 +49,34 @@ object AsOfJoin {
         leftCols.map(col) ++
           valueCols.map(v => col(s"_asof_carried.$v").as(s"asof_$v")): _*)
   }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row
+    * with the same key and right.ts >= left.ts ("next event at or
+    * after") — the mirror of [[asofBackward]]: same union-sort single
+    * shuffle, but the payload is carried BACKWARD by a
+    * `first(..., ignoreNulls)` over `[current row, unbounded
+    * following]`. Tie semantics inclusive: left rows sort before
+    * right rows at equal ts (tag 0 < 1), so a right row at exactly
+    * left.ts is taken.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val taggedRight = right.select(
+      col(keyCol), col(tsCol).as("_asof_ts"), lit(1).as("_asof_tag"),
+      struct(valueCols.map(col): _*).as("_asof_payload"))
+    val taggedLeft = left
+      .withColumn("_asof_ts", col(tsCol))
+      .withColumn("_asof_tag", lit(0))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_asof_ts"), col("_asof_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_asof_carried", first(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_asof_tag") === 0)
+      .select(
+        leftCols.map(col) ++
+          valueCols.map(v => col(s"_asof_carried.$v").as(s"asof_$v")): _*)
+  }
 }

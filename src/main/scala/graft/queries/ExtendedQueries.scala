@@ -172,6 +172,38 @@ object ExtendedQueries {
           col("asof_purchase_s"), col("asof_purchase_value"))
     },
 
+    // B23b: FORWARD as-of join — each event enriched with the next
+    // purchase at or after it (mirror of asof_last_purchase; DuckDB
+    // native ASOF with the reversed inequality as the oracle).
+    Q("asof_next_purchase",
+      s"""WITH $eventsCte,
+         |p0 AS (SELECT user_id, tsec, value, event_id FROM e WHERE event_type = 'purchase'),
+         |p AS (
+         |  SELECT user_id, tsec, value FROM (
+         |    SELECT user_id, tsec, value,
+         |      row_number() OVER (PARTITION BY user_id, tsec ORDER BY event_id DESC) AS rn
+         |    FROM p0) WHERE rn = 1)
+         |SELECT e.event_id, e.user_id, e.tsec,
+         |  p.tsec AS asof_purchase_s, p.value AS asof_purchase_value
+         |FROM e ASOF LEFT JOIN p
+         |  ON e.user_id = p.user_id AND e.tsec <= p.tsec""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("tsec"))
+      val w = Window.partitionBy(col("user_id"), col("tsec")).orderBy(col("event_id").desc)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("tsec").as("purchase_s"), col("value").as("purchase_value"))
+        .withColumn("tsec", col("purchase_s"))
+      AsOfJoin.asofForward(
+          e.select(col("event_id"), col("user_id"), col("tsec")),
+          purchases.select(col("user_id"), col("tsec"), col("purchase_s"), col("purchase_value")),
+          keyCol = "user_id", tsCol = "tsec",
+          valueCols = Seq("purchase_s", "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          col("asof_purchase_s"), col("asof_purchase_value"))
+    },
+
     // B31: collection aggregation — order-insensitive collect via
     // sorted list, compared as a joined string.
     Q("collect_sorted_priorities",

@@ -133,6 +133,65 @@ object StreamingQueries {
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("segment"))
       runToMemory(s, enriched, "graft_stream_enrich")
+    },
+
+    // D10 under the gate: a CUSTOM mergeable sketch
+    // (TypedImperativeAggregate HLL) running inside watermarked
+    // streaming state — tumbling 1-hour windows of distinct users.
+    // The estimate itself is engine-specific, so the oracle pins the
+    // window set, the per-window row counts, the exact distincts,
+    // and a |est-exact| <= max(2, 5%*exact) bound on the sketch --
+    // the small-cardinality form of hll_distinct_parts' gate:
+    // windows here hold ~10-20 distincts, where HLL small-range
+    // correction wobbles +/-1-2 (measured: 12/718 windows off by 1-2
+    // under a pure 5% bound) while a state bug (double-merge, lost
+    // partial) would shift estimates far past +/-2. Emission:
+    // append-mode windows strictly below the final watermark; BOTH
+    // sides apply the same closed-form filter, so boundary windows
+    // cannot disagree.
+    Q("streaming_hll_distinct",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |w AS (
+         |  SELECT tsec - tsec % 3600 AS hour_start_s, user_id FROM e),
+         |agg AS (
+         |  SELECT hour_start_s,
+         |    count(*) AS n_events,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM w GROUP BY hour_start_s)
+         |SELECT hour_start_s, n_events, exact_users, CAST(1 AS INT) AS hll_ok
+         |FROM agg, wm WHERE hour_start_s + 3600 < fw""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir).select(
+        col("user_id"),
+        timestamp_seconds(expr("ts div 1000000000")).as("tss"))
+        .withWatermark("tss", s"$DelayS seconds")
+      val agg = ev.groupBy(window(col("tss"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.functions.HllSketch.hllDistinct(col("user_id")).as("est"))
+        .select(unix_timestamp(col("window.start")).as("hour_start_s"),
+          col("n_events"), col("est"))
+      val streamed = runToMemory(s, agg, "graft_stream_hll")
+      // batch companion: exact distincts per window + the shared
+      // emission filter (strict <, applied on BOTH engines)
+      val batch = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+      val fw = batch.agg((max(col("tsec")) - DelayS).as("fw"))
+      val exact = batch
+        .select((col("tsec") - col("tsec") % 3600).as("hour_start_s"), col("user_id"))
+        .distinct()
+        .groupBy(col("hour_start_s"))
+        .agg(count(lit(1)).as("exact_users"))
+      streamed.join(exact, "hour_start_s")
+        .join(broadcast(fw))
+        .filter(col("hour_start_s") + 3600 < col("fw"))
+        .select(col("hour_start_s"), col("n_events"), col("exact_users"),
+          when(abs(col("est") - col("exact_users")).cast("double")
+            <= greatest(lit(2.0), col("exact_users") * 0.05), 1)
+            .otherwise(0).cast("int").as("hll_ok"))
     })
 
   /** Stateful streaming ops create one state store per shuffle

@@ -275,6 +275,21 @@ class AsOfJoinSpec extends SparkTestBase {
       (1L, 20L, Some("b")),
       (2L, 5L, None)))       // right row is in the future
   }
+
+  test("forward as-of picks earliest right at or after left ts") {
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 20L), (2L, 60L))
+      .toDF("k", "tsec")
+    val right = Seq((1L, 5L, "a"), (1L, 15L, "b"), (2L, 50L, "z"))
+      .toDF("k", "tsec", "v")
+    val out = AsOfJoin.asofForward(left, right, "k", "tsec", Seq("v"))
+      .select("k", "tsec", "asof_v").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 5L, Some("a")),   // inclusive: equal ts matches
+      (1L, 10L, Some("b")),
+      (1L, 20L, None),       // nothing later
+      (2L, 60L, None)))      // right row is in the past
+  }
 }
 
 /** Corpus scrubbing (C13). */
