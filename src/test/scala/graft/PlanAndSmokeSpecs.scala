@@ -12,6 +12,13 @@ class QueriesSmokeSpec extends SparkTestBase {
       assert(df.schema.nonEmpty)
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+      // global plan hygiene: NO query may plan a CartesianProduct —
+      // every intentional unkeyed join in the repo is a broadcast of
+      // a 1-row summary (cms/bm25 stats), which plans as BNLJ, never
+      // a cartesian. A cartesian anywhere is a 100 TB outage.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$plan")
     }
   }
 
