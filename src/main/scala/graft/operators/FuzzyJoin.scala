@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-string self-join (record linkage / fuzzy dedup,
@@ -11,14 +12,22 @@ import org.apache.spark.sql.functions._
   *   1. VOCABULARY COLLAPSE — pair the distinct value domain, not
   *      the corpus: entity names repeat heavily, so |V| ≪ |rows|
   *      (the same move as MinHashLSH's clone collapse).
-  *   2. Q-GRAM COUNT FILTER (Gravano et al., VLDB 2001) — two
+  *   2. PREFIX FILTER (Chaudhuri et al., ICDE 2006 / ED-Join) — the
+  *      candidate join keys on each name's (k·q + 1) globally RAREST
+  *      gram occurrences, not on every gram. Two strings within edit
+  *      distance k can each lose at most k·q gram occurrences from
+  *      their multiset overlap, so under any fixed total order their
+  *      (k·q + 1)-prefixes must share an element — completeness is
+  *      preserved, while high-document-frequency grams ("an" shared
+  *      by f names would otherwise produce f² join rows on ONE key)
+  *      never reach the exchange: the hottest join keys are by
+  *      construction the rarest grams.
+  *   3. Q-GRAM COUNT FILTER (Gravano et al., VLDB 2001) — two
   *      strings within edit distance k share, as a MULTISET, at
-  *      least max(|a|,|b|) − q + 1 − k·q of their q-grams. Grams are
-  *      counted per name (one groupBy), candidates come from a keyed
-  *      equi-join on the gram with Σ min(cntA, cntB) ≥ bound — never
-  *      a cross join, and the filter is COMPLETE: it cannot drop a
-  *      true pair.
-  *   3. EXACT VERIFY — `levenshtein` on the candidates only.
+  *      least max(|a|,|b|) − q + 1 − k·q of their q-grams. Applied to
+  *      the (already small) candidate set via per-name gram-count
+  *      maps; COMPLETE: it cannot drop a true pair.
+  *   4. EXACT VERIFY — `levenshtein` on the survivors only.
   *
   * Strings too short for the bound to bite (|s| ≤ q − 1 + k·q) are
   * paired directly among themselves (a bounded bucket); a short-long
@@ -46,7 +55,26 @@ object FuzzyJoin {
           abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
 
-    // ---- gram path: multiset q-gram counts per name ----
+    // ---- gram path: prefix-filtered candidates + count filter ----
+    val cand = gramCandidates(names, maxDist, q)
+
+    // ---- exact verify ----
+    shortPairs.unionByName(cand)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Candidate pairs for the long-string path: prefix-filtered join +
+    * Gravano count filter, BEFORE levenshtein verification. Exposed
+    * package-private so specs can bound the candidate count on
+    * pathological shared-gram corpora.
+    */
+  private[graft] def gramCandidates(names: DataFrame, maxDist: Int,
+      q: Int): DataFrame = {
+    val shortMax = q - 1 + maxDist * q
+    val prefixLen = maxDist * q + 1
+
+    // Multiset q-gram counts per name: (name, len, gram, cnt).
     val grams = names.filter(col("len") >= q)
       .select(col("name"), col("len"),
         explode(expr(
@@ -54,23 +82,51 @@ object FuzzyJoin {
           .as("gram"))
       .groupBy(col("name"), col("len"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    val cand = grams.as("a").join(grams.as("b"),
-        col("a.gram") === col("b.gram") &&
+
+    // Global rarity = number of distinct names containing the gram
+    // (grams has one row per (name, gram)). Gram-domain sized.
+    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+
+    // Occurrence-tagged elements ((g,1), (g,2), … makes the multiset a
+    // set), ranked per name under the fixed total order (rarity, gram,
+    // occurrence). The per-name window is O(|name|) rows — small
+    // groups at any corpus size. Only the prefix joins.
+    val prefix = grams.join(gramDf, "gram")
+      .select(col("name"), col("len"), col("gram"), col("gdf"),
+        explode(expr("sequence(CAST(1 AS BIGINT), cnt)")).as("occ"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("name")).orderBy(col("gdf"), col("gram"), col("occ"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("name"), col("len"), col("gram"), col("occ"))
+
+    val candPairs = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.name") < col("b.name") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"),
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
         col("a.len").as("la"), col("b.len").as("lb"))
-      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
-      .filter(col("shared") >=
-        greatest(col("la"), col("lb")) - lit(q - 1) - lit(maxDist * q))
+      .distinct()
       // pairs with both sides short are already covered by the
       // direct bucket — keep the paths disjoint
       .filter(greatest(col("la"), col("lb")) > shortMax)
-      .select(col("name_a"), col("name_b"))
 
-    // ---- exact verify ----
-    shortPairs.unionByName(cand)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+    // Count filter on the surviving candidates: shared multiset grams
+    // Σ min(cntA, cntB) ≥ max(la,lb) − q + 1 − k·q. Per-name gram maps
+    // are O(|name|) payloads; the HOF runs on candidate-sized rows
+    // only (interpreted HOFs are fine off the corpus hot path).
+    val gmapA = grams.groupBy(col("name")).agg(
+      map_from_entries(collect_list(struct(col("gram"), col("cnt")))).as("gm"))
+    val gmapB = gmapA.select(col("name").as("nb"), col("gm").as("gmb"))
+
+    candPairs
+      .join(gmapA.select(col("name").as("na"), col("gm").as("gma")),
+        col("name_a") === col("na"))
+      .join(gmapB, col("name_b") === col("nb"))
+      .withColumn("shared", expr(
+        """aggregate(map_entries(gma), CAST(0 AS BIGINT),
+          |  (acc, e) -> acc + least(e.value, coalesce(element_at(gmb, e.key), CAST(0 AS BIGINT))))""".stripMargin))
+      .filter(col("shared") >=
+        greatest(col("la"), col("lb")) - lit(q - 1) - lit(maxDist * q))
+      .select(col("name_a"), col("name_b"))
   }
 }

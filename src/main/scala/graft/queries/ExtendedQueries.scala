@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.model.TripModel
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, DistributedQuantile, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,11 +62,15 @@ object ExtendedQueries {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-      table(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      // NOT the built-in `percentile` agg: that buffers every group
+      // value in one unspillable reducer (OOM with 5 groups at 100 TB).
+      // DistributedQuantile streams two sorted passes and ships only
+      // the bracketing ranked rows to the driver.
+      DistributedQuantile
+        .quantiles(table(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select(col("g").as("o_orderpriority"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
     },
 
     // B20b: t-digest quantile sketch (the second mergeable sketch,
@@ -83,13 +87,22 @@ object ExtendedQueries {
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       def ok(td: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
         when(abs(td - exact) / exact <= 0.02, 1).otherwise(0).cast("int")
-      table(s, dir, "orders")
+      val orders = table(s, dir, "orders")
+      // Exact companions come from the scale-safe distributed quantile
+      // (see exact_percentiles above), not the buffering `percentile`
+      // agg; the t-digest side stays a proper mergeable sketch agg.
+      val exact = DistributedQuantile
+        .quantiles(orders, "o_orderpriority", "o_totalprice",
+          Seq("p50_exact" -> 0.5, "p95_exact" -> 0.95))
+        .select(col("g").as("o_orderpriority"),
+          round(col("p50_exact"), 4).as("p50_exact"),
+          round(col("p95_exact"), 4).as("p95_exact"))
+      orders
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
-          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
           graft.functions.TDigest.tdigestQuantile(col("o_totalprice"), 0.5).as("td50"),
           graft.functions.TDigest.tdigestQuantile(col("o_totalprice"), 0.95).as("td95"))
+        .join(broadcast(exact), "o_orderpriority")
         .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
           ok(col("td50"), col("p50_exact")).as("td_p50_ok"),
           ok(col("td95"), col("p95_exact")).as("td_p95_ok"))

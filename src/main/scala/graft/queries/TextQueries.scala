@@ -134,10 +134,15 @@ object TextQueries {
     // probabilities on the corpus itself, score each doc by its mean
     // bigram log-probability. Everything is counts + ln of identical
     // rationals, so both engines compute bit-equal logs (mean rounded
-    // 4dp for summation order). Scale shape: two keyed count
-    // aggregations + two keyed joins on (w1, w2)/(w1) — the model
-    // "table" shuffles by vocabulary key, never collected; the bigram
-    // explode is the fused TokenPairs kernel, one pass, no
+    // 4dp for summation order). Scale shape: the corpus is scanned
+    // exactly TWICE — once to train (one groupBy into bigram counts
+    // `bc`; unigram counts and vocab size are then MODEL-sized
+    // aggregations over bc, not corpus re-scans), once to score. The
+    // trained model (bigram → smoothed log-prob) is localCheckpointed
+    // at model size, so the single corpus-scale join big2 ⋈ model on
+    // (w1, w2) never re-executes the training subtree; scoring is that
+    // join + one doc_id aggregation (2 corpus exchanges total). The
+    // bigram explode is the fused TokenPairs kernel, one pass, no
     // interpreted lambda.
     Q("text_lm_score",
       s"""WITH toks AS (
@@ -161,15 +166,24 @@ object TextQueries {
         .select(col("doc_id"),
           explode(graft.functions.VectorExpressions.tokenPairs(col("t"))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // ONE corpus-scale training pass: bigram counts. Unigram counts
+      // (cu = Σ cb over w2) and vocab (distinct w1) are model-sized
+      // rollups of bc — the expensive explode subtree runs once.
       val bc = big2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      val uc = big2.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-      val v = big2.agg(countDistinct(col("w1")).as("vocab"))
-      big2.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).crossJoin(broadcast(v))
+        .localCheckpoint()
+      val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      val v = bc.agg(countDistinct(col("w1")).as("vocab"))
+      // Fold smoothing into the model: (w1, w2) → logp, model-sized.
+      val model = bc.join(uc, Seq("w1")).crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          log((col("cb") + 1.0) / (col("cu") + col("vocab"))).as("logp"))
+        .localCheckpoint()
+      // The ONLY corpus-scale join: score instances against the model.
+      big2.join(model, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_bigrams"),
-          round(avg(log((col("cb") + 1.0) / (col("cu") + col("vocab")))), 4)
-            .as("avg_logp"))
+          round(avg(col("logp")), 4).as("avg_logp"))
     },
 
     // C29: BM25 relevance scoring for a fixed query — the retrieval/

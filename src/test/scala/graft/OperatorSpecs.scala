@@ -377,3 +377,54 @@ class IvfSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 }
+
+/** Distributed exact quantile (B20 scale path): bit-identical to the
+  * built-in `percentile` agg without its single-reducer value buffer.
+  */
+class DistributedQuantileSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("matches builtin percentile on real data, multiple partitions") {
+    val orders = GraftSession.table(spark, sfDir, "orders")
+    val got = operators.DistributedQuantile
+      .quantiles(orders, "o_orderpriority", "o_totalprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), rangePartitions = 7)
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (g, a, b, c) => g -> ((a, b, c)) }.toMap
+    val want = orders.groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)"),
+        expr("percentile(o_totalprice, 0.9)"),
+        expr("percentile(o_totalprice, 0.99)"))
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (g, a, b, c) => g -> ((a, b, c)) }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, (a, b, c)) =>
+      val (wa, wb, wc) = want(g)
+      assert(a == wa && b == wb && c == wc, s"group $g: ($a,$b,$c) != ($wa,$wb,$wc)")
+    }
+  }
+
+  test("ties, single-element groups, and q=0/1 endpoints") {
+    val df = Seq(
+      ("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 9.0),
+      ("b", 42.0),
+      ("c", 1.0), ("c", 2.0)).toDF("g0", "v0").repartition(5)
+    val got = operators.DistributedQuantile
+      .quantiles(df, "g0", "v0", Seq("q0" -> 0.0, "q50" -> 0.5, "q1" -> 1.0),
+        rangePartitions = 3)
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (g, a, b, c) => g -> ((a, b, c)) }.toMap
+    assert(got("a") == ((5.0, 5.0, 9.0)))
+    assert(got("b") == ((42.0, 42.0, 42.0)))
+    assert(got("c") == ((1.0, 1.5, 2.0)))
+  }
+
+  test("group cardinality guard routes scale users to sketches") {
+    val df = (1 to 50).map(i => (s"g$i", i.toDouble)).toDF("g0", "v0")
+    intercept[IllegalArgumentException] {
+      operators.DistributedQuantile.quantiles(df, "g0", "v0",
+        Seq("p50" -> 0.5), maxGroups = 10)
+    }
+  }
+}

@@ -113,6 +113,39 @@ class PlanSpec extends SparkTestBase {
       s"chunking must not shuffle — one scan, one explode:\n$plan")
   }
 
+  test("exact percentiles never plan the buffering percentile aggregate") {
+    // Spark's `percentile` materializes every group value in one
+    // unspillable ObjectHashAggregate buffer — an OOM at 100 TB with
+    // few groups. Both exact-quantile queries must run through
+    // DistributedQuantile (streamed sorted passes) instead.
+    Seq("exact_percentiles", "tdigest_order_value").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.analyzed.toString + df.queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile("),
+        s"$q still plans the single-reducer percentile agg:\n$plan")
+    }
+  }
+
+  test("text_lm_score scores with one corpus scan and one corpus-scale join") {
+    // Training materializes into a localCheckpointed model, so the
+    // scoring plan must contain exactly ONE scan of documents (the
+    // model side reads the checkpoint RDD) and at most 3 exchanges:
+    // the join shuffle on (w1,w2), the model side of that shuffle,
+    // and the doc_id aggregation — never the 3-4 re-executions of the
+    // explode subtree the naive multi-join plan produces.
+    val df = SparkEntry.queries("text_lm_score")(spark, sfDir)
+    df.collect()
+    // AQE toString appends the pre-adaptive "Initial Plan" — assert on
+    // the final plan section only.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan ExistingRDD".r.findAllIn(plan).nonEmpty,
+      s"model is not checkpointed (no RDD scan):\n$plan")
+    val fileScans = "Scan parquet".r.findAllIn(plan).length
+    assert(fileScans <= 1, s"expected <=1 parquet scan, got $fileScans:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges:\n$plan")
+  }
+
   test("stratified_sample reuses the TopKPerKey exchange for the final agg") {
     val plan = planOf("stratified_sample")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

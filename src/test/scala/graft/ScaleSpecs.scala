@@ -486,6 +486,27 @@ class FuzzyJoinSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
+
+  test("prefix filter kills the hot-gram f² blowup but stays complete") {
+    // Pathological corpus: every name shares the hot bigram "an" many
+    // times, but names are pairwise FAR apart (distinct rare tails).
+    // Joining on raw grams would emit ~n²/2 candidate rows on the hot
+    // keys; the rarity-ordered prefix keys each name on its unique
+    // tail grams, so candidates collapse to ~0 while the near-pair
+    // planted in the corpus must still be found.
+    val n = 60
+    val far = (0 until n).map(i => f"anan$i%02dq${(i * 7) % 100}%02dz")
+    val near = Seq("anananana", "ananabana") // dist 1, planted pair
+    val df = (far ++ near).toDF("s")
+    val names = df.select(col("s").as("name")).distinct()
+      .withColumn("len", length(col("name")))
+    val candCount = FuzzyJoin.gramCandidates(names, maxDist = 1, q = 2).count()
+    assert(candCount <= 10,
+      s"prefix filter leaked $candCount candidates (raw-gram join would emit ~${n * n / 2})")
+    val got = FuzzyJoin.editDistancePairs(df, "s", 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == brute(df, "s", 1), s"completeness lost: $got")
+  }
 }
 
 /** Z-order layout (B42): per-file min/max stats must prune scans on
