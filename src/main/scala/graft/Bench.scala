@@ -49,18 +49,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Median of `runsPerQuery` timed runs (−1 if every run failed). */
-    def runMedian(name: String,
+    /** (median, min) of `runsPerQuery` timed runs (−1 if all failed).
+      * The MIN is the load-robust statistic: external machine load can
+      * only inflate a sample, never deflate it, so min-of-N is the
+      * closest observable to the unloaded cost and lets a reader
+      * distinguish a real regression from a loaded-machine artifact.
+      */
+    def runStats(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String = sfDir): Double = {
+        dir: String = sfDir): (Double, Double) = {
       val ts = (1 to runsPerQuery).map(_ => run(name, fn, dir)).filter(_ >= 0).sorted
-      if (ts.isEmpty) -1.0
-      else if (ts.length % 2 == 1) ts(ts.length / 2)
-      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+      if (ts.isEmpty) (-1.0, -1.0)
+      else {
+        val med =
+          if (ts.length % 2 == 1) ts(ts.length / 2)
+          else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+        (med, ts.head)
+      }
     }
 
+    // 1-minute system load average (OS-reported, -1 if unsupported):
+    // recorded before and after so a bench taken under external load
+    // carries the evidence in its own JSON.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
+
     queries.foreach { case (n, fn) => run(n, fn) } // warmup (untimed)
-    val results = queries.map { case (n, fn) => n -> runMedian(n, fn) }
+    val stats = queries.map { case (n, fn) => n -> runStats(n, fn) }
+    val results = stats.map { case (n, (med, _)) => n -> med }
+    val mins = stats.map { case (n, (_, mn)) => n -> mn }
 
     // ---- sf_x10 scale probe: dedup + ANN + window/session families
     // on a 10× corpus — documents/embeddings duplicated with shifted
@@ -98,14 +117,18 @@ object Bench {
         .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 
+    val loadEnd = loadAvg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val x10Json = sfx10.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs_per_query":$runsPerQuery,"sf_x10":$x10Json,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"runs_per_query":$runsPerQuery,"sf_x10":$x10Json,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
     println(json)

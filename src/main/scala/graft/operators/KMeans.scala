@@ -18,18 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** @return (assignments: (id, cluster), centroids: (cluster, centroid array)) */
+  /** @param roundTo when set, distances and updated centroid values
+    *   are re-quantized to this many decimal places each round — the
+    *   cross-engine deterministic mode (identical rounded rationals in
+    *   any engine that sums dot products left-to-right, so an external
+    *   SQL oracle can replay the iterations exactly; see the
+    *   `kmeans_iterations` query). None = full double precision.
+    * @return (assignments: (id, cluster), centroids: (cluster, centroid array))
+    */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      iterations: Int = 5): (DataFrame, DataFrame) = {
+      iterations: Int = 5, roundTo: Option[Int] = None): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
+
+    def rnd(c: org.apache.spark.sql.Column) = roundTo.fold(c)(d => round(c, d))
 
     val v = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
 
     def assign(centroids: DataFrame): DataFrame = {
-      val d2 = VectorOps.dot(col("v"), col("v")) -
+      val d2 = rnd(VectorOps.dot(col("v"), col("v")) -
         lit(2) * VectorOps.dot(col("v"), col("cv")) +
-        VectorOps.dot(col("cv"), col("cv"))
+        VectorOps.dot(col("cv"), col("cv")))
       // min_by aggregation, not a window argmin: partial aggregation
       // combines map-side, so the corpus×k expansion never reaches the
       // exchange (a per-id window would shuffle+sort all of it).
@@ -46,7 +55,7 @@ object KMeans {
       assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("c"))
+        .agg(rnd(avg(col("x"))).as("c"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dims"))
         .select(col("cluster"),

@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * binaries out of dictionary encoding, metadata columns stay
   * prunable, and decode work runs batched per partition.
   *
-  * The decode kernel itself is a DETERMINISTIC STUB (this environment
-  * has no image/audio codecs); everything around it — schema,
-  * binary handling, per-partition batched iteration (the
-  * `mapInPandas`/Arrow-batch shape), feature vector plumbing — is
-  * real and tested. Swap `decodeStub` for a JNI/codec call in
-  * production.
+  * The decode kernel is REAL for images: payloads whose magic bytes
+  * identify PNG/JPEG/GIF/BMP are decoded with JDK-only
+  * `javax.imageio` and summarized into 8 pixel statistics (channel
+  * means, luminance stats, dimensions). Non-image payloads (audio/
+  * video need codecs this environment lacks) fall back to a
+  * deterministic rolling-hash kernel with the same (bytes →
+  * fixed-length vector) contract, so the batched per-partition
+  * plumbing — schema, binary handling, iterator transform (the
+  * `mapInPandas`/Arrow-batch shape) — exercises both paths.
   */
 object Multimodal {
 
@@ -35,10 +38,62 @@ object Multimodal {
         (length(col(srcCol)) % 640).cast("int").as("width"),
         (length(col(srcCol)) % 480).cast("int").as("height")))
 
-  /** Deterministic stand-in for a real decoder: 8 "feature" doubles
-    * from a rolling hash over the payload bytes. Replace with a codec
-    * in production — signature (bytes → fixed-length vector) is the
-    * real contract.
+  /** True iff the payload's magic bytes identify an image format the
+    * JDK can decode (PNG, JPEG, GIF, BMP).
+    */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 &&
+      (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+    (p.length >= 3 &&
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) ||
+    (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+    (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+
+  /** REAL image decode (JDK `javax.imageio`, no native deps): 8 pixel
+    * statistics — mean R/G/B, mean luminance (Rec. 601), dark-pixel
+    * fraction (lum < 64), bright fraction (lum > 192), width, height.
+    * Throws on a corrupt payload that claimed an image magic — a
+    * silently-skipped decode error is a data-loss bug at scale.
+    */
+  def decodeImageFeatures(payload: Array[Byte]): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var slum = 0.0
+    var dark = 0L; var bright = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val lum = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; slum += lum
+        if (lum < 64) dark += 1
+        if (lum > 192) bright += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    Array(sr / n, sg / n, sb / n, slum / n, dark / n, bright / n,
+      w.toDouble, h.toDouble)
+  }
+
+  /** The decode entry point used by the pipeline: real pixel decode
+    * for image payloads, deterministic rolling-hash features for
+    * opaque (audio/video) payloads — same 8-double contract.
+    */
+  def decode(payload: Array[Byte]): Array[Double] =
+    if (looksLikeImage(payload)) decodeImageFeatures(payload)
+    else decodeStub(payload)
+
+  /** Deterministic fallback kernel for payloads with no JDK codec:
+    * 8 "feature" doubles from a rolling hash over the payload bytes —
+    * signature (bytes → fixed-length vector) matches the real decoder.
     */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     val feats = new Array[Double](8)
@@ -54,8 +109,11 @@ object Multimodal {
 
   /** Deterministic "frame" decomposition of a payload: fixed-size
     * byte chunks stand in for video frames; `everyN` samples every
-    * N-th frame (the standard frame-subsampling step). Real codecs
-    * slot in here — chunking/iteration/schema are the contract.
+    * N-th frame (the standard frame-subsampling step). Video
+    * containers need codecs the JDK lacks, so chunks run through the
+    * fallback kernel — chunking/iteration/schema are the contract,
+    * and a chunk that IS a whole image (e.g. an MJPEG-style frame
+    * dump) gets the real pixel decode via `decode`.
     */
   def frameSampleStub(payload: Array[Byte], frameBytes: Int,
       everyN: Int): Seq[(Int, Array[Double])] = {
@@ -63,7 +121,7 @@ object Multimodal {
     (0 until nFrames by everyN).map { f =>
       val from = f * frameBytes
       val until = math.min(payload.length, from + frameBytes)
-      (f, decodeStub(java.util.Arrays.copyOfRange(payload, from, until)))
+      (f, decode(java.util.Arrays.copyOfRange(payload, from, until)))
     }
   }
 
@@ -110,7 +168,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](mediaIdx)
         val meta = r.getStruct(metaIdx)
         Row(r.getLong(idIdx), payload.length, meta.getString(0),
-          decodeStub(payload))
+          decode(payload))
       }
     }(enc)
   }

@@ -149,12 +149,21 @@ object CorpusQueries {
         "[0-9]{4,}", "<NUM>")
       table(s, dir, "documents")
         .filter(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30)
-        .select(col("doc_id"), col("lang"), scrubbed.as("stext"))
-        .groupBy(TF.normalizeText(col("stext")))
+        .select(col("doc_id"), col("lang"), scrubbed.as("stext"),
+          TF.normalizeText(scrubbed).as("norm"))
+        // dedup stage keys the exchange on a 128-bit fingerprint +
+        // length, not the normalized text (same contract as
+        // dedup_exact_docs: third-fingerprint assert fails loudly on
+        // collision instead of silently merging)
+        .groupBy(xxhash64(col("norm")), xxhash64(lit(42L), col("norm")),
+          length(col("norm")))
         .agg(
           min(col("doc_id")).as("doc_id"),
           min_by(col("lang"), col("doc_id")).as("lang"),
-          min_by(length(col("stext")), col("doc_id")).as("slen"))
+          min_by(length(col("stext")), col("doc_id")).as("slen"),
+          countDistinct(xxhash64(lit(1337L), col("norm"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in corpus_curate_pipeline")).isNull)
         .withColumn("split",
           when(col("doc_id") % 10 < 8, "train")
             .when(col("doc_id") % 10 < 9, "val")

@@ -34,6 +34,77 @@ object DedupQueries {
   private val cosineExpr =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** DuckDB replay of `VectorOps.ivfTopK` (cell argmin → 3-probe →
+    * in-cell cosine rerank): every step is rank/argmin over dot
+    * products both engines sum left-to-right, so the 50 result rows
+    * are bit-exact.
+    */
+  private val ivfOracleSql: String = {
+    val d2 = "list_dot_product(%s, %s) - 2 * list_dot_product(%s, c.cv) + list_dot_product(c.cv, c.cv)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${d2.format("e.v", "e.v", "e.v")}, c.cid) AS rn
+       |    FROM e, cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${d2.format("q.qv", "q.qv", "q.qv")}, c.cid) AS rn
+       |    FROM q, cent c) WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS id,
+       |    round(list_dot_product(p.qv, a.v)
+       |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+       |  FROM asg a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, id, cosine, rnk FROM (
+       |  SELECT query_id, id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10""".stripMargin
+  }
+
+  /** DuckDB replay of `VectorOps.lshTopK`: the 6 hyperplanes are the
+    * SAME deterministic Random(42) Gaussian sequence the operator
+    * draws, embedded as double literals (Double.toString round-trips
+    * through DuckDB's decimal parser to the identical bits), so sign
+    * buckets, Hamming-1 multi-probe, and the per-bucket rerank all
+    * replay exactly.
+    */
+  private val lshOracleSql: String = {
+    val rng = new scala.util.Random(42L)
+    val planeVecs: Seq[Seq[Double]] =
+      Seq.fill(6)(Seq.fill(64)(rng.nextGaussian()))
+    def bucketExpr(vcol: String): String = planeVecs.zipWithIndex.map {
+      case (p, j) =>
+        val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(CAST($lst AS DOUBLE[]), $vcol) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v, CAST(${bucketExpr("v")} AS BIGINT) AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv,
+       |        CAST(${bucketExpr("v")} AS BIGINT) AS qb
+       |      FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, xor(qb, CAST(p AS BIGINT)) AS qbucket
+       |  FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS p)),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS id,
+       |    round(list_dot_product(p.qv, c.v)
+       |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+       |  FROM c JOIN probes p ON c.bucket = p.qbucket AND c.vec_id <> p.query_id)
+       |SELECT query_id, id, cosine, rnk FROM (
+       |  SELECT query_id, id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10""".stripMargin
+  }
+
   // 64-bit wraparound multiply in HUGEINT: (x * C) mod 2^64 with the
   // product split into 32-bit halves (a full 64×64 product overflows
   // INT128). C is a compile-time constant, pre-split hi/lo.
@@ -49,13 +120,11 @@ object DedupQueries {
   // BIGINT; pairs at hamming ≤ 3 via O(n²) scan (the specification —
   // the Spark plan is the pigeonhole-blocked version).
   //
-  // ASCII-CORPUS CONTRACT: the oracle's token hash folds per-CHARACTER
-  // codepoints (ord(c)) while SimHash64 folds signed UTF-8 BYTES —
-  // identical only while every character is single-byte ASCII (true
-  // for the generated documents corpus, asserted below by the driver's
-  // hash equality itself). On non-ASCII text the engines diverge by
-  // design of the oracle, not of the operator; a multi-byte-correct
-  // oracle would need byte-level BLOB iteration DuckDB SQL lacks.
+  // The token hash folds SIGNED UTF-8 BYTES exactly like SimHash64
+  // (`t = t * 31 + byte` over String.getBytes): DuckDB extracts byte i
+  // as a hex pair of hex(encode(tok)) and maps values ≥ 128 to their
+  // signed image mod 2^64 (2^64 − 256 + b), so the oracle agrees on
+  // ANY text, multi-byte characters included — not just ASCII.
   private val simhashOracleSql: String = {
     val c1 = BigInt("18397679294719823053") // 0xff51afd7ed558ccd
     val c2 = BigInt("14181476777654086739") // 0xc4ceb9fe1a85ec53
@@ -66,9 +135,13 @@ object DedupQueries {
        |th AS (
        |  SELECT doc_id,
        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |      list_transform(string_split_regex(tok, ''), c -> CAST(ord(c) AS HUGEINT))),
+       |      list_transform(range(octet_length(encode(tok))), i ->
+       |        CAST(CASE WHEN CAST(('0x' || substring(hx, CAST(2 * i + 1 AS INT), 2)) AS INT) < 128
+       |             THEN CAST(('0x' || substring(hx, CAST(2 * i + 1 AS INT), 2)) AS INT)
+       |             ELSE 18446744073709551360 + CAST(('0x' || substring(hx, CAST(2 * i + 1 AS INT), 2)) AS INT)
+       |        END AS HUGEINT))),
        |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS t
-       |  FROM toks),
+       |  FROM (SELECT doc_id, tok, hex(encode(tok)) AS hx FROM toks)),
        |fm AS (
        |  SELECT doc_id, xor(d, d // 8589934592) AS h
        |  FROM (SELECT doc_id, ${mulMod64("c", c2)} AS d
@@ -97,13 +170,26 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
 
     // C1: exact dedup on normalized text (hash-groupBy keep-first).
+    // The shuffle key is a 128-bit fingerprint (two independent
+    // xxhash64 seeds) + length, NOT the normalized text itself — the
+    // exchange ships 20 bytes per document instead of the whole text.
+    // Exactness guard: a THIRD independent fingerprint must be unique
+    // within each group (assert_true fails the query loudly on a
+    // 128-bit collision rather than silently merging distinct docs;
+    // silent wrongness would need a simultaneous 192-bit collision).
     Q("dedup_exact_docs",
       """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin) { (s, dir) =>
       table(s, dir, "documents")
-        .groupBy(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-        .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"),
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        .groupBy(xxhash64(col("norm")), xxhash64(lit(42L), col("norm")),
+          length(col("norm")))
+        .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"),
+          countDistinct(xxhash64(lit(1337L), col("norm"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in dedup_exact_docs")).isNull)
         .select(col("kept_doc_id"), col("n_copies"))
     },
 
@@ -164,16 +250,25 @@ object DedupQueries {
         vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     },
 
-    // C7: LSH-bucketed ANN — recall-trading scale path, rows-only.
-    Q.rowsOnly("ann_lsh_topk") { (s, dir) =>
+    // C7: LSH-bucketed ANN — recall-trading scale path. FULLY
+    // oracle-exact: the hyperplanes are deterministic Random(42)
+    // Gaussian constants, embedded in the oracle SQL as double
+    // literals (Double.toString round-trips, list_dot_product sums
+    // left-to-right like ArrayDot), so DuckDB replays the sign-bit
+    // bucketing, Hamming-1 multi-probe, and per-bucket rerank
+    // bit-exactly.
+    Q("ann_lsh_topk", lshOracleSql) { (s, dir) =>
       val vecs = table(s, dir, "embeddings")
       VectorOps.lshTopK(
         vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     },
 
     // C7b: IVF ANN — coarse-quantizer cells (first 8 vectors as the
-    // deterministic codebook), nProbe nearest cells searched.
-    Q.rowsOnly("ann_ivf_topk") { (s, dir) =>
+    // deterministic codebook), nProbe nearest cells searched. The
+    // whole pipeline (cell argmin with (d2, cid) tie-break, per-query
+    // probe ranking, in-cell cosine rerank) is closed-form SQL over
+    // bit-equal dot products → exact top-k lists under the oracle.
+    Q("ann_ivf_topk", ivfOracleSql) { (s, dir) =>
       val vecs = table(s, dir, "embeddings")
       val centroids = vecs.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))

@@ -13,6 +13,45 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** DuckDB replay of one Lloyd E-step against centroids CTE `cs`:
+    * 6dp-rounded squared euclidean, tie-break on (d2, cluster).
+    */
+  private def assignCte(cs: String): String =
+    s"""SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+       |          + list_dot_product(c.cv, c.cv), 6), c.cluster) AS rn
+       |    FROM e, $cs c) WHERE rn = 1""".stripMargin
+
+  /** DuckDB replay of one M-step over assignments CTE `as_`: per
+    * (cluster, dim) 6dp-rounded mean, re-assembled into an array.
+    */
+  private def mStepCte(as_ : String): String =
+    s"""SELECT cluster, list(c ORDER BY dim) AS cv FROM (
+       |    SELECT cluster, dim, round(avg(val), 6) AS c FROM (
+       |      SELECT cluster, unnest(range(len(v))) AS dim, unnest(v) AS val
+       |      FROM $as_)
+       |    GROUP BY cluster, dim) GROUP BY cluster""".stripMargin
+
+  private val kmeansIterationsQuery: Q =
+    Q("kmeans_iterations",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+         |         v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (${assignCte("c0")}),
+         |c1 AS (${mStepCte("a1")}),
+         |a2 AS (${assignCte("c1")}),
+         |c2 AS (${mStepCte("a2")}),
+         |a3 AS (${assignCte("c2")})
+         |SELECT vec_id, cluster AS assigned FROM a3""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (assigned, _) = graft.operators.KMeans.fit(
+        e, "vec_id", "v", k = 8, iterations = 2, roundTo = Some(6))
+      assigned.select(col("id").as("vec_id"), col("cluster").as("assigned"))
+    }
+
   val all: Seq[Q] = Seq(
 
     // C18: elementwise per-label centroid.
@@ -64,6 +103,15 @@ object VectorQueries {
         .agg(min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("assigned"), col("m.d2").as("d2"))
     },
+
+    // C22: ITERATIVE k-means (two full Lloyd rounds + final E-step)
+    // under the DuckDB oracle — the whole loop is closed-form SQL when
+    // run in the operator's deterministic cross-engine mode (distances
+    // and updated centroids re-quantized to 6dp each round, the same
+    // trick kmeans_assign uses): both engines see identical rounded
+    // rationals, so assignments after two M-steps match exactly.
+    // Init = the 8 lowest-id vectors, tie-break on (d2, cluster).
+    kmeansIterationsQuery,
 
     // C23: symmetric int8 quantization of the embedding column —
     // per-vector scale, code aggregates, and the scale/2

@@ -194,9 +194,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getAs[Int]("n_bytes") == 17)
     val feats = row.getAs[scala.collection.Seq[Double]]("features")
     assert(feats.length == 8)
-    // deterministic stub: same input → same features
+    // deterministic fallback kernel: same input → same features
     assert(feats.toList ==
       Multimodal.decodeStub("some payload text".getBytes("UTF-8")).toList)
+  }
+
+  test("real PNG payloads decode to exact pixel statistics") {
+    // 4×2 PNG: left half pure red, right half pure white — lossless,
+    // so the batched decode path must reproduce the exact channel
+    // means, luminance stats, and dimensions.
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(Multimodal.looksLikeImage(png))
+
+    val df = Seq((9L, png)).toDF("doc_id", "media")
+      .withColumn("media_meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("image/png").as("format"),
+        org.apache.spark.sql.functions.lit(4).as("width"),
+        org.apache.spark.sql.functions.lit(2).as("height")))
+    val row = Multimodal.extractFeatures(spark, df, "doc_id").head()
+    assert(row.getAs[Int]("n_bytes") == png.length)
+    assert(row.getAs[String]("format") == "image/png")
+    val f = row.getAs[scala.collection.Seq[Double]]("features")
+    assert(f.length == 8)
+    assert(f(0) == 255.0) // mean R: all pixels full red channel
+    assert(f(1) == 127.5) // mean G: half 0, half 255
+    assert(f(2) == 127.5) // mean B
+    // mean luminance: 4×lum(red)=0.299·255, 4×lum(white)=255
+    assert(math.abs(f(3) - (4 * 0.299 * 255 + 4 * 255.0) / 8) < 1e-9)
+    assert(f(4) == 0.0) // no dark pixels
+    assert(f(5) == 0.5) // white half is bright
+    assert(f(6) == 4.0 && f(7) == 2.0) // dimensions
+  }
+
+  test("image-magic payload that fails to decode is loud, not skipped") {
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    assert(Multimodal.looksLikeImage(corrupt))
+    intercept[Exception] { Multimodal.decodeImageFeatures(corrupt) }
+    // non-image bytes route to the deterministic fallback kernel
+    val text = "plain bytes".getBytes("UTF-8")
+    assert(!Multimodal.looksLikeImage(text))
+    assert(Multimodal.decode(text).toList == Multimodal.decodeStub(text).toList)
   }
 }
 

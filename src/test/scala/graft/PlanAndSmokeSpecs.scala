@@ -126,6 +126,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("exact dedup shuffles fingerprints, not document text") {
+    // The dedup exchange must key on the 128-bit xxhash64 fingerprint
+    // + length — shipping the normalized text as the groupBy key costs
+    // ~50× more shuffle bytes at corpus scale.
+    Seq("dedup_exact_docs", "corpus_curate_pipeline").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val agg = df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.last // the bottom-most aggregate is the dedup stage
+      val keyTypes = agg.groupingExpressions.map(_.dataType.typeName).toSet
+      assert(!keyTypes.contains("string"),
+        s"$q dedup groups by a string key (ships text through the exchange): $keyTypes")
+    }
+  }
+
   test("text_lm_score scores with one corpus scan and one corpus-scale join") {
     // Training materializes into a localCheckpointed model, so the
     // scoring plan must contain exactly ONE scan of documents (the
