@@ -34,10 +34,13 @@ import org.apache.spark.storage.StorageLevel
   * a per-group window (groups are small then) or the t-digest sketch
   * (functions/TDigest.scala) instead.
   *
-  * Determinism across the two passes: range-partitioner sampling is
-  * seeded per partition index, and equal (group, value) rows are
-  * interchangeable for rank→value lookup, so both passes observe the
-  * same rank assignment.
+  * Determinism across the two passes: BOTH consume the same
+  * `sorted.rdd` instance (a lazy val, so one RangePartitioner and one
+  * physical layout — range-bound sampling is seeded by RDD id, so two
+  * separate query executions could draw different boundaries; sharing
+  * the RDD eliminates that hazard, and equal (group, value) rows are
+  * interchangeable for rank→value lookup besides). Pass 2 re-reads
+  * pass 1's shuffle files rather than re-shuffling.
   */
 object DistributedQuantile {
 
@@ -64,8 +67,12 @@ object DistributedQuantile {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
+      // ONE RDD instance for both passes — see the determinism note
+      // in the scaladoc (separate query executions re-sample bounds).
+      val sortedRdd = sorted.rdd
+
       // Pass 1: per-(partition, group) counts — tiny, streamed.
-      val pgCounts: Array[(Int, String, Long)] = sorted.rdd
+      val pgCounts: Array[(Int, String, Long)] = sortedRdd
         .mapPartitionsWithIndex { (pid, it) =>
           val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
           it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
@@ -109,7 +116,7 @@ object DistributedQuantile {
       val bcNeed = sc.broadcast(neededByG)
 
       // Pass 2: streaming rank counter, emit only bracketing rows.
-      val picked: Map[(String, Long), Double] = sorted.rdd
+      val picked: Map[(String, Long), Double] = sortedRdd
         .mapPartitionsWithIndex { (pid, it) =>
           var cur: String = null
           var idx = 0L

@@ -174,7 +174,11 @@ object CorpusQueries {
 
     // C16: greedy sequence packing — assign docs (in stable order,
     // per language) to fixed token-budget bins by running token
-    // offset; one window pass, integer-exact in both engines.
+    // offset; integer-exact in both engines. NOT a window: PARTITION
+    // BY lang has a handful of groups, so a window would serialize
+    // each language's whole corpus through one reducer at 100 TB —
+    // DistributedPrefixSum computes the identical running total in
+    // two parallel streamed passes (plan-asserted window-free).
     Q("pack_documents",
       s"""WITH d AS (
          |  SELECT doc_id, lang, CAST($nTokSql AS BIGINT) AS n_tok
@@ -187,12 +191,11 @@ object CorpusQueries {
          |SELECT doc_id, lang, n_tok,
          |  CAST(floor((cum_tok - n_tok) / 2048.0) AS BIGINT) AS bin_id
          |FROM c""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      table(s, dir, "documents")
+      val d = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast("bigint").as("n_tok"))
-        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      graft.operators.DistributedPrefixSum
+        .running(d, "lang", Seq("doc_id"), "n_tok", "cum_tok")
         .select(col("doc_id"), col("lang"), col("n_tok"),
           floor((col("cum_tok") - col("n_tok")) / 2048.0).cast("bigint").as("bin_id"))
     },

@@ -23,4 +23,34 @@ object GraftBridge {
 
   /** Analyzed logical plan of a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Total shuffle bytes written by an ALREADY-EXECUTED DataFrame's
+    * plan — read from the exchange nodes' SQL metrics, descending
+    * through AQE's adaptive plan and query stages. The observable
+    * that proves a shuffle-key redesign (e.g. fingerprint vs full-text
+    * dedup keys) actually moves fewer bytes.
+    */
+  def shuffleBytesWritten(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val seen = scala.collection.mutable.HashSet.empty[SparkPlan]
+    def walk(p: SparkPlan): Long = {
+      if (!seen.add(p)) 0L
+      else {
+        val self = p match {
+          case e: ShuffleExchangeLike =>
+            e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+          case _ => 0L
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        self + kids.map(walk).sum
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }

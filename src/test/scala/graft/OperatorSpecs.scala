@@ -471,3 +471,45 @@ class DistributedQuantileSpec extends SparkTestBase {
     }
   }
 }
+
+/** Distributed running total (C16 scale path): identical to a
+  * per-group ordered window without its single-reducer serialization.
+  */
+class DistributedPrefixSumSpec extends SparkTestBase {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("matches the window running sum on real data across partitions") {
+    val d = GraftSession.table(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", length($"text").cast("long").as("v"))
+    val got = operators.DistributedPrefixSum
+      .running(d, "lang", Seq("doc_id"), "v", "cum", rangePartitions = 7)
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.withColumn("cum", sum($"v").over(w))
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got.size == want.size && got == want)
+  }
+
+  test("single-group input exercises the cross-partition offsets") {
+    val d = (1L to 1000L).map(i => (i, "g", i % 7)).toDF("id", "g", "v")
+    val got = operators.DistributedPrefixSum
+      .running(d, "g", Seq("id"), "v", "cum", rangePartitions = 5)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    (1L to 1000L).foreach { i =>
+      acc += i % 7
+      assert(got(i) == acc, s"row $i: ${got(i)} != $acc")
+    }
+  }
+
+  test("group cardinality guard") {
+    val d = (1 to 50).map(i => (i.toLong, s"g$i", 1L)).toDF("id", "g", "v")
+    intercept[IllegalArgumentException] {
+      operators.DistributedPrefixSum.running(d, "g", Seq("id"), "v", "cum",
+        maxGroups = 10)
+    }
+  }
+}

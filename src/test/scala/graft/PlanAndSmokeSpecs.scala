@@ -126,6 +126,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("pack_documents plans no per-language window") {
+    // PARTITION BY lang has a handful of groups: a window would
+    // serialize each language's whole corpus through one reducer.
+    // The running total must come from DistributedPrefixSum (two
+    // parallel streamed passes) — no Window operator anywhere.
+    val df = SparkEntry.queries("pack_documents")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"pack_documents still plans a low-cardinality window:\n$plan")
+  }
+
   test("exact dedup shuffles fingerprints, not document text") {
     // The dedup exchange must key on the 128-bit xxhash64 fingerprint
     // + length — shipping the normalized text as the groupBy key costs
