@@ -46,26 +46,36 @@ object TextQueries {
         TF.subwordCount(col("text")).cast("bigint").as("n_subwords"))
     },
 
-    // C10: quality scoring.
+    // C10: quality scoring. Every unrounded value here is BIT-EQUAL
+    // across engines (ratios of identical integers combined in the
+    // same order), so rounding is done with the explicit
+    // floor(x·10⁴ + 0.5)/10⁴ form — deterministic IEEE ops on
+    // bit-equal inputs — instead of round(x, 4): Spark's round goes
+    // through BigDecimal.valueOf (shortest decimal string, HALF_UP)
+    // while DuckDB rounds the exact binary value, and the two disagree
+    // when a score lands on a .xxxx5 boundary (observed: one sf0.001
+    // doc at quality 0.6164 vs 0.6163).
     Q("text_quality",
       s"""SELECT doc_id,
          |  length(text) AS n_chars_exact,
-         |  round($avgTokSql, 4) AS avg_token_len,
-         |  round($stopRatioSql, 4) AS stopword_ratio,
-         |  round($punctSql, 4) AS punct_ratio,
-         |  round(
-         |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+         |  floor($avgTokSql * 10000 + 0.5) / 10000 AS avg_token_len,
+         |  floor($stopRatioSql * 10000 + 0.5) / 10000 AS stopword_ratio,
+         |  floor($punctSql * 10000 + 0.5) / 10000 AS punct_ratio,
+         |  floor(
+         |    ((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
          |     + (1.0 - least(abs($avgTokSql - 5.0) / 5.0, 1.0)) * 0.3
          |     + least($stopRatioSql * 4.0, 1.0) * 0.4)
-         |    * (1.0 - least($punctSql * 4.0, 1.0)), 4) AS quality
+         |    * (1.0 - least($punctSql * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
          |FROM documents""".stripMargin) { (s, dir) =>
+      def r4(c: org.apache.spark.sql.Column) =
+        floor(c * lit(10000) + lit(0.5)).cast("double") / lit(10000)
       table(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).as("n_chars_exact"),
-        round(TF.avgTokenLen(col("text")), 4).as("avg_token_len"),
-        round(TF.stopwordRatio(col("text"), TF.EnStop), 4).as("stopword_ratio"),
-        round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TF.qualityScore(col("text")), 4).as("quality"))
+        r4(TF.avgTokenLen(col("text"))).as("avg_token_len"),
+        r4(TF.stopwordRatio(col("text"), TF.EnStop)).as("stopword_ratio"),
+        r4(TF.punctRatio(col("text"))).as("punct_ratio"),
+        r4(TF.qualityScore(col("text"))).as("quality"))
     },
 
     // C9: heuristic language ID; rollup vs. the labeled lang column.
