@@ -113,7 +113,8 @@ object Bench {
         "ann_lsh_topk", "ann_ivf_topk", "ann_recall_gate",
         "text_top_bigrams", "sessionize_events",
         "text_bm25", "text_repetition", "text_lm_score",
-        "contamination_check", "corpus_curate_pipeline")
+        "contamination_check", "corpus_curate_pipeline",
+        "pack_documents", "mm_frame_sample")
         .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 

@@ -52,7 +52,13 @@ object DistributedPrefixSum {
 
     val gIdx = sorted.schema.fieldIndex(groupCol)
     val vIdx = sorted.schema.fieldIndex(valueCol)
-    def gKey(r: Row): String = String.valueOf(r.get(gIdx))
+    // Loud on null groups: String.valueOf(null) == "null" would merge
+    // a NULL group with a literal "null" key — refuse instead.
+    def gKey(r: Row): String = {
+      require(!r.isNullAt(gIdx),
+        s"DistributedPrefixSum: null $groupCol group key unsupported — filter or fill first")
+      String.valueOf(r.get(gIdx))
+    }
 
     // ONE materialized RDD for both passes — see the layout invariant
     // in the scaladoc. Do NOT replace either pass with Dataset-API
