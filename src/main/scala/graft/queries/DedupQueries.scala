@@ -231,6 +231,110 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     },
 
+    // C31: span-level duplication (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): a 16-token span
+    // appearing in ≥ 2 distinct documents is duplicated text even
+    // when the documents as wholes are unique. Spark ships HASHED
+    // spans on the exchange (8 bytes per span — the contamination_
+    // check contract; the oracle joins span STRINGS, identical up to
+    // 64-bit collisions); two keyed exchanges total: span → count,
+    // doc → rollup. Docs under 16 tokens have no spans and no row.
+    Q("span_dedup_docs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 14),
+        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 15 AS INT)], ' ')))) AS g
+        |  FROM t WHERE len(toks) >= 16),
+        |c AS (SELECT g, count(*) AS n_docs_with FROM g GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  floor(CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5) / 10000 AS dup_frac,
+        |  CAST(CASE WHEN sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) > 0
+        |    THEN 1 ELSE 0 END AS INT) AS has_dup_span
+        |FROM g JOIN c USING (g)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = table(s, dir, "documents").select(
+        col("doc_id"),
+        explode(graft.functions.VectorExpressions.tokenNgramHashes(
+          split(col("text"), " "), 16)).as("g"))
+      val spanCounts = grams.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_docs_with"))
+      grams.join(spanCounts, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (floor(col("n_dup_spans").cast("double") / col("n_spans") * 10000
+            + lit(0.5)) / 10000).as("dup_frac"),
+          (col("n_dup_spans") > 0).cast("int").as("has_dup_span"))
+    },
+
+    // C32: semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space, then drop any vector with a same-cluster
+    // lower-id neighbor above the cosine threshold. Clustering bounds
+    // the pair join to within-cluster blocks — the whole point of the
+    // method at 100 TB, where k scales with the corpus so blocks stay
+    // small; here the codebook is the deterministic first-8-vectors
+    // cell assignment kmeans_assign already oracle-pins. Assignments
+    // are materialized once (localCheckpoint; in production a
+    // persisted table) so the self-join doesn't re-run the E-step on
+    // both sides.
+    Q("semantic_dedup",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, v, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cid) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE $cosineExpr >= $CosineThreshold),
+         |kept AS (SELECT * FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM drops))
+         |SELECT m.cluster, m.n_members, k.n_kept, k.kept_id_sum
+         |FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |      FROM asg GROUP BY cluster) m
+         |JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n_kept,
+         |        CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+         |      FROM kept GROUP BY cluster) k USING (cluster)""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val d2 = round(
+        VectorOps.dot(col("v"), col("v"))
+          - lit(2) * VectorOps.dot(col("v"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv")), 6)
+      // min_by E-step (map-side combinable), same (d2, cid) tie-break
+      // as the oracle's row_number — the kmeans_assign pattern.
+      val asg = e.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"), d2.as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("v")), struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"), col("m.v").as("v"))
+        .localCheckpoint()
+      val cos = VectorOps.dot(col("va"), col("vb")) /
+        (sqrt(VectorOps.dot(col("va"), col("va"))) * sqrt(VectorOps.dot(col("vb"), col("vb"))))
+      val drops = asg.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+        .join(asg.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb")),
+          Seq("cluster"))
+        .filter(col("id_a") < col("id_b") && cos >= CosineThreshold)
+        .select(col("id_b").as("vec_id")).distinct()
+      val kept = asg.join(broadcast(drops), Seq("vec_id"), "left_anti")
+      asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+        .join(kept.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum")),
+          Seq("cluster"))
+    },
+
     // C6: brute-force cosine ANN top-10 for the first 5 vectors.
     Q("ann_bruteforce_topk",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.model.TripModel
-import graft.operators.{AsOfJoin, DistributedQuantile, RangeJoin}
+import graft.operators.{AsOfJoin, DistributedQuantile, RangeJoin, SkewJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -563,5 +563,56 @@ object ExtendedQueries {
           count(lit(1)).as("n_sampled"),
           sum(col("l_orderkey")).as("sample_key_sum"),
           round(sum(col("l_extendedprice")), 2).as("sample_price_sum"))
+    },
+
+    // B43: explicit salted skew join — the hot-key escape hatch for
+    // when AQE can't split (aggregation-free pipelines,
+    // pre-partitioning for a downstream stage). The salted plan emits
+    // the SAME row set as a plain shuffle join — the oracle IS the
+    // plain join — but every key gets `buckets`-way parallelism: the
+    // big side scatters on a hash of a disambiguator column, the
+    // small side replicates buckets-fold (8 × |supplier| rows —
+    // dimension-sized, trivial at any scale).
+    Q("skew_salted_join",
+      """SELECT s_nationkey,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem").select(
+        col("l_suppkey").as("suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = table(s, dir, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      SkewJoin.saltedInnerJoin(li, sup, "suppkey",
+          scatterCol = "l_extendedprice", buckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    },
+
+    // B11+: distribution window functions — ntile quartiles,
+    // percent_rank, cume_dist over a per-priority total order. The
+    // (o_totalprice, o_orderkey) sort key is unique, so every rank is
+    // deterministic; percent_rank/cume_dist are exact rationals of
+    // identical integers in both engines, rounded with the explicit
+    // floor(x·10⁶ + 0.5)/10⁶ form (same boundary-safe convention as
+    // text_quality).
+    Q("window_distribution_ranks",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume_d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000) + lit(0.5)).cast("double") / lit(1000000)
+      table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume_d"))
     })
 }

@@ -513,3 +513,50 @@ class DistributedPrefixSumSpec extends SparkTestBase {
     }
   }
 }
+
+/** Cross-query consistency of the round-5 additions: semantic dedup's
+  * drop set must be a subset of the corpus-wide cosine pair set (the
+  * cluster blocking can only REMOVE candidate pairs, never invent
+  * them), and span-level dedup must flag planted 16-token overlaps.
+  */
+class SemanticSpanDedupSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("semantic_dedup drops only ids that have a corpus-wide cosine pair") {
+    val sem = SparkEntry.queries("semantic_dedup")(spark, sfDir)
+      .select($"cluster", $"n_members", $"n_kept").as[(Long, Long, Long)]
+      .collect()
+    assert(sem.nonEmpty)
+    // members partition into kept + dropped; every cluster keeps its
+    // lowest id so n_kept >= 1
+    sem.foreach { case (_, m, k) => assert(k >= 1 && k <= m) }
+    val dropped = sem.map { case (_, m, k) => m - k }.sum
+    // the corpus-wide pair set (same threshold) bounds the in-cluster
+    // drop count: blocking can only lose pairs
+    val corpusPairs = SparkEntry.queries("dedup_embed_cosine")(spark, sfDir)
+      .select($"id_b").distinct().count()
+    assert(dropped <= corpusPairs,
+      s"semantic dedup dropped $dropped > $corpusPairs corpus-wide dup ids")
+  }
+
+  test("span dedup flags a planted shared 16-token span") {
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span unique tail one two three"),
+      (2L, s"other head words $span"),
+      (3L, "no shared span here at all " + (1 to 12).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("span_docs")
+    val grams = docs.select($"doc_id",
+      explode(functions.VectorExpressions.tokenNgramHashes(
+        split($"text", " "), 16)).as("g"))
+    val counts = grams.groupBy($"g").agg(count(lit(1)).as("n"))
+    val dup = grams.join(counts, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"n" > 1, 1).otherwise(0)).as("n_dup"))
+      .as[(Long, Long)].collect().toMap
+    assert(dup(1L) == 1 && dup(2L) == 1, s"planted span not found: $dup")
+    assert(dup(3L) == 0, s"false positive on doc 3: $dup")
+  }
+}
