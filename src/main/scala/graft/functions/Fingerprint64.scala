@@ -53,13 +53,52 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** fmix64 avalanche (the MurmurHash3 finalizer) as a column
+  * expression — the SAME mix BottomKSample orders its buffer by, so
+  * sketch post-processing (KMV set-operation estimates, merged
+  * bottom-k re-ranking) can re-derive a sample element's rank
+  * without leaving the plan. Codegen; bijective, so distinct inputs
+  * keep distinct ranks.
+  */
+case class Fmix64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fmix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(VectorExpressions.fmix64(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val x = ctx.freshName("x")
+      s"""
+         |long $x = $c;
+         |$x ^= $x >>> 33; $x *= 0xff51afd7ed558ccdL;
+         |$x ^= $x >>> 33; $x *= 0xc4ceb9fe1a85ec53L;
+         |$x ^= $x >>> 33;
+         |${ev.value} = $x;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fmix64 =
+    copy(child = newChild)
+}
+
 object Fingerprint64 {
   /** Column-API entry point. */
   def fingerprint64(c: Column): Column =
     GraftBridge.column(Fingerprint64(GraftBridge.expression(c)))
 
-  /** Register `fingerprint64` for spark.sql use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** fmix64 of a long column (BottomKSample's rank order). */
+  def fmix64(c: Column): Column =
+    GraftBridge.column(Fmix64(GraftBridge.expression(c)))
+
+  /** Register `fingerprint64`/`fmix64` for spark.sql use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fmix64", exprs => Fmix64(exprs.head), "built-in")
+  }
 }

@@ -24,6 +24,13 @@ object GraftFunctions {
     (FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
       (exprs: Seq[Expression]) => Fingerprint64(exprs.head)),
+    (FunctionIdentifier("fmix64"),
+      new ExpressionInfo(classOf[Fmix64].getName, "fmix64"),
+      (exprs: Seq[Expression]) => Fmix64(exprs.head)),
+    (FunctionIdentifier("bottomk_sample"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
+      (exprs: Seq[Expression]) => BottomKSample(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()),
     (FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
       (exprs: Seq[Expression]) => HllSketch(exprs.head).toAggregateExpression()),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GraftSession.table
-import graft.functions.BottomKSample
+import graft.functions.{BottomKSample, Fingerprint64}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling queries (SURVEY.md §2 B34, C33): the
@@ -26,37 +26,81 @@ object SamplingQueries {
     s"((($x % 4294967296) * $lo + ((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296) * 4294967296) % 18446744073709551616)"
   }
 
-  /** DuckDB replay of `VectorExpressions.fmix64(o_orderkey)`: the
-    * xor-shift-33 / multiply avalanche on the unsigned HUGEINT image
-    * (>>> 33 ≡ // 2^33 for non-negative inputs), re-signed at the end
-    * to Java's signed-Long ordering — the order BottomKSample's
-    * TreeMap buffer keeps. fmix64 is a bijection, so distinct order
-    * keys give distinct hashes: the bottom-5 SET and its emission
-    * order are both exactly determined.
+  /** DuckDB replay of `VectorExpressions.fmix64(x)`: the xor-shift-33
+    * / multiply avalanche on the unsigned HUGEINT image (>>> 33 ≡
+    * // 2^33 for non-negative inputs), re-signed at the end to Java's
+    * signed-Long ordering — the order BottomKSample's TreeMap buffer
+    * keeps. fmix64 is a bijection, so distinct keys give distinct
+    * hashes: bottom-k SETS and their emission order are exactly
+    * determined. Emits a subquery yielding `carry` columns + `hs`.
     */
-  private val bottomkOracleSql: String = {
+  private def fmix64SignedSql(carry: Seq[String], x: String, src: String): String = {
     val c1 = BigInt("18397679294719823053") // 0xff51afd7ed558ccd
     val c2 = BigInt("14181476777654086739") // 0xc4ceb9fe1a85ec53
-    s"""WITH fm AS (
-       |  SELECT o_orderpriority, o_orderkey, xor(d, d // 8589934592) AS h
-       |  FROM (SELECT o_orderpriority, o_orderkey, ${mulMod64("c", c2)} AS d
-       |    FROM (SELECT o_orderpriority, o_orderkey, xor(b, b // 8589934592) AS c
-       |      FROM (SELECT o_orderpriority, o_orderkey, ${mulMod64("a", c1)} AS b
-       |        FROM (SELECT o_orderpriority, o_orderkey,
-       |                xor(CAST(o_orderkey AS HUGEINT),
-       |                    CAST(o_orderkey AS HUGEINT) // 8589934592) AS a
-       |              FROM orders))))),
-       |sg AS (
-       |  SELECT o_orderpriority, o_orderkey,
+    val cs = carry.mkString(", ")
+    s"""SELECT $cs,
        |    CASE WHEN h >= 9223372036854775808
        |         THEN h - 18446744073709551616 ELSE h END AS hs
-       |  FROM fm),
+       |  FROM (SELECT $cs, xor(d, d // 8589934592) AS h
+       |  FROM (SELECT $cs, ${mulMod64("c", c2)} AS d
+       |    FROM (SELECT $cs, xor(b, b // 8589934592) AS c
+       |      FROM (SELECT $cs, ${mulMod64("a", c1)} AS b
+       |        FROM (SELECT $cs, xor(CAST($x AS HUGEINT),
+       |                    CAST($x AS HUGEINT) // 8589934592) AS a
+       |              FROM $src)))))""".stripMargin
+  }
+
+  private val bottomkOracleSql: String =
+    s"""WITH sg AS (
+       |  ${fmix64SignedSql(Seq("o_orderpriority", "o_orderkey"), "o_orderkey", "orders")}),
        |r AS (
        |  SELECT o_orderpriority, o_orderkey,
        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY hs) AS rnk
        |  FROM sg)
        |SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey
        |FROM r WHERE rnk <= 5""".stripMargin
+
+  /** DuckDB replay of the KMV set-operation estimate: per-side
+    * bottom-256 signatures by signed fmix64 rank, merged bottom-256
+    * of the union, match fraction J = |K(A∪B) ∩ K(A) ∩ K(B)| / k,
+    * inclusion-exclusion estimate Î = J·(|A|+|B|)/(1+J) (Beyer et
+    * al. 2007). Every step is rank/count/IEEE arithmetic both
+    * engines compute identically → the ESTIMATE itself is bit-exact,
+    * with exact companions beside it.
+    */
+  private val kmvOracleSql: String = {
+    val est = "(mm / 256.0) * (d_a + d_b) / (1 + mm / 256.0)"
+    s"""WITH pk AS (
+       |  SELECT l_partkey,
+       |    max(CASE WHEN l_quantity <= 2 THEN 1 ELSE 0 END) AS ia,
+       |    max(CASE WHEN l_quantity >= 49 THEN 1 ELSE 0 END) AS ib
+       |  FROM lineitem WHERE l_quantity <= 2 OR l_quantity >= 49
+       |  GROUP BY l_partkey),
+       |st AS (
+       |  SELECT CAST(sum(ia) AS BIGINT) AS d_a, CAST(sum(ib) AS BIGINT) AS d_b,
+       |    CAST(sum(ia * ib) AS BIGINT) AS exact_i
+       |  FROM pk),
+       |hh AS (
+       |  ${fmix64SignedSql(Seq("l_partkey", "ia", "ib"), "l_partkey", "pk")}),
+       |ra AS (SELECT l_partkey, hs FROM (
+       |  SELECT l_partkey, hs, row_number() OVER (ORDER BY hs) AS rn
+       |  FROM hh WHERE ia = 1) WHERE rn <= 256),
+       |rb AS (SELECT l_partkey, hs FROM (
+       |  SELECT l_partkey, hs, row_number() OVER (ORDER BY hs) AS rn
+       |  FROM hh WHERE ib = 1) WHERE rn <= 256),
+       |u AS (SELECT l_partkey FROM (
+       |  SELECT l_partkey, row_number() OVER (ORDER BY hs) AS rn
+       |  FROM (SELECT l_partkey, hs FROM ra UNION SELECT l_partkey, hs FROM rb))
+       |  WHERE rn <= 256),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS mm FROM u
+       |  WHERE l_partkey IN (SELECT l_partkey FROM ra)
+       |    AND l_partkey IN (SELECT l_partkey FROM rb))
+       |SELECT d_a, d_b, exact_i,
+       |  floor($est * 10000 + 0.5) / 10000 AS est_intersection,
+       |  CAST(CASE WHEN abs($est - exact_i) <= 0.25 * exact_i
+       |       THEN 1 ELSE 0 END AS INT) AS err_ok
+       |FROM st, m""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -75,6 +119,55 @@ object SamplingQueries {
           posexplode(col("sample")).as(Seq("pos", "o_orderkey")))
         .select(col("o_orderpriority"),
           (col("pos") + 1).cast("int").as("rnk"), col("o_orderkey"))
+    },
+
+    // B44: KMV set-operation estimate — distinct-intersection
+    // cardinality of two key sets from their bottom-k signatures
+    // (Beyer et al. 2007): |A∩B| ≈ J·(|A|+|B|)/(1+J) with
+    // J = |K(A∪B) ∩ K(A) ∩ K(B)| / k. The scale shape: ONE keyed
+    // pass rolls the corpus into per-key membership flags
+    // (key-space-sized, localCheckpointed), ONE aggregation builds
+    // both 256-element signatures AND the exact companions, and the
+    // estimate math runs on ≤512 rows. Sketching the flag relation
+    // instead of the raw scan is sound because BottomKSample dedups
+    // by hash — a set's sketch equals its multiset's. The oracle
+    // replays the fmix64 ranks, so the ESTIMATE is bit-exact, gated
+    // beside exact values with a 25% bound (k=256 ⇒ ~2-3% expected).
+    Q("kmv_set_intersection", kmvOracleSql) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pk = table(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2 || col("l_quantity") >= 49)
+        .groupBy(col("l_partkey"))
+        .agg(
+          max(when(col("l_quantity") <= 2, 1).otherwise(0)).as("ia"),
+          max(when(col("l_quantity") >= 49, 1).otherwise(0)).as("ib"))
+        .localCheckpoint()
+      val row = pk.agg(
+        BottomKSample.bottomkSample(when(col("ia") === 1, col("l_partkey")), 256)
+          .as("sig_a"),
+        BottomKSample.bottomkSample(when(col("ib") === 1, col("l_partkey")), 256)
+          .as("sig_b"),
+        sum(col("ia")).cast("bigint").as("d_a"),
+        sum(col("ib")).cast("bigint").as("d_b"),
+        sum(col("ia") * col("ib")).cast("bigint").as("exact_i"))
+      val merged = row
+        .select(col("sig_a"), col("sig_b"), col("d_a"), col("d_b"), col("exact_i"),
+          explode(array_union(col("sig_a"), col("sig_b"))).as("v"))
+        .withColumn("h", Fingerprint64.fmix64(col("v")))
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") <= 256)
+        .agg(
+          max(col("d_a")).as("d_a"), max(col("d_b")).as("d_b"),
+          max(col("exact_i")).as("exact_i"),
+          sum(when(array_contains(col("sig_a"), col("v"))
+            && array_contains(col("sig_b"), col("v")), 1L).otherwise(0L)).as("mm"))
+      val est = (col("mm") / lit(256.0)) * (col("d_a") + col("d_b")) /
+        (lit(1) + col("mm") / lit(256.0))
+      merged.select(
+        col("d_a"), col("d_b"), col("exact_i"),
+        (floor(est * 10000 + lit(0.5)) / 10000).as("est_intersection"),
+        (abs(est - col("exact_i")) <= lit(0.25) * col("exact_i"))
+          .cast("int").as("err_ok"))
     },
 
     // C33: target-proportional corpus rebalancing — deterministic

@@ -100,6 +100,23 @@ class GraftExtensionsSpec extends SparkTestBase {
         |  (token_repetition_stats(split('a a b', ' '))).n_distinct AS nd""".stripMargin)
       .head()
     assert(tr.getInt(0) == 2 && tr.getLong(1) == 2L)
+
+    // fmix64 column expr must equal an independent restatement of the
+    // MurmurHash3 finalizer, and bottomk_sample through SQL must emit
+    // in that hash order
+    def refMix(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    val fm = spark.sql("SELECT fmix64(CAST(42 AS BIGINT)) AS h").as[Long].head()
+    assert(fm == refMix(42L))
+    val bk = spark.sql(
+      "SELECT bottomk_sample(CAST(n AS BIGINT), 3) AS s FROM reg_nums")
+      .as[Seq[Long]].head()
+    val expect = (1L to 200L).sortBy(refMix).take(3)
+    assert(bk == expect, s"$bk != $expect")
   }
 }
 
