@@ -178,4 +178,56 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1,
       s"TopKPerKey + groupBy on the same stratum key should share one shuffle, got $exchanges:\n$plan")
   }
+
+  test("span_dedup_docs ships hashed spans, never span strings, on its exchanges") {
+    val df = SparkEntry.queries("span_dedup_docs")(spark, sfDir)
+    val qe = df.queryExecution
+    val aggKeyTypes = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.map(_.dataType.typeName)
+    }.flatten.toSet
+    assert(!aggKeyTypes.contains("string"),
+      s"span grouping keys include a string: $aggKeyTypes")
+    val joinKeyTypes = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.toSeq.flatMap(_.references.toSeq.map(_.dataType.typeName))
+    }.flatten.toSet
+    assert(!joinKeyTypes.contains("string"),
+      s"span join keys include a string: $joinKeyTypes")
+  }
+
+  test("semantic_dedup and kmv reuse their checkpointed base, no re-scan") {
+    // semantic_dedup materializes cell assignments once; kmv
+    // materializes the per-key flag relation once. Every downstream
+    // consumer (self-join sides, sketch agg, survivor rollup) must
+    // read the checkpoint RDD — a parquet scan in the final plan
+    // means the corpus subtree re-executes per consumer.
+    Seq("semantic_dedup", "kmv_set_intersection").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert("Scan ExistingRDD".r.findAllIn(plan).nonEmpty,
+        s"$q: base relation is not checkpointed:\n$plan")
+      val fileScans = "Scan parquet".r.findAllIn(plan).length
+      assert(fileScans == 0,
+        s"$q: expected 0 parquet scans after checkpoint, got $fileScans:\n$plan")
+    }
+  }
+
+  test("corpus_rebalance broadcasts the threshold table over one corpus scan") {
+    val df = SparkEntry.queries("corpus_rebalance")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the threshold join:\n$plan")
+  }
+
+  test("skew_salted_join scatters on the salt key") {
+    val df = SparkEntry.queries("skew_salted_join")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"),
+      s"salted join lost its scatter column:\n$plan")
+  }
 }
