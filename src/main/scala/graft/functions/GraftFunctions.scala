@@ -55,7 +55,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => TokenPairs(exprs.head)),
     (FunctionIdentifier("token_repetition_stats"),
       new ExpressionInfo(classOf[TokenRepetitionStats].getName, "token_repetition_stats"),
-      (exprs: Seq[Expression]) => TokenRepetitionStats(exprs.head)))
+      (exprs: Seq[Expression]) => TokenRepetitionStats(exprs.head)),
+    (FunctionIdentifier("token_entropy_stats"),
+      new ExpressionInfo(classOf[TokenEntropyStats].getName, "token_entropy_stats"),
+      (exprs: Seq[Expression]) => TokenEntropyStats(exprs.head)))
 
   /** Register every graft SQL function on an existing session. */
   def registerAll(spark: SparkSession): Unit =

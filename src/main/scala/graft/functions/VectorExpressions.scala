@@ -52,6 +52,9 @@ object VectorExpressions {
 
   def tokenRepetitionStats(tokens: Column): Column =
     GraftBridge.column(TokenRepetitionStats(GraftBridge.expression(tokens)))
+
+  def tokenEntropyStats(tokens: Column): Column =
+    GraftBridge.column(TokenEntropyStats(GraftBridge.expression(tokens)))
 }
 
 /** Sequential-fold dot product of two array<double> columns (null
@@ -326,6 +329,58 @@ case class TokenRepetitionStats(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): TokenRepetitionStats =
+    copy(child = c)
+}
+
+/** One-pass Shannon-entropy statistics over a token array: total
+  * tokens, distinct types, and S = Σ c·ln(c) over per-type counts —
+  * entropy is then ln(n) − S/n. S is accumulated over DISTINCT COUNT
+  * VALUES in ascending order (m_c types share count c contribute
+  * m_c·(c·ln c) each), a canonical order independent of hash-map
+  * iteration — so the double is REPRODUCIBLE across runs, partitions,
+  * and engines: an external oracle folding the same terms in the same
+  * order (e.g. list_reduce over list(... ORDER BY c)) agrees
+  * bit-for-bit. One fused pass, no explode, no shuffle.
+  */
+case class TokenEntropyStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("sum_clnc", DoubleType, nullable = false)))
+  override def prettyName: String = "token_entropy_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val tokCounts = new java.util.HashMap[UTF8String, Array[Int]](math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var c = tokCounts.get(t)
+      if (c == null) { c = Array(0); tokCounts.put(t.clone(), c) }
+      c(0) += 1
+      i += 1
+    }
+    // histogram of counts: count value c -> number of types m_c
+    val byCount = new java.util.TreeMap[Int, Int]()
+    val it = tokCounts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      val m = byCount.get(c)
+      byCount.put(c, (if (m == null) 0 else m.intValue()) + 1)
+    }
+    var s = 0.0
+    val ct = byCount.entrySet().iterator()
+    while (ct.hasNext) {
+      val e = ct.next()
+      val c = e.getKey.intValue()
+      s += e.getValue.intValue() * (c * Math.log(c))
+    }
+    InternalRow(n.toLong, tokCounts.size.toLong, s)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenEntropyStats =
     copy(child = c)
 }
 

@@ -399,8 +399,12 @@ object DedupQueries {
         |SELECT 'lsh' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, dir) =>
       val vecs = table(s, dir, "embeddings")
       val qs = vecs.filter(col("vec_id") < 50)
+      // the baseline joins against all three approximate paths —
+      // materialize the 500-row top-k once instead of re-running the
+      // brute-force scan per gate
       val bf = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("id"))
+        .localCheckpoint()
       def gate(method: String, approx: org.apache.spark.sql.DataFrame,
           minRecall: Double) =
         bf.join(
@@ -469,8 +473,10 @@ object DedupQueries {
              |  CAST(sin(1.0 + id * 37.0 + j * 13.0) AS FLOAT))""".stripMargin)
           .as("cv"))
       val qs = vecs.filter(col("vec_id") < 50)
+      // two gates consume the baseline — materialize the 500 rows once
       val bf = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("id"))
+        .localCheckpoint()
       def gate(method: String, approx: org.apache.spark.sql.DataFrame) =
         bf.join(
             approx.select(col("query_id"), col("id"), lit(1).as("hit")),

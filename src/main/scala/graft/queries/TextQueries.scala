@@ -293,6 +293,40 @@ object TextQueries {
             .otherwise(0.0), 4).as("top_bigram_frac"))
     },
 
+    // C34: token Shannon entropy — the information-density quality
+    // signal (low entropy = boilerplate/repetition, complements C27).
+    // ONE fused TokenEntropyStats pass per doc (no explode, no
+    // shuffle); S = Σ c·ln(c) is accumulated over distinct count
+    // values ASCENDING — a canonical order independent of hash-map
+    // iteration — and the oracle folds the identical terms in the
+    // identical order via list_reduce over list(... ORDER BY c), so
+    // the double agrees bit-for-bit before the 4dp floor-round.
+    // H = ln(n) − S/n.
+    Q("text_entropy",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         |cc AS (SELECT doc_id, c, count(*) AS m FROM tc GROUP BY doc_id, c),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(sum(m * c) AS BIGINT) AS n,
+         |    CAST(sum(m) AS BIGINT) AS d,
+         |    list_reduce(list_prepend(0.0, list(m * (c * ln(c)) ORDER BY c)),
+         |      (a, x) -> a + x) AS s
+         |  FROM cc GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens, d AS n_types,
+         |  floor((ln(n) - s / n) * 10000 + 0.5) / 10000 AS entropy
+         |FROM e""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("_e", graft.functions.VectorExpressions.tokenEntropyStats(
+          split(TF.normalizeText(col("text")), " ")))
+        .select(col("doc_id"),
+          col("_e.n_toks").as("n_tokens"),
+          col("_e.n_distinct").as("n_types"),
+          (floor((log(col("_e.n_toks")) - col("_e.sum_clnc") / col("_e.n_toks"))
+            * 10000 + lit(0.5)) / 10000).as("entropy"))
+    },
+
     Q("text_compress_ratio",
       """SELECT doc_id, length(text) AS n_chars_exact,
         |  CAST(1 AS INT) AS ratio_pos,
