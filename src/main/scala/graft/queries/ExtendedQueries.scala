@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.model.TripModel
-import graft.operators.{AsOfJoin, DistributedQuantile, RangeJoin, SkewJoin}
+import graft.operators.{AsOfJoin, DistributedPrefixSum, DistributedQuantile, RangeJoin, SkewJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -593,11 +593,18 @@ object ExtendedQueries {
 
     // B11+: distribution window functions — ntile quartiles,
     // percent_rank, cume_dist over a per-priority total order. The
-    // (o_totalprice, o_orderkey) sort key is unique, so every rank is
-    // deterministic; percent_rank/cume_dist are exact rationals of
-    // identical integers in both engines, rounded with the explicit
-    // floor(x·10⁶ + 0.5)/10⁶ form (same boundary-safe convention as
-    // text_quality).
+    // ORACLE is the window spelling; the PLAN is not: PARTITION BY a
+    // 5-value key serializes the whole table through 5 reducers at
+    // 100 TB (the same wall pack_documents hit), so the engine
+    // derives the per-group rank from DistributedPrefixSum (running
+    // count of 1 — two parallel streamed passes, window-free) and
+    // computes all three functions closed-form from (rank, n):
+    // ntile's unequal-bucket split in integer arithmetic,
+    // percent_rank = (rank−1)/(n−1), cume_dist = rank/n (the
+    // (o_totalprice, o_orderkey) sort key is unique, so rank ==
+    // row_number and ties don't arise). Exact rationals of identical
+    // integers in both engines, floor(x·10⁶ + 0.5)/10⁶ rounded (the
+    // text_quality boundary-safe convention).
     Q("window_distribution_ranks",
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -605,14 +612,29 @@ object ExtendedQueries {
         |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume_d
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
       def r6(c: org.apache.spark.sql.Column) =
         floor(c * lit(1000000) + lit(0.5)).cast("double") / lit(1000000)
-      table(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).cast("int").as("quartile"),
-        r6(percent_rank().over(w)).as("pct_rank"),
-        r6(cume_dist().over(w)).as("cume_d"))
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val ranked = DistributedPrefixSum.running(
+        orders.withColumn("_one", lit(1L)),
+        "o_orderpriority", Seq("o_totalprice", "o_orderkey"), "_one", "rnk")
+      val counts = orders.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      // ntile(k): the first n % k buckets hold n div k + 1 rows each,
+      // the rest n div k — bucket derived from rank in pure integer ops
+      val big = col("n") % 4
+      val small = expr("n DIV 4")
+      val quartile = when(col("rnk") <= big * (small + 1),
+          expr("(rnk - 1) DIV (n DIV 4 + 1)") + 1)
+        .otherwise(big + expr("(rnk - (n % 4) * (n DIV 4 + 1) - 1) DIV (n DIV 4)") + 1)
+      ranked.join(broadcast(counts), Seq("o_orderpriority"))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          quartile.cast("int").as("quartile"),
+          r6(when(col("n") === 1, 0.0)
+            .otherwise((col("rnk") - 1).cast("double") / (col("n") - 1)))
+            .as("pct_rank"),
+          r6(col("rnk").cast("double") / col("n")).as("cume_d"))
     })
 }

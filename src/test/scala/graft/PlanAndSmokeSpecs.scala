@@ -126,15 +126,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("pack_documents plans no per-language window") {
-    // PARTITION BY lang has a handful of groups: a window would
-    // serialize each language's whole corpus through one reducer.
-    // The running total must come from DistributedPrefixSum (two
-    // parallel streamed passes) — no Window operator anywhere.
-    val df = SparkEntry.queries("pack_documents")(spark, sfDir)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"pack_documents still plans a low-cardinality window:\n$plan")
+  test("pack_documents and window_distribution_ranks plan no low-cardinality window") {
+    // PARTITION BY lang / o_orderpriority has a handful of groups: a
+    // window would serialize each group's whole corpus through one
+    // reducer. The running total / rank must come from
+    // DistributedPrefixSum (two parallel streamed passes) — no Window
+    // operator anywhere.
+    Seq("pack_documents", "window_distribution_ranks").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$q still plans a low-cardinality window:\n$plan")
+    }
   }
 
   test("exact dedup shuffles fingerprints, not document text") {
