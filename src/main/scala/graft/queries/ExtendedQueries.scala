@@ -636,5 +636,49 @@ object ExtendedQueries {
             .otherwise((col("rnk") - 1).cast("double") / (col("n") - 1)))
             .as("pct_rank"),
           r6(col("rnk").cast("double") / col("n")).as("cume_d"))
+    },
+
+    // B45: time-series gap fill + forward fill — densify each user's
+    // daily activity to a contiguous day range (sequence + explode +
+    // left join), zero-fill counts, carry the last observed daily
+    // value forward across gaps (last IGNORE NULLS over a per-user
+    // window — per-USER partitions are small by construction, so this
+    // window is the right tool, unlike the low-cardinality cases
+    // rewired through DistributedPrefixSum). Day buckets are integer
+    // epoch-days, daily means rounded 4dp BEFORE the fill so both
+    // engines carry identical doubles forward.
+    Q("timeseries_gapfill",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, count(*) AS n, round(avg(value), 4) AS v
+        |  FROM e GROUP BY user_id, day),
+        |s AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY user_id),
+        |dense AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM s),
+        |j AS (
+        |  SELECT dense.user_id, dense.day, d.n, d.v
+        |  FROM dense LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, day, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM j""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
+          col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("v"))
+      val dense = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).cast("bigint").as("n_events"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled_value"))
     })
 }

@@ -134,6 +134,31 @@ object RelationalQueries {
           round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spent"))
     },
 
+    // B5b: FULL OUTER join — two partial per-nation rollups (top
+    // customer balances vs top supplier balances) whose nation
+    // coverage only partly overlaps, so unmatched rows survive from
+    // BOTH sides. Both inputs are group-rollups (nation-sized), so
+    // the outer join is dimension×dimension at any corpus scale.
+    Q("full_join_rich_accounts",
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer WHERE c_acctbal > 9900 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+        |ON c.nationkey = s.nationkey""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("c_nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = table(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("s_nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+    },
+
     // B6: left-semi join (EXISTS).
     Q("semi_join_ordered_customers",
       """SELECT c_custkey, c_name FROM customer
