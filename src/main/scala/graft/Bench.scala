@@ -115,7 +115,8 @@ object Bench {
         "text_bm25", "text_repetition", "text_lm_score",
         "contamination_check", "corpus_curate_pipeline",
         "pack_documents", "mm_frame_sample",
-        "span_dedup_docs", "semantic_dedup", "corpus_rebalance")
+        "span_dedup_docs", "semantic_dedup", "corpus_rebalance",
+        "text_entropy", "timeseries_gapfill")
         .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 

@@ -117,6 +117,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       .as[Seq[Long]].head()
     val expect = (1L to 200L).sortBy(refMix).take(3)
     assert(bk == expect, s"$bk != $expect")
+
+    // token_entropy_stats: "a a b" → n=3, d=2, S = 1·(1·ln1) + 1·(2·ln2)
+    val ent = spark.sql(
+      """SELECT e.n_toks, e.n_distinct, e.sum_clnc
+        |FROM (SELECT token_entropy_stats(split('a a b', ' ')) AS e)""".stripMargin)
+      .head()
+    assert(ent.getLong(0) == 3L && ent.getLong(1) == 2L)
+    assert(math.abs(ent.getDouble(2) - 2 * math.log(2)) < 1e-12)
   }
 }
 
