@@ -113,6 +113,58 @@ object VectorQueries {
     // Init = the 8 lowest-id vectors, tie-break on (d2, cluster).
     kmeansIterationsQuery,
 
+    // C35: distributed scatter matrix (the PCA/whitening building
+    // block): S(i,j) = Σ vᵢvⱼ − Σvᵢ·Σvⱼ/n over the upper triangle —
+    // the centered Gram / covariance·n, whose eigenvectors are the
+    // principal components. The RAW-SUM statistic (not /n) is what
+    // ships: this corpus is near-isotropic, so covariances sit at
+    // 1e-6, where ANY fixed decimal rounding is at the ulp noise
+    // floor of an order-dependent sum; the scatter entry keeps values
+    // ~n× above the 4dp boundary at every corpus size.
+    // Two chained posexplodes fan each vector into its
+    // dim-pairs, but the groupBy combines MAP-SIDE into d(d+1)/2
+    // groups — the exchange carries 2080 partial rows per partition
+    // regardless of corpus size; per-dim sums are a 64-row broadcast.
+    // At 100 TB the d² fan-out is CPU-only amplification ahead of the
+    // combine (a fused outer-product aggregate would trade that CPU
+    // for custom-expression complexity; the declarative form wins
+    // until profiling says otherwise).
+    Q("embedding_covariance",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM e),
+        |u AS (
+        |  SELECT CAST(i AS INT) AS i, v[CAST(i + 1 AS INT)] AS vi, v
+        |  FROM e, unnest(range(len(v))) AS ui(i)),
+        |p AS (
+        |  SELECT i, CAST(j AS INT) AS j, vi, v[CAST(j + 1 AS INT)] AS vj
+        |  FROM u, unnest(range(len(v))) AS uj(j)
+        |  WHERE j >= i),
+        |g AS (SELECT i, j, sum(vi * vj) AS sxy FROM p GROUP BY i, j),
+        |m AS (SELECT CAST(i AS INT) AS i, sum(v[CAST(i + 1 AS INT)]) AS sx
+        |      FROM e, unnest(range(len(v))) AS um(i) GROUP BY i)
+        |SELECT g.i, g.j,
+        |  round(g.sxy - mi.sx * mj.sx / n.n, 4) AS s_ij
+        |FROM g, n
+        |JOIN m mi ON g.i = mi.i
+        |JOIN m mj ON g.j = mj.i""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = e.agg(count(lit(1)).as("n"))
+      val pairs = e
+        .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+        .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+        .filter(col("j") >= col("i"))
+      val g = pairs.groupBy(col("i"), col("j")).agg(sum(col("vi") * col("vj")).as("sxy"))
+      val m = e.select(posexplode(col("v")).as(Seq("i", "vi")))
+        .groupBy(col("i")).agg(sum(col("vi")).as("sx"))
+      g.crossJoin(broadcast(n))
+        .join(broadcast(m.select(col("i"), col("sx"))), Seq("i"))
+        .join(broadcast(m.select(col("i").as("j"), col("sx").as("sy"))), Seq("j"))
+        .select(col("i"), col("j"),
+          round(col("sxy") - col("sx") * col("sy") / col("n"), 4)
+            .as("s_ij"))
+    },
+
     // C23: symmetric int8 quantization of the embedding column —
     // per-vector scale, code aggregates, and the scale/2
     // reconstruction-error bound, all re-derived in DuckDB (identical
