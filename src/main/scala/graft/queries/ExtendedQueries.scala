@@ -73,6 +73,44 @@ object ExtendedQueries {
           round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
     },
 
+    // B20c: equi-depth histogram — decile buckets with ~equal row
+    // counts, the selectivity-estimation / data-profiling primitive
+    // (equi-WIDTH binning is histogram_order_value). The 9 breakpoints
+    // come from DistributedQuantile (scale-safe streamed passes, and
+    // bit-identical to quantile_cont — the exact_percentiles
+    // contract), broadcast as one row over one scan; bucket = how many
+    // breakpoints the value strictly exceeds, so edge ties resolve
+    // identically in both engines.
+    Q("equidepth_histogram",
+      s"""WITH b AS (
+         |  SELECT ${(1 to 9).map(k => s"quantile_cont(o_totalprice, 0.${k}) AS b$k").mkString(", ")}
+         |  FROM orders),
+         |k AS (
+         |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN o_totalprice > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS bucket,
+         |    o_totalprice
+         |  FROM orders, b)
+         |SELECT bucket, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS sum_value,
+         |  round(min(o_totalprice), 4) AS lo,
+         |  round(max(o_totalprice), 4) AS hi
+         |FROM k GROUP BY bucket""".stripMargin) { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val bps = DistributedQuantile
+        .quantiles(orders.withColumn("_g", lit("all")), "_g", "o_totalprice",
+          (1 to 9).map(k => s"b$k" -> k / 10.0))
+        .drop("g")
+      val bucket = (1 to 9)
+        .map(k => (col("o_totalprice") > col(s"b$k")).cast("int"))
+        .reduce(_ + _)
+      orders.crossJoin(broadcast(bps))
+        .select(bucket.cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_value"),
+          round(min(col("o_totalprice")), 4).as("lo"),
+          round(max(col("o_totalprice")), 4).as("hi"))
+    },
+
     // B20b: t-digest quantile sketch (the second mergeable sketch,
     // functions/TDigest.scala) under the oracle — the estimate is
     // engine-specific (accuracy pinned in TDigestSpec); group keys,
