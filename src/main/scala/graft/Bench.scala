@@ -87,7 +87,10 @@ object Bench {
     // web-corpus dedup regime), events duplicated with shifted USER
     // ids (10× users, same per-user session shape). The capped/banded
     // paths must grow ~linearly; embed-cosine is the exact-by-design
-    // O(n²) baseline.
+    // O(n²) baseline, and semantic_dedup shares its regime HERE
+    // because the probe keeps the 8-cell codebook fixed while the
+    // corpus grows 10× — in production k scales with the corpus,
+    // which is the method's entire point (see DedupQueries C32).
     val scaleProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
     val sfx10 = if (!scaleProbe) Map.empty[String, Double] else {
       import org.apache.spark.sql.functions.{col, lit, max}
