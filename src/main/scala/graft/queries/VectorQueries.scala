@@ -52,7 +52,67 @@ object VectorQueries {
       assigned.select(col("id").as("vec_id"), col("cluster").as("assigned"))
     }
 
+  /** DuckDB replay of the TRAINED vector pipeline: two Lloyd rounds
+    * (the kmeans_iterations CTEs, 6dp deterministic mode) produce the
+    * codebook, then the IVF index/search replays on it — cell argmin
+    * and probe ranking by UNROUNDED d2 over the bit-equal trained
+    * centroids, in-cell cosine rerank rounded 6dp. Train → index →
+    * search, every step closed-form.
+    */
+  private val trainedIvfOracleSql: String = {
+    val d2 = "list_dot_product(%s, %s) - 2 * list_dot_product(%s, c.cv) + list_dot_product(c.cv, c.cv)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+       |         v AS cv FROM e WHERE vec_id < 8),
+       |a1 AS (${assignCte("c0")}),
+       |c1 AS (${mStepCte("a1")}),
+       |a2 AS (${assignCte("c1")}),
+       |c2 AS (${mStepCte("a2")}),
+       |cent AS (SELECT cluster AS cid, cv FROM c2),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${d2.format("e.v", "e.v", "e.v")}, c.cid) AS rn
+       |    FROM e, cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${d2.format("q.qv", "q.qv", "q.qv")}, c.cid) AS rn
+       |    FROM q, cent c) WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS id,
+       |    round(list_dot_product(p.qv, a.v)
+       |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+       |  FROM asg a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, id, cosine, rnk FROM (
+       |  SELECT query_id, id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // C7c: the TRAINED vector pipeline end-to-end — k-means fits the
+    // codebook (two deterministic Lloyd rounds), IVF indexes and
+    // searches on it: what a production vector store actually runs,
+    // composed from the same operators kmeans_iterations and
+    // ann_ivf_topk gate individually. Exact top-k lists under the
+    // closed-form oracle replay of train → index → search.
+    Q("ann_ivf_trained", trainedIvfOracleSql) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (_, cents) = graft.operators.KMeans.fit(
+        e, "vec_id", "v", k = 8, iterations = 2, roundTo = Some(6))
+      VectorOps.ivfTopK(
+        e, e.filter(col("vec_id") < 5),
+        cents.select(col("cluster").as("cid"), col("cv")),
+        "vec_id", "v", "cid", "cv", k = 10, nProbe = 3)
+    },
 
     // C18: elementwise per-label centroid.
     Q("embedding_centroids",
