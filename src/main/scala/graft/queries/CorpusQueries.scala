@@ -293,6 +293,113 @@ object CorpusQueries {
           (col("n_overlap") > 0).cast("int").as("is_contaminated"))
     },
 
+    // C36: the FULL pretraining data pipeline — quality filter →
+    // scrub → exact dedup (fingerprint keys) → language rebalance →
+    // overlapping chunking → token-budget packing — composed as ONE
+    // declarative plan: the superset of corpus_curate_pipeline that
+    // ends in training bins rather than a split rollup. Exchanges:
+    // dedup group (fingerprint-keyed), the rebalance threshold
+    // broadcast, and the packing prefix-sum passes (window-free);
+    // chunking is a map-side explode. Everything is integer
+    // arithmetic, so the oracle (which may use the window spelling —
+    // it is the SPECIFICATION, not the plan) matches exactly.
+    Q("corpus_pretrain_pipeline",
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(lower(trim(
+         |      regexp_replace(regexp_replace(regexp_replace(text,
+         |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |        'https?://[^ ]+', '<URL>', 'g'),
+         |        '[0-9]{4,}', '<NUM>', 'g'))), '\\s+', ' ', 'g') AS norm
+         |  FROM documents
+         |  WHERE n_chars >= 200 AND $nTokSql >= 30),
+         |k AS (
+         |  SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang, norm
+         |  FROM f GROUP BY norm),
+         |t AS (SELECT CAST(count(*) AS DOUBLE) AS n_total,
+         |        count(DISTINCT lang) AS n_langs FROM k),
+         |s AS (SELECT lang, count(*) AS n_docs FROM k GROUP BY lang),
+         |th AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0,
+         |      (SELECT n_total FROM t) / (SELECT n_langs FROM t) / n_docs)
+         |      * 1000000) AS BIGINT) AS thresh
+         |  FROM s),
+         |r AS (
+         |  SELECT k.doc_id, k.lang, string_split(k.norm, ' ') AS toks
+         |  FROM k JOIN th USING (lang)
+         |  WHERE ((k.doc_id % 1000003) * 2654435761) % 1000000 < th.thresh),
+         |n AS (SELECT doc_id, lang, toks, len(toks) AS n_tok FROM r),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok, CAST(i AS INT) AS chunk_id,
+         |    CAST(least(128, n_tok - i * 96) AS BIGINT) AS nc
+         |  FROM n, unnest(range(0,
+         |    CAST(greatest(0, floor((n_tok - 33) / 96.0)) AS BIGINT) + 1)) AS u(i)),
+         |p AS (
+         |  SELECT doc_id, lang, chunk_id, nc,
+         |    sum(nc) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM c)
+         |SELECT lang,
+         |  CAST(floor((cum - nc) / 2048.0) AS BIGINT) AS bin_id,
+         |  count(*) AS n_chunks,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS total_tokens
+         |FROM p GROUP BY lang, bin_id""".stripMargin) { (s, dir) =>
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+        "[0-9]{4,}", "<NUM>")
+      // filter → scrub → normalize; dedup keys the exchange on the
+      // 128-bit fingerprint (+ length), norm travels once as a value
+      val kept = table(s, dir, "documents")
+        .filter(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30)
+        .select(col("doc_id"), col("lang"), TF.normalizeText(scrubbed).as("norm"))
+      val dedup = kept
+        .groupBy(xxhash64(col("norm")), xxhash64(lit(42L), col("norm")),
+          length(col("norm")))
+        .agg(
+          min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("norm"), col("doc_id")).as("norm"),
+          countDistinct(xxhash64(lit(1337L), col("norm"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in corpus_pretrain_pipeline")).isNull)
+        .select(col("doc_id"), col("lang"), col("norm"))
+        .localCheckpoint()
+      // rebalance thresholds from the DEDUPED corpus, broadcast back
+      val tot = dedup.agg(
+        count(lit(1)).cast("double").as("n_total"),
+        countDistinct(col("lang")).as("n_langs"))
+      val th = dedup.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"),
+          floor(least(lit(1.0), col("n_total") / col("n_langs") / col("n_docs"))
+            * 1000000).cast("bigint").as("thresh"))
+      val kept2 = dedup
+        .join(broadcast(th), Seq("lang"))
+        .filter(((col("doc_id") % 1000003L) * 2654435761L % 1000000L) < col("thresh"))
+        .select(col("doc_id"), col("lang"), split(col("norm"), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+      // overlapping chunks (map-only), then token-budget packing via
+      // the window-free distributed prefix sum
+      val chunks = kept2
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          explode(sequence(lit(0),
+            greatest(lit(0), floor((col("n_tok") - 33) / 96.0)).cast("int")))
+            .as("chunk_id"))
+        .withColumn("nc",
+          least(lit(128), col("n_tok") - col("chunk_id") * 96).cast("bigint"))
+        .select(col("doc_id"), col("lang"), col("chunk_id"), col("nc"))
+      graft.operators.DistributedPrefixSum
+        .running(chunks, "lang", Seq("doc_id", "chunk_id"), "nc", "cum")
+        .groupBy(col("lang"),
+          floor((col("cum") - col("nc")) / 2048.0).cast("bigint").as("bin_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("nc")).as("total_tokens"))
+    },
+
     // C17: deterministic train/val/test split assignment.
     Q("dataset_split",
       """SELECT
