@@ -119,7 +119,8 @@ object Bench {
         "contamination_check", "corpus_curate_pipeline",
         "pack_documents", "mm_frame_sample",
         "span_dedup_docs", "semantic_dedup", "corpus_rebalance",
-        "text_entropy", "timeseries_gapfill")
+        "text_entropy", "timeseries_gapfill",
+        "corpus_pretrain_pipeline", "ann_ivf_trained")
         .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 
