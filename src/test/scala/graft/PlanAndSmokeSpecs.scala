@@ -132,7 +132,8 @@ class PlanSpec extends SparkTestBase {
     // reducer. The running total / rank must come from
     // DistributedPrefixSum (two parallel streamed passes) — no Window
     // operator anywhere.
-    Seq("pack_documents", "window_distribution_ranks").foreach { q =>
+    Seq("pack_documents", "window_distribution_ranks",
+        "corpus_pretrain_pipeline").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),
