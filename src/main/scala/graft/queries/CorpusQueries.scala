@@ -351,7 +351,11 @@ object CorpusQueries {
         "https?://[^ ]+", "<URL>"),
         "[0-9]{4,}", "<NUM>")
       // filter → scrub → normalize; dedup keys the exchange on the
-      // 128-bit fingerprint (+ length), norm travels once as a value
+      // 128-bit fingerprint (+ length), norm travels once as a value.
+      // The deduped corpus is materialized ONCE (three consumers:
+      // totals, thresholds, the main chain) — localCheckpoint here; on
+      // a production cluster this stage persists to a table, exactly
+      // like semantic_dedup's assignment materialization.
       val kept = table(s, dir, "documents")
         .filter(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30)
         .select(col("doc_id"), col("lang"), TF.normalizeText(scrubbed).as("norm"))

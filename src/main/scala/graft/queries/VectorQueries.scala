@@ -225,6 +225,38 @@ object VectorQueries {
             .as("s_ij"))
     },
 
+    // C37: Johnson-Lindenstrauss random projection — 64 → 16 dims via
+    // a fixed Gaussian matrix (deterministic Random(7) literals, the
+    // ann_lsh_topk convention: Double.toString round-trips through
+    // both engines' decimal parsers to identical bits, and both sum
+    // the dot products left-to-right). The standard cheap
+    // dimensionality reduction ahead of clustering/ANN at 100 TB: a
+    // map-only pass, no shuffle until the (absent) downstream
+    // consumer; projections scaled by 1/√16 so distances are
+    // approximately preserved.
+    Q("embed_random_projection", {
+      val rng = new scala.util.Random(7L)
+      val mat: Seq[Seq[Double]] = Seq.fill(16)(Seq.fill(64)(rng.nextGaussian()))
+      val rows = mat.zipWithIndex.map { case (r, j) =>
+        val lst = r.map(java.lang.Double.toString).mkString("[", ", ", "]")
+        s"SELECT vec_id, $j AS dim_idx, round(list_dot_product(v, CAST($lst AS DOUBLE[])) * 0.25, 6) AS proj"
+      }
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |${rows.map(r => s"$r FROM e").mkString("", "\nUNION ALL\n", "")}""".stripMargin
+    }) { (s, dir) =>
+      val rng = new scala.util.Random(7L)
+      val mat: Seq[Seq[Double]] = Seq.fill(16)(Seq.fill(64)(rng.nextGaussian()))
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val projs = mat.zipWithIndex.map { case (r, j) =>
+        struct(lit(j).as("dim_idx"),
+          round(VectorOps.dot(col("v"),
+            lit(r.toArray)) * 0.25, 6).as("proj"))
+      }
+      e.select(col("vec_id"), explode(array(projs: _*)).as("p"))
+        .select(col("vec_id"), col("p.dim_idx").as("dim_idx"), col("p.proj").as("proj"))
+    },
+
     // C23: symmetric int8 quantization of the embedding column —
     // per-vector scale, code aggregates, and the scale/2
     // reconstruction-error bound, all re-derived in DuckDB (identical
