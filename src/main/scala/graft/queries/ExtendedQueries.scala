@@ -676,6 +676,53 @@ object ExtendedQueries {
           r6(col("rnk").cast("double") / col("n")).as("cume_d"))
     },
 
+    // B47: regression aggregates (the SQL-standard regr_slope /
+    // regr_intercept family) — per-priority OLS trend of order value
+    // over time, computed closed-form from sufficient statistics
+    // (n, Σx, Σy, Σxy, Σx²) in ONE map-side-combinable pass. The
+    // bit-exactness trick: x is the epoch day (integer) and y is
+    // floor(o_totalprice) (integer), so every sufficient statistic is
+    // an EXACT integer sum — order-independent, no ulp drift — and
+    // slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides the identical
+    // integers in both engines. The naive float formulation would
+    // cancel catastrophically (nΣxy and ΣxΣy agree to ~6 digits) and
+    // ride summation-order noise straight through any rounding.
+    Q("regression_trend",
+      """SELECT o_orderpriority,
+        |  CAST(n AS BIGINT) AS n_orders,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 4)
+        |    AS intercept
+        |FROM (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM (
+        |    SELECT o_orderpriority,
+        |      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS x,
+        |      CAST(floor(o_totalprice) AS BIGINT) AS y
+        |    FROM orders)
+        |  GROUP BY o_orderpriority)""".stripMargin) { (s, dir) =>
+      val base = table(s, dir, "orders").select(
+        col("o_orderpriority"),
+        expr("CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) div 86400").as("x"),
+        floor(col("o_totalprice")).cast("long").as("y"))
+      val stats = base.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      stats.select(
+        col("o_orderpriority"),
+        col("n").as("n_orders"),
+        round(num / den, 6).as("slope"),
+        round((col("sy").cast("double") - num / den * col("sx").cast("double"))
+          / col("n"), 4).as("intercept"))
+    },
+
     // B45: time-series gap fill + forward fill — densify each user's
     // daily activity to a contiguous day range (sequence + explode +
     // left join), zero-fill counts, carry the last observed daily
