@@ -695,10 +695,16 @@ object ExtendedQueries {
         |  round((CAST(sy AS DOUBLE)
         |      - CAST(n * sxy - sx * sy AS DOUBLE)
         |        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 4)
-        |    AS intercept
+        |    AS intercept,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |    6) AS r2
         |FROM (
         |  SELECT o_orderpriority, count(*) AS n,
-        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
         |  FROM (
         |    SELECT o_orderpriority,
         |      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS x,
@@ -712,15 +718,23 @@ object ExtendedQueries {
       val stats = base.groupBy(col("o_orderpriority")).agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
       val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
       val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      // r² = num²/(den·den_y). den_y = nΣy² − (Σy)² is computed in
+      // DOUBLES of the exact integer sums (n·Σy² would overflow int64
+      // at larger SFs, loudly under ANSI): both engines convert the
+      // identical integers and run the identical IEEE ops → bit-equal.
+      val deny = col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
       stats.select(
         col("o_orderpriority"),
         col("n").as("n_orders"),
         round(num / den, 6).as("slope"),
         round((col("sy").cast("double") - num / den * col("sx").cast("double"))
-          / col("n"), 4).as("intercept"))
+          / col("n"), 4).as("intercept"),
+        round(num * num / (den * deny), 6).as("r2"))
     },
 
     // B45: time-series gap fill + forward fill — densify each user's
