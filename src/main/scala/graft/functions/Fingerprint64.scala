@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.graftbridge.GraftBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.{GraftBridge, GraftExpectsTypes}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit rolling polynomial document fingerprint.
@@ -20,8 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * detection at scale (hash-groupBy instead of string-groupBy keeps
   * shuffle rows narrow).
   */
-case class Fingerprint64(child: Expression) extends UnaryExpression {
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with GraftExpectsTypes {
 
+  // Declared input type keeps the interpreted eval (UTF8String cast)
+  // and codegen (getBytes) consistent: non-string inputs are cast or
+  // rejected at analysis instead of failing differently per path.
+  override def expectedTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "fingerprint64"
@@ -60,8 +65,15 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   * without leaving the plan. Codegen; bijective, so distinct inputs
   * keep distinct ranks.
   */
-case class Fmix64(child: Expression) extends UnaryExpression {
+case class Fmix64(child: Expression)
+    extends UnaryExpression with GraftExpectsTypes {
 
+  // LONG-only by declaration: without this, an INT input would throw
+  // ClassCastException on the interpreted path while codegen silently
+  // widened — divergent behavior for the same plan. ImplicitCastInput-
+  // Types inserts the widening cast (or rejects) at analysis time, so
+  // both paths see a real Long.
+  override def expectedTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "fmix64"

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -14,11 +14,48 @@ object GraftFunctions {
   type Injection =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  private def quantileArg(e: Expression): Double = e.eval(null) match {
-    case d: Double => d
-    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-    case other => other.toString.toDouble
+  /** Clear analysis-time failure for malformed SQL calls — the
+    * `_LEGACY_ERROR_USER_RAISED_EXCEPTION` class formats to the bare
+    * message, so users see the actual problem instead of a cast NPE
+    * from inside resolution.
+    */
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  private def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      fail(s"$name requires exactly $n argument(s), got ${exprs.length}")
+
+  /** A literal (foldable) scalar argument — e.g. the `k` of
+    * `bottomk_sample(col, k)`. A column reference here is a user
+    * error; reject it at analysis with the function name attached.
+    */
+  private def foldableArg(name: String, pos: Int, e: Expression): Any = {
+    if (!e.foldable)
+      fail(s"$name argument ${pos + 1} must be a literal, got ${e.sql}")
+    val v = e.eval(null)
+    if (v == null) fail(s"$name argument ${pos + 1} must not be NULL")
+    v
   }
+
+  private def intArg(name: String, pos: Int, e: Expression): Int =
+    foldableArg(name, pos, e) match {
+      case n: java.lang.Number => n.intValue()
+      case other =>
+        fail(s"$name argument ${pos + 1} must be an integer literal, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+
+  private def quantileArg(name: String, pos: Int, e: Expression): Double =
+    foldableArg(name, pos, e) match {
+      case d: java.lang.Double => d.doubleValue()
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other =>
+        fail(s"$name argument ${pos + 1} must be a numeric literal, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
 
   val injections: Seq[Injection] = Seq(
     (FunctionIdentifier("fingerprint64"),
@@ -29,27 +66,39 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => Fmix64(exprs.head)),
     (FunctionIdentifier("bottomk_sample"),
       new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
-      (exprs: Seq[Expression]) => BottomKSample(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()),
+      (exprs: Seq[Expression]) => {
+        requireArity("bottomk_sample", exprs, 2)
+        BottomKSample(exprs.head,
+          intArg("bottomk_sample", 1, exprs(1))).toAggregateExpression()
+      }),
     (FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
       (exprs: Seq[Expression]) => HllSketch(exprs.head).toAggregateExpression()),
     (FunctionIdentifier("tdigest_quantile"),
       new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
-      (exprs: Seq[Expression]) =>
-        TDigestQuantile(exprs.head, quantileArg(exprs(1))).toAggregateExpression()),
+      (exprs: Seq[Expression]) => {
+        requireArity("tdigest_quantile", exprs, 2)
+        TDigestQuantile(exprs.head,
+          quantileArg("tdigest_quantile", 1, exprs(1))).toAggregateExpression()
+      }),
     (FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
       (exprs: Seq[Expression]) => CountMinAgg(exprs.head).toAggregateExpression()),
     (FunctionIdentifier("cms_lookup"),
       new ExpressionInfo(classOf[CmsLookup].getName, "cms_lookup"),
-      (exprs: Seq[Expression]) => CmsLookup(exprs.head, exprs(1))),
+      (exprs: Seq[Expression]) => {
+        requireArity("cms_lookup", exprs, 2)
+        CmsLookup(exprs.head, exprs(1))
+      }),
     (FunctionIdentifier("bloom_filter"),
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_filter"),
       (exprs: Seq[Expression]) => BloomAgg(exprs.head).toAggregateExpression()),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))),
+      (exprs: Seq[Expression]) => {
+        requireArity("bloom_might_contain", exprs, 2)
+        BloomMightContain(exprs.head, exprs(1))
+      }),
     (FunctionIdentifier("token_pairs"),
       new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
       (exprs: Seq[Expression]) => TokenPairs(exprs.head)),

@@ -682,22 +682,36 @@ object ExtendedQueries {
     // (n, Σx, Σy, Σxy, Σx²) in ONE map-side-combinable pass. The
     // bit-exactness trick: x is the epoch day (integer) and y is
     // floor(o_totalprice) (integer), so every sufficient statistic is
-    // an EXACT integer sum — order-independent, no ulp drift — and
-    // slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides the identical
-    // integers in both engines. The naive float formulation would
-    // cancel catastrophically (nΣxy and ΣxΣy agree to ~6 digits) and
-    // ride summation-order noise straight through any rounding.
+    // an EXACT integer sum — order-independent, no ulp drift. The
+    // COMBINATIONS (nΣxy − ΣxΣy etc.) are computed in DOUBLES of those
+    // exact integers: with x ≈ 10⁴ epoch-days and y ≈ 5·10⁵, n·Σxy
+    // overflows int64 once per-group n ≳ 8·10⁴ (≈ SF 0.3) — DuckDB
+    // would error loudly, Spark with ANSI off would wrap silently.
+    // Identical integers → identical IEEE conversions → identical ops
+    // in both engines, still bit-equal, and scale-safe. The naive
+    // per-row float formulation would cancel catastrophically (nΣxy
+    // and ΣxΣy agree to ~6 digits) and ride summation-order noise
+    // straight through any rounding.
     Q("regression_trend",
       """SELECT o_orderpriority,
         |  CAST(n AS BIGINT) AS n_orders,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
         |  round((CAST(sy AS DOUBLE)
-        |      - CAST(n * sxy - sx * sy AS DOUBLE)
-        |        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 4)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / n, 4)
         |    AS intercept,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
         |    6) AS r2
@@ -720,20 +734,20 @@ object ExtendedQueries {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
-      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-      // r² = num²/(den·den_y). den_y = nΣy² − (Σy)² is computed in
-      // DOUBLES of the exact integer sums (n·Σy² would overflow int64
-      // at larger SFs, loudly under ANSI): both engines convert the
-      // identical integers and run the identical IEEE ops → bit-equal.
-      val deny = col("n").cast("double") * col("syy").cast("double") -
-        col("sy").cast("double") * col("sy").cast("double")
+      // All combinations in doubles of the exact integer sums — n·Σxy
+      // and n·Σy² both exceed int64 at larger SFs (loudly in DuckDB /
+      // under ANSI, silently wrapped otherwise). Identical integers →
+      // identical IEEE ops in both engines → still bit-equal.
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val num = nD * col("sxy").cast("double") - sxD * syD
+      val den = nD * col("sxx").cast("double") - sxD * sxD
+      val deny = nD * col("syy").cast("double") - syD * syD
       stats.select(
         col("o_orderpriority"),
         col("n").as("n_orders"),
         round(num / den, 6).as("slope"),
-        round((col("sy").cast("double") - num / den * col("sx").cast("double"))
-          / col("n"), 4).as("intercept"),
+        round((syD - num / den * sxD) / col("n"), 4).as("intercept"),
         round(num * num / (den * deny), 6).as("r2"))
     },
 

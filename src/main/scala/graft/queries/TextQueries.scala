@@ -298,9 +298,14 @@ object TextQueries {
     // ONE fused TokenEntropyStats pass per doc (no explode, no
     // shuffle); S = Σ c·ln(c) is accumulated over distinct count
     // values ASCENDING — a canonical order independent of hash-map
-    // iteration — and the oracle folds the identical terms in the
-    // identical order via list_reduce over list(... ORDER BY c), so
-    // the double agrees bit-for-bit before the 4dp floor-round.
+    // iteration — and the oracle folds the same terms in the same
+    // order via list_reduce over list(... ORDER BY c). Caveat: each
+    // term contains ln(c) from JVM Math.log vs DuckDB's libm, which
+    // are NOT specified to agree to the last ulp on every platform;
+    // the canonical fold order removes summation-order noise, and the
+    // 4dp floor(x·1e4 + 0.5) round then absorbs sub-ulp log drift the
+    // same boundary-safe way text_lm_score/bm25 do — not an
+    // exact-integer guarantee like the fingerprint queries.
     // H = ln(n) − S/n.
     Q("text_entropy",
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

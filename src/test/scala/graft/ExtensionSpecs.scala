@@ -125,6 +125,29 @@ class GraftExtensionsSpec extends SparkTestBase {
       .head()
     assert(ent.getLong(0) == 3L && ent.getLong(1) == 2L)
     assert(math.abs(ent.getDouble(2) - 2 * math.log(2)) < 1e-12)
+
+    // Declared input types: an INT literal reaches fmix64 through an
+    // implicit widening cast, identical on interpreted and codegen
+    // paths (without ImplicitCastInputTypes the two paths diverged).
+    val fmInt = spark.sql("SELECT fmix64(42) AS h").as[Long].head()
+    assert(fmInt == refMix(42L))
+
+    // Malformed SQL calls must fail AT ANALYSIS with the function
+    // name in the message, not an opaque cast/NPE during resolution.
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bottomk_sample(CAST(n AS BIGINT), n) FROM reg_nums")
+        .collect()
+    }
+    assert(e1.getMessage.contains("bottomk_sample"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bottomk_sample(CAST(n AS BIGINT)) FROM reg_nums")
+        .collect()
+    }
+    assert(e2.getMessage.contains("2 argument"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cms_lookup(NULL) FROM reg_nums").collect()
+    }
+    assert(e3.getMessage.contains("cms_lookup"), e3.getMessage)
   }
 }
 
