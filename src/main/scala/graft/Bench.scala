@@ -34,7 +34,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c → time only those queries (local
+    // iteration aid; the driver always runs the full set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
@@ -81,36 +86,44 @@ object Bench {
     val results = stats.map { case (n, (med, _)) => n -> med }
     val mins = stats.map { case (n, (_, mn)) => n -> mn }
 
-    // ---- sf_x10 scale probe: dedup + ANN + window/session families
-    // on a 10× corpus — documents/embeddings duplicated with shifted
-    // doc ids (every doc gains 9 exact clones, the realistic
-    // web-corpus dedup regime), events duplicated with shifted USER
-    // ids (10× users, same per-user session shape). The capped/banded
-    // paths must grow ~linearly; embed-cosine is the exact-by-design
-    // O(n²) baseline, and semantic_dedup shares its regime HERE
-    // because the probe keeps the 8-cell codebook fixed while the
-    // corpus grows 10× — in production k scales with the corpus,
-    // which is the method's entire point (see DedupQueries C32).
+    // ---- scale probes: dedup + ANN + window/session families on a
+    // 10× (and 100×, below) corpus — documents/embeddings duplicated
+    // with shifted doc ids (every doc gains N−1 exact clones, the
+    // realistic web-corpus dedup regime), events duplicated with
+    // shifted USER ids (N× users, same per-user session shape). The
+    // capped/banded paths must grow ~linearly; embed-cosine is the
+    // exact-by-design O(n²) baseline. semantic_dedup now TRAINS its
+    // codebook with k = ⌈√n⌉, so its pair join is ~n^1.5 and it is
+    // expected SUB-quadratic here (the fixed-k quadratic regime is
+    // gone — see DedupQueries C32).
     val scaleProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
-    val sfx10 = if (!scaleProbe) Map.empty[String, Double] else {
+    def cloneTables(dir: String, copies: Int): Unit = {
       import org.apache.spark.sql.functions.{col, lit, max}
-      val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
+      // events.ts is TIMESTAMP(NANOS): read as epoch-nano bigint (the
+      // GraftSession.table convention — set explicitly here so the
+      // probe doesn't depend on an events-reading query having run
+      // first in this session).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def duplicate(tbl: String, idCols: Seq[String]): Unit = {
         val t = spark.read.parquet(s"$sfDir/$tbl.parquet")
         val shifts = idCols.map { c =>
           c -> (t.agg(max(col(c))).head().get(0)
             .asInstanceOf[Number].longValue() + 1L)
         }
-        (0 until 10).map { i =>
+        (0 until copies).map { i =>
           shifts.foldLeft(t) { case (df, (c, shift)) =>
             df.withColumn(c, col(c) + lit(i * shift))
           }
         }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$x10Dir/$tbl.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
       }
       duplicate("documents", Seq("doc_id"))
       duplicate("embeddings", Seq("vec_id"))
       duplicate("events", Seq("event_id", "user_id"))
+    }
+    val sfx10 = if (!scaleProbe) Map.empty[String, Double] else {
+      val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
+      cloneTables(x10Dir, 10)
       Seq("dedup_minhash_pairs", "dedup_simhash", "dedup_embed_cosine",
         "dedup_clusters", "dedup_exact_docs",
         "ann_lsh_topk", "ann_ivf_topk", "ann_recall_gate",
@@ -121,7 +134,44 @@ object Bench {
         "span_dedup_docs", "semantic_dedup", "corpus_rebalance",
         "text_entropy", "timeseries_gapfill",
         "corpus_pretrain_pipeline", "ann_ivf_trained")
+        .filter(n => only.isEmpty || only(n))
         .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
+    }
+
+    // ---- sf_x100 probe: two decades of scale evidence for the
+    // scale-critical dedup/ANN queries only. Each runs ONCE under a
+    // wall-clock ceiling (default 120 s — a query that can't finish a
+    // 100× corpus in that budget is reported as -2.0 "timeout", which
+    // IS the probe's finding). dedup_embed_cosine is excluded by
+    // design: it is the exact-O(n²) specification baseline and would
+    // trivially exceed any ceiling at 100× — its approximate
+    // replacements (minhash/simhash/semantic) are exactly what this
+    // probe gates.
+    val x100Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X100", "1") != "0"
+    val sfx100 = if (!scaleProbe || !x100Probe) Map.empty[String, Double] else {
+      val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")
+      val ceilingSec =
+        sys.env.getOrElse("SPARK_GRAFT_X100_CEILING_SEC", "120").toInt
+      cloneTables(x100Dir, 100)
+      def runCeiling(name: String): Double = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val f = Future(run(name, SparkEntry.queries(name), x100Dir))
+        try Await.result(f, ceilingSec.seconds)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelAllJobs()
+            System.err.println(s"[bench] x100 TIMEOUT $name (> $ceilingSec s)")
+            -2.0
+        }
+      }
+      Seq("dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
+        "span_dedup_docs", "semantic_dedup", "dedup_clusters",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
+        "corpus_pretrain_pipeline")
+        .filter(n => only.isEmpty || only(n))
+        .map(n => n -> runCeiling(n)).toMap
     }
 
     val loadEnd = loadAvg()
@@ -132,13 +182,23 @@ object Bench {
     val x10Json = sfx10.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val x100Json = sfx100.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"runs_per_query":$runsPerQuery,"sf_x10":$x10Json,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"runs_per_query":$runsPerQuery,"sf_x10":$x10Json,"sf_x100":$x100Json,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
     println(json)
+    // Compact headline AFTER the full JSON: the full line above runs
+    // to ~10 KB and a bounded tail capture can truncate it mid-line
+    // (both BENCH_r04 and r05 arrived with "parsed": null). Any tail
+    // window that keeps the last line gets a complete, parseable
+    // summary.
+    println(
+      f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,10 +24,16 @@ object KMeans {
     *   any engine that sums dot products left-to-right, so an external
     *   SQL oracle can replay the iterations exactly; see the
     *   `kmeans_iterations` query). None = full double precision.
-    * @return (assignments: (id, cluster), centroids: (cluster, centroid array))
+    * @param keepVectors when true, assignments also carry the vector
+    *   column `v` — for consumers whose next stage needs the
+    *   embedding per assignment (e.g. within-cluster pair joins)
+    *   without re-joining the corpus.
+    * @return (assignments: (id, cluster) — plus `v` when keepVectors —
+    *   centroids: (cluster, centroid array))
     */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      iterations: Int = 5, roundTo: Option[Int] = None): (DataFrame, DataFrame) = {
+      iterations: Int = 5, roundTo: Option[Int] = None,
+      keepVectors: Boolean = false): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
 
@@ -69,6 +75,8 @@ object KMeans {
       centroids.count() // materialize so each iteration is one pass
       i += 1
     }
-    (assign(centroids).select(col("id"), col("cluster")), centroids)
+    val finalAsg = assign(centroids)
+    (if (keepVectors) finalAsg
+     else finalAsg.select(col("id"), col("cluster")), centroids)
   }
 }

@@ -278,22 +278,27 @@ object DedupQueries {
     // embedding space, then drop any vector with a same-cluster
     // lower-id neighbor above the cosine threshold. Clustering bounds
     // the pair join to within-cluster blocks — the whole point of the
-    // method at 100 TB, where k scales with the corpus so blocks stay
-    // small; here the codebook is the deterministic first-8-vectors
-    // cell assignment kmeans_assign already oracle-pins. Assignments
-    // are materialized once (localCheckpoint; in production a
-    // persisted table) so the self-join doesn't re-run the E-step on
-    // both sides.
+    // method at 100 TB. The codebook is TRAINED per-corpus: KMeans.fit
+    // (two deterministic Lloyd rounds, 6dp mode — the kmeans_iterations
+    // machinery) with k = ⌈√n⌉ SCALED TO THE CORPUS, so expected block
+    // size is √n and the pair join is ~n^1.5, not the n²/k of any
+    // fixed-k codebook. The oracle replays train → assign closed-form
+    // (the ann_ivf_trained pattern) with the same dynamic k via a
+    // scalar subquery. Assignments are materialized once
+    // (localCheckpoint; in production a persisted table) so the
+    // self-join doesn't re-run the E-step on both sides.
     Q("semantic_dedup",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |asg AS (
-         |  SELECT vec_id, v, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
-         |          + list_dot_product(c.cv, c.cv), 6), c.cid) AS rn
-         |    FROM e, c) WHERE rn = 1),
+         |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM e),
+         |c0 AS (SELECT cluster, cv FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+         |           v AS cv FROM e)
+         |  WHERE cluster <= (SELECT k FROM kv)),
+         |a1 AS (${VectorQueries.assignCte("c0")}),
+         |c1 AS (${VectorQueries.mStepCte("a1")}),
+         |a2 AS (${VectorQueries.assignCte("c1")}),
+         |c2 AS (${VectorQueries.mStepCte("a2")}),
+         |asg AS (${VectorQueries.assignCte("c2")}),
          |drops AS (
          |  SELECT DISTINCT b.vec_id AS vec_id
          |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -307,19 +312,15 @@ object DedupQueries {
          |      FROM kept GROUP BY cluster) k USING (cluster)""".stripMargin) { (s, dir) =>
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val d2 = round(
-        VectorOps.dot(col("v"), col("v"))
-          - lit(2) * VectorOps.dot(col("v"), col("cv"))
-          + VectorOps.dot(col("cv"), col("cv")), 6)
-      // min_by E-step (map-side combinable), same (d2, cid) tie-break
-      // as the oracle's row_number — the kmeans_assign pattern.
-      val asg = e.join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cid"), d2.as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("v")), struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cluster"), col("m.v").as("v"))
+      // k = ⌈√n⌉: the count is one columnar-metadata-cheap action; at
+      // any corpus size the trained codebook keeps expected cluster
+      // size √n, the SemDeDup paper's own scaling regime.
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val (assigned, _) = graft.operators.KMeans.fit(
+        e, "vec_id", "v", k, iterations = 2, roundTo = Some(6),
+        keepVectors = true)
+      val asg = assigned
+        .select(col("id").as("vec_id"), col("cluster"), col("v"))
         .localCheckpoint()
       val cos = VectorOps.dot(col("va"), col("vb")) /
         (sqrt(VectorOps.dot(col("va"), col("va"))) * sqrt(VectorOps.dot(col("vb"), col("vb"))))

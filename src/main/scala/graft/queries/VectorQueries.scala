@@ -15,8 +15,9 @@ object VectorQueries {
 
   /** DuckDB replay of one Lloyd E-step against centroids CTE `cs`:
     * 6dp-rounded squared euclidean, tie-break on (d2, cluster).
+    * Shared with DedupQueries' trained-codebook semantic_dedup.
     */
-  private def assignCte(cs: String): String =
+  private[queries] def assignCte(cs: String): String =
     s"""SELECT vec_id, v, cluster FROM (
        |    SELECT e.vec_id, e.v, c.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -27,7 +28,7 @@ object VectorQueries {
   /** DuckDB replay of one M-step over assignments CTE `as_`: per
     * (cluster, dim) 6dp-rounded mean, re-assembled into an array.
     */
-  private def mStepCte(as_ : String): String =
+  private[queries] def mStepCte(as_ : String): String =
     s"""SELECT cluster, list(c ORDER BY dim) AS cv FROM (
        |    SELECT cluster, dim, round(avg(val), 6) AS c FROM (
        |      SELECT cluster, unnest(range(len(v))) AS dim, unnest(v) AS val
