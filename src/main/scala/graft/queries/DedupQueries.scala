@@ -446,18 +446,22 @@ object DedupQueries {
         table(s, dir, "part"), "p_name", maxDist = 2)
     },
 
-    // C7/C7b recall gate, CLUSTERED regime: the isotropic gate above
-    // proves the scale paths don't silently break, but its floors are
-    // low because isotropic embeddings are ANN's worst case. This row
-    // generates a deterministic mixture-of-Gaussians corpus (16 well-
-    // separated centers, small within-cluster noise — the shape of
-    // real near-dup/embedding-cluster workloads) where sub-linear
-    // probing has no excuse: IVF (2/16 cells probed) and Hamming-1
-    // multi-probe LSH must BOTH reach recall ≥ 0.9 against
+    // C7/C7b/C7c recall gate, CLUSTERED regime: the isotropic gate
+    // above proves the scale paths don't silently break, but its
+    // floors are low because isotropic embeddings are ANN's worst
+    // case. This row generates a deterministic mixture-of-Gaussians
+    // corpus (16 well-separated centers, small within-cluster noise —
+    // the shape of real near-dup/embedding-cluster workloads) where
+    // sub-linear probing has no excuse: IVF on the TRUE centers (2/16
+    // cells probed), IVF on a TRAINED KMeans.fit codebook (the
+    // production path — training itself must not cost recall), and
+    // Hamming-1 multi-probe LSH must ALL reach recall ≥ 0.9 against
     // brute-force. Generation is seedless closed-form (sin of integer
     // lattice points), so the row is reproducible anywhere.
     Q("ann_recall_gate_clustered",
       """SELECT 'ivf' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
+        |UNION ALL
+        |SELECT 'ivf_trained' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
         |UNION ALL
         |SELECT 'lsh' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, _) =>
       val dim = 32
@@ -487,8 +491,18 @@ object DedupQueries {
           .select(lit(method).as("method"), col("n_bf"),
             when(col("hits").cast("double") / col("n_bf") >= 0.9, 1)
               .otherwise(0).cast("int").as("recall_ok"))
+      // trained path: KMeans.fit recovers the 16 centers (lowest-16
+      // init covers one point per generative cluster; two Lloyd
+      // rounds refine) — the recall floor now gates TRAINING quality,
+      // not just a handed-down codebook
+      val (_, trained) = graft.operators.KMeans.fit(
+        vecs, "vec_id", "embedding", k = nClusters, iterations = 2)
       gate("ivf",
           VectorOps.ivfTopK(vecs, qs, cents, "vec_id", "embedding", "cid", "cv", 10, 2))
+        .unionByName(gate("ivf_trained",
+          VectorOps.ivfTopK(vecs, qs,
+            trained.select(col("cluster").as("cid"), col("cv")),
+            "vec_id", "embedding", "cid", "cv", 10, 2)))
         .unionByName(gate("lsh",
           VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10)))
     })
