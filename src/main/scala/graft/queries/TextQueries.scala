@@ -345,5 +345,58 @@ object TextQueries {
         (ratio > 0.0).cast("int").as("ratio_pos"),
         (length(col("text")) < 50 || ratio <= 1.2).cast("int").as("ratio_bounded"),
         (length(col("text")) < 500 || ratio < 0.95).cast("int").as("long_compresses"))
+    },
+
+    // C38: BPE-merge tokenizer training (word-pair variant) — three
+    // rounds of (corpus pair count → top pair → greedy merge), the
+    // operator's scaladoc has the full story (operators/BpeMerge).
+    // The oracle replays all three rounds closed-form: pair counts
+    // relationally, top pair by (n DESC, w1, w2), and the greedy
+    // left-to-right merge as the SAME sentinel-bracketed literal
+    // replace (chr(1)/chr(2) token brackets) Spark runs — literal
+    // `replace` scans left-to-right non-overlapping in both engines,
+    // which IS the BPE merge order.
+    Q("tokenizer_bpe_merges", {
+      def pairsCte(t: String, p: String) =
+        s"""$p AS (
+           |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2,
+           |    count(*) AS n
+           |  FROM $t, unnest(range(1, len(toks))) AS u(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      def topCte(p: String, m: String) =
+        s"$m AS (SELECT w1, w2, CAST(n AS BIGINT) AS n FROM $p ORDER BY n DESC, w1, w2 LIMIT 1)"
+      // NB: no continuation line may START with "||" — these fragments
+      // are interpolated into an outer stripMargin, which would eat
+      // the first pipe.
+      def mergeCte(t: String, m: String, t2: String) =
+        s"""$t2 AS (
+           |  SELECT doc_id,
+           |    string_split(substr(enc, 2, length(enc) - 2), chr(2) || chr(1)) AS toks
+           |  FROM (
+           |    SELECT doc_id, replace(
+           |        chr(1) || array_to_string(toks, chr(2) || chr(1)) || chr(2),
+           |        chr(1) || (SELECT w1 FROM $m) || chr(2) ||
+           |          chr(1) || (SELECT w2 FROM $m) || chr(2),
+           |        chr(1) || (SELECT w1 FROM $m) || ' ' ||
+           |          (SELECT w2 FROM $m) || chr(2)) AS enc
+           |    FROM $t))""".stripMargin
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |${pairsCte("t0", "p1")},
+         |${topCte("p1", "m1")},
+         |${mergeCte("t0", "m1", "t1")},
+         |${pairsCte("t1", "p2")},
+         |${topCte("p2", "m2")},
+         |${mergeCte("t1", "m2", "t2")},
+         |${pairsCte("t2", "p3")},
+         |${topCte("p3", "m3")}
+         |SELECT CAST(1 AS INT) AS step, w1, w2, n AS n_pairs FROM m1
+         |UNION ALL SELECT CAST(2 AS INT), w1, w2, n FROM m2
+         |UNION ALL SELECT CAST(3 AS INT), w1, w2, n FROM m3""".stripMargin
+    }) { (s, dir) =>
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), split(TF.normalizeText(col("text")), " ").as("toks"))
+      val (merges, _) = graft.operators.BpeMerge.train(toks, rounds = 3)
+      s.createDataFrame(merges)
+        .select(col("step"), col("w1"), col("w2"), col("nPairs").as("n_pairs"))
     })
 }

@@ -560,3 +560,37 @@ class SemanticSpanDedupSpec extends SparkTestBase {
     assert(dup(3L) == 0, s"false positive on doc 3: $dup")
   }
 }
+
+/** BPE-merge tokenizer training (C38): greedy left-to-right
+  * non-overlapping merges, (count DESC, w1, w2) tie-break, and merged
+  * tokens participating in later rounds.
+  */
+class BpeMergeSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.BpeMerge
+
+  test("learns cascading merges with deterministic tie-breaks") {
+    // round 1: (a,a) occurs 3x in doc1 (greedy: [aa][aa] leaves only
+    //          2 merge SITES but the PAIR COUNT pre-merge is 3+1=4)
+    //          vs (a,b) 1x -> merge (a,a) n=4
+    // round 2: doc1 = [a a, a a], doc2 = [a a, b]:
+    //          ("a a","a a") 1x vs ("a a","b") 1x -> tie; w2 "a a" < "b"
+    //          -> merge ("a a","a a") n=1
+    // round 3: doc1 = [a a a a], doc2 = [a a, b] -> merge ("a a","b") n=1
+    val docs = Seq((1L, Seq("a", "a", "a", "a")), (2L, Seq("a", "a", "b")))
+      .toDF("doc_id", "toks")
+    val (merges, finalDocs) = BpeMerge.train(docs, rounds = 3)
+    assert(merges.map(m => (m.step, m.w1, m.w2, m.nPairs)) == Seq(
+      (1, "a", "a", 4L), (2, "a a", "a a", 1L), (3, "a a", "b", 1L)),
+      s"got $merges")
+    val out = finalDocs.select($"doc_id", $"toks").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(out(1L) == Seq("a a a a") && out(2L) == Seq("a a b"), s"got $out")
+  }
+
+  test("stops early when no adjacent pair remains") {
+    val docs = Seq((1L, Seq("x")), (2L, Seq("y"))).toDF("doc_id", "toks")
+    val (merges, _) = BpeMerge.train(docs, rounds = 3)
+    assert(merges.isEmpty)
+  }
+}
