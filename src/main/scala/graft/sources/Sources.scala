@@ -48,4 +48,34 @@ object Sources {
   /** Batch JSON-lines file of raw strings (replay path). */
   def rawJsonBatch(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumnRenamed("value", "raw")
+
+  /** Fully-qualified RocksDB state-store provider (ships inside
+    * spark-sql; rocksdbjni is on the Spark classpath).
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Switch streaming state to the RocksDB state store — the 100 TB
+    * posture: the default HDFSBackedStateStoreProvider keeps every
+    * key in executor heap (state size is bounded by memory and GC
+    * churn scales with it), while RocksDB spills to local disk with
+    * changelog checkpointing, so keyed session/dedup state can grow
+    * to disk size. Returns the previous provider so callers (tests)
+    * can restore it. Read by each STREAMING QUERY at start, so set it
+    * before `.start()`.
+    */
+  def useRocksDBStateStore(spark: SparkSession): Option[String] = {
+    val prev = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, RocksDBProvider)
+    prev
+  }
+
+  /** Restore a provider captured by [[useRocksDBStateStore]]. */
+  def restoreStateStore(spark: SparkSession, prev: Option[String]): Unit =
+    prev match {
+      case Some(p) => spark.conf.set(ProviderConf, p)
+      case None => spark.conf.unset(ProviderConf)
+    }
 }

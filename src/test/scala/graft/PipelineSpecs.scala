@@ -333,3 +333,96 @@ class StreamStreamJoinSpec extends SparkTestBase {
     assert(got == Set((1L, 1.0, 10.0)), s"got $got")
   }
 }
+
+/** The same keyed streaming state paths under the RocksDB state store
+  * (the 100 TB posture: disk-backed state instead of executor heap —
+  * see Sources.useRocksDBStateStore). Both the built-in session_window
+  * aggregation and the custom flatMapGroupsWithState sessionizer must
+  * produce identical results under either provider, and the query
+  * progress must show RocksDB actually served the state rows.
+  */
+class RocksDBStateStoreSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.sources.Sources
+  import scala.jdk.CollectionConverters._
+
+  private def withRocksDB[A](body: => A): A = {
+    val prev = Sources.useRocksDBStateStore(spark)
+    try body finally Sources.restoreStateStore(spark, prev)
+  }
+
+  test("session_window agg matches default-provider results under RocksDB") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val agg = SessionPipeline.sessionWindowAgg(
+        input.toDF(), gap = "2 minutes", watermark = "10 minutes")
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName("rocks_sess_out").start()
+      try {
+        input.addData(
+          Ev(1L, 1000L, 5.0), Ev(1L, 1060L, 7.0),
+          Ev(1L, 10000L, 1.0), Ev(2L, 1000L, 2.0))
+        q.processAllAvailable()
+        input.addData(Ev(9L, 999999L, 0.0))
+        q.processAllAvailable()
+        // the state operator must be RocksDB-backed, not heap-backed
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics in ${metrics.keySet}")
+      } finally q.stop()
+      val got = spark.table("rocks_sess_out")
+        .select("user_id", "start_s", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == Set(
+        (1L, 1000L, 2L, 12.0), (1L, 10000L, 1L, 1.0), (2L, 1000L, 1L, 2.0)),
+        s"got $got")
+    }
+  }
+
+  test("custom stateful sessionizer emits on timeout under RocksDB") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Reading]
+      val sessions = SessionPipeline.statefulTripAggregate(
+        input.toDS(), maxRetentionMs = 500, lowSpeed = 5.0)
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("rocks_trips_out")
+        .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      input.addData(
+        Reading(1L, 0L, 0.0, 0.0, 1.0, 10.0),
+        Reading(1L, 10L, 1.0, 0.0, 2.0, 20.0))
+      var tries = 0
+      while (spark.table("rocks_trips_out").isEmpty && tries < 100) {
+        Thread.sleep(200); tries += 1
+      }
+      q.stop()
+      val rows = spark.table("rocks_trips_out")
+        .as[SessionPipeline.TripSession].collect()
+      assert(rows.length == 1, s"got ${rows.toSeq}")
+      val t = rows.head
+      assert(t.user_id == 1L && t.n_events == 2L && t.total_s == 10L)
+      assert(t.sum_value == 30.0)
+    }
+  }
+
+  test("streaming dedup state lives in RocksDB") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[DedupEv]
+      val deduped = SessionPipeline.streamingDedup(
+        input.toDF(), Seq("event_id"), "ts", "1 minute")
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName("rocks_dedup_out").start()
+      try {
+        input.addData(
+          DedupEv(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+          DedupEv(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+          DedupEv(2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03")))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table("rocks_dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    }
+  }
+}
