@@ -356,47 +356,74 @@ object TextQueries {
     // replace (chr(1)/chr(2) token brackets) Spark runs — literal
     // `replace` scans left-to-right non-overlapping in both engines,
     // which IS the BPE merge order.
-    Q("tokenizer_bpe_merges", {
-      def pairsCte(t: String, p: String) =
-        s"""$p AS (
-           |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2,
-           |    count(*) AS n
-           |  FROM $t, unnest(range(1, len(toks))) AS u(i)
-           |  GROUP BY 1, 2)""".stripMargin
-      def topCte(p: String, m: String) =
-        s"$m AS (SELECT w1, w2, CAST(n AS BIGINT) AS n FROM $p ORDER BY n DESC, w1, w2 LIMIT 1)"
-      // NB: no continuation line may START with "||" — these fragments
-      // are interpolated into an outer stripMargin, which would eat
-      // the first pipe.
-      def mergeCte(t: String, m: String, t2: String) =
-        s"""$t2 AS (
-           |  SELECT doc_id,
-           |    string_split(substr(enc, 2, length(enc) - 2), chr(2) || chr(1)) AS toks
-           |  FROM (
-           |    SELECT doc_id, replace(
-           |        chr(1) || array_to_string(toks, chr(2) || chr(1)) || chr(2),
-           |        chr(1) || (SELECT w1 FROM $m) || chr(2) ||
-           |          chr(1) || (SELECT w2 FROM $m) || chr(2),
-           |        chr(1) || (SELECT w1 FROM $m) || ' ' ||
-           |          (SELECT w2 FROM $m) || chr(2)) AS enc
-           |    FROM $t))""".stripMargin
-      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |${pairsCte("t0", "p1")},
-         |${topCte("p1", "m1")},
-         |${mergeCte("t0", "m1", "t1")},
-         |${pairsCte("t1", "p2")},
-         |${topCte("p2", "m2")},
-         |${mergeCte("t1", "m2", "t2")},
-         |${pairsCte("t2", "p3")},
-         |${topCte("p3", "m3")}
+    Q("tokenizer_bpe_merges",
+      s"""$bpeCtes
          |SELECT CAST(1 AS INT) AS step, w1, w2, n AS n_pairs FROM m1
          |UNION ALL SELECT CAST(2 AS INT), w1, w2, n FROM m2
-         |UNION ALL SELECT CAST(3 AS INT), w1, w2, n FROM m3""".stripMargin
-    }) { (s, dir) =>
-      val toks = table(s, dir, "documents")
-        .select(col("doc_id"), split(TF.normalizeText(col("text")), " ").as("toks"))
-      val (merges, _) = graft.operators.BpeMerge.train(toks, rounds = 3)
+         |UNION ALL SELECT CAST(3 AS INT), w1, w2, n FROM m3""".stripMargin) { (s, dir) =>
+      val (merges, _) = graft.operators.BpeMerge.train(bpeInput(s, dir), rounds = 3)
       s.createDataFrame(merges)
         .select(col("step"), col("w1"), col("w2"), col("nPairs").as("n_pairs"))
+    },
+
+    // C38 (application side): ENCODE the corpus under the trained
+    // merge vocabulary — per-doc token counts before/after, the
+    // statistic a pipeline actually budgets by (sequence lengths
+    // shrink as merges fuse frequent pairs). Same closed-form replay;
+    // t3 IS the encoded corpus after all three merges.
+    Q("tokenizer_bpe_apply",
+      s"""$bpeCtes,
+         |${bpeMergeCte("t2", "m3", "t3")}
+         |SELECT t0.doc_id,
+         |  CAST(len(t0.toks) AS BIGINT) AS n_tokens_raw,
+         |  CAST(len(t3.toks) AS BIGINT) AS n_tokens_bpe
+         |FROM t0 JOIN t3 USING (doc_id)""".stripMargin) { (s, dir) =>
+      val toks = bpeInput(s, dir)
+      val (_, encoded) = graft.operators.BpeMerge.train(toks, rounds = 3)
+      toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens_raw"))
+        .join(encoded.select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens_bpe")), Seq("doc_id"))
     })
+
+  private def bpeInput(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(TF.normalizeText(col("text")), " ").as("toks"))
+
+  private def bpePairsCte(t: String, p: String) =
+    s"""$p AS (
+       |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2,
+       |    count(*) AS n
+       |  FROM $t, unnest(range(1, len(toks))) AS u(i)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def bpeTopCte(p: String, m: String) =
+    s"$m AS (SELECT w1, w2, CAST(n AS BIGINT) AS n FROM $p ORDER BY n DESC, w1, w2 LIMIT 1)"
+
+  // NB: no continuation line may START with "||" — these fragments are
+  // interpolated into an outer stripMargin, which would eat the first
+  // pipe.
+  private def bpeMergeCte(t: String, m: String, t2: String) =
+    s"""$t2 AS (
+       |  SELECT doc_id,
+       |    string_split(substr(enc, 2, length(enc) - 2), chr(2) || chr(1)) AS toks
+       |  FROM (
+       |    SELECT doc_id, replace(
+       |        chr(1) || array_to_string(toks, chr(2) || chr(1)) || chr(2),
+       |        chr(1) || (SELECT w1 FROM $m) || chr(2) ||
+       |          chr(1) || (SELECT w2 FROM $m) || chr(2),
+       |        chr(1) || (SELECT w1 FROM $m) || ' ' ||
+       |          (SELECT w2 FROM $m) || chr(2)) AS enc
+       |    FROM $t))""".stripMargin
+
+  /** Shared replay of three BPE training rounds (t0 → m1..m3, t1/t2). */
+  private lazy val bpeCtes: String =
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |${bpePairsCte("t0", "p1")},
+       |${bpeTopCte("p1", "m1")},
+       |${bpeMergeCte("t0", "m1", "t1")},
+       |${bpePairsCte("t1", "p2")},
+       |${bpeTopCte("p2", "m2")},
+       |${bpeMergeCte("t1", "m2", "t2")},
+       |${bpePairsCte("t2", "p3")},
+       |${bpeTopCte("p3", "m3")}""".stripMargin
 }

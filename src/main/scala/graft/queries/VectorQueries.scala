@@ -96,7 +96,71 @@ object VectorQueries {
        |WHERE rnk <= 10""".stripMargin
   }
 
+  /** DuckDB replay of PowerIteration.pc1: scatter (4dp, the
+    * embedding_covariance noise-floor argument), then `iters` power
+    * iterations — matvec rows, norm, and projection all fold in
+    * ascending index order from 0.0 (the ArrayDot order), iterates
+    * renormalized and rounded 6dp. Ends with CTEs `s` (scatter),
+    * `v$iters` (the component), `u` (exploded corpus).
+    */
+  private def pc1Ctes(iters: Int): String = {
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cnt AS (SELECT count(*) AS n FROM e),
+         |u AS (SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i + 1 AS INT)] AS vi, v
+         |      FROM e, unnest(range(len(v))) AS ui(i)),
+         |p AS (SELECT u.i, CAST(j AS INT) AS j, u.vi, u.v[CAST(j + 1 AS INT)] AS vj
+         |      FROM u, unnest(range(len(u.v))) AS uj(j)),
+         |g AS (SELECT i, j, sum(vi * vj) AS sxy FROM p GROUP BY i, j),
+         |m AS (SELECT CAST(i AS INT) AS i, sum(v[CAST(i + 1 AS INT)]) AS sx
+         |      FROM e, unnest(range(len(v))) AS um(i) GROUP BY i),
+         |s AS (SELECT g.i, g.j, round(g.sxy - mi.sx * mj.sx / cnt.n, 4) AS sv
+         |      FROM g, cnt
+         |      JOIN m mi ON g.i = mi.i
+         |      JOIN m mj ON g.j = mj.i),
+         |v0 AS (SELECT i, round(1.0 / sqrt(64.0), 6) AS x
+         |       FROM (SELECT DISTINCT i FROM s))""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS (SELECT s.i,
+         |  list_reduce(list_prepend(0.0, list(s.sv * v${k - 1}.x ORDER BY s.j)),
+         |    (a, b) -> a + b) AS w
+         |  FROM s JOIN v${k - 1} ON s.j = v${k - 1}.i GROUP BY s.i),
+         |n$k AS (SELECT sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY i)),
+         |    (a, b) -> a + b)) AS nrm FROM w$k),
+         |v$k AS (SELECT i, round(w / (SELECT nrm FROM n$k), 6) AS x FROM w$k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   val all: Seq[Q] = Seq(
+
+    // C39: distributed first principal component (power iteration) —
+    // corpus-scale work is the scatter matrix (map-side combined d²
+    // groups) and a map-only projection scan; the d×d eigensolve runs
+    // on the driver (see operators/PowerIteration). Both the learned
+    // component and every per-vector projection are oracle-replayed
+    // closed-form.
+    Q("embedding_pca_component",
+      s"""${pc1Ctes(3)}
+         |SELECT i AS dim_idx, x AS pc FROM v3""".stripMargin) { (s, dir) =>
+      val (pc, _) = graft.operators.PowerIteration.pc1(
+        table(s, dir, "embeddings"), "vec_id", "embedding", iterations = 3)
+      import s.implicits._
+      pc.toSeq.zipWithIndex.map { case (x, i) => (i, x) }
+        .toDF("dim_idx", "pc")
+    },
+
+    Q("embedding_pca_project",
+      s"""${pc1Ctes(3)},
+         |proj AS (SELECT u.vec_id,
+         |  round(list_reduce(list_prepend(0.0, list(u.vi * v3.x ORDER BY u.i)),
+         |    (a, b) -> a + b), 6) AS score
+         |  FROM u JOIN v3 ON u.i = v3.i GROUP BY u.vec_id)
+         |SELECT vec_id, score FROM proj""".stripMargin) { (s, dir) =>
+      val (_, proj) = graft.operators.PowerIteration.pc1(
+        table(s, dir, "embeddings"), "vec_id", "embedding", iterations = 3)
+      proj.withColumnRenamed("id", "vec_id")
+    },
 
     // C7c: the TRAINED vector pipeline end-to-end — k-means fits the
     // codebook (two deterministic Lloyd rounds), IVF indexes and

@@ -594,3 +594,38 @@ class BpeMergeSpec extends SparkTestBase {
     assert(merges.isEmpty)
   }
 }
+
+/** Distributed PCA via power iteration (C39): on a corpus with one
+  * planted high-variance direction, pc1 must align with it and the
+  * projections must order points along it.
+  */
+class PowerIterationSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.PowerIteration
+
+  test("recovers a planted dominant direction") {
+    // variance ~ t^2 along (1,0,0,...), small noise elsewhere
+    val d = 8
+    val rows = (0 until 200).map { t =>
+      val v = Array.tabulate(d)(j =>
+        if (j == 0) (t - 100).toDouble
+        else math.sin(t * 7.0 + j) * 0.1)
+      (t.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (pc, proj) = PowerIteration.pc1(df, "vec_id", "embedding", iterations = 5)
+    assert(math.abs(pc(0)) > 0.999, s"pc1 not aligned: ${pc.toSeq}")
+    assert(math.abs(math.sqrt(pc.map(x => x * x).sum) - 1.0) < 1e-5)
+    // projections ordered by the planted coordinate (sign may flip)
+    val scores = proj.as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    val mono = scores.sliding(2).forall(p => p(1) >= p(0)) ||
+      scores.sliding(2).forall(p => p(1) <= p(0))
+    assert(mono, s"projections not monotone along planted axis")
+  }
+
+  test("deterministic across runs") {
+    val vecs = GraftSession.table(spark, sfDir, "embeddings").limit(200)
+    def run() = PowerIteration.pc1(vecs, "vec_id", "embedding")._1.toSeq
+    assert(run() == run())
+  }
+}
