@@ -153,6 +153,14 @@ object Bench {
       val ceilingSec =
         sys.env.getOrElse("SPARK_GRAFT_X100_CEILING_SEC", "120").toInt
       cloneTables(x100Dir, 100)
+      // Partitions scale with data (the README cluster guidance): at
+      // 100× rows with the base 32 shuffle partitions, per-task state
+      // outgrows the 4 GiB harness JVM (observed: dedup_clusters'
+      // iterative CC join OOMs). 256 partitions ⇒ ~8× smaller tasks;
+      // AQE coalesces the small stages back down.
+      val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_X100_PARTITIONS", "256"))
       def runCeiling(name: String): Double = {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
@@ -166,12 +174,15 @@ object Bench {
             -2.0
         }
       }
-      Seq("dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
+      val x100Results = Seq(
+        "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
         "span_dedup_docs", "semantic_dedup", "dedup_clusters",
         "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
         "corpus_pretrain_pipeline")
         .filter(n => only.isEmpty || only(n))
         .map(n => n -> runCeiling(n)).toMap
+      spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
+      x100Results
     }
 
     val loadEnd = loadAvg()
