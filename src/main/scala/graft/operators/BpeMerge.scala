@@ -66,14 +66,19 @@ object BpeMerge {
         merges += LearnedMerge(step, w1, w2, n)
         val pat = TokStart + w1 + TokEnd + TokStart + w2 + TokEnd
         val rep = TokStart + w1 + " " + w2 + TokEnd
+        val enc = concat(
+          lit(TokStart), array_join(col("toks"), TokEnd + TokStart),
+          lit(TokEnd))
+        val merged = split(
+          expr("substring(_enc, 2, length(_enc) - 2)"), TokEnd + TokStart)
+        // <2-token docs can't contain a pair: leave them untouched
+        // rather than round-tripping through the encoding (an empty
+        // array would come back as [""]).
         cur = cur
-          .withColumn("enc", concat(
-            lit(TokStart), array_join(col("toks"), TokEnd + TokStart),
-            lit(TokEnd)))
-          .withColumn("enc", replace(col("enc"), lit(pat), lit(rep)))
+          .withColumn("_enc", replace(enc, lit(pat), lit(rep)))
           .withColumn("toks",
-            split(expr("substring(enc, 2, length(enc) - 2)"), TokEnd + TokStart))
-          .drop("enc")
+            when(size(col("toks")) >= 2, merged).otherwise(col("toks")))
+          .drop("_enc")
           .localCheckpoint()
         step += 1
       }

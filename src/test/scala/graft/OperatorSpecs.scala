@@ -629,3 +629,66 @@ class PowerIterationSpec extends SparkTestBase {
     assert(run() == run())
   }
 }
+
+/** Property test: BpeMerge.train vs an independent in-memory
+  * reference (explicit greedy left-to-right merge over token lists)
+  * on randomized small-alphabet corpora — the overlap-heavy regime
+  * where greedy/count semantics are easiest to get subtly wrong.
+  */
+class BpeMergePropertySpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.BpeMerge
+
+  private def refApply(toks: List[String], w1: String, w2: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == w1 && toks(i + 1) == w2) {
+        out += s"$w1 $w2"; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refTrain(docs: List[List[String]], rounds: Int)
+      : (List[(Int, String, String, Long)], List[List[String]]) = {
+    var cur = docs
+    var merges = List.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      cur.foreach(d => d.zip(d.drop(1)).foreach(p =>
+        counts(p) = counts.getOrElse(p, 0L) + 1))
+      if (counts.isEmpty) done = true
+      else {
+        val ((w1, w2), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges :+= ((step, w1, w2, n))
+        cur = cur.map(refApply(_, w1, w2))
+        step += 1
+      }
+    }
+    (merges, cur)
+  }
+
+  test("agrees with the reference on 30 random overlap-heavy corpora") {
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 30) {
+      val alphabet = Vector("a", "b", "c")
+      val docs = List.tabulate(2 + rng.nextInt(5))(_ =>
+        List.fill(rng.nextInt(9))(alphabet(rng.nextInt(alphabet.size))))
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "toks")
+      val (gotMerges, gotDocs) = BpeMerge.train(df, rounds = 3)
+      val (expMerges, expDocs) = refTrain(docs, rounds = 3)
+      assert(gotMerges.map(m => (m.step, m.w1, m.w2, m.nPairs)) == expMerges,
+        s"trial $trial merges differ for $docs")
+      val gotByDoc = gotDocs.select($"doc_id", $"toks")
+        .as[(Long, List[String])].collect().toMap
+      docs.indices.foreach { i =>
+        assert(gotByDoc(i.toLong) == expDocs(i),
+          s"trial $trial doc $i: ${gotByDoc(i.toLong)} != ${expDocs(i)} for $docs")
+      }
+    }
+  }
+}
