@@ -121,9 +121,7 @@ object Bench {
       duplicate("embeddings", Seq("vec_id"))
       duplicate("events", Seq("event_id", "user_id"))
     }
-    val sfx10 = if (!scaleProbe) Map.empty[String, Double] else {
-      val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
-      cloneTables(x10Dir, 10)
+    val x10Names =
       Seq("dedup_minhash_pairs", "dedup_simhash", "dedup_embed_cosine",
         "dedup_clusters", "dedup_exact_docs",
         "ann_lsh_topk", "ann_ivf_topk", "ann_recall_gate",
@@ -135,7 +133,10 @@ object Bench {
         "text_entropy", "timeseries_gapfill",
         "corpus_pretrain_pipeline", "ann_ivf_trained")
         .filter(n => only.isEmpty || only(n))
-        .map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
+    val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
+      val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
+      cloneTables(x10Dir, 10)
+      x10Names.map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 
     // ---- sf_x100 probe: two decades of scale evidence for the
@@ -148,7 +149,15 @@ object Bench {
     // replacements (minhash/simhash/semantic) are exactly what this
     // probe gates.
     val x100Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X100", "1") != "0"
-    val sfx100 = if (!scaleProbe || !x100Probe) Map.empty[String, Double] else {
+    val x100Names = Seq(
+      "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
+      "span_dedup_docs", "semantic_dedup", "dedup_clusters",
+      "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
+      "corpus_pretrain_pipeline")
+      .filter(n => only.isEmpty || only(n))
+    val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
+      Map.empty[String, Double]
+    else {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")
       val ceilingSec =
         sys.env.getOrElse("SPARK_GRAFT_X100_CEILING_SEC", "120").toInt
@@ -169,18 +178,25 @@ object Bench {
         try Await.result(f, ceilingSec.seconds)
         catch {
           case _: java.util.concurrent.TimeoutException =>
-            spark.sparkContext.cancelAllJobs()
             System.err.println(s"[bench] x100 TIMEOUT $name (> $ceilingSec s)")
+            // A multi-action query can be between driver jobs when the
+            // cancel lands, submit its next job uncancelled, and keep
+            // computing under the NEXT measurement. Re-cancel until the
+            // abandoned future actually terminates (bounded).
+            var settled = false
+            var rounds = 0
+            while (!settled && rounds < 30) {
+              spark.sparkContext.cancelAllJobs()
+              settled = try { Await.ready(f, 2.seconds); true }
+                        catch { case _: java.util.concurrent.TimeoutException => false }
+              rounds += 1
+            }
+            if (!settled) System.err.println(
+              s"[bench] x100 $name still running after cancel — subsequent probes may be inflated")
             -2.0
         }
       }
-      val x100Results = Seq(
-        "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
-        "span_dedup_docs", "semantic_dedup", "dedup_clusters",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
-        "corpus_pretrain_pipeline")
-        .filter(n => only.isEmpty || only(n))
-        .map(n => n -> runCeiling(n)).toMap
+      val x100Results = x100Names.map(n => n -> runCeiling(n)).toMap
       spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
       x100Results
     }

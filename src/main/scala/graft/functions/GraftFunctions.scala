@@ -41,7 +41,12 @@ object GraftFunctions {
 
   private def intArg(name: String, pos: Int, e: Expression): Int =
     foldableArg(name, pos, e) match {
-      case n: java.lang.Number => n.intValue()
+      case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+                _: java.lang.Long) =>
+        val v = n.asInstanceOf[java.lang.Number].longValue()
+        if (v < Int.MinValue || v > Int.MaxValue)
+          fail(s"$name argument ${pos + 1} out of Int range: $v")
+        v.toInt
       case other =>
         fail(s"$name argument ${pos + 1} must be an integer literal, " +
           s"got ${other.getClass.getSimpleName}")
@@ -60,10 +65,16 @@ object GraftFunctions {
   val injections: Seq[Injection] = Seq(
     (FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
-      (exprs: Seq[Expression]) => Fingerprint64(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        requireArity("fingerprint64", exprs, 1)
+        Fingerprint64(exprs.head)
+      }),
     (FunctionIdentifier("fmix64"),
       new ExpressionInfo(classOf[Fmix64].getName, "fmix64"),
-      (exprs: Seq[Expression]) => Fmix64(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        requireArity("fmix64", exprs, 1)
+        Fmix64(exprs.head)
+      }),
     (FunctionIdentifier("bottomk_sample"),
       new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
       (exprs: Seq[Expression]) => {
@@ -73,7 +84,10 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
-      (exprs: Seq[Expression]) => HllSketch(exprs.head).toAggregateExpression()),
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_distinct", exprs, 1)
+        HllSketch(exprs.head).toAggregateExpression()
+      }),
     (FunctionIdentifier("tdigest_quantile"),
       new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
       (exprs: Seq[Expression]) => {
@@ -83,7 +97,10 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
-      (exprs: Seq[Expression]) => CountMinAgg(exprs.head).toAggregateExpression()),
+      (exprs: Seq[Expression]) => {
+        requireArity("count_min", exprs, 1)
+        CountMinAgg(exprs.head).toAggregateExpression()
+      }),
     (FunctionIdentifier("cms_lookup"),
       new ExpressionInfo(classOf[CmsLookup].getName, "cms_lookup"),
       (exprs: Seq[Expression]) => {
@@ -92,7 +109,10 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("bloom_filter"),
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_filter"),
-      (exprs: Seq[Expression]) => BloomAgg(exprs.head).toAggregateExpression()),
+      (exprs: Seq[Expression]) => {
+        requireArity("bloom_filter", exprs, 1)
+        BloomAgg(exprs.head).toAggregateExpression()
+      }),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => {
@@ -101,13 +121,22 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("token_pairs"),
       new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
-      (exprs: Seq[Expression]) => TokenPairs(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        requireArity("token_pairs", exprs, 1)
+        TokenPairs(exprs.head)
+      }),
     (FunctionIdentifier("token_repetition_stats"),
       new ExpressionInfo(classOf[TokenRepetitionStats].getName, "token_repetition_stats"),
-      (exprs: Seq[Expression]) => TokenRepetitionStats(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        requireArity("token_repetition_stats", exprs, 1)
+        TokenRepetitionStats(exprs.head)
+      }),
     (FunctionIdentifier("token_entropy_stats"),
       new ExpressionInfo(classOf[TokenEntropyStats].getName, "token_entropy_stats"),
-      (exprs: Seq[Expression]) => TokenEntropyStats(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        requireArity("token_entropy_stats", exprs, 1)
+        TokenEntropyStats(exprs.head)
+      }))
 
   /** Register every graft SQL function on an existing session. */
   def registerAll(spark: SparkSession): Unit =

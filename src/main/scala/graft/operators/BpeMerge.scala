@@ -43,9 +43,17 @@ object BpeMerge {
     * `toks`); returns the learned merge table and the corpus
     * re-tokenized under all merges. Stops early if no adjacent pair
     * remains.
+    *
+    * The U+0001/U+0002 sentinels are reserved: a token containing
+    * them would encode ambiguously (the single token "a<STX><SOH>b" is
+    * byte-identical to the adjacent tokens ["a","b"]), so they are
+    * stripped from every token up front — a map-only pass, and a
+    * no-op on any normalized text corpus (control chars never
+    * survive tokenization).
     */
   def train(docs: DataFrame, rounds: Int): (Seq[LearnedMerge], DataFrame) = {
-    var cur = docs
+    var cur = docs.withColumn("toks",
+      transform(col("toks"), t => translate(t, TokStart + TokEnd, "")))
     val merges = Seq.newBuilder[LearnedMerge]
     var step = 1
     var exhausted = false

@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * Decomposition by data size, not by step: the only corpus-scale
   * work is (a) the centered scatter matrix S = Σvvᵀ − (Σv)(Σv)ᵀ/n —
-  * chained posexplode with MAP-SIDE combine into d² groups, so the
-  * exchange carries d² partial rows per partition regardless of
-  * corpus size (the `embedding_covariance` pattern) — and (b) the
-  * final projection, a map-only fused-dot scan. The power iteration
-  * itself runs on the DRIVER over the collected d×d matrix (d² + d +
-  * 1 rows — bounded by dimension, never by rows; 64-dim ⇒ 4 096
-  * doubles), which is the right side of the driver/cluster split for
-  * any d where a dense eigensolve is feasible at all.
+  * chained posexplode with MAP-SIDE combine into d(d+1)/2
+  * upper-triangle groups, so the exchange carries a dimension-bounded
+  * number of partial rows per partition regardless of corpus size
+  * (the `embedding_covariance` pattern; mirrored to full d×d on the
+  * driver) — and (b) the final projection, a map-only fused-dot scan.
+  * The power iteration itself runs on the DRIVER over the collected
+  * matrix (d(d+1)/2 + d rows — bounded by dimension, never by rows;
+  * 64-dim ⇒ 2 080 partials), which is the right side of the
+  * driver/cluster split for any d where a dense eigensolve is
+  * feasible at all.
   *
   * Cross-engine determinism (the `kmeans_iterations` 6dp trick):
   * scatter entries are rounded to `roundS` dp (raw-sum magnitudes sit
@@ -36,18 +38,28 @@ object PowerIteration {
       : (Array[Double], DataFrame) = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
 
-    val n = v.count().toDouble
-    val d = v.select(size(col("v"))).head().getInt(0)
+    // Two corpus passes total. Pass 1: per-dim sums, with the row
+    // count riding the same aggregation (n = rows carrying dim 0) —
+    // no separate count()/head() jobs. Pass 2: second-moment sums
+    // over the UPPER TRIANGLE only (d(d+1)/2 groups, map-side
+    // combined — the embedding_covariance exchange shape), mirrored
+    // on the driver.
+    val sxRows = v.select(posexplode(col("v")).as(Seq("i", "vi")))
+      .groupBy(col("i"))
+      .agg(sum(col("vi")).as("sx"), count(lit(1)).as("cnt"))
+      .collect()
+    val sx = sxRows.map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val d = sxRows.length
+    val n = sxRows.head.getLong(2).toDouble
 
-    // raw second-moment sums, full d×d (map-side combine into d² groups)
-    val sxy = v
+    val sxyUpper = v
       .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
       .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j")).agg(sum(col("vi") * col("vj")).as("sxy"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    val sx = v.select(posexplode(col("v")).as(Seq("i", "vi")))
-      .groupBy(col("i")).agg(sum(col("vi")).as("sx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    def sxy(i: Int, j: Int): Double =
+      if (j >= i) sxyUpper((i, j)) else sxyUpper((j, i))
 
     // Spark's round() semantics exactly (decimal-exact HALF_UP) — the
     // same function the SQL oracle's round() has matched across every
@@ -55,7 +67,7 @@ object PowerIteration {
     // engines' rounded values bitwise.
     def rnd(x: Double, dp: Int): Double =
       BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val s = Array.tabulate(d, d)((i, j) => rnd(sxy((i, j)) - sx(i) * sx(j) / n, roundS))
+    val s = Array.tabulate(d, d)((i, j) => rnd(sxy(i, j) - sx(i) * sx(j) / n, roundS))
 
     var vec = Array.fill(d)(rnd(1.0 / math.sqrt(d.toDouble), roundV))
     for (_ <- 1 to iterations) {

@@ -329,7 +329,10 @@ object DedupQueries {
           Seq("cluster"))
         .filter(col("id_a") < col("id_b") && cos >= CosineThreshold)
         .select(col("id_b").as("vec_id")).distinct()
-      val kept = asg.join(broadcast(drops), Seq("vec_id"), "left_anti")
+      // NO broadcast hint on the drop set: in a duplicate-heavy corpus
+      // (the method's target regime) drops approaches n rows — let the
+      // planner/AQE pick broadcast only when it actually fits.
+      val kept = asg.join(drops, Seq("vec_id"), "left_anti")
       asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
         .join(kept.groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum")),

@@ -401,18 +401,21 @@ object TextQueries {
 
   // NB: no continuation line may START with "||" — these fragments are
   // interpolated into an outer stripMargin, which would eat the first
-  // pipe.
+  // pipe. The coalesce falls back to the unmerged encoding when the
+  // merge CTE is empty (training exhausted early → scalar subqueries
+  // are NULL → replace is NULL), matching BpeMerge.train's early stop.
   private def bpeMergeCte(t: String, m: String, t2: String) =
     s"""$t2 AS (
        |  SELECT doc_id,
        |    string_split(substr(enc, 2, length(enc) - 2), chr(2) || chr(1)) AS toks
        |  FROM (
-       |    SELECT doc_id, replace(
+       |    SELECT doc_id, coalesce(replace(
        |        chr(1) || array_to_string(toks, chr(2) || chr(1)) || chr(2),
        |        chr(1) || (SELECT w1 FROM $m) || chr(2) ||
        |          chr(1) || (SELECT w2 FROM $m) || chr(2),
        |        chr(1) || (SELECT w1 FROM $m) || ' ' ||
-       |          (SELECT w2 FROM $m) || chr(2)) AS enc
+       |          (SELECT w2 FROM $m) || chr(2)),
+       |      chr(1) || array_to_string(toks, chr(2) || chr(1)) || chr(2)) AS enc
        |    FROM $t))""".stripMargin
 
   /** Shared replay of three BPE training rounds (t0 → m1..m3, t1/t2). */

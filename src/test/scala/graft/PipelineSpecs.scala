@@ -389,14 +389,15 @@ class RocksDBStateStoreSpec extends SparkTestBase {
       val q = sessions.writeStream.outputMode("append")
         .format("memory").queryName("rocks_trips_out")
         .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
-      input.addData(
-        Reading(1L, 0L, 0.0, 0.0, 1.0, 10.0),
-        Reading(1L, 10L, 1.0, 0.0, 2.0, 20.0))
-      var tries = 0
-      while (spark.table("rocks_trips_out").isEmpty && tries < 100) {
-        Thread.sleep(200); tries += 1
-      }
-      q.stop()
+      try {
+        input.addData(
+          Reading(1L, 0L, 0.0, 0.0, 1.0, 10.0),
+          Reading(1L, 10L, 1.0, 0.0, 2.0, 20.0))
+        var tries = 0
+        while (spark.table("rocks_trips_out").isEmpty && tries < 100) {
+          Thread.sleep(200); tries += 1
+        }
+      } finally q.stop()
       val rows = spark.table("rocks_trips_out")
         .as[SessionPipeline.TripSession].collect()
       assert(rows.length == 1, s"got ${rows.toSeq}")
