@@ -135,6 +135,51 @@ object StreamingQueries {
       runToMemory(s, enriched, "graft_stream_enrich")
     },
 
+    // D11 under the gate: STREAMING corpus curation — the C-family
+    // composed under Structured Streaming (continuous ingest is how a
+    // web-scale corpus actually arrives): documents replayed as a file
+    // stream → quality filter (the corpus_filter thresholds, stateless
+    // codegen exprs) → exact dedup on the 64-bit content fingerprint
+    // (dropDuplicates keyed state — 8 B/doc of state, the C1 shuffle
+    // economics carried into the state store). Emission = first sight
+    // per fingerprint; which clone arrives first is batch-order-
+    // dependent, so (the streaming_dedup convention) only KEY-
+    // DETERMINED columns are emitted — fp and the token count derived
+    // from the (identical) text — and the oracle is the DISTINCT
+    // batch image with the HUGEINT mod-2^64 fingerprint replay.
+    Q("streaming_corpus_curate",
+      """WITH f AS (
+        |  SELECT
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(string_split_regex(text, ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS h,
+        |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |      AS n_tokens
+        |  FROM documents
+        |  WHERE n_chars >= 200
+        |    AND len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 30)
+        |SELECT DISTINCT
+        |  CAST(CASE WHEN h >= 9223372036854775808
+        |       THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM f""".stripMargin) { (s, dir) =>
+      import graft.functions.{Fingerprint64, TextFunctions => TF}
+      val docSchema = table(s, dir, "documents").schema
+      val docs = s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val curated = docs
+        .filter(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30)
+        .select(
+          Fingerprint64.fingerprint64(col("text")).as("fp"),
+          TF.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .dropDuplicates("fp")
+      runToMemory(s, curated, "graft_stream_curate").distinct()
+    },
+
     // D10 under the gate: a CUSTOM mergeable sketch
     // (TypedImperativeAggregate HLL) running inside watermarked
     // streaming state — tumbling 1-hour windows of distinct users.

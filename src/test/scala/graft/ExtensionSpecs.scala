@@ -148,6 +148,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT cms_lookup(NULL) FROM reg_nums").collect()
     }
     assert(e3.getMessage.contains("cms_lookup"), e3.getMessage)
+    // non-integral k must be rejected, not truncated to k=2
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bottomk_sample(CAST(n AS BIGINT), 2.9) FROM reg_nums")
+        .collect()
+    }
+    assert(e4.getMessage.contains("integer literal"), e4.getMessage)
+    // one-arg functions: extra args must fail loudly, not be ignored
+    val e5 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT fingerprint64('a', 'b')").collect()
+    }
+    assert(e5.getMessage.contains("fingerprint64"), e5.getMessage)
   }
 }
 
