@@ -347,6 +347,50 @@ object TextQueries {
         (length(col("text")) < 500 || ratio < 0.95).cast("int").as("long_compresses"))
     },
 
+    // C40: model-based quality scoring — the fastText/CCNet-style
+    // hash-trick LINEAR CLASSIFIER shape (hashed bag-of-words →
+    // weight lookup → mean score → keep/drop), the standard
+    // learned-quality filter of web-corpus pipelines. Weights here
+    // are a fixed deterministic table (w_d = (d·2654435761 mod 2001)
+    // − 1000, an integer formula — a real deployment broadcasts its
+    // trained vector; the ENGINE work is identical). The whole score
+    // is EXACT-INTEGER until one final division: feature = low 12
+    // bits of the rolling fingerprint (unsigned mod 4096 ≡ signed
+    // &4095), and the emitted columns stay in the INTEGER domain
+    // (Σw, n) — order-independent, no ulp drift, and no
+    // rounded-quotient boundary to disagree on (a first attempt
+    // emitted round(Σw/(1000n), 6) and lost a 6th-decimal coin-flip
+    // at a near-tie quotient — the mean is the consumer's division).
+    // Map-only, zero shuffle.
+    Q("text_quality_model",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(toks, tok ->
+         |        (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |           list_transform(string_split_regex(tok, ''),
+         |             c -> CAST(ord(c) AS HUGEINT))),
+         |          (h, b) -> (h * 31 + b) % 18446744073709551616) % 4096)
+         |        * 2654435761 % 2001 - 1000)),
+         |      (a, x) -> a + x) AS wsum
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(wsum AS BIGINT) AS weight_sum,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN wsum > 0 THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM s""".stripMargin) { (s, dir) =>
+      val toks = TF.wsTokens(col("text"))
+      val wsum = aggregate(toks, lit(0L), (acc, t) =>
+        acc + (Fingerprint64.fingerprint64(t).bitwiseAND(lit(4095L))
+          * lit(2654435761L) % lit(2001L) - lit(1000L)))
+      table(s, dir, "documents")
+        .select(col("doc_id"), wsum.as("weight_sum"),
+          size(toks).cast("bigint").as("n_tokens"))
+        .select(col("doc_id"), col("weight_sum"), col("n_tokens"),
+          (col("weight_sum") > 0).cast("int").as("kept"))
+    },
+
     // C38: BPE-merge tokenizer training (word-pair variant) — three
     // rounds of (corpus pair count → top pair → greedy merge), the
     // operator's scaladoc has the full story (operators/BpeMerge).
