@@ -758,15 +758,22 @@ object ExtendedQueries {
     // window — per-USER partitions are small by construction, so this
     // window is the right tool, unlike the low-cardinality cases
     // rewired through DistributedPrefixSum). Day buckets are integer
-    // epoch-days, daily means rounded 4dp BEFORE the fill so both
-    // engines carry identical doubles forward.
+    // epoch-days; the carried daily mean is EXACT-INTEGER cents
+    // divided once in doubles (Σ⌊100·value⌋ / (100·n) — identical
+    // integers → identical IEEE division in both engines). The
+    // previous round(avg, 4) spelling flipped the 4dp boundary on
+    // 2/40083 groups at sf0.1: the distributed sum's ulp noise
+    // crossed the rounding boundary — an avg is NOT n×-above-noise
+    // the way raw scatter sums are.
     Q("timeseries_gapfill",
       """WITH e AS (
         |  SELECT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
         |  FROM events),
         |d AS (
-        |  SELECT user_id, day, count(*) AS n, round(avg(value), 4) AS v
+        |  SELECT user_id, day, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+        |      / (100.0 * count(*)) AS v
         |  FROM e GROUP BY user_id, day),
         |s AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY user_id),
         |dense AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM s),
@@ -782,7 +789,9 @@ object ExtendedQueries {
         .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
           col("value"))
         .groupBy(col("user_id"), col("day"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("v"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100).cast("long")).cast("double")
+            / (lit(100.0) * count(lit(1)))).as("v"))
       val dense = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
         .select(col("user_id"),
@@ -793,5 +802,45 @@ object ExtendedQueries {
         .select(col("user_id"), col("day"),
           coalesce(col("n"), lit(0L)).cast("bigint").as("n_events"),
           last(col("v"), ignoreNulls = true).over(w).as("filled_value"))
+    },
+
+    // B48: per-key EWMA (exponential smoothing — the telemetry
+    // smoothing the reference's trip domain wants): y₁ = x₁,
+    // yₜ = α·xₜ + (1−α)·yₜ₋₁ over each user's day-ordered daily
+    // means. The recurrence is a LEFT FOLD in day order: Spark folds
+    // a sort_array'd collect_list per user (per-USER partitions are
+    // small by construction — the gapfill argument), DuckDB seeds
+    // list_reduce with the first element of list(... ORDER BY day) —
+    // the same seed, same order, same IEEE ops (α = 0.25 is exact
+    // binary; inputs are the exact-integer-cents daily means of the
+    // gapfill convention) → bit-equal before the final 6dp round.
+    Q("timeseries_ewma",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+        |      / (100.0 * count(*)) AS v
+        |  FROM e GROUP BY user_id, day)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(list_reduce(list(v ORDER BY day),
+        |    (a, x) -> 0.25 * x + 0.75 * a), 6) AS ewma
+        |FROM d GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
+          col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg((sum(floor(col("value") * 100).cast("long")).cast("double")
+          / (lit(100.0) * count(lit(1)))).as("v"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("v")))).as("_dv"))
+        .select(col("user_id"), col("n_days").cast("bigint").as("n_days"),
+          round(aggregate(col("_dv"), lit(null).cast("double"), (acc, dv) =>
+            when(acc.isNull, dv.getField("v"))
+              .otherwise(lit(0.25) * dv.getField("v") + lit(0.75) * acc)), 6)
+            .as("ewma"))
     })
 }
