@@ -106,11 +106,15 @@ object Fingerprint64 {
   def fmix64(c: Column): Column =
     GraftBridge.column(Fmix64(GraftBridge.expression(c)))
 
-  /** Register `fingerprint64`/`fmix64` for spark.sql use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fmix64", exprs => Fmix64(exprs.head), "built-in")
-  }
+  /** Register `fingerprint64`/`fmix64` for spark.sql use — delegates
+    * to the central GraftFunctions builders so the arity validation
+    * is identical on every registration path.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftFunctions.injections
+      .filter { case (id, _, _) =>
+        id.funcName == "fingerprint64" || id.funcName == "fmix64" }
+      .foreach { case (id, _, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(id.funcName, builder, "built-in") }
 }

@@ -20,6 +20,19 @@ object ExtendedQueries {
       |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
       |  FROM events)""".stripMargin
 
+  // Exact-integer-cents daily mean — ONE definition for every
+  // time-series query that carries/folds daily values: Σ⌊100·v⌋ is an
+  // order-independent integer sum, divided ONCE in doubles, so both
+  // engines produce bit-identical means (round(avg, 4) flipped the
+  // rounding boundary on 2/40083 groups at sf0.1 — the avg's
+  // distributed-sum ulp noise is NOT n×-below any fixed decimal).
+  private val dailyMeanSql =
+    "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / (100.0 * count(*))"
+
+  private def dailyMeanCol: org.apache.spark.sql.Column =
+    sum(floor(col("value") * 100).cast("long")).cast("double") /
+      (lit(100.0) * count(lit(1)))
+
   val all: Seq[Q] = Seq(
 
     // B19: INTERSECT (distinct set semantics in both engines).
@@ -758,22 +771,16 @@ object ExtendedQueries {
     // window — per-USER partitions are small by construction, so this
     // window is the right tool, unlike the low-cardinality cases
     // rewired through DistributedPrefixSum). Day buckets are integer
-    // epoch-days; the carried daily mean is EXACT-INTEGER cents
-    // divided once in doubles (Σ⌊100·value⌋ / (100·n) — identical
-    // integers → identical IEEE division in both engines). The
-    // previous round(avg, 4) spelling flipped the 4dp boundary on
-    // 2/40083 groups at sf0.1: the distributed sum's ulp noise
-    // crossed the rounding boundary — an avg is NOT n×-above-noise
-    // the way raw scatter sums are.
+    // epoch-days; the carried daily mean is the shared exact-cents
+    // fragment (`dailyMeanSql` — see its comment for why round(avg)
+    // cannot gate).
     Q("timeseries_gapfill",
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
         |  FROM events),
         |d AS (
-        |  SELECT user_id, day, count(*) AS n,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
-        |      / (100.0 * count(*)) AS v
+        |  SELECT user_id, day, count(*) AS n, $dailyMeanSql AS v
         |  FROM e GROUP BY user_id, day),
         |s AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY user_id),
         |dense AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM s),
@@ -789,9 +796,7 @@ object ExtendedQueries {
         .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
           col("value"))
         .groupBy(col("user_id"), col("day"))
-        .agg(count(lit(1)).as("n"),
-          (sum(floor(col("value") * 100).cast("long")).cast("double")
-            / (lit(100.0) * count(lit(1)))).as("v"))
+        .agg(count(lit(1)).as("n"), dailyMeanCol.as("v"))
       val dense = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
         .select(col("user_id"),
@@ -812,17 +817,15 @@ object ExtendedQueries {
     // small by construction — the gapfill argument), DuckDB seeds
     // list_reduce with the first element of list(... ORDER BY day) —
     // the same seed, same order, same IEEE ops (α = 0.25 is exact
-    // binary; inputs are the exact-integer-cents daily means of the
-    // gapfill convention) → bit-equal before the final 6dp round.
+    // binary; inputs are the shared exact-cents daily means) →
+    // bit-equal before the final 6dp round.
     Q("timeseries_ewma",
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
         |  FROM events),
         |d AS (
-        |  SELECT user_id, day,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
-        |      / (100.0 * count(*)) AS v
+        |  SELECT user_id, day, $dailyMeanSql AS v
         |  FROM e GROUP BY user_id, day)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
         |  round(list_reduce(list(v ORDER BY day),
@@ -832,8 +835,7 @@ object ExtendedQueries {
         .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
           col("value"))
         .groupBy(col("user_id"), col("day"))
-        .agg((sum(floor(col("value") * 100).cast("long")).cast("double")
-          / (lit(100.0) * count(lit(1)))).as("v"))
+        .agg(dailyMeanCol.as("v"))
       daily.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_days"),
           sort_array(collect_list(struct(col("day"), col("v")))).as("_dv"))

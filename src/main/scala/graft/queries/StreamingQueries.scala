@@ -171,13 +171,21 @@ object StreamingQueries {
         .schema(docSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+      // token count computed ONCE per row (filter-after-project —
+      // codegen does not CSE across Filter/Project boundaries)
       val curated = docs
-        .filter(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30)
-        .select(
+        .select(col("n_chars"),
           Fingerprint64.fingerprint64(col("text")).as("fp"),
           TF.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .filter(col("n_chars") >= 200 && col("n_tokens") >= 30)
+        .select(col("fp"), col("n_tokens"))
         .dropDuplicates("fp")
-      runToMemory(s, curated, "graft_stream_curate").distinct()
+      // NB: no trailing distinct — unwatermarked dropDuplicates state
+      // persists for the whole AvailableNow replay, so each fp is
+      // emitted exactly once (unlike streaming_dedup's
+      // dropDuplicatesWithinWatermark, which can re-emit past the
+      // delay).
+      runToMemory(s, curated, "graft_stream_curate")
     },
 
     // D10 under the gate: a CUSTOM mergeable sketch
