@@ -26,12 +26,15 @@ object ExtendedQueries {
   // engines produce bit-identical means (round(avg, 4) flipped the
   // rounding boundary on 2/40083 groups at sf0.1 — the avg's
   // distributed-sum ulp noise is NOT n×-below any fixed decimal).
-  private val dailyMeanSql =
-    "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / (100.0 * count(*))"
+  private def centsMeanSql(c: String): String =
+    s"CAST(sum(CAST(floor($c * 100) AS BIGINT)) AS DOUBLE) / (100.0 * count(*))"
 
-  private def dailyMeanCol: org.apache.spark.sql.Column =
-    sum(floor(col("value") * 100).cast("long")).cast("double") /
+  private def centsMeanCol(c: String): org.apache.spark.sql.Column =
+    sum(floor(col(c) * 100).cast("long")).cast("double") /
       (lit(100.0) * count(lit(1)))
+
+  private val dailyMeanSql = centsMeanSql("value")
+  private def dailyMeanCol: org.apache.spark.sql.Column = centsMeanCol("value")
 
   val all: Seq[Q] = Seq(
 
@@ -517,11 +520,14 @@ object ExtendedQueries {
     // aggregate — the full Kafka-shaped ingest path under the
     // correctness gate (the oracle computes the same aggregate
     // directly, since serialize→parse is the identity on the fields).
+    // avg_speed uses the exact-cents mean (round(avg, 4) flipped the
+    // 4dp boundary for one user at sf0.1 — the gapfill find, same
+    // class, found by the round-6 sf0.1 sweep).
     Q("trip_pipeline_json",
       s"""WITH $eventsCte
          |SELECT user_id AS trip_id,
          |  count(*) AS n_events,
-         |  round(avg(value), 4) AS avg_speed,
+         |  ${centsMeanSql("value")} AS avg_speed,
          |  min(tsec) AS first_s,
          |  max(tsec) AS last_s
          |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
@@ -536,7 +542,7 @@ object ExtendedQueries {
         .groupBy(col("trip_id"))
         .agg(
           count(lit(1)).as("n_events"),
-          round(avg(col("speed_kmh")), 4).as("avg_speed"),
+          centsMeanCol("speed_kmh").as("avg_speed"),
           min(unix_timestamp(col("ts"))).as("first_s"),
           max(unix_timestamp(col("ts"))).as("last_s"))
     },

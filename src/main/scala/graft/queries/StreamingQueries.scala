@@ -193,12 +193,14 @@ object StreamingQueries {
     // streaming state — tumbling 1-hour windows of distinct users.
     // The estimate itself is engine-specific, so the oracle pins the
     // window set, the per-window row counts, the exact distincts,
-    // and a |est-exact| <= max(2, 5%*exact) bound on the sketch --
-    // the small-cardinality form of hll_distinct_parts' gate:
-    // windows here hold ~10-20 distincts, where HLL small-range
-    // correction wobbles +/-1-2 (measured: 12/718 windows off by 1-2
-    // under a pure 5% bound) while a state bug (double-merge, lost
-    // partial) would shift estimates far past +/-2. Emission:
+    // and a |est-exact| <= max(2, 8%*exact) bound on the sketch --
+    // the small-cardinality form of hll_distinct_parts' gate. At
+    // sf0.01 windows hold ~10-20 distincts (small-range correction
+    // wobbles +/-1-2); at sf0.1 they hold ~110-160, where the worst
+    // measured window sits at 5.2% (a 2.3-sigma tail of the m=2048
+    // estimator) -- 8% ~ 3.5 sigma keeps every data scale green
+    // while a state bug (double-merge ~ +100%, lost partial ~ -50%)
+    // still lands far outside. Emission:
     // append-mode windows strictly below the final watermark; BOTH
     // sides apply the same closed-form filter, so boundary windows
     // cannot disagree.
@@ -243,7 +245,7 @@ object StreamingQueries {
         .filter(col("hour_start_s") + 3600 < col("fw"))
         .select(col("hour_start_s"), col("n_events"), col("exact_users"),
           when(abs(col("est") - col("exact_users")).cast("double")
-            <= greatest(lit(2.0), col("exact_users") * 0.05), 1)
+            <= greatest(lit(2.0), col("exact_users") * 0.08), 1)
             .otherwise(0).cast("int").as("hll_ok"))
     })
 
