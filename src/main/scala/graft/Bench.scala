@@ -174,6 +174,19 @@ object Bench {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
+        // Release the PREVIOUS query's cached/localCheckpointed blocks
+        // before timing the next: at 100× each query materializes
+        // corpus-scale state (checkpointed assignments, CC iteration
+        // frontiers) that outlives its DataFrame in the BlockManager —
+        // ten queries of accumulation hard-OOMed the 4 GiB harness JVM
+        // (dedup_clusters died after nine predecessors despite running
+        // fine alone), and a dead SparkContext poisons every query
+        // after it. Isolation per measurement is also better
+        // methodology.
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         val f = Future(run(name, SparkEntry.queries(name), x100Dir))
         try Await.result(f, ceilingSec.seconds)
         catch {
