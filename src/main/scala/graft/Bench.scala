@@ -130,8 +130,10 @@ object Bench {
         "contamination_check", "corpus_curate_pipeline",
         "pack_documents", "mm_frame_sample",
         "span_dedup_docs", "semantic_dedup", "corpus_rebalance",
-        "text_entropy", "timeseries_gapfill",
-        "corpus_pretrain_pipeline", "ann_ivf_trained")
+        "text_entropy", "timeseries_gapfill", "timeseries_ewma",
+        "corpus_pretrain_pipeline", "ann_ivf_trained",
+        "tokenizer_bpe_merges", "text_quality_model",
+        "embedding_pca_project", "streaming_corpus_curate")
         .filter(n => only.isEmpty || only(n))
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")

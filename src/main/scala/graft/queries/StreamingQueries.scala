@@ -166,11 +166,7 @@ object StreamingQueries {
         |  CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM f""".stripMargin) { (s, dir) =>
       import graft.functions.{Fingerprint64, TextFunctions => TF}
-      val docSchema = table(s, dir, "documents").schema
-      val docs = s.readStream
-        .schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      val docs = tableStream(s, dir, "documents")
       // token count computed ONCE per row (filter-after-project —
       // codegen does not CSE across Filter/Project boundaries)
       val curated = docs
@@ -264,13 +260,29 @@ object StreamingQueries {
     try f finally spark.conf.set(key, prev)
   }
 
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = table(spark, dir, "events").schema
+  /** Streams table `tbl` from `dir`, robust to BOTH on-disk layouts:
+    * the driver's flat single-file `<dir>/<tbl>.parquet` and a
+    * Spark-written DIRECTORY of part files (the bench clone corpora).
+    * File sources stream a directory + leaf-file-name glob, so the
+    * two layouts need different (root, glob) pairs — with the flat
+    * pair on a clone dir the glob matches no leaf (part files are
+    * named part-*.parquet) and the stream silently replays ZERO rows,
+    * which is how the ×10 probe briefly benched an empty stream.
+    */
+  private def tableStream(spark: SparkSession, dir: String, tbl: String): DataFrame = {
+    val batchSchema = table(spark, dir, tbl).schema
+    val path = s"$dir/$tbl.parquet"
+    val (root, glob) =
+      if (new java.io.File(path).isDirectory) (path, "*.parquet")
+      else (dir, s"$tbl.parquet")
     spark.readStream
       .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", glob)
+      .parquet(root)
   }
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    tableStream(spark, dir, "events")
 
   private def runToMemory(spark: SparkSession, df: DataFrame,
       prefix: String): DataFrame = withStatePartitions(spark, 8) {
@@ -320,11 +332,7 @@ object StreamingQueries {
 
   private def runStatefulStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val batchSchema = table(spark, dir, "events").schema
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val raw = eventStream(spark, dir)
     val events = raw.select(
       col("user_id"), col("event_id"),
       expr("ts div 1000000000").as("tsec"), col("value"))
@@ -351,12 +359,7 @@ object StreamingQueries {
     * closed session.
     */
   private def runSessionStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = table(spark, dir, "events").schema
-    // file sources stream a DIRECTORY; glob-filter to the events file
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val raw = eventStream(spark, dir)
     val events = raw.select(
       col("user_id"), col("value"),
       timestamp_seconds(expr("ts div 1000000000")).as("ts"))
