@@ -404,6 +404,92 @@ object CorpusQueries {
           sum(col("nc")).as("total_tokens"))
     },
 
+    // C42: DSIR-style importance weighting (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling") — the
+    // standard way a pretraining corpus is reweighted toward a target
+    // domain: hashed n-gram features (unigrams + bigrams, hash trick
+    // into B = 8192 buckets), per-bucket add-one-smoothed log-ratio of
+    // target vs source feature distributions, per-doc importance
+    // weight = Σ over the doc's feature instances. Target here = the
+    // lang='en' slice (a real deployment plugs in any in-domain
+    // sample; the ENGINE work is identical).
+    // Scale shape: the corpus is scanned exactly TWICE — once to
+    // train (bucket groupBy, map-side combined into ≤ B·partitions
+    // rows) and once to score (broadcast join against the ≤ B-row
+    // weight table + one doc_id aggregation). The model is
+    // localCheckpointed so no consumer re-runs training.
+    // Determinism: bucket ids replay the HUGEINT rolling-fingerprint
+    // mod-2^64 convention (text_quality_model precedent: unsigned
+    // % 8192 ≡ signed & 8191); bigram buckets compose the two token
+    // buckets as (b1·1000003 + b2) % 8192 in plain integer
+    // arithmetic. The per-bucket log-ratio is quantized to an INTEGER
+    // micro-log (floor(ln·1e4 + 0.5), the 4dp convention — ≤ B
+    // model-sized ln calls, sub-ulp libm caveat as text_entropy), so
+    // the per-doc Σ is an order-independent integer sum and the
+    // keep/drop sign compares exactly.
+    Q("corpus_importance_weights",
+      s"""WITH t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(toks, tok ->
+         |      CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |          list_transform(string_split_regex(tok, ''),
+         |            c -> CAST(ord(c) AS HUGEINT))),
+         |        (h, b) -> (h * 31 + b) % 18446744073709551616) % 8192 AS BIGINT)) AS ub
+         |  FROM t),
+         |i AS (
+         |  SELECT doc_id, lang, unnest(list_concat(ub,
+         |    list_transform(range(1, len(ub)), j ->
+         |      (ub[CAST(j AS INT)] * 1000003 + ub[CAST(j + 1 AS INT)]) % 8192))) AS bucket
+         |  FROM u),
+         |m AS (
+         |  SELECT bucket, count(*) AS cs,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         |  FROM i GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(cs) AS DOUBLE) AS ns, CAST(sum(ct) AS DOUBLE) AS nt
+         |  FROM m),
+         |w AS (
+         |  SELECT bucket,
+         |    CAST(floor(ln(((ct + 1.0) / (cs + 1.0)) * ((ns + 8192.0) / (nt + 8192.0)))
+         |      * 10000 + 0.5) AS BIGINT) AS lw_micro
+         |  FROM m, tot)
+         |SELECT i.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_features,
+         |  CAST(sum(lw_micro) AS BIGINT) AS weight_micro,
+         |  CAST(CASE WHEN sum(lw_micro) > 0 THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM i JOIN w USING (bucket)
+         |GROUP BY i.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Fingerprint64
+      val ub = transform(split(TF.normalizeText(col("text")), " "),
+        tok => Fingerprint64.fingerprint64(tok).bitwiseAND(lit(8191L)))
+      val inst = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), ub.as("ub"))
+        .select(col("doc_id"), col("lang"),
+          explode(concat(col("ub"),
+            zip_with(
+              slice(col("ub"), lit(1), size(col("ub")) - 1),
+              slice(col("ub"), lit(2), size(col("ub")) - 1),
+              (x, y) => (x * lit(1000003L) + y) % lit(8192L)))).as("bucket"))
+      val model = inst.groupBy(col("bucket")).agg(
+          count(lit(1)).as("cs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint()
+      val totals = model.agg(
+        sum(col("cs")).cast("double").as("ns"),
+        sum(col("ct")).cast("double").as("nt"))
+      val weighted = model.crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          floor(log(((col("ct") + lit(1.0)) / (col("cs") + lit(1.0)))
+              * ((col("ns") + lit(8192.0)) / (col("nt") + lit(8192.0))))
+            * 10000 + lit(0.5)).as("lw_micro"))
+      inst.join(broadcast(weighted), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_features"), sum(col("lw_micro")).as("weight_micro"))
+        .select(col("doc_id"), col("n_features"), col("weight_micro"),
+          (col("weight_micro") > 0).cast("int").as("kept"))
+    },
+
     // C17: deterministic train/val/test split assignment.
     Q("dataset_split",
       """SELECT

@@ -391,6 +391,59 @@ object TextQueries {
           (col("weight_sum") > 0).cast("int").as("kept"))
     },
 
+    // C41: PMI collocation scoring — the corpus-statistics operator
+    // behind phrase mining / tokenizer seeding (Church & Hanks 1990):
+    // rank word bigrams by pointwise mutual information against the
+    // bigram table's own marginals, PMI = ln(c_xy·N / (c_x·c_y)).
+    // Scale shape: ONE corpus pass (the fused TokenPairs explode →
+    // bigram-count groupBy, the text_lm_score training stage); the
+    // marginals c_x (left) and c_y (right) are MODEL-sized rollups of
+    // the localCheckpointed count table, never corpus re-scans, and
+    // the global top-20 is TakeOrderedAndProject (per-partition heaps
+    // + driver merge of 20 rows), not a full sort. Determinism: `lift`
+    // = e^PMI is a ratio of exact integers combined in pinned IEEE
+    // order → bit-equal across engines, and ranking/selection happens
+    // on lift with a (w1, w2) total-order tiebreak, so the emitted SET
+    // is exact; the ln-valued `pmi` column uses the 4dp
+    // floor(x·1e4 + 0.5) convention (text_entropy's documented
+    // sub-ulp-libm caveat applies to that column alone).
+    Q("text_pmi_bigrams",
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |b AS (
+         |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+         |  FROM t, unnest(range(1, len(toks))) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY w1, w2),
+         |nb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS nb FROM bc),
+         |l AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left FROM bc GROUP BY w1),
+         |r AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right FROM bc GROUP BY w2)
+         |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, n_left, n_right,
+         |  ((CAST(n_pair AS DOUBLE) * nb / n_left) / n_right) AS lift,
+         |  floor(ln((CAST(n_pair AS DOUBLE) * nb / n_left) / n_right) * 10000 + 0.5)
+         |    / 10000 AS pmi
+         |FROM bc JOIN l USING (w1) JOIN r USING (w2), nb
+         |WHERE n_pair >= 5
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      val big2 = table(s, dir, "documents")
+        .select(split(TF.normalizeText(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(graft.functions.VectorExpressions.tokenPairs(col("t"))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = big2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        .localCheckpoint()
+      val l = bc.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
+      val r = bc.groupBy(col("w2")).agg(sum(col("n_pair")).as("n_right"))
+      val nb = bc.agg(sum(col("n_pair")).cast("double").as("nb"))
+      val lift = (col("n_pair").cast("double") * col("nb") / col("n_left")) / col("n_right")
+      bc.filter(col("n_pair") >= 5)
+        .join(l, Seq("w1")).join(r, Seq("w2")).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_left"), col("n_right"),
+          lift.as("lift"),
+          (floor(log(lift) * 10000 + lit(0.5)).cast("double") / 10000).as("pmi"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // C38: BPE-merge tokenizer training (word-pair variant) — three
     // rounds of (corpus pair count → top pair → greedy merge), the
     // operator's scaladoc has the full story (operators/BpeMerge).

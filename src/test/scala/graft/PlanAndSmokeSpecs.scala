@@ -228,6 +228,39 @@ class PlanSpec extends SparkTestBase {
       s"corpus shuffled for the threshold join:\n$plan")
   }
 
+  test("text_pmi_bigrams ranks via TakeOrdered over the checkpointed count table") {
+    // The bigram-count table is localCheckpointed: marginals and the
+    // final ranking must consume the RDD, never re-run the corpus
+    // explode (0 parquet scans), and the global top-20 must plan as
+    // TakeOrderedAndProject (bounded per-partition heaps), not a full
+    // Sort — a full sort of the pair table is needless work at scale.
+    val df = SparkEntry.queries("text_pmi_bigrams")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"marginals re-scan the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k is not TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"model-sized marginal join shuffled:\n$plan")
+  }
+
+  test("corpus_importance_weights scores with one corpus scan and a broadcast model") {
+    // DSIR shape: train once (checkpointed ≤ B-row model), score with
+    // ONE corpus scan joined map-side against the broadcast weight
+    // table — a second scan or a shuffled join means the training
+    // subtree re-executes per consumer.
+    val df = SparkEntry.queries("corpus_importance_weights")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val fileScans = "Scan parquet".r.findAllIn(plan).length
+    assert(fileScans == 1, s"expected 1 parquet scan, got $fileScans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the weight join:\n$plan")
+  }
+
   test("skew_salted_join scatters on the salt key") {
     val df = SparkEntry.queries("skew_salted_join")(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan.toString
