@@ -132,7 +132,126 @@ object VectorQueries {
     (base +: steps).mkString(",\n")
   }
 
+  /** DuckDB replay of the PRODUCT-QUANTIZATION pipeline (C43): per
+    * subspace, two deterministic Lloyd rounds (the kmeans_iterations
+    * convention — 6dp distances and centroid means) train a 4-cell
+    * codebook over the 16-dim slice; vectors encode as the per-
+    * subspace argmin cell; queries score by asymmetric distance —
+    * Σ over subspaces of the 6dp-rounded query-to-centroid d², folded
+    * in ascending subspace order from 0.0 (the canonical-fold
+    * convention, so the 4-term sum is bit-equal across engines).
+    */
+  private val pqOracleSql: String = {
+    val m = 4; val sub = 16; val kSub = 4
+    def pqAssign(eName: String, cs: String): String =
+      s"""SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cluster) AS rn
+         |    FROM $eName e, $cs c) WHERE rn = 1""".stripMargin
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = s * sub + sub
+      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |c0_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+         |           v AS cv FROM e$s WHERE vec_id < $kSub),
+         |a1_$s AS (${pqAssign(s"e$s", s"c0_$s")}),
+         |c1_$s AS (${mStepCte(s"a1_$s")}),
+         |a2_$s AS (${pqAssign(s"e$s", s"c1_$s")}),
+         |c2_$s AS (${mStepCte(s"a2_$s")})""".stripMargin
+    }.mkString(",\n")
+    val centUnion = (0 until m)
+      .map(s => s"SELECT $s AS sub, cluster AS cid, cv FROM c2_$s")
+      .mkString("\nUNION ALL ")
+    val svUnion = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS sub, v[${s * sub + 1}:${s * sub + sub}] AS sv FROM e")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$perSub,
+       |cent AS ($centUnion),
+       |sv AS ($svUnion),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT s.vec_id, s.sub, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+       |        round(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+       |          + list_dot_product(c.cv, c.cv), 6), c.cid) AS rn
+       |    FROM sv s JOIN cent c USING (sub)) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, sub, sv AS qv FROM sv WHERE vec_id < 5),
+       |dt AS (
+       |  SELECT q.query_id, q.sub, c.cid,
+       |    round(list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+       |      + list_dot_product(c.cv, c.cv), 6) AS term
+       |  FROM q JOIN cent c USING (sub)),
+       |sc AS (
+       |  SELECT d.query_id, k.vec_id,
+       |    list_reduce(list_prepend(0.0, list(d.term ORDER BY d.sub)),
+       |      (a, b) -> a + b) AS adc_d2
+       |  FROM codes k JOIN dt d ON k.sub = d.sub AND k.cid = d.cid
+       |  WHERE k.vec_id <> d.query_id
+       |  GROUP BY d.query_id, k.vec_id)
+       |SELECT query_id, vec_id AS id, adc_d2, rnk FROM (
+       |  SELECT query_id, vec_id, adc_d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rnk
+       |  FROM sc) WHERE rnk <= 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // C43: product quantization + asymmetric-distance search — the
+    // memory-compression half of production vector search (Jégou et
+    // al. 2011; FAISS IVF-PQ): each 64-dim vector is encoded as m = 4
+    // codes of 2 bits here (4-cell codebooks over 16-dim slices), so
+    // the corpus-resident representation shrinks from 64 doubles to 4
+    // small ints — at 100 TB this is what makes the index RAM-
+    // resident. Search is ADC: a per-query 16-entry lookup table
+    // (query-to-centroid d² per subspace) broadcast against the CODES
+    // table (the corpus vectors are never touched again), summed per
+    // candidate in canonical subspace order, top-10 via TopKPerKey.
+    // In production PQ composes with IVF cells (ann_ivf_trained) and
+    // uses k = 256 per subspace (8-bit codes) — the engine work is
+    // identical; k = 4 keeps the Lloyd-round oracle replay tractable.
+    // The full-corpus ADC scan here gates the train→encode→search
+    // math end-to-end. Everything replays closed-form: per-subspace
+    // codebooks are two 6dp Lloyd rounds (KMeans.fit deterministic
+    // mode), encode/dt are 6dp-rounded d² with (d2, cid) tie-breaks,
+    // and the 4-term ADC sum folds ascending from 0.0 → bit-equal.
+    Q("ann_pq_topk", pqOracleSql) { (s, dir) =>
+      val m = 4; val sub = 16; val kSub = 4
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val codebook = (0 until m).map { si =>
+        val es = e.select(col("vec_id"), slice(col("v"), si * sub + 1, sub).as("v"))
+        val (_, c) = graft.operators.KMeans.fit(
+          es, "vec_id", "v", k = kSub, iterations = 2, roundTo = Some(6))
+        c.select(lit(si).as("sub"), col("cluster").as("cid"), col("cv"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val subvecs = e.select(col("vec_id"), explode(array((0 until m).map(si =>
+          struct(lit(si).as("sub"), slice(col("v"), si * sub + 1, sub).as("sv"))): _*)).as("p"))
+        .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+      val d2 = round(
+        VectorOps.dot(col("sv"), col("sv"))
+          - lit(2) * VectorOps.dot(col("sv"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv")), 6)
+      val codes = subvecs.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cid"), d2.as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      val dt = subvecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+        .join(broadcast(codebook), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("cid"), d2.as("term"))
+        .localCheckpoint()
+      val scored = codes.join(broadcast(dt), Seq("sub", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("sub"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("adc_d2"))
+        .select(col("query_id"), col("vec_id").as("id"), col("adc_d2"))
+      graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("adc_d2", true), ("id", true)), 10)
+    },
 
     // C39: distributed first principal component (power iteration) —
     // corpus-scale work is the scatter matrix (map-side combined d²

@@ -90,7 +90,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("kmeans/ivf assignment aggregates instead of window-sorting corpus×k rows") {
-    Seq("kmeans_assign", "ann_ivf_topk").foreach { q =>
+    Seq("kmeans_assign", "ann_ivf_topk", "ann_pq_topk").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       val plan = df.queryExecution.optimizedPlan.toString
       assert(plan.contains("min_by"), s"$q assignment is not min_by:\n$plan")
