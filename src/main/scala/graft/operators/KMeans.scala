@@ -71,8 +71,16 @@ object KMeans {
       .select(row_number().over(Window.orderBy(col("id"))).as("cluster"), col("v").as("cv"))
     var i = 0
     while (i < iterations) {
-      centroids = mStep(assign(centroids)).cache()
-      centroids.count() // materialize so each iteration is one pass
+      val next = mStep(assign(centroids)).cache()
+      next.count() // materialize so each iteration is one pass
+      // Release the superseded iteration's cache once the new one is
+      // materialized — repeated fit() calls (bench loops, the 4
+      // per-subspace PQ trainings) otherwise accumulate one dead
+      // BlockManager entry per iteration for the life of the session.
+      // The final iteration's centroids stay cached by design: the
+      // returned assignment/centroid DataFrames read them.
+      if (i > 0) centroids.unpersist(blocking = false)
+      centroids = next
       i += 1
     }
     val finalAsg = assign(centroids)

@@ -426,7 +426,12 @@ object CorpusQueries {
     // micro-log (floor(ln·1e4 + 0.5), the 4dp convention — ≤ B
     // model-sized ln calls, sub-ulp libm caveat as text_entropy), so
     // the per-doc Σ is an order-independent integer sum and the
-    // keep/drop sign compares exactly.
+    // keep/drop sign compares exactly. The oracle's char split
+    // filters empty strings so an EMPTY token hashes to 0 exactly as
+    // Spark's fingerprint of zero bytes does (DuckDB ord('') = −1
+    // would otherwise yield bucket −1 — a latent divergence for any
+    // doc whose text normalizes to empty; no-op for non-empty
+    // tokens).
     Q("corpus_importance_weights",
       s"""WITH t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS toks
          |  FROM documents),
@@ -434,7 +439,8 @@ object CorpusQueries {
          |  SELECT doc_id, lang,
          |    list_transform(toks, tok ->
          |      CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |          list_transform(string_split_regex(tok, ''),
+         |          list_transform(
+         |            list_filter(string_split_regex(tok, ''), c -> c <> ''),
          |            c -> CAST(ord(c) AS HUGEINT))),
          |        (h, b) -> (h * 31 + b) % 18446744073709551616) % 8192 AS BIGINT)) AS ub
          |  FROM t),

@@ -272,8 +272,17 @@ object StreamingQueries {
   private def tableStream(spark: SparkSession, dir: String, tbl: String): DataFrame = {
     val batchSchema = table(spark, dir, tbl).schema
     val path = s"$dir/$tbl.parquet"
+    // Layout detection goes through the Hadoop FileSystem API, not
+    // java.io.File — a URI-prefixed or non-local dir (file://, hdfs://,
+    // s3a://) is invisible to java.io and would silently fall back to
+    // the flat glob, reproducing the zero-row replay on clone dirs.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir =
+      try fs.getFileStatus(hPath).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     val (root, glob) =
-      if (new java.io.File(path).isDirectory) (path, "*.parquet")
+      if (isDir) (path, "*.parquet")
       else (dir, s"$tbl.parquet")
     spark.readStream
       .schema(batchSchema)

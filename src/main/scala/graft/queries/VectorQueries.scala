@@ -13,17 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** DuckDB replay of one Lloyd E-step against centroids CTE `cs`:
-    * 6dp-rounded squared euclidean, tie-break on (d2, cluster).
-    * Shared with DedupQueries' trained-codebook semantic_dedup.
+  /** DuckDB replay of one Lloyd E-step against centroids CTE `cs`
+    * over vectors CTE `eName` (default `e`): 6dp-rounded squared
+    * euclidean, tie-break on (d2, cluster). Shared with DedupQueries'
+    * trained-codebook semantic_dedup and the per-subspace PQ chains.
     */
-  private[queries] def assignCte(cs: String): String =
+  private[queries] def assignCte(cs: String, eName: String = "e"): String =
     s"""SELECT vec_id, v, cluster FROM (
        |    SELECT e.vec_id, e.v, c.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
        |          + list_dot_product(c.cv, c.cv), 6), c.cluster) AS rn
-       |    FROM e, $cs c) WHERE rn = 1""".stripMargin
+       |    FROM $eName e, $cs c) WHERE rn = 1""".stripMargin
 
   /** DuckDB replay of one M-step over assignments CTE `as_`: per
     * (cluster, dim) 6dp-rounded mean, re-assembled into an array.
@@ -143,21 +144,14 @@ object VectorQueries {
     */
   private val pqOracleSql: String = {
     val m = 4; val sub = 16; val kSub = 4
-    def pqAssign(eName: String, cs: String): String =
-      s"""SELECT vec_id, v, cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
-         |          + list_dot_product(c.cv, c.cv), 6), c.cluster) AS rn
-         |    FROM $eName e, $cs c) WHERE rn = 1""".stripMargin
     val perSub = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = s * sub + sub
       s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
          |c0_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
          |           v AS cv FROM e$s WHERE vec_id < $kSub),
-         |a1_$s AS (${pqAssign(s"e$s", s"c0_$s")}),
+         |a1_$s AS (${assignCte(s"c0_$s", s"e$s")}),
          |c1_$s AS (${mStepCte(s"a1_$s")}),
-         |a2_$s AS (${pqAssign(s"e$s", s"c1_$s")}),
+         |a2_$s AS (${assignCte(s"c1_$s", s"e$s")}),
          |c2_$s AS (${mStepCte(s"a2_$s")})""".stripMargin
     }.mkString(",\n")
     val centUnion = (0 until m)
