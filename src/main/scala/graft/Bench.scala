@@ -186,9 +186,14 @@ object Bench {
         // fine alone), and a dead SparkContext poisons every query
         // after it. Isolation per measurement is also better
         // methodology.
+        // BLOCKING unpersist: async release lets the next query's
+        // corpus-scale ramp-up race the previous query's GB-scale
+        // block eviction — observed as a heap OOM in the x100 CC join
+        // right after the 57 s semantic_dedup run even though each
+        // query fits alone.
         spark.sqlContext.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         val f = Future(run(name, SparkEntry.queries(name), x100Dir))
         try Await.result(f, ceilingSec.seconds)

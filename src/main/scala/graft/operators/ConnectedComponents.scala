@@ -75,7 +75,11 @@ object ConnectedComponents {
         if (label < r.getLong(2)) changedAcc.add(1L)
         Row(r.getLong(0), label)
       }(enc).localCheckpoint(true)
-      labels.unpersist()
+      // blocking: the next round's join ramps up immediately — async
+      // eviction lets superseded corpus-scale frontiers pile up in
+      // the BlockManager (observed as a heap OOM on a 100× corpus
+      // when earlier queries' state was still draining).
+      labels.unpersist(blocking = true)
       labels = next
       converged = changedAcc.value == 0L
       iter += 1

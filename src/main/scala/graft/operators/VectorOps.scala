@@ -212,6 +212,67 @@ object VectorOps {
       Seq(("cosine", false), ("id", true)), k)
   }
 
+  /** Product-quantization ANN with exact rerank — the FAISS PQ/ADC
+    * pattern at production parameters: per-subspace k-means codebooks
+    * compress each corpus vector to `m` codes; queries score every
+    * candidate through a per-query (m × kSub)-entry lookup table of
+    * subspace distances (ADC — corpus VECTORS are never read during
+    * scoring, only the codes table), keep a `shortlist`-deep ADC
+    * shortlist, and rerank it by EXACT cosine on the full-precision
+    * vectors (the ivfTopKInt8 trade: quantization error only decides
+    * which borderline candidates reach the rerank; returned scores
+    * are exact).
+    *
+    * Sizing note: ADC resolution is bounded by the code budget — with
+    * kSub comparable to the corpus's natural cluster count, ADC
+    * separates BETWEEN clusters but ties WITHIN them, so `shortlist`
+    * must cover the within-cluster candidate set (in production PQ
+    * composes with IVF so the shortlist covers a probed cell, and
+    * kSub = 256 splits finer). See `ann_pq_topk` for the
+    * oracle-replayable deterministic mode of the same train → encode
+    * → ADC chain.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, kSub: Int = 16,
+      iterations: Int = 2, shortlist: Int = 256): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim is not divisible by m = $m subspaces")
+    val sub = dim / m
+    val codebook = (0 until m).map { si =>
+      val es = c.select(col("id"), slice(col("v"), si * sub + 1, sub).as("v"))
+      val (_, cents) = KMeans.fit(es, "id", "v", k = kSub, iterations = iterations)
+      cents.select(lit(si).as("sub"), col("cluster").as("cid"), col("cv"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    def subvecs(df: DataFrame, id: String, vc: String): DataFrame =
+      df.select(col(id), explode(array((0 until m).map(si =>
+          struct(lit(si).as("sub"), slice(col(vc), si * sub + 1, sub).as("sv"))): _*)).as("p"))
+        .select(col(id), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val codes = subvecs(c, "id", "v").join(broadcast(codebook), Seq("sub"))
+      .withColumn("_d2", d2(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("_d2"), col("cid"))).as("cid"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val dt = subvecs(q, "query_id", "qv").join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        d2(col("sv"), col("cv")).as("term"))
+      .localCheckpoint()
+    val adc = codes.join(broadcast(dt), Seq("sub", "cid"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("term")).as("adc_d2"))
+    val short = graft.plans.TopK.perKey(adc, Seq("query_id"),
+        Seq(("adc_d2", true), ("id", true)), shortlist)
+      .select(col("query_id"), col("id"))
+    // exact rerank: fetch full-precision vectors for the shortlist only
+    val rerank = c.join(broadcast(short), Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
+    graft.plans.TopK.perKey(rerank, Seq("query_id"),
+      Seq(("cosine", false), ("id", true)), k)
+  }
+
   /** Random-hyperplane LSH sign bits (deterministic seed). */
   def withLshBucket(df: DataFrame, vecCol: String, planes: Int = 12,
       dim: Int = 64, seed: Long = 42L): DataFrame = {

@@ -466,7 +466,9 @@ object DedupQueries {
         |UNION ALL
         |SELECT 'ivf_trained' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
         |UNION ALL
-        |SELECT 'lsh' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, _) =>
+        |SELECT 'lsh' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok
+        |UNION ALL
+        |SELECT 'pq_rerank' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, _) =>
       val dim = 32
       val nClusters = 16
       val vecs = s.range(4000).select(
@@ -508,5 +510,13 @@ object DedupQueries {
             "vec_id", "embedding", "cid", "cv", 10, 2)))
         .unionByName(gate("lsh",
           VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10)))
+        // pq_rerank: trained PQ codebooks (4 × 8-dim subspaces, 16
+        // cells each) → ADC shortlist → exact rerank. At this code
+        // budget ADC ties within a generative cluster, so the
+        // shortlist (256 ≈ cluster size) must cover it — the rerank
+        // then restores exact order; recall gates the WHOLE chain
+        // (training + encode + ADC + rerank), not a handed-down code.
+        .unionByName(gate("pq_rerank",
+          VectorOps.pqTopK(vecs, qs, "vec_id", "embedding", 10)))
     })
 }
