@@ -40,8 +40,26 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    /** Release the PREVIOUS measurement's cached/localCheckpointed
+      * blocks before timing the next (outside the timed section).
+      * Queries rebuild their own checkpoints per invocation, so
+      * nothing is shared across runs — but without release the dead
+      * blocks accumulate for the whole 117-query × 4-invocation
+      * session (checkpointed count tables are corpus-model-sized) and
+      * the 8 GiB harness JVM eventually OOMs mid-phase. BLOCKING
+      * unpersist: async eviction lets the next query's ramp-up race
+      * the drain (observed OOM in the x100 CC join after a 57 s
+      * semantic_dedup run even though each query fits alone).
+      */
+    def releaseState(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String = sfDir): Double = {
+      releaseState()
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch {
@@ -177,24 +195,9 @@ object Bench {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
-        // Release the PREVIOUS query's cached/localCheckpointed blocks
-        // before timing the next: at 100× each query materializes
-        // corpus-scale state (checkpointed assignments, CC iteration
-        // frontiers) that outlives its DataFrame in the BlockManager —
-        // ten queries of accumulation hard-OOMed the 4 GiB harness JVM
-        // (dedup_clusters died after nine predecessors despite running
-        // fine alone), and a dead SparkContext poisons every query
-        // after it. Isolation per measurement is also better
-        // methodology.
-        // BLOCKING unpersist: async release lets the next query's
-        // corpus-scale ramp-up race the previous query's GB-scale
-        // block eviction — observed as a heap OOM in the x100 CC join
-        // right after the 57 s semantic_dedup run even though each
-        // query fits alone.
-        spark.sqlContext.clearCache()
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = true))
-        System.gc()
+        // run() releases the previous query's state before the timer
+        // starts (see releaseState) — at 100× that isolation is what
+        // keeps ten corpus-scale queries inside one JVM.
         val f = Future(run(name, SparkEntry.queries(name), x100Dir))
         try Await.result(f, ceilingSec.seconds)
         catch {

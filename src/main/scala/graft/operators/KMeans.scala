@@ -87,4 +87,64 @@ object KMeans {
     (if (keepVectors) finalAsg
      else finalAsg.select(col("id"), col("cluster")), centroids)
   }
+
+  /** Per-group Lloyd k-means: an INDEPENDENT codebook for every value
+    * of `grpCol`, trained in ONE set of distributed passes — the
+    * product-quantization training shape. Calling [[fit]] once per
+    * subspace costs m corpus scans and m driver-materialization jobs
+    * per iteration; here assignment and M-step group by (grp, …) so
+    * all m codebooks advance together: one scan, one materialization
+    * per iteration at ANY m. Semantics per group are identical to
+    * [[fit]]: init = the k lowest-id vectors of the group (cluster
+    * ids 1..k in id order), assignment ties break on (d2, cluster),
+    * optional `roundTo` re-quantization for the cross-engine
+    * deterministic mode.
+    *
+    * @return centroids (grp, cluster, cv), cached — the final
+    *   iteration's materialized table, same convention as [[fit]].
+    */
+  def fitPerGroup(vecs: DataFrame, grpCol: String, idCol: String,
+      vecCol: String, k: Int, iterations: Int = 5,
+      roundTo: Option[Int] = None): DataFrame = {
+    def rnd(c: org.apache.spark.sql.Column) = roundTo.fold(c)(d => round(c, d))
+    val v = vecs.select(col(grpCol).as("grp"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val d2 = rnd(VectorOps.dot(col("v"), col("v")) -
+        lit(2) * VectorOps.dot(col("v"), col("cv")) +
+        VectorOps.dot(col("cv"), col("cv")))
+      v.join(broadcast(centroids), Seq("grp"))
+        .withColumn("_d2", d2)
+        .groupBy(col("grp"), col("id"))
+        .agg(
+          min_by(col("cluster"), struct(col("_d2"), col("cluster"))).as("cluster"),
+          first(col("v")).as("v"))
+    }
+
+    def mStep(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("grp"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("grp"), col("cluster"), col("dim"))
+        .agg(rnd(avg(col("x"))).as("c"))
+        .groupBy(col("grp"), col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dims"))
+        .select(col("grp"), col("cluster"),
+          expr("transform(_dims, d -> d.c)").as("cv"))
+
+    // init: the k lowest-id vectors per group, cluster = rank in id
+    // order — TopKPerKey bounded heaps, not a per-group window sort
+    var centroids = graft.plans.TopK.perKey(
+        v, Seq("grp"), Seq(("id", true)), k)
+      .select(col("grp"), col("rnk").cast("int").as("cluster"), col("v").as("cv"))
+    var i = 0
+    while (i < iterations) {
+      val next = mStep(assign(centroids)).cache()
+      next.count() // ONE materialization advances every group's codebook
+      if (i > 0) centroids.unpersist(blocking = true)
+      centroids = next
+      i += 1
+    }
+    centroids
+  }
 }

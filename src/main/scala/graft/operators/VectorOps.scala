@@ -239,15 +239,16 @@ object VectorOps {
     val dim = c.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim is not divisible by m = $m subspaces")
     val sub = dim / m
-    val codebook = (0 until m).map { si =>
-      val es = c.select(col("id"), slice(col("v"), si * sub + 1, sub).as("v"))
-      val (_, cents) = KMeans.fit(es, "id", "v", k = kSub, iterations = iterations)
-      cents.select(lit(si).as("sub"), col("cluster").as("cid"), col("cv"))
-    }.reduce(_ unionByName _).localCheckpoint()
     def subvecs(df: DataFrame, id: String, vc: String): DataFrame =
       df.select(col(id), explode(array((0 until m).map(si =>
           struct(lit(si).as("sub"), slice(col(vc), si * sub + 1, sub).as("sv"))): _*)).as("p"))
         .select(col(id), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    // all m codebooks train together — one pass per Lloyd iteration
+    // at any m, not m separate fit() scans (KMeans.fitPerGroup)
+    val codebook = KMeans.fitPerGroup(
+        subvecs(c, "id", "v"), "sub", "id", "sv", k = kSub, iterations = iterations)
+      .select(col("grp").as("sub"), col("cluster").as("cid"), col("cv"))
+      .localCheckpoint()
     val codes = subvecs(c, "id", "v").join(broadcast(codebook), Seq("sub"))
       .withColumn("_d2", d2(col("sv"), col("cv")))
       .groupBy(col("id"), col("sub"))

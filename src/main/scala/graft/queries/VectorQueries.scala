@@ -214,15 +214,18 @@ object VectorQueries {
       val m = 4; val sub = 16; val kSub = 4
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val codebook = (0 until m).map { si =>
-        val es = e.select(col("vec_id"), slice(col("v"), si * sub + 1, sub).as("v"))
-        val (_, c) = graft.operators.KMeans.fit(
-          es, "vec_id", "v", k = kSub, iterations = 2, roundTo = Some(6))
-        c.select(lit(si).as("sub"), col("cluster").as("cid"), col("cv"))
-      }.reduce(_ unionByName _).localCheckpoint()
       val subvecs = e.select(col("vec_id"), explode(array((0 until m).map(si =>
           struct(lit(si).as("sub"), slice(col("v"), si * sub + 1, sub).as("sv"))): _*)).as("p"))
         .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+      // all 4 subspace codebooks train in ONE pass per Lloyd round
+      // (fitPerGroup) — per-group semantics identical to the
+      // kmeans_iterations fit, so the oracle's 4 independent CTE
+      // chains replay it unchanged
+      val codebook = graft.operators.KMeans.fitPerGroup(
+          subvecs, "sub", "vec_id", "sv", k = kSub, iterations = 2,
+          roundTo = Some(6))
+        .select(col("grp").as("sub"), col("cluster").as("cid"), col("cv"))
+        .localCheckpoint()
       val d2 = round(
         VectorOps.dot(col("sv"), col("sv"))
           - lit(2) * VectorOps.dot(col("sv"), col("cv"))
