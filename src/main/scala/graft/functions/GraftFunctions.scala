@@ -119,6 +119,14 @@ object GraftFunctions {
         requireArity("bloom_might_contain", exprs, 2)
         BloomMightContain(exprs.head, exprs(1))
       }),
+    (FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_sketch"),
+      (exprs: Seq[Expression]) => {
+        requireArity("mg_sketch", exprs, 2)
+        val cap = intArg("mg_sketch", 1, exprs(1))
+        if (cap < 1) fail(s"mg_sketch capacity must be >= 1, got $cap")
+        MisraGriesAgg(exprs.head, cap).toAggregateExpression()
+      }),
     (FunctionIdentifier("token_pairs"),
       new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
       (exprs: Seq[Expression]) => {

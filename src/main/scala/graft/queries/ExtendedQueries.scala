@@ -583,6 +583,58 @@ object ExtendedQueries {
         .orderBy(col("exact_cnt").desc, col("l_partkey"))
     },
 
+    // B49: Misra-Gries frequent-items summary — the "which keys
+    // dominate" sketch (bounded state at any key cardinality; the
+    // skew-detection primitive behind broadcast/salt decisions).
+    // Two regimes in one pass over the token stream:
+    //  - m=64 ≥ the corpus's distinct-token count → no prune ever
+    //    fires, the summary IS the exact count table under ANY
+    //    partial-merge order, so item/cnt/rank are BIT-EXACT oracle
+    //    columns (same class as the exact-companion convention);
+    //  - m=16 < distincts → prunes fire, counts are merge-order-
+    //    dependent, but the Mergeable-Summaries guarantees (never
+    //    overcount; undercount ≤ N/(m+1)) hold under any schedule —
+    //    gated as exact-integer booleans, the cms/hll bound style.
+    // Adversarial eviction/merge cases pinned in MisraGriesSpec.
+    Q("mg_heavy_hitters",
+      """WITH t AS (
+        |  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        |r AS (
+        |  SELECT tok, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rnk
+        |  FROM c)
+        |SELECT tok, cnt, rnk,
+        |  CAST(1 AS INT) AS mg_le_exact,
+        |  CAST(1 AS INT) AS mg_within_bound
+        |FROM r WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+      import graft.functions.MisraGries
+      val toks = table(s, dir, "documents").select(
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("tok"))
+      // ONE corpus pass builds both sketches + the exact stream size;
+      // everything after runs on the single summary row
+      val sk = toks.agg(
+        MisraGries.sketch(col("tok"), 64).as("sk64"),
+        MisraGries.sketch(col("tok"), 16).as("sk16"),
+        count(lit(1)).as("n_toks"))
+      sk.select(col("sk16"), col("n_toks"),
+          posexplode(col("sk64")).as(Seq("idx", "e")))
+        .select(col("e.item").as("tok"), col("e.cnt").as("cnt"),
+          (col("idx") + 1).cast("int").as("rnk"), col("sk16"), col("n_toks"))
+        .filter(col("rnk") <= 20)
+        .withColumn("est16",
+          coalesce(expr("get(filter(sk16, x -> x.item = tok), 0).cnt"), lit(0L)))
+        .select(col("tok"), col("cnt"), col("rnk"),
+          (col("est16") <= col("cnt")).cast("int").as("mg_le_exact"),
+          // undercount ≤ N/(m+1): exact-integer spelling, no division
+          ((col("cnt") - col("est16")) * lit(17L) <= col("n_toks"))
+            .cast("int").as("mg_within_bound"))
+    },
+
     // B38: deterministic stratified sampling — fixed-size per-stratum
     // sample by a seedless integer hash order (the dataset-curation
     // primitive: reproducible across runs, partitionings, and

@@ -303,6 +303,75 @@ class CountMinSpec extends SparkTestBase {
   }
 }
 
+/** Misra-Gries frequent items: exact regime, adversarial eviction
+  * regime (uniform tail — the hardest input for MG), guarantee
+  * invariance under partitioning/merge order, and SQL registration
+  * with argument validation.
+  */
+class MisraGriesSpec extends SparkTestBase {
+  import graft.functions.MisraGries
+  import spark.implicits._
+
+  private def entries(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("capacity >= distincts: summary IS the exact count table, any partitioning") {
+    val data = (1 to 40).flatMap(k => Seq.fill(k)(s"tok$k"))
+    for (parts <- Seq(1, 7)) {
+      val df = data.toDF("t").repartition(parts)
+      val got = entries(df.agg(MisraGries.sketch(col("t"), 64).as("sk")))
+      assert(got.size == 40)
+      (1 to 40).foreach(k => assert(got(s"tok$k") == k.toLong))
+    }
+  }
+
+  test("eviction regime: never overcount, undercount <= N/(m+1), heavy keys tracked") {
+    // adversarial for MG: 3 heavy keys over a LARGE uniform tail
+    // (5000 distinct singletons force constant prunes at m=16)
+    val heavy = Seq("a" -> 4000, "b" -> 3000, "c" -> 2000)
+    val tail = (1 to 5000).map(i => s"t$i" -> 1)
+    val data = (heavy ++ tail).flatMap { case (k, n) => Seq.fill(n)(k) }
+    val n = data.size.toLong
+    val m = 16
+    for (parts <- Seq(1, 8)) {
+      val df = data.toDF("t").repartition(parts)
+      val got = entries(df.agg(MisraGries.sketch(col("t"), m).as("sk")))
+      assert(got.size <= m)
+      val exact = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got.foreach { case (k, est) =>
+        assert(est <= exact(k), s"overcount for $k: $est > ${exact(k)}")
+        assert(exact(k) - est <= n / (m + 1),
+          s"undercount bound broken for $k: ${exact(k)} - $est > ${n / (m + 1)}")
+      }
+      // every key with true count > N/(m+1) must survive every
+      // prune/merge schedule
+      heavy.filter(_._2 > n / (m + 1)).foreach { case (k, _) =>
+        assert(got.contains(k), s"heavy key $k evicted (n=$n, bound=${n / (m + 1)})")
+      }
+    }
+  }
+
+  test("mg_sketch callable through SQL; arity and literal-capacity validated") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq("x", "x", "y").toDF("t").createOrReplaceTempView("mg_in")
+    val top = spark.sql(
+      "SELECT get(mg_sketch(t, 4), 0) AS e FROM mg_in")
+      .select(col("e.item"), col("e.cnt")).head()
+    assert(top.getString(0) == "x" && top.getLong(1) == 2L)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mg_sketch(t) FROM mg_in").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mg_sketch(t, t) FROM mg_in").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mg_sketch(t, 0) FROM mg_in").collect()
+    }
+  }
+}
+
 /** Int8 quantization: error bound, code range, determinism, and the
   * quantized-candidate IVF path reranking to EXACT brute-force
   * results when the candidate stage covers the corpus.
