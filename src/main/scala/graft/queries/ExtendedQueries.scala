@@ -71,6 +71,63 @@ object ExtendedQueries {
           col("n"), col("value"))
     },
 
+    // B17b: arbitrary GROUPING SETS (the general form ROLLUP/CUBE
+    // specialize) through the typed Dataset.groupingSets API, with
+    // grouping() flags distinguishing a grouped-out NULL from a data
+    // NULL. Sums as exact-integer cents — order-independent, so the
+    // multi-set expansion is bit-exact in both engines.
+    Q("grouping_sets_order_value",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          // grouping() is resolvable only inside the grouping agg
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("g_status"), col("g_priority"),
+          col("n_orders"), col("cents"))
+    },
+
+    // B50: key-skew profile — the per-key count distribution folded
+    // into power-of-two buckets (bucket b holds keys with 2^b ≤ cnt
+    // < 2^(b+1)): the one-page answer to "is this join key skewed,
+    // and how badly" that decides broadcast vs salt vs AQE skew
+    // hints BEFORE the expensive join runs. Two shuffles: the keyed
+    // count (map-side combined) and a distinct-key-sized bucket agg.
+    // bucket = length(bin(cnt)) - 1 is pure integer/string work both
+    // engines spell identically — no float log2 near power-of-two
+    // boundaries.
+    Q("skew_key_profile",
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+        |  count(*) AS n_keys, sum(cnt) AS n_rows,
+        |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .groupBy((length(bin(col("cnt"))) - 1).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
+    },
+
     // B20: exact interpolated percentiles (both engines: linear
     // interpolation over the sorted set).
     Q("exact_percentiles",

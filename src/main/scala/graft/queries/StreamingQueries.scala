@@ -243,6 +243,39 @@ object StreamingQueries {
           when(abs(col("est") - col("exact_users")).cast("double")
             <= greatest(lit(2.0), col("exact_users") * 0.08), 1)
             .otherwise(0).cast("int").as("hll_ok"))
+    },
+
+    // D12: the Misra-Gries frequent-items sketch as STREAMING state —
+    // a global complete-mode aggregation whose per-partition partials
+    // and per-batch state merges all go through the sketch's merge
+    // operation. m=64 ≥ the corpus's distinct-token count, so the
+    // final snapshot is the exact count table under any merge
+    // schedule (the mg_heavy_hitters bit-exact regime), making the
+    // streamed top-20 hash-comparable against the batch oracle.
+    // State is the ONE bounded sketch (≤2m entries), not a per-token
+    // key space — the 100 TB-stream shape for "what's trending".
+    Q("streaming_heavy_hitters",
+      """WITH t AS (
+        |  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        |r AS (
+        |  SELECT tok, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rnk
+        |  FROM c)
+        |SELECT tok, cnt, rnk FROM r WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+      val toks = tableStream(s, dir, "documents").select(
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("tok"))
+      val agg = toks.groupBy()
+        .agg(graft.functions.MisraGries.sketch(col("tok"), 64).as("sk"))
+      val streamed = runToMemory(s, agg, "graft_stream_mg", mode = "complete")
+      streamed.select(posexplode(col("sk")).as(Seq("idx", "e")))
+        .select(col("e.item").as("tok"), col("e.cnt").as("cnt"),
+          (col("idx") + 1).cast("int").as("rnk"))
+        .filter(col("rnk") <= 20)
     })
 
   /** Stateful streaming ops create one state store per shuffle
@@ -294,10 +327,10 @@ object StreamingQueries {
     tableStream(spark, dir, "events")
 
   private def runToMemory(spark: SparkSession, df: DataFrame,
-      prefix: String): DataFrame = withStatePartitions(spark, 8) {
+      prefix: String, mode: String = "append"): DataFrame = withStatePartitions(spark, 8) {
     val name = s"${prefix}_${System.nanoTime()}"
     val q = df.writeStream
-      .outputMode("append")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
