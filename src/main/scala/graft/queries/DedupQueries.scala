@@ -471,6 +471,11 @@ object DedupQueries {
         |SELECT 'pq_rerank' AS method, CAST(500 AS BIGINT) AS n_bf, CAST(1 AS INT) AS recall_ok""".stripMargin) { (s, _) =>
       val dim = 32
       val nClusters = 16
+      // NOT localCheckpointed: a materialized corpus loses the plan
+      // statistics that make every small side below auto-broadcast —
+      // measured 10.8 → 18.7 s when checkpointed (shuffle joins
+      // replace broadcasts). Re-deriving the sin lattice per stage is
+      // cheaper than one lost broadcast.
       val vecs = s.range(4000).select(
         col("id").as("vec_id"),
         expr(s"""transform(sequence(0, ${dim - 1}), j ->
@@ -483,10 +488,42 @@ object DedupQueries {
              |  CAST(sin(1.0 + id * 37.0 + j * 13.0) AS FLOAT))""".stripMargin)
           .as("cv"))
       val qs = vecs.filter(col("vec_id") < 50)
-      // two gates consume the baseline — materialize the 500 rows once
-      val bf = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", 10)
-        .select(col("query_id"), col("id"))
-        .localCheckpoint()
+      // The gate's wall time is driver-BLOCKING materializations, not
+      // row work: the brute-force checkpoint, two Lloyd cache-counts
+      // inside KMeans.fit, two more inside pqTopK's fitPerGroup, and
+      // two localCheckpoints — seven serial jobs on a 4 k-row corpus.
+      // The three chains are independent, so submit them concurrently
+      // (Spark schedules concurrent jobs fine) and only await before
+      // composing the union — same plans, same results, ~half the
+      // wall clock.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bfF = Future {
+        val b = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", 10)
+          .select(col("query_id"), col("id"))
+          .localCheckpoint()
+        b.count()
+        b
+      }
+      val trainedF = Future {
+        // trained path: KMeans.fit recovers the 16 centers (lowest-16
+        // init covers one point per generative cluster; two Lloyd
+        // rounds refine) — the recall floor gates TRAINING quality,
+        // not just a handed-down codebook
+        graft.operators.KMeans.fit(
+          vecs, "vec_id", "embedding", k = nClusters, iterations = 2)._2
+      }
+      // pq_rerank: trained PQ codebooks (4 × 8-dim subspaces, 16
+      // cells each) → ADC shortlist → exact rerank. At this code
+      // budget ADC ties within a generative cluster, so the
+      // shortlist (256 ≈ cluster size) must cover it — the rerank
+      // then restores exact order; recall gates the WHOLE chain
+      // (training + encode + ADC + rerank), not a handed-down code.
+      val pqF = Future {
+        VectorOps.pqTopK(vecs, qs, "vec_id", "embedding", 10)
+      }
+      val bf = Await.result(bfF, 600.seconds)
       def gate(method: String, approx: org.apache.spark.sql.DataFrame) =
         bf.join(
             approx.select(col("query_id"), col("id"), lit(1).as("hit")),
@@ -496,12 +533,8 @@ object DedupQueries {
           .select(lit(method).as("method"), col("n_bf"),
             when(col("hits").cast("double") / col("n_bf") >= 0.9, 1)
               .otherwise(0).cast("int").as("recall_ok"))
-      // trained path: KMeans.fit recovers the 16 centers (lowest-16
-      // init covers one point per generative cluster; two Lloyd
-      // rounds refine) — the recall floor now gates TRAINING quality,
-      // not just a handed-down codebook
-      val (_, trained) = graft.operators.KMeans.fit(
-        vecs, "vec_id", "embedding", k = nClusters, iterations = 2)
+      val trained = Await.result(trainedF, 600.seconds)
+      val pq = Await.result(pqF, 600.seconds)
       gate("ivf",
           VectorOps.ivfTopK(vecs, qs, cents, "vec_id", "embedding", "cid", "cv", 10, 2))
         .unionByName(gate("ivf_trained",
@@ -510,13 +543,6 @@ object DedupQueries {
             "vec_id", "embedding", "cid", "cv", 10, 2)))
         .unionByName(gate("lsh",
           VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10)))
-        // pq_rerank: trained PQ codebooks (4 × 8-dim subspaces, 16
-        // cells each) → ADC shortlist → exact rerank. At this code
-        // budget ADC ties within a generative cluster, so the
-        // shortlist (256 ≈ cluster size) must cover it — the rerank
-        // then restores exact order; recall gates the WHOLE chain
-        // (training + encode + ADC + rerank), not a handed-down code.
-        .unionByName(gate("pq_rerank",
-          VectorOps.pqTopK(vecs, qs, "vec_id", "embedding", 10)))
+        .unionByName(gate("pq_rerank", pq))
     })
 }
