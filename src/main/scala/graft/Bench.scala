@@ -152,7 +152,8 @@ object Bench {
         "corpus_pretrain_pipeline", "ann_ivf_trained",
         "tokenizer_bpe_merges", "text_quality_model",
         "embedding_pca_project", "streaming_corpus_curate",
-        "text_pmi_bigrams", "corpus_importance_weights", "ann_pq_topk")
+        "text_pmi_bigrams", "corpus_importance_weights", "ann_pq_topk",
+        "mg_heavy_hitters", "streaming_heavy_hitters", "corpus_pps_sample")
         .filter(n => only.isEmpty || only(n))
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")

@@ -226,5 +226,47 @@ object SamplingQueries {
           sum(col("keep")).as("n_kept"),
           coalesce(sum(when(col("keep") === 1, col("doc_id"))), lit(0L))
             .cast("bigint").as("kept_id_sum"))
+    },
+
+    // C44: weight-proportional (PPS) SYSTEMATIC sampling — select
+    // ~50 docs per language with probability proportional to an
+    // integer quality weight (n_chars here; any integer score works).
+    // The classic spelling draws u ~ U(0,1) per row (not
+    // reproducible) or orders by -ln(u)/w (transcendental — not
+    // bit-replayable across engines); the systematic form is pure
+    // integer arithmetic: lay the docs on a weight line in doc_id
+    // order, then take the doc containing each multiple of
+    // stride = W/50. A doc is chosen iff its (cum−w, cum] interval
+    // crosses a stride boundary — floor division both engines
+    // compute identically on non-negative integers, so the sampled
+    // SET is oracle-exact. The weight line comes from
+    // DistributedPrefixSum (two streamed passes, NO per-language
+    // single-reducer window) and the per-language strides from a
+    // broadcast lang-sized aggregate: the whole selection is one
+    // corpus scan + one tiny broadcast at any corpus size.
+    Q("corpus_pps_sample",
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |t AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw FROM d GROUP BY lang),
+        |st AS (
+        |  SELECT lang,
+        |    CASE WHEN tw // 50 < 1 THEN 1 ELSE tw // 50 END AS stride
+        |  FROM t),
+        |c AS (
+        |  SELECT lang, doc_id, w,
+        |    CAST(sum(w) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT c.lang, c.doc_id, c.w AS n_chars
+        |FROM c JOIN st ON c.lang = st.lang
+        |WHERE cum // stride > (cum - w) // stride""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
+      val strides = docs.groupBy(col("lang")).agg(sum(col("w")).as("tw"))
+        .select(col("lang"), greatest(expr("tw DIV 50"), lit(1L)).as("stride"))
+      graft.operators.DistributedPrefixSum
+        .running(docs, "lang", Seq("doc_id"), "w", "cum")
+        .join(broadcast(strides), Seq("lang"))
+        .filter(expr("cum DIV stride > (cum - w) DIV stride"))
+        .select(col("lang"), col("doc_id"), col("w").as("n_chars"))
     })
 }
