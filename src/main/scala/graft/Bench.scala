@@ -58,8 +58,8 @@ object Bench {
       System.gc()
     }
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String = sfDir): Double = {
-      releaseState()
+        dir: String = sfDir, release: Boolean = true): Double = {
+      if (release) releaseState()
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch {
@@ -196,10 +196,15 @@ object Bench {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
-        // run() releases the previous query's state before the timer
-        // starts (see releaseState) — at 100× that isolation is what
-        // keeps ten corpus-scale queries inside one JVM.
-        val f = Future(run(name, SparkEntry.queries(name), x100Dir))
+        // Release the predecessor's state OUTSIDE the awaited future:
+        // after a heavy query the blocking drain + GC can take
+        // seconds, and inside the future it would eat into the
+        // ceiling — a query needing ~115 s would flip to a reported
+        // timeout. At 100× this isolation is what keeps ten
+        // corpus-scale queries inside one JVM.
+        releaseState()
+        val f = Future(
+          run(name, SparkEntry.queries(name), x100Dir, release = false))
         try Await.result(f, ceilingSec.seconds)
         catch {
           case _: java.util.concurrent.TimeoutException =>

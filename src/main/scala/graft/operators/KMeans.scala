@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,8 +15,80 @@ import org.apache.spark.sql.functions._
   * elementwise avg). The driver holds only k centroid vectors
   * (k × dim doubles), never data rows; iterations are O(scan) at any
   * corpus size.
+  *
+  * [[fit]] (one codebook) and [[fitPerGroup]] (an independent
+  * codebook per group, all advancing together) share ONE
+  * assign/M-step/loop implementation parameterized by the grouping
+  * columns — the `kmeans_iterations`/`ann_pq_topk` oracles replay
+  * these Lloyd rounds closed-form, so the two entry points must stay
+  * semantically identical by construction, not by parallel editing.
   */
 object KMeans {
+
+  /** E-step: nearest centroid per (grpCols..., id); ties break on
+    * (d2, cluster). min_by aggregation, not a window argmin: partial
+    * aggregation combines map-side, so the corpus×k expansion never
+    * reaches the exchange (a per-id window would shuffle+sort all of
+    * it). With no group columns every centroid joins every row (the
+    * broadcast nested-loop shape); with group columns the join keys
+    * on the group.
+    */
+  private def assignStep(v: DataFrame, centroids: DataFrame,
+      grpCols: Seq[String], rnd: Column => Column): DataFrame = {
+    val d2 = rnd(VectorOps.dot(col("v"), col("v")) -
+      lit(2) * VectorOps.dot(col("v"), col("cv")) +
+      VectorOps.dot(col("cv"), col("cv")))
+    val joined =
+      if (grpCols.isEmpty) v.join(broadcast(centroids))
+      else v.join(broadcast(centroids), grpCols)
+    joined.withColumn("_d2", d2)
+      .groupBy((grpCols :+ "id").map(col): _*)
+      .agg(
+        min_by(col("cluster"), struct(col("_d2"), col("cluster"))).as("cluster"),
+        first(col("v")).as("v"))
+      .select(grpCols.map(col) ++ Seq(col("id"), col("v"), col("cluster")): _*)
+  }
+
+  /** M-step: per-(grpCols..., cluster) elementwise mean, re-assembled
+    * in dimension order (array_sort on (dim, c) structs — collect_list
+    * order is not deterministic, the sort is what makes it so).
+    */
+  private def mStepAgg(assigned: DataFrame, grpCols: Seq[String],
+      rnd: Column => Column): DataFrame =
+    assigned
+      .select(grpCols.map(col) ++
+        Seq(col("cluster"), posexplode(col("v")).as(Seq("dim", "x"))): _*)
+      .groupBy((grpCols ++ Seq("cluster", "dim")).map(col): _*)
+      .agg(rnd(avg(col("x"))).as("c"))
+      .groupBy((grpCols :+ "cluster").map(col): _*)
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dims"))
+      .select(grpCols.map(col) ++ Seq(col("cluster"),
+        expr("transform(_dims, d -> d.c)").as("cv")): _*)
+
+  /** The Lloyd loop: each iteration materializes the new centroid
+    * table (cache + count — ONE distributed pass set per iteration)
+    * and releases the superseded one. BLOCKING unpersist: repeated
+    * fits (bench loops, PQ trainings) otherwise accumulate dead
+    * BlockManager entries racing the next iteration's ramp-up. The
+    * final iteration's centroids stay cached by design — the returned
+    * DataFrames read them.
+    */
+  private def lloyd(v: DataFrame, init: DataFrame, grpCols: Seq[String],
+      iterations: Int, rnd: Column => Column): DataFrame = {
+    var centroids = init
+    var i = 0
+    while (i < iterations) {
+      val next = mStepAgg(assignStep(v, centroids, grpCols, rnd), grpCols, rnd).cache()
+      next.count()
+      if (i > 0) centroids.unpersist(blocking = true)
+      centroids = next
+      i += 1
+    }
+    centroids
+  }
+
+  private def rounder(roundTo: Option[Int]): Column => Column =
+    c => roundTo.fold(c)(d => round(c, d))
 
   /** @param roundTo when set, distances and updated centroid values
     *   are re-quantized to this many decimal places each round — the
@@ -34,56 +106,12 @@ object KMeans {
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int = 5, roundTo: Option[Int] = None,
       keepVectors: Boolean = false): (DataFrame, DataFrame) = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-
-    def rnd(c: org.apache.spark.sql.Column) = roundTo.fold(c)(d => round(c, d))
-
+    val rnd = rounder(roundTo)
     val v = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-
-    def assign(centroids: DataFrame): DataFrame = {
-      val d2 = rnd(VectorOps.dot(col("v"), col("v")) -
-        lit(2) * VectorOps.dot(col("v"), col("cv")) +
-        VectorOps.dot(col("cv"), col("cv")))
-      // min_by aggregation, not a window argmin: partial aggregation
-      // combines map-side, so the corpus×k expansion never reaches the
-      // exchange (a per-id window would shuffle+sort all of it).
-      v.join(broadcast(centroids))
-        .withColumn("_d2", d2)
-        .groupBy(col("id"))
-        .agg(
-          min_by(col("cluster"), struct(col("_d2"), col("cluster"))).as("cluster"),
-          first(col("v")).as("v"))
-        .select(col("id"), col("v"), col("cluster"))
-    }
-
-    def mStep(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(rnd(avg(col("x"))).as("c"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dims"))
-        .select(col("cluster"),
-          expr("transform(_dims, d -> d.c)").as("cv"))
-
-    var centroids = v.orderBy(col("id")).limit(k)
+    val init = v.orderBy(col("id")).limit(k)
       .select(row_number().over(Window.orderBy(col("id"))).as("cluster"), col("v").as("cv"))
-    var i = 0
-    while (i < iterations) {
-      val next = mStep(assign(centroids)).cache()
-      next.count() // materialize so each iteration is one pass
-      // Release the superseded iteration's cache once the new one is
-      // materialized — repeated fit() calls (bench loops, the 4
-      // per-subspace PQ trainings) otherwise accumulate one dead
-      // BlockManager entry per iteration for the life of the session.
-      // The final iteration's centroids stay cached by design: the
-      // returned assignment/centroid DataFrames read them.
-      if (i > 0) centroids.unpersist(blocking = false)
-      centroids = next
-      i += 1
-    }
-    val finalAsg = assign(centroids)
+    val centroids = lloyd(v, init, Nil, iterations, rnd)
+    val finalAsg = assignStep(v, centroids, Nil, rnd)
     (if (keepVectors) finalAsg
      else finalAsg.select(col("id"), col("cluster")), centroids)
   }
@@ -94,11 +122,11 @@ object KMeans {
     * subspace costs m corpus scans and m driver-materialization jobs
     * per iteration; here assignment and M-step group by (grp, …) so
     * all m codebooks advance together: one scan, one materialization
-    * per iteration at ANY m. Semantics per group are identical to
-    * [[fit]]: init = the k lowest-id vectors of the group (cluster
-    * ids 1..k in id order), assignment ties break on (d2, cluster),
-    * optional `roundTo` re-quantization for the cross-engine
-    * deterministic mode.
+    * per iteration at ANY m. Semantics per group are [[fit]]'s by
+    * construction (shared assign/M-step/loop): init = the k lowest-id
+    * vectors of the group (cluster ids 1..k in id order), assignment
+    * ties break on (d2, cluster), optional `roundTo` re-quantization
+    * for the cross-engine deterministic mode.
     *
     * @return centroids (grp, cluster, cv), cached — the final
     *   iteration's materialized table, same convention as [[fit]].
@@ -106,45 +134,14 @@ object KMeans {
   def fitPerGroup(vecs: DataFrame, grpCol: String, idCol: String,
       vecCol: String, k: Int, iterations: Int = 5,
       roundTo: Option[Int] = None): DataFrame = {
-    def rnd(c: org.apache.spark.sql.Column) = roundTo.fold(c)(d => round(c, d))
+    val rnd = rounder(roundTo)
     val v = vecs.select(col(grpCol).as("grp"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-
-    def assign(centroids: DataFrame): DataFrame = {
-      val d2 = rnd(VectorOps.dot(col("v"), col("v")) -
-        lit(2) * VectorOps.dot(col("v"), col("cv")) +
-        VectorOps.dot(col("cv"), col("cv")))
-      v.join(broadcast(centroids), Seq("grp"))
-        .withColumn("_d2", d2)
-        .groupBy(col("grp"), col("id"))
-        .agg(
-          min_by(col("cluster"), struct(col("_d2"), col("cluster"))).as("cluster"),
-          first(col("v")).as("v"))
-    }
-
-    def mStep(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("grp"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("grp"), col("cluster"), col("dim"))
-        .agg(rnd(avg(col("x"))).as("c"))
-        .groupBy(col("grp"), col("cluster"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_dims"))
-        .select(col("grp"), col("cluster"),
-          expr("transform(_dims, d -> d.c)").as("cv"))
-
     // init: the k lowest-id vectors per group, cluster = rank in id
     // order — TopKPerKey bounded heaps, not a per-group window sort
-    var centroids = graft.plans.TopK.perKey(
+    val init = graft.plans.TopK.perKey(
         v, Seq("grp"), Seq(("id", true)), k)
       .select(col("grp"), col("rnk").cast("int").as("cluster"), col("v").as("cv"))
-    var i = 0
-    while (i < iterations) {
-      val next = mStep(assign(centroids)).cache()
-      next.count() // ONE materialization advances every group's codebook
-      if (i > 0) centroids.unpersist(blocking = true)
-      centroids = next
-      i += 1
-    }
-    centroids
+    lloyd(v, init, Seq("grp"), iterations, rnd)
   }
 }

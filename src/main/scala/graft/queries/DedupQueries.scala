@@ -523,7 +523,15 @@ object DedupQueries {
       val pqF = Future {
         VectorOps.pqTopK(vecs, qs, "vec_id", "embedding", 10)
       }
-      val bf = Await.result(bfF, 600.seconds)
+      // Settle ALL chains before surfacing any failure: rethrowing on
+      // the first failed await would leave the other chains' jobs
+      // running detached under the NEXT bench measurement (whose
+      // releaseState would also unpersist their in-use blocks
+      // mid-flight).
+      val bfT = scala.util.Try(Await.result(bfF, 600.seconds))
+      val trainedT = scala.util.Try(Await.result(trainedF, 600.seconds))
+      val pqT = scala.util.Try(Await.result(pqF, 600.seconds))
+      val bf = bfT.get
       def gate(method: String, approx: org.apache.spark.sql.DataFrame) =
         bf.join(
             approx.select(col("query_id"), col("id"), lit(1).as("hit")),
@@ -533,8 +541,8 @@ object DedupQueries {
           .select(lit(method).as("method"), col("n_bf"),
             when(col("hits").cast("double") / col("n_bf") >= 0.9, 1)
               .otherwise(0).cast("int").as("recall_ok"))
-      val trained = Await.result(trainedF, 600.seconds)
-      val pq = Await.result(pqF, 600.seconds)
+      val trained = trainedT.get
+      val pq = pqT.get
       gate("ivf",
           VectorOps.ivfTopK(vecs, qs, cents, "vec_id", "embedding", "cid", "cv", 10, 2))
         .unionByName(gate("ivf_trained",

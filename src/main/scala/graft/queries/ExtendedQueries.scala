@@ -670,8 +670,7 @@ object ExtendedQueries {
         |FROM r WHERE rnk <= 20""".stripMargin) { (s, dir) =>
       import graft.functions.MisraGries
       val toks = table(s, dir, "documents").select(
-        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
-          .as("tok"))
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
       // ONE corpus pass builds both sketches + the exact stream size;
       // everything after runs on the single summary row
       val sk = toks.agg(

@@ -267,8 +267,7 @@ object StreamingQueries {
         |  FROM c)
         |SELECT tok, cnt, rnk FROM r WHERE rnk <= 20""".stripMargin) { (s, dir) =>
       val toks = tableStream(s, dir, "documents").select(
-        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
-          .as("tok"))
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
       val agg = toks.groupBy()
         .agg(graft.functions.MisraGries.sketch(col("tok"), 64).as("sk"))
       val streamed = runToMemory(s, agg, "graft_stream_mg", mode = "complete")
