@@ -128,6 +128,64 @@ object ExtendedQueries {
           min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
     },
 
+    // B51: column-statistics profile — the ANALYZE TABLE pass
+    // (null count, exact distinct count, min/max per column) that
+    // feeds a cost-based optimizer and any data-quality dashboard.
+    // ONE scan: a single wide aggregation row (multi-distinct runs
+    // through Spark's Expand — rows × (k+1), map-side combined, the
+    // standard exact-NDV plan) exploded into one row per column.
+    // Timestamps profile as epoch seconds and the integral-valued
+    // double as floor-bigint so every min/max renders to strings both
+    // engines spell identically (no double formatting divergence).
+    Q("table_profile",
+      """WITH s AS (SELECT
+        |    l_orderkey, l_partkey, l_returnflag,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_s,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(l_orderkey) AS n_nonnull,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM s
+        |UNION ALL
+        |SELECT 'l_partkey', count(*), count(l_partkey),
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |  CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(qty),
+        |  CAST(count(DISTINCT qty) AS BIGINT),
+        |  CAST(min(qty) AS VARCHAR), CAST(max(qty) AS VARCHAR) FROM s
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(l_returnflag),
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |  min(l_returnflag), max(l_returnflag) FROM s
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*), count(ship_s),
+        |  CAST(count(DISTINCT ship_s) AS BIGINT),
+        |  CAST(min(ship_s) AS VARCHAR), CAST(max(ship_s) AS VARCHAR) FROM s""".stripMargin) { (s, dir) =>
+      val src = table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        unix_timestamp(col("l_shipdate")).as("ship_s"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val profiled = Seq("l_orderkey", "l_partkey", "qty", "l_returnflag", "ship_s")
+      val shown = Map("qty" -> "l_quantity", "ship_s" -> "l_shipdate")
+      val wide = src.agg(
+        count(lit(1)).as("n_rows"),
+        profiled.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))): _*)
+      wide.select(col("n_rows"), explode(array(profiled.map(c =>
+          struct(lit(shown.getOrElse(c, c)).as("col_name"),
+            col(s"${c}_nn").as("n_nonnull"), col(s"${c}_nd").as("n_distinct"),
+            col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))): _*))
+          .as("p"))
+        .select(col("p.col_name"), col("n_rows"), col("p.n_nonnull"),
+          col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+    },
+
     // B20: exact interpolated percentiles (both engines: linear
     // interpolation over the sorted set).
     Q("exact_percentiles",
