@@ -44,7 +44,7 @@ object Bench {
       * blocks before timing the next (outside the timed section).
       * Queries rebuild their own checkpoints per invocation, so
       * nothing is shared across runs — but without release the dead
-      * blocks accumulate for the whole 117-query × 4-invocation
+      * blocks accumulate for the whole 123-query × 4-invocation
       * session (checkpointed count tables are corpus-model-sized) and
       * the 8 GiB harness JVM eventually OOMs mid-phase. BLOCKING
       * unpersist: async eviction lets the next query's ramp-up race

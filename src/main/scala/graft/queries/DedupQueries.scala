@@ -499,14 +499,25 @@ object DedupQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val bfF = Future {
+      // Each chain runs under its own job group (thread-local on the
+      // future's thread) so a chain that FAILS OR TIMES OUT can have
+      // its in-flight jobs cancelled before the failure is surfaced —
+      // an uncancelled timed-out chain would keep computing under the
+      // next bench measurement.
+      def chain[T](tag: String)(body: => T): Future[T] = Future {
+        s.sparkContext.setJobGroup(tag, "clustered recall gate chain",
+          interruptOnCancel = true)
+        try body finally s.sparkContext.clearJobGroup()
+      }
+      val gateTags = Seq("gate_bf", "gate_trained", "gate_pq")
+      val bfF = chain("gate_bf") {
         val b = VectorOps.bruteForceTopK(vecs, qs, "vec_id", "embedding", 10)
           .select(col("query_id"), col("id"))
           .localCheckpoint()
         b.count()
         b
       }
-      val trainedF = Future {
+      val trainedF = chain("gate_trained") {
         // trained path: KMeans.fit recovers the 16 centers (lowest-16
         // init covers one point per generative cluster; two Lloyd
         // rounds refine) — the recall floor gates TRAINING quality,
@@ -520,17 +531,19 @@ object DedupQueries {
       // shortlist (256 ≈ cluster size) must cover it — the rerank
       // then restores exact order; recall gates the WHOLE chain
       // (training + encode + ADC + rerank), not a handed-down code.
-      val pqF = Future {
+      val pqF = chain("gate_pq") {
         VectorOps.pqTopK(vecs, qs, "vec_id", "embedding", 10)
       }
-      // Settle ALL chains before surfacing any failure: rethrowing on
-      // the first failed await would leave the other chains' jobs
-      // running detached under the NEXT bench measurement (whose
-      // releaseState would also unpersist their in-use blocks
-      // mid-flight).
+      // Settle ALL chains before surfacing any failure (rethrowing on
+      // the first failed await would leave the others running detached
+      // under the NEXT bench measurement), and cancel every chain's
+      // job group if ANY failed — a TIMED-OUT await leaves its own
+      // chain's jobs in flight, which only the group cancel stops.
       val bfT = scala.util.Try(Await.result(bfF, 600.seconds))
       val trainedT = scala.util.Try(Await.result(trainedF, 600.seconds))
       val pqT = scala.util.Try(Await.result(pqF, 600.seconds))
+      if (Seq(bfT, trainedT, pqT).exists(_.isFailure))
+        gateTags.foreach(s.sparkContext.cancelJobGroup)
       val bf = bfT.get
       def gate(method: String, approx: org.apache.spark.sql.DataFrame) =
         bf.join(
