@@ -275,6 +275,50 @@ object StreamingQueries {
         .select(col("e.item").as("tok"), col("e.cnt").as("cnt"),
           (col("idx") + 1).cast("int").as("rnk"))
         .filter(col("rnk") <= 20)
+    },
+
+    // D13: windowed trending keys — the frequent-items sketch in
+    // KEYED window state with watermark-driven append emission (D12
+    // is the global complete-mode form). One bounded summary per
+    // hour window instead of a per-(window, user) key space; windows
+    // emit on close. Capacity 1024 ≫ the ≤166 distinct users any
+    // hour holds, so every emitted summary is the exact per-hour
+    // count table and the top-5 is hash-comparable; the emission
+    // filter (strict <) is the streaming_hll_distinct convention,
+    // applied identically on both engines.
+    Q("streaming_windowed_heavy_hitters",
+      s"""WITH e AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS uid,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |w AS (SELECT tsec - tsec % 3600 AS hour_start_s, uid FROM e),
+         |c AS (
+         |  SELECT hour_start_s, uid, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM w GROUP BY 1, 2),
+         |r AS (
+         |  SELECT hour_start_s, uid, cnt,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY hour_start_s ORDER BY cnt DESC, uid) AS INT) AS rnk
+         |  FROM c)
+         |SELECT hour_start_s, uid, cnt, rnk
+         |FROM r, wm WHERE rnk <= 5 AND hour_start_s + 3600 < fw""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir).select(
+        col("user_id").cast("string").as("uid"),
+        timestamp_seconds(expr("ts div 1000000000")).as("tss"))
+        .withWatermark("tss", s"$DelayS seconds")
+      val agg = ev.groupBy(window(col("tss"), "1 hour"))
+        .agg(graft.functions.MisraGries.sketch(col("uid"), 1024).as("sk"))
+        .select(unix_timestamp(col("window.start")).as("hour_start_s"), col("sk"))
+      val streamed = runToMemory(s, agg, "graft_stream_mgw")
+      val fw = table(s, dir, "events")
+        .agg((max(expr("ts div 1000000000")) - DelayS).as("fw"))
+      streamed.join(broadcast(fw))
+        .filter(col("hour_start_s") + 3600 < col("fw"))
+        .select(col("hour_start_s"), posexplode(col("sk")).as(Seq("idx", "e")))
+        .select(col("hour_start_s"), col("e.item").as("uid"),
+          col("e.cnt").as("cnt"), (col("idx") + 1).cast("int").as("rnk"))
+        .filter(col("rnk") <= 5)
     })
 
   /** Stateful streaming ops create one state store per shuffle
