@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank over an edge table — the graph-RANKING
+  * companion to [[ConnectedComponents]] (clustering): entity
+  * importance over a relationship graph (customer↔supplier here; at
+  * corpus scale, document-link or citation graphs for curation
+  * weighting).
+  *
+  * Exact-integer spelling: ranks live in MICRO-units (1e6 = mass 1)
+  * and every step is integer arithmetic — init = 1e6 div N, per-edge
+  * contribution = pr div outdeg, damping = (85 · Σ) div 100 plus a
+  * teleport constant 150000 div N. Integer sums are order-independent
+  * and floor division on non-negative integers is identical in every
+  * engine, so a fixed-iteration run is replayable closed-form by an
+  * external SQL oracle (the `kmeans_iterations` convention, without
+  * even needing rounding decimals). The deterministic floor losses
+  * (mass leaks a few micro-units per node per round) are irrelevant
+  * to ranking and documented here by design.
+  *
+  * Scale shape: one keyed self-join per iteration (contributions
+  * grouped by destination, map-side combined) over an edge table
+  * partitioned by source — O(edges) per round, no windows, node
+  * state never leaves the cluster. Iterations materialize via
+  * cache+count exactly like [[KMeans]]'s Lloyd loop.
+  */
+object PageRank {
+
+  /** @param edges two LONG columns (srcCol, dstCol); treated as given
+    *   (direct the graph — or union both directions — upstream).
+    *   Nodes are defined as the vertices appearing in `edges`.
+    * @return (node: LONG, pr_micro: LONG) after `iterations` rounds.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, dampingPct: Int = 85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val teleport = 150000L / n // (1 − d) in micro-units, floor
+    var pr = nodes.select(col("node"), lit(1000000L / n).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .join(outdeg, "src")
+        // DIV, not `/`: Spark's / on longs is DOUBLE division — the
+        // whole point here is exact integer floor arithmetic
+        .select(col("dst").as("node"), expr("pr DIV outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100"))
+            .as("pr"))
+        .cache()
+      next.count()
+      if (i > 0) pr.unpersist(blocking = true)
+      pr = next
+      i += 1
+    }
+    pr.select(col("node"), col("pr").as("pr_micro"))
+  }
+}

@@ -187,6 +187,63 @@ object ExtendedQueries {
       }.reduce(_ unionByName _)
     },
 
+    // B52: iterative PageRank over the customer↔supplier trade graph
+    // (who-matters ranking, the companion to dedup_clusters'
+    // connected components). Node ids: custkey*2 / suppkey*2+1 keeps
+    // the two key spaces disjoint in one LONG domain. All rank
+    // arithmetic is exact-integer micro-units (init 1e6 div N,
+    // contribution pr div outdeg, damping (85·Σ) div 100 + teleport
+    // 150000 div N) — order-independent integer sums and identical
+    // floor division in both engines make the two fixed iterations
+    // replayable closed-form, the kmeans_iterations convention
+    // without even needing decimal rounding.
+    Q("graph_pagerank", {
+      def iterCte(prev: String): String =
+        s"""SELECT nodes.node,
+           |    CAST(150000 // (SELECT n FROM params)
+           |      + (85 * coalesce(m.in_mass, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.pr // o.outdeg) AS in_mass
+           |    FROM $prev p
+           |    JOIN edges e ON p.node = e.src
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) m ON nodes.node = m.node""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT cn AS src, sn AS dst FROM pairs
+         |  UNION ALL SELECT sn, cn FROM pairs),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |params AS (SELECT count(*) AS n FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |pr0 AS (
+         |  SELECT node, CAST(1000000 // (SELECT n FROM params) AS BIGINT) AS pr
+         |  FROM nodes),
+         |it1 AS (${iterCte("pr0")}),
+         |it2 AS (${iterCte("it1")})
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+         |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS entity,
+         |  pr AS pr_micro
+         |FROM it2 ORDER BY pr DESC, entity LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val pairs = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 2)
+        .select(
+          concat(
+            when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+            expr("node DIV 2").cast("string")).as("entity"),
+          col("pr_micro"))
+        .orderBy(col("pr_micro").desc, col("entity")).limit(20)
+    },
+
     // B20: exact interpolated percentiles (both engines: linear
     // interpolation over the sorted set).
     Q("exact_percentiles",

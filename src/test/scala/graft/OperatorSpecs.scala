@@ -4,6 +4,29 @@ import graft.functions.{Fingerprint64, GeoFunctions, TextFunctions, VectorExpres
 import graft.operators._
 import org.apache.spark.sql.functions._
 
+/** PageRank exact-integer iterations (SURVEY §2 B52). */
+class PageRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Bidirectional star: hub 0 ↔ spokes 1, 2, 3. N = 4, teleport =
+  // 150000 div 4 = 37500, init = 250000.
+  // Round 1: spoke = 37500 + 85·(250000 div 3) div 100 = 108333;
+  //          hub   = 37500 + 85·(3·250000)   div 100 = 675000.
+  // Round 2: spoke = 37500 + 85·(675000 div 3) div 100 = 228750;
+  //          hub   = 37500 + 85·(3·108333)    div 100 = 313749.
+  private val starEdges =
+    Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+
+  test("hand-computed exact micro-unit ranks on a star graph") {
+    for (parts <- Seq(1, 7)) {
+      val edges = starEdges.toDF("src", "dst").repartition(parts)
+      val got = PageRank.run(edges, "src", "dst", iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 313749L, 1L -> 228750L, 2L -> 228750L, 3L -> 228750L))
+    }
+  }
+}
+
 /** Haversine (SURVEY §2 A7). */
 class GeoSpec extends SparkTestBase {
   import spark.implicits._
