@@ -117,6 +117,59 @@ object StreamingQueries {
       runToMemory(s, joined, "graft_stream_join")
     },
 
+    // D14: stream-stream LEFT OUTER time-bounded join — the outer
+    // form is a genuinely different state machine from D7's inner:
+    // an unmatched left row sits in the state store until the global
+    // watermark proves no match can arrive (wm > l_ts + gap), then
+    // emits null-extended. Oracle = all matched pairs (emitted
+    // unconditionally, the D7 rule) UNION unmatched clicks whose
+    // match window closed below the final watermark
+    // (min of both sides' max event time, minus the delay — Spark's
+    // global watermark is the min over watermarked inputs).
+    Q("streaming_left_join",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |c AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'purchase'),
+         |wm AS (
+         |  SELECT least((SELECT max(tsec) FROM c),
+         |               (SELECT max(tsec) FROM p)) - $DelayS AS fw),
+         |matched AS (
+         |  SELECT c.user_id, c.event_id AS click_id,
+         |    p.event_id AS purchase_id, p.tsec - c.tsec AS lag_s
+         |  FROM c JOIN p ON c.user_id = p.user_id
+         |    AND p.tsec >= c.tsec AND p.tsec <= c.tsec + $GapS),
+         |unmatched AS (
+         |  SELECT c.user_id, c.event_id AS click_id,
+         |    CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS lag_s
+         |  FROM c, wm
+         |  WHERE c.tsec + $GapS < wm.fw AND NOT EXISTS (
+         |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+         |      AND p.tsec >= c.tsec AND p.tsec <= c.tsec + $GapS))
+         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("l_ts"))
+        .withWatermark("l_ts", s"$DelayS seconds")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("r_ts"))
+        .withWatermark("r_ts", s"$DelayS seconds")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr(s"INTERVAL $GapS seconds"),
+          "leftOuter")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_s"))
+      runToMemory(s, joined, "graft_stream_ljoin")
+    },
+
     // D9 under the gate: stream-static enrichment — the most common
     // production streaming join (events against a slowly-changing
     // dimension). The static side is broadcast: stateless, no
