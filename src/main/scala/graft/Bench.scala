@@ -44,7 +44,7 @@ object Bench {
       * blocks before timing the next (outside the timed section).
       * Queries rebuild their own checkpoints per invocation, so
       * nothing is shared across runs — but without release the dead
-      * blocks accumulate for the whole 123-query × 4-invocation
+      * blocks accumulate for the whole full-surface × 4-invocation
       * session (checkpointed count tables are corpus-model-sized) and
       * the 8 GiB harness JVM eventually OOMs mid-phase. BLOCKING
       * unpersist: async eviction lets the next query's ramp-up race
@@ -58,10 +58,12 @@ object Bench {
       // Streaming queries land in uniquely-named memory-sink tables
       // (runToMemory) whose driver-side row buffers — corpus-sized
       // for the curate/dedup replays — are reachable through the temp
-      // view, NOT through the cache manager or persistent RDDs. Eight
+      // view, NOT through the cache manager or persistent RDDs. The
       // streaming queries × 4 invocations left multiple GB pinned by
       // round's end: the ×100 dedup_clusters shuffle (fine alone)
-      // OOM'd a heap that clearCache had "drained".
+      // OOM'd a heap that clearCache had "drained". Every streaming
+      // sink is named through runToMemory, so the prefix is the
+      // complete set.
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("graft_stream_"))
         .foreach(t => spark.catalog.dropTempView(t.name))

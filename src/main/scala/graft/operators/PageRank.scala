@@ -35,11 +35,20 @@ object PageRank {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 2, dampingPct: Int = 85): DataFrame = {
+    // Checkpoint the EDGE table, not just the node set: every
+    // iteration's materialization re-executes the edge lineage (for
+    // graph_pagerank, an orders⋈lineitem join + distinct) otherwise —
+    // ~2 recomputations per round. Joins below are keyed large-side
+    // joins, so the checkpoint's loss of size statistics costs
+    // nothing here (contrast the recall gate's broadcast-dependent
+    // corpus, which must NOT be checkpointed).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "PageRank.run: empty edge table — no nodes to rank")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val teleport = 150000L / n // (1 − d) in micro-units, floor
     var pr = nodes.select(col("node"), lit(1000000L / n).as("pr"))

@@ -542,8 +542,20 @@ object DedupQueries {
       val bfT = scala.util.Try(Await.result(bfF, 600.seconds))
       val trainedT = scala.util.Try(Await.result(trainedF, 600.seconds))
       val pqT = scala.util.Try(Await.result(pqF, 600.seconds))
-      if (Seq(bfT, trainedT, pqT).exists(_.isFailure))
-        gateTags.foreach(s.sparkContext.cancelJobGroup)
+      if (Seq(bfT, trainedT, pqT).exists(_.isFailure)) {
+        // Cancellation is not sticky: a multi-job chain between driver
+        // jobs when the cancel lands submits its next job uncancelled.
+        // Re-cancel until every future settles (bounded) — the same
+        // loop Bench's x100 ceiling uses.
+        var rounds = 0
+        var settled = false
+        while (!settled && rounds < 30) {
+          gateTags.foreach(s.sparkContext.cancelJobGroup)
+          settled = Seq(bfF, trainedF, pqF).forall(f =>
+            scala.util.Try(Await.ready(f, 2.seconds)).isSuccess)
+          rounds += 1
+        }
+      }
       val bf = bfT.get
       def gate(method: String, approx: org.apache.spark.sql.DataFrame) =
         bf.join(

@@ -478,17 +478,11 @@ object StreamingQueries {
     val sessions = SessionPipeline.statefulSessionizeEventTime(events, GapS, DelayS)
       .toDF()
       .withColumn("sum_value", round(col("sum_value"), 2))
-    withStatePartitions(spark, 8) {
-      val name = s"graft_stateful_sessions_${System.nanoTime()}"
-      val q = sessions.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    }
+    // through runToMemory: one memory-sink path, one naming
+    // convention — Bench's releaseState drops graft_stream_* views,
+    // and a bespoke name here leaked its driver-side row buffer for
+    // the whole session
+    runToMemory(spark, sessions, "graft_stream_stateful")
   }
 
   /** Replays events as a real streaming query; returns the memory
@@ -510,16 +504,6 @@ object StreamingQueries {
         unix_timestamp(col("session_window.start")).as("start_s"),
         unix_timestamp(col("session_window.end")).as("end_s"),
         col("n_events"), col("sum_value"))
-    withStatePartitions(spark, 8) {
-      val name = s"graft_stream_sessions_${System.nanoTime()}"
-      val q = sessions.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    }
+    runToMemory(spark, sessions, "graft_stream_sessions")
   }
 }
