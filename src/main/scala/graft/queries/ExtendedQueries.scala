@@ -56,6 +56,21 @@ object ExtendedQueries {
         .except(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
     },
 
+    // B19b: EXCEPT ALL — bag semantics (multiplicity-preserving
+    // difference), the form dedup accounting needs: how many ROWS
+    // (not which values) survive removing one occurrence per match.
+    Q("except_all_priorities",
+      """SELECT o_orderpriority AS priority FROM orders
+        |WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority").as("priority"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderpriority").as("priority")))
+    },
+
     // B17: CUBE over status × priority.
     Q("cube_order_stats",
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
