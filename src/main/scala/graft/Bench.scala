@@ -127,18 +127,20 @@ object Bench {
     // expected SUB-quadratic here (the fixed-k quadratic regime is
     // gone — see DedupQueries C32).
     val scaleProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
-    def cloneTables(dir: String, copies: Int): Unit = {
+    def cloneTables(dir: String, copies: Int, withTrade: Boolean = false): Unit = {
       import org.apache.spark.sql.functions.{col, lit, max}
       // events.ts is TIMESTAMP(NANOS): read as epoch-nano bigint (the
       // GraftSession.table convention — set explicitly here so the
       // probe doesn't depend on an events-reading query having run
       // first in this session).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def duplicate(tbl: String, idCols: Seq[String]): Unit = {
+      def duplicate(tbl: String, idCols: Seq[String],
+          fixedShifts: Map[String, Long] = Map.empty): Map[String, Long] = {
         val t = spark.read.parquet(s"$sfDir/$tbl.parquet")
         val shifts = idCols.map { c =>
-          c -> (t.agg(max(col(c))).head().get(0)
-            .asInstanceOf[Number].longValue() + 1L)
+          c -> fixedShifts.getOrElse(c,
+            t.agg(max(col(c))).head().get(0)
+              .asInstanceOf[Number].longValue() + 1L)
         }
         (0 until copies).map { i =>
           shifts.foldLeft(t) { case (df, (c, shift)) =>
@@ -146,10 +148,20 @@ object Bench {
           }
         }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
+        shifts.toMap
       }
       duplicate("documents", Seq("doc_id"))
       duplicate("embeddings", Seq("vec_id"))
       duplicate("events", Seq("event_id", "user_id"))
+      if (withTrade) {
+        // trade graph for the graph_pagerank probe: lineitem's
+        // orderkey must shift by the SAME stride as orders' so each
+        // replica's join stays closed — replicas become disjoint
+        // copies of the graph, the honest ×N shape
+        val oShifts = duplicate("orders", Seq("o_orderkey", "o_custkey"))
+        duplicate("lineitem", Seq("l_orderkey", "l_suppkey"),
+          Map("l_orderkey" -> oShifts("o_orderkey")))
+      }
     }
     val x10Names =
       Seq("dedup_minhash_pairs", "dedup_simhash", "dedup_embed_cosine",
@@ -165,11 +177,12 @@ object Bench {
         "tokenizer_bpe_merges", "text_quality_model",
         "embedding_pca_project", "streaming_corpus_curate",
         "text_pmi_bigrams", "corpus_importance_weights", "ann_pq_topk",
-        "mg_heavy_hitters", "streaming_heavy_hitters", "corpus_pps_sample")
+        "mg_heavy_hitters", "streaming_heavy_hitters", "corpus_pps_sample",
+        "graph_pagerank")
         .filter(n => only.isEmpty || only(n))
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
-      cloneTables(x10Dir, 10)
+      cloneTables(x10Dir, 10, withTrade = true)
       x10Names.map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 
