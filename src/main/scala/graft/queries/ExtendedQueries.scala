@@ -1064,6 +1064,48 @@ object ExtendedQueries {
     // the same seed, same order, same IEEE ops (α = 0.25 is exact
     // binary; inputs are the shared exact-cents daily means) →
     // bit-equal before the final 6dp round.
+    // B53: time-weighted average over IRREGULAR samples — the
+    // telemetry/financial mean that point-average gets wrong when
+    // sampling is uneven (a sensor that reports rarely while parked
+    // must not dominate). Each observation holds until the next one:
+    // TWA = Σ value·Δt / ΣΔt per user, last observation carrying no
+    // interval. Emitted as the exact-INTEGER numerator (cents ×
+    // seconds) and denominator (seconds) rather than their quotient —
+    // the exact-integer convention; per-user windows are small by
+    // construction (the B45 rule), so lead() is the right plan.
+    Q("timeseries_twa",
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, cents, tsec,
+        |    lead(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id)
+        |      AS next_t
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(count(next_t) AS BIGINT) AS n_intervals,
+        |  CAST(coalesce(sum(cents * (next_t - tsec)), 0) AS BIGINT)
+        |    AS num_cents_s,
+        |  CAST(coalesce(sum(next_t - tsec), 0) AS BIGINT) AS den_s
+        |FROM iv GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      e.withColumn("next_t", lead(col("tsec"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(col("next_t")).as("n_intervals"),
+          coalesce(sum(col("cents") * (col("next_t") - col("tsec"))), lit(0L))
+            .cast("long").as("num_cents_s"),
+          coalesce(sum(col("next_t") - col("tsec")), lit(0L))
+            .cast("long").as("den_s"))
+    },
+
     Q("timeseries_ewma",
       s"""WITH e AS (
         |  SELECT user_id,
