@@ -182,13 +182,15 @@ object Bench {
         .filter(n => only.isEmpty || only(n))
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
-      cloneTables(x10Dir, 10, withTrade = true)
+      // trade clones only when the graph query actually probes (a
+      // BENCH_ONLY subset shouldn't pay a 10x lineitem write)
+      cloneTables(x10Dir, 10, withTrade = x10Names.contains("graph_pagerank"))
       x10Names.map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 
     // ---- sf_x100 probe: two decades of scale evidence for the
     // scale-critical dedup/ANN queries only. Each runs ONCE under a
-    // wall-clock ceiling (default 120 s — a query that can't finish a
+    // wall-clock ceiling (default 180 s — a query that can't finish a
     // 100× corpus in that budget is reported as -2.0 "timeout", which
     // IS the probe's finding). dedup_embed_cosine is excluded by
     // design: it is the exact-O(n²) specification baseline and would

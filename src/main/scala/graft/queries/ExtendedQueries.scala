@@ -1090,7 +1090,6 @@ object ExtendedQueries {
         |    AS num_cents_s,
         |  CAST(coalesce(sum(next_t - tsec), 0) AS BIGINT) AS den_s
         |FROM iv GROUP BY user_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val e = table(s, dir, "events").select(
         col("user_id"), col("event_id"),
         expr("ts div 1000000000").as("tsec"),
