@@ -30,16 +30,40 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Raw file read, no column normalization (streaming sources need
+    * the on-disk schema verbatim for `readStream.schema`). */
+  def rawTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-      // by default; read it as a bigint of epoch-nanos instead. All
-      // event-time logic downstream works on whole epoch seconds
-      // (ts DIV 1e9), which also sidesteps ns-vs-us precision skew
-      // against external ns-capable readers.
+      // Some testdata generations ship events.ts as TIMESTAMP(NANOS)
+      // parquet, which Spark 4 refuses by default; read those files
+      // as a bigint of epoch-nanos. (Micros-timestamp generations are
+      // unaffected by this conf.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The driver has shipped events.ts under two physical types across
+    * testdata generations: TIMESTAMP(NANOS) (read as epoch-nanos LONG
+    * via nanosAsLong) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    * All downstream event-time logic works on an epoch-nanos BIGINT
+    * (`ts DIV 1e9` → whole seconds), so normalize whatever the file
+    * carries to that one contract. Session TZ is UTC, so the NTZ→LTZ
+    * cast is shift-free and `unix_micros` is the exact wall-time line.
+    */
+  def normalizeEvents(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.TimestampType =>
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    case _ => df // already epoch-nanos long
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = rawTable(spark, dir, name)
+    if (name == "events") normalizeEvents(df) else df
   }
 
   /** Register every test table as a temp view for spark.sql use. */

@@ -97,7 +97,7 @@ object ExtendedQueries {
         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
         |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
         |  count(*) AS n_orders,
-        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
@@ -133,7 +133,7 @@ object ExtendedQueries {
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
         |  FROM orders GROUP BY o_custkey)
         |SELECT CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
-        |  count(*) AS n_keys, sum(cnt) AS n_rows,
+        |  count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
         |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
       table(s, dir, "orders")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftSession
 import graft.GraftSession.table
 import graft.streaming.SessionPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -399,7 +400,9 @@ object StreamingQueries {
     * which is how the ×10 probe briefly benched an empty stream.
     */
   private def tableStream(spark: SparkSession, dir: String, tbl: String): DataFrame = {
-    val batchSchema = table(spark, dir, tbl).schema
+    // schema() must describe the FILES verbatim; events.ts
+    // normalization is re-applied as a stream transform below.
+    val batchSchema = GraftSession.rawTable(spark, dir, tbl).schema
     val path = s"$dir/$tbl.parquet"
     // Layout detection goes through the Hadoop FileSystem API, not
     // java.io.File — a URI-prefixed or non-local dir (file://, hdfs://,
@@ -413,10 +416,11 @@ object StreamingQueries {
     val (root, glob) =
       if (isDir) (path, "*.parquet")
       else (dir, s"$tbl.parquet")
-    spark.readStream
+    val stream = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", glob)
       .parquet(root)
+    if (tbl == "events") GraftSession.normalizeEvents(stream) else stream
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame =
