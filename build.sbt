@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally re-logs through sbt with an "[info] "
+// prefix — which breaks the driver's JSON parse of the Bench headline
+// line (BENCH_r04..r06 all arrived "parsed": null). StdoutOutput pipes
+// the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
