@@ -116,6 +116,21 @@ object KMeans {
      else finalAsg.select(col("id"), col("cluster")), centroids)
   }
 
+  /** One E-step against a FIXED codebook — for pipelines that train
+    * on a sample (the only affordable regime at corpus scale: Lloyd
+    * cost is rows × k per iteration, so full-corpus training at
+    * k = √n is n^1.5 PER ROUND) and then assign the whole corpus
+    * once. Semantics are exactly [[fit]]'s final assignment pass:
+    * same distance rounding, same (d2, cluster) tie-break.
+    */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, roundTo: Option[Int] = None,
+      keepVectors: Boolean = false): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val a = assignStep(v, centroids, Nil, rounder(roundTo))
+    if (keepVectors) a else a.select(col("id"), col("cluster"))
+  }
+
   /** Per-group Lloyd k-means: an INDEPENDENT codebook for every value
     * of `grpCol`, trained in ONE set of distributed passes — the
     * product-quantization training shape. Calling [[fit]] once per

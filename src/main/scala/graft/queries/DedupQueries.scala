@@ -278,25 +278,35 @@ object DedupQueries {
     // embedding space, then drop any vector with a same-cluster
     // lower-id neighbor above the cosine threshold. Clustering bounds
     // the pair join to within-cluster blocks — the whole point of the
-    // method at 100 TB. The codebook is TRAINED per-corpus: KMeans.fit
-    // (two deterministic Lloyd rounds, 6dp mode — the kmeans_iterations
-    // machinery) with k = ⌈√n⌉ SCALED TO THE CORPUS, so expected block
-    // size is √n and the pair join is ~n^1.5, not the n²/k of any
-    // fixed-k codebook. The oracle replays train → assign closed-form
-    // (the ann_ivf_trained pattern) with the same dynamic k via a
-    // scalar subquery. Assignments are materialized once
-    // (localCheckpoint; in production a persisted table) so the
-    // self-join doesn't re-run the E-step on both sides.
+    // method at 100 TB. The codebook is TRAINED per-corpus with
+    // k = ⌈√n⌉ SCALED TO THE CORPUS (expected block size √n → the
+    // pair join is ~n^1.5, not the n²/k of any fixed-k codebook) —
+    // and trained ON A SAMPLE: the min(n, 32k) lowest-id vectors.
+    // Full-corpus Lloyd at k = √n costs n^1.5 PER ROUND — at 100× the
+    // training passes, not the method's own pair join, would dominate
+    // the query; a 32k-vector sample pins per-round training cost to
+    // O(k²·d) while the corpus pays exactly ONE k-distance assign
+    // pass (the method's floor). For n ≤ 32k (⇔ n ≤ 1024) the sample
+    // IS the corpus, so small-SF results are unchanged. The oracle
+    // replays sample → two Lloyd rounds → full-corpus assign
+    // closed-form (the ann_ivf_trained pattern, 6dp mode) with the
+    // same dynamic k and m via scalar subqueries. Assignments are
+    // materialized once (localCheckpoint; in production a persisted
+    // table) so the self-join doesn't re-run the E-step on both sides.
     Q("semantic_dedup",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM e),
+         |kv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k,
+         |  LEAST(count(*), 32 * CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+         |tr AS (SELECT vec_id, v FROM (
+         |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= (SELECT m FROM kv)),
          |c0 AS (SELECT cluster, cv FROM (
          |    SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
-         |           v AS cv FROM e)
+         |           v AS cv FROM tr)
          |  WHERE cluster <= (SELECT k FROM kv)),
-         |a1 AS (${VectorQueries.assignCte("c0")}),
+         |a1 AS (${VectorQueries.assignCte("c0", "tr")}),
          |c1 AS (${VectorQueries.mStepCte("a1")}),
-         |a2 AS (${VectorQueries.assignCte("c1")}),
+         |a2 AS (${VectorQueries.assignCte("c1", "tr")}),
          |c2 AS (${VectorQueries.mStepCte("a2")}),
          |asg AS (${VectorQueries.assignCte("c2")}),
          |drops AS (
@@ -314,12 +324,18 @@ object DedupQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // k = ⌈√n⌉: the count is one columnar-metadata-cheap action; at
       // any corpus size the trained codebook keeps expected cluster
-      // size √n, the SemDeDup paper's own scaling regime.
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
-      val (assigned, _) = graft.operators.KMeans.fit(
-        e, "vec_id", "v", k, iterations = 2, roundTo = Some(6),
-        keepVectors = true)
-      val asg = assigned
+      // size √n, the SemDeDup paper's own scaling regime. Training
+      // sample = the min(n, 32k) lowest-id vectors, materialized once
+      // (localCheckpoint) so the Lloyd rounds don't re-run the
+      // corpus-wide TakeOrdered per pass.
+      val n = e.count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val m = math.min(n, 32L * k).toInt
+      val train = e.orderBy(col("vec_id")).limit(m).localCheckpoint()
+      val (_, centroids) = graft.operators.KMeans.fit(
+        train, "vec_id", "v", k, iterations = 2, roundTo = Some(6))
+      val asg = graft.operators.KMeans.assign(
+          e, "vec_id", "v", centroids, roundTo = Some(6), keepVectors = true)
         .select(col("id").as("vec_id"), col("cluster"), col("v"))
         .localCheckpoint()
       val cos = VectorOps.dot(col("va"), col("vb")) /
