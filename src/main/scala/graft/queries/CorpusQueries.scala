@@ -113,6 +113,127 @@ object CorpusQueries {
       ConnectedComponents.clusters(pairs.select(col("id_a"), col("id_b")))
     },
 
+    // C45: LINE-level dedup (CCNet / RefinedWeb): duplicate lines —
+    // boilerplate, navigation chrome, repeated headers — are removed
+    // corpus-WIDE (first occurrence by (doc_id, line_idx) wins), and
+    // each document is reassembled from its surviving lines. Distinct
+    // from span_dedup_docs (C31), which SCORES span duplication but
+    // rewrites nothing. The synthetic corpus has no newlines, so a
+    // "line" is a fixed 10-token segment — the segmentation is a
+    // parameter; the operator is the dedup + reassembly.
+    //
+    // Scale plan: ONE keyed exchange does the whole dedup — groupBy
+    // the line's 128-bit fingerprint with min(struct(doc_id,
+    // line_idx, line)): partial aggregation means each map task
+    // forwards at most one candidate row per distinct line, so the
+    // exchange carries distinct-lines rows (not corpus lines), each
+    // with its ~10-token text. The reassembly is a second keyed
+    // exchange at doc granularity. Third-fingerprint collision guard
+    // as in dedup_exact_docs: a silent merge would need a
+    // simultaneous 192-bit collision.
+    Q("line_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+        |    i -> struct_pack(
+        |      line_idx := CAST(i AS BIGINT),
+        |      line := array_to_string(
+        |        toks[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' '))),
+        |    recursive := true)
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, line_idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM l),
+        |k AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(line ORDER BY line_idx), ' ') AS kept_text
+        |  FROM f WHERE rn = 1 GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_lines,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM n LEFT JOIN k USING (doc_id)""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nSeg = ceil(size(toks).cast("double") / lit(10.0)).cast("int")
+      val lines = table(s, dir, "documents").select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))))
+          .as(Seq("line_idx", "line")))
+        .select(col("doc_id"), col("line_idx").cast("long").as("line_idx"),
+          col("line"))
+      val firsts = lines
+        .groupBy(xxhash64(col("line")), xxhash64(lit(42L), col("line")),
+          length(col("line")))
+        .agg(
+          min(struct(col("doc_id"), col("line_idx"), col("line"))).as("first"),
+          countDistinct(xxhash64(lit(1337L), col("line"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in line_dedup")).isNull)
+        .select(col("first.doc_id").as("doc_id"),
+          col("first.line_idx").as("line_idx"), col("first.line").as("line"))
+      val kept = firsts.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(line_idx, line))), x -> x.line)"))
+          .as("kept_text"))
+      lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+    },
+
+    // C46: quality-aware canonical selection — within each transitive
+    // near-dup cluster keep the HIGHEST-quality member, not the
+    // lowest id (what a production pipeline actually wants: among
+    // mirrored copies keep the cleanest). Cluster machinery is
+    // dedup_clusters' (MinHash-LSH pairs → hash-min connected
+    // components); the choice key is the UNROUNDED quality score,
+    // bit-equal across engines, ties broken on doc_id.
+    Q("dedup_keep_best",
+      s"""WITH RECURSIVE $pairsCte,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT cl.id, cl.cluster_id, ${TextQueries.qualityRawSql} AS qual
+         |      FROM cl JOIN documents d ON cl.id = d.doc_id)
+         |SELECT cluster_id, n_members, kept_doc_id, kept_quality FROM (
+         |  SELECT cluster_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         |    id AS kept_doc_id,
+         |    floor(qual * 10000 + 0.5) / 10000 AS kept_quality,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY qual DESC, id) AS rn
+         |  FROM q) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.8)
+      val clusters = ConnectedComponents.clusters(
+        pairs.select(col("id_a"), col("id_b")))
+      clusters
+        .join(docs.select(col("doc_id").as("id"),
+          TF.qualityScore(col("text")).as("qual")), Seq("id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          // lexicographic max of (quality, -id): max quality, ties
+          // resolved to the LOWEST doc_id — window-free argmax with
+          // map-side partial aggregation
+          max_by(col("id"), struct(col("qual"), -col("id"))).as("kept_doc_id"),
+          (floor(max(col("qual")) * lit(10000) + lit(0.5)).cast("double") /
+            lit(10000)).as("kept_quality"))
+    },
+
     // C30: the END-TO-END curation pipeline as ONE declarative plan —
     // scrub → quality filter → exact dedup (keep-first on normalized
     // scrubbed text) → split assignment → per-(split, lang) counts.

@@ -31,6 +31,17 @@ object TextQueries {
     s"(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1))"
   private val stopRatioSql =
     s"(CAST(${hitsSql(TF.EnStop)} AS DOUBLE) / $nTokSql)"
+  /** UNROUNDED quality score (TF.qualityScore's exact formula) —
+    * bit-equal across engines (ratios of identical integers combined
+    * in one order), so it is safe as an ORDER BY key in other
+    * queries' oracles (dedup_keep_best). Display rounding stays at
+    * each use site.
+    */
+  private[queries] val qualityRawSql: String =
+    s"""((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+       |     + (1.0 - least(abs($avgTokSql - 5.0) / 5.0, 1.0)) * 0.3
+       |     + least($stopRatioSql * 4.0, 1.0) * 0.4)
+       |    * (1.0 - least($punctSql * 4.0, 1.0)))""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -61,11 +72,7 @@ object TextQueries {
          |  floor($avgTokSql * 10000 + 0.5) / 10000 AS avg_token_len,
          |  floor($stopRatioSql * 10000 + 0.5) / 10000 AS stopword_ratio,
          |  floor($punctSql * 10000 + 0.5) / 10000 AS punct_ratio,
-         |  floor(
-         |    ((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
-         |     + (1.0 - least(abs($avgTokSql - 5.0) / 5.0, 1.0)) * 0.3
-         |     + least($stopRatioSql * 4.0, 1.0) * 0.4)
-         |    * (1.0 - least($punctSql * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality
+         |  floor($qualityRawSql * 10000 + 0.5) / 10000 AS quality
          |FROM documents""".stripMargin) { (s, dir) =>
       def r4(c: org.apache.spark.sql.Column) =
         floor(c * lit(10000) + lit(0.5)).cast("double") / lit(10000)

@@ -715,3 +715,62 @@ class BpeMergePropertySpec extends SparkTestBase {
     }
   }
 }
+
+/** C45 line-level dedup + C46 quality-aware canonical selection, on
+  * constructed corpora that exercise the edges the testdata may not:
+  * a doc whose EVERY line is a duplicate (must survive with
+  * n_kept = 0 and empty kept_text), partial overlap (reassembly in
+  * line order), and a near-dup cluster whose best-quality member is
+  * NOT the lowest id.
+  */
+class CorpusRewriteSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("line_dedup drops corpus-wide duplicate lines and reassembles") {
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val lineA = toks("a", 10)     // doc 0 line 0
+    val lineB = toks("b", 10)     // doc 0 line 1
+    val lineC = toks("c", 10)
+    val tail5 = toks("d", 5)      // short trailing segment
+    val dir = docsDir(Seq(
+      0L -> s"$lineA $lineB",     // keeps both
+      1L -> s"$lineA $lineB",     // exact copy: loses every line
+      2L -> s"$lineA $lineC",     // keeps only lineC
+      3L -> s"$lineC $tail5"))    // lineC already taken by doc 2; keeps tail5
+    val got = SparkEntry.queries("line_dedup")(spark, dir)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, s"$lineA $lineB"),
+      (1L, 2L, 0L, ""),
+      (2L, 2L, 1L, lineC),
+      (3L, 2L, 1L, tail5)))
+  }
+
+  test("dedup_keep_best keeps the highest-quality member, not the lowest id") {
+    // same-token docs: identical trigram set (jaccard 1 = one
+    // cluster), quality strictly increasing in length below 500
+    // chars — so the longest doc wins regardless of id order.
+    def rep(n: Int): String = Seq.fill(n)("data").mkString(" ")
+    val dir = docsDir(Seq(
+      10L -> rep(40), 11L -> rep(44), 12L -> rep(42),
+      13L -> "totally unrelated words nothing shared here at all"))
+    val got = SparkEntry.queries("dedup_keep_best")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == 1, s"one cluster expected, got $got")
+    val (clusterId, nMembers, keptId, keptQ) = got.head
+    assert(clusterId == 10L && nMembers == 3L && keptId == 11L,
+      s"expected cluster 10 of 3 keeping doc 11, got $got")
+    // len 219/500 * 0.3 + avg-token-len score 0.8 * 0.3 = 0.3714
+    assert(math.abs(keptQ - 0.3714) < 1e-9, s"quality $keptQ")
+  }
+}
