@@ -398,6 +398,62 @@ object TextQueries {
           (col("weight_sum") > 0).cast("int").as("kept"))
     },
 
+    // C47: feature-hashed document embeddings (the hashing trick,
+    // Weinberger et al. 2009) — every doc becomes a d=16 sign-hashed
+    // bag-of-words vector with NO trained model: dim = low 4 bits of
+    // the token fingerprint, sign = bit 4, value = signed count sum.
+    // This is the bridge from the text world to the vector world —
+    // the output feeds the ANN / k-means / semantic-dedup family when
+    // no neural embedding exists yet (and is the exact feature map
+    // DSIR's bucket model hashes into). Emitted EXPLODED as (doc_id,
+    // dim, f_int, f_norm): the integer component is order-independent
+    // and exact; the L2-normalized component divides by the per-doc
+    // norm (identical doubles both engines) on the 6dp floor
+    // convention. Scale shape: map-side-combined (doc, dim) agg →
+    // per-doc re-agg, two keyed exchanges, rows ≤ 16/doc on the wire.
+    // Sign-bit replay: HUGEINT (h // 16) % 2 reads bit 4, exactly
+    // what the signed arithmetic shift + mask reads in Spark (shifts
+    // only differ in HIGH bits).
+    Q("doc_embed_hash",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |i AS (
+         |  SELECT doc_id, unnest(list_transform(toks, tok ->
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(
+         |        list_filter(string_split_regex(tok, ''), c -> c <> ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, b) -> (h * 31 + b) % 18446744073709551616))) AS h
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, CAST(h % 16 AS INT) AS dim,
+         |    CAST(sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+         |      AS f_int
+         |  FROM i GROUP BY doc_id, dim),
+         |n AS (SELECT doc_id, sqrt(CAST(sum(f_int * f_int) AS DOUBLE)) AS norm
+         |      FROM f GROUP BY doc_id)
+         |SELECT f.doc_id, dim, f_int,
+         |  CASE WHEN norm = 0 THEN 0.0
+         |       ELSE floor(f_int / norm * 1000000 + 0.5) / 1000000 END AS f_norm
+         |FROM f JOIN n USING (doc_id)""".stripMargin) { (s, dir) =>
+      val inst = table(s, dir, "documents").select(
+        col("doc_id"),
+        explode(transform(TF.wsTokens(col("text")),
+          t => Fingerprint64.fingerprint64(t))).as("h"))
+      val byDim = inst
+        .groupBy(col("doc_id"), col("h").bitwiseAND(lit(15L)).cast("int").as("dim"))
+        .agg(sum(when(shiftright(col("h"), 4).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as("f_int"))
+      byDim.groupBy(col("doc_id"))
+        .agg(
+          array_sort(collect_list(struct(col("dim"), col("f_int")))).as("fs"),
+          sqrt(sum(col("f_int") * col("f_int")).cast("double")).as("norm"))
+        .select(col("doc_id"), explode(col("fs")).as("f"), col("norm"))
+        .select(col("doc_id"), col("f.dim").as("dim"), col("f.f_int").as("f_int"),
+          when(col("norm") === 0, lit(0.0))
+            .otherwise(floor(col("f.f_int") / col("norm") * lit(1000000) + lit(0.5))
+              .cast("double") / lit(1000000)).as("f_norm"))
+    },
+
     // C41: PMI collocation scoring — the corpus-statistics operator
     // behind phrase mining / tokenizer seeding (Church & Hanks 1990):
     // rank word bigrams by pointwise mutual information against the
