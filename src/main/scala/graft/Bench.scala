@@ -178,7 +178,7 @@ object Bench {
         "embedding_pca_project", "streaming_corpus_curate",
         "text_pmi_bigrams", "corpus_importance_weights", "ann_pq_topk",
         "mg_heavy_hitters", "streaming_heavy_hitters", "corpus_pps_sample",
-        "graph_pagerank")
+        "graph_pagerank", "line_dedup", "doc_embed_hash", "dedup_keep_best")
         .filter(n => only.isEmpty || only(n))
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
@@ -202,7 +202,7 @@ object Bench {
       "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
       "span_dedup_docs", "semantic_dedup", "dedup_clusters",
       "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
-      "corpus_pretrain_pipeline")
+      "corpus_pretrain_pipeline", "line_dedup")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]

@@ -525,6 +525,41 @@ object CorpusQueries {
           sum(col("nc")).as("total_tokens"))
     },
 
+    // C48: per-source quota cap — web-corpus pipelines cap documents
+    // per DOMAIN so no single crawl source dominates training (the
+    // C4/RefinedWeb "domain cap"): keep the top-20 highest-quality
+    // docs per source, report the kept SET per source. TopKPerKey
+    // bounded heaps (k rows per source per task, no window sort);
+    // ordering key is the UNROUNDED quality score (bit-equal across
+    // engines), ties on doc_id. kept_id_sum pins the exact kept set,
+    // not just its size.
+    Q("corpus_domain_cap",
+      s"""WITH q AS (SELECT doc_id, source, ${TextQueries.qualityRawSql} AS qual
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, qual,
+         |    row_number() OVER (PARTITION BY source ORDER BY qual DESC, doc_id)
+         |      AS rn FROM q),
+         |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+         |    floor(min(qual) * 10000 + 0.5) / 10000 AS min_kept_quality
+         |  FROM r WHERE rn <= 20 GROUP BY source),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM q
+         |  GROUP BY source)
+         |SELECT t.source, n_docs, n_kept, kept_id_sum, min_kept_quality
+         |FROM t JOIN k USING (source)""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"), col("source"), TF.qualityScore(col("text")).as("qual"))
+      val kept = graft.plans.TopK
+        .perKey(docs, Seq("source"), Seq(("qual", false), ("doc_id", true)), 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          (floor(min(col("qual")) * lit(10000) + lit(0.5)).cast("double") /
+            lit(10000)).as("min_kept_quality"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"))
+    },
+
     // C42: DSIR-style importance weighting (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling") — the
     // standard way a pretraining corpus is reweighted toward a target

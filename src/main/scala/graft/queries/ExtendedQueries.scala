@@ -315,6 +315,55 @@ object ExtendedQueries {
           round(max(col("o_totalprice")), 4).as("hi"))
     },
 
+    // B54: robust outlier detection — median/MAD z-scores (the
+    // telemetry/price-anomaly primitive that mean/stddev z-scores get
+    // wrong: one fat outlier inflates stddev and hides its siblings;
+    // the median absolute deviation is breakdown-point-0.5 robust).
+    // Two DistributedQuantile chains (median of the value, then
+    // median of |value − median|), each the scale-safe streamed
+    // two-pass — never the unspillable percentile buffer agg — with
+    // the group-count-sized statistics broadcast over one scan for
+    // the flag count. Both medians are bit-identical to quantile_cont
+    // (the exact_percentiles contract), so the strict > threshold
+    // compare is exact in both engines.
+    Q("robust_outliers",
+      """WITH m AS (
+        |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT o.o_orderpriority, o_totalprice, med,
+        |    abs(o_totalprice - med) AS dev
+        |  FROM orders o JOIN m USING (o_orderpriority)),
+        |s AS (SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad
+        |      FROM d GROUP BY 1)
+        |SELECT d.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(min(d.med), 4) AS median,
+        |  round(min(s.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN s USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority""".stripMargin) { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val med = DistributedQuantile
+        .quantiles(orders, "o_orderpriority", "o_totalprice", Seq("med" -> 0.5))
+        .select(col("g").as("o_orderpriority"), col("med"))
+      val dev = orders.join(broadcast(med), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("med"),
+          abs(col("o_totalprice") - col("med")).as("dev"))
+      val mad = DistributedQuantile
+        .quantiles(dev, "o_orderpriority", "dev", Seq("mad" -> 0.5))
+        .select(col("g").as("o_orderpriority"), col("mad"))
+      dev.join(broadcast(mad), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(min(col("med")), 4).as("median"),
+          round(min(col("mad")), 4).as("mad"),
+          sum(when(col("dev") > lit(3) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    },
+
     // B20b: t-digest quantile sketch (the second mergeable sketch,
     // functions/TDigest.scala) under the oracle — the estimate is
     // engine-specific (accuracy pinned in TDigestSpec); group keys,
