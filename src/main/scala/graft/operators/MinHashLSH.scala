@@ -114,10 +114,73 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
       bucketCap: Option[Int] = Some(100000)): DataFrame = {
-    // Docs with fewer than k tokens have an empty shingle set: their
-    // minhash signatures are all-identical sentinels (every such pair
-    // collides in every band — a quadratic clique) and their Jaccard
-    // is 0/0. Drop them before banding; the oracle mirrors the filter.
+    val (verified, members) = collapsedCore(docs, idCol, textCol, threshold, k, bucketCap)
+    // Re-expand: cross-cluster pairs inherit the representatives'
+    // jaccard; within-cluster pairs are exact duplicates (jaccard 1).
+    // Both joins are keyed on gkey — output-sized work.
+    val cross = verified
+      .join(members.select(col("gkey").as("gkey_a"), col(idCol).as("_ida")), "gkey_a")
+      .join(members.select(col("gkey").as("gkey_b"), col(idCol).as("_idb")), "gkey_b")
+      .select(
+        least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"),
+        col("jaccard"))
+    val within = members.as("p").join(members.as("q"),
+        col("p.gkey") === col("q.gkey") && col(s"p.$idCol") < col(s"q.$idCol"))
+      .filter(lit(1.0) >= threshold)
+      .select(col(s"p.$idCol").as("id_a"), col(s"q.$idCol").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** The COLLAPSED near-dup graph — for graph-stage consumers
+    * (connected components, canonical selection) that would otherwise
+    * feed on the re-expanded pair set, where a clone cluster of c
+    * docs contributes c²/2 within-pairs (24.7M edges on the ×100
+    * probe corpus — the whole cost of `dedup_clusters` there).
+    *
+    * Returns:
+    *   - repPairs (id_a, id_b, jaccard): verified near-dup pairs
+    *     BETWEEN representatives (min-id doc of each distinct shingle
+    *     set) — the quotient graph's edges;
+    *   - groups (rep_id, member_id): every surviving doc mapped to
+    *     its clone-group representative (reps map to themselves).
+    *
+    * Exactness: the expanded graph's components are exactly the
+    * member-unions of the quotient graph's components (in-group pairs
+    * connect members to their rep; a cross pair between groups
+    * expands to all member pairs, adding no connectivity beyond the
+    * rep edge). min-id labels agree too: each rep IS its group's min
+    * id, so min over a quotient component's reps = min over the
+    * expanded component's members.
+    */
+  def nearDupGraph(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3,
+      bucketCap: Option[Int] = Some(100000)): (DataFrame, DataFrame) = {
+    val (verified, members) = collapsedCore(docs, idCol, textCol, threshold, k, bucketCap)
+    val repId = members.groupBy(col("gkey"))
+      .agg(min(col(idCol)).as("rep_id"))
+    val repPairs = verified
+      .join(repId.select(col("gkey").as("gkey_a"), col("rep_id").as("id_a")), "gkey_a")
+      .join(repId.select(col("gkey").as("gkey_b"), col("rep_id").as("id_b")), "gkey_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val groups = members.join(repId, "gkey")
+      .select(col("rep_id"), col(idCol).as("member_id"))
+    (repPairs, groups)
+  }
+
+  /** Shared collapse + band + verify stages: returns
+    * (verified rep-level pairs keyed by gkey, members (gkey, id)).
+    *
+    * Docs with fewer than k tokens have an empty shingle set: their
+    * minhash signatures are all-identical sentinels (every such pair
+    * collides in every band — a quadratic clique) and their Jaccard
+    * is 0/0. Dropped before banding; the oracles mirror the filter.
+    */
+  private def collapsedCore(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int,
+      bucketCap: Option[Int]): (DataFrame, DataFrame) = {
     val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, k)
       .filter(size(col("grams")) > 0)
       // 64-bit key of the (sorted, distinct) shingle set; docs sharing
@@ -148,22 +211,6 @@ object MinHashLSH {
           size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("gkey_a"), col("gkey_b"), col("jaccard"))
-
-    // Re-expand: cross-cluster pairs inherit the representatives'
-    // jaccard; within-cluster pairs are exact duplicates (jaccard 1).
-    // Both joins are keyed on gkey — output-sized work.
-    val cross = verified
-      .join(members.select(col("gkey").as("gkey_a"), col(idCol).as("_ida")), "gkey_a")
-      .join(members.select(col("gkey").as("gkey_b"), col(idCol).as("_idb")), "gkey_b")
-      .select(
-        least(col("_ida"), col("_idb")).as("id_a"),
-        greatest(col("_ida"), col("_idb")).as("id_b"),
-        col("jaccard"))
-    val within = members.as("p").join(members.as("q"),
-        col("p.gkey") === col("q.gkey") && col(s"p.$idCol") < col(s"q.$idCol"))
-      .filter(lit(1.0) >= threshold)
-      .select(col(s"p.$idCol").as("id_a"), col(s"q.$idCol").as("id_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    (verified, members)
   }
 }

@@ -17,6 +17,32 @@ object CorpusQueries {
   private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val nTokSql = s"len(string_split($normSql, ' '))"
 
+  /** Transitive near-dup clusters (id, cluster_id) via connected
+    * components on the COLLAPSED quotient graph: CC iterates over
+    * representative-level edges (clone groups contribute one node,
+    * not c²/2 within-pairs), then members re-attach in one
+    * output-sized join. A doc appears iff it belongs to some expanded
+    * pair: its rep has a cross edge, or its clone group has ≥ 2
+    * members (within-pairs at jaccard 1). cluster_id = min id of the
+    * expanded component — each rep IS its group's min id, so the
+    * quotient CC's min-rep label already equals it.
+    * Shared by dedup_clusters and dedup_keep_best.
+    */
+  private def collapsedClusters(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (repPairs, groups) = MinHashLSH
+      .nearDupGraph(table(s, dir, "documents"), "doc_id", "text", 0.8)
+    val repClusters = ConnectedComponents
+      .clusters(repPairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "rep_id")
+    val sizes = groups.groupBy(col("rep_id")).agg(count(lit(1)).as("_gsz"))
+    groups.join(sizes, "rep_id")
+      .join(repClusters, Seq("rep_id"), "left")
+      .filter(col("cluster_id").isNotNull || col("_gsz") > 1)
+      .select(col("member_id").as("id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+  }
+
   // word-trigram near-dup pairs (same definition as dedup_minhash_pairs)
   private val pairsCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -95,6 +121,13 @@ object CorpusQueries {
     // transitive, so the canonical doc is the min id of the whole
     // connected component (hash-min label propagation vs a DuckDB
     // recursive-CTE transitive closure).
+    // Round 7: CC runs on the COLLAPSED quotient graph
+    // (MinHashLSH.nearDupGraph — representatives + clone groups), not
+    // the re-expanded pair set, where a c-clone cluster contributes
+    // c²/2 within-pairs (24.7M edges at the ×100 probe — the entire
+    // cost of this query there). Exact by the quotient argument in
+    // nearDupGraph's scaladoc; members re-attach in one output-sized
+    // join. ×100: 100 s → ~5 s.
     Q("dedup_clusters",
       s"""WITH RECURSIVE $pairsCte,
          |p AS (
@@ -109,8 +142,7 @@ object CorpusQueries {
          |  UNION
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.id)
          |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
-      val pairs = MinHashLSH.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.8)
-      ConnectedComponents.clusters(pairs.select(col("id_a"), col("id_b")))
+      collapsedClusters(s, dir)
     },
 
     // C45: LINE-level dedup (CCNet / RefinedWeb): duplicate lines —
@@ -217,10 +249,7 @@ object CorpusQueries {
          |    row_number() OVER (PARTITION BY cluster_id ORDER BY qual DESC, id) AS rn
          |  FROM q) WHERE rn = 1""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.8)
-      val clusters = ConnectedComponents.clusters(
-        pairs.select(col("id_a"), col("id_b")))
-      clusters
+      collapsedClusters(s, dir)
         .join(docs.select(col("doc_id").as("id"),
           TF.qualityScore(col("text")).as("qual")), Seq("id"))
         .groupBy(col("cluster_id"))
