@@ -103,15 +103,20 @@ object CorpusQueries {
          |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          |GROUP BY source""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      // The drop set is output-sized (near-dup ids — tiny relative to
-      // the corpus at any scale). Materialize the LSH pipeline ONCE
-      // via localCheckpoint so the anti-join plans against a
-      // ready result instead of re-executing the
-      // shingle→minhash→band→verify lineage, then broadcast it — the
-      // anti-join becomes a map-side hash probe over one corpus scan.
-      val drops = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.8)
-        .select(col("id_b").as("doc_id")).distinct()
-        .localCheckpoint(true)
+      // Drop set from the COLLAPSED graph (see collapsedClusters): a
+      // doc drops iff some lower-id doc near-dups it, which in
+      // quotient terms is (a) any non-representative clone-group
+      // member (its rep is the group min), or (b) a representative
+      // with a lower cross-edge neighbor. Linear in docs — the
+      // re-expanded pair set would spell c²/2 rows per c-clone group
+      // just to learn "c − 1 docs drop". Materialized ONCE via
+      // localCheckpoint, then broadcast: the anti-join is a map-side
+      // hash probe over one corpus scan.
+      val (repPairs, groups) = MinHashLSH.nearDupGraph(docs, "doc_id", "text", 0.8)
+      val nonReps = groups.filter(col("member_id") =!= col("rep_id"))
+        .select(col("member_id").as("doc_id"))
+      val droppedReps = repPairs.select(col("id_b").as("doc_id")).distinct()
+      val drops = nonReps.unionByName(droppedReps).distinct().localCheckpoint(true)
       docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_kept"))
