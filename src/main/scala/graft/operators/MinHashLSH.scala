@@ -114,7 +114,7 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
       bucketCap: Option[Int] = Some(100000)): DataFrame = {
-    val (verified, members) = collapsedCore(docs, idCol, textCol, threshold, k, bucketCap)
+    val (verified, members, _) = collapsedCore(docs, idCol, textCol, threshold, k, bucketCap)
     // Re-expand: cross-cluster pairs inherit the representatives'
     // jaccard; within-cluster pairs are exact duplicates (jaccard 1).
     // Both joins are keyed on gkey — output-sized work.
@@ -157,9 +157,10 @@ object MinHashLSH {
   def nearDupGraph(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
       bucketCap: Option[Int] = Some(100000)): (DataFrame, DataFrame) = {
-    val (verified, members) = collapsedCore(docs, idCol, textCol, threshold, k, bucketCap)
-    val repId = members.groupBy(col("gkey"))
-      .agg(min(col(idCol)).as("rep_id"))
+    val (verified, members, reps) = collapsedCore(docs, idCol, textCol, threshold, k, bucketCap)
+    // reps is the checkpointed (gkey, min-id, grams) table the core
+    // already built — no re-aggregation of members needed.
+    val repId = reps.select(col("gkey"), col(idCol).as("rep_id"))
     val repPairs = verified
       .join(repId.select(col("gkey").as("gkey_a"), col("rep_id").as("id_a")), "gkey_a")
       .join(repId.select(col("gkey").as("gkey_b"), col("rep_id").as("id_b")), "gkey_b")
@@ -171,7 +172,8 @@ object MinHashLSH {
   }
 
   /** Shared collapse + band + verify stages: returns
-    * (verified rep-level pairs keyed by gkey, members (gkey, id)).
+    * (verified rep-level pairs keyed by gkey, members (gkey, id),
+    * reps (gkey, min-id, grams) — both checkpointed).
     *
     * Docs with fewer than k tokens have an empty shingle set: their
     * minhash signatures are all-identical sentinels (every such pair
@@ -180,7 +182,7 @@ object MinHashLSH {
     */
   private def collapsedCore(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int,
-      bucketCap: Option[Int]): (DataFrame, DataFrame) = {
+      bucketCap: Option[Int]): (DataFrame, DataFrame, DataFrame) = {
     val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, k)
       .filter(size(col("grams")) > 0)
       // 64-bit key of the (sorted, distinct) shingle set; docs sharing
@@ -211,6 +213,6 @@ object MinHashLSH {
           size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("gkey_a"), col("gkey_b"), col("jaccard"))
-    (verified, members)
+    (verified, members, reps)
   }
 }

@@ -331,6 +331,12 @@ object DedupQueries {
       val n = e.count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
       val m = math.min(n, 32L * k).toInt
+      // TakeOrdered: per-partition m-heaps + one bounded merge. The
+      // lowest-id rule keeps the oracle a closed-form row_number
+      // window; a true 100 TB deployment would hash-sample
+      // (vec_id % s = 0) to avoid materializing m rows at one merge
+      // point — same engine shape, different (equally deterministic)
+      // membership rule.
       val train = e.orderBy(col("vec_id")).limit(m).localCheckpoint()
       val (_, centroids) = graft.operators.KMeans.fit(
         train, "vec_id", "v", k, iterations = 2, roundTo = Some(6))
