@@ -1122,6 +1122,126 @@ object ExtendedQueries {
     // seconds) and denominator (seconds) rather than their quotient —
     // the exact-integer convention; per-user windows are small by
     // construction (the B45 rule), so lead() is the right plan.
+    // B55: CDC merge-latest compaction — apply a changelog to arrive
+    // at current state per key (the warehouse MERGE / SCD-1 shape):
+    // latest version wins, a delete op as the latest version removes
+    // the key. Modeled on orders as a per-customer changelog (version
+    // = (orderdate, orderkey) lexicographic; status P = delete). ONE
+    // keyed exchange: max_by(struct(version, orderkey), payload) is
+    // map-side combinable — each task forwards one candidate per key,
+    // the compaction that keeps a 100 TB changelog mergeable without
+    // a window sort. All-integer output (exact cents, exact counts).
+    Q("cdc_merge_latest",
+      """WITH c AS (
+        |  SELECT o_custkey AS key,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS v,
+        |    o_orderkey AS seq, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT key, st, cents FROM (
+        |    SELECT key, st, cents,
+        |      row_number() OVER (PARTITION BY key ORDER BY v DESC, seq DESC)
+        |        AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT
+        |  CAST(sum(CASE WHEN st <> 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_live_keys,
+        |  CAST(sum(CASE WHEN st = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted_keys,
+        |  CAST(sum(CASE WHEN st <> 'P' THEN cents ELSE 0 END) AS BIGINT)
+        |    AS live_cents
+        |FROM m""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_custkey").as("key"),
+          unix_timestamp(col("o_orderdate")).as("v"),
+          col("o_orderkey").as("seq"), col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("st"), col("cents")),
+          struct(col("v"), col("seq"))).as("m"))
+        .agg(
+          sum(when(col("m.st") =!= "P", 1L).otherwise(0L)).as("n_live_keys"),
+          sum(when(col("m.st") === "P", 1L).otherwise(0L)).as("n_deleted_keys"),
+          sum(when(col("m.st") =!= "P", col("m.cents")).otherwise(0L))
+            .as("live_cents"))
+    },
+
+    // B56: funnel analysis (view → click → purchase, strictly ordered
+    // in event time) — the product-analytics staple. Stage k's
+    // timestamp is the user's FIRST stage-k event strictly after
+    // their stage-(k−1) time; each stage is one keyed (user) join of
+    // the per-user stage table (n_users rows) back onto the events —
+    // never a per-user window sort over the full stream. All-integer
+    // output; conversion time as an exact second sum.
+    Q("funnel_steps",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |u AS (SELECT count(DISTINCT user_id) AS n FROM e),
+        |v AS (SELECT user_id, min(tsec) AS tv FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(tsec) AS tc
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND tsec > tv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(tsec) AS tp
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND tsec > tc GROUP BY e.user_id)
+        |SELECT (SELECT n FROM u) AS n_users,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased,
+        |  (SELECT CAST(coalesce(sum(tp - tv), 0) AS BIGINT)
+        |   FROM p JOIN v USING (user_id)) AS conversion_s_sum""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("tv"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("tsec") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("tc"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("tsec") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("tp"))
+      val conv = p.join(v, "user_id")
+        .agg(coalesce(sum(col("tp") - col("tv")), lit(0L)).as("conversion_s_sum"))
+      e.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+        .crossJoin(conv)
+    },
+
+    // B57: cohort retention — users grouped by first-activity week,
+    // counted per week offset (the growth-analytics retention
+    // matrix). Two keyed exchanges: the per-user cohort agg and the
+    // (cohort, offset) distinct-user count; the cohort table joins
+    // back keyed on user, never broadcast-assumed (users are
+    // unbounded at 100 TB, AQE may still elect broadcast at this SF).
+    Q("cohort_retention",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |coh AS (SELECT user_id, min(day) // 7 AS cohort_week FROM e
+        |        GROUP BY user_id)
+        |SELECT cohort_week,
+        |  CAST(e.day // 7 - cohort_week AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN coh USING (user_id)
+        |GROUP BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+      val coh = e.groupBy(col("user_id"))
+        .agg(expr("min(day) div 7").as("cohort_week"))
+      e.join(coh, "user_id")
+        .groupBy(col("cohort_week"),
+          (expr("day div 7") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
     Q("timeseries_twa",
       """WITH e AS (
         |  SELECT user_id, event_id,
