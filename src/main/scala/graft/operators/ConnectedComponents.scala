@@ -92,4 +92,33 @@ object ConnectedComponents {
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /** Components of a clone-collapsed (quotient) graph, expanded back
+    * to member level — the scale spelling for clique-heavy dedup
+    * graphs, where running [[clusters]] on the re-expanded pair set
+    * costs c²/2 edges per c-clone group (see
+    * MinHashLSH.nearDupGraph).
+    *
+    * @param repPairs (id_a, id_b) edges BETWEEN group representatives
+    * @param groups (rep_id, member_id) — every node mapped to its
+    *   clone-group representative; reps map to themselves. Each rep
+    *   must be its group's MINIMUM member id (MinHashLSH's contract) —
+    *   that is what makes the quotient min-label equal the expanded
+    *   min-label.
+    * @return (id, cluster_id) for every member that belongs to some
+    *   expanded pair: its rep has a cross edge, or its group has ≥ 2
+    *   members. Identical to `clusters(expandedPairs)` by the
+    *   quotient argument.
+    */
+  def clustersFromQuotient(repPairs: DataFrame, groups: DataFrame,
+      maxIter: Int = 100): DataFrame = {
+    val repClusters = clusters(repPairs, maxIter)
+      .withColumnRenamed("id", "rep_id")
+    val sizes = groups.groupBy(col("rep_id")).agg(count(lit(1)).as("_gsz"))
+    groups.join(sizes, "rep_id")
+      .join(repClusters, Seq("rep_id"), "left")
+      .filter(col("cluster_id").isNotNull || col("_gsz") > 1)
+      .select(col("member_id").as("id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+  }
 }

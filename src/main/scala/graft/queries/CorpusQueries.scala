@@ -32,15 +32,8 @@ object CorpusQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     val (repPairs, groups) = MinHashLSH
       .nearDupGraph(table(s, dir, "documents"), "doc_id", "text", 0.8)
-    val repClusters = ConnectedComponents
-      .clusters(repPairs.select(col("id_a"), col("id_b")))
-      .withColumnRenamed("id", "rep_id")
-    val sizes = groups.groupBy(col("rep_id")).agg(count(lit(1)).as("_gsz"))
-    groups.join(sizes, "rep_id")
-      .join(repClusters, Seq("rep_id"), "left")
-      .filter(col("cluster_id").isNotNull || col("_gsz") > 1)
-      .select(col("member_id").as("id"),
-        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+    ConnectedComponents.clustersFromQuotient(
+      repPairs.select(col("id_a"), col("id_b")), groups)
   }
 
   // word-trigram near-dup pairs (same definition as dedup_minhash_pairs)

@@ -774,3 +774,43 @@ class CorpusRewriteSpec extends SparkTestBase {
     assert(math.abs(keptQ - 0.3714) < 1e-9, s"quality $keptQ")
   }
 }
+
+/** The quotient-graph claim, tested as a property: connected
+  * components computed on the collapsed representative graph and
+  * re-expanded to members must EQUAL components computed on the full
+  * re-expanded pair set, on random clone-heavy corpora.
+  */
+class QuotientGraphSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.{ConnectedComponents, MinHashLSH}
+  import spark.implicits._
+
+  test("quotient CC equals CC over the expanded pair set") {
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      // 8-12 base texts over a tiny vocabulary (so some UNRELATED
+      // pairs also cross the 0.8 trigram-jaccard line — chained
+      // components), each cloned 1-4x, ids assigned in shuffled order
+      // so reps are not trivially the first-written rows.
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val bases = List.tabulate(8 + rng.nextInt(5))(_ =>
+        List.fill(6 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      val texts = rng.shuffle(bases.flatMap(t => List.fill(1 + rng.nextInt(4))(t)))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+
+      val expanded = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.8)
+      val expected = ConnectedComponents
+        .clusters(expanded.select($"id_a", $"id_b"))
+        .as[(Long, Long)].collect().toSet
+
+      val (repPairs, groups) = MinHashLSH.nearDupGraph(docs, "doc_id", "text", 0.8)
+      val got = ConnectedComponents
+        .clustersFromQuotient(repPairs.select($"id_a", $"id_b"), groups)
+        .as[(Long, Long)].collect().toSet
+
+      assert(got == expected,
+        s"trial $trial: quotient ${got.size} vs expanded ${expected.size} rows differ for $texts")
+    }
+  }
+}
