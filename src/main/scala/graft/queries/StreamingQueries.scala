@@ -331,6 +331,38 @@ object StreamingQueries {
         .filter(col("rnk") <= 20)
     },
 
+    // D15: streaming CDC materialization — the changelog-to-serving-
+    // table stream (cdc_merge_latest's batch semantics as a live
+    // view): per-key latest-version state via a complete-mode max_by
+    // aggregation on the (version, seq) struct. State is one struct
+    // per key — the partial-merge-friendly compaction, not a buffer
+    // of versions — and the memory-sink snapshot after AvailableNow
+    // replay must equal the batch image exactly (key-determined
+    // output, no watermark subtleties).
+    Q("streaming_cdc_latest",
+      """WITH c AS (
+        |  SELECT o_custkey AS key,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS v,
+        |    o_orderkey AS seq, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT key, st, cents FROM (
+        |  SELECT key, st, cents,
+        |    row_number() OVER (PARTITION BY key ORDER BY v DESC, seq DESC)
+        |      AS rn
+        |  FROM c) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val o = tableStream(s, dir, "orders").select(
+        col("o_custkey").as("key"),
+        unix_timestamp(col("o_orderdate")).as("v"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val agg = o.groupBy(col("key"))
+        .agg(max_by(struct(col("st"), col("cents")),
+          struct(col("v"), col("seq"))).as("m"))
+      runToMemory(s, agg, "graft_stream_cdc", mode = "complete")
+        .select(col("key"), col("m.st").as("st"), col("m.cents").as("cents"))
+    },
+
     // D13: windowed trending keys — the frequent-items sketch in
     // KEYED window state with watermark-driven append emission (D12
     // is the global complete-mode form). One bounded summary per
