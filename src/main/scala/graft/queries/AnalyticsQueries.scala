@@ -1,0 +1,369 @@
+package graft.queries
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-analytics surface (SURVEY.md §2 B58-B64): SCD2 history
+  * build, graph triangle counting, A/B experiment statistics, rolling
+  * multi-day distinct counts, hierarchy closure, a data-quality audit
+  * pass, and incremental aggregate maintenance.
+  *
+  * Shared conventions: exact-integer outputs wherever possible (cents
+  * = ⌊100·price⌋, epoch seconds, counts) so every oracle row compares
+  * bit-for-bit; DuckDB sums CAST back to BIGINT (HUGEINT widening
+  * renders as float in the driver's pandas hash otherwise).
+  */
+object AnalyticsQueries {
+
+  // Degree-ordered triangle counting buckets part keys into this many
+  // graph nodes so the two-hop (wedge) intermediate stays tractable
+  // for the DuckDB oracle at sf0.1; the Spark plan is identical at any
+  // modulus.
+  private val TriNodes = 16381
+
+  val all: Seq[Q] = Seq(
+
+    // B58: SCD Type-2 history build — turn a changelog (orders as
+    // per-customer versions, ordered by (orderdate, orderkey)) into
+    // validity intervals: each version is valid [valid_from,
+    // valid_to), the latest version is open-ended (is_current). The
+    // lag/lead machinery runs per KEY — per-customer groups are small
+    // by construction (the B45 rule), so a window is the right plan;
+    // the keyed shuffle is the only exchange. Companion to B55
+    // (cdc_merge_latest), which keeps only the latest version — SCD2
+    // keeps them all with validity.
+    Q("scd2_history",
+      """WITH c AS (
+        |  SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS v,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT key, seq, cents, v AS valid_from,
+        |  lead(v) OVER (PARTITION BY key ORDER BY v, seq) AS valid_to,
+        |  CAST(CASE WHEN lead(v) OVER (PARTITION BY key ORDER BY v, seq)
+        |    IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM c""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "orders").select(
+        col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+        unix_timestamp(col("o_orderdate")).as("v"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("key")).orderBy(col("v"), col("seq"))
+      c.withColumn("valid_to", lead(col("v"), 1).over(w))
+        .select(col("key"), col("seq"), col("cents"),
+          col("v").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+    },
+
+    // B59: triangle counting over the part co-occurrence graph (parts
+    // appearing in the same order are connected) — the graph-analytics
+    // primitive behind clustering coefficients and community signals.
+    // Scale plan is the Schank-Wagner degree-ordered orientation:
+    // every undirected edge points from its lower-(degree, id)
+    // endpoint to the higher, so each node's OUT-degree is bounded by
+    // O(sqrt(E)) and the wedge (two-hop) join does O(E^1.5) work
+    // total instead of Σ deg² — the spelling that survives skewed
+    // degree distributions. Every step is a keyed equi-join: pairs
+    // within orders (per-order groups are tiny), distinct edges,
+    // degree attach, wedge join on the shared source, closing-edge
+    // join on the (a, b) endpoint pair.
+    Q("graph_triangles", {
+      val ord = "du.d < dv.d OR (du.d = dv.d AND e.u < e.v)"
+      s"""WITH it AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey % $TriNodes AS node
+         |  FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.node AS u, b.node AS v
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.node < b.node),
+         |deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+         |  GROUP BY n),
+         |o AS (
+         |  SELECT CASE WHEN $ord THEN e.u ELSE e.v END AS src,
+         |         CASE WHEN $ord THEN e.v ELSE e.u END AS dst,
+         |         CASE WHEN $ord THEN dv.d ELSE du.d END AS ddeg
+         |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+         |w AS (
+         |  SELECT x.dst AS a, y.dst AS b FROM o x JOIN o y
+         |  ON x.src = y.src AND (x.ddeg < y.ddeg
+         |    OR (x.ddeg = y.ddeg AND x.dst < y.dst))),
+         |t AS (SELECT count(*) AS nt FROM w JOIN o ON o.src = w.a AND o.dst = w.b)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+         |  (SELECT CAST(nt AS BIGINT) FROM t) AS n_triangles""".stripMargin
+    }) { (s, dir) =>
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % TriNodes).as("node"))
+        .distinct()
+      val e = items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.node") < col("b.node"))
+        .select(col("a.node").as("u"), col("b.node").as("v"))
+        .distinct()
+        .localCheckpoint() // edges feed 4 consumers — one materialization
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val withDeg = e
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      val lower = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = withDeg.select(
+          when(lower, col("u")).otherwise(col("v")).as("src"),
+          when(lower, col("v")).otherwise(col("u")).as("dst"),
+          when(lower, col("dv")).otherwise(col("du")).as("ddeg"))
+        .localCheckpoint() // oriented edges feed the wedge AND closing join
+      val wedges = o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src") &&
+            (col("x.ddeg") < col("y.ddeg") ||
+              (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
+        .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      val tri = wedges
+        .join(o.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(tri)
+    },
+
+    // B60: A/B experiment analysis — per-variant sufficient statistics
+    // (n, Σx, Σx²) as EXACT integers plus the Welch t statistic
+    // computed from them. The per-user metric is the exact-cents event
+    // value sum; variant assignment hashes the unit of randomization
+    // (user), never the event. Two map-side-combinable exchanges
+    // (user rollup, 2-row variant rollup); the t arithmetic runs on a
+    // 1-row result in IDENTICAL textual order in both engines (doubles
+    // of exact integers + one sqrt — deterministic IEEE), rounded with
+    // the explicit floor(x·10⁶ + 0.5) form. Σx² is computed in DOUBLE
+    // (Σx up to ~2^31 cents would overflow the BIGINT square at real
+    // scale; the variance formula is the textbook one-pass form).
+    Q("ab_test_stats", {
+      val varA = "(ssq_a - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE) / n_a) / (n_a - 1.0)"
+      val varB = "(ssq_b - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE) / n_b) / (n_b - 1.0)"
+      s"""WITH u AS (
+         |  SELECT user_id % 2 AS variant,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY user_id),
+         |v AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS s,
+         |    sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS ss
+         |  FROM u GROUP BY variant),
+         |p AS (
+         |  SELECT
+         |    max(CASE WHEN variant = 0 THEN n END) AS n_a,
+         |    max(CASE WHEN variant = 1 THEN n END) AS n_b,
+         |    max(CASE WHEN variant = 0 THEN s END) AS sum_a,
+         |    max(CASE WHEN variant = 1 THEN s END) AS sum_b,
+         |    max(CASE WHEN variant = 0 THEN ss END) AS ssq_a,
+         |    max(CASE WHEN variant = 1 THEN ss END) AS ssq_b
+         |  FROM v)
+         |SELECT n_a, n_b, sum_a, sum_b,
+         |  floor((CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b)
+         |    / sqrt(($varA) / n_a + ($varB) / n_b) * 1000000 + 0.5) / 1000000
+         |    AS welch_t
+         |FROM p""".stripMargin
+    }) { (s, dir) =>
+      val u = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .select((col("user_id") % 2).as("variant"), col("cents"))
+      val v = u.groupBy(col("variant")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents").cast("double") * col("cents").cast("double")).as("ss"))
+      val p = v.agg(
+        max(when(col("variant") === 0, col("n"))).as("n_a"),
+        max(when(col("variant") === 1, col("n"))).as("n_b"),
+        max(when(col("variant") === 0, col("s"))).as("sum_a"),
+        max(when(col("variant") === 1, col("s"))).as("sum_b"),
+        max(when(col("variant") === 0, col("ss"))).as("ssq_a"),
+        max(when(col("variant") === 1, col("ss"))).as("ssq_b"))
+      val varA = (col("ssq_a") - col("sum_a").cast("double") * col("sum_a").cast("double") / col("n_a")) /
+        (col("n_a") - lit(1.0))
+      val varB = (col("ssq_b") - col("sum_b").cast("double") * col("sum_b").cast("double") / col("n_b")) /
+        (col("n_b") - lit(1.0))
+      val t = (col("sum_a").cast("double") / col("n_a") - col("sum_b").cast("double") / col("n_b")) /
+        sqrt(varA / col("n_a") + varB / col("n_b"))
+      p.select(col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        (floor(t * lit(1000000) + lit(0.5)) / lit(1000000)).as("welch_t"))
+    },
+
+    // B61: rolling 7-day distinct users per day — the DAU/WAU-style
+    // windowed-distinct metric. A naive per-day window over the event
+    // stream re-sorts everything; the scale plan dedups to the
+    // (user, day) grain first (one keyed exchange, map-side
+    // combinable), then EXPLODES each activity day to the ≤7 target
+    // days it contributes to — a bounded 7× row expansion — and
+    // counts distinct users per target day. The DuckDB range-join
+    // spelling is the specification; the explode is the plan (a
+    // bounded fan-out beats a per-day range join replaying the whole
+    // activity table).
+    Q("rolling_distinct_users",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active_7d
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin) { (s, dir) =>
+      val ud = table(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+        .select(col("day").as("tday"))
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("tday"))
+        .join(days, Seq("tday"))
+        .groupBy(col("tday").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+    },
+
+    // B62: hierarchy closure + rollup — resolve every node of a
+    // parent-pointer forest (customers under parent = key div 10,
+    // roots = keys < 10) to its root and depth, then roll up subtree
+    // size and max depth per root. The scale spelling is POINTER
+    // DOUBLING: each round joins the ancestor table to itself, so
+    // ⌈log₂ depth⌉ keyed self-joins resolve ANY depth — never a
+    // per-level loop (depth rounds) and never a recursive
+    // driver-side walk. The DuckDB recursive CTE is the
+    // specification; rounds are computed from the max key (depth ≤
+    // ⌈log₁₀ max⌉, so 4 rounds cover a 10¹⁶-key hierarchy).
+    Q("hierarchy_rollup",
+      """WITH RECURSIVE r AS (
+        |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, r.root, r.depth + 1
+        |  FROM customer c JOIN r ON c.c_custkey // 10 = r.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM r GROUP BY root""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer").select(col("c_custkey").as("node"))
+      val maxKey = c.agg(max(col("node"))).head().getLong(0)
+      val depthBound = math.max(1, math.ceil(math.log10(maxKey.toDouble + 1)).toInt)
+      val rounds = math.max(1,
+        32 - Integer.numberOfLeadingZeros(math.max(1, depthBound - 1)))
+      var anc = c.select(col("node"),
+        when(col("node") < 10, col("node")).otherwise(expr("node div 10")).as("anc"),
+        when(col("node") < 10, lit(0L)).otherwise(lit(1L)).as("d"))
+      for (_ <- 1 to rounds) {
+        val b = anc.select(col("node").as("bn"), col("anc").as("banc"),
+          col("d").as("bd"))
+        anc = anc.join(b, col("anc") === col("bn"))
+          .select(col("node"), col("banc").as("anc"),
+            (col("d") + col("bd")).as("d"))
+      }
+      anc.groupBy(col("anc").as("root"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_depth"))
+    },
+
+    // B63: data-quality audit — the constraint-checking pass every
+    // production warehouse runs before publishing a table: key
+    // uniqueness, referential integrity (both directions), domain
+    // checks. Each check is a pruned scan + keyed anti-join or
+    // conditional count; the audit composes them into ONE row so a
+    // single hash mismatch flags any violated constraint. At 100 TB
+    // each anti-join shuffles only the key columns.
+    Q("dq_audit",
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey))
+        |    AS n_orphan_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_custkey = c.c_custkey))
+        |    AS n_customers_no_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |     HAVING count(*) > 1)) AS n_dup_orderkeys,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+        |    AS n_bad_price,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_orphan_lineitems,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_quantity IS NULL OR l_quantity <= 0)
+        |    AS n_bad_quantity""".stripMargin) { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer")
+      val li = table(s, dir, "lineitem")
+      val orphanOrders = orders.select(col("o_custkey"))
+        .join(customer.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_orders"))
+      val quietCust = customer.select(col("c_custkey"))
+        .join(orders.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers_no_orders"))
+      val dupKeys = orders.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_dup_orderkeys"))
+      val badPrice = orders
+        .filter(col("o_totalprice").isNull || col("o_totalprice") <= 0)
+        .agg(count(lit(1)).as("n_bad_price"))
+      val orphanLi = li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_lineitems"))
+      val badQty = li
+        .filter(col("l_quantity").isNull || col("l_quantity") <= 0)
+        .agg(count(lit(1)).as("n_bad_quantity"))
+      orphanOrders.crossJoin(quietCust).crossJoin(dupKeys)
+        .crossJoin(badPrice).crossJoin(orphanLi).crossJoin(badQty)
+    },
+
+    // B64: incremental aggregate maintenance — the materialized-view
+    // refresh pattern: a stored per-month aggregate over the base
+    // partition merges with the new delta partition's PARTIAL
+    // aggregate (sums and counts are decomposable), never recomputing
+    // the base. The query runs the merge AND compares it to the full
+    // recompute, emitting matches_full per month — the DuckDB oracle
+    // computes the full aggregate directly with constant 1, so any
+    // broken merge turns the row red twice (values and flag). All
+    // integers exact (cents, counts).
+    Q("incremental_agg_merge",
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY month)
+        |SELECT month, n_orders, cents, CAST(1 AS BIGINT) AS matches_full
+        |FROM m""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      val cutoff = "1999-01-01"
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("month")).agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("c"))
+      val stored = agg(o.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")))
+        .select(col("month"), col("n").as("n_base"), col("c").as("c_base"))
+      val delta = agg(o.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp")))
+        .select(col("month"), col("n").as("n_delta"), col("c").as("c_delta"))
+      val merged = stored.join(delta, Seq("month"), "full_outer")
+        .select(col("month"),
+          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("c_base"), lit(0L)) + coalesce(col("c_delta"), lit(0L)))
+            .as("cents"))
+      val full = agg(o)
+        .select(col("month"), col("n").as("n_full"), col("c").as("c_full"))
+      merged.join(full, Seq("month"))
+        .select(col("month"), col("n_orders"), col("cents"),
+          when(col("n_orders") === col("n_full") &&
+            col("cents") === col("c_full"), 1L).otherwise(0L)
+            .as("matches_full"))
+    })
+}
