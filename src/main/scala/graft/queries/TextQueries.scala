@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.functions.{Fingerprint64, TextFunctions => TF}
+import graft.operators.DistributedPrefixSum
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries (SURVEY.md §2 C9-C12) over `documents`.
@@ -543,6 +545,174 @@ object TextQueries {
       toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens_raw"))
         .join(encoded.select(col("doc_id"),
           size(col("toks")).cast("bigint").as("n_tokens_bpe")), Seq("doc_id"))
+    },
+
+    // C49: TF-IDF top terms per document — the classic relevance /
+    // keyword-extraction statistic as a corpus operator. The idf here
+    // is the LINEAR form (N+1)/(df+1) so the score is a ratio of
+    // exact integers: score_micro = ⌊tf·(N+1)·10⁶ / (df+1)⌋ is pure
+    // integer arithmetic, identical in both engines (floor division
+    // on non-negative integers — the corpus_pps_sample argument), so
+    // the ranking needs no float convention at all (a production
+    // log-idf changes the constant, not the engine shape; bound: the
+    // spelling needs tf·(N+1)·10⁶ < 2⁶³ — factor the 10⁶ down at
+    // larger N). Scale shape: two map-side-combinable keyed exchanges
+    // (doc-term tf, term df), a model-sized df join, and the top-5
+    // selection is a per-DOC window — doc groups are bounded by doc
+    // length (the B45 small-group rule; TopKPerKey's bounded-heap
+    // contract is for LOW-cardinality keys, wrong here).
+    Q("text_tfidf_top_terms",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST((tf * (n_docs + 1) * 1000000) // (df + 1) AS BIGINT)
+         |      AS score_micro
+         |  FROM tf JOIN df USING (term), nd),
+         |r AS (
+         |  SELECT doc_id, term, tf, df, score_micro,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_micro DESC, term) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, term, tf, df, score_micro, rnk
+         |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("term"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(nd))
+        .withColumn("score_micro",
+          expr("(tf * (n_docs + 1) * 1000000) div (df + 1)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score_micro"), col("rnk"))
+    },
+
+    // C50: vocabulary coverage cutoff — the tokenizer-budgeting
+    // statistic: how many distinct tokens (frequency-ranked) cover
+    // 90% of all token occurrences. The running total over the
+    // GLOBAL frequency order rides DistributedPrefixSum (two streamed
+    // range-partitioned passes), never a single-reducer global window
+    // — a web-scale vocabulary is exactly the low-cardinality-group /
+    // unbounded-rows regime that machinery exists for. The 90%
+    // threshold is integer arithmetic ((cum−cnt)·10 < total·9: a
+    // token is in the vocabulary iff the mass BEFORE it is under
+    // 90%), so the kept SET is exact in both engines.
+    Q("vocab_coverage",
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS term FROM t),
+         |c AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok WHERE term <> '' GROUP BY term),
+         |tot AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM c),
+         |r AS (
+         |  SELECT cnt,
+         |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, term) AS BIGINT) AS cum
+         |  FROM c)
+         |SELECT (SELECT total FROM tot) AS n_tokens_total,
+         |  (SELECT nv FROM tot) AS n_vocab,
+         |  CAST(count(*) FILTER (
+         |    WHERE (cum - cnt) * 10 < (SELECT total FROM tot) * 9) AS BIGINT)
+         |    AS vocab_size_90,
+         |  CAST(coalesce(sum(cnt) FILTER (
+         |    WHERE (cum - cnt) * 10 < (SELECT total FROM tot) * 9), 0) AS BIGINT)
+         |    AS covered_tokens_90
+         |FROM r""".stripMargin) { (s, dir) =>
+      val counts = table(s, dir, "documents")
+        .select(explode(TF.wsTokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val ordered = counts.select(lit(0L).as("g"), (-col("cnt")).as("neg"),
+        col("term"), col("cnt"))
+      val cum = DistributedPrefixSum.running(
+        ordered, "g", Seq("neg", "term"), "cnt", "cum")
+      val tot = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("nv"))
+      val kept = (col("cum") - col("cnt")) * 10 < col("total") * 9
+      cum.crossJoin(broadcast(tot)).agg(
+        max(col("total")).as("n_tokens_total"),
+        max(col("nv")).as("n_vocab"),
+        sum(when(kept, 1L).otherwise(0L)).as("vocab_size_90"),
+        sum(when(kept, col("cnt")).otherwise(0L)).as("covered_tokens_90"))
+    },
+
+    // C51: per-document language MIXTURE — code-switching / boilerplate
+    // contamination detection: language-ID each 10-token segment (the
+    // C45 line convention) and report how many languages a doc spans
+    // and its majority-language fraction. Majority selection is a
+    // map-side-combinable min(struct(−count, lang)) — highest count,
+    // lexicographic tie — never a per-doc window; the fraction is
+    // integer micro-arithmetic. The langId heuristic is C9's, applied
+    // to segments (the oracle aliases each segment AS text so the
+    // shared SQL fragments replay verbatim).
+    Q("text_lang_mixture",
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |l AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+         |    i -> array_to_string(
+         |      toks[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ')))
+         |    AS text
+         |  FROM t0),
+         |sc AS (
+         |  SELECT doc_id,
+         |    ${hitsSql(TF.EnStop)} AS h_en,
+         |    ${hitsSql(TF.EsStop)} AS h_es,
+         |    ${hitsSql(TF.DeStop)} AS h_de,
+         |    ${hitsSql(TF.FrStop)} AS h_fr,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+         |  FROM l),
+         |lp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN has_cjk THEN 'zh'
+         |         WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0 THEN 'und'
+         |         WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+         |         WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+         |         WHEN h_de >= h_fr THEN 'de'
+         |         ELSE 'fr' END AS lp
+         |  FROM sc),
+         |c AS (SELECT doc_id, lp, CAST(count(*) AS BIGINT) AS c
+         |      FROM lp GROUP BY doc_id, lp),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+         |        CAST(count(*) AS BIGINT) AS n_langs
+         |      FROM c GROUP BY doc_id),
+         |m AS (
+         |  SELECT doc_id, lp AS major_lang, c AS major_cnt,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lp) AS rn
+         |  FROM c)
+         |SELECT a.doc_id, n_segments, n_langs, major_lang, major_cnt,
+         |  CAST((major_cnt * 1000000) // n_segments AS BIGINT)
+         |    AS major_frac_micro
+         |FROM a JOIN m ON a.doc_id = m.doc_id AND m.rn = 1""".stripMargin) { (s, dir) =>
+      val toksRaw = split(col("text"), " ")
+      val nSeg = ceil(size(toksRaw).cast("double") / lit(10.0)).cast("int")
+      val segs = table(s, dir, "documents").select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(toksRaw, i * 10 + 1, lit(10))))).as("seg"))
+      val cnts = segs.select(col("doc_id"), TF.langId(col("seg")).as("lp"))
+        .groupBy(col("doc_id"), col("lp")).agg(count(lit(1)).as("c"))
+      cnts.groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_segments"), count(lit(1)).as("n_langs"),
+          min(struct((-col("c")).as("nc"), col("lp").as("l"))).as("m"))
+        .select(col("doc_id"), col("n_segments"), col("n_langs"),
+          col("m.l").as("major_lang"), (-col("m.nc")).as("major_cnt"))
+        .withColumn("major_frac_micro",
+          expr("(major_cnt * 1000000) div n_segments"))
     })
 
   private def bpeInput(s: org.apache.spark.sql.SparkSession, dir: String) =
