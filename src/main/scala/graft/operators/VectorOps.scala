@@ -312,4 +312,59 @@ object VectorOps {
     graft.plans.TopK.perKey(scored, Seq("query_id"),
       Seq(("cosine", false), ("id", true)), k)
   }
+
+  /** PERSIST an IVF index: cell assignments written as a parquet
+    * table PARTITIONED BY cell id — the "build once, query many"
+    * production shape [[ivfTopK]] computes inline. The partition
+    * layout is what makes the index an INDEX at 100 TB: a search
+    * probing nProbe of |cells| touches only those directories — the
+    * scan does file-level pruning instead of reading the corpus — and
+    * appends of new vectors land in their cell directories without
+    * rewriting the rest.
+    */
+  def ivfWriteIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String, centroidVecCol: String,
+      path: String): Unit = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = centroids.select(col(cidCol).as("cid"), asDouble(col(centroidVecCol)).as("cv"))
+    val assigned = c.join(broadcast(cent))
+      .withColumn("_d2", d2(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        min_by(col("cid"), struct(col("_d2"), col("cid"))).as("cid"),
+        first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("cid").cast("int").as("cid"))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** Search a persisted IVF index (written by [[ivfWriteIndex]]):
+    * queries rank cells against the same centroids, then join the
+    * probed cells against the index scan ON THE PARTITION COLUMN —
+    * with the probe set on the broadcast side, Spark's dynamic
+    * partition pruning rewrites the scan to read only the probed
+    * cell directories (PlanAndSmokeSpecs asserts the dynamicpruning
+    * filter). Results are identical to [[ivfTopK]] with the same
+    * centroids: same assignment (it was persisted), same probe
+    * ranking, same rerank arithmetic.
+    */
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String, centroidVecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cent = centroids.select(col(cidCol).as("cid"), asDouble(col(centroidVecCol)).as("cv"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cid"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("_d2", d2(col("qv"), col("cv")))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").cast("int").as("cid"))
+    val idx = spark.read.parquet(path)
+    val scored = idx.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cosine", false), ("id", true)), k)
+  }
 }

@@ -407,6 +407,28 @@ object DedupQueries {
         "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
     },
 
+    // C52: PERSISTED IVF index — the same search as ann_ivf_topk but
+    // through the build-once/query-many path: assignments written as
+    // a cell-PARTITIONED parquet table, the search joining probed
+    // cells against the index scan on the partition column so dynamic
+    // partition pruning reads only probed directories (the
+    // partition-pruning story that makes a 100 TB vector index
+    // queryable; plan asserted in PlanAndSmokeSpecs). Same centroids
+    // → same assignment → identical results, so the ann_ivf_topk
+    // closed-form oracle replay applies verbatim.
+    Q("ann_ivf_persisted", ivfOracleSql) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      val centroids = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_ivf_index").toString
+      VectorOps.ivfWriteIndex(
+        vecs, centroids, "vec_id", "embedding", "cid", "cv", loc)
+      VectorOps.ivfSearchIndex(
+        s, loc, vecs.filter(col("vec_id") < 5), centroids,
+        "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
+    },
+
     // C6/C7/C7b recall gate: measured recall of both approximate ANN
     // paths against the brute-force top-k, as an oracle-visible row.
     // The thresholds are regression floors calibrated to THIS corpus:

@@ -171,6 +171,46 @@ object StreamingQueries {
       runToMemory(s, joined, "graft_stream_ljoin")
     },
 
+    // D16: stream-stream LEFT SEMI time-bounded join — the
+    // "did-it-convert" filter shape: emit each click AT MOST ONCE as
+    // soon as any in-window purchase exists, never materializing the
+    // match multiplicity (D7's inner join emits one row per matching
+    // pair; the semi join's state machine marks the left row matched
+    // and emits it once). Over an AvailableNow replay the emitted set
+    // is exactly the batch EXISTS — the oracle states it directly.
+    // Only left-side columns are emitted (the semi contract).
+    Q("streaming_semi_join",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |c AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, tsec FROM e WHERE event_type = 'purchase')
+         |SELECT c.user_id, c.event_id AS click_id, c.tsec AS click_s
+         |FROM c WHERE EXISTS (
+         |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+         |    AND p.tsec >= c.tsec AND p.tsec <= c.tsec + $GapS)""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("l_ts"))
+        .withWatermark("l_ts", s"$DelayS seconds")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"),
+          timestamp_seconds(expr("ts div 1000000000")).as("r_ts"))
+        .withWatermark("r_ts", s"$DelayS seconds")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr(s"INTERVAL $GapS seconds"),
+          "leftSemi")
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("l_ts")).as("click_s"))
+      runToMemory(s, joined, "graft_stream_sjoin")
+    },
+
     // D9 under the gate: stream-static enrichment — the most common
     // production streaming join (events against a slowly-changing
     // dimension). The static side is broadcast: stateless, no

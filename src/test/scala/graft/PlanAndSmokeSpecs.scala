@@ -97,6 +97,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("persisted IVF search prunes index partitions dynamically") {
+    // The point of writing the index PARTITIONED BY cell: a search
+    // probing nProbe cells must not scan the whole index. The probe
+    // set arrives via a broadcast join on the partition column, so
+    // Spark's dynamic partition pruning must rewrite the scan to read
+    // only probed cell directories.
+    val df = SparkEntry.queries("ann_ivf_persisted")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruningexpression"),
+      s"index scan is not dynamically pruned:\n$plan")
+  }
+
   test("arrayDot is planned natively inside codegen stages") {
     val df = SparkEntry.queries("dedup_embed_cosine")(spark, sfDir)
     df.collect() // finalize THIS QueryExecution's AQE plan
