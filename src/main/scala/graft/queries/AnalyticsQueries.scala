@@ -365,5 +365,139 @@ object AnalyticsQueries {
           when(col("n_orders") === col("n_full") &&
             col("cents") === col("c_full"), 1L).otherwise(0L)
             .as("matches_full"))
+    },
+
+    // B65: event-transition matrix — the user-journey / Markov-chain
+    // statistic behind path analysis: for each ordered pair of event
+    // types, how often does one IMMEDIATELY follow the other in a
+    // user's stream, and with what total gap. One per-user lead()
+    // window (small groups by construction — the B45 rule) plus one
+    // tiny (types × types) rollup; gap sums are exact integer seconds.
+    Q("event_transitions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(tsec) OVER w - tsec AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+        |SELECT from_type, to_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(gap) AS BIGINT) AS gap_s_sum
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      e.select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"),
+          (lead(col("tsec"), 1).over(w) - col("tsec")).as("gap"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("gap_s_sum"))
+    },
+
+    // B66: market-basket association rules — top-20 item pairs by
+    // lift (co-occurrence within orders, items bucketed to keep the
+    // oracle's pair space tractable). Everything is a ratio of exact
+    // integers: lift_micro = ⌊n_ab·N·10⁶ / (n_a·n_b)⌋ and conf_micro
+    // = ⌊n_ab·10⁶ / n_a⌋ are pure integer floor division (engine-
+    // identical), and the top-20 selection orders by (lift_micro,
+    // item_a, item_b) — a total order, planned as
+    // TakeOrderedAndProject (bounded heaps), never a full sort. Pair
+    // counting reuses the triangle machinery: per-order self-join
+    // (tiny groups), keyed pair rollup, model-sized item-count joins.
+    Q("basket_rules",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 331 AS item
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        |       FROM it GROUP BY item),
+        |pr AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY ia, ib)
+        |SELECT ia AS item_a, ib AS item_b, n_ab,
+        |  x.n_item AS n_a, y.n_item AS n_b,
+        |  CAST((n_ab * n_orders * 1000000) // (x.n_item * y.n_item) AS BIGINT)
+        |    AS lift_micro,
+        |  CAST((n_ab * 1000000) // x.n_item AS BIGINT) AS conf_micro
+        |FROM pr JOIN ic x ON x.item = pr.ia JOIN ic y ON y.item = pr.ib, n
+        |WHERE n_ab >= 3
+        |ORDER BY lift_micro DESC, item_a, item_b
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val it = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), (col("l_partkey") % 331).as("item"))
+        .distinct()
+        .localCheckpoint() // feeds order count, item counts, and pairs
+      val n = it.agg(countDistinct(col("ok")).as("n_orders"))
+      val ic = it.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val pr = it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pr.join(ic.select(col("item").as("ia"), col("n_item").as("n_a")), Seq("ia"))
+        .join(ic.select(col("item").as("ib"), col("n_item").as("n_b")), Seq("ib"))
+        .crossJoin(broadcast(n))
+        .select(col("ia").as("item_a"), col("ib").as("item_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").as("lift_micro"),
+          expr("(n_ab * 1000000) div n_a").as("conf_micro"))
+        .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    },
+
+    // B67: CUSUM change detection — the classic cumulative-sum
+    // statistic over each user's daily series, kept EXACT: with nd
+    // days and total T, the mean-centered deviation of day i is
+    // nd·dᵢ − T (an integer — no division), and the running CUSUM of
+    // those integers is exact in both engines, so max |CUSUM| and its
+    // argmax day compare bit-for-bit. Per-user windows are small by
+    // construction; the argmax is a map-side-combinable
+    // min(struct(−|cusum|, day)) — largest deviation, earliest-day
+    // tie — never a second window pass.
+    Q("timeseries_cusum",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS dc
+        |      FROM e GROUP BY user_id, day),
+        |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+        |        CAST(sum(dc) AS BIGINT) AS tot
+        |      FROM d GROUP BY user_id),
+        |c AS (
+        |  SELECT d.user_id, day, nd,
+        |    CAST(sum(nd * dc - tot) OVER (
+        |      PARTITION BY d.user_id ORDER BY day) AS BIGINT) AS cusum
+        |  FROM d JOIN u USING (user_id)),
+        |m AS (SELECT user_id, max(nd) AS n_days, max(abs(cusum)) AS mx
+        |      FROM c GROUP BY user_id)
+        |SELECT m.user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(mx AS BIGINT) AS max_abs_cusum,
+        |  CAST(min(c.day) AS BIGINT) AS argmax_day
+        |FROM m JOIN c ON c.user_id = m.user_id AND abs(c.cusum) = m.mx
+        |GROUP BY m.user_id, n_days, mx""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("dc"))
+      val u = d.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("dc")).as("tot"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      d.join(u, Seq("user_id"))
+        .withColumn("cusum", sum(col("nd") * col("dc") - col("tot")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          min(struct((-abs(col("cusum"))).as("na"), col("day").as("dy"))).as("m"))
+        .select(col("user_id"), col("n_days"),
+          (-col("m.na")).as("max_abs_cusum"), col("m.dy").as("argmax_day"))
     })
 }
