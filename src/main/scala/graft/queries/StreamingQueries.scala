@@ -211,6 +211,70 @@ object StreamingQueries {
       runToMemory(s, joined, "graft_stream_sjoin")
     },
 
+    // D17: stream-stream FULL OUTER time-bounded join — completes the
+    // join-family state machines (D7 inner, D14 left outer, D16 semi):
+    // BOTH sides hold unmatched rows in state until the global
+    // watermark proves no partner can arrive, then emit null-extended.
+    // Emission rules under AvailableNow replay: matched pairs
+    // unconditional; an unmatched click emits iff its match window
+    // closed (click_s + gap < fw — its latest possible purchase);
+    // an unmatched purchase emits iff fw passed its own time
+    // (purchase_s < fw — its latest possible click is at purchase_s).
+    // fw = min of both sides' max event time, minus the delay.
+    Q("streaming_full_join",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |c AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'purchase'),
+         |wm AS (
+         |  SELECT least((SELECT max(tsec) FROM c),
+         |               (SELECT max(tsec) FROM p)) - $DelayS AS fw),
+         |matched AS (
+         |  SELECT c.user_id, c.event_id AS click_id,
+         |    p.event_id AS purchase_id, p.tsec - c.tsec AS lag_s
+         |  FROM c JOIN p ON c.user_id = p.user_id
+         |    AND p.tsec >= c.tsec AND p.tsec <= c.tsec + $GapS),
+         |unmatched_c AS (
+         |  SELECT c.user_id, c.event_id AS click_id,
+         |    CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS lag_s
+         |  FROM c, wm
+         |  WHERE c.tsec + $GapS < wm.fw AND NOT EXISTS (
+         |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+         |      AND p.tsec >= c.tsec AND p.tsec <= c.tsec + $GapS)),
+         |unmatched_p AS (
+         |  SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+         |    p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS lag_s
+         |  FROM p, wm
+         |  WHERE p.tsec < wm.fw AND NOT EXISTS (
+         |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+         |      AND p.tsec >= c.tsec AND p.tsec <= c.tsec + $GapS))
+         |SELECT * FROM matched
+         |UNION ALL SELECT * FROM unmatched_c
+         |UNION ALL SELECT * FROM unmatched_p""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("l_ts"))
+        .withWatermark("l_ts", s"$DelayS seconds")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("r_ts"))
+        .withWatermark("r_ts", s"$DelayS seconds")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr(s"INTERVAL $GapS seconds"),
+          "fullOuter")
+        .select(coalesce(col("user_id"), col("r_user")).as("user_id"),
+          col("click_id"), col("purchase_id"),
+          (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_s"))
+      runToMemory(s, joined, "graft_stream_fjoin")
+    },
+
     // D9 under the gate: stream-static enrichment — the most common
     // production streaming join (events against a slowly-changing
     // dimension). The static side is broadcast: stateless, no

@@ -713,6 +713,65 @@ object TextQueries {
           col("m.l").as("major_lang"), (-col("m.nc")).as("major_cnt"))
         .withColumn("major_frac_micro",
           expr("(major_cnt * 1000000) div n_segments"))
+    },
+
+    // C53: winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003
+    // — the MOSS local document sketch): hash every word trigram,
+    // slide a w=4 window over the hash sequence, select each window's
+    // minimum (ties → leftmost), dedup selections. The guarantee: any
+    // shared token run of ≥ w+k−1 = 6 tokens contributes at least one
+    // COMMON fingerprint, so matching sketches finds partial overlap
+    // that whole-doc fingerprints (C12) and fixed spans (C31) can
+    // miss-align. Plan shape: one map-only pass (all array ops inside
+    // codegen) + one keyed distinct exchange carrying (doc, pos, 8 B
+    // hash). The oracle replays the rolling 64-bit hash per gram in
+    // HUGEINT (the doc_embed_hash machinery), re-signs, and selects
+    // window minima positionally — bit-exact.
+    Q("text_winnow_fingerprints", {
+      val sl = "hs[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(range(0, greatest(len(toks) - 2, 0)),
+         |    i -> concat(toks[CAST(i + 1 AS INT)], ' ',
+         |                toks[CAST(i + 2 AS INT)], ' ',
+         |                toks[CAST(i + 3 AS INT)])) AS grams
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, list_transform(grams, s ->
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(list_filter(string_split_regex(s, ''), c -> c <> ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (a, b) -> (a * 31 + b) % 18446744073709551616)) AS hu
+         |  FROM g WHERE len(grams) > 0),
+         |hsx AS (
+         |  SELECT doc_id, list_transform(hu, x ->
+         |    CAST(CASE WHEN x >= 9223372036854775808
+         |         THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS hs
+         |  FROM h),
+         |sel AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(0, greatest(len(hs) - 4, 0) + 1),
+         |    j -> struct_pack(
+         |      pos := CAST(j + list_position($sl, list_min($sl)) - 1 AS BIGINT),
+         |      fp64 := list_min($sl))), recursive := true)
+         |  FROM hsx)
+         |SELECT DISTINCT doc_id, pos, fp64 FROM sel""".stripMargin
+    }) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val hs = transform(sequence(lit(0), size(toks) - 3), i =>
+        struct(
+          Fingerprint64.fingerprint64(concat_ws(" ",
+            element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3))).as("h"),
+          i.cast("long").as("pos")))
+      table(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), greatest(size(col("hs")) - 4, lit(0))),
+            j => array_min(slice(col("hs"), j + 1, lit(4))))).as("f"))
+        .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("fp64"))
+        .distinct()
     })
 
   private def bpeInput(s: org.apache.spark.sql.SparkSession, dir: String) =
