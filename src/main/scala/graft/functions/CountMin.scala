@@ -60,6 +60,16 @@ object CountMin {
   def cmsEstimate(sketch: Column, key: Column): Column =
     GraftBridge.column(
       CmsLookup(GraftBridge.expression(sketch), GraftBridge.expression(key)))
+
+  /** Column-API scalar: estimated INNER PRODUCT of two sketches —
+    * Σ_k f_A(k)·f_B(k), i.e. the equi-join SIZE of the two sketched
+    * key columns (Cormode & Muthukrishnan 2005 §4.2). Never an
+    * undercount; over by ≤ e·N_A·N_B/width w.h.p. The estimator the
+    * optimizer-support pass uses to size a join without running it.
+    */
+  def cmsInnerProduct(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CmsInnerProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 case class CountMinAgg(
@@ -156,5 +166,44 @@ case class CmsLookup(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsLookup =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Join-size estimate from two serialized [[CountMinAgg]] sketches:
+  * min over rows of the counter-wise dot product. Requires matching
+  * (depth, width). Evaluated once per sketch pair (output-sized).
+  * Counter products are exact in Long while N_A·N_B < 2⁶³ — at
+  * larger scale widen the sketch or sample one side first.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_inner_product"
+
+  override protected def nullSafeEval(aBytes: Any, bBytes: Any): Any = {
+    val a = ByteBuffer.wrap(aBytes.asInstanceOf[Array[Byte]])
+    val b = ByteBuffer.wrap(bBytes.asInstanceOf[Array[Byte]])
+    val depth = a.getInt; val width = a.getInt
+    val bd = b.getInt; val bw = b.getInt
+    require(bd == depth && bw == width,
+      s"sketch shapes differ: ($depth,$width) vs ($bd,$bw)")
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var w = 0
+      while (w < width) {
+        val idx = 8 + (r * width + w) * 8
+        s += a.getLong(idx) * b.getLong(idx)
+        w += 1
+      }
+      if (s < est) est = s
+      r += 1
+    }
+    java.lang.Long.valueOf(est)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
     copy(left = newLeft, right = newRight)
 }

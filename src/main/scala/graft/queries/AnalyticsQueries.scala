@@ -499,5 +499,47 @@ object AnalyticsQueries {
           min(struct((-abs(col("cusum"))).as("na"), col("day").as("dy"))).as("m"))
         .select(col("user_id"), col("n_days"),
           (-col("m.na")).as("max_abs_cusum"), col("m.dy").as("argmax_day"))
+    },
+
+    // B68: join-size estimation from count-min sketches — the
+    // optimizer-support pass that sizes an equi-join WITHOUT running
+    // it: |A ⋈ B| = Σ_k f_A(k)·f_B(k) is the inner product of the two
+    // key-frequency vectors, estimated by the counter-wise dot of two
+    // 256 KiB CMS sketches (Cormode & Muthukrishnan 2005 §4.2 — never
+    // an undercount, over by ≤ e·N_A·N_B/width w.h.p.). Each side is
+    // one map-side-combinable sketch agg over a pruned key scan; the
+    // estimate itself touches two sketch rows. The oracle checks the
+    // EXACT size (computable relationally) plus the estimator's
+    // guarantees as flags (the cms_heavy_hitters bound-gate style —
+    // DuckDB cannot replay fmix64 bucketing cheaply, but CAN pin the
+    // bounds); bound factor 9 > 3.3·e makes the w.h.p. bound a
+    // regression floor, not a coin flip.
+    Q("join_size_estimate",
+      """WITH ec AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ce
+        |            FROM events GROUP BY user_id),
+        |oc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS co
+        |       FROM orders GROUP BY o_custkey)
+        |SELECT
+        |  CAST(coalesce((SELECT sum(ce * co) FROM ec JOIN oc USING (k)), 0)
+        |    AS BIGINT) AS exact_join_size,
+        |  CAST(1 AS INT) AS never_under,
+        |  CAST(1 AS INT) AS bound_ok""".stripMargin) { (s, dir) =>
+      import graft.functions.CountMin
+      val e = table(s, dir, "events").select(col("user_id").as("k"))
+      val o = table(s, dir, "orders").select(col("o_custkey").as("k"))
+      val exact = e.groupBy(col("k")).agg(count(lit(1)).as("ce"))
+        .join(o.groupBy(col("k")).agg(count(lit(1)).as("co")), Seq("k"))
+        .agg(coalesce(sum(col("ce") * col("co")), lit(0L)).as("exact_join_size"))
+      val sketches = e.agg(CountMin.countMinSketch(col("k")).as("sa"),
+          count(lit(1)).as("n1"))
+        .crossJoin(o.agg(CountMin.countMinSketch(col("k")).as("sb"),
+          count(lit(1)).as("n2")))
+        .select(CountMin.cmsInnerProduct(col("sa"), col("sb")).as("est"),
+          col("n1"), col("n2"))
+      exact.crossJoin(sketches).select(
+        col("exact_join_size"),
+        (col("est") >= col("exact_join_size")).cast("int").as("never_under"),
+        (col("est") - col("exact_join_size") <=
+          expr("(9 * n1 * n2) div 8192")).cast("int").as("bound_ok"))
     })
 }

@@ -727,52 +727,101 @@ object TextQueries {
     // hash). The oracle replays the rolling 64-bit hash per gram in
     // HUGEINT (the doc_embed_hash machinery), re-signs, and selects
     // window minima positionally — bit-exact.
-    Q("text_winnow_fingerprints", {
-      val sl = "hs[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]"
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |g AS (
-         |  SELECT doc_id, list_transform(range(0, greatest(len(toks) - 2, 0)),
-         |    i -> concat(toks[CAST(i + 1 AS INT)], ' ',
-         |                toks[CAST(i + 2 AS INT)], ' ',
-         |                toks[CAST(i + 3 AS INT)])) AS grams
-         |  FROM t),
-         |h AS (
-         |  SELECT doc_id, list_transform(grams, s ->
-         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |      list_transform(list_filter(string_split_regex(s, ''), c -> c <> ''),
-         |        c -> CAST(ord(c) AS HUGEINT))),
-         |      (a, b) -> (a * 31 + b) % 18446744073709551616)) AS hu
-         |  FROM g WHERE len(grams) > 0),
-         |hsx AS (
-         |  SELECT doc_id, list_transform(hu, x ->
-         |    CAST(CASE WHEN x >= 9223372036854775808
-         |         THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS hs
-         |  FROM h),
-         |sel AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    range(0, greatest(len(hs) - 4, 0) + 1),
-         |    j -> struct_pack(
-         |      pos := CAST(j + list_position($sl, list_min($sl)) - 1 AS BIGINT),
-         |      fp64 := list_min($sl))), recursive := true)
-         |  FROM hsx)
-         |SELECT DISTINCT doc_id, pos, fp64 FROM sel""".stripMargin
-    }) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val hs = transform(sequence(lit(0), size(toks) - 3), i =>
-        struct(
-          Fingerprint64.fingerprint64(concat_ws(" ",
-            element_at(toks, i + 1), element_at(toks, i + 2),
-            element_at(toks, i + 3))).as("h"),
-          i.cast("long").as("pos")))
-      table(s, dir, "documents")
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), hs.as("hs"))
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), greatest(size(col("hs")) - 4, lit(0))),
-            j => array_min(slice(col("hs"), j + 1, lit(4))))).as("f"))
-        .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("fp64"))
-        .distinct()
+    Q("text_winnow_fingerprints",
+      s"""WITH $winnowCtes
+         |SELECT DISTINCT doc_id, pos, fp64 FROM sel""".stripMargin) { (s, dir) =>
+      winnowFps(s, dir)
+    },
+
+    // C54: winnowing near-dup CANDIDATE PAIRS — C53 made load-bearing:
+    // docs sharing ≥ 2 selected fingerprints are near-dup candidates
+    // (each shared fingerprint witnesses a shared ≥ 6-token run).
+    // Scale plan: distinct (doc, fp) → fingerprint document-frequency
+    // cap (fps in > 50 docs are boilerplate and are DROPPED before the
+    // pair join — the same hot-key cap as the LSH bucket caps, or the
+    // f² blowup returns) → keyed self-join on the 8-byte fp → pair
+    // rollup. The oracle replays the cap and the join exactly.
+    Q("winnow_dup_pairs",
+      s"""WITH $winnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, fp64 FROM sel),
+         |dfc AS (SELECT fp64, CAST(count(*) AS BIGINT) AS dc
+         |        FROM fps GROUP BY fp64),
+         |keep AS (
+         |  SELECT f.doc_id, f.fp64 FROM fps f JOIN dfc USING (fp64)
+         |  WHERE dc <= 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM keep a JOIN keep b ON a.fp64 = b.fp64 AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b
+         |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      val fps = winnowFps(s, dir)
+        .select(col("doc_id"), col("fp64")).distinct()
+        .localCheckpoint() // feeds the df count AND both join sides
+      val dfc = fps.groupBy(col("fp64")).agg(count(lit(1)).as("dc"))
+      val keep = fps.join(dfc.filter(col("dc") <= 50), Seq("fp64"))
+        .select(col("doc_id"), col("fp64"))
+      keep.as("a").join(keep.as("b"),
+          col("a.fp64") === col("b.fp64") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
     })
+
+  /** Winnowing selection (C53): word-trigram rolling hashes, w=4
+    * window minima with leftmost tie-break, deduped — one map-only
+    * pass plus the distinct exchange.
+    */
+  private def winnowFps(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = split(col("text"), " ")
+    val hs = transform(sequence(lit(0), size(toks) - 3), i =>
+      struct(
+        Fingerprint64.fingerprint64(concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))).as("h"),
+        i.cast("long").as("pos")))
+    table(s, dir, "documents")
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(col("hs")) - 4, lit(0))),
+          j => array_min(slice(col("hs"), j + 1, lit(4))))).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("fp64"))
+      .distinct()
+  }
+
+  /** DuckDB replay of [[winnowFps]] — CTE chain ending in `sel`
+    * (doc_id, pos, fp64; duplicates across overlapping windows NOT
+    * yet removed — consumers DISTINCT what they need).
+    */
+  private lazy val winnowCtes: String = {
+    val sl = "hs[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]"
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(0, greatest(len(toks) - 2, 0)),
+       |    i -> concat(toks[CAST(i + 1 AS INT)], ' ',
+       |                toks[CAST(i + 2 AS INT)], ' ',
+       |                toks[CAST(i + 3 AS INT)])) AS grams
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, list_transform(grams, s ->
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(list_filter(string_split_regex(s, ''), c -> c <> ''),
+       |        c -> CAST(ord(c) AS HUGEINT))),
+       |      (a, b) -> (a * 31 + b) % 18446744073709551616)) AS hu
+       |  FROM g WHERE len(grams) > 0),
+       |hsx AS (
+       |  SELECT doc_id, list_transform(hu, x ->
+       |    CAST(CASE WHEN x >= 9223372036854775808
+       |         THEN x - 18446744073709551616 ELSE x END AS BIGINT)) AS hs
+       |  FROM h),
+       |sel AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, greatest(len(hs) - 4, 0) + 1),
+       |    j -> struct_pack(
+       |      pos := CAST(j + list_position($sl, list_min($sl)) - 1 AS BIGINT),
+       |      fp64 := list_min($sl))), recursive := true)
+       |  FROM hsx)""".stripMargin
+  }
 
   private def bpeInput(s: org.apache.spark.sql.SparkSession, dir: String) =
     table(s, dir, "documents")
