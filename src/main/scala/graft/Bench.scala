@@ -178,13 +178,20 @@ object Bench {
         "embedding_pca_project", "streaming_corpus_curate",
         "text_pmi_bigrams", "corpus_importance_weights", "ann_pq_topk",
         "mg_heavy_hitters", "streaming_heavy_hitters", "corpus_pps_sample",
-        "graph_pagerank", "line_dedup", "doc_embed_hash", "dedup_keep_best")
+        "graph_pagerank", "line_dedup", "doc_embed_hash", "dedup_keep_best",
+        "graph_triangles", "basket_rules", "scd2_history", "join_size_estimate",
+        "event_transitions", "rolling_distinct_users", "timeseries_cusum",
+        "text_tfidf_top_terms", "vocab_coverage", "text_lang_mixture",
+        "text_winnow_fingerprints", "winnow_dup_pairs")
         .filter(n => only.isEmpty || only(n))
+    // queries reading orders/lineitem need the trade clone set (a
+    // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
+    val tradeQueries = Set("graph_pagerank", "graph_triangles",
+      "basket_rules", "scd2_history", "join_size_estimate")
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
-      // trade clones only when the graph query actually probes (a
-      // BENCH_ONLY subset shouldn't pay a 10x lineitem write)
-      cloneTables(x10Dir, 10, withTrade = x10Names.contains("graph_pagerank"))
+      cloneTables(x10Dir, 10,
+        withTrade = x10Names.exists(tradeQueries.contains))
       x10Names.map(n => n -> run(n, SparkEntry.queries(n), x10Dir)).toMap
     }
 

@@ -89,11 +89,13 @@ object AnalyticsQueries {
          |  SELECT x.dst AS a, y.dst AS b FROM o x JOIN o y
          |  ON x.src = y.src AND (x.ddeg < y.ddeg
          |    OR (x.ddeg = y.ddeg AND x.dst < y.dst))),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM o GROUP BY src),
          |t AS (SELECT count(*) AS nt FROM w JOIN o ON o.src = w.a AND o.dst = w.b)
          |SELECT
          |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
          |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+         |  (SELECT CAST(coalesce(sum(od * (od - 1) // 2), 0) AS BIGINT) FROM od)
+         |    AS n_wedges,
          |  (SELECT CAST(nt AS BIGINT) FROM t) AS n_triangles""".stripMargin
     }) { (s, dir) =>
       val items = table(s, dir, "lineitem")
@@ -122,12 +124,24 @@ object AnalyticsQueries {
             (col("x.ddeg") < col("y.ddeg") ||
               (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
         .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      // closing join BROADCASTS the edge list: the O(E^1.5) wedge set
+      // then never shuffles — each task filters its wedges against the
+      // hashed edges in-stage. Edges are 16 B/row; when E outgrows the
+      // broadcast budget on a real cluster, drop the hint and this
+      // becomes a plain keyed shuffle join — same result, same
+      // asymptotics, one more exchange.
       val tri = wedges
-        .join(o.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+        .join(broadcast(o.select(col("src").as("a"), col("dst").as("b"))),
+          Seq("a", "b"))
         .agg(count(lit(1)).as("n_triangles"))
+      // wedge COUNT from out-degrees (Σ od·(od−1)/2) — identical to
+      // counting the wedge rows, without materializing the O(E^1.5)
+      // wedge set a second time for the count alone
+      val nWedges = o.groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
       deg.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(nWedges)
         .crossJoin(tri)
     },
 

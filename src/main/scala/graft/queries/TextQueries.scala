@@ -768,26 +768,18 @@ object TextQueries {
     })
 
   /** Winnowing selection (C53): word-trigram rolling hashes, w=4
-    * window minima with leftmost tie-break, deduped — one map-only
-    * pass plus the distinct exchange.
+    * window minima with leftmost tie-break, deduped — ONE fused
+    * kernel pass (`WinnowFingerprints`: token hashes computed once,
+    * grams combined algebraically, no gram strings built) plus the
+    * distinct exchange.
     */
-  private def winnowFps(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val toks = split(col("text"), " ")
-    val hs = transform(sequence(lit(0), size(toks) - 3), i =>
-      struct(
-        Fingerprint64.fingerprint64(concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))).as("h"),
-        i.cast("long").as("pos")))
+  private def winnowFps(s: org.apache.spark.sql.SparkSession, dir: String) =
     table(s, dir, "documents")
-      .filter(size(toks) >= 3)
-      .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), greatest(size(col("hs")) - 4, lit(0))),
-          j => array_min(slice(col("hs"), j + 1, lit(4))))).as("f"))
+        explode(graft.functions.VectorExpressions.winnowFingerprints(
+          split(col("text"), " "), 3, 4)).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("fp64"))
       .distinct()
-  }
 
   /** DuckDB replay of [[winnowFps]] — CTE chain ending in `sel`
     * (doc_id, pos, fp64; duplicates across overlapping windows NOT
