@@ -112,4 +112,78 @@ object DistributedPrefixSum {
     }
     spark.createDataFrame(withCum, outSchema)
   }
+
+  /** Appends `maxCol` = running MAXIMUM of `valueCol` over all
+    * STRICTLY-PRIOR rows (exclusive prefix; `Long.MinValue` for each
+    * group's first row) per `groupCol` group in `orderCols` order —
+    * the max-monoid sibling of [[running]], same two streamed
+    * range-partitioned passes, same single-RDD layout invariant. The
+    * exclusive form is what dominance tests (skyline) need: a row must
+    * never be compared against itself.
+    */
+  def runningMaxExclusive(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, maxCol: String, rangePartitions: Int = 32,
+      maxGroups: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = (groupCol +: orderCols).map(col)
+    val sorted = df
+      .repartitionByRange(rangePartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def gKey(r: Row): String = {
+      require(!r.isNullAt(gIdx),
+        s"DistributedPrefixSum: null $groupCol group key unsupported — filter or fill first")
+      String.valueOf(r.get(gIdx))
+    }
+
+    val sortedRdd = sorted.rdd // ONE instance for both passes (see running)
+
+    val pgMax: Array[(Int, String, Long)] = sortedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = gKey(r)
+          val v = r.getLong(vIdx)
+          m.update(g, math.max(m.getOrElse(g, Long.MinValue), v))
+        }
+        m.iterator.map { case (g, s) => (pid, g, s) }.toList.iterator
+      }
+      .collect()
+
+    val nGroups = pgMax.map(_._2).distinct.length
+    require(nGroups <= maxGroups,
+      s"DistributedPrefixSum: $nGroups groups exceeds maxGroups=$maxGroups")
+
+    val offsets: Map[(Int, String), Long] = {
+      val b = Map.newBuilder[(Int, String), Long]
+      pgMax.groupBy(_._2).foreach { case (g, rows) =>
+        var acc = Long.MinValue
+        rows.sortBy(_._1).foreach { case (pid, _, s) =>
+          b += ((pid, g) -> acc); acc = math.max(acc, s)
+        }
+      }
+      b.result()
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+
+    val outSchema = StructType(
+      sorted.schema.fields :+ StructField(maxCol, LongType, nullable = false))
+
+    val withMax = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null
+      var acc = Long.MinValue
+      it.map { r =>
+        val g = gKey(r)
+        if (g != cur) {
+          cur = g; acc = bcOff.value.getOrElse((pid, g), Long.MinValue)
+        }
+        val before = acc
+        acc = math.max(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ before)
+      }
+    }
+    spark.createDataFrame(withMax, outSchema)
+  }
 }

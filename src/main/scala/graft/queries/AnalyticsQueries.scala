@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.GraftSession.table
+import graft.operators.DistributedPrefixSum
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -555,5 +556,128 @@ object AnalyticsQueries {
         (col("est") >= col("exact_join_size")).cast("int").as("never_under"),
         (col("est") - col("exact_join_size") <=
           expr("(9 * n1 * n2) div 8192")).cast("int").as("bound_ok"))
+    },
+
+    // B69: skyline (Pareto frontier) — customers not dominated in
+    // (account balance, order count): the multi-objective "best
+    // trade-offs" operator. The NOT EXISTS spelling is the oracle; the
+    // plan replaces the O(n²) dominance test with a PREFIX MAXIMUM
+    // over balance-descending order: b is dominated iff
+    // max{y : x > b.x} ≥ b.y or max{y : x ≥ b.x, other rows} > b.y.
+    // Distinct balances collapse to one max-y row each (keyed
+    // exchange), the exclusive running max rides
+    // DistributedPrefixSum.runningMaxExclusive (two streamed
+    // range-partitioned passes — a global window would serialize the
+    // whole table through one reducer), and rows join back keyed.
+    // All integers (cents, counts) — dominance compares exactly.
+    Q("skyline_customers",
+      """WITH yo AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+        |            FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT c_custkey AS custkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    coalesce(y, 0) AS n_orders
+        |  FROM customer LEFT JOIN yo ON o_custkey = c_custkey)
+        |SELECT custkey, bal_cents, n_orders FROM r b
+        |WHERE NOT EXISTS (SELECT 1 FROM r a
+        |  WHERE (a.bal_cents > b.bal_cents AND a.n_orders >= b.n_orders)
+        |     OR (a.bal_cents >= b.bal_cents AND a.n_orders > b.n_orders))""".stripMargin) { (s, dir) =>
+      val rows = table(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("x"))
+        .join(table(s, dir, "orders").groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("yo")),
+          col("custkey") === col("o_custkey"), "left")
+        .select(col("custkey"), col("x"),
+          coalesce(col("yo"), lit(0L)).as("y"))
+      val gx = rows.groupBy(col("x")).agg(max(col("y")).as("gmax"))
+        .select(lit(0L).as("g"), (-col("x")).as("negx"), col("x"), col("gmax"))
+      val pm = DistributedPrefixSum.runningMaxExclusive(
+          gx, "g", Seq("negx"), "gmax", "m1")
+        .select(col("x"), col("m1"), greatest(col("m1"), col("gmax")).as("m2"))
+      // dominated ⇔ m1 ≥ y (someone strictly richer, ≥ orders) or
+      // m2 > y (someone ≥ rich with strictly more orders — m2 > y
+      // can't be b itself)
+      rows.join(pm, Seq("x"))
+        .filter(!(col("m1") >= col("y") || col("m2") > col("y")))
+        .select(col("custkey"), col("x").as("bal_cents"),
+          col("y").as("n_orders"))
+    },
+
+    // B70: revenue Pareto cutoff — "how many customers produce 80% of
+    // revenue": the concentration statistic behind account tiering.
+    // Same scale shape as vocab_coverage: the running total over the
+    // GLOBAL revenue-descending order rides DistributedPrefixSum, and
+    // the 80% threshold is integer arithmetic ((cum−rev)·5 < total·4)
+    // so the counted SET is exact.
+    Q("revenue_pareto",
+      """WITH rev AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total,
+        |          CAST(count(*) AS BIGINT) AS nc FROM rev),
+        |r AS (SELECT rev,
+        |        CAST(sum(rev) OVER (ORDER BY rev DESC, k) AS BIGINT) AS cum
+        |      FROM rev)
+        |SELECT (SELECT nc FROM tot) AS n_customers,
+        |  (SELECT total FROM tot) AS total_revenue,
+        |  CAST(count(*) FILTER (
+        |    WHERE (cum - rev) * 5 < (SELECT total FROM tot) * 4) AS BIGINT)
+        |    AS pareto_n,
+        |  CAST(coalesce(sum(rev) FILTER (
+        |    WHERE (cum - rev) * 5 < (SELECT total FROM tot) * 4), 0) AS BIGINT)
+        |    AS pareto_revenue
+        |FROM r""".stripMargin) { (s, dir) =>
+      val rev = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      val ordered = rev.select(lit(0L).as("g"), (-col("rev")).as("neg"),
+        col("k"), col("rev"))
+      val cum = DistributedPrefixSum.running(
+        ordered, "g", Seq("neg", "k"), "rev", "cum")
+      val tot = rev.agg(sum(col("rev")).as("total"), count(lit(1)).as("nc"))
+      val kept = (col("cum") - col("rev")) * 5 < col("total") * 4
+      cum.crossJoin(broadcast(tot)).agg(
+        max(col("nc")).as("n_customers"),
+        max(col("total")).as("total_revenue"),
+        sum(when(kept, 1L).otherwise(0L)).as("pareto_n"),
+        sum(when(kept, col("rev")).otherwise(0L)).as("pareto_revenue"))
+    },
+
+    // B71: floored running balance — inventory/credit semantics:
+    // balance_t = max(0, balance_{t−1} + delta_t). The floor makes the
+    // fold NON-decomposable (no partial aggregation, no prefix-sum
+    // shortcut — order matters irreducibly), so the correct plan is
+    // the per-key ordered fold over small groups (the EWMA shape);
+    // everything stays in exact integer cents, so the fold is
+    // bit-identical in both engines. Daily delta = deposits − a fixed
+    // 2000-cent outflow.
+    Q("running_balance_floor",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS dc
+        |      FROM e GROUP BY user_id, day)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list(dc - 2000 ORDER BY day)),
+        |    (a, x) -> greatest(a + x, 0)) AS BIGINT) AS final_balance
+        |FROM d GROUP BY user_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("dc"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("dc")))).as("_dv"))
+        .select(col("user_id"), col("n_days"),
+          aggregate(col("_dv"), lit(0L), (acc, dv) =>
+            greatest(acc + dv.getField("dc") - lit(2000L), lit(0L)))
+            .as("final_balance"))
     })
 }

@@ -143,6 +143,71 @@ object CorpusQueries {
       collapsedClusters(s, dir)
     },
 
+    // C55: dedup-cluster-aware dataset split — the leakage-safe split:
+    // assignment hashes the near-dup CLUSTER label (C15b's transitive
+    // components; singletons label as themselves), never the doc, so
+    // no near-dup pair can straddle train/test (the contamination
+    // C26 checks for is prevented by construction — crossing_edges is
+    // structurally 0 and both engines emit their own count of it).
+    // Plan: the quotient-graph cluster machinery + one keyed label
+    // join + a 10-row rollup.
+    Q("cluster_aware_split",
+      s"""WITH RECURSIVE $pairsCte,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT doc_id, coalesce(cluster_id, doc_id) AS lab
+         |  FROM documents LEFT JOIN cl ON id = doc_id),
+         |sp AS (SELECT doc_id, lab, lab % 10 AS split FROM lab),
+         |cross_e AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM p
+         |  JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
+         |  WHERE a.split <> b.split)
+         |SELECT CAST(split AS BIGINT) AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lab) AS BIGINT) AS n_clusters,
+         |  CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+         |  (SELECT n FROM cross_e) AS crossing_edges
+         |FROM sp GROUP BY split""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val (repPairs, groups) = MinHashLSH
+        .nearDupGraph(table(s, dir, "documents"), "doc_id", "text", 0.8)
+      val cl = ConnectedComponents.clustersFromQuotient(
+        repPairs.select(col("id_a"), col("id_b")), groups)
+        .localCheckpoint()
+      val lab = docs.join(cl, docs("doc_id") === cl("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("lab"))
+      val sp = lab.withColumn("split", pmod(col("lab"), lit(10L)))
+        .localCheckpoint() // feeds the rollup AND the crossing check
+      // crossing check on the quotient graph: every rep-level edge and
+      // every (rep, member) attachment must keep both endpoints in one
+      // split — together they span every expanded near-dup pair
+      val qEdges = repPairs.select(col("id_a"), col("id_b"))
+        .unionByName(groups.select(col("rep_id").as("id_a"),
+          col("member_id").as("id_b")))
+      val crossing = qEdges
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("crossing_edges"))
+      sp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lab")).as("n_clusters"),
+          sum(col("doc_id")).as("doc_id_sum"))
+        .crossJoin(broadcast(crossing))
+    },
+
     // C45: LINE-level dedup (CCNet / RefinedWeb): duplicate lines —
     // boilerplate, navigation chrome, repeated headers — are removed
     // corpus-WIDE (first occurrence by (doc_id, line_idx) wins), and
