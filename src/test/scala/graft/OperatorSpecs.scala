@@ -814,3 +814,89 @@ class QuotientGraphSpec extends SparkTestBase {
     }
   }
 }
+
+class Round8KernelSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.CountMin
+  import org.apache.spark.sql.expressions.Window
+
+  test("winnowFingerprints equals the HOF transform/array_min spelling") {
+    val docs = Seq(
+      "", "a", "a b", "a b c", "a b c d e f g h",
+      "x x x x x x x x x x", // identical hashes: leftmost-tie reign
+      "one two three four five six seven eight nine ten",
+      "dup dup dup a dup dup dup a b c dup dup",
+      "q w e r t y u i o p q w e r t y u i o p")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fused = docs.select($"doc_id",
+        explode(VectorExpressions.winnowFingerprints(split($"text", " "), 3, 4)).as("f"))
+      .select($"doc_id", $"f.pos", $"f.h").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    val toks = split($"text", " ")
+    val hs = transform(sequence(lit(0), size(toks) - 3), i =>
+      struct(
+        Fingerprint64.fingerprint64(concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))).as("h"),
+        i.cast("long").as("pos")))
+    val ref = docs.filter(size(toks) >= 3)
+      .select($"doc_id", hs.as("hs"))
+      .select($"doc_id",
+        explode(transform(sequence(lit(0), greatest(size($"hs") - 4, lit(0))),
+          j => array_min(slice($"hs", j + 1, lit(4))))).as("f"))
+      .select($"doc_id", $"f.pos", $"f.h").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fused == ref, s"fused ${fused.size} vs HOF ${ref.size}")
+    // the all-equal-hash doc: leftmost-min slides with the window, so
+    // every window head is selected once — 8 grams, w=4 → 5 windows
+    // (plain winnowing; ROBUST winnowing's rightmost-tie rule would
+    // collapse these — the leftmost rule is this operator's contract)
+    assert(fused.count(_._1 == 5L) == 5)
+  }
+
+  test("cms inner product: never undercounts, bound holds, exact size math") {
+    val a = (1 to 200).flatMap(k => Seq.fill(k % 5 + 1)(k.toLong))
+    val b = (100 to 300).flatMap(k => Seq.fill(k % 3 + 1)(k.toLong))
+    val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = ca.keysIterator.map(k => ca(k) * cb.getOrElse(k, 0L)).sum
+    val est = a.toDF("k").agg(CountMin.countMinSketch($"k").as("sa"))
+      .crossJoin(b.toDF("k").agg(CountMin.countMinSketch($"k").as("sb")))
+      .select(CountMin.cmsInnerProduct($"sa", $"sb"))
+      .as[Long].head()
+    assert(est >= exact, s"undercount: $est < $exact")
+    assert(est <= exact + 9L * a.size * b.size / 8192,
+      s"bound blown: $est vs exact $exact")
+  }
+
+  test("cms inner product rejects mismatched sketch shapes") {
+    val e = intercept[Throwable] {
+      Seq(1L).toDF("k").agg(CountMin.countMinSketch($"k", width = 4096).as("sa"))
+        .crossJoin(Seq(1L).toDF("k")
+          .agg(CountMin.countMinSketch($"k", width = 8192).as("sb")))
+        .select(CountMin.cmsInnerProduct($"sa", $"sb"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("sketch shapes differ")), e.toString)
+  }
+
+  test("runningMaxExclusive equals the exclusive window max at any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (s"g${rnd.nextInt(3)}", i, rnd.nextInt(2000).toLong - 1000L))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "o", "v").repartition(parts)
+      val got = DistributedPrefixSum
+        .runningMaxExclusive(df, "g", Seq("o"), "v", "m")
+        .select($"g", $"o", $"m").as[(String, Int, Long)].collect().toSet
+      val w = Window.partitionBy($"g").orderBy($"o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df
+        .withColumn("m", coalesce(max($"v").over(w), lit(Long.MinValue)))
+        .select($"g", $"o", $"m").as[(String, Int, Long)].collect().toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+}
