@@ -679,5 +679,122 @@ object AnalyticsQueries {
           aggregate(col("_dv"), lit(0L), (acc, dv) =>
             greatest(acc + dv.getField("dc") - lit(2000L), lit(0L)))
             .as("final_balance"))
+    },
+
+    // B72: geo cell density — spatial binning of the telemetry
+    // stream's derived GPS track (the §3 lat/lon convention) into
+    // Morton (Z-order) cells: the heat-map / hot-spot primitive the
+    // reference's trip domain wants, and a second load-bearing use of
+    // the B42 bit-cascade machinery. Quantization floors IDENTICAL
+    // doubles in both engines (the trip_aggregation precedent), the
+    // interleave replays via the mask cascade, and the per-cell rollup
+    // is one map-side-combinable keyed exchange.
+    Q("geo_cell_density", {
+      def step(shift: Int, mask: Long) =
+        s"(x | (x << $shift)) & $mask AS x, (y | (y << $shift)) & $mask AS y"
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents,
+         |    (CAST(floor((value / 10.0 - 20.0) * 8) AS BIGINT) + 512) % 1024
+         |      AS x,
+         |    (CAST(floor((value / 2.0 - 120.0) * 8) AS BIGINT) + 1024) % 1024
+         |      AS y
+         |  FROM events),
+         |s1 AS (SELECT user_id, cents, ${step(16, 281470681808895L)} FROM e),
+         |s2 AS (SELECT user_id, cents, ${step(8, 71777214294589695L)} FROM s1),
+         |s3 AS (SELECT user_id, cents, ${step(4, 1085102592571150095L)} FROM s2),
+         |s4 AS (SELECT user_id, cents, ${step(2, 3689348814741910323L)} FROM s3),
+         |s5 AS (SELECT user_id, cents, ${step(1, 6148914691236517205L)} FROM s4)
+         |SELECT x | (y << 1) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+         |FROM s5 GROUP BY cell""".stripMargin
+    }) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        ((floor((col("value") / 10.0 - 20.0) * 8).cast("long") + 512) % 1024)
+          .as("gx"),
+        ((floor((col("value") / 2.0 - 120.0) * 8).cast("long") + 1024) % 1024)
+          .as("gy"))
+      e.select(col("user_id"), col("cents"),
+          graft.sources.ZOrder.zValue(col("gx"), col("gy")).as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("cents_sum"))
+    },
+
+    // B73: exact WEIGHTED median — the robust central price weighted
+    // by quantity (what "typical unit price" actually means when line
+    // items carry different volumes). Plan: collapse to distinct
+    // prices (keyed exchange, map-side combinable), one
+    // DistributedPrefixSum pass over price-ascending order, pick the
+    // smallest price whose doubled running weight reaches the total —
+    // never a global sort to one reducer, all integers (cents ×
+    // integer-valued quantities).
+    Q("weighted_median_price",
+      """WITH r AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY cents),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+        |          CAST(count(*) AS BIGINT) AS np FROM r),
+        |c AS (SELECT cents, w,
+        |        CAST(sum(w) OVER (ORDER BY cents) AS BIGINT) AS cum
+        |      FROM r)
+        |SELECT (SELECT tw FROM tot) AS total_weight,
+        |  (SELECT np FROM tot) AS n_distinct_prices,
+        |  CAST(min(cents) FILTER (WHERE 2 * cum >= (SELECT tw FROM tot))
+        |    AS BIGINT) AS weighted_median_cents
+        |FROM c""".stripMargin) { (s, dir) =>
+      val r = table(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy(col("cents")).agg(sum(col("q")).as("w"))
+      val ordered = r.select(lit(0L).as("g"), col("cents"), col("w"))
+      val cum = DistributedPrefixSum.running(
+        ordered, "g", Seq("cents"), "w", "cum")
+      val tot = r.agg(sum(col("w")).as("tw"), count(lit(1)).as("np"))
+      cum.crossJoin(broadcast(tot)).agg(
+        max(col("tw")).as("total_weight"),
+        max(col("np")).as("n_distinct_prices"),
+        min(when(lit(2) * col("cum") >= col("tw"), col("cents")))
+          .as("weighted_median_cents"))
+    },
+
+    // B74: frequent 3-event paths — sequential pattern mining over
+    // each user's event-time-ordered stream (the "what journeys
+    // dominate" statistic one level past B65's transition matrix).
+    // Two lead() calls on the same per-user window (small groups),
+    // a keyed path rollup, and a bounded-heap top-10.
+    Q("event_trigram_paths",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+        |SELECT concat(a, '>', b, '>', c) AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY path
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      e.select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("event_type"), 2).over(w).as("c"))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .select(concat(col("a"), lit(">"), col("b"), lit(">"), col("c")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
     })
 }
