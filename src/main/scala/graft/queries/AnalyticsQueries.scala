@@ -796,5 +796,110 @@ object AnalyticsQueries {
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(10)
+    },
+
+    // B75: funnel time-to-convert percentiles — B56's funnel composed
+    // with B20's DistributedQuantile: the p25/p50/p90 of view→purchase
+    // conversion lag, exact and bit-identical to quantile_cont, with
+    // the quantile machinery's streamed two-pass plan (only bracketing
+    // ranks leave executors — never the unspillable percentile buffer).
+    Q("funnel_lag_percentiles",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |v AS (SELECT user_id, min(tsec) AS tv FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(tsec) AS tc
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND tsec > tv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(tsec) AS tp
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND tsec > tc GROUP BY e.user_id),
+        |lag AS (SELECT tp - tv AS lag_s FROM p JOIN v USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(lag_s, 0.25), 4) AS p25_s,
+        |  round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(lag_s, 0.9), 4) AS p90_s
+        |FROM lag""".stripMargin) { (s, dir) =>
+      import graft.operators.DistributedQuantile
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("tv"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("tsec") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("tc"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("tsec") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("tp"))
+      val lag = p.join(v, "user_id")
+        .select(lit(0).as("g"), (col("tp") - col("tv")).cast("double").as("lag_s"))
+        .localCheckpoint() // the quantile passes + the count share one build
+      val qs = DistributedQuantile.quantiles(
+        lag, "g", "lag_s",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      lag.agg(count(lit(1)).as("n_converted"))
+        .crossJoin(broadcast(qs.select(
+          round(col("p25"), 4).as("p25_s"),
+          round(col("p50"), 4).as("p50_s"),
+          round(col("p90"), 4).as("p90_s"))))
+    },
+
+    // B76: order-independent table checksum — the cross-engine
+    // reconciliation primitive (does a migrated/replicated table hold
+    // EXACTLY the same content?): each row canonicalizes to one
+    // string, fingerprints to 64 bits, and the checksum is the SUM
+    // mod 2⁶⁴ — commutative and associative, so it distributes
+    // map-side with no ordering requirement, and any single changed
+    // row flips it. The oracle recomputes the same canonical strings
+    // and replays the fingerprint + wraparound sum in HUGEINT.
+    Q("table_checksum",
+      """WITH r AS (
+        |  SELECT concat(
+        |    CAST(o_orderkey AS VARCHAR), '|', CAST(o_custkey AS VARCHAR), '|',
+        |    o_orderstatus, '|',
+        |    CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), '|',
+        |    CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR), '|',
+        |    o_orderpriority) AS canon
+        |  FROM orders),
+        |h AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |    list_transform(string_split_regex(canon, ''),
+        |      c -> CAST(ord(c) AS HUGEINT))),
+        |    (a, b) -> (a * 31 + b) % 18446744073709551616) AS hu
+        |  FROM r),
+        |t AS (SELECT sum(hu) % 18446744073709551616 AS s,
+        |        CAST(count(*) AS BIGINT) AS n FROM h)
+        |SELECT n AS n_rows,
+        |  CAST(CASE WHEN s >= 9223372036854775808
+        |       THEN s - 18446744073709551616 ELSE s END AS BIGINT)
+        |    AS checksum64
+        |FROM t""".stripMargin) { (s, dir) =>
+      import graft.functions.Fingerprint64
+      val canon = concat(
+        col("o_orderkey").cast("string"), lit("|"),
+        col("o_custkey").cast("string"), lit("|"),
+        col("o_orderstatus"), lit("|"),
+        floor(col("o_totalprice") * 100).cast("long").cast("string"), lit("|"),
+        unix_timestamp(col("o_orderdate")).cast("string"), lit("|"),
+        col("o_orderpriority"))
+      // wraparound Σ of row fingerprints: Spark ANSI would throw on
+      // long-sum overflow, so fold through the same mod-2⁶⁴ ring the
+      // oracle uses — sum of (h mod 2⁶⁴) values as unsigned halves:
+      // split each hash into hi/lo 32-bit parts, sum exactly in two
+      // lanes (no overflow below ~2³² rows), recombine mod 2⁶⁴.
+      val h = Fingerprint64.fingerprint64(canon)
+      table(s, dir, "orders")
+        .select(h.as("h"))
+        .select(shiftrightunsigned(col("h"), 32).as("hi"),
+          col("h").bitwiseAND(lit(0xffffffffL)).as("lo"))
+        .agg(sum(col("hi")).as("shi"), sum(col("lo")).as("slo"),
+          count(lit(1)).as("n_rows"))
+        .select(col("n_rows"),
+          (shiftleft(col("shi") + shiftrightunsigned(col("slo"), 32), 32)
+            .bitwiseOR(col("slo").bitwiseAND(lit(0xffffffffL))))
+            .as("checksum64"))
     })
 }

@@ -208,6 +208,46 @@ object CorpusQueries {
         .crossJoin(broadcast(crossing))
     },
 
+    // C56: INTRA-document segment dedup — remove repeated 10-token
+    // segments WITHIN each doc, keeping first occurrences (the
+    // self-repetition/boilerplate rewrite that complements C45's
+    // corpus-wide line dedup and C27's repetition SCORES). Entirely
+    // map-only: the keep-first selection is an indexed array filter
+    // inside one codegen pass — zero shuffle at any corpus size, the
+    // cheapest possible rewrite plan.
+    Q("intra_doc_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id, list_transform(
+        |    range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+        |    i -> array_to_string(
+        |      toks[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' '))
+        |    AS segs
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, segs,
+        |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+        |  FROM l)
+        |SELECT doc_id,
+        |  CAST(len(segs) AS BIGINT) AS n_segments,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, ' ') AS kept_text
+        |FROM k""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nSeg = ceil(size(toks).cast("double") / lit(10.0)).cast("int")
+      val segs = transform(sequence(lit(0), nSeg - 1),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+      table(s, dir, "documents")
+        .select(col("doc_id"), segs.as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).cast("long").as("n_segments"),
+          filter(col("segs"), (x, i) =>
+            array_position(col("segs"), x) === (i + 1).cast("long")).as("kept"))
+        .select(col("doc_id"), col("n_segments"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), " ").as("kept_text"))
+    },
+
     // C45: LINE-level dedup (CCNet / RefinedWeb): duplicate lines —
     // boilerplate, navigation chrome, repeated headers — are removed
     // corpus-WIDE (first occurrence by (doc_id, line_idx) wins), and
