@@ -901,5 +901,117 @@ object AnalyticsQueries {
           (shiftleft(col("shi") + shiftrightunsigned(col("slo"), 32), 32)
             .bitwiseOR(col("slo").bitwiseAND(lit(0xffffffffL))))
             .as("checksum64"))
+    },
+
+    // B77: interval-union coverage — merge each user's overlapping
+    // activity intervals ([t, t+1800)) and report total covered
+    // seconds + merged-interval count: the utilization/uptime
+    // statistic where naive duration sums double-count overlaps. The
+    // sweep is the classic gap-and-island pass: an interval starts a
+    // new island iff its start exceeds the running max of prior ends
+    // — per-user windows (small groups), all integer seconds.
+    Q("interval_coverage",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en,
+        |    event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, st, en, event_id,
+        |    CASE WHEN st > coalesce(max(en) OVER (
+        |        PARTITION BY user_id ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, st, en,
+        |    CAST(sum(is_new) OVER (
+        |      PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM m),
+        |i AS (
+        |  SELECT user_id, island,
+        |    max(en) - min(st) AS covered
+        |  FROM g GROUP BY user_id, island)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_intervals_merged,
+        |  CAST(sum(covered) AS BIGINT) AS covered_s
+        |FROM i GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("st"),
+        (expr("ts div 1000000000") + 1800).as("en"))
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val m = e.withColumn("is_new",
+        when(col("st") > coalesce(max(col("en")).over(wPrev),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      m.withColumn("island", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg((max(col("en")) - min(col("st"))).as("covered"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals_merged"),
+          sum(col("covered")).as("covered_s"))
+    },
+
+    // B78: largest-remainder proration — distribute each order's
+    // 5%-of-total discount (an integer cent amount) across its line
+    // items proportionally to extended price, with the
+    // largest-remainder (Hamilton) rounding rule so the shares SUM
+    // EXACTLY to the allocated amount — the financial-allocation
+    // primitive where naive per-line rounding leaks cents. All
+    // arithmetic is integer: floor shares from cross-multiplied
+    // cents, remainder ranks by (fractional-part numerator DESC,
+    // line ASC) inside per-order windows (≤ 7 lines by construction).
+    Q("prorate_discounts",
+      """WITH l AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT ok, CAST(sum(cents) AS BIGINT) AS total,
+        |    CAST(sum(cents) AS BIGINT) // 20 AS pool
+        |  FROM l GROUP BY ok),
+        |sh AS (
+        |  SELECT l.ok, ln, cents, total, pool,
+        |    (cents * pool) // total AS base,
+        |    (cents * pool) % total AS frac
+        |  FROM l JOIN o ON l.ok = o.ok),
+        |rk AS (
+        |  SELECT ok, ln, base, frac, pool,
+        |    row_number() OVER (PARTITION BY ok
+        |      ORDER BY frac DESC, ln, cents) AS rn,
+        |    CAST(pool - sum(base) OVER (PARTITION BY ok) AS BIGINT) AS leftover
+        |  FROM sh)
+        |SELECT ok AS orderkey, ln AS linenumber,
+        |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS share_cents
+        |FROM rk""".stripMargin) { (s, dir) =>
+      val l = table(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val o = l.groupBy(col("ok"))
+        .agg(sum(col("cents")).as("total"))
+        .withColumn("pool", expr("total div 20"))
+      val sh = l.join(o, Seq("ok"))
+        .withColumn("base", expr("(cents * pool) div total"))
+        .withColumn("frac", expr("(cents * pool) % total"))
+      val w = Window.partitionBy(col("ok"))
+      // (frac, ln) is NOT total here — synthetic linenumbers repeat
+      // within an order — so cents joins the tie-break; fully
+      // identical lines remain interchangeable, which the row
+      // multiset cannot observe.
+      val wr = w.orderBy(col("frac").desc, col("ln"), col("cents"))
+      sh.withColumn("rn", row_number().over(wr))
+        .withColumn("leftover", col("pool") - sum(col("base")).over(w))
+        .select(col("ok").as("orderkey"), col("ln").as("linenumber"),
+          (col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+            .as("share_cents"))
     })
 }
