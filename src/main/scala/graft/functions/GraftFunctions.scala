@@ -144,6 +144,22 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         requireArity("token_entropy_stats", exprs, 1)
         TokenEntropyStats(exprs.head)
+      }),
+    (FunctionIdentifier("cms_inner_product"),
+      new ExpressionInfo(classOf[CmsInnerProduct].getName, "cms_inner_product"),
+      (exprs: Seq[Expression]) => {
+        requireArity("cms_inner_product", exprs, 2)
+        CmsInnerProduct(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => {
+        requireArity("winnow_fingerprints", exprs, 3)
+        val k = intArg("winnow_fingerprints", 1, exprs(1))
+        val w = intArg("winnow_fingerprints", 2, exprs(2))
+        if (k < 1 || w < 1)
+          fail(s"winnow_fingerprints k and w must be >= 1, got ($k, $w)")
+        WinnowFingerprints(exprs.head, k, w)
       }))
 
   /** Register every graft SQL function on an existing session. */

@@ -301,6 +301,26 @@ class CountMinSpec extends SparkTestBase {
       .as[Long].head()
     assert(est == 3L)
   }
+
+  test("cms_inner_product and winnow_fingerprints callable through SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(1L, 1L, 2L).toDF("k").createOrReplaceTempView("ip_a")
+    Seq(1L, 3L).toDF("k").createOrReplaceTempView("ip_b")
+    // exact inner product = f_a(1)·f_b(1) = 2 — CMS never undercounts
+    val ip = spark.sql(
+      """SELECT cms_inner_product(
+        |  (SELECT count_min(k) FROM ip_a),
+        |  (SELECT count_min(k) FROM ip_b)) AS e""".stripMargin)
+      .as[Long].head()
+    assert(ip >= 2L)
+    val n = spark.sql(
+      "SELECT size(winnow_fingerprints(split('a b c d e f g', ' '), 3, 4)) AS n")
+      .as[Int].head()
+    assert(n >= 1)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT winnow_fingerprints(split('a b c', ' '), 0, 4)").collect()
+    }
+  }
 }
 
 /** Misra-Gries frequent items: exact regime, adversarial eviction
