@@ -403,6 +403,55 @@ object StreamingQueries {
             .otherwise(0).cast("int").as("hll_ok"))
     },
 
+    // D18: the t-digest quantile sketch in WINDOWED streaming state —
+    // completing the sketches-in-state family (D10 HLL distincts, D13
+    // Misra-Gries top keys): per-hour median event value from a
+    // mergeable bounded-size sketch, emitted append-mode on window
+    // close. The gate is the tdigest_order_value convention — exact
+    // per-window percentile companions (DistributedQuantile ≡
+    // quantile_cont bit-identically) + a 2%-relative bound on the
+    // sketch — under the shared strict-< emission filter.
+    Q("streaming_window_quantiles",
+      s"""WITH e AS (
+         |  SELECT value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |w AS (SELECT tsec - tsec % 3600 AS hour_start_s, value FROM e),
+         |agg AS (
+         |  SELECT hour_start_s,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    round(quantile_cont(value, 0.5), 4) AS p50_exact
+         |  FROM w GROUP BY hour_start_s)
+         |SELECT hour_start_s, n_events, p50_exact, CAST(1 AS INT) AS td_ok
+         |FROM agg, wm WHERE hour_start_s + 3600 < fw""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir).select(
+        col("value"),
+        timestamp_seconds(expr("ts div 1000000000")).as("tss"))
+        .withWatermark("tss", s"$DelayS seconds")
+      val agg = ev.groupBy(window(col("tss"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.TDigest.tdigestQuantile(col("value"), 0.5).as("td50"))
+        .select(unix_timestamp(col("window.start")).as("hour_start_s"),
+          col("n_events"), col("td50"))
+      val streamed = runToMemory(s, agg, "graft_stream_tdq")
+      val batch = table(s, dir, "events")
+        .select(col("value"), expr("ts div 1000000000").as("tsec"))
+      val fw = batch.agg((max(col("tsec")) - DelayS).as("fw"))
+      val exact = graft.operators.DistributedQuantile
+        .quantiles(
+          batch.select((col("tsec") - col("tsec") % 3600).as("h"), col("value")),
+          "h", "value", Seq("p50" -> 0.5))
+        .select(col("g").cast("bigint").as("hour_start_s"),
+          round(col("p50"), 4).as("p50_exact"), col("p50"))
+      streamed.join(broadcast(exact), "hour_start_s")
+        .join(broadcast(fw))
+        .filter(col("hour_start_s") + 3600 < col("fw"))
+        .select(col("hour_start_s"), col("n_events"), col("p50_exact"),
+          when(abs(col("td50") - col("p50")) <=
+            greatest(lit(0.01), col("p50") * 0.02), 1)
+            .otherwise(0).cast("int").as("td_ok"))
+    },
+
     // D12: the Misra-Gries frequent-items sketch as STREAMING state —
     // a global complete-mode aggregation whose per-partition partials
     // and per-batch state merges all go through the sketch's merge
