@@ -205,6 +205,73 @@ object TextQueries {
           round(avg(col("logp")), 4).as("avg_logp"))
     },
 
+    // C57: CROSS-trained LM quality scoring — the actual CCNet shape
+    // that C24 (self-trained) approximates: the bigram model trains
+    // ONLY on the clean subset (the corpus_filter thresholds —
+    // integer-exact, no float boundary), then scores EVERY doc, so
+    // low-quality text scores low because it diverges from clean text,
+    // not merely from the average. Unseen bigrams fall out of the SAME
+    // add-one formula via left joins: logp = ln((cb+1)/(cu+vocab))
+    // with cb/cu defaulting to 0 — unseen w1 degrades to ln(1/vocab),
+    // no special-case floor. Scale shape: one corpus-scale explode
+    // feeding (a) the filtered model build (one keyed exchange into
+    // model-sized tables, localCheckpointed) and (b) the scoring pass
+    // — two model-sized LEFT joins on the corpus (the honest price of
+    // correct smoothing over out-of-model pairs), one doc rollup.
+    Q("text_lm_crossscore",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |clean AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE n_chars >= 200 AND $nTokSql >= 30),
+         |big AS (
+         |  SELECT doc_id,
+         |    t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |bigc AS (SELECT b.* FROM big b JOIN clean USING (doc_id)),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM bigc GROUP BY w1, w2),
+         |uc AS (SELECT w1, count(*) AS cu FROM bigc GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w1) AS vocab FROM bigc)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(max(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         |    AS in_train,
+         |  round(avg(ln((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + vocab))), 4)
+         |    AS avg_logp
+         |FROM big b
+         |LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+         |LEFT JOIN clean c ON c.doc_id = b.doc_id, v
+         |GROUP BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val clean = docs
+        .filter(col("n_chars") >= 200 && TF.tokenCount(col("text")) >= 30)
+        .select(col("doc_id"), lit(1).as("in_train"))
+      val big2 = docs
+        .select(col("doc_id"), split(TF.normalizeText(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.tokenPairs(col("t"))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bigc = big2.join(clean.select(col("doc_id")), Seq("doc_id"))
+      val bc = bigc.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
+      val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      val v = bc.agg(countDistinct(col("w1")).as("vocab"))
+      big2
+        .join(bc, Seq("w1", "w2"), "left")
+        .join(uc, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((coalesce(col("cb"), lit(0L)) + 1.0) /
+            (coalesce(col("cu"), lit(0L)) + col("vocab")))), 4).as("avg_logp"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("in_train"), lit(0)).cast("int").as("in_train"),
+          col("avg_logp"))
+    },
+
     // C29: BM25 relevance scoring for a fixed query — the retrieval/
     // curation scorer. Per-doc term frequencies come from ONE fused
     // TokenSetStats pass (three singleton stopword-sets = three tf
