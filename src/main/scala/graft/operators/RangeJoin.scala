@@ -47,4 +47,41 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval × interval OVERLAP join (closed intervals: pairs with
+    * `lStart <= rEnd && rStart <= lEnd`) as a bucketed equi-join.
+    *
+    * Both sides explode into the fixed-width buckets they cover, the
+    * join runs on the bucket key, and the overlap predicate refines.
+    * Because an overlapping pair co-occurs in EVERY bucket their
+    * spans share, the naive spelling emits duplicates; instead each
+    * pair is emitted exactly once, in the canonical bucket containing
+    * `max(lStart, rStart)` — that instant lies inside both intervals
+    * whenever they overlap, so the pair is present in that bucket and
+    * the equality filter keeps no other copy. No distinct/dedup
+    * exchange needed. Cost: Σ span/bucketWidth replicated rows per
+    * side + one shuffle; pick bucketWidth near the typical span so
+    * replication stays ~2×.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_bucket",
+        explode(when(col(s) <= col(e),
+          sequence(
+            expr(floorDivSql(s, bucketWidth)),
+            expr(floorDivSql(e, bucketWidth))))
+          .otherwise(typedLit(Array.empty[Long]))))
+    val canonicalBucket = expr(
+      s"(CASE WHEN greatest(CAST(`$lStart` AS BIGINT), CAST(`$rStart` AS BIGINT)) % $bucketWidth < 0 " +
+        s"THEN (greatest(CAST(`$lStart` AS BIGINT), CAST(`$rStart` AS BIGINT)) div $bucketWidth) - 1 " +
+        s"ELSE (greatest(CAST(`$lStart` AS BIGINT), CAST(`$rStart` AS BIGINT)) div $bucketWidth) END)")
+    exploded(left, lStart, lEnd)
+      .join(exploded(right, rStart, rEnd), Seq("_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_bucket") === canonicalBucket)
+      .drop("_bucket")
+  }
 }

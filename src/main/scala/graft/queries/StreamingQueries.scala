@@ -558,6 +558,94 @@ object StreamingQueries {
         .select(col("hour_start_s"), col("e.item").as("uid"),
           col("e.cnt").as("cnt"), (col("idx") + 1).cast("int").as("rnk"))
         .filter(col("rnk") <= 5)
+    },
+
+    // D19: stream-stream ANTI join — "which clicks did NOT convert".
+    // Spark has no native stream-stream left_anti; the composition is
+    // the D14 left-outer state machine + a stateless null filter on
+    // its output: unmatched left rows emit null-extended once the
+    // global watermark proves no in-window partner can arrive, and
+    // the filter keeps exactly those. Emission bound is therefore the
+    // D14 unmatched rule verbatim: a click emits iff its match window
+    // closed strictly below the final watermark (min of both sides'
+    // maxima − delay) and no in-window purchase exists.
+    Q("streaming_anti_join",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |c AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, tsec FROM e WHERE event_type = 'purchase'),
+         |wm AS (
+         |  SELECT least((SELECT max(tsec) FROM c),
+         |               (SELECT max(tsec) FROM p)) - $DelayS AS fw)
+         |SELECT c.user_id, c.event_id AS click_id, c.tsec AS click_s
+         |FROM c, wm
+         |WHERE c.tsec + $GapS < wm.fw AND NOT EXISTS (
+         |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+         |    AND p.tsec >= c.tsec AND p.tsec <= c.tsec + $GapS)""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("l_ts"))
+        .withWatermark("l_ts", s"$DelayS seconds")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("r_ts"))
+        .withWatermark("r_ts", s"$DelayS seconds")
+      val unconverted = clicks.join(purchases,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr(s"INTERVAL $GapS seconds"),
+          "leftOuter")
+        .filter(col("purchase_id").isNull)
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("l_ts")).as("click_s"))
+      runToMemory(s, unconverted, "graft_stream_anti")
+    },
+
+    // D20: the BITMAP EXACT-DISTINCT aggregate (B81) in WINDOWED
+    // streaming state — the fourth custom aggregate to run inside a
+    // watermarked window after HLL/Misra-Gries/t-digest, and the
+    // first EXACT one: per-hour distinct users held as one 8 KiB
+    // bitset per window regardless of traffic, so the streamed count
+    // EQUALS the batch count(DISTINCT) — an equality gate, not a
+    // tolerance bound. Emission: append-mode windows strictly below
+    // the final watermark (the streaming_hll_distinct convention,
+    // applied identically on both engines).
+    Q("streaming_bitmap_distinct",
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |w AS (SELECT tsec - tsec % 3600 AS hour_start_s, user_id FROM e),
+         |agg AS (
+         |  SELECT hour_start_s,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM w GROUP BY hour_start_s)
+         |SELECT hour_start_s, n_events, n_users
+         |FROM agg, wm WHERE hour_start_s + 3600 < fw""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir).select(
+        col("user_id"),
+        timestamp_seconds(expr("ts div 1000000000")).as("tss"))
+        .withWatermark("tss", s"$DelayS seconds")
+      val agg = ev.groupBy(window(col("tss"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"), 1 << 16)
+            .as("n_users"))
+        .select(unix_timestamp(col("window.start")).as("hour_start_s"),
+          col("n_events"), col("n_users"))
+      val streamed = runToMemory(s, agg, "graft_stream_bitmap")
+      val fw = table(s, dir, "events")
+        .agg((max(expr("ts div 1000000000")) - DelayS).as("fw"))
+      streamed.join(broadcast(fw))
+        .filter(col("hour_start_s") + 3600 < col("fw"))
+        .select(col("hour_start_s"), col("n_events"), col("n_users"))
     })
 
   /** Stateful streaming ops create one state store per shuffle
