@@ -18,45 +18,12 @@ object SparkEntry {
   // the hash in closed polynomial form (h_i = C·31^{i+1} +
   // Σ b_k·31^{i−k} mod 2⁶⁴) with precomputed powers-of-31 residues,
   // signed bytes extracted from hex(encode(text)).
-  private val frameSampleOracleSql: String = {
-    val M = BigInt(1) << 64
-    val pow31 = (0 to 65).map(j => BigInt(31).modPow(BigInt(j), M))
-    val powLit = pow31.mkString("CAST([", ", ", "] AS HUGEINT[])")
-    val byteAt = // unsigned byte at 0-based position frm + k of hex image hx
-      "CAST(('0x' || substring(hx, CAST(2 * (frm + k) + 1 AS INT), 2)) AS INT)"
-    s"""WITH pw AS (SELECT $powLit AS p),
-       |m AS (SELECT doc_id, hex(encode(text)) AS hx,
-       |        CAST(octet_length(encode(text)) AS BIGINT) AS n
-       |      FROM documents),
-       |fr AS (SELECT doc_id, hx, n, unnest(range(0, greatest(n // 64, 1), 2)) AS f
-       |       FROM m),
-       |ch AS (SELECT doc_id, f, hx, f * 64 AS frm, least(n, f * 64 + 64) AS til
-       |       FROM fr),
-       |cb AS (SELECT doc_id, f,
-       |         list_transform(range(til - frm), k ->
-       |           CASE WHEN $byteAt < 128 THEN $byteAt ELSE $byteAt - 256 END) AS bs,
-       |         til - frm AS len
-       |       FROM ch),
-       |hs AS (SELECT doc_id, f, len,
-       |         list_transform(range(len), i ->
-       |           ((1125899906842597 * p[CAST(i + 2 AS INT)]
-       |             + coalesce(list_sum(list_transform(range(i + 1), k ->
-       |                 bs[CAST(k + 1 AS INT)] * p[CAST(i - k + 1 AS INT)])), 0))
-       |            % 18446744073709551616 + 18446744073709551616)
-       |           % 18446744073709551616) AS hl
-       |       FROM cb, pw),
-       |ft AS (SELECT doc_id, f,
-       |         list_transform(range(8), j ->
-       |           coalesce(list_sum(list_transform(range(len), i ->
-       |             CASE WHEN i % 8 = j
-       |               THEN CAST(hl[CAST(i + 1 AS INT)] % 65536 AS DOUBLE) / 65536.0
-       |               ELSE 0.0 END)), 0.0)) AS feats
-       |       FROM hs)
+  private val frameSampleOracleSql: String =
+    s"""WITH ${graft.queries.MediaOracle.frameFeatureCtes(step = 2)}
        |SELECT doc_id AS id, CAST(f AS INT) AS frame_idx,
        |  CAST(unnest(range(8)) AS INT) AS dim_idx,
        |  unnest(feats) AS feat
        |FROM ft""".stripMargin
-  }
 
   // C8/C20: multimodal binary-column plumbing — real javax.imageio
   // pixel decode for image payloads (values pinned in MultimodalSpec);

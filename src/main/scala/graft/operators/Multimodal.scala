@@ -125,6 +125,56 @@ object Multimodal {
     }
   }
 
+  /** 64-bit PERCEPTUAL HASH (aHash) of a payload, as four 16-bit
+    * bands: 64 per-position rolling-hash samples over the first 64
+    * bytes (shorter payloads zero-pad — only sub-64-byte items leak
+    * any length signal), bit b set iff sample_b > mean(samples). The
+    * classic aHash thresholds resized pixels against their mean; this
+    * is the same construction over the byte-stream kernel, so the
+    * signature tracks CONTENT (near-identical prefixes → small
+    * Hamming distance) rather than payload size. Samples are exact
+    * dyadic rationals and the mean is an exact /64, so the bits are
+    * bit-deterministic across engines (the mm_frame_sample argument).
+    */
+  def phashBands(payload: Array[Byte]): Array[Int] = {
+    val n = math.min(64, payload.length)
+    val s = new Array[Double](64)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < n) {
+      h = h * 31L + payload(i)
+      s(i) = (h & 0xffffL).toDouble / 65536.0
+      i += 1
+    }
+    var tot = 0.0
+    i = 0
+    while (i < 64) { tot += s(i); i += 1 }
+    val mu = tot / 64.0
+    val bands = new Array[Int](4)
+    i = 0
+    while (i < 64) { if (s(i) > mu) bands(i / 16) |= 1 << (i % 16); i += 1 }
+    bands
+  }
+
+  /** Per-partition perceptual hashing: (id, b0..b3) band columns —
+    * batched iterator transform, constant memory, map-only.
+    */
+  def phash(spark: SparkSession, media: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("b0", IntegerType), StructField("b1", IntegerType),
+      StructField("b2", IntegerType), StructField("b3", IntegerType)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = phashBands(r.getAs[Array[Byte]](mediaIdx))
+        Row(r.getLong(idIdx), b(0), b(1), b(2), b(3))
+      }
+    }(enc)
+  }
+
   /** Per-partition frame sampling: one media row explodes into
     * (id, frame_idx, features) rows — batched iterator transform,
     * constant memory, no driver involvement.

@@ -7,14 +7,70 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-9 additions (SURVEY.md §2 B79-B82): marketing attribution,
-  * interval-overlap join, bitmap exact-distinct, and HLL
-  * sketch-column rollup.
+/** Round-9 additions (SURVEY.md §2 B79-B85, C58-C64): marketing
+  * attribution, interval-overlap join, bitmap exact-distinct, HLL
+  * sketch-column rollup, corpus token drift, diversity sampling,
+  * perceptual-hash near-dup, k-core peeling, incremental join
+  * maintenance, Heaps-law curve, ordered-set aggregates, incremental
+  * dedup, and quantile length trim.
   *
   * Conventions as elsewhere: epoch seconds / cents / counts as exact
   * integers so oracle rows compare bit-for-bit; events normalized to
   * the epoch-nanos BIGINT `ts` contract (GraftSession.normalizeEvents).
   */
+/** DuckDB replay of the multimodal rolling-hash frame kernel
+  * (operators/Multimodal.frameSampleStub + decode): closed polynomial
+  * form h_i = C·31^{i+1} + Σ b_k·31^{i−k} mod 2⁶⁴ with precomputed
+  * powers-of-31 residues, signed bytes from hex(encode(text));
+  * feats[i%8] += (h_i & 0xffff)/65536 — exact dyadic rationals, so
+  * the doubles are order-independent and bit-exact across engines.
+  * Shared by mm_frame_sample (step 2, unbounded) and mm_phash_dupes
+  * (step 1, first 8 frames).
+  */
+object MediaOracle {
+  /** CTE chain `pw, m, fr, ch, cb, hs, ft` ending in
+    * ft(doc_id, f, feats DOUBLE[8]) — frames `0 until
+    * min(max(n/64, 1), maxFrames) by step` of each document's
+    * UTF-8 bytes. Embed as `s"WITH ${frameFeatureCtes(...)}, ..."`.
+    */
+  def frameFeatureCtes(step: Int, maxFrames: Long = Long.MaxValue): String = {
+    val M = BigInt(1) << 64
+    val pow31 = (0 to 65).map(j => BigInt(31).modPow(BigInt(j), M))
+    val powLit = pow31.mkString("CAST([", ", ", "] AS HUGEINT[])")
+    val byteAt = // unsigned byte at 0-based position frm + k of hex image hx
+      "CAST(('0x' || substring(hx, CAST(2 * (frm + k) + 1 AS INT), 2)) AS INT)"
+    s"""pw AS (SELECT $powLit AS p),
+       |m AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |        CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |      FROM documents),
+       |fr AS (SELECT doc_id, hx, n,
+       |         unnest(range(0, least(greatest(n // 64, 1), $maxFrames), $step)) AS f
+       |       FROM m),
+       |ch AS (SELECT doc_id, f, hx, f * 64 AS frm, least(n, f * 64 + 64) AS til
+       |       FROM fr),
+       |cb AS (SELECT doc_id, f,
+       |         list_transform(range(til - frm), k ->
+       |           CASE WHEN $byteAt < 128 THEN $byteAt ELSE $byteAt - 256 END) AS bs,
+       |         til - frm AS len
+       |       FROM ch),
+       |hs AS (SELECT doc_id, f, len,
+       |         list_transform(range(len), i ->
+       |           ((1125899906842597 * p[CAST(i + 2 AS INT)]
+       |             + coalesce(list_sum(list_transform(range(i + 1), k ->
+       |                 bs[CAST(k + 1 AS INT)] * p[CAST(i - k + 1 AS INT)])), 0))
+       |            % 18446744073709551616 + 18446744073709551616)
+       |           % 18446744073709551616) AS hl
+       |       FROM cb, pw),
+       |ft AS (SELECT doc_id, f,
+       |         list_transform(range(8), j ->
+       |           coalesce(list_sum(list_transform(range(len), i ->
+       |             CASE WHEN i % 8 = j
+       |               THEN CAST(hl[CAST(i + 1 AS INT)] % 65536 AS DOUBLE) / 65536.0
+       |               ELSE 0.0 END)), 0.0)) AS feats
+       |       FROM hs)""".stripMargin
+  }
+}
+
 object FrontierQueries {
 
   private val eventsCte =
@@ -337,6 +393,420 @@ object FrontierQueries {
         (r, id, mdv.map(x => math.floor(x * 10000 + 0.5) / 10000))
       }.toDF("rank", "vec_id", "min_dist")
         .select(col("rank").cast("int"), col("vec_id"), col("min_dist"))
+    },
+
+    // C60: PERCEPTUAL-HASH NEAR-DUP for binary media — the aHash
+    // family (Multimodal.phashBands): 64 per-position rolling-hash
+    // samples over each payload's first 64 bytes, bit b = sample_b >
+    // mean(samples) → a 64-bit content signature held as four 16-bit
+    // BANDS. (A frame-feature spelling was tried first and rejected:
+    // zero-padded missing frames made the signature track payload
+    // LENGTH, collapsing ~8k same-length pairs at sf0.001 — a
+    // quadratic regime. Per-position sampling is the classic
+    // resize-to-8×8 move: every payload gets 64 content samples.)
+    // Candidate pairs share an equal NON-ZERO band whose bucket holds
+    // ≤ 64 docs (zero band = no content; the frequency cap is the
+    // SimHash/LSH hot-bucket discipline against boilerplate
+    // prefixes); verify = exact Hamming over the four bands ≤ 3.
+    // Samples are exact dyadic rationals, the mean an exact /64, so
+    // the emitted pair set is bit-deterministic across engines.
+    Q("mm_phash_dupes",
+      s"""WITH ${MediaOracle.frameFeatureCtes(step = 1, maxFrames = 1L)},
+         |bit AS (SELECT p.doc_id, CAST(t.b AS BIGINT) AS b,
+         |          CASE WHEN t.b < p.len
+         |            THEN CAST(p.hl[CAST(t.b + 1 AS INT)] % 65536 AS DOUBLE) / 65536.0
+         |            ELSE 0.0 END AS v
+         |        FROM hs p, unnest(range(64)) AS t(b)),
+         |mu AS (SELECT doc_id, sum(v) / 64.0 AS mu FROM bit GROUP BY doc_id),
+         |bands AS (
+         |  SELECT v.doc_id, CAST(v.b // 16 AS INT) AS band,
+         |    CAST(sum(CASE WHEN v.v > m.mu
+         |      THEN (1 << CAST(v.b % 16 AS INT)) ELSE 0 END) AS INT) AS bv
+         |  FROM bit v JOIN mu m USING (doc_id) GROUP BY v.doc_id, v.b // 16),
+         |freq AS (SELECT band, bv, count(*) AS n FROM bands GROUP BY band, bv),
+         |wide AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN band = 0 THEN bv END) AS b0,
+         |    max(CASE WHEN band = 1 THEN bv END) AS b1,
+         |    max(CASE WHEN band = 2 THEN bv END) AS b2,
+         |    max(CASE WHEN band = 3 THEN bv END) AS b3
+         |  FROM bands GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.bv <> 0
+         |      AND a.doc_id < b.doc_id
+         |  JOIN freq f ON f.band = a.band AND f.bv = a.bv
+         |  WHERE f.n <= 64)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+         |    + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+         |    AS INT) AS hamming
+         |FROM cand c
+         |JOIN wide wa ON wa.doc_id = c.id_a
+         |JOIN wide wb ON wb.doc_id = c.id_b
+         |WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+         |    + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+         |  <= 3""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val wide = graft.operators.Multimodal.phash(s,
+          graft.operators.Multimodal.asMedia(docs, "text")
+            .select(col("doc_id"), col("media")),
+          "doc_id")
+        .select(col("id").as("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        .localCheckpoint() // reused by the candidate and verify stages
+      val bands = wide.select(col("doc_id"),
+          explode(array(
+            struct(lit(0).as("band"), col("b0").as("bv")),
+            struct(lit(1).as("band"), col("b1").as("bv")),
+            struct(lit(2).as("band"), col("b2").as("bv")),
+            struct(lit(3).as("band"), col("b3").as("bv")))).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bv"))
+        .filter(col("bv") =!= 0)
+      val freqOk = bands.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 64)
+        .select(col("band"), col("bv"))
+      val capped = bands.join(freqOk, Seq("band", "bv"), "left_semi")
+      val cand = capped.select(col("band"), col("bv"), col("doc_id").as("id_a"))
+        .join(capped.select(col("band"), col("bv"), col("doc_id").as("id_b")),
+          Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val ham = expr("bit_count(wa_b0 ^ wb_b0) + bit_count(wa_b1 ^ wb_b1)" +
+        " + bit_count(wa_b2 ^ wb_b2) + bit_count(wa_b3 ^ wb_b3)")
+      cand
+        .join(wide.select(col("doc_id").as("id_a"), col("b0").as("wa_b0"),
+          col("b1").as("wa_b1"), col("b2").as("wa_b2"), col("b3").as("wa_b3")),
+          Seq("id_a"))
+        .join(wide.select(col("doc_id").as("id_b"), col("b0").as("wb_b0"),
+          col("b1").as("wb_b1"), col("b2").as("wb_b2"), col("b3").as("wb_b3")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
+
+    // B83: K-CORE PEELING (two rounds of the degeneracy peel at
+    // k = 64 over the part co-occurrence graph) — the graph-analytics
+    // density primitive behind community cores and spam-cluster
+    // mining. Each round is keyed relational algebra only: degree agg
+    // → threshold filter → anti-join both edge endpoints; rounds are
+    // a CONSTANT (2 here), so the oracle replays them closed-form —
+    // the kmeans_iterations convention for iterative operators. A
+    // survivor whose neighbors were all peeled has degree 0 next
+    // round (the left-join coalesce, not a dropped row).
+    Q("graph_kcore", {
+      val n = 16381 // same node bucketing as graph_triangles
+      val k = 64
+      s"""WITH it AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey % $n AS node FROM lineitem),
+         |e0 AS (
+         |  SELECT DISTINCT a.node AS u, b.node AS v
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.node < b.node),
+         |d0 AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+         |       FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+         |       GROUP BY node),
+         |r1 AS (SELECT node FROM d0 WHERE d < $k),
+         |s1 AS (SELECT node FROM d0 WHERE d >= $k),
+         |e1 AS (SELECT u, v FROM e0
+         |       WHERE u IN (SELECT node FROM s1) AND v IN (SELECT node FROM s1)),
+         |d1 AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+         |       FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+         |       GROUP BY node),
+         |d1c AS (SELECT s1.node, coalesce(d1.d, 0) AS d
+         |        FROM s1 LEFT JOIN d1 USING (node)),
+         |r2 AS (SELECT node FROM d1c WHERE d < $k)
+         |SELECT CAST(1 AS INT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM r1) AS n_removed
+         |UNION ALL SELECT 2,
+         |  (SELECT count(*) FROM s1),
+         |  (SELECT count(*) FROM e1),
+         |  (SELECT count(*) FROM r2)""".stripMargin
+    }) { (s, dir) =>
+      val n = 16381
+      val k = 64
+      val it = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), (col("l_partkey") % n).as("node"))
+        .distinct()
+      val e0 = it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.node") < col("b.node"))
+        .select(col("a.node").as("u"), col("b.node").as("v")).distinct()
+        .localCheckpoint() // the peel reuses the edge set twice
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val d0 = degrees(e0).localCheckpoint()
+      val s1 = d0.filter(col("d") >= k).select(col("node"))
+      val e1 = e0
+        .join(s1.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(s1.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint()
+      val d1c = s1.join(degrees(e1), Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(0L)).as("d"))
+      val row1 = Seq((1, d0.count(), e0.count(),
+        d0.filter(col("d") < k).count()))
+      val row2 = Seq((2, s1.count(), e1.count(),
+        d1c.filter(col("d") < k).count()))
+      import s.implicits._
+      (row1 ++ row2).toDF("round", "n_nodes", "n_edges", "n_removed")
+        .select(col("round").cast("int"), col("n_nodes"), col("n_edges"),
+          col("n_removed"))
+    },
+
+    // B84: INCREMENTAL JOIN MAINTENANCE — the delta-join identity
+    // (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB that lets a
+    // materialized join view absorb new data by joining ONLY the
+    // deltas against the (smaller, often broadcastable) other side —
+    // at 100 TB the difference between touching the day's increment
+    // and recomputing the month. The merged branch totals must equal
+    // the full recompute row-for-row; both appear in the output so
+    // the gate pins them. Joins are keyed equi-joins; sums are exact
+    // integer cents.
+    Q("join_ivm",
+      """WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+        |da AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0),
+        |b AS (SELECT l_orderkey, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem WHERE (l_orderkey + l_linenumber) % 5 <> 0),
+        |db AS (SELECT l_orderkey, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |       FROM lineitem WHERE (l_orderkey + l_linenumber) % 5 = 0),
+        |j AS (
+        |  SELECT 'base' AS branch, count(*) AS n_rows, sum(cents) AS cents
+        |  FROM a JOIN b ON o_orderkey = l_orderkey
+        |  UNION ALL SELECT 'da_b', count(*), sum(cents)
+        |  FROM da JOIN b ON o_orderkey = l_orderkey
+        |  UNION ALL SELECT 'a_db', count(*), sum(cents)
+        |  FROM a JOIN db ON o_orderkey = l_orderkey
+        |  UNION ALL SELECT 'da_db', count(*), sum(cents)
+        |  FROM da JOIN db ON o_orderkey = l_orderkey
+        |  UNION ALL SELECT 'full', count(*),
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT branch, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(coalesce(cents, 0) AS BIGINT) AS cents
+        |FROM j
+        |UNION ALL
+        |SELECT 'merged', CAST(sum(n_rows) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM j WHERE branch <> 'full'""".stripMargin) { (s, dir) =>
+      val orders = table(s, dir, "orders").select(col("o_orderkey"))
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val aSide = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val dA = orders.filter(col("o_orderkey") % 7 === 0)
+      val bSide = li.filter((col("l_orderkey") + col("l_linenumber")) % 5 =!= 0)
+      val dB = li.filter((col("l_orderkey") + col("l_linenumber")) % 5 === 0)
+      def branch(name: String, l: DataFrame, r: DataFrame): DataFrame =
+        l.join(r, col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("cents"))
+          .select(lit(name).as("branch"), col("n_rows"), col("cents"))
+      val parts = branch("base", aSide, bSide)
+        .unionAll(branch("da_b", dA, bSide))
+        .unionAll(branch("a_db", aSide, dB))
+        .unionAll(branch("da_db", dA, dB))
+      val merged = parts.agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("cents")).as("cents"))
+        .select(lit("merged").as("branch"), col("n_rows"), col("cents"))
+      parts.unionAll(branch("full", orders, li)).unionAll(merged)
+    },
+
+    // C61: HEAPS-LAW VOCABULARY GROWTH — types-vs-tokens curve at ten
+    // corpus prefixes (by doc_id), the tokenizer-budget / corpus-size
+    // planning curve (V(n) ≈ K·n^β). A token's first appearance is
+    // its min doc_id — one keyed agg — and each checkpoint is a pair
+    // of conditional integer sums, so the whole curve is TWO
+    // map-side-combinable passes + one 10-value driver assembly, with
+    // every output an exact integer. (The naive spelling — a global
+    // running distinct over token positions — is a single-reducer
+    // sort; first-occurrence min is the distributed form.)
+    Q("heaps_law_curve", {
+      val toksSql = """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dtoks AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM t),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |firsts AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+         |ks AS (SELECT unnest(range(1, 11)) AS k)
+         |SELECT CAST(k AS INT) AS k,
+         |  CAST((mx.mx * k) // 10 AS BIGINT) AS threshold,
+         |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM dtoks
+         |    WHERE doc_id <= (mx.mx * k) // 10) AS n_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM firsts
+         |    WHERE fd <= (mx.mx * k) // 10) AS n_types
+         |FROM ks, mx""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        split(TF.normalizeText(col("text")), " ").as("toks"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val thresholds = (1 to 10).map(kk => kk -> (mx * kk) / 10)
+      val dtoks = toks.select(col("doc_id"), size(col("toks")).cast("long").as("ntok"))
+      val firsts = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      val tokCols = thresholds.map { case (kk, th) =>
+        sum(when(col("doc_id") <= th, col("ntok")).otherwise(0L)).as(s"t$kk")
+      }
+      val typeCols = thresholds.map { case (kk, th) =>
+        count(when(col("fd") <= th, lit(1))).as(s"y$kk")
+      }
+      val tokAgg = dtoks.agg(tokCols.head, tokCols.tail: _*).head()
+      val typeAgg = firsts.agg(typeCols.head, typeCols.tail: _*).head()
+      import s.implicits._
+      thresholds.zipWithIndex.map { case ((kk, th), i) =>
+        (kk, th, tokAgg.getLong(i), typeAgg.getLong(i))
+      }.toDF("k", "threshold", "n_tokens", "n_types")
+        .select(col("k").cast("int"), col("threshold"), col("n_tokens"),
+          col("n_types"))
+    },
+
+    // B85: ORDERED-SET AGGREGATES — SQL-standard mode() and
+    // percentile_disc(0.5) per group, each in its scale-safe
+    // spelling: mode = distinct-value collapse + map-side-combinable
+    // min(struct(−count, value)) (never a full per-group value sort;
+    // ties break to the smallest value, stated identically in the
+    // oracle); disc-median = smallest value whose cumulative count
+    // reaches ⌈n/2⌉ over the collapsed distinct-value table (≤ 50
+    // distinct quantities per group — the distinct collapse is what
+    // keeps the window small regardless of row count, the B73 move).
+    // percentile_disc returns an ACTUAL data value (here: exact
+    // integer), unlike B20's interpolated percentile_cont.
+    Q("ordered_set_aggs",
+      """WITH q AS (
+        |  SELECT l_returnflag AS flag, CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    CAST(month(l_shipdate) AS BIGINT) AS sm
+        |  FROM lineitem),
+        |mc AS (SELECT flag, sm, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY flag, sm),
+        |md AS (SELECT flag, min(sm) AS mode_shipmode, max(n) AS mode_n
+        |       FROM (SELECT flag, sm, n,
+        |               max(n) OVER (PARTITION BY flag) AS mx FROM mc)
+        |       WHERE n = mx GROUP BY flag),
+        |qc AS (SELECT flag, qty, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY flag, qty),
+        |qr AS (SELECT flag, qty, c,
+        |         sum(c) OVER (PARTITION BY flag ORDER BY qty
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER (PARTITION BY flag) AS n
+        |       FROM qc),
+        |dm AS (SELECT flag, min(qty) AS median_qty_disc,
+        |         CAST(min(n) AS BIGINT) AS n_rows
+        |       FROM qr WHERE 2 * cum >= n GROUP BY flag)
+        |SELECT md.flag AS l_returnflag, md.mode_shipmode AS mode_month, md.mode_n,
+        |  dm.median_qty_disc, dm.n_rows
+        |FROM md JOIN dm ON md.flag = dm.flag""".stripMargin) { (s, dir) =>
+      val q = table(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        month(col("l_shipdate")).cast("long").as("sm"))
+      val mode = q.groupBy(col("flag"), col("sm")).agg(count(lit(1)).as("n"))
+        .groupBy(col("flag"))
+        .agg(min(struct((col("n") * -1).as("negn"), col("sm"))).as("m"))
+        .select(col("flag"), col("m.sm").as("mode_shipmode"),
+          (col("m.negn") * -1).as("mode_n"))
+      val qc = q.groupBy(col("flag"), col("qty")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val disc = qc
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("flag"))))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("flag"))
+        .agg(min(col("qty")).as("median_qty_disc"), min(col("n")).as("n_rows"))
+      mode.join(disc, Seq("flag"))
+        .select(col("flag").as("l_returnflag"),
+          col("mode_shipmode").as("mode_month"),
+          col("mode_n"), col("median_qty_disc"), col("n_rows"))
+    },
+
+    // C62: INCREMENTAL DEDUP — dedupe an incoming batch against an
+    // EXISTING corpus index, the daily-crawl ingestion shape: the
+    // historical half never rescans as text, only its 128-bit+length
+    // fingerprint index joins (20 B/doc on the exchange — the C1
+    // contract, collision-guarded by a third fingerprint within the
+    // incoming batch). Statuses: dup_historical (fingerprint already
+    // indexed), dup_in_batch (an earlier incoming doc has it), new.
+    // The oracle classifies by normalized TEXT — identical up to the
+    // guarded 192-bit collision.
+    Q("incremental_dedup",
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    (SELECT max(doc_id) // 2 FROM documents) AS t
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT norm FROM n WHERE doc_id < t),
+        |inc AS (SELECT doc_id, norm FROM n WHERE doc_id >= t),
+        |firsts AS (SELECT norm, min(doc_id) AS first_id FROM inc GROUP BY norm)
+        |SELECT i.doc_id,
+        |  CASE WHEN h.norm IS NOT NULL THEN 'dup_historical'
+        |       WHEN i.doc_id > f.first_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS status
+        |FROM inc i
+        |JOIN firsts f ON i.norm = f.norm
+        |LEFT JOIN hist h ON i.norm = h.norm""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val t = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val n = docs.select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        .select(col("doc_id"),
+          xxhash64(col("norm")).as("f1"),
+          xxhash64(lit(42L), col("norm")).as("f2"),
+          length(col("norm")).as("len"),
+          xxhash64(lit(1337L), col("norm")).as("f3"))
+      val hist = n.filter(col("doc_id") < t)
+        .select(col("f1"), col("f2"), col("len")).distinct()
+        .withColumn("in_hist", lit(1))
+      val inc = n.filter(col("doc_id") >= t)
+      val firsts = inc.groupBy(col("f1"), col("f2"), col("len"))
+        .agg(min(col("doc_id")).as("first_id"),
+          countDistinct(col("f3")).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in incremental_dedup")).isNull)
+        .drop("_nfp")
+      inc.join(firsts, Seq("f1", "f2", "len"))
+        .join(hist, Seq("f1", "f2", "len"), "left")
+        .select(col("doc_id"),
+          when(col("in_hist").isNotNull, "dup_historical")
+            .when(col("doc_id") > col("first_id"), "dup_in_batch")
+            .otherwise("new").as("status"))
+    },
+
+    // C64: QUANTILE LENGTH TRIM — drop token-count outliers outside
+    // [p05, p95], the "too short to be prose / too long to be a
+    // document" corpus filter. The two global quantiles come from
+    // DistributedQuantile (streamed two-pass, bit-identical to
+    // quantile_cont — the B20 contract) broadcast over one corpus
+    // scan; the kept SET per language is pinned by count + id-sum
+    // beside the raw (bit-equal) bounds.
+    Q("corpus_length_trim", {
+      val toksSql = """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+      s"""WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS ntok
+         |           FROM documents),
+         |b AS (SELECT quantile_cont(ntok, 0.05) AS q05,
+         |        quantile_cont(ntok, 0.95) AS q95 FROM d)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN ntok >= q05 AND ntok <= q95 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN ntok < q05 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  CAST(sum(CASE WHEN ntok > q95 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         |  CAST(sum(CASE WHEN ntok >= q05 AND ntok <= q95 THEN doc_id ELSE 0 END)
+         |    AS BIGINT) AS kept_id_sum,
+         |  min(q05) AS q05, min(q95) AS q95
+         |FROM d, b GROUP BY lang""".stripMargin
+    }) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(TF.normalizeText(col("text")), " ")).cast("long").as("ntok"))
+      val qs = graft.operators.DistributedQuantile
+        .quantiles(d.withColumn("_g", lit("all")), "_g", "ntok",
+          Seq("q05" -> 0.05, "q95" -> 0.95))
+        .select(col("q05"), col("q95"))
+      d.crossJoin(broadcast(qs))
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("ntok") >= col("q05") && col("ntok") <= col("q95"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("ntok") < col("q05"), 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("ntok") > col("q95"), 1L).otherwise(0L)).as("n_long"),
+          sum(when(col("ntok") >= col("q05") && col("ntok") <= col("q95"),
+            col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+          min(col("q05")).as("q05"), min(col("q95")).as("q95"))
     }
   )
 }

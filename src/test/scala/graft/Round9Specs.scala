@@ -81,6 +81,44 @@ class HllRollupSpec extends SparkTestBase {
   }
 }
 
+class PhashSpec extends SparkTestBase {
+  import graft.operators.Multimodal
+
+  private def hamming(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+
+  test("signature depends only on the first 64 bytes") {
+    val base = ("The quick brown fox jumps over the lazy dog, again and again!" +
+      " tail A").getBytes("UTF-8")
+    val longer = (new String(base, "UTF-8") + " completely different suffix content")
+      .getBytes("UTF-8")
+    assert(base.length >= 64 && longer.length > base.length)
+    assert(Multimodal.phashBands(base).sameElements(
+      Multimodal.phashBands(longer)))
+  }
+
+  test("content changes in the prefix move the signature; clones collide") {
+    val a = "abcdefghij".repeat(10).getBytes("UTF-8")
+    val b = "abcdefghij".repeat(10).getBytes("UTF-8")
+    val c = "abcdefghiX".repeat(10).getBytes("UTF-8")
+    assert(hamming(Multimodal.phashBands(a), Multimodal.phashBands(b)) == 0)
+    assert(hamming(Multimodal.phashBands(a), Multimodal.phashBands(c)) > 3)
+  }
+
+  test("short and empty payloads hash without error") {
+    val short = Multimodal.phashBands("tiny".getBytes("UTF-8"))
+    assert(short.length == 4)
+    assert(Multimodal.phashBands(Array.emptyByteArray).forall(_ == 0))
+  }
+
+  test("mean threshold sets roughly half the bits on real-ish text") {
+    val bands = Multimodal.phashBands(
+      "A realistic sentence of mixed tokens 12345 with punctuation, yes!?".getBytes("UTF-8"))
+    val bits = bands.map(Integer.bitCount).sum
+    assert(bits > 8 && bits < 56, s"degenerate bit density: $bits")
+  }
+}
+
 class IntervalOverlapSpec extends SparkTestBase {
   import spark.implicits._
 
