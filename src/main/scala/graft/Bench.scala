@@ -182,12 +182,15 @@ object Bench {
         "graph_triangles", "basket_rules", "scd2_history", "join_size_estimate",
         "event_transitions", "rolling_distinct_users", "timeseries_cusum",
         "text_tfidf_top_terms", "vocab_coverage", "text_lang_mixture",
-        "text_winnow_fingerprints", "winnow_dup_pairs")
+        "text_winnow_fingerprints", "winnow_dup_pairs",
+        "mm_phash_dupes", "incremental_dedup", "corpus_token_drift",
+        "heaps_law_curve", "corpus_length_trim", "interval_overlap_join",
+        "graph_kcore", "attribution_last_touch")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
-      "basket_rules", "scd2_history", "join_size_estimate")
+      "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore")
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
       cloneTables(x10Dir, 10,
@@ -209,7 +212,8 @@ object Bench {
       "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
       "span_dedup_docs", "semantic_dedup", "dedup_clusters",
       "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
-      "corpus_pretrain_pipeline", "line_dedup")
+      "corpus_pretrain_pipeline", "line_dedup",
+      "mm_phash_dupes", "incremental_dedup")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]
