@@ -807,6 +807,120 @@ object FrontierQueries {
           sum(when(col("ntok") >= col("q05") && col("ntok") <= col("q95"),
             col("doc_id")).otherwise(0L)).as("kept_id_sum"),
           min(col("q05")).as("q05"), min(col("q95")).as("q95"))
+    },
+
+    // B86: ROLLING MEDIAN — per-user 7-day trailing median of daily
+    // spend (robust rolling baseline; the rolling mean hides a fat
+    // outlier day, the median doesn't). A RANGE-frame window collects
+    // each day's trailing week of exact-cents daily sums and takes
+    // the DISC median in-place (sorted array middle element — an
+    // actual data value, exact integer). Per-user day rows are SMALL
+    // groups (B45 rule) and each frame holds ≤ 7 values, so the
+    // collect is O(7) per row — this is the regime where a window IS
+    // the scale-correct plan; the global-order spellings
+    // (DistributedQuantile/PrefixSum) exist for the single-group
+    // regime.
+    Q("rolling_median_value",
+      s"""WITH $eventsCte,
+         |d AS (SELECT user_id, tsec // 86400 AS day,
+         |        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |      FROM e GROUP BY user_id, tsec // 86400),
+         |w AS (SELECT user_id, day, cents,
+         |        list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY day
+         |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+         |      FROM d)
+         |SELECT user_id, day, cents,
+         |  win[CAST((len(win) + 1) // 2 AS INT)] AS rolling_median,
+         |  CAST(len(win) AS INT) AS n_in_window
+         |FROM w""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(col("user_id"), expr("tsec div 86400").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      d.withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("user_id"), col("day"), col("cents"),
+          expr("element_at(win, CAST((size(win) + 1) DIV 2 AS INT))")
+            .as("rolling_median"),
+          size(col("win")).as("n_in_window"))
+    },
+
+    // B87: SNAPSHOT DIFF LOCALIZATION — find WHICH key buckets differ
+    // between two table snapshots by comparing per-bucket
+    // order-independent checksums (the B76 two-lane commutative
+    // fingerprint sum, grouped into 256 hash buckets): the one-level
+    // Merkle move that turns "are these 100 TB snapshots equal" into
+    // "ship only the ~diff-sized buckets for row-level reconcile".
+    // Snapshot B is snapshot A with a deterministic mutation slice
+    // (orders with o_orderkey % 97 == 0 get +1 cent), so the expected
+    // diff set is derivable in both engines.
+    Q("snapshot_diff_buckets",
+      """WITH a AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT k, CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+        |      FROM a),
+        |ha AS (SELECT k % 256 AS bucket,
+        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |           list_transform(string_split_regex(
+        |             CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR), ''),
+        |             c -> CAST(ord(c) AS HUGEINT))),
+        |           (x, y) -> (x * 31 + y) % 18446744073709551616) AS h
+        |       FROM a),
+        |hb AS (SELECT k % 256 AS bucket,
+        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |           list_transform(string_split_regex(
+        |             CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR), ''),
+        |             c -> CAST(ord(c) AS HUGEINT))),
+        |           (x, y) -> (x * 31 + y) % 18446744073709551616) AS h
+        |       FROM b),
+        |ca AS (SELECT bucket,
+        |         CAST(sum(h % 4294967296) AS BIGINT) AS lo,
+        |         CAST(sum(h // 4294967296) AS BIGINT) AS hi,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM ha GROUP BY bucket),
+        |cb AS (SELECT bucket,
+        |         CAST(sum(h % 4294967296) AS BIGINT) AS lo,
+        |         CAST(sum(h // 4294967296) AS BIGINT) AS hi,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM hb GROUP BY bucket)
+        |SELECT ca.bucket, ca.n AS n_rows,
+        |  CAST(CASE WHEN ca.lo = cb.lo AND ca.hi = cb.hi THEN 0 ELSE 1 END AS INT)
+        |    AS differs,
+        |  CAST((SELECT count(*) FROM a WHERE a.k % 97 = 0 AND a.k % 256 = ca.bucket)
+        |    AS BIGINT) AS n_mutated
+        |FROM ca JOIN cb ON ca.bucket = cb.bucket""".stripMargin) { (s, dir) =>
+      import graft.functions.Fingerprint64
+      val a = table(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = a.select(col("k"),
+        when(col("k") % 97 === 0, col("cents") + 1).otherwise(col("cents"))
+          .as("cents"))
+      def bucketSums(df: DataFrame): DataFrame = {
+        val h = Fingerprint64.fingerprint64(
+          concat(col("k").cast("string"), lit("|"), col("cents").cast("string")))
+        df.select((col("k") % 256).as("bucket"), h.as("h"))
+          .select(col("bucket"),
+            shiftrightunsigned(col("h"), 32).as("hhi"),
+            col("h").bitwiseAND(lit(0xffffffffL)).as("hlo"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("hlo")).as("lo"), sum(col("hhi")).as("hi"),
+            count(lit(1)).as("n"))
+      }
+      val ca = bucketSums(a)
+      val cb = bucketSums(b).select(col("bucket"), col("lo").as("lo_b"),
+        col("hi").as("hi_b"))
+      val mutated = a.filter(col("k") % 97 === 0)
+        .groupBy((col("k") % 256).as("bucket"))
+        .agg(count(lit(1)).as("n_mutated"))
+      ca.join(cb, Seq("bucket"))
+        .join(mutated, Seq("bucket"), "left")
+        .select(col("bucket"), col("n").as("n_rows"),
+          when(col("lo") === col("lo_b") && col("hi") === col("hi_b"), 0)
+            .otherwise(1).cast("int").as("differs"),
+          coalesce(col("n_mutated"), lit(0L)).as("n_mutated"))
     }
   )
 }

@@ -646,6 +646,48 @@ object StreamingQueries {
       streamed.join(broadcast(fw))
         .filter(col("hour_start_s") + 3600 < col("fw"))
         .select(col("hour_start_s"), col("n_events"), col("n_users"))
+    },
+
+    // D21: STREAMING INCREMENTAL DEDUP — the C62 ingestion shape
+    // live: the incoming half of the corpus streams in, dedupes
+    // within the stream (unwatermarked dropDuplicates keyed state on
+    // the 64-bit fingerprint — each fp emitted exactly once, the D11
+    // rule) and against the HISTORICAL corpus via a stream-static
+    // LEFT ANTI join on the precomputed fingerprint index (8 B/doc;
+    // the static side never rescans as text). Output is
+    // key-determined (the surviving fingerprint set), so arrival
+    // order cannot affect the gate; oracle = the batch NOT-IN image
+    // with the HUGEINT mod-2^64 fingerprint replay.
+    Q("streaming_incremental_dedup",
+      """WITH n AS (
+        |  SELECT doc_id, text, (SELECT max(doc_id) // 2 FROM documents) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(string_split_regex(text, ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS h
+        |  FROM n),
+        |hist AS (SELECT DISTINCT h FROM f WHERE doc_id < t),
+        |inc AS (SELECT h FROM f WHERE doc_id >= t)
+        |SELECT DISTINCT
+        |  CAST(CASE WHEN h >= 9223372036854775808
+        |       THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp
+        |FROM inc WHERE h NOT IN (SELECT h FROM hist)""".stripMargin) { (s, dir) =>
+      import graft.functions.Fingerprint64
+      val batchDocs = table(s, dir, "documents")
+      val t = batchDocs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val hist = batchDocs.filter(col("doc_id") < t)
+        .select(Fingerprint64.fingerprint64(col("text")).as("fp"))
+        .distinct()
+      val incoming = tableStream(s, dir, "documents")
+        .filter(col("doc_id") >= t)
+        .select(Fingerprint64.fingerprint64(col("text")).as("fp"))
+        .dropDuplicates("fp")
+        .join(hist, Seq("fp"), "left_anti")
+      runToMemory(s, incoming, "graft_stream_incdedup")
     })
 
   /** Stateful streaming ops create one state store per shuffle
