@@ -921,6 +921,134 @@ object FrontierQueries {
           when(col("lo") === col("lo_b") && col("hi") === col("hi_b"), 0)
             .otherwise(1).cast("int").as("differs"),
           coalesce(col("n_mutated"), lit(0L)).as("n_mutated"))
+    },
+
+    // B88: SNAPSHOT ROW REPAIR — the second Merkle level under B87:
+    // descend into the DIFFERING buckets only and emit the exact
+    // changed keys with both values. Only rows of differing buckets
+    // reach the row-level full-outer compare (a semi join on the
+    // bucket id) — at 100 TB the reconcile touches diff-sized data,
+    // not snapshot-sized data. Same deterministic mutation slice as
+    // snapshot_diff_buckets, so both engines derive the same repair
+    // set (keys ≡ 0 mod 97, delta +1 cent).
+    Q("snapshot_repair_rows",
+      """WITH a AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT k, CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+        |      FROM a),
+        |diffb AS (
+        |  SELECT DISTINCT k % 256 AS bucket FROM a WHERE k % 97 = 0)
+        |SELECT a.k, a.cents AS cents_a, b.cents AS cents_b,
+        |  b.cents - a.cents AS delta
+        |FROM a JOIN b ON a.k = b.k
+        |WHERE a.k % 256 IN (SELECT bucket FROM diffb)
+        |  AND a.cents <> b.cents""".stripMargin) { (s, dir) =>
+      val a = table(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = a.select(col("k"),
+        when(col("k") % 97 === 0, col("cents") + 1).otherwise(col("cents"))
+          .as("cents_b"))
+      // level 1: bucket checksums localize the diff (the B87 pass —
+      // here the differing-bucket set derives directly from the
+      // mutation slice, as the oracle states it)
+      val diffBuckets = a.filter(col("k") % 97 === 0)
+        .select((col("k") % 256).as("bucket")).distinct()
+      // level 2: row compare INSIDE differing buckets only
+      a.withColumn("bucket", col("k") % 256)
+        .join(diffBuckets, Seq("bucket"), "left_semi")
+        .join(b, Seq("k"))
+        .filter(col("cents") =!= col("cents_b"))
+        .select(col("k"), col("cents").as("cents_a"), col("cents_b"),
+          (col("cents_b") - col("cents")).as("delta"))
+    },
+
+    // C65: CROSS-SPLIT NEAR-DUP CONTAMINATION — near-duplicate pairs
+    // that STRADDLE the train/test split (doc_id ≡ 0 mod 29 = test):
+    // the eval-integrity check that exact-8-gram contamination (C26)
+    // misses when the leaked document was lightly edited. Reuses the
+    // MinHashLSH operator end-to-end (banded buckets, clone collapse,
+    // jaccard verify) — the oracle is the O(n²) jaccard specification
+    // restricted to crossing pairs, so the emitted pair SET is exact.
+    Q("cross_split_contamination", {
+      val toksSql = "string_split(text, ' ')"
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> concat(toks[CAST(i AS INT)], ' ',
+         |                toks[CAST(i + 1 AS INT)], ' ',
+         |                toks[CAST(i + 2 AS INT)]))) AS grams
+         |  FROM t WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |SELECT
+         |  CASE WHEN id_a % 29 = 0 THEN id_a ELSE id_b END AS test_id,
+         |  CASE WHEN id_a % 29 = 0 THEN id_b ELSE id_a END AS train_id,
+         |  round(j, 4) AS jaccard
+         |FROM p
+         |WHERE j >= 0.8 AND (id_a % 29 = 0) <> (id_b % 29 = 0)""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.MinHashLSH
+        .nearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.8)
+        .filter((col("id_a") % 29 === 0) =!= (col("id_b") % 29 === 0))
+        .select(
+          when(col("id_a") % 29 === 0, col("id_a")).otherwise(col("id_b"))
+            .as("test_id"),
+          when(col("id_a") % 29 === 0, col("id_b")).otherwise(col("id_a"))
+            .as("train_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+    },
+
+    // C67: FILTER AGREEMENT (Cohen's kappa) — how much do two corpus
+    // quality filters agree beyond chance? Here: the curation
+    // char-length filter vs the token-count filter (the C14/D11
+    // thresholds). kappa is spelled as ONE division of exact-integer
+    // terms — κ = (N·(n11+n00) − r1·c1 − r0·c0) / (N² − r1·c1 − r0·c0)
+    // — so the double compares bit-for-bit; the contingency counts
+    // are emitted beside it. One corpus scan, one 4-counter agg.
+    Q("filter_agreement_kappa", {
+      val toksSql = """len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))"""
+      s"""WITH f AS (
+         |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f1,
+         |    CASE WHEN $toksSql >= 30 THEN 1 ELSE 0 END AS f2
+         |  FROM documents),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(f1 * f2) AS BIGINT) AS n11,
+         |    CAST(sum(f1 * (1 - f2)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - f1) * f2) AS BIGINT) AS n01,
+         |    CAST(sum((1 - f1) * (1 - f2)) AS BIGINT) AS n00,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM f)
+         |SELECT n11, n10, n01, n00, n,
+         |  CAST(n * (n11 + n00) - (n11 + n10) * (n11 + n01)
+         |    - (n01 + n00) * (n10 + n00) AS DOUBLE)
+         |  / (n * n - (n11 + n10) * (n11 + n01) - (n01 + n00) * (n10 + n00))
+         |    AS kappa
+         |FROM c""".stripMargin
+    }) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          when(col("n_chars") >= 200, 1L).otherwise(0L).as("f1"),
+          when(size(split(TF.normalizeText(col("text")), " ")) >= 30, 1L)
+            .otherwise(0L).as("f2"))
+        .agg(
+          sum(col("f1") * col("f2")).as("n11"),
+          sum(col("f1") * (lit(1) - col("f2"))).as("n10"),
+          sum((lit(1) - col("f1")) * col("f2")).as("n01"),
+          sum((lit(1) - col("f1")) * (lit(1) - col("f2"))).as("n00"),
+          count(lit(1)).as("n"))
+        .withColumn("kappa", expr(
+          """CAST(n * (n11 + n00) - (n11 + n10) * (n11 + n01)
+            |  - (n01 + n00) * (n10 + n00) AS DOUBLE)
+            |/ (n * n - (n11 + n10) * (n11 + n01) - (n01 + n00) * (n10 + n00))"""
+            .stripMargin))
     }
   )
 }
