@@ -1049,6 +1049,114 @@ object FrontierQueries {
             |  - (n01 + n00) * (n10 + n00) AS DOUBLE)
             |/ (n * n - (n11 + n10) * (n11 + n01) - (n01 + n00) * (n10 + n00))"""
             .stripMargin))
+    },
+
+    // C68: MATRYOSHKA TRUNCATION RECALL — how much ANN recall
+    // survives searching on only the FIRST 16 of 64 embedding dims
+    // (the MRL/truncated-embedding deployment question: a 4× smaller
+    // index from the same vectors). Both searches are brute-force
+    // cosine top-10 (the C6 operator — ground truth by construction),
+    // so the recall fractions are exact by the ann_bruteforce
+    // determinism argument (6dp-rounded scores ranked with id
+    // tie-break, replayed closed-form in DuckDB).
+    Q("ann_matryoshka_recall",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |fs AS (
+        |  SELECT query_id, e.vec_id AS id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+        |      AS cosine
+        |  FROM e, q WHERE e.vec_id <> query_id),
+        |fr AS (SELECT query_id, id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id)
+        |           AS rnk FROM fs),
+        |ps AS (
+        |  SELECT query_id, e.vec_id AS id,
+        |    round(list_dot_product(qv[1:16], v[1:16])
+        |      / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+        |         * sqrt(list_dot_product(v[1:16], v[1:16]))), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id <> query_id),
+        |pr AS (SELECT query_id, id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id)
+        |           AS rnk FROM ps)
+        |SELECT f.query_id, CAST(10 AS INT) AS k,
+        |  CAST(count(p.id) AS BIGINT) AS n_overlap,
+        |  CAST(count(p.id) AS DOUBLE) / 10.0 AS recall
+        |FROM (SELECT * FROM fr WHERE rnk <= 10) f
+        |LEFT JOIN (SELECT * FROM pr WHERE rnk <= 10) p
+        |  ON f.query_id = p.query_id AND f.id = p.id
+        |GROUP BY f.query_id""".stripMargin) { (s, dir) =>
+      import graft.operators.VectorOps
+      val vecs = table(s, dir, "embeddings")
+      val queries = vecs.filter(col("vec_id") < 5)
+      val full = VectorOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("id"))
+      def prefix(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val pref = VectorOps.bruteForceTopK(prefix(vecs), prefix(queries),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("id").as("pid"))
+      full.join(pref,
+          full("query_id") === pref("query_id") && col("id") === col("pid"),
+          "left")
+        .groupBy(full("query_id").as("query_id"))
+        .agg(count(col("pid")).as("n_overlap"))
+        .select(col("query_id"), lit(10).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / 10.0).as("recall"))
+    },
+
+    // B89: MIN-PLUS 2-HOP CHEAPEST PATH — shortest paths as keyed
+    // relational algebra over the (min, +) semiring: one self-join on
+    // the shared midpoint IS one min-plus matrix multiply, so k-hop
+    // reachability costs are ⌈log₂ k⌉ squarings (the pointer-doubling
+    // argument hierarchy_rollup already uses for parent chains). Here:
+    // cheapest ≤ 2-hop cost from 5 source nodes over the part
+    // co-occurrence graph, edge weight = the cheapest co-occurrence
+    // (min summed line cents) — every step a keyed join + combinable
+    // min, all-integer costs.
+    Q("graph_minplus_2hop", {
+      val n = 16381
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_partkey % $n AS node,
+         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |ln AS (SELECT ok, node, min(cents) AS cents FROM li GROUP BY ok, node),
+         |e0 AS (
+         |  SELECT a.node AS u, b.node AS v, min(a.cents + b.cents) AS w
+         |  FROM ln a JOIN ln b ON a.ok = b.ok AND a.node <> b.node
+         |  GROUP BY a.node, b.node),
+         |src AS (SELECT u, v, w FROM e0 WHERE u < 5),
+         |hop2 AS (
+         |  SELECT s.u, e.v, min(s.w + e.w) AS w
+         |  FROM src s JOIN e0 e ON s.v = e.u
+         |  WHERE e.v <> s.u GROUP BY s.u, e.v),
+         |best AS (
+         |  SELECT u, v, min(w) AS best_cents FROM (
+         |    SELECT u, v, w FROM src UNION ALL SELECT u, v, w FROM hop2)
+         |  GROUP BY u, v)
+         |SELECT u AS src, v AS dst, best_cents FROM best""".stripMargin
+    }) { (s, dir) =>
+      val n = 16381
+      val ln = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), (col("l_partkey") % n).as("node"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("ok"), col("node")).agg(min(col("cents")).as("cents"))
+      val e0 = ln.as("a").join(ln.as("b"),
+          col("a.ok") === col("b.ok") && col("a.node") =!= col("b.node"))
+        .groupBy(col("a.node").as("u"), col("b.node").as("v"))
+        .agg(min(col("a.cents") + col("b.cents")).as("w"))
+        .localCheckpoint() // reused by the source slice and the hop join
+      val src = e0.filter(col("u") < 5)
+      val hop2 = src.select(col("u"), col("v").as("mid"), col("w").as("w1"))
+        .join(e0.select(col("u").as("mid"), col("v"), col("w").as("w2")),
+          Seq("mid"))
+        .filter(col("v") =!= col("u"))
+        .groupBy(col("u"), col("v")).agg(min(col("w1") + col("w2")).as("w"))
+      src.select(col("u"), col("v"), col("w"))
+        .unionAll(hop2.select(col("u"), col("v"), col("w")))
+        .groupBy(col("u"), col("v")).agg(min(col("w")).as("best_cents"))
+        .select(col("u").as("src"), col("v").as("dst"), col("best_cents"))
     }
   )
 }
