@@ -105,17 +105,14 @@ object BitmapDistinct {
     GraftBridge.column(
       BitmapDistinct(GraftBridge.expression(c), numBits).toAggregateExpression())
 
+  /** Register `bitmap_distinct` for spark.sql use — delegates to the
+    * central GraftFunctions builder so arity/literal validation is
+    * identical on every registration path.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitmap_distinct",
-      exprs => {
-        val bits = exprs(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"bitmap_distinct(col, numBits): numBits must be an integer literal, got $other")
-        }
-        BitmapDistinct(exprs.head, bits).toAggregateExpression()
-      },
-      "built-in")
+    GraftFunctions.injections
+      .filter { case (id, _, _) => id.funcName == "bitmap_distinct" }
+      .foreach { case (id, _, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(id.funcName, builder, "built-in") }
 }

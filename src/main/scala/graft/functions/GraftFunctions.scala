@@ -88,6 +88,25 @@ object GraftFunctions {
         requireArity("hll_distinct", exprs, 1)
         HllSketch(exprs.head).toAggregateExpression()
       }),
+    (FunctionIdentifier("hll_sketch_bin"),
+      new ExpressionInfo(classOf[HllSketchBin].getName, "hll_sketch_bin"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_sketch_bin", exprs, 1)
+        HllSketchBin(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("hll_union_estimate"),
+      new ExpressionInfo(classOf[HllUnionEstimate].getName, "hll_union_estimate"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_union_estimate", exprs, 1)
+        HllUnionEstimate(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bitmap_distinct", exprs, 2)
+        val bits = intArg("bitmap_distinct", 1, exprs(1))
+        BitmapDistinct(exprs.head, bits).toAggregateExpression()
+      }),
     (FunctionIdentifier("tdigest_quantile"),
       new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
       (exprs: Seq[Expression]) => {

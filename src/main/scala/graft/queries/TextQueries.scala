@@ -832,6 +832,53 @@ object TextQueries {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
+    },
+
+    // C70: winnow CONTAINMENT pairs — the asymmetric near-dup Jaccard
+    // misses: a short document embedded inside a long one scores low
+    // Jaccard (union is large) but high CONTAINMENT (shared / smaller
+    // side). Candidates are the C54 capped fingerprint join; the
+    // containment test is the pure-integer inequality
+    // 10·shared ≥ 8·min(|A|, |B|) (≥ 0.8), so the emitted pair SET is
+    // exact. Fingerprint-set sizes come from the UNCAPPED per-doc
+    // sets; the shared count from the capped join is a documented
+    // lower bound (a pair whose overlap is entirely boilerplate-
+    // capped fingerprints is by definition boilerplate overlap).
+    Q("winnow_containment_pairs",
+      s"""WITH $winnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, fp64 FROM sel),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |        FROM fps GROUP BY doc_id),
+         |dfc AS (SELECT fp64, CAST(count(*) AS BIGINT) AS dc
+         |        FROM fps GROUP BY fp64),
+         |keep AS (
+         |  SELECT f.doc_id, f.fp64 FROM fps f JOIN dfc USING (fp64)
+         |  WHERE dc <= 50),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM keep a JOIN keep b ON a.fp64 = b.fp64 AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT p.doc_a, p.doc_b, p.n_shared, ca.nf AS nf_a, cb.nf AS nf_b
+         |FROM pairs p
+         |JOIN cnt ca ON ca.doc_id = p.doc_a
+         |JOIN cnt cb ON cb.doc_id = p.doc_b
+         |WHERE 10 * p.n_shared >= 8 * least(ca.nf, cb.nf)""".stripMargin) { (s, dir) =>
+      val fps = winnowFps(s, dir)
+        .select(col("doc_id"), col("fp64")).distinct()
+        .localCheckpoint() // feeds sizes, the df cap, and both join sides
+      val cnt = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val dfc = fps.groupBy(col("fp64")).agg(count(lit(1)).as("dc"))
+      val keep = fps.join(dfc.filter(col("dc") <= 50), Seq("fp64"))
+        .select(col("doc_id"), col("fp64"))
+      keep.as("a").join(keep.as("b"),
+          col("a.fp64") === col("b.fp64") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), Seq("doc_b"))
+        .filter(col("n_shared") * 10 >= least(col("nf_a"), col("nf_b")) * 8)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("nf_a"), col("nf_b"))
     })
 
   /** Winnowing selection (C53): word-trigram rolling hashes, w=4

@@ -79,6 +79,18 @@ class HllRollupSpec extends SparkTestBase {
     }
     assert(e.getMessage != null || e.getCause != null)
   }
+
+  test("SQL registration: INIT/MERGE round-trip equals direct estimate") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val rows = (0L until 3000L).map(i => (i % 5, (i * 7) % 500))
+    spark.createDataset(rows).toDF("day", "id").createOrReplaceTempView("hll_in")
+    val merged = spark.sql(
+      """SELECT hll_union_estimate(sk) FROM
+        |  (SELECT day, hll_sketch_bin(id) AS sk FROM hll_in GROUP BY day)"""
+        .stripMargin).head().getLong(0)
+    val direct = spark.sql("SELECT hll_distinct(id) FROM hll_in").head().getLong(0)
+    assert(merged == direct)
+  }
 }
 
 class PhashSpec extends SparkTestBase {
