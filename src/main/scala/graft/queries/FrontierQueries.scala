@@ -1157,6 +1157,51 @@ object FrontierQueries {
         .unionAll(hop2.select(col("u"), col("v"), col("w")))
         .groupBy(col("u"), col("v")).agg(min(col("w")).as("best_cents"))
         .select(col("u").as("src"), col("v").as("dst"), col("best_cents"))
+    },
+
+    // B90: CONVERSION SURVIVAL CURVE — per signup-week cohort, how
+    // many users convert (first purchase) within k days of their
+    // first view, k = 1..7, plus the never-converted remainder: the
+    // Kaplan-Meier-flavored funnel-timing readout, in pure integer
+    // counts. Per-user firsts are ONE map-side-combinable keyed agg
+    // (min over a struct per event class); the k columns are
+    // conditional sums over the n_users-sized firsts table — no
+    // per-user window over the raw stream.
+    Q("conversion_survival",
+      s"""WITH $eventsCte,
+         |f AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN tsec END) AS first_view,
+         |    min(CASE WHEN event_type = 'purchase' THEN tsec END) AS first_buy
+         |  FROM e GROUP BY user_id),
+         |c AS (
+         |  SELECT (first_view // 604800) AS cohort_week,
+         |    first_buy - first_view AS lag_s
+         |  FROM f WHERE first_view IS NOT NULL)
+         |SELECT cohort_week,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  ${(1 to 7).map(k =>
+              s"CAST(sum(CASE WHEN lag_s IS NOT NULL AND lag_s >= 0 AND lag_s <= ${k * 86400} THEN 1 ELSE 0 END) AS BIGINT) AS conv_${k}d")
+              .mkString(",\n         |  ")},
+         |  CAST(sum(CASE WHEN lag_s IS NULL OR lag_s < 0 OR lag_s > ${7 * 86400}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS not_conv_7d
+         |FROM c GROUP BY cohort_week""".stripMargin) { (s, dir) =>
+      val f = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("tsec"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("tsec"))).as("first_buy"))
+        .filter(col("first_view").isNotNull)
+        .select(expr("first_view div 604800").as("cohort_week"),
+          (col("first_buy") - col("first_view")).as("lag_s"))
+      val convCols = (1 to 7).map { k =>
+        sum(when(col("lag_s").isNotNull && col("lag_s") >= 0 &&
+          col("lag_s") <= k * 86400L, 1L).otherwise(0L)).as(s"conv_${k}d")
+      }
+      val tail = sum(when(col("lag_s").isNull || col("lag_s") < 0 ||
+        col("lag_s") > 7 * 86400L, 1L).otherwise(0L)).as("not_conv_7d")
+      f.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_users"), (convCols :+ tail): _*)
     }
   )
 }

@@ -688,6 +688,41 @@ object StreamingQueries {
         .dropDuplicates("fp")
         .join(hist, Seq("fp"), "left_anti")
       runToMemory(s, incoming, "graft_stream_incdedup")
+    },
+
+    // D22: MULTI-SOURCE UNION under the GLOBAL watermark — two
+    // independently-watermarked streams (views and clicks, each its
+    // own file source) unioned into one windowed aggregation. Spark's
+    // multi-watermark policy takes the MIN across inputs, so a window
+    // closes only when BOTH sources have moved past it — the oracle
+    // states that bound exactly (fw = min of the two per-source
+    // maxima − delay), which is the semantics that keeps a slow
+    // source from losing the fast source's late data.
+    Q("streaming_union_watermark",
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |wm AS (
+         |  SELECT least(
+         |    (SELECT max(tsec) FROM e WHERE event_type = 'view'),
+         |    (SELECT max(tsec) FROM e WHERE event_type = 'click')) - $DelayS AS fw),
+         |agg AS (
+         |  SELECT tsec - tsec % 3600 AS hour_start_s, event_type,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM e GROUP BY 1, 2)
+         |SELECT hour_start_s, event_type, n_events
+         |FROM agg, wm WHERE hour_start_s + 3600 < fw""".stripMargin) { (s, dir) =>
+      def typed(t: String): DataFrame = eventStream(s, dir)
+        .filter(col("event_type") === t)
+        .select(col("event_type"),
+          timestamp_seconds(expr("ts div 1000000000")).as("tss"))
+        .withWatermark("tss", s"$DelayS seconds")
+      val unioned = typed("view").unionByName(typed("click"))
+      val agg = unioned.groupBy(window(col("tss"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("window.start")).as("hour_start_s"),
+          col("event_type"), col("n_events"))
+      runToMemory(s, agg, "graft_stream_union")
     })
 
   /** Stateful streaming ops create one state store per shuffle
