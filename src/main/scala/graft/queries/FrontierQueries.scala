@@ -1202,6 +1202,76 @@ object FrontierQueries {
         col("lag_s") > 7 * 86400L, 1L).otherwise(0L)).as("not_conv_7d")
       f.groupBy(col("cohort_week"))
         .agg(count(lit(1)).as("n_users"), (convCols :+ tail): _*)
+    },
+
+    // B91: KEY ISLANDS — maximal contiguous runs of present keys in
+    // an expected-dense id space (the "which ranges are missing" data-
+    // loss audit; gaps are the complement between runs). The classic
+    // islands trick k − rank(k) = constant-per-run needs a GLOBAL
+    // dense rank — here it comes from DistributedPrefixSum.running
+    // (range-partitioned streamed prefix count), NEVER a single-
+    // reducer window over every key; the rollup after is one keyed
+    // agg. Presence = open orders, so ~2/3 of the key space is
+    // missing and the run structure is rich at every SF.
+    Q("key_islands_report",
+      """WITH p AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |           WHERE o_orderstatus = 'O'),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rnk FROM p),
+        |i AS (SELECT k, k - rnk AS island FROM r)
+        |SELECT min(k) AS run_start, max(k) AS run_end,
+        |  CAST(count(*) AS BIGINT) AS run_len
+        |FROM i GROUP BY island""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("k")).distinct()
+        .withColumn("_g", lit("all")).withColumn("_one", lit(1L))
+      graft.operators.DistributedPrefixSum
+        .running(p, "_g", Seq("k"), "_one", "rnk")
+        .select(col("k"), (col("k") - col("rnk")).as("island"))
+        .groupBy(col("island"))
+        .agg(min(col("k")).as("run_start"), max(col("k")).as("run_end"),
+          count(lit(1)).as("run_len"))
+        .drop("island")
+    },
+
+    // C72: PII SCAN REPORT — per-language detection rates for the
+    // C13 scrub patterns (emails, URLs, long digit runs) BEFORE
+    // redaction: the "how much PII is in this source" audit that
+    // decides whether a source needs review rather than blanket
+    // scrubbing. One scan, conditional counts; occurrence counts are
+    // non-overlapping left-to-right regex matches, which both
+    // engines' regex machinery produce identically (the text_scrub
+    // contract).
+    Q("pii_scan_report",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_email,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS BIGINT) AS n_email,
+        |  CAST(sum(CASE WHEN regexp_matches(text, 'https?://[^ ]+')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_url,
+        |  CAST(sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT)
+        |    AS n_url,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]{4,}')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_num,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]{4,}'))) AS BIGINT) AS n_num
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val urlPat = "https?://[^ ]+"
+      val numPat = "[0-9]{4,}"
+      def hits(pat: String): Column = regexp_count(col("text"), lit(pat))
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(hits(emailPat) > 0, 1L).otherwise(0L)).as("docs_email"),
+          sum(hits(emailPat).cast("long")).as("n_email"),
+          sum(when(hits(urlPat) > 0, 1L).otherwise(0L)).as("docs_url"),
+          sum(hits(urlPat).cast("long")).as("n_url"),
+          sum(when(hits(numPat) > 0, 1L).otherwise(0L)).as("docs_num"),
+          sum(hits(numPat).cast("long")).as("n_num"))
     }
   )
 }
