@@ -365,9 +365,13 @@ object FrontierQueries {
          |UNION ALL SELECT 4, vec_id, floor(md * 10000 + 0.5) / 10000 FROM s4""".stripMargin
     }) { (s, dir) =>
       val K = 4
+      // k plain scans over the immutable parquet source — deliberately
+      // NOT localCheckpointed: materializing the whole corpus to
+      // executor disk to save k-1 columnar re-reads is the wrong trade
+      // at 100 TB (the scan is pruned to two columns and each round is
+      // one pass anyway).
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .localCheckpoint()
       def dot(a: Column, b: Column): Column = VectorExpressions.arrayDot(a, b)
       // seed: lowest vec_id (one bounded-heap row to the driver)
       val seedRow = e.orderBy(col("vec_id")).limit(1)
@@ -1272,6 +1276,56 @@ object FrontierQueries {
           sum(hits(urlPat).cast("long")).as("n_url"),
           sum(when(hits(numPat) > 0, 1L).otherwise(0L)).as("docs_num"),
           sum(hits(numPat).cast("long")).as("n_num"))
+    },
+
+    // B92: ROLLING DISTINCT VIA SKETCH ROLLUP — 7-day rolling
+    // distinct users from MATERIALIZED per-day HLL register buffers
+    // (B82's sketch column), merged per target day by a bounded 7×
+    // explode of 4 KiB sketches: the production DAU/WAU path at
+    // 100 TB, where B61's exact (user, day)-grain dedup explode is
+    // the fallback. Gates: the rolled estimate must equal the direct
+    // single-pass estimate over the same 7-day window BIT-FOR-BIT
+    // (register union ≡ union sketch — the B82 determinism argument)
+    // and sit within 5% of the exact rolling distinct.
+    Q("rolling_distinct_sketch",
+      s"""WITH $eventsCte,
+         |d AS (SELECT DISTINCT user_id, tsec // 86400 AS day FROM e),
+         |days AS (SELECT DISTINCT day FROM d),
+         |r AS (
+         |  SELECT t.day,
+         |    CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_exact
+         |  FROM days t JOIN d ON d.day BETWEEN t.day - 6 AND t.day
+         |  GROUP BY t.day)
+         |SELECT day, n_exact,
+         |  CAST(1 AS BIGINT) AS merged_eq_direct,
+         |  CAST(1 AS BIGINT) AS within_bound
+         |FROM r""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), expr("tsec div 86400").as("day"))
+      val daily = e.groupBy(col("day"))
+        .agg(HllSketch.hllSketchBin(col("user_id")).as("sk"))
+      // each day's sketch lands on its own day and the 6 following
+      // target days — the B61 bounded-explode shape, but over 4 KiB
+      // sketch rows instead of the (user, day) grain
+      val rolled = daily
+        .select(explode(sequence(col("day"), col("day") + 6)).as("tday"), col("sk"))
+        .groupBy(col("tday"))
+        .agg(HllSketch.hllUnionEstimate(col("sk")).as("est_merged"))
+      val direct = e
+        .select(explode(sequence(col("day"), col("day") + 6)).as("tday"),
+          col("user_id"))
+        .groupBy(col("tday"))
+        .agg(HllSketch.hllDistinct(col("user_id")).as("est_direct"),
+          countDistinct(col("user_id")).as("n_exact"))
+      val validDays = e.select(col("day")).distinct()
+        .select(col("day").as("tday"))
+      rolled.join(direct, Seq("tday"))
+        .join(validDays, Seq("tday"), "left_semi")
+        .select(col("tday").as("day"), col("n_exact"),
+          when(col("est_merged") === col("est_direct"), 1L).otherwise(0L)
+            .as("merged_eq_direct"),
+          when(abs(col("est_merged") - col("n_exact")) <=
+            greatest(lit(2.0), col("n_exact") * 0.05), 1L).otherwise(0L)
+            .as("within_bound"))
     }
   )
 }
