@@ -723,6 +723,49 @@ object StreamingQueries {
         .select(unix_timestamp(col("window.start")).as("hour_start_s"),
           col("event_type"), col("n_events"))
       runToMemory(s, agg, "graft_stream_union")
+    },
+
+    // D23: streaming NON-DECOMPOSABLE ordered fold — B71's floored
+    // running balance live (balance = max(0, balance + Δ): no partial
+    // agg, no prefix shortcut). Each key's deltas buffer in
+    // flatMapGroupsWithState state and fold in (tsec, event_id) order
+    // only once the watermark proves the prefix complete; the final
+    // update-mode row per key (max n_folded — the count is strictly
+    // monotone) must equal the batch fold over every delta strictly
+    // below the final watermark, which the oracle states directly.
+    // Purchases credit, errors debit.
+    Q("streaming_balance_fold",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('purchase', 'error')),
+         |d AS (SELECT user_id, event_id, tsec,
+         |        CASE WHEN event_type = 'purchase' THEN cents ELSE -cents END
+         |          AS delta
+         |      FROM e),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM d),
+         |r AS (SELECT user_id, event_id, tsec, delta FROM d, wm WHERE tsec < fw)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_folded,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list(delta ORDER BY tsec, event_id)),
+         |    (a, x) -> greatest(a + x, 0)) AS BIGINT) AS balance_cents
+         |FROM r GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val deltas = eventStream(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long"))
+            .otherwise(-floor(col("value") * 100).cast("long")).as("cents"))
+        .as[SessionPipeline.BalDelta]
+      val folded = SessionPipeline.statefulBalanceFold(deltas, DelayS).toDF()
+      runToMemory(s, folded, "graft_stream_balance", mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_folded"), col("balance_cents"))).as("m"))
+        .select(col("user_id"), col("m.n_folded").as("n_folded"),
+          col("m.balance_cents").as("balance_cents"))
     })
 
   /** Stateful streaming ops create one state store per shuffle

@@ -221,4 +221,66 @@ object SessionPipeline extends Serializable {
       tsCol: String, watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
+
+  case class BalDelta(user_id: Long, event_id: Long, tsec: Long, cents: Long)
+  case class BalState(balance: Long, nFolded: Long, buffered: Seq[BalDelta])
+  case class BalOut(user_id: Long, n_folded: Long, balance_cents: Long)
+
+  /** D23: streaming NON-DECOMPOSABLE ordered fold — the floored
+    * running balance (balance = max(0, balance + Δ), B71) over an
+    * out-of-order stream. The fold has no partial-aggregation or
+    * prefix shortcut (order matters irreducibly), so the stream
+    * buffers each key's deltas in state and folds them in event-time
+    * order ONLY up to the watermark — the horizon below which no
+    * earlier row can still arrive; rows at/above it stay buffered
+    * (exactly the event-time-timeout sessionizer's discipline).
+    * Emission is update-mode: the latest (n_folded, balance) per key;
+    * over an AvailableNow replay the final row per key equals the
+    * batch fold over every delta strictly below the final watermark.
+    */
+  def statefulBalanceFold(deltas: Dataset[BalDelta],
+      delayS: Long): Dataset[BalOut] = {
+    import deltas.sparkSession.implicits._
+
+    def foldReady(uid: Long, st: BalState, wmS: Long): (BalState, Option[BalOut]) = {
+      val (ready, hold) = st.buffered.partition(_.tsec < wmS)
+      if (ready.isEmpty) (st, None)
+      else {
+        var bal = st.balance
+        ready.sortBy(r => (r.tsec, r.event_id))
+          .foreach(r => bal = math.max(bal + r.cents, 0L))
+        val next = BalState(bal, st.nFolded + ready.size, hold)
+        (next, Some(BalOut(uid, next.nFolded, next.balance)))
+      }
+    }
+
+    def update(uid: Long, rows: Iterator[BalDelta],
+        state: GroupState[BalState]): Iterator[BalOut] = {
+      val wmS = state.getCurrentWatermarkMs() / 1000L
+      val st0 = state.getOption.getOrElse(BalState(0L, 0L, Nil))
+      val withNew =
+        if (state.hasTimedOut) st0
+        else st0.copy(buffered = st0.buffered ++ rows)
+      val (next, out) = foldReady(uid, withNew, wmS)
+      if (next.buffered.isEmpty && state.hasTimedOut) state.remove()
+      else {
+        state.update(next)
+        // re-arm strictly above the current watermark or Spark rejects
+        val wake = next.buffered.map(_.tsec * 1000L) match {
+          case Nil => state.getCurrentWatermarkMs() + 1000L
+          case ts => math.max(ts.min + 1L, state.getCurrentWatermarkMs() + 1L)
+        }
+        state.setTimeoutTimestamp(wake)
+      }
+      out.iterator
+    }
+
+    deltas
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[BalDelta]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }
