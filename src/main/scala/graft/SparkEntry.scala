@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, ExtendedQueries, FrontierQueries, Q, RelationalQueries, SamplingQueries, SessionQueries, StreamingQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, ExtendedQueries, FrontierQueries, HorizonQueries, Q, RelationalQueries, SamplingQueries, SessionQueries, StreamingQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,7 +59,8 @@ object SparkEntry {
     RelationalQueries.all ++ SessionQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ ExtendedQueries.all ++ CorpusQueries.all ++
       VectorQueries.all ++ StreamingQueries.all ++ SamplingQueries.all ++
-      AnalyticsQueries.all ++ FrontierQueries.all ++ multimodalQueries
+      AnalyticsQueries.all ++ FrontierQueries.all ++ HorizonQueries.all ++
+      multimodalQueries
 
   /** Flagship: the reference's trip pipeline re-expressed — keyed
     * inactivity sessionization over the event stream.

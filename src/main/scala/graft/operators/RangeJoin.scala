@@ -31,6 +31,18 @@ object RangeJoin {
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame =
+    pointInIntervalKeyed(points, intervals, Seq.empty,
+      pointCol, startCol, endCol, bucketWidth)
+
+  /** Keyed variant: the equi-join runs on `keyCols` (present in BOTH
+    * inputs) PLUS the bucket — per-entity interval joins (a user's
+    * clicks against that user's attribution windows) without every
+    * entity's points meeting every entity's intervals in the bucket.
+    */
+  def pointInIntervalKeyed(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String],
+      pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     // start > end matches nothing — emit an empty bucket list rather
@@ -43,7 +55,7 @@ object RangeJoin {
         .otherwise(typedLit(Array.empty[Long]))))
     val pp = points.withColumn("_bucket",
       expr(floorDivSql(pointCol, bucketWidth)))
-    pp.join(ip, Seq("_bucket"))
+    pp.join(ip, keyCols :+ "_bucket")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bucket")
   }

@@ -1,0 +1,363 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.functions.GeoFunctions
+import graft.operators.{DistributedQuantile, RangeJoin, SpatialJoin}
+import graft.plans.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions (SURVEY.md §2 B92-B97): spatial radius join,
+  * multi-touch attribution, grouped multiple regression, OHLC time
+  * bars, item co-occurrence top-k, and the decile lift/gains table.
+  *
+  * Conventions as elsewhere: epoch seconds / cents / counts /
+  * micro-units as exact integers so oracle rows compare bit-for-bit;
+  * doubles only where BOTH engines compute the identical IEEE
+  * expression over identical integer inputs (pinned operation order).
+  */
+object HorizonQueries {
+
+  private val eventsCte =
+    """e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events)""".stripMargin
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      expr("ts div 1000000000").as("tsec"))
+
+  // geo_radius_join: synthetic station coordinates — a ~55 km square
+  // near the equator, lat/lon on decorrelated prime lattices so no
+  // two stations coincide below 250k keys. Exact integer arithmetic
+  // up to the single final /1000.0, so both engines start from
+  // identical doubles.
+  private val RadiusKm = 2.0
+  private val CellDeg = 0.02 // 2.22 km of latitude ≥ RadiusKm; lon cos φ ≈ 1 here
+  private def latSql(k: String) = s"((($k) * 7919) % 499) / 1000.0"
+  private def lonSql(k: String) = s"((($k) * 104729) % 503) / 1000.0"
+
+  // attribution lookback (seconds) for the multi-touch credit split
+  private val LookbackS = 3600L
+
+  // Shared Cramer solve for the 2-feature OLS: ONE formula string,
+  // parsed by both Spark and DuckDB, so the double arithmetic runs in
+  // the identical IEEE operation order over identical BIGINT sums —
+  // the ab_test_stats convention. Matrix A = [[n,s1,s2],[s1,s11,s12],
+  // [s2,s12,s22]], rhs b = [sy,s1y,s2y]; bk = det(A with column k
+  // replaced by b) / det(A).
+  private object Ols {
+    private def d(c: String) = s"CAST($c AS DOUBLE)"
+    private val (cn, s1, s2, sy, s11, s12, s22, s1y, s2y) =
+      (d("cnt"), d("s1"), d("s2"), d("sy"), d("s11"), d("s12"), d("s22"),
+        d("s1y"), d("s2y"))
+    val det: String =
+      s"($cn * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s12 - $s11 * $s2))"
+    val det0: String =
+      s"($sy * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1y * $s22 - $s12 * $s2y) + $s2 * ($s1y * $s12 - $s11 * $s2y))"
+    val det1: String =
+      s"($cn * ($s1y * $s22 - $s12 * $s2y) - $sy * ($s1 * $s22 - $s12 * $s2) + $s2 * ($s1 * $s2y - $s1y * $s2))"
+    val det2: String =
+      s"($cn * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $s1y * $s2) + $sy * ($s1 * $s12 - $s11 * $s2))"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // B92: SPATIAL RADIUS JOIN — all station pairs within 2 km, via
+    // grid-cell blocking (SpatialJoin.radiusJoin): each point joins
+    // its own cell against the 9-cell neighborhood replica of the
+    // other side, so the plan is an EQUI-join keyed on the cell — the
+    // spelling that survives 100 TB — while Spark's native plan for
+    // the raw distance predicate is a BroadcastNestedLoopJoin. The
+    // oracle is the naive O(n²) cross join: it proves the blocking
+    // loses NO pair. Both engines run the identical haversine
+    // expression over identical doubles; the nearest pair to the 2 km
+    // boundary sits ≥ 4.5 m away at every SF (probed), ~9 orders
+    // above any transcendental-libm ulp skew.
+    Q("geo_radius_join",
+      s"""WITH p AS (
+         |  SELECT c_custkey AS id,
+         |    ${latSql("c_custkey")} AS lat,
+         |    ${lonSql("c_custkey")} AS lon
+         |  FROM customer)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  round(${GeoFunctions.haversineKmSql("a.lat", "a.lon", "b.lat", "b.lon")}, 4)
+         |    AS dist_km4
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE ${GeoFunctions.haversineKmSql("a.lat", "a.lon", "b.lat", "b.lon")}
+         |  < $RadiusKm""".stripMargin) { (s, dir) =>
+      def pts(suffix: String) = table(s, dir, "customer").select(
+        col("c_custkey").as(s"id$suffix"),
+        expr(latSql("c_custkey")).as(s"lat$suffix"),
+        expr(lonSql("c_custkey")).as(s"lon$suffix"))
+      SpatialJoin.radiusJoin(pts("_a"), pts("_b"),
+          "lat_a", "lon_a", "lat_b", "lon_b", RadiusKm, CellDeg)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("dist_km"), 4).as("dist_km4"))
+    },
+
+    // B93: MULTI-TOUCH (LINEAR) ATTRIBUTION — each purchase's cents
+    // split EXACTLY across every click in its 1-hour lookback window,
+    // Hamilton largest-remainder style (base = cents div n; the first
+    // cents mod n clicks in (click_s, click_id) order get +1), so
+    // credit conserves to the cent per purchase. The click×window
+    // match is RangeJoin.pointInIntervalKeyed — a (user, bucket)
+    // equi-join, never a per-purchase range scan of the click stream.
+    // Clickless purchases keep full credit on a NULL click row (the
+    // "direct" channel). Per-purchase windows are small by
+    // construction (one user's clicks in one hour).
+    Q("attribution_multi_touch",
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id AS purchase_id, user_id, tsec AS ps,
+         |        CAST(floor(value * 100) AS BIGINT) AS cents
+         |      FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, tsec AS cs
+         |      FROM e WHERE event_type = 'click'),
+         |j AS (SELECT p.purchase_id, p.user_id, p.ps, p.cents, c.click_id, c.cs
+         |      FROM p JOIN c ON p.user_id = c.user_id
+         |        AND c.cs >= p.ps - $LookbackS AND c.cs <= p.ps),
+         |rk AS (SELECT purchase_id, user_id, ps, cents, click_id, cs,
+         |        row_number() OVER (PARTITION BY purchase_id ORDER BY cs, click_id) AS rn,
+         |        count(*) OVER (PARTITION BY purchase_id) AS n
+         |      FROM j)
+         |SELECT purchase_id, user_id, ps AS purchase_s, click_id,
+         |  cs AS click_s,
+         |  CAST(cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END AS BIGINT)
+         |    AS credit_cents
+         |FROM rk
+         |UNION ALL
+         |SELECT purchase_id, user_id, ps AS purchase_s,
+         |  CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_s,
+         |  cents AS credit_cents
+         |FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM j)""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tsec").as("ps"), floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("lo", col("ps") - LookbackS)
+        .withColumn("hi", col("ps"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsec").as("cs"))
+      val joined = RangeJoin.pointInIntervalKeyed(
+        clicks, purchases, Seq("user_id"), "cs", "lo", "hi", LookbackS)
+      val w = Window.partitionBy(col("purchase_id"))
+      val attributed = joined
+        .withColumn("rn", row_number().over(w.orderBy(col("cs"), col("click_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("purchase_id"), col("user_id"), col("ps").as("purchase_s"),
+          col("click_id"), col("cs").as("click_s"),
+          (expr("cents div n") +
+            when(col("rn") <= col("cents") % col("n"), 1L).otherwise(0L))
+            .as("credit_cents"))
+      val direct = purchases
+        .join(joined.select("purchase_id").distinct(), Seq("purchase_id"), "left_anti")
+        .select(col("purchase_id"), col("user_id"), col("ps").as("purchase_s"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("click_s"),
+          col("cents").as("credit_cents"))
+      attributed.unionByName(direct)
+    },
+
+    // B94: GROUPED MULTIPLE REGRESSION — per order-priority OLS of
+    // order value (cents) on (lineitem count, order week) through the
+    // normal equations. The 100 TB shape: ONE pass accumulates the
+    // gram matrix as nine map-side-combinable exact-BIGINT sums
+    // (constant rows per group on the exchange regardless of corpus
+    // size); the 3×3 Cramer solve then runs on the driver-sized
+    // result in doubles, from ONE formula string parsed by both
+    // engines — identical IEEE operation order, bit-equal
+    // coefficients (the ab_test_stats convention).
+    Q("grouped_ols2",
+      s"""WITH li AS (
+         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x1
+         |  FROM lineitem GROUP BY l_orderkey),
+         |o AS (
+         |  SELECT o_orderpriority AS pri,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS y,
+         |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS x2,
+         |    x1
+         |  FROM orders JOIN li ON o_orderkey = l_orderkey),
+         |g AS (
+         |  SELECT pri, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM o GROUP BY pri)
+         |SELECT pri, cnt AS n_orders,
+         |  ${Ols.det0} / ${Ols.det} AS b0,
+         |  ${Ols.det1} / ${Ols.det} AS b1,
+         |  ${Ols.det2} / ${Ols.det} AS b2
+         |FROM g""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x1"))
+      val o = table(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice") * 100).cast("long").as("y"),
+          // o_orderdate arrives TIMESTAMP_NTZ; session TZ is UTC, so
+          // the NTZ→TZ cast is shift-free (GraftSession convention)
+          expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP)) div 604800").as("x2"),
+          col("x1"))
+      o.groupBy(col("pri"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+          sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"))
+        .select(col("pri"), col("cnt").as("n_orders"),
+          expr(s"${Ols.det0} / ${Ols.det}").as("b0"),
+          expr(s"${Ols.det1} / ${Ols.det}").as("b1"),
+          expr(s"${Ols.det2} / ${Ols.det}").as("b2"))
+    },
+
+    // B95: OHLC TIME BARS — the market-data downsample: per
+    // (user, hour) open/high/low/close/volume in ONE map-side-
+    // combinable keyed agg. Open/close are min_by/max_by over a
+    // packed (tsec, event_id) BIGINT key (tsec·2³⁰ + event_id —
+    // injective while event_id < 2³⁰, which holds with 100× headroom),
+    // so ties are impossible and partial aggregation works — never a
+    // per-key sort or window over the full stream.
+    Q("ohlc_bars",
+      s"""WITH $eventsCte,
+         |v AS (SELECT user_id, tsec // 3600 AS hr,
+         |        CAST(floor(value * 100) AS BIGINT) AS cents,
+         |        tsec * 1073741824 + event_id AS k
+         |      FROM e)
+         |SELECT user_id, hr,
+         |  CAST(arg_min(cents, k) AS BIGINT) AS open_cents,
+         |  CAST(max(cents) AS BIGINT) AS high_cents,
+         |  CAST(min(cents) AS BIGINT) AS low_cents,
+         |  CAST(arg_max(cents, k) AS BIGINT) AS close_cents,
+         |  CAST(count(*) AS BIGINT) AS n_trades,
+         |  CAST(sum(cents) AS BIGINT) AS vol_cents
+         |FROM v GROUP BY user_id, hr""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), expr("tsec div 3600").as("hr"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          (col("tsec") * 1073741824L + col("event_id")).as("k"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(min_by(col("cents"), col("k")).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), col("k")).as("close_cents"),
+          count(lit(1)).as("n_trades"),
+          sum(col("cents")).as("vol_cents"))
+    },
+
+    // B96: ITEM CO-OCCURRENCE TOP-K — "customers who bought X also
+    // bought": distinct (order, part) pairs self-join on the order
+    // key (≤ 7 items per order ⇒ ≤ 21 pairs per order — linear in
+    // orders, never a part×part matrix), integer-micro lift
+    // normalizes by both items' order frequencies, and the top-3
+    // per item runs on TopKPerKey's bounded heaps (map-side combine,
+    // no per-item window sort). All-integer output; (lift DESC,
+    // other ASC) is a total order per item.
+    Q("item_cooccurrence_topk",
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nt AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM lp),
+        |f AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM lp GROUP BY pk),
+        |pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS cnt_pair
+        |       FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk),
+        |sym AS (SELECT p1 AS item, p2 AS other_item, cnt_pair FROM pr
+        |        UNION ALL
+        |        SELECT p2 AS item, p1 AS other_item, cnt_pair FROM pr),
+        |sc AS (SELECT item, other_item, cnt_pair,
+        |         CAST((cnt_pair * 1000000 * nt.n_orders)
+        |           // (fa.cnt * fb.cnt) AS BIGINT) AS lift_micro
+        |       FROM sym CROSS JOIN nt
+        |       JOIN f fa ON sym.item = fa.pk
+        |       JOIN f fb ON sym.other_item = fb.pk),
+        |rk AS (SELECT item, other_item, cnt_pair, lift_micro,
+        |         row_number() OVER (PARTITION BY item
+        |           ORDER BY lift_micro DESC, other_item) AS rnk
+        |       FROM sc)
+        |SELECT item, other_item, cnt_pair, lift_micro, CAST(rnk AS INT) AS rnk
+        |FROM rk WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = lp.agg(countDistinct(col("ok")).as("n_orders"))
+      val freq = lp.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      val pairs = lp.select(col("ok"), col("pk").as("p1"))
+        .join(lp.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cnt_pair"))
+      val sym = pairs.select(col("p1").as("item"), col("p2").as("other_item"), col("cnt_pair"))
+        .unionByName(pairs.select(col("p2").as("item"), col("p1").as("other_item"), col("cnt_pair")))
+      val scored = sym.crossJoin(broadcast(nOrders))
+        .join(broadcast(freq.select(col("pk").as("item"), col("cnt").as("cnt_a"))), Seq("item"))
+        .join(broadcast(freq.select(col("pk").as("other_item"), col("cnt").as("cnt_b"))), Seq("other_item"))
+        .select(col("item"), col("other_item"), col("cnt_pair"),
+          expr("(cnt_pair * 1000000 * n_orders) div (cnt_a * cnt_b)").as("lift_micro"))
+      TopK.perKey(scored, Seq("item"),
+          Seq(("lift_micro", false), ("other_item", true)), 3)
+        .select(col("item"), col("other_item"), col("cnt_pair"),
+          col("lift_micro"), col("rnk"))
+    },
+
+    // B97: DECILE LIFT / GAINS TABLE — the model-eval staple: score
+    // customers (account balance), cut into deciles at the EXACT
+    // interpolated quantile breakpoints (DistributedQuantile ≡
+    // quantile_cont bit-for-bit — the equidepth_histogram precedent),
+    // and report each decile's conversion (customer placed ≥ 1 order)
+    // against the global rate as exact integer micro-units. One scan
+    // + one broadcast of 9 breakpoints + one keyed agg.
+    Q("decile_lift",
+      s"""WITH conv AS (
+         |  SELECT c_custkey, c_acctbal,
+         |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+         |      THEN 1 ELSE 0 END AS converted
+         |  FROM customer),
+         |b AS (
+         |  SELECT ${(1 to 9).map(k => s"quantile_cont(c_acctbal, 0.$k) AS b$k").mkString(", ")}
+         |  FROM customer),
+         |d AS (
+         |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN c_acctbal > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS decile,
+         |    converted
+         |  FROM conv, b),
+         |g AS (
+         |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+         |    CAST(sum(converted) AS BIGINT) AS n_conv
+         |  FROM d GROUP BY decile),
+         |t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS t_cust,
+         |        CAST(sum(n_conv) AS BIGINT) AS t_conv FROM g)
+         |SELECT decile, n_cust, n_conv,
+         |  CAST((n_conv * 1000000) // n_cust AS BIGINT) AS conv_micro,
+         |  CAST((n_conv * t_cust * 1000000) // (n_cust * t_conv) AS BIGINT) AS lift_micro
+         |FROM g, t""".stripMargin) { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val conv = cust
+        .join(table(s, dir, "orders").select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("converted"))
+      val bps = DistributedQuantile
+        .quantiles(cust.withColumn("_g", lit("all")), "_g", "c_acctbal",
+          (1 to 9).map(k => s"b$k" -> k / 10.0))
+        .drop("g")
+      val decile = (1 to 9)
+        .map(k => (col("c_acctbal") > col(s"b$k")).cast("int"))
+        .reduce(_ + _)
+      val g = conv.crossJoin(broadcast(bps))
+        .select(decile.cast("int").as("decile"), col("converted"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("converted")).as("n_conv"))
+      val t = g.agg(sum(col("n_cust")).as("t_cust"), sum(col("n_conv")).as("t_conv"))
+      g.crossJoin(broadcast(t))
+        .select(col("decile"), col("n_cust"), col("n_conv"),
+          expr("(n_conv * 1000000) div n_cust").as("conv_micro"),
+          expr("(n_conv * t_cust * 1000000) div (n_cust * t_conv)").as("lift_micro"))
+    })
+}

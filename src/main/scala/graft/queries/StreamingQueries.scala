@@ -293,6 +293,58 @@ object StreamingQueries {
       runToMemory(s, enriched, "graft_stream_enrich")
     },
 
+    // D23 under the gate: STREAMING SCD2 ENRICHMENT — events joined to
+    // the dimension version that was ACTIVE AT EVENT TIME (not the
+    // latest snapshot, which streaming_enrich covers). The SCD2 dim is
+    // built batch-side from orders (per customer: one version per
+    // order second, valid until the next version opens), broadcast,
+    // and the stream joins it stateless on (user = custkey) with the
+    // validity-interval predicate as the refining filter — each event
+    // matches AT MOST one version because the intervals tile time, so
+    // no watermark, no state store, and the AvailableNow replay equals
+    // the batch image, which the oracle states directly. Events before
+    // a customer's first version (or with no customer orders) keep a
+    // NULL version — the left-outer contract.
+    Q("streaming_scd2_enrich",
+      """WITH v0 AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS vfrom,
+        |    max(o_orderkey) AS version_key
+        |  FROM orders GROUP BY 1, 2),
+        |v AS (
+        |  SELECT ck, version_key, vfrom,
+        |    coalesce(lead(vfrom) OVER (PARTITION BY ck ORDER BY vfrom) - 1,
+        |      9223372036854775807) AS vto
+        |  FROM v0),
+        |e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events)
+        |SELECT e.event_id, e.user_id, e.tsec, v.version_key
+        |FROM e LEFT JOIN v
+        |  ON e.user_id = v.ck AND e.tsec >= v.vfrom AND e.tsec <= v.vto""".stripMargin) { (s, dir) =>
+      val vw = org.apache.spark.sql.expressions.Window.partitionBy(col("ck")).orderBy(col("vfrom"))
+      val dim = table(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP))").as("vfrom"),
+          col("o_orderkey"))
+        .groupBy(col("ck"), col("vfrom"))
+        .agg(max(col("o_orderkey")).as("version_key"))
+        // per-customer windows over order-version rows: small groups
+        // by construction (a customer's order count), the B45 regime
+        .withColumn("vto",
+          coalesce(lead(col("vfrom"), 1).over(vw) - 1, lit(Long.MaxValue)))
+      val enriched = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("tsec"))
+        .join(broadcast(dim),
+          col("user_id") === col("ck") &&
+            col("tsec") >= col("vfrom") && col("tsec") <= col("vto"),
+          "left")
+        .select(col("event_id"), col("user_id"), col("tsec"), col("version_key"))
+      runToMemory(s, enriched, "graft_stream_scd2")
+    },
+
     // D11 under the gate: STREAMING corpus curation — the C-family
     // composed under Structured Streaming (continuous ingest is how a
     // web-scale corpus actually arrives): documents replayed as a file
