@@ -185,12 +185,24 @@ object Bench {
         "text_winnow_fingerprints", "winnow_dup_pairs",
         "mm_phash_dupes", "incremental_dedup", "corpus_token_drift",
         "heaps_law_curve", "corpus_length_trim", "interval_overlap_join",
-        "graph_kcore", "attribution_last_touch")
+        "graph_kcore", "attribution_last_touch",
+        // round-10: events-cloned (linear) + trade-cloned additions.
+        // geo_radius_join and decile_lift read customer, which the
+        // clone corpus does not carry — and geo pair counts grow with
+        // the SQUARE of spatial density (a data regime, not a plan
+        // property), so a same-area clone probe would mis-read as a
+        // quadratic plan anyway.
+        "attribution_multi_touch", "ohlc_bars",
+        "item_cooccurrence_topk", "grouped_ols2",
+        "streaming_ohlc", "rfm_segments", "graph_label_prop",
+        "corpus_shuffle_order", "ma_crossover")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
-      "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore")
+      "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore",
+      "item_cooccurrence_topk", "grouped_ols2",
+      "rfm_segments", "graph_label_prop")
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
       cloneTables(x10Dir, 10,

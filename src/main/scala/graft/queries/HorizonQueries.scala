@@ -43,6 +43,10 @@ object HorizonQueries {
   // attribution lookback (seconds) for the multi-touch credit split
   private val LookbackS = 3600L
 
+  // label-propagation node-space fold (the graph_triangles modulus —
+  // keeps the co-purchase graph connected enough to propagate)
+  private val LpNodes = 16381
+
   // Shared Cramer solve for the 2-feature OLS: ONE formula string,
   // parsed by both Spark and DuckDB, so the double arithmetic runs in
   // the identical IEEE operation order over identical BIGINT sums —
@@ -359,5 +363,243 @@ object HorizonQueries {
         .select(col("decile"), col("n_cust"), col("n_conv"),
           expr("(n_conv * 1000000) div n_cust").as("conv_micro"),
           expr("(n_conv * t_cust * 1000000) div (n_cust * t_conv)").as("lift_micro"))
+    },
+
+    // B98: RFM SEGMENTATION — the CRM warehouse staple: per customer
+    // Recency (last order second), Frequency (order count), Monetary
+    // (lifetime cents), each cut into quintiles at the EXACT
+    // interpolated breakpoints (three DistributedQuantile passes ≡
+    // quantile_cont bit-for-bit), then segment cells reported with
+    // exact counts and cents. Per-customer metrics are one keyed agg;
+    // the 12 breakpoints broadcast over one pass — no per-customer
+    // window, no global sort.
+    Q("rfm_segments", {
+      def bpSql(metric: String) =
+        (1 to 4).map(k => s"quantile_cont(CAST($metric AS DOUBLE), 0.${2 * k}) AS ${metric}_b$k")
+          .mkString(", ")
+      def codeSql(metric: String) =
+        "1 + " + (1 to 4).map(k => s"(CASE WHEN CAST($metric AS DOUBLE) > ${metric}_b$k THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT o_custkey AS ck,
+         |    CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS rec,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT ${bpSql("rec")}, ${bpSql("freq")}, ${bpSql("mon")} FROM m),
+         |coded AS (
+         |  SELECT CAST(${codeSql("rec")} AS INT) AS r_code,
+         |    CAST(${codeSql("freq")} AS INT) AS f_code,
+         |    CAST(${codeSql("mon")} AS INT) AS m_code,
+         |    mon
+         |  FROM m, b)
+         |SELECT r_code, f_code, m_code,
+         |  CAST(count(*) AS BIGINT) AS n_cust,
+         |  CAST(sum(mon) AS BIGINT) AS cents_sum
+         |FROM coded GROUP BY 1, 2, 3""".stripMargin
+    }) { (s, dir) =>
+      val m = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(max(expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP))")).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("mon"))
+      val md = m
+        .withColumn("rec_d", col("rec").cast("double"))
+        .withColumn("freq_d", col("freq").cast("double"))
+        .withColumn("mon_d", col("mon").cast("double"))
+      def bps(metric: String) = DistributedQuantile
+        .quantiles(md.withColumn("_g", lit("all")), "_g",
+          // quantiles() interpolates on the double image of the
+          // metric — cast first so both engines rank identical values
+          s"${metric}_d",
+          (1 to 4).map(k => s"${metric}_b$k" -> 2 * k / 10.0))
+        .drop("g")
+      def code(metric: String) = (1 to 4)
+        .map(k => (col(s"${metric}_d") > col(s"${metric}_b$k")).cast("int"))
+        .reduce(_ + _) + 1
+      md.crossJoin(broadcast(bps("rec")))
+        .crossJoin(broadcast(bps("freq")))
+        .crossJoin(broadcast(bps("mon")))
+        .select(code("rec").cast("int").as("r_code"),
+          code("freq").cast("int").as("f_code"),
+          code("mon").cast("int").as("m_code"), col("mon"))
+        .groupBy(col("r_code"), col("f_code"), col("m_code"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("mon")).as("cents_sum"))
+    },
+
+    // B99: LABEL PROPAGATION (community detection) — two SYNCHRONOUS
+    // rounds over the co-purchase part graph (the graph_triangles
+    // node/edge construction): every node starts as its own label,
+    // each round adopts the most frequent neighbor label (ties → the
+    // smallest label), argmax spelled as ONE map-side-combinable
+    // max_by over the packed (count·2⁴¹ − label) key — never a
+    // per-node sort. Fixed round count makes the oracle a closed-form
+    // two-round replay (the kmeans_iterations / graph_kcore
+    // convention); per round the work is one keyed join + two keyed
+    // aggs — the 100 TB shape for bounded-round graph algorithms.
+    Q("graph_label_prop", {
+      val pick = "CAST(arg_max(nlbl, CAST(cnt * 2199023255552 - nlbl AS BIGINT)) AS BIGINT)"
+      s"""WITH it AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey % $LpNodes AS node
+         |  FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.node AS u, b.node AS v
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.node < b.node),
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v AS node, u AS nbr FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |c1 AS (SELECT a.node, l.lbl AS nlbl, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM adj a JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),
+         |l1 AS (SELECT node, $pick AS lbl FROM c1 GROUP BY node),
+         |c2 AS (SELECT a.node, l.lbl AS nlbl, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM adj a JOIN l1 l ON a.nbr = l.node GROUP BY 1, 2),
+         |l2 AS (SELECT node, $pick AS lbl FROM c2 GROUP BY node)
+         |SELECT node, lbl FROM l2""".stripMargin
+    }) { (s, dir) =>
+      val it = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % LpNodes).as("node")).distinct()
+      val e = it.select(col("ok"), col("node").as("u"))
+        .join(it.select(col("ok"), col("node").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val l0 = adj.select(col("node")).distinct().withColumn("lbl", col("node"))
+      def round(lbls: DataFrame): DataFrame = adj
+        .join(lbls.select(col("node").as("nbr"), col("lbl").as("nlbl")), Seq("nbr"))
+        .groupBy(col("node"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max_by(col("nlbl"),
+          (col("cnt") * 2199023255552L - col("nlbl")).cast("long")).as("lbl"))
+      round(round(l0)).select(col("node"), col("lbl"))
+    },
+
+    // C74: END-TO-END ENTITY RESOLUTION — the record-linkage families
+    // composed into the full pipeline: ED-Join prefix-filtered fuzzy
+    // pairs (C28) → hash-min connected components over the match
+    // graph (C15b) → one canonical record per entity cluster by
+    // highest support (most part rows, ties → smallest name id) via a
+    // map-side-combinable max_by — never a per-cluster sort. Names
+    // get integral ids (min p_partkey — deterministic, replayable);
+    // singletons canonicalize to themselves. Oracle: O(|V|²)
+    // levenshtein pair set + recursive-CTE closure (the dedup_clusters
+    // convention — the oracle is the quadratic specification, the
+    // Spark plan is the filtered one).
+    Q("entity_resolution",
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS nid,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY p_name),
+        |pr AS (
+        |  SELECT a.nid AS id_a, b.nid AS id_b
+        |  FROM n a JOIN n b ON a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pr
+        |          UNION SELECT id_b, id_a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.id),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |lbl AS (
+        |  SELECT n.p_name, n.nid, n.n_parts,
+        |    coalesce(cc.cluster_id, n.nid) AS cluster_id
+        |  FROM n LEFT JOIN cc ON n.nid = cc.id),
+        |canon AS (
+        |  SELECT cluster_id, p_name AS canonical_name FROM (
+        |    SELECT cluster_id, p_name,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_parts DESC, nid) AS rn
+        |    FROM lbl) WHERE rn = 1)
+        |SELECT lbl.p_name AS name, lbl.cluster_id, lbl.n_parts,
+        |  canon.canonical_name
+        |FROM lbl JOIN canon USING (cluster_id)""".stripMargin) { (s, dir) =>
+      val names = table(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("n_parts"))
+      val pairs = graft.operators.FuzzyJoin
+        .editDistancePairs(table(s, dir, "part"), "p_name", maxDist = 2)
+        .join(names.select(col("p_name").as("name_a"), col("nid").as("id_a")), Seq("name_a"))
+        .join(names.select(col("p_name").as("name_b"), col("nid").as("id_b")), Seq("name_b"))
+        .select(col("id_a"), col("id_b"))
+      val cc = graft.operators.ConnectedComponents.clusters(pairs)
+        .select(col("id"), col("cluster_id").as("cc_label"))
+      val labeled = names
+        .join(cc, names("nid") === cc("id"), "left")
+        .select(col("p_name"), col("nid"), col("n_parts"),
+          coalesce(col("cc_label"), col("nid")).as("cluster_id"))
+      val canon = labeled.groupBy(col("cluster_id"))
+        .agg(max_by(col("p_name"),
+          struct(col("n_parts"), (-col("nid")).as("neg"))).as("canonical_name"))
+      labeled.join(canon, Seq("cluster_id"))
+        .select(col("p_name").as("name"), col("cluster_id"),
+          col("n_parts"), col("canonical_name"))
+    },
+
+    // B100: MOVING-AVERAGE CROSSOVER — the quant/monitoring signal:
+    // per-user daily spend, 7-day vs 28-day trailing means, emit the
+    // days where the fast average crosses the slow one. DIVISION-FREE:
+    // the mean comparison cross-multiplies exact cent sums by window
+    // counts (s7·c28 vs s28·c7 — all BIGINT), so there is no float
+    // convention at all. Per-user RANGE-frame windows over DAILY
+    // rollup rows — the B45 small-group regime where a window IS the
+    // right plan (≤ ~30 rows per frame, never the raw event stream).
+    Q("ma_crossover",
+      s"""WITH $eventsCte,
+         |d AS (
+         |  SELECT user_id, tsec // 86400 AS day,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM e GROUP BY 1, 2),
+         |w AS (
+         |  SELECT user_id, day, cents,
+         |    CAST(sum(cents) OVER w7 AS BIGINT) AS s7,
+         |    CAST(count(*) OVER w7 AS BIGINT) AS c7,
+         |    CAST(sum(cents) OVER w28 AS BIGINT) AS s28,
+         |    CAST(count(*) OVER w28 AS BIGINT) AS c28
+         |  FROM d
+         |  WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |    w28 AS (PARTITION BY user_id ORDER BY day
+         |      RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)),
+         |lagged AS (
+         |  SELECT user_id, day, s7, c7, s28, c28,
+         |    lag(s7) OVER u AS p7, lag(c7) OVER u AS pc7,
+         |    lag(s28) OVER u AS p28, lag(c28) OVER u AS pc28
+         |  FROM w WINDOW u AS (PARTITION BY user_id ORDER BY day))
+         |SELECT user_id, day,
+         |  CASE WHEN s7 * c28 > s28 * c7 THEN 'golden' ELSE 'death' END AS signal
+         |FROM lagged
+         |WHERE p7 IS NOT NULL AND (
+         |  (s7 * c28 > s28 * c7 AND p7 * pc28 <= p28 * pc7) OR
+         |  (s7 * c28 < s28 * c7 AND p7 * pc28 >= p28 * pc7))""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .select(col("user_id"), expr("tsec div 86400").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("v")).as("cents"))
+      val w7 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      val w28 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-27, 0)
+      val u = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val w = d
+        .withColumn("s7", sum(col("cents")).over(w7))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .withColumn("s28", sum(col("cents")).over(w28))
+        .withColumn("c28", count(lit(1)).over(w28))
+        .withColumn("p7", lag(col("s7"), 1).over(u))
+        .withColumn("pc7", lag(col("c7"), 1).over(u))
+        .withColumn("p28", lag(col("s28"), 1).over(u))
+        .withColumn("pc28", lag(col("c28"), 1).over(u))
+      w.filter(col("p7").isNotNull &&
+          ((col("s7") * col("c28") > col("s28") * col("c7") &&
+            col("p7") * col("pc28") <= col("p28") * col("pc7")) ||
+           (col("s7") * col("c28") < col("s28") * col("c7") &&
+            col("p7") * col("pc28") >= col("p28") * col("pc7"))))
+        .select(col("user_id"), col("day"),
+          when(col("s7") * col("c28") > col("s28") * col("c7"), "golden")
+            .otherwise("death").as("signal"))
     })
 }

@@ -268,5 +268,29 @@ object SamplingQueries {
         .join(broadcast(strides), Seq("lang"))
         .filter(expr("cum DIV stride > (cum - w) DIV stride"))
         .select(col("lang"), col("doc_id"), col("w").as("n_chars"))
+    },
+
+    // C73: DETERMINISTIC CORPUS SHUFFLE ORDER — the training-epoch
+    // global shuffle: every document gets a reproducible pseudo-random
+    // position (fmix64 of doc_id is a bijection, so the order is a
+    // permutation — identical across runs, partitionings, engines).
+    // The GLOBAL position is the DistributedPrefixSum running count
+    // over the hash order — two streamed range-partitioned passes,
+    // never a single-reducer row_number window. Oracle replays fmix64
+    // in HUGEINT and states the same rank as row_number.
+    Q("corpus_shuffle_order",
+      s"""WITH sg AS (
+         |  ${fmix64SignedSql(Seq("doc_id"), "doc_id", "documents")})
+         |SELECT doc_id, CAST(hs AS BIGINT) AS shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY hs) AS BIGINT) AS shuffle_pos
+         |FROM sg""".stripMargin) { (s, dir) =>
+      val keyed = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Fingerprint64.fmix64(col("doc_id")).as("shuffle_key"))
+        .withColumn("_g", lit("all"))
+        .withColumn("_one", lit(1L))
+      graft.operators.DistributedPrefixSum
+        .running(keyed, "_g", Seq("shuffle_key"), "_one", "shuffle_pos")
+        .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
     })
 }

@@ -345,6 +345,60 @@ object StreamingQueries {
       runToMemory(s, enriched, "graft_stream_scd2")
     },
 
+    // D24 under the gate: STREAMING OHLC BARS — the B95 time bars
+    // computed live: per (user, 1-hour tumbling window)
+    // open/high/low/close as min_by/max_by over the packed
+    // (tsec·2³⁰ + event_id) key in WINDOWED AGGREGATION STATE — a
+    // constant-size summary per open window (the sketch-in-state
+    // family, with an argmin/argmax pair instead of a sketch), append
+    // emission on window close. Emission filter (window end strictly
+    // below the final watermark) applied identically on both engines —
+    // the streaming_windowed_heavy_hitters convention.
+    Q("streaming_ohlc",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |v AS (SELECT user_id, tsec - tsec % 3600 AS hour_start_s, cents,
+         |        tsec * 1073741824 + event_id AS k
+         |      FROM e),
+         |g AS (
+         |  SELECT user_id, hour_start_s,
+         |    CAST(arg_min(cents, k) AS BIGINT) AS open_cents,
+         |    CAST(max(cents) AS BIGINT) AS high_cents,
+         |    CAST(min(cents) AS BIGINT) AS low_cents,
+         |    CAST(arg_max(cents, k) AS BIGINT) AS close_cents,
+         |    CAST(count(*) AS BIGINT) AS n_trades,
+         |    CAST(sum(cents) AS BIGINT) AS vol_cents
+         |  FROM v GROUP BY 1, 2)
+         |SELECT g.* FROM g, wm WHERE hour_start_s + 3600 < fw""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir).select(
+        col("user_id"),
+        timestamp_seconds(expr("ts div 1000000000")).as("tss"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        (expr("ts div 1000000000") * 1073741824L + col("event_id")).as("k"))
+        .withWatermark("tss", s"$DelayS seconds")
+      val agg = ev.groupBy(col("user_id"), window(col("tss"), "1 hour"))
+        .agg(min_by(col("cents"), col("k")).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), col("k")).as("close_cents"),
+          count(lit(1)).as("n_trades"),
+          sum(col("cents")).as("vol_cents"))
+        .select(col("user_id"),
+          unix_timestamp(col("window.start")).as("hour_start_s"),
+          col("open_cents"), col("high_cents"), col("low_cents"),
+          col("close_cents"), col("n_trades"), col("vol_cents"))
+      val streamed = runToMemory(s, agg, "graft_stream_ohlc")
+      val fw = table(s, dir, "events")
+        .agg((max(expr("ts div 1000000000")) - DelayS).as("fw"))
+      streamed.join(broadcast(fw))
+        .filter(col("hour_start_s") + 3600 < col("fw"))
+        .drop("fw")
+    },
+
     // D11 under the gate: STREAMING corpus curation — the C-family
     // composed under Structured Streaming (continuous ingest is how a
     // web-scale corpus actually arrives): documents replayed as a file
