@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-10 additions (SURVEY.md §2 B92-B97): spatial radius join,
+/** Round-10 additions (SURVEY.md §2 B93-B101, C74): spatial radius join,
   * multi-touch attribution, grouped multiple regression, OHLC time
   * bars, item co-occurrence top-k, and the decile lift/gains table.
   *
@@ -70,7 +70,7 @@ object HorizonQueries {
 
   val all: Seq[Q] = Seq(
 
-    // B92: SPATIAL RADIUS JOIN — all station pairs within 2 km, via
+    // B93: SPATIAL RADIUS JOIN — all station pairs within 2 km, via
     // grid-cell blocking (SpatialJoin.radiusJoin): each point joins
     // its own cell against the 9-cell neighborhood replica of the
     // other side, so the plan is an EQUI-join keyed on the cell — the
@@ -104,7 +104,7 @@ object HorizonQueries {
           round(col("dist_km"), 4).as("dist_km4"))
     },
 
-    // B93: MULTI-TOUCH (LINEAR) ATTRIBUTION — each purchase's cents
+    // B94: MULTI-TOUCH (LINEAR) ATTRIBUTION — each purchase's cents
     // split EXACTLY across every click in its 1-hour lookback window,
     // Hamilton largest-remainder style (base = cents div n; the first
     // cents mod n clicks in (click_s, click_id) order get +1), so
@@ -167,7 +167,7 @@ object HorizonQueries {
       attributed.unionByName(direct)
     },
 
-    // B94: GROUPED MULTIPLE REGRESSION — per order-priority OLS of
+    // B95: GROUPED MULTIPLE REGRESSION — per order-priority OLS of
     // order value (cents) on (lineitem count, order week) through the
     // normal equations. The 100 TB shape: ONE pass accumulates the
     // gram matrix as nine map-side-combinable exact-BIGINT sums
@@ -226,7 +226,7 @@ object HorizonQueries {
           expr(s"${Ols.det2} / ${Ols.det}").as("b2"))
     },
 
-    // B95: OHLC TIME BARS — the market-data downsample: per
+    // B96: OHLC TIME BARS — the market-data downsample: per
     // (user, hour) open/high/low/close/volume in ONE map-side-
     // combinable keyed agg. Open/close are min_by/max_by over a
     // packed (tsec, event_id) BIGINT key (tsec·2³⁰ + event_id —
@@ -260,7 +260,7 @@ object HorizonQueries {
           sum(col("cents")).as("vol_cents"))
     },
 
-    // B96: ITEM CO-OCCURRENCE TOP-K — "customers who bought X also
+    // B97: ITEM CO-OCCURRENCE TOP-K — "customers who bought X also
     // bought": distinct (order, part) pairs self-join on the order
     // key (≤ 7 items per order ⇒ ≤ 21 pairs per order — linear in
     // orders, never a part×part matrix), integer-micro lift
@@ -311,7 +311,7 @@ object HorizonQueries {
           col("lift_micro"), col("rnk"))
     },
 
-    // B97: DECILE LIFT / GAINS TABLE — the model-eval staple: score
+    // B98: DECILE LIFT / GAINS TABLE — the model-eval staple: score
     // customers (account balance), cut into deciles at the EXACT
     // interpolated quantile breakpoints (DistributedQuantile ≡
     // quantile_cont bit-for-bit — the equidepth_histogram precedent),
@@ -365,7 +365,7 @@ object HorizonQueries {
           expr("(n_conv * t_cust * 1000000) div (n_cust * t_conv)").as("lift_micro"))
     },
 
-    // B98: RFM SEGMENTATION — the CRM warehouse staple: per customer
+    // B99: RFM SEGMENTATION — the CRM warehouse staple: per customer
     // Recency (last order second), Frequency (order count), Monetary
     // (lifetime cents), each cut into quintiles at the EXACT
     // interpolated breakpoints (three DistributedQuantile passes ≡
@@ -427,7 +427,7 @@ object HorizonQueries {
         .agg(count(lit(1)).as("n_cust"), sum(col("mon")).as("cents_sum"))
     },
 
-    // B99: LABEL PROPAGATION (community detection) — two SYNCHRONOUS
+    // B100: LABEL PROPAGATION (community detection) — two SYNCHRONOUS
     // rounds over the co-purchase part graph (the graph_triangles
     // node/edge construction): every node starts as its own label,
     // each round adopts the most frequent neighbor label (ties → the
@@ -538,7 +538,7 @@ object HorizonQueries {
           col("n_parts"), col("canonical_name"))
     },
 
-    // B100: MOVING-AVERAGE CROSSOVER — the quant/monitoring signal:
+    // B101: MOVING-AVERAGE CROSSOVER — the quant/monitoring signal:
     // per-user daily spend, 7-day vs 28-day trailing means, emit the
     // days where the fast average crosses the slow one. DIVISION-FREE:
     // the mean comparison cross-multiplies exact cent sums by window

@@ -293,7 +293,7 @@ object StreamingQueries {
       runToMemory(s, enriched, "graft_stream_enrich")
     },
 
-    // D23 under the gate: STREAMING SCD2 ENRICHMENT — events joined to
+    // D24 under the gate: STREAMING SCD2 ENRICHMENT — events joined to
     // the dimension version that was ACTIVE AT EVENT TIME (not the
     // latest snapshot, which streaming_enrich covers). The SCD2 dim is
     // built batch-side from orders (per customer: one version per
@@ -345,7 +345,7 @@ object StreamingQueries {
       runToMemory(s, enriched, "graft_stream_scd2")
     },
 
-    // D24 under the gate: STREAMING OHLC BARS — the B95 time bars
+    // D25 under the gate: STREAMING OHLC BARS — the B95 time bars
     // computed live: per (user, 1-hour tumbling window)
     // open/high/low/close as min_by/max_by over the packed
     // (tsec·2³⁰ + event_id) key in WINDOWED AGGREGATION STATE — a
