@@ -621,5 +621,40 @@ object DedupQueries {
         .unionByName(gate("lsh",
           VectorOps.lshTopK(vecs, qs, "vec_id", "embedding", 10)))
         .unionByName(gate("pq_rerank", pq))
+    },
+
+    // C75: CROSS-SOURCE DUPLICATION MATRIX — "which crawls duplicate
+    // each other": the C2/C4 near-dup pair set rolled up by the
+    // (source_a, source_b) pair, canonical order via least/greatest.
+    // The per-source duplication-rate readout that drives crawl
+    // prioritization; one extra broadcast-joined rollup over the
+    // banded-LSH pair machinery — the pair set itself is the proven
+    // exact one.
+    Q("dedup_source_matrix",
+      s"""WITH $gramsCte,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExpr >= $JaccardThreshold),
+         |sp AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM p JOIN documents da ON p.id_a = da.doc_id
+         |         JOIN documents db ON p.id_b = db.doc_id)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      // the pair set is output-sized (≪ corpus): keyed joins against
+      // the source map — AQE broadcasts the small pair side, never
+      // the corpus-sized dimension
+      MinHashLSH
+        .nearDupPairs(docs, "doc_id", "text", JaccardThreshold)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     })
 }

@@ -399,6 +399,73 @@ object StreamingQueries {
         .drop("fw")
     },
 
+    // D26 under the gate: CHAINED STATEFUL OPERATORS — a stream-stream
+    // time-bounded join FEEDING a downstream windowed aggregation in
+    // the same query (multiple stateful operators per stream, the
+    // Spark 4 capability): last-touch attribution computed LIVE — the
+    // D7 join matches each purchase's candidate clicks, the agg picks
+    // the latest (max_by over a packed (click_s, click_id) key) per
+    // purchase inside its hour window. Emission: the join delays its
+    // output watermark by its own state retention, so a window closes
+    // one retention interval later than a plain windowed agg — the
+    // post-filter states the SAME bound on both engines, making the
+    // gate independent of where Spark's chained watermark lands
+    // between the tight and delayed bounds.
+    Q("streaming_attribution",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |c AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'purchase'),
+         |wm AS (
+         |  SELECT least((SELECT max(tsec) FROM c),
+         |               (SELECT max(tsec) FROM p)) - $DelayS AS fw),
+         |j AS (
+         |  SELECT p.event_id AS purchase_id, p.user_id,
+         |    p.tsec - p.tsec % 3600 AS hour_start_s,
+         |    c.event_id AS click_id, c.tsec AS cs
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.tsec >= p.tsec - $GapS AND c.tsec <= p.tsec),
+         |a AS (
+         |  SELECT purchase_id, user_id, hour_start_s,
+         |    CAST(max(cs * 1073741824 + click_id) % 1073741824 AS BIGINT)
+         |      AS last_click_id,
+         |    CAST(count(*) AS BIGINT) AS n_clicks
+         |  FROM j GROUP BY 1, 2, 3)
+         |SELECT purchase_id, user_id, hour_start_s, last_click_id, n_clicks
+         |FROM a, wm WHERE hour_start_s + 3600 + $GapS + $DelayS < fw""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("c_ts"),
+          (expr("ts div 1000000000") * 1073741824L + col("event_id")).as("ck"))
+        .withWatermark("c_ts", s"$DelayS seconds")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("p_ts"))
+        .withWatermark("p_ts", s"$DelayS seconds")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("user_id") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $GapS seconds") &&
+          col("c_ts") <= col("p_ts"))
+      val agg = joined
+        .groupBy(col("purchase_id"), col("user_id"), window(col("p_ts"), "1 hour"))
+        .agg(max(col("ck")).as("mk"), count(lit(1)).as("n_clicks"))
+        .select(col("purchase_id"), col("user_id"),
+          unix_timestamp(col("window.start")).as("hour_start_s"),
+          (col("mk") % 1073741824L).as("last_click_id"), col("n_clicks"))
+      val streamed = runToMemory(s, agg, "graft_stream_attrib")
+      val fwDf = table(s, dir, "events").select(
+          col("event_type"), expr("ts div 1000000000").as("tsec"))
+      val fw = fwDf.filter(col("event_type") === "click").agg(max("tsec").as("mc"))
+        .crossJoin(fwDf.filter(col("event_type") === "purchase").agg(max("tsec").as("mp")))
+        .select((least(col("mc"), col("mp")) - DelayS).as("fw"))
+      streamed.join(broadcast(fw))
+        .filter(col("hour_start_s") + 3600 + GapS + DelayS < col("fw"))
+        .drop("fw")
+    },
+
     // D11 under the gate: STREAMING corpus curation — the C-family
     // composed under Structured Streaming (continuous ingest is how a
     // web-scale corpus actually arrives): documents replayed as a file
