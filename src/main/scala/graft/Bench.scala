@@ -195,7 +195,8 @@ object Bench {
         "attribution_multi_touch", "ohlc_bars",
         "item_cooccurrence_topk", "grouped_ols2",
         "streaming_ohlc", "rfm_segments", "graph_label_prop",
-        "corpus_shuffle_order", "ma_crossover")
+        "corpus_shuffle_order", "ma_crossover", "corpus_decontaminate",
+        "dedup_source_matrix")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)

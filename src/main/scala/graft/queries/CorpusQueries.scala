@@ -800,5 +800,71 @@ object CorpusQueries {
             .otherwise("test"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
+
+    // C76: CORPUS DECONTAMINATION (span removal) — C26 detects
+    // benchmark contamination; this op REMOVES it: every train-doc
+    // token covered by any 8-gram that also appears in the test split
+    // is dropped and the doc reassembled (the Dolma/FineWeb
+    // "decontaminate before training" rewrite). The 100 TB shape:
+    // test/eval sets are small by nature, so their distinct 8-grams
+    // BROADCAST; the train corpus pays one scan + gram explode +
+    // broadcast semi-match, and covered positions fold back per doc
+    // (collect_set bounded by the doc's own length). Map-side heavy,
+    // ONE keyed exchange (doc_id → covered starts). Exact string
+    // grams on the broadcast (no hash-collision caveat — the payload
+    // is test-set-sized, not corpus-sized).
+    Q("corpus_decontaminate",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    range(0, greatest(len(toks) - 7, 0)),
+        |    i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))) AS g
+        |  FROM t WHERE doc_id % 10 >= 9),
+        |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 < 8),
+        |st AS (
+        |  SELECT x.doc_id, x.s
+        |  FROM (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS s
+        |        FROM tr) x
+        |  JOIN tg ON array_to_string(
+        |    x.toks[CAST(x.s + 1 AS INT):CAST(x.s + 8 AS INT)], ' ') = tg.g),
+        |cov AS (SELECT doc_id, list(DISTINCT s) AS cv FROM st GROUP BY doc_id),
+        |o AS (SELECT tr.doc_id, toks,
+        |        coalesce(cov.cv, CAST([] AS BIGINT[])) AS cv
+        |      FROM tr LEFT JOIN cov USING (doc_id)),
+        |k AS (SELECT doc_id, toks,
+        |        list_filter(range(len(toks)),
+        |          i -> len(list_filter(cv, s -> i >= s AND i <= s + 7)) = 0) AS kept
+        |      FROM o)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(
+        |    list_transform(kept, i -> toks[CAST(i + 1 AS INT)]), ' '), '')
+        |    AS clean_text
+        |FROM k""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val starts = expr(
+        "CASE WHEN size(toks) >= 8 THEN sequence(0, size(toks) - 8) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")
+      val gramAt = "array_join(slice(toks, s + 1, 8), ' ')"
+      val testGrams = t.filter(col("doc_id") % 10 >= 9)
+        .select(explode(starts).as("s"), col("toks"))
+        .select(expr(gramAt).as("g")).distinct()
+      val train = t.filter(col("doc_id") % 10 < 8)
+      val covered = train
+        .select(col("doc_id"), col("toks"), explode(starts).as("s"))
+        .join(broadcast(testGrams), expr(gramAt) === col("g"))
+        .groupBy(col("doc_id")).agg(collect_set(col("s")).as("cv"))
+      train.join(covered, Seq("doc_id"), "left")
+        .withColumn("cv", coalesce(col("cv"), expr("CAST(array() AS ARRAY<INT>)")))
+        .withColumn("kept", expr(
+          "filter(transform(toks, (t, i) -> struct(i AS i, t AS t)), " +
+            "x -> NOT exists(cv, s -> x.i >= s AND x.i <= s + 7))"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(expr("transform(kept, x -> x.t)"), " ").as("clean_text"))
     })
 }
