@@ -50,6 +50,16 @@ class SpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("geo_radius_join plans a hash join on the cell key, not a nested loop") {
+    val plan = SparkEntry.queries("geo_radius_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"radius join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashedRelation") || plan.contains("HashJoin") ||
+      plan.contains("SortMergeJoin"),
+      s"no hash/merge join in radius-join plan:\n$plan")
+  }
+
   test("cell narrower than radius is rejected loudly") {
     val p = points(10)
     intercept[IllegalArgumentException] {
