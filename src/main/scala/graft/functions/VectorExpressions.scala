@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object VectorExpressions {
 
   /** splitmix/murmur-style 64-bit finalizer. */
-  @inline private[functions] def fmix64(x0: Long): Long = {
+  @inline private[graft] def fmix64(x0: Long): Long = {
     var x = x0
     x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
     x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L

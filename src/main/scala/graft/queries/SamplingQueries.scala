@@ -292,5 +292,29 @@ object SamplingQueries {
       graft.operators.DistributedPrefixSum
         .running(keyed, "_g", Seq("shuffle_key"), "_one", "shuffle_pos")
         .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
+    },
+
+    // B102: CUSTOM DATASOURCE V2 under the gate — the connector-API
+    // surface (graft.sources.SynthProvider): a deterministic
+    // generated table read through Spark's v2 path with COLUMN
+    // PRUNING, FILTER PUSHDOWN (id/mod16 comparisons evaluate inside
+    // the reader — rejected rows are never materialized), and
+    // PARTITION PRUNING (the id lower bound eliminates 7 of 8 input
+    // partitions at planning time; asserted in SynthProviderSpec).
+    // The oracle replays the generator closed-form: range() ids +
+    // HUGEINT fmix64 — the source must produce EXACTLY the declared
+    // table, filters and all.
+    Q("synth_source_scan", {
+      val hsSql = fmix64SignedSql(Seq("id"), "id", "f")
+      s"""WITH ids AS (SELECT unnest(range(90000, 100000)) AS id),
+         |f AS (SELECT id FROM ids WHERE id % 16 = 3),
+         |sg AS (
+         |  $hsSql)
+         |SELECT id, CAST(hs AS BIGINT) AS h FROM sg""".stripMargin
+    }) { (s, _) =>
+      s.read.format("graft.sources.SynthProvider")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("id") >= 90000L && col("mod16") === 3)
+        .select(col("id"), col("h"))
     })
 }

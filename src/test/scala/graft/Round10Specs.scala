@@ -104,6 +104,45 @@ class KeyedRangeJoinSpec extends SparkTestBase {
   }
 }
 
+/** SynthProvider (DataSource V2): pushdown + pruning contracts. */
+class SynthProviderSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  private def load() = spark.read
+    .format("graft.sources.SynthProvider")
+    .option("rows", "100000").option("slices", "8").load()
+
+  test("unfiltered scan generates the full declared table") {
+    val df = load()
+    assert(df.count() === 100000L)
+    // h really is fmix64(id): cross-check one value through the
+    // registered fmix64 column function
+    val row = df.filter(col("id") === 12345L)
+      .select(col("h"), graft.functions.Fingerprint64.fmix64(col("id")).as("e"))
+      .head()
+    assert(row.getLong(0) === row.getLong(1))
+  }
+
+  test("id bound prunes input partitions at planning time") {
+    val n = load().filter(col("id") >= 90000L).count()
+    assert(n === 10000L)
+    // 8 slices of 12.5k ids; id >= 90000 touches only the last one
+    assert(graft.sources.SynthProvider.lastPlannedPartitions === 1,
+      s"expected 1 surviving partition, planned ${graft.sources.SynthProvider.lastPlannedPartitions}")
+  }
+
+  test("filters and projection reach the scan node") {
+    val df = load().filter(col("id") >= 90000L && col("mod16") === 3)
+      .select(col("id"), col("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,90000)") &&
+      plan.contains("EqualTo(mod16,3)"),
+      s"pushed filters missing from scan:\n$plan")
+    assert(df.count() === 625L)
+  }
+}
+
 /** grouped_ols2 sanity: coefficients reproduce group means (the
   * normal equations' first row: sy = b0·n + b1·s1 + b2·s2).
   */
