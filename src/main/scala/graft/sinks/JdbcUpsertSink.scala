@@ -114,11 +114,69 @@ class JdbcUpsertSink(
     }
   }
 
-  private def connect(): Connection = {
+  private[graft] def connect(): Connection = {
     Class.forName(driver)
     user match {
       case Some(u) => DriverManager.getConnection(url, u, password.orNull)
       case None => DriverManager.getConnection(url)
+    }
+  }
+
+  /** Per-partition upsert cursor over an open connection — the one
+    * row-level implementation shared by `writeBatch` (foreachPartition
+    * / foreachBatch) and the DataSource V2 write path
+    * (`graft.sources.JdbcUpsertProvider`), which adds the v2 commit
+    * protocol (task commit = txn commit, task abort = rollback) on
+    * top. Caller owns the connection and its transaction; `flush()`
+    * drains any pending statement batch without committing.
+    * Rows must already be projected to (keyCols ++ valCols) order
+    * with `schema` describing that projection.
+    */
+  private[graft] final class PartitionUpserter(conn: Connection, schema: StructType) {
+    private val types = schema.fields.map(_.dataType)
+    private val nKeys = keyCols.length
+    private val derby = dialect == "derby"
+    private val upd = if (derby) conn.prepareStatement(derbyUpdateSql(schema)) else null
+    private val ins = if (derby) conn.prepareStatement(insertSql) else null
+    private val ps = if (derby) null else conn.prepareStatement(postgresSql)
+    private val slotCounts = if (!derby) Array.empty[Int] else valCols.map { c =>
+      updateExprs.getOrElse(c, "?")
+        .replace(s"excluded.$c", "?").replace(s"$table.", "")
+        .count(_ == '?')
+    }.toArray
+    private var pending = 0
+
+    def write(row: Row): Unit =
+      if (derby) {
+        var idx = 1
+        var v = 0
+        while (v < slotCounts.length) {
+          var s = 0
+          while (s < slotCounts(v)) {
+            bind(upd, idx, types(nKeys + v), row, nKeys + v)
+            idx += 1; s += 1
+          }
+          v += 1
+        }
+        var k = 0
+        while (k < nKeys) { bind(upd, idx, types(k), row, k); idx += 1; k += 1 }
+        if (upd.executeUpdate() == 0) {
+          var i = 0
+          while (i < types.length) { bind(ins, i + 1, types(i), row, i); i += 1 }
+          ins.executeUpdate()
+        }
+      } else {
+        var i = 0
+        while (i < types.length) { bind(ps, i + 1, types(i), row, i); i += 1 }
+        ps.addBatch()
+        pending += 1
+        if (pending % batchSize == 0) ps.executeBatch()
+      }
+
+    def flush(): Unit = if (!derby && pending > 0) { ps.executeBatch(); pending = 0 }
+
+    def close(): Unit = {
+      if (derby) { upd.close(); ins.close() } else ps.close()
     }
   }
 
@@ -130,73 +188,23 @@ class JdbcUpsertSink(
   def writeBatch(df: DataFrame, batchId: Long = 0L): Unit = {
     val projected = df.select((keyCols ++ valCols).map(df.col): _*)
     val outSchema = projected.schema
-    val bs = batchSize
-    val types = outSchema.fields.map(_.dataType)
-    val nKeys = keyCols.length
-
-    if (dialect == "derby") {
-      val updateSql = derbyUpdateSql(outSchema)
-      val insSql = insertSql
-      // per value column: how many ?-slots its SET expression uses
-      val slotCounts = valCols.map { c =>
-        updateExprs.getOrElse(c, "?")
-          .replace(s"excluded.$c", "?").replace(s"$table.", "")
-          .count(_ == '?')
-      }
-      projected.foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.nonEmpty) {
-          val conn = connect()
-          try {
-            val upd = conn.prepareStatement(updateSql)
-            val ins = conn.prepareStatement(insSql)
-            rows.foreach { row =>
-              var idx = 1
-              var v = 0
-              while (v < slotCounts.length) {
-                var s = 0
-                while (s < slotCounts(v)) {
-                  bind(upd, idx, types(nKeys + v), row, nKeys + v)
-                  idx += 1; s += 1
-                }
-                v += 1
-              }
-              var k = 0
-              while (k < nKeys) { bind(upd, idx, types(k), row, k); idx += 1; k += 1 }
-              if (upd.executeUpdate() == 0) {
-                var i = 0
-                while (i < types.length) { bind(ins, i + 1, types(i), row, i); i += 1 }
-                ins.executeUpdate()
-              }
-            }
-            upd.close(); ins.close()
-          } finally conn.close()
-        }
-      }
-    } else {
-      val sql = postgresSql
-      projected.foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.nonEmpty) {
-          val conn = connect()
-          conn.setAutoCommit(false)
-          try {
-            val ps = conn.prepareStatement(sql)
-            var n = 0
-            rows.foreach { row =>
-              var i = 0
-              while (i < types.length) { bind(ps, i + 1, types(i), row, i); i += 1 }
-              ps.addBatch()
-              n += 1
-              // Flush the statement batch for memory, but do NOT
-              // commit mid-partition: a single transaction per
-              // partition means a failed/speculatively-retried task
-              // re-runs against a database that saw none of its rows.
-              if (n % bs == 0) ps.executeBatch()
-            }
-            ps.executeBatch()
-            conn.commit()
-            ps.close()
-          } finally conn.close()
-        }
+    val pg = dialect != "derby"
+    projected.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        // Statement batches flush for memory mid-partition, but the
+        // postgres path commits ONE transaction per partition: a
+        // failed/speculatively-retried task re-runs against a
+        // database that saw none of its rows. (Derby — the embedded
+        // test DB — autocommits per statement.)
+        if (pg) conn.setAutoCommit(false)
+        try {
+          val up = new PartitionUpserter(conn, outSchema)
+          rows.foreach(up.write)
+          up.flush()
+          if (pg) conn.commit()
+          up.close()
+        } finally conn.close()
       }
     }
   }

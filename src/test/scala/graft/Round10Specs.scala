@@ -143,6 +143,68 @@ class SynthProviderSpec extends SparkTestBase {
   }
 }
 
+/** JdbcUpsertProvider (DataSource V2 write path): upsert semantics,
+  * commit-protocol observability, and transactional task abort.
+  */
+class JdbcV2WriteSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val url = "jdbc:derby:memory:graftv2db;create=true"
+  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private def writeV2(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("graft.sources.JdbcUpsertProvider")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "v2accounts")
+      .option("keys", "id").option("vals", "balance")
+      .option("dialect", "derby")
+      .mode("append").save()
+
+  private def readBack(): List[(Long, Double)] = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT id, balance FROM v2accounts ORDER BY id")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getDouble(2))).toList
+    } finally c.close()
+  }
+
+  test("v2 write upserts and reports committed rows through the protocol") {
+    Class.forName(driver)
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(
+      "CREATE TABLE v2accounts (id BIGINT PRIMARY KEY, balance DOUBLE)")
+    c.close()
+
+    // column order deliberately (balance, id): the writer reorders to
+    // the sink's (keys ++ vals) contract
+    writeV2(Seq((10.0, 1L), (5.0, 2L)).toDF("balance", "id"))
+    assert(graft.sources.JdbcUpsertProvider.lastCommittedRows === 2L)
+    assert(readBack() === List((1L, 10.0), (2L, 5.0)))
+
+    writeV2(Seq((2.5, 1L), (1.0, 3L)).toDF("balance", "id"))
+    assert(graft.sources.JdbcUpsertProvider.lastCommittedRows === 2L)
+    // id 1 overwritten (default upsert), id 3 inserted, no duplicates
+    assert(readBack() === List((1L, 2.5), (2L, 5.0), (3L, 1.0)))
+  }
+
+  test("a failing task rolls back — no partial rows survive the abort") {
+    val before = readBack()
+    val boom = udf((id: Long) => {
+      if (id == 99L) throw new RuntimeException("boom"); id
+    })
+    // single partition: rows 7 and 8 are written on the same open
+    // transaction before 99 throws; abort() must roll them back
+    val df = Seq((7.0, 7L), (8.0, 8L), (99.0, 99L)).toDF("balance", "id")
+      .repartition(1).withColumn("id", boom(col("id")))
+    intercept[Exception] { writeV2(df) }
+    assert(readBack() === before,
+      "aborted task leaked partially-written rows")
+  }
+}
+
 /** grouped_ols2 sanity: coefficients reproduce group means (the
   * normal equations' first row: sy = b0·n + b1·s1 + b2·s2).
   */
