@@ -466,6 +466,42 @@ object StreamingQueries {
         .drop("fw")
     },
 
+    // D27 under the gate: the Spark 4 `transformWithState` API (the
+    // flatMapGroupsWithState successor) with a TYPED MapState — one
+    // (n, cents) entry per event type per user, updated incrementally
+    // and emitted with update semantics (graft.streaming.TwsProfile).
+    // Both maintained aggregates are order-independent, so the LAST
+    // emission per (user, type) — selected by the strictly-growing
+    // count — equals the batch image under ANY batch split; the
+    // oracle states the batch image directly.
+    Q("streaming_tws_profile",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT user_id, event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+         |FROM e GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .as[graft.streaming.TwsEvent]
+      val live = graft.streaming.TwsProfile.profile(ev).toDF()
+      // transformWithState requires multiple state column families —
+      // RocksDB only (the 100 TB provider anyway); restore after.
+      val prev = graft.sources.Sources.useRocksDBStateStore(s)
+      val streamed =
+        try runToMemory(s, live, "graft_stream_tws", mode = "update")
+        finally graft.sources.Sources.restoreStateStore(s, prev)
+      // keep the final emission per key: n_events strictly grows, so
+      // max_by over it is the last update regardless of batch count
+      streamed.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("cents_sum"), col("n_events")).as("cents_sum"))
+    },
+
     // D11 under the gate: STREAMING corpus curation — the C-family
     // composed under Structured Streaming (continuous ingest is how a
     // web-scale corpus actually arrives): documents replayed as a file
