@@ -593,6 +593,61 @@ object HorizonQueries {
         .withColumn("pc7", lag(col("c7"), 1).over(u))
         .withColumn("p28", lag(col("s28"), 1).over(u))
         .withColumn("pc28", lag(col("c28"), 1).over(u))
+      maCrossoverBody(w)
+    },
+
+    // B104: K-ANONYMITY GENERALIZATION AUDIT — the privacy gate a
+    // training-data release needs: quasi-identifiers (lang, source,
+    // doc length) generalized along a ladder (exact → /10 → /100 →
+    // /1000), global recoding picks the SMALLEST level where every
+    // equivalence class holds ≥ k=5 rows. ONE pass: each row explodes
+    // into its 4 ladder variants, one keyed agg builds every level's
+    // class histogram simultaneously (the grouping-sets shape), and
+    // the per-level audit + chosen flag reduce driver-sized rows. All
+    // integer.
+    Q("kanon_generalize",
+      """WITH lv AS (
+        |  SELECT lang, source, u.level,
+        |    CASE u.level WHEN 0 THEN n_chars WHEN 1 THEN n_chars // 10
+        |      WHEN 2 THEN n_chars // 100 ELSE n_chars // 1000 END AS bucket
+        |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS level) u),
+        |c AS (SELECT level, lang, source, bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM lv GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+        |        CAST(min(n) AS BIGINT) AS min_class_size,
+        |        CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        |          AS rows_below_k
+        |      FROM c GROUP BY level),
+        |mq AS (SELECT min(level) AS m FROM a WHERE min_class_size >= 5)
+        |SELECT CAST(level AS INT) AS level, n_classes, min_class_size,
+        |  rows_below_k,
+        |  CAST(CASE WHEN level = (SELECT m FROM mq) THEN 1 ELSE 0 END AS INT)
+        |    AS chosen
+        |FROM a""".stripMargin) { (s, dir) =>
+      val lv = table(s, dir, "documents").select(col("lang"), col("source"),
+          explode(array(
+            struct(lit(0).as("level"), col("n_chars").as("bucket")),
+            struct(lit(1).as("level"), expr("n_chars div 10").as("bucket")),
+            struct(lit(2).as("level"), expr("n_chars div 100").as("bucket")),
+            struct(lit(3).as("level"), expr("n_chars div 1000").as("bucket"))))
+            .as("lb"))
+        .select(col("lang"), col("source"), col("lb.level").as("level"),
+          col("lb.bucket").as("bucket"))
+      val classes = lv.groupBy(col("level"), col("lang"), col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val audit = classes.groupBy(col("level"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("n")).as("min_class_size"),
+          coalesce(sum(when(col("n") < 5, col("n"))), lit(0L)).as("rows_below_k"))
+      val mq = audit.filter(col("min_class_size") >= 5).agg(min(col("level")).as("m"))
+      audit.crossJoin(broadcast(mq))
+        .select(col("level").cast("int").as("level"), col("n_classes"),
+          col("min_class_size"), col("rows_below_k"),
+          when(col("level") === col("m"), 1).otherwise(0).cast("int").as("chosen"))
+    })
+
+  // B101 body split out for readability of the Seq above.
+  private def maCrossoverBody(w: DataFrame): DataFrame =
       w.filter(col("p7").isNotNull &&
           ((col("s7") * col("c28") > col("s28") * col("c7") &&
             col("p7") * col("pc28") <= col("p28") * col("pc7")) ||
@@ -601,5 +656,4 @@ object HorizonQueries {
         .select(col("user_id"), col("day"),
           when(col("s7") * col("c28") > col("s28") * col("c7"), "golden")
             .otherwise("death").as("signal"))
-    })
 }
