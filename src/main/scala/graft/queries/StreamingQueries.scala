@@ -502,6 +502,27 @@ object StreamingQueries {
           max_by(col("cents_sum"), col("n_events")).as("cents_sum"))
     },
 
+    // D28 under the gate: the D2 sessionizer on transformWithState
+    // with EXPLICIT EVENT-TIME TIMERS (register/delete/expire — the
+    // TWS timer machinery, vs. flatMapGroupsWithState's one implicit
+    // timeout). Semantics are contract-identical to D2, so it runs
+    // under D2's ORACLE VERBATIM: every non-final session emitted,
+    // final sessions iff (last + gap) < final watermark.
+    Q("streaming_tws_sessions", statefulOracle) { (s, dir) =>
+      import s.implicits._
+      val events = eventStream(s, dir).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"), col("value"))
+        .as[SessionPipeline.SessEvent]
+      val sessions = graft.streaming.TwsSessions
+        .sessionize(events, GapS, DelayS)
+        .toDF()
+        .withColumn("sum_value", round(col("sum_value"), 2))
+      val prev = graft.sources.Sources.useRocksDBStateStore(s)
+      try runToMemory(s, sessions, "graft_stream_tws_sess")
+      finally graft.sources.Sources.restoreStateStore(s, prev)
+    },
+
     // D11 under the gate: STREAMING corpus curation — the C-family
     // composed under Structured Streaming (continuous ingest is how a
     // web-scale corpus actually arrives): documents replayed as a file

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful processing on Spark 4's `transformWithState`
   * API (the successor of `flatMapGroupsWithState`, with TYPED
@@ -60,5 +60,95 @@ object TwsProfile {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TwsProfileProcessor,
         TimeMode.None(), OutputMode.Update(), outEnc)
+  }
+}
+
+/** The D2 event-time inactivity sessionizer re-expressed on
+  * `transformWithState` with EXPLICIT EVENT-TIME TIMERS — semantics
+  * identical to `SessionPipeline.statefulSessionizeEventTime` (same
+  * emission rule, same oracle): a session closes when a later event
+  * of its key crosses the gap in-batch, or when its registered timer
+  * (last_event + gap) fires under the advancing watermark. Unlike the
+  * flatMapGroupsWithState timeout (one implicit timer per key), TWS
+  * timers are explicit: each batch deletes the superseded deadline
+  * and registers the new one, and `handleExpiredTimer` cross-checks
+  * the stored deadline so a stale timer can never close a live
+  * session.
+  */
+class TwsSessionProcessor(gapS: Long) extends StatefulProcessor[
+    Long, SessionPipeline.SessEvent, SessionPipeline.SessOut] {
+  import SessionPipeline.{SessEvent, SessOut, SessState}
+
+  @transient private var sess: ValueState[SessState] = _
+  @transient private var deadline: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sess = getHandle.getValueState[SessState]("sess",
+      Encoders.product[SessState], TTLConfig.NONE)
+    deadline = getHandle.getValueState[Long]("deadline",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def close(uid: Long, s: SessState): SessOut =
+    SessOut(uid, s.startS, s.lastS + gapS, s.nEv, s.sumV)
+
+  private def dropTimerIfAny(): Unit =
+    if (deadline.exists()) { getHandle.deleteTimer(deadline.get()); deadline.clear() }
+
+  override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+      timerValues: TimerValues): Iterator[SessOut] = {
+    val sorted = rows.toSeq.sortBy(r => (r.tsec, r.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+    var st = if (sess.exists()) Some(sess.get()) else None
+    sorted.foreach { r =>
+      st match {
+        case None =>
+          st = Some(SessState(r.tsec, r.tsec, 1L, r.value))
+        case Some(s) if r.tsec - s.lastS > gapS =>
+          out += close(key, s)
+          st = Some(SessState(r.tsec, r.tsec, 1L, r.value))
+        case Some(s) =>
+          st = Some(SessState(s.startS, math.max(s.lastS, r.tsec),
+            s.nEv + 1, s.sumV + r.value))
+      }
+    }
+    st.foreach { s =>
+      val deadlineMs = (s.lastS + gapS) * 1000L
+      dropTimerIfAny()
+      if (deadlineMs <= timerValues.getCurrentWatermarkInMs()) {
+        out += close(key, s)
+        sess.clear()
+      } else {
+        sess.update(s)
+        deadline.update(deadlineMs)
+        getHandle.registerTimer(deadlineMs)
+      }
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessOut] =
+    if (sess.exists() && deadline.exists() &&
+        deadline.get() == expiredTimerInfo.getExpiryTimeInMs()) {
+      val s = sess.get()
+      sess.clear(); deadline.clear()
+      Iterator.single(close(key, s))
+    } else Iterator.empty
+}
+
+object TwsSessions {
+  /** Same contract as statefulSessionizeEventTime, on the TWS API. */
+  def sessionize(events: Dataset[SessionPipeline.SessEvent],
+      gapS: Long, delayS: Long): Dataset[SessionPipeline.SessOut] = {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    implicit val outEnc = Encoders.product[SessionPipeline.SessOut]
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[SessionPipeline.SessEvent](Encoders.product[SessionPipeline.SessEvent])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TwsSessionProcessor(gapS),
+        TimeMode.EventTime(), OutputMode.Append(), outEnc)
   }
 }
