@@ -196,14 +196,15 @@ object Bench {
         "item_cooccurrence_topk", "grouped_ols2",
         "streaming_ohlc", "rfm_segments", "graph_label_prop",
         "corpus_shuffle_order", "ma_crossover", "corpus_decontaminate",
-        "dedup_source_matrix")
+        "dedup_source_matrix", "length_bucket_batches", "winsorize_prices",
+        "streaming_tws_profile", "streaming_tws_sessions")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
       "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore",
       "item_cooccurrence_topk", "grouped_ols2",
-      "rfm_segments", "graph_label_prop")
+      "rfm_segments", "graph_label_prop", "winsorize_prices")
     val sfx10 = if (!scaleProbe || x10Names.isEmpty) Map.empty[String, Double] else {
       val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
       cloneTables(x10Dir, 10,
