@@ -156,5 +156,68 @@ object SessionQueries {
           round(sum(col("value")), 2).as("balance"),
           bool_or(col("event_type") === "error").as("is_terminator"),
           count(lit(1)).as("n_deposits"))
+    },
+
+    // B106: EVENT-PATTERN MATCHING over sessions (CEP / MATCH_
+    // RECOGNIZE-lite): each session's ordered event-type initials
+    // become one small string and regex kernels extract the behavioral
+    // signals — conversion paths (click → views → purchase, 'CV*P'),
+    // error-before-purchase, longest view streak. Per-session groups
+    // are small by construction (the B45 rule), so the collect +
+    // in-memory sort is bounded by the session, never the stream;
+    // regexp counting is non-overlapping left-to-right in BOTH
+    // engines (the text_scrub contract).
+    Q("event_pattern_match",
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |lagged AS (
+         |  SELECT user_id, event_id, tsec, event_type,
+         |    CASE WHEN lag(tsec) OVER w IS NULL
+         |              OR tsec - lag(tsec) OVER w > $GapSeconds
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         |sess AS (
+         |  SELECT user_id, event_id, tsec, event_type,
+         |    CAST(sum(is_new) OVER (
+         |      PARTITION BY user_id ORDER BY tsec, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_seq
+         |  FROM lagged),
+         |sq AS (
+         |  SELECT user_id, session_seq,
+         |    string_agg(upper(substring(event_type, 1, 1)), ''
+         |      ORDER BY tsec, event_id) AS seq
+         |  FROM sess GROUP BY 1, 2)
+         |SELECT user_id, session_seq,
+         |  CAST(len(seq) AS BIGINT) AS seq_len,
+         |  CAST(len(regexp_extract_all(seq, 'CV*P')) AS BIGINT) AS n_conv_paths,
+         |  CAST(CASE WHEN regexp_matches(seq, 'E.*P') THEN 1 ELSE 0 END AS INT)
+         |    AS err_before_purchase,
+         |  CAST(coalesce(list_max(list_transform(
+         |    regexp_extract_all(seq, 'V+'), x -> len(x))), 0) AS BIGINT)
+         |    AS max_view_run
+         |FROM sq""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val sess = Sessionize.withSessionId(
+        e, col("user_id"), col("tsec"), GapSeconds,
+        Seq(col("tsec"), col("event_id")))
+      sess
+        .withColumn("ini", upper(substring(col("event_type"), 1, 1)))
+        .groupBy(col("user_id"), col("session_seq").cast("bigint").as("session_seq"))
+        .agg(collect_list(struct(col("tsec"), col("event_id"), col("ini"))).as("evs"))
+        .withColumn("seq",
+          array_join(expr("transform(array_sort(evs), x -> x.ini)"), ""))
+        .select(col("user_id"), col("session_seq"),
+          length(col("seq")).cast("long").as("seq_len"),
+          expr("regexp_count(seq, 'CV*P')").cast("long").as("n_conv_paths"),
+          when(col("seq").rlike("E.*P"), 1).otherwise(0).cast("int")
+            .as("err_before_purchase"),
+          coalesce(
+            array_max(expr("transform(regexp_extract_all(seq, 'V+', 0), x -> length(x))")),
+            lit(0)).cast("long").as("max_view_run"))
     })
 }
