@@ -197,7 +197,7 @@ object Bench {
         "streaming_ohlc", "rfm_segments", "graph_label_prop",
         "corpus_shuffle_order", "ma_crossover", "corpus_decontaminate",
         "dedup_source_matrix", "length_bucket_batches", "winsorize_prices",
-        "streaming_tws_profile", "streaming_tws_sessions")
+        "streaming_tws_profile", "streaming_tws_sessions", "streaming_tws_topk")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)

@@ -502,6 +502,45 @@ object StreamingQueries {
           max_by(col("cents_sum"), col("n_events")).as("cents_sum"))
     },
 
+    // D29 under the gate: TWS ListState — bounded per-key top-k
+    // (at most 3 cents values per user survive in state regardless of
+    // stream length; the bounded-state contract in the third and last
+    // TWS primitive). Final update-mode emission per key selected by
+    // the strictly-growing seen-count; the top-k MULTISET is
+    // order-independent, so it equals the batch image stated by the
+    // oracle (missing ranks padded with -1 in both engines).
+    Q("streaming_tws_topk",
+      """WITH p AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cents DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM p)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
+        |  CAST(coalesce(max(CASE WHEN rn = 1 THEN cents END), -1) AS BIGINT) AS top1,
+        |  CAST(coalesce(max(CASE WHEN rn = 2 THEN cents END), -1) AS BIGINT) AS top2,
+        |  CAST(coalesce(max(CASE WHEN rn = 3 THEN cents END), -1) AS BIGINT) AS top3
+        |FROM r GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .as[graft.streaming.TwsEvent]
+      val live = graft.streaming.TwsTopk.topk(ev).toDF()
+      val prev = graft.sources.Sources.useRocksDBStateStore(s)
+      val streamed =
+        try runToMemory(s, live, "graft_stream_twstopk", mode = "update")
+        finally graft.sources.Sources.restoreStateStore(s, prev)
+      streamed.groupBy(col("user_id"))
+        .agg(max(col("n_seen")).as("n_seen"),
+          max_by(col("top1"), col("n_seen")).as("top1"),
+          max_by(col("top2"), col("n_seen")).as("top2"),
+          max_by(col("top3"), col("n_seen")).as("top3"))
+    },
+
     // D28 under the gate: the D2 sessionizer on transformWithState
     // with EXPLICIT EVENT-TIME TIMERS (register/delete/expire — the
     // TWS timer machinery, vs. flatMapGroupsWithState's one implicit

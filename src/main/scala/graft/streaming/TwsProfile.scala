@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful processing on Spark 4's `transformWithState`
   * API (the successor of `flatMapGroupsWithState`, with TYPED
@@ -59,6 +59,54 @@ object TwsProfile {
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TwsProfileProcessor,
+        TimeMode.None(), OutputMode.Update(), outEnc)
+  }
+}
+
+/** Bounded per-key top-k in `ListState` — the third TWS state
+  * primitive (ValueState: D28 deadlines; MapState: D27 profiles).
+  * State holds AT MOST k cents values per user (sorted desc,
+  * truncated on every update — the bounded-state contract that keeps
+  * per-key state O(k) no matter how long the stream runs), plus a
+  * strictly-growing seen-count that makes the LAST update-mode
+  * emission per key identifiable under any batch split. The top-k
+  * MULTISET is order-independent, so the final emission equals the
+  * batch image.
+  */
+case class TwsTopkRow(user_id: Long, n_seen: Long,
+    top1: Long, top2: Long, top3: Long)
+
+class TwsTopkProcessor(k: Int)
+    extends StatefulProcessor[Long, TwsEvent, TwsTopkRow] {
+
+  @transient private var top: ListState[Long] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    top = getHandle.getListState[Long]("top", Encoders.scalaLong, TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      timerValues: TimerValues): Iterator[TwsTopkRow] = {
+    val batch = rows.toSeq
+    val merged = (top.get().toSeq ++ batch.map(_.cents))
+      .sorted(Ordering[Long].reverse).take(k)
+    top.put(merged.toArray)
+    val n = (if (seen.exists()) seen.get() else 0L) + batch.size
+    seen.update(n)
+    val p = merged.padTo(3, -1L)
+    Iterator.single(TwsTopkRow(key, n, p(0), p(1), p(2)))
+  }
+}
+
+object TwsTopk {
+  /** Per-user bounded top-3 purchase cents, update semantics. */
+  def topk(events: Dataset[TwsEvent]): Dataset[TwsTopkRow] = {
+    implicit val outEnc = Encoders.product[TwsTopkRow]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TwsTopkProcessor(3),
         TimeMode.None(), OutputMode.Update(), outEnc)
   }
 }
