@@ -42,20 +42,25 @@ object PageRank {
     // joins, so the checkpoint's loss of size statistics costs
     // nothing here (contrast the recall gate's broadcast-dependent
     // corpus, which must NOT be checkpointed).
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "PageRank.run: empty edge table — no nodes to rank")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // outdeg is a STATIC property of the edge table — fold it into
+    // the checkpointed edges ONCE instead of re-joining it to the
+    // contribution stream every round (one keyed join + one shuffle
+    // saved per iteration; at ×10 scale the avoidable outdeg join
+    // was the single largest per-round cost).
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(outdeg, "src").localCheckpoint()
     val teleport = 150000L / n // (1 − d) in micro-units, floor
     var pr = nodes.select(col("node"), lit(1000000L / n).as("pr"))
     var i = 0
     while (i < iterations) {
       val contrib = pr.join(e, pr("node") === e("src"))
-        .join(outdeg, "src")
         // DIV, not `/`: Spark's / on longs is DOUBLE division — the
         // whole point here is exact integer floor arithmetic
         .select(col("dst").as("node"), expr("pr DIV outdeg").as("c"))

@@ -32,16 +32,32 @@ object SpatialJoin {
     * names) + `dist_km`. `cellDeg` must be ≥ the radius expressed in
     * degrees of latitude AND of longitude at the extreme latitude of
     * the data (lon degrees shrink by cos φ — callers with |lat| up to
-    * φmax need `cellDeg ≥ radiusKm / (111.195·cos φmax)`).
+    * φmax need `cellDeg ≥ radiusKm / (111.195·cos φmax)`). Pass
+    * `maxAbsLatDeg` to have that longitude contract ASSERTED at
+    * runtime instead of trusted (default 0° asserts only the
+    * equatorial/latitude bound — the pre-existing caller contract).
+    *
+    * LIMITATION — antimeridian: cells are computed on raw lon
+    * degrees, so a pair straddling lon = ±180 lands in cells ~360/
+    * cellDeg apart and is never produced. Data wrapping the
+    * antimeridian must be re-centered (lon + 360 on one side)
+    * upstream; poles (|lat| → 90) are likewise out of contract since
+    * cos φ → 0 makes no finite cellDeg sufficient.
     */
   def radiusJoin(left: DataFrame, right: DataFrame,
       lLat: String, lLon: String, rLat: String, rLon: String,
-      radiusKm: Double, cellDeg: Double): DataFrame = {
+      radiusKm: Double, cellDeg: Double,
+      maxAbsLatDeg: Double = 0.0): DataFrame = {
     require(radiusKm > 0 && cellDeg > 0, "radius and cell must be positive")
-    // One cell of latitude is 111.195 km (mean earth radius); the
-    // longitude check is the caller's contract (documented above).
-    require(cellDeg * 111.195 >= radiusKm,
-      s"cellDeg=$cellDeg is narrower than radiusKm=$radiusKm in latitude")
+    require(maxAbsLatDeg >= 0 && maxAbsLatDeg < 90,
+      s"maxAbsLatDeg=$maxAbsLatDeg must be in [0, 90)")
+    // One cell of latitude is 111.195 km (mean earth radius); one
+    // cell of longitude shrinks by cos φ at latitude φ, so the
+    // binding constraint is at the data's extreme latitude.
+    val lonScale = math.cos(math.toRadians(maxAbsLatDeg))
+    require(cellDeg * 111.195 * lonScale >= radiusKm,
+      s"cellDeg=$cellDeg is narrower than radiusKm=$radiusKm in " +
+        s"longitude at |lat|=$maxAbsLatDeg (need ≥ ${radiusKm / (111.195 * lonScale)})")
     val lp = left
       .withColumn("_cx", floor(col(lLat) / cellDeg).cast("long"))
       .withColumn("_cy", floor(col(lLon) / cellDeg).cast("long"))

@@ -290,7 +290,8 @@ object DedupQueries {
     // IS the corpus, so small-SF results are unchanged. The oracle
     // replays sample → two Lloyd rounds → full-corpus assign
     // closed-form (the ann_ivf_trained pattern, 6dp mode) with the
-    // same dynamic k and m via scalar subqueries. Assignments are
+    // same dynamic k and m via scalar subqueries. The clone-group
+    // table (assignment + exact-duplicate collapse, see below) is
     // materialized once (localCheckpoint; in production a persisted
     // table) so the self-join doesn't re-run the E-step on both sides.
     Q("semantic_dedup",
@@ -343,21 +344,38 @@ object DedupQueries {
       val asg = graft.operators.KMeans.assign(
           e, "vec_id", "v", centroids, roundTo = Some(6), keepVectors = true)
         .select(col("id").as("vec_id"), col("cluster"), col("v"))
-        .localCheckpoint()
+      // EXACT-CLONE COLLAPSE before the pair join (the move that
+      // fixed MinHash at ×100 in r3): identical vectors land in the
+      // same cluster (assignment is a function of the vector alone),
+      // every NON-representative clone has cosine 1 ≥ τ with the
+      // group's lower-id representative and is therefore dropped by
+      // definition, and a representative's binding lower-id
+      // comparison is always against ANOTHER group's representative
+      // (cosine depends only on the vectors; min-id membership means
+      // rep_a.id < rep_b.id ⟺ some member of A precedes rep_b).
+      // Output is PROVABLY identical to the all-member pair join —
+      // the oracle still states the all-member form — while the
+      // n^1.5 blocks shrink to unique-vector blocks: on a
+      // duplicate-heavy web corpus (the method's target regime, and
+      // the ×100 clone probe: 100 clones/vector) the pair join
+      // contracts by the duplication factor SQUARED.
+      val groups = asg.groupBy(col("cluster"), col("v"))
+        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("g_n"))
+        .localCheckpoint() // one E-step pass total; reps self-join below
       val cos = VectorOps.dot(col("va"), col("vb")) /
         (sqrt(VectorOps.dot(col("va"), col("va"))) * sqrt(VectorOps.dot(col("vb"), col("vb"))))
-      val drops = asg.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
-        .join(asg.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb")),
+      val drops = groups.select(col("cluster"), col("rep_id").as("id_a"), col("v").as("va"))
+        .join(groups.select(col("cluster"), col("rep_id").as("id_b"), col("v").as("vb")),
           Seq("cluster"))
         .filter(col("id_a") < col("id_b") && cos >= CosineThreshold)
-        .select(col("id_b").as("vec_id")).distinct()
+        .select(col("id_b").as("rep_id")).distinct()
       // NO broadcast hint on the drop set: in a duplicate-heavy corpus
-      // (the method's target regime) drops approaches n rows — let the
-      // planner/AQE pick broadcast only when it actually fits.
-      val kept = asg.join(drops, Seq("vec_id"), "left_anti")
-      asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-        .join(kept.groupBy(col("cluster"))
-          .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum")),
+      // (the method's target regime) drops approaches n_unique rows —
+      // let the planner/AQE pick broadcast only when it actually fits.
+      val keptReps = groups.join(drops, Seq("rep_id"), "left_anti")
+      groups.groupBy(col("cluster")).agg(sum(col("g_n")).as("n_members"))
+        .join(keptReps.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("rep_id")).as("kept_id_sum")),
           Seq("cluster"))
     },
 

@@ -47,13 +47,19 @@ object ExtendedQueries {
         .intersect(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
     },
 
-    // B19: EXCEPT — nations with customers but no suppliers.
-    Q("except_nation_keys",
-      """SELECT c_nationkey AS nationkey FROM customer
+    // B19: EXCEPT — customer keys that are not also supplier keys.
+    // Operands chosen so the difference is provably NON-EMPTY at
+    // every SF (customers outnumber suppliers ~15:1 and both key
+    // spaces start at 0, so |diff| = |customer| − |supplier| > 0):
+    // an always-empty EXCEPT implementation cannot pass this gate.
+    // (The previous nationkey spelling was vacuous — every nation
+    // has both customers and suppliers, so 0 = 0 proved nothing.)
+    Q("except_customer_keys",
+      """SELECT c_custkey AS key FROM customer
         |EXCEPT
-        |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
-      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-        .except(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        |SELECT s_suppkey FROM supplier""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_custkey").as("key"))
+        .except(table(s, dir, "supplier").select(col("s_suppkey").as("key")))
     },
 
     // B19b: EXCEPT ALL — bag semantics (multiplicity-preserving

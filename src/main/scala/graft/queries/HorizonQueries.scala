@@ -663,7 +663,8 @@ object HorizonQueries {
          |  SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
          |  FROM documents),
-         |b AS (SELECT doc_id, n, CAST($caseSql AS BIGINT) AS bucket_len FROM t),
+         |b AS (SELECT doc_id, n, CAST($caseSql AS BIGINT) AS bucket_len FROM t
+         |      WHERE n <= ${ladder.last}),
          |ix AS (
          |  SELECT doc_id, n, bucket_len,
          |    row_number() OVER (PARTITION BY bucket_len ORDER BY doc_id) - 1 AS ix
@@ -683,9 +684,15 @@ object HorizonQueries {
       val bucket = ladder.foldRight(lit(-1L): org.apache.spark.sql.Column) {
         (b, acc) => when(col("n") <= b, b.toLong).otherwise(acc)
       }
+      // Docs past the top rung (n > 8192) have no power-of-two bucket
+      // (bucket_len = -1 → negative batch capacity, and Spark's
+      // truncating `div` diverges from a flooring `//` on negative
+      // quotients) — a scheduler would truncate or reject them
+      // upstream, so both engines exclude them identically here.
       val t = table(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n"))
+        .filter(col("n") <= ladder.last.toLong)
         .withColumn("bucket_len", bucket)
         .withColumn("_one", lit(1L))
       graft.operators.DistributedPrefixSum

@@ -75,12 +75,19 @@ private[sources] class SynthScanBuilder(rows: Long, slices: Int)
   private var required: StructType = SynthProvider.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Accept ONLY what idBounds/accept actually apply — attribute name
+    // AND literal type. Spark trusts an accepted pushdown and never
+    // re-evaluates it, so a filter matched here by name but skipped by
+    // the reader's value-typed pattern (e.g. `id = 5` arriving as an
+    // Int literal) would silently return unfiltered rows. Anything
+    // rejected is re-evaluated above the scan — always safe.
     val (accepted, rejected) = filters.partition {
-      case EqualTo(a, _) => a == "id" || a == "mod16"
-      case GreaterThan(a, _) => a == "id"
-      case GreaterThanOrEqual(a, _) => a == "id"
-      case LessThan(a, _) => a == "id"
-      case LessThanOrEqual(a, _) => a == "id"
+      case EqualTo("id", _: java.lang.Long) => true
+      case EqualTo("mod16", _: java.lang.Integer) => true
+      case GreaterThan("id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
       case _ => false
     }
     pushed = accepted
@@ -142,14 +149,17 @@ private[sources] class SynthReaderFactory(filters: Array[Filter],
     val p = partition.asInstanceOf[SynthPartition]
     new PartitionReader[InternalRow] {
       private var id = p.start - 1
-      private val mod16Eq: Option[Int] = filters.collectFirst {
-        case EqualTo("mod16", v: Int) => v
+      // ALL pushed mod16 equalities, not collectFirst: two
+      // conflicting equalities (x = 3 AND x = 5) must yield zero
+      // rows, not whichever one happened to be listed first.
+      private val mod16Eqs: Array[Int] = filters.collect {
+        case EqualTo("mod16", v: java.lang.Integer) => v.intValue()
       }
       // column indices requested (pruned projection)
       private val cols = required.fieldNames
 
       private def accept(i: Long): Boolean =
-        mod16Eq.forall(m => (i % 16).toInt == m)
+        mod16Eqs.forall(m => (i % 16).toInt == m)
 
       override def next(): Boolean = {
         id += 1

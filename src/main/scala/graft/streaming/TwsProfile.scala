@@ -78,6 +78,10 @@ case class TwsTopkRow(user_id: Long, n_seen: Long,
 
 class TwsTopkProcessor(k: Int)
     extends StatefulProcessor[Long, TwsEvent, TwsTopkRow] {
+  // The output row shape (TwsTopkRow.top1..top3) is fixed at 3
+  // ranks; a k ≠ 3 would silently truncate or misreport the state
+  // the processor maintains, so refuse it at construction.
+  require(k == 3, s"TwsTopkProcessor emits exactly 3 ranks (TwsTopkRow); got k=$k")
 
   @transient private var top: ListState[Long] = _
   @transient private var seen: ValueState[Long] = _
