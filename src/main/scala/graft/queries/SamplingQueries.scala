@@ -316,5 +316,38 @@ object SamplingQueries {
         .option("rows", "100000").option("slices", "8").load()
         .filter(col("id") >= 90000L && col("mod16") === 3)
         .select(col("id"), col("h"))
+    },
+
+    // B102s: the STREAMING half of the connector under the gate — the
+    // same deterministic v2 table read as a MicroBatchStream with
+    // admission control (maxRowsPerBatch = 16384 ⇒ an AvailableNow
+    // replay walks the 100k-id space as 7 bounded micro-batches, the
+    // maxOffsetsPerTrigger shape of a broker-backed source). Each id
+    // is planned into exactly one batch's [start, end) range, so the
+    // appended union across batches equals the batch table — the
+    // oracle replays it closed-form, filters and all, batch-split
+    // invariant.
+    Q("streaming_synth_scan", {
+      val hsSql = fmix64SignedSql(Seq("id"), "id", "f")
+      s"""WITH ids AS (SELECT unnest(range(0, 100000)) AS id),
+         |f AS (SELECT id FROM ids WHERE id % 16 = 3),
+         |sg AS (
+         |  $hsSql)
+         |SELECT id, CAST(hs AS BIGINT) AS h FROM sg""".stripMargin
+    }) { (s, _) =>
+      val stream = s.readStream.format("graft.sources.SynthProvider")
+        .option("rows", "100000").option("slices", "8")
+        .option("maxRowsPerBatch", "16384").load()
+        .filter(col("mod16") === 3)
+        .select(col("id"), col("h"))
+      val name = s"graft_stream_synth_${System.nanoTime()}"
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
     })
 }

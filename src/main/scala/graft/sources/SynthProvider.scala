@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,7 +42,8 @@ class SynthProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "4").toInt)
+      properties.getOrDefault("slices", "4").toInt,
+      properties.getOrDefault("maxRowsPerBatch", "0").toLong)
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -57,17 +59,18 @@ object SynthProvider {
   @volatile var lastPlannedPartitions: Int = -1
 }
 
-private[sources] class SynthTable(rows: Long, slices: Int)
-    extends Table with SupportsRead {
+private[sources] class SynthTable(rows: Long, slices: Int,
+    maxRowsPerBatch: Long) extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, slices)
+    new SynthScanBuilder(rows, slices, maxRowsPerBatch)
 }
 
-private[sources] class SynthScanBuilder(rows: Long, slices: Int)
+private[sources] class SynthScanBuilder(rows: Long, slices: Int,
+    maxRowsPerBatch: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -96,14 +99,18 @@ private[sources] class SynthScanBuilder(rows: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SynthScan(rows, slices, pushed, required)
+  override def build(): Scan =
+    new SynthScan(rows, slices, pushed, required, maxRowsPerBatch)
 }
 
 private[sources] class SynthScan(rows: Long, slices: Int,
-    filters: Array[Filter], required: StructType) extends Scan with Batch {
+    filters: Array[Filter], required: StructType,
+    maxRowsPerBatch: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(rows, slices, filters, required, maxRowsPerBatch)
   override def description(): String =
     s"graft_synth rows=$rows slices=$slices " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
@@ -142,6 +149,100 @@ private[sources] class SynthScan(rows: Long, slices: Int,
 
 private[sources] case class SynthPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Stream offset = number of ids emitted so far (exclusive upper
+  * bound of everything committed) — the generator is deterministic,
+  * so an offset IS a complete description of progress and replaying
+  * [start, end) after a failure reproduces the batch bit-for-bit
+  * (the exactly-once contract a deterministic source gets for free).
+  */
+private[sources] case class SynthOffset(id: Long) extends Offset {
+  override def json(): String = s"""{"id":$id}"""
+}
+
+/** The streaming half of the connector (SURVEY §2 B102): the same
+  * deterministic table surfaced as a micro-batch stream. Offsets are
+  * id positions; `maxRowsPerBatch` (option, 0 = unbounded) is the
+  * admission-control knob — under Trigger.AvailableNow the run
+  * replays the whole table as ⌈rows/maxRowsPerBatch⌉ bounded
+  * batches, exactly the shape a Kafka-backed deployment would have
+  * (maxOffsetsPerTrigger), so batch-boundary bugs in downstream
+  * stateful operators surface in tests without a broker.
+  *
+  * Column pruning and filter pushdown arrive through the SAME
+  * ScanBuilder as the batch path (V2ScanRelationPushDown runs for
+  * streaming relations too); each batch's id range additionally
+  * prunes against pushed id bounds, so a filtered replay plans empty
+  * ranges away entirely.
+  */
+private[sources] class SynthMicroBatchStream(rows: Long, slices: Int,
+    filters: Array[Filter], required: StructType, maxRowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // id bounds implied by pushed filters (same contract as SynthScan)
+  private val (lo, hi) = {
+    var lo = 0L
+    var hi = rows
+    filters.foreach {
+      case GreaterThanOrEqual("id", v: java.lang.Long) => lo = math.max(lo, v)
+      case GreaterThan("id", v: java.lang.Long) => lo = math.max(lo, v + 1)
+      case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: java.lang.Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: java.lang.Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    (lo, hi)
+  }
+
+  override def initialOffset(): Offset = SynthOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.filter(c => c.isDigit || c == '-').toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  // Everything is always available (the generator has no tail to
+  // wait for): AvailableNow preparation is a no-op and the latest
+  // offset under a max-rows limit simply steps the id cursor.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def reportLatestOffset(): Offset = SynthOffset(rows)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[SynthOffset].id
+    limit match {
+      case mr: ReadMaxRows => SynthOffset(math.min(start + mr.maxRows(), rows))
+      case _ => SynthOffset(rows)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = math.max(start.asInstanceOf[SynthOffset].id, lo)
+    val e = math.min(end.asInstanceOf[SynthOffset].id, hi)
+    if (s >= e) return Array.empty
+    // Fixed per-slice width so a batch's parallelism tracks its size
+    // (a small final batch doesn't fragment into `slices` slivers).
+    val per = math.max((e - s) / slices, 1L)
+    (0 until slices).iterator.map { i =>
+      val ps = s + i * per
+      val pe = if (i == slices - 1) e else math.min(ps + per, e)
+      SynthPartition(ps, pe)
+    }.filter(p => p.start < p.end).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(filters, required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class SynthReaderFactory(filters: Array[Filter],
     required: StructType) extends PartitionReaderFactory {
