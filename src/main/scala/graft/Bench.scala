@@ -128,7 +128,7 @@ object Bench {
     // gone — see DedupQueries C32).
     val scaleProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
     def cloneTables(dir: String, copies: Int, withTrade: Boolean = false): Unit = {
-      import org.apache.spark.sql.functions.{col, lit, max}
+      import org.apache.spark.sql.functions.{broadcast, col, lit, max}
       // events.ts is TIMESTAMP(NANOS): read as epoch-nano bigint (the
       // GraftSession.table convention — set explicitly here so the
       // probe doesn't depend on an events-reading query having run
@@ -142,11 +142,22 @@ object Bench {
             t.agg(max(col(c))).head().get(0)
               .asInstanceOf[Number].longValue() + 1L)
         }
-        (0 until copies).map { i =>
-          shifts.foldLeft(t) { case (df, (c, shift)) =>
-            df.withColumn(c, col(c) + lit(i * shift))
+        // Broadcast-crossJoin against a replica-id range, NOT an
+        // N-way union: a reduce of `copies` DataFrames builds a
+        // plan with `copies` scan branches — at the ×1000 probe
+        // that is an unplannable 1000-leaf tree, while this is one
+        // scan × a 8-byte-per-replica broadcast (same output rows).
+        val reps = broadcast(
+          spark.range(copies.toLong).select(col("id").as("_rep")))
+        shifts.foldLeft(t.crossJoin(reps)) { case (df, (c, shift)) =>
+            df.withColumn(c, col(c) + col("_rep") * lit(shift))
           }
-        }.reduce(_ unionByName _)
+          .drop("_rep")
+          // the broadcast crossJoin preserves the (often single)
+          // input partition — repartition so the written table has
+          // enough splits for a 32-core read (1 giant file starved
+          // the ×100 scan of parallelism: minhash 4 s → 32 s)
+          .repartition(math.max(8, math.min(64, copies)))
           .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
         shifts.toMap
       }
@@ -236,6 +247,44 @@ object Bench {
     // trivially exceed any ceiling at 100× — its approximate
     // replacements (minhash/simhash/semantic) are exactly what this
     // probe gates.
+    /** One run under a wall-clock ceiling (−2.0 = timeout, which IS
+      * the probe's finding). Releases the predecessor's state OUTSIDE
+      * the awaited future: after a heavy query the blocking drain +
+      * GC can take seconds, and inside the future it would eat into
+      * the ceiling — a query needing ~115 s would flip to a reported
+      * timeout. This isolation is what keeps a block of corpus-scale
+      * queries inside one JVM.
+      */
+    def runCeiling(name: String, dir: String, ceilingSec: Int,
+        tag: String): Double = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      releaseState()
+      val f = Future(
+        run(name, SparkEntry.queries(name), dir, release = false))
+      try Await.result(f, ceilingSec.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[bench] $tag TIMEOUT $name (> $ceilingSec s)")
+          // A multi-action query can be between driver jobs when the
+          // cancel lands, submit its next job uncancelled, and keep
+          // computing under the NEXT measurement. Re-cancel until the
+          // abandoned future actually terminates (bounded).
+          var settled = false
+          var rounds = 0
+          while (!settled && rounds < 30) {
+            spark.sparkContext.cancelAllJobs()
+            settled = try { Await.ready(f, 2.seconds); true }
+                      catch { case _: java.util.concurrent.TimeoutException => false }
+            rounds += 1
+          }
+          if (!settled) System.err.println(
+            s"[bench] $tag $name still running after cancel — subsequent probes may be inflated")
+          -2.0
+      }
+    }
+
     val x100Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X100", "1") != "0"
     val x100Names = Seq(
       "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
@@ -266,43 +315,44 @@ object Bench {
       val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_X100_PARTITIONS", "256"))
-      def runCeiling(name: String): Double = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        // Release the predecessor's state OUTSIDE the awaited future:
-        // after a heavy query the blocking drain + GC can take
-        // seconds, and inside the future it would eat into the
-        // ceiling — a query needing ~115 s would flip to a reported
-        // timeout. At 100× this isolation is what keeps ten
-        // corpus-scale queries inside one JVM.
-        releaseState()
-        val f = Future(
-          run(name, SparkEntry.queries(name), x100Dir, release = false))
-        try Await.result(f, ceilingSec.seconds)
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            System.err.println(s"[bench] x100 TIMEOUT $name (> $ceilingSec s)")
-            // A multi-action query can be between driver jobs when the
-            // cancel lands, submit its next job uncancelled, and keep
-            // computing under the NEXT measurement. Re-cancel until the
-            // abandoned future actually terminates (bounded).
-            var settled = false
-            var rounds = 0
-            while (!settled && rounds < 30) {
-              spark.sparkContext.cancelAllJobs()
-              settled = try { Await.ready(f, 2.seconds); true }
-                        catch { case _: java.util.concurrent.TimeoutException => false }
-              rounds += 1
-            }
-            if (!settled) System.err.println(
-              s"[bench] x100 $name still running after cancel — subsequent probes may be inflated")
-            -2.0
-        }
-      }
-      val x100Results = x100Names.map(n => n -> runCeiling(n)).toMap
+      val x100Results = x100Names
+        .map(n => n -> runCeiling(n, x100Dir, ceilingSec, "x100")).toMap
       spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
       x100Results
+    }
+
+    // ---- sf_x1000 probe: a THIRD decade of scale evidence for the
+    // LINEAR dedup/ANN family only (5M docs / 2M vectors — the
+    // realistic crawl-shard size). semantic_dedup is excluded BY
+    // DESIGN here the way dedup_embed_cosine is excluded at ×100:
+    // its codebook scales k = √n, so the full-corpus assign pass is
+    // the method's own n^1.5 floor (~19 min at this scale) — the
+    // capped/banded/hashed queries below are exactly what this probe
+    // gates as linear across THREE decades.
+    val x1000Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X1000", "1") != "0"
+    val x1000Names = Seq(
+      "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
+      "dedup_clusters", "line_dedup", "incremental_dedup",
+      "ann_lsh_topk", "span_dedup_docs")
+      .filter(n => only.isEmpty || only(n))
+    val sfx1000 = if (!scaleProbe || !x1000Probe || x1000Names.isEmpty)
+      Map.empty[String, Double]
+    else {
+      val x1000Dir = sys.env.getOrElse("SPARK_GRAFT_X1000_DIR", "/tmp/graft_sfx1000")
+      val ceilingSec =
+        // ~10× the ×100 ceiling's headroom logic: the heaviest linear
+        // query here (dedup_minhash_pairs, ~4 s at ×100) projects to
+        // ~40 s; 300 s flags anything super-linear by >5× while
+        // tolerating a loaded harness.
+        sys.env.getOrElse("SPARK_GRAFT_X1000_CEILING_SEC", "300").toInt
+      cloneTables(x1000Dir, 1000)
+      val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_X1000_PARTITIONS", "512"))
+      val r = x1000Names
+        .map(n => n -> runCeiling(n, x1000Dir, ceilingSec, "x1000")).toMap
+      spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
+      r
     }
 
     val loadEnd = loadAvg()
@@ -316,10 +366,13 @@ object Bench {
     val x100Json = sfx100.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val x1000Json = sfx1000.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"runs_per_query":$runsPerQuery,"sf_x10":$x10Json,"sf_x100":$x100Json,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"runs_per_query":$runsPerQuery,"sf_x10":$x10Json,"sf_x100":$x100Json,"sf_x1000":$x1000Json,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
     println(json)

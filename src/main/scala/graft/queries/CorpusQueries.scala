@@ -866,5 +866,61 @@ object CorpusQueries {
           size(col("toks")).cast("long").as("n_toks"),
           size(col("kept")).cast("long").as("n_kept"),
           array_join(expr("transform(kept, x -> x.t)"), " ").as("clean_text"))
+    },
+
+    // C79: TOKEN-BUDGET CORPUS SELECTION — the "best docs up to N
+    // tokens" cut every pretraining run makes: rank by a quality
+    // signal, take the prefix whose cumulative token count fits the
+    // budget (greedy knapsack with unit-density items — optimal for
+    // this objective). Signal = chars-per-token density in integer
+    // milli-units ((1000·n_chars) div n_tokens — longer words ≈
+    // prose; exact integers, no float boundary); budget = ¼ of the
+    // corpus's total tokens (one metadata-cheap agg, broadcast).
+    // The cumulative sum is DistributedPrefixSum over (−score,
+    // doc_id) order — two streamed range-partitioned passes, never a
+    // single-reducer global window; the oracle states the same
+    // prefix as a window sum. A doc straddling the boundary is
+    // excluded (kept ⇔ cum ≤ budget): the cut is a deterministic
+    // function of the ranked prefix, not of partitioning.
+    Q("corpus_budget_select",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    n_chars
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source, n_tokens,
+        |    (1000 * n_chars) // n_tokens AS score_milli FROM t),
+        |b AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget FROM sc),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens, score_milli,
+        |    sum(n_tokens) OVER (ORDER BY -score_milli, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sc)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+        |  CAST(min(score_milli) AS BIGINT) AS worst_score_milli
+        |FROM r, b WHERE cum <= budget
+        |GROUP BY source""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .withColumn("score_milli", expr("(1000 * n_chars) div n_tokens"))
+        .withColumn("neg_score", -col("score_milli"))
+        .withColumn("_g", lit("all"))
+      // DIV, not `/`: Spark's / is double division — the budget must
+      // be the exact integer the oracle's `//` computes.
+      val budget = t.agg(expr("sum(n_tokens) DIV 4").as("budget"))
+      graft.operators.DistributedPrefixSum
+        .running(t, "_g", Seq("neg_score", "doc_id"), "n_tokens", "cum")
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") <= col("budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          min(col("score_milli")).as("worst_score_milli"))
     })
 }

@@ -879,6 +879,71 @@ object TextQueries {
         .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), Seq("doc_b"))
         .filter(col("n_shared") * 10 >= least(col("nf_a"), col("nf_b")) * 8)
         .select(col("doc_a"), col("doc_b"), col("n_shared"), col("nf_a"), col("nf_b"))
+    },
+
+    // C78: KNESER-NEY smoothed bigram LM scoring — the smoothing the
+    // n-gram-LM literature actually uses for perplexity filtering
+    // (Chen & Goodman 1999), distinct from C24's add-one: absolute
+    // discount D = 0.75 on seen bigrams, with the discounted mass
+    // backed off to the CONTINUATION probability (how many distinct
+    // contexts a word completes — "Francisco" is frequent but only
+    // ever follows "San", so its continuation mass is tiny):
+    //   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1)
+    //            + (D·N1+(w1·)/c(w1)) · N1+(·w2)/N1+(··)
+    // Every term is a ratio of exact integers (D = 3/4 is dyadic), so
+    // both engines evaluate the identical IEEE expression; per-doc
+    // avg ln rounds to 4dp (the C24 convention). Scale shape is
+    // text_lm_score's: ONE corpus explode → model-sized rollups of bc
+    // (cu, N1+(w1·) = bc rows per w1, N1+(·w2) = bc rows per w2,
+    // N1+(··) = |bc|), model localCheckpointed, one corpus-scale
+    // scoring join + doc rollup. Self-trained ⇒ every corpus bigram
+    // is in the model ⇒ inner join, no OOV branch.
+    Q("text_kn_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id,
+         |    t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+         |uc AS (SELECT w1, sum(cb) AS cu, count(*) AS n1f FROM bc GROUP BY w1),
+         |cc AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY w2),
+         |tt AS (SELECT count(*) AS nbt FROM bc)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(ln(
+         |    greatest(cb - 0.75, 0.0) / cu
+         |      + 0.75 * n1f / cu * (n1b / nbt))), 4) AS avg_logp_kn
+         |FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1)
+         |  JOIN cc USING (w2), tt
+         |GROUP BY b.doc_id""".stripMargin) { (s, dir) =>
+      val toks = table(s, dir, "documents").select(
+        col("doc_id"), split(TF.normalizeText(col("text")), " ").as("t"))
+      val big2 = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.tokenPairs(col("t"))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = big2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint() // the corpus-scale explode runs ONCE
+      val uc = bc.groupBy(col("w1"))
+        .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
+      val cc = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val tt = bc.agg(count(lit(1)).as("nbt"))
+      // Fold the whole smoothing formula into the model (model-sized):
+      // term order mirrors the oracle text exactly — same IEEE ops.
+      val model = bc.join(uc, Seq("w1")).join(cc, Seq("w2"))
+        .crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"),
+          log(greatest(col("cb") - lit(0.75), lit(0.0)) / col("cu")
+            + lit(0.75) * col("n1f") / col("cu")
+              * (col("n1b") / col("nbt"))).as("logp"))
+        .localCheckpoint()
+      big2.join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(col("logp")), 4).as("avg_logp_kn"))
     })
 
   /** Winnowing selection (C53): word-trigram rolling hashes, w=4
