@@ -194,7 +194,7 @@ object Bench {
         "event_transitions", "rolling_distinct_users", "timeseries_cusum",
         "text_tfidf_top_terms", "vocab_coverage", "text_lang_mixture",
         "text_winnow_fingerprints", "winnow_dup_pairs",
-        "mm_phash_dupes", "incremental_dedup", "corpus_token_drift",
+        "mm_phash_dupes", "incremental_dedup", "bloom_dedup_index", "corpus_token_drift",
         "heaps_law_curve", "corpus_length_trim", "interval_overlap_join",
         "graph_kcore", "attribution_last_touch",
         // round-10: events-cloned (linear) + trade-cloned additions.
@@ -291,7 +291,7 @@ object Bench {
       "span_dedup_docs", "semantic_dedup", "dedup_clusters",
       "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
       "corpus_pretrain_pipeline", "line_dedup",
-      "mm_phash_dupes", "incremental_dedup")
+      "mm_phash_dupes", "incremental_dedup", "bloom_dedup_index")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GraftSession.table
-import graft.functions.{BitmapDistinct, HllSketch, TextFunctions => TF, VectorExpressions}
+import graft.functions.{BitmapDistinct, Fingerprint64, HllSketch, TextFunctions => TF, VectorExpressions}
 import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -770,6 +770,111 @@ object FrontierQueries {
           when(col("in_hist").isNotNull, "dup_historical")
             .when(col("doc_id") > col("first_id"), "dup_in_batch")
             .otherwise("new").as("status"))
+    },
+
+    // C80: BLOOM-FILTER HISTORICAL DEDUP INDEX — the probabilistic
+    // companion to C62's exact fingerprint index: at 100 TB the
+    // historical corpus's dedup state ships to executors as a
+    // COMPACT bit array (m = 4·|hist| bits ⇒ ~53% load with k = 3
+    // probes, ~15% FP rate — sized so the gate exercises REAL false
+    // positives at every SF instead of passing vacuously on an
+    // all-zero flag column; production would size m for the FP rate
+    // it wants, the mechanism is identical), traded for TBs of
+    // fingerprints. Everything is DETERMINISTIC and replayed
+    // closed-form by the oracle — including WHICH incoming docs are
+    // false positives: k = 3 probe positions per doc are
+    // (fmix64(fp ⊕ j) mod 2^63) mod m (xor-salting before the
+    // avalanche; the 2^63 step makes Spark's signed-long and the
+    // oracle's unsigned arithmetic agree for ANY m), the index is
+    // the SET of historical positions (bounded by m — the artifact,
+    // not the corpus, is what crosses the cluster), and a doc is
+    // flagged iff all 3 of its positions are set. Bloom guarantees
+    // no false negatives: flagged ⊇ true-dups, checked here as
+    // n_false_pos = n_flagged − n_true_dup ≥ 0 per source, with the
+    // exact fp join (C62's mechanism) as the truth side.
+    // n_bits_set pins the index build bit-for-bit.
+    Q("bloom_dedup_index", {
+      val c1 = BigInt("18397679294719823053") // 0xff51afd7ed558ccd
+      val c2 = BigInt("14181476777654086739") // 0xc4ceb9fe1a85ec53
+      s"""WITH n AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        list_transform(
+         |          string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+         |          c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS fpu,
+         |    (SELECT max(doc_id) // 2 FROM documents) AS t
+         |  FROM documents),
+         |p0 AS (SELECT doc_id, source, t,
+         |    xor(fpu, CAST(j AS HUGEINT)) AS x
+         |  FROM n, unnest([1, 2, 3]) AS u(j)),
+         |p1 AS (SELECT doc_id, source, t, xor(x, x // 8589934592) AS a FROM p0),
+         |p2 AS (SELECT doc_id, source, t, ${SamplingQueries.mulMod64("a", c1)} AS b FROM p1),
+         |p3 AS (SELECT doc_id, source, t, xor(b, b // 8589934592) AS c FROM p2),
+         |p4 AS (SELECT doc_id, source, t, ${SamplingQueries.mulMod64("c", c2)} AS d FROM p3),
+         |pos AS (SELECT doc_id, source, t,
+         |    CAST((xor(d, d // 8589934592) % 9223372036854775808) % (4 * t)
+         |      AS BIGINT) AS pos FROM p4),
+         |bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id < t),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+         |hits AS (
+         |  SELECT i.doc_id, i.source,
+         |    sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+         |  FROM (SELECT doc_id, source, pos FROM pos WHERE doc_id >= t) i
+         |  LEFT JOIN bits b ON i.pos = b.pos
+         |  GROUP BY i.doc_id, i.source),
+         |histfp AS (SELECT DISTINCT fpu FROM n WHERE doc_id < t),
+         |cls AS (
+         |  SELECT h.doc_id, h.source,
+         |    CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END AS flagged,
+         |    CASE WHEN i.fpu IN (SELECT fpu FROM histfp) THEN 1 ELSE 0 END AS isdup
+         |  FROM hits h JOIN n i ON h.doc_id = i.doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_incoming,
+         |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+         |  CAST(sum(isdup) AS BIGINT) AS n_true_dup,
+         |  CAST(sum(flagged) - sum(isdup) AS BIGINT) AS n_false_pos,
+         |  n_bits_set
+         |FROM cls, nb GROUP BY source, n_bits_set""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      // same historical/incoming split as C62 (one metadata-cheap agg)
+      val t = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val m = 4 * t // filter size tracks the historical corpus
+      val n = docs.select(col("doc_id"), col("source"),
+        Fingerprint64.fingerprint64(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .localCheckpoint() // one fingerprint pass feeds index + probe + truth
+      val posArr = array((1 to 3).map(j =>
+        Fingerprint64.fmix64(col("fp").bitwiseXOR(lit(j.toLong)))
+          .bitwiseAND(lit(Long.MaxValue)) % lit(m)): _*)
+      // THE INDEX: distinct set positions — ≤ m rows no matter the
+      // corpus size (the constant-size artifact; as a bit array this
+      // is m/8 bytes broadcast, spelled relationally here so the
+      // oracle can replay it)
+      val bits = n.filter(col("doc_id") < t)
+        .select(explode(posArr).as("pos")).distinct()
+        .localCheckpoint() // feeds the count and the probe join
+      val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+      val inc = n.filter(col("doc_id") >= t)
+      val flagged = inc
+        .select(col("doc_id"), col("source"), explode(posArr).as("pos"))
+        .join(broadcast(bits.withColumn("_hit", lit(1))), Seq("pos"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg((sum(when(col("_hit").isNotNull, 1).otherwise(0)) === 3)
+          .cast("int").as("flagged"))
+      val histFp = n.filter(col("doc_id") < t)
+        .select(col("fp")).distinct().withColumn("_dup", lit(1))
+      val truth = inc.join(histFp, Seq("fp"), "left")
+        .select(col("doc_id"), col("_dup").isNotNull.cast("int").as("isdup"))
+      flagged.join(truth, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(col("flagged")).as("n_flagged"),
+          sum(col("isdup")).as("n_true_dup"),
+          (sum(col("flagged")) - sum(col("isdup"))).as("n_false_pos"))
+        .crossJoin(broadcast(nBits))
     },
 
     // C64: QUANTILE LENGTH TRIM — drop token-count outliers outside
