@@ -358,7 +358,10 @@ object DedupQueries {
       // n^1.5 blocks shrink to unique-vector blocks: on a
       // duplicate-heavy web corpus (the method's target regime, and
       // the ×100 clone probe: 100 clones/vector) the pair join
-      // contracts by the duplication factor SQUARED.
+      // contracts by the duplication factor SQUARED. (Contract,
+      // shared with every cosine query here: vectors are non-zero —
+      // a zero vector's cosine is NaN, which Java orders below τ and
+      // DuckDB above it, a divergence that predates the collapse.)
       val groups = asg.groupBy(col("cluster"), col("v"))
         .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("g_n"))
         .localCheckpoint() // one E-step pass total; reps self-join below

@@ -841,6 +841,7 @@ object FrontierQueries {
       val docs = table(s, dir, "documents")
       // same historical/incoming split as C62 (one metadata-cheap agg)
       val t = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      require(t > 0, "bloom_dedup_index needs max(doc_id) >= 2 for a non-empty split")
       val m = 4 * t // filter size tracks the historical corpus
       val n = docs.select(col("doc_id"), col("source"),
         Fingerprint64.fingerprint64(
