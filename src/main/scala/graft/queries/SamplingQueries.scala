@@ -294,6 +294,86 @@ object SamplingQueries {
         .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
     },
 
+    // C81: TEMPERATURE-SCALED CORPUS MIXING — the multilingual
+    // sampling formula (Lample & Conneau 2019; the mT5/XLM-R recipe):
+    // language i is allocated T · p_i^τ / Σ p_j^τ of the token
+    // budget with τ = 0.5, up-weighting low-resource languages where
+    // proportional mixing (C33) would starve them. Every allocation
+    // step is INTEGER arithmetic so both engines agree bit-for-bit:
+    // weights are floor(√n · 1e6) micro-units (√ is correctly-rounded
+    // IEEE in both engines; the only float op, immediately floored),
+    // shares are (T·w) DIV W with largest-remainder rounding — rank
+    // langs by ((T·w) mod W) DESC, lang — so Σ target_i = T exactly.
+    // Selection inside a language is the lowest fmix64(doc_id) ranks
+    // (a reproducible pseudo-random subset, no order bias), ranked by
+    // DistributedPrefixSum — two streamed range-partitioned passes,
+    // never a per-lang single-reducer window; the lang-sized
+    // allocation table is the only windowed relation. A language
+    // whose target exceeds its n_docs keeps everything (upsampling
+    // is the trainer's job; the mix states targets).
+    Q("corpus_temperature_mix", {
+      s"""WITH s AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS wm
+         |  FROM s),
+         |tw AS (SELECT CAST(sum(n_docs) // 2 AS BIGINT) AS tb,
+         |    CAST(sum(wm) AS BIGINT) AS ww FROM w),
+         |fl AS (SELECT lang, n_docs, wm,
+         |    (tb * wm) // ww AS tf, (tb * wm) % ww AS rem
+         |  FROM w, tw),
+         |lv AS (SELECT (SELECT tb FROM tw) - CAST(sum(tf) AS BIGINT) AS lft FROM fl),
+         |tg AS (SELECT lang, n_docs,
+         |    tf + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+         |              <= (SELECT lft FROM lv) THEN 1 ELSE 0 END AS target
+         |  FROM fl),
+         |sg AS (
+         |  ${fmix64SignedSql(Seq("doc_id", "lang"), "doc_id", "documents")}),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rnk
+         |  FROM sg),
+         |k AS (SELECT r.lang, count(*) AS cnt, sum(doc_id) AS idsum
+         |  FROM r JOIN tg USING (lang) WHERE rnk <= target GROUP BY r.lang)
+         |SELECT tg.lang, tg.n_docs, CAST(tg.target AS BIGINT) AS target,
+         |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(k.idsum, 0) AS BIGINT) AS kept_id_sum
+         |FROM tg LEFT JOIN k USING (lang)""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val w = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("wm",
+          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+      val tw = w.agg(expr("sum(n_docs) DIV 2").as("tb"), sum(col("wm")).as("ww"))
+      val fl = w.crossJoin(broadcast(tw))
+        .withColumn("tf", expr("(tb * wm) DIV ww"))
+        .withColumn("rem", expr("(tb * wm) % ww"))
+      val lv = fl.agg((max(col("tb")) - sum(col("tf"))).as("lft"))
+      // lang-sized window (a handful of rows): the single-partition
+      // sort is on the ALLOCATION table, never the corpus
+      val tg = fl.crossJoin(broadcast(lv))
+        .withColumn("_r", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("target",
+          col("tf") + when(col("_r") <= col("lft"), 1L).otherwise(0L))
+        .select(col("lang"), col("n_docs"), col("target"))
+      val keyed = docs.select(col("doc_id"), col("lang"),
+          graft.functions.Fingerprint64.fmix64(col("doc_id")).as("hs"))
+        .withColumn("_one", lit(1L))
+      val ranked = graft.operators.DistributedPrefixSum
+        .running(keyed, "lang", Seq("hs", "doc_id"), "_one", "rnk")
+      val keptAgg = ranked.join(broadcast(tg.select(col("lang"), col("target"))),
+          Seq("lang"))
+        .filter(col("rnk") <= col("target"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("idsum"))
+      tg.join(keptAgg, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("target"),
+          coalesce(col("cnt"), lit(0L)).as("n_kept"),
+          coalesce(col("idsum"), lit(0L)).as("kept_id_sum"))
+    },
+
     // B102: CUSTOM DATASOURCE V2 under the gate — the connector-API
     // surface (graft.sources.SynthProvider): a deterministic
     // generated table read through Spark's v2 path with COLUMN

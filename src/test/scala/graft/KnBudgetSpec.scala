@@ -75,4 +75,22 @@ class KnBudgetSpec extends SparkTestBase {
       .select($"kept_id_sum").as[Long].collect().toList
     assert(ties === List(3L), s"tie-break should keep lowest doc_id, got $ties")
   }
+
+  test("corpus_temperature_mix: targets sum to T exactly and favor low-resource langs") {
+    // 90 'en' docs vs 10 'de' docs: proportional gives de 10% of the
+    // budget; τ = 0.5 gives √90:√10 ≈ 3:1 → de gets ~25%.
+    val rows = (0 until 90).map(i => (i.toLong, s"en doc $i", "en", "w", 10L)) ++
+      (90 until 100).map(i => (i.toLong, s"de doc $i", "de", "w", 10L))
+    val dir = docsDir(rows)
+    val out = SparkEntry.queries("corpus_temperature_mix")(spark, dir)
+      .select($"lang", $"n_docs", $"target", $"n_kept")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val t = 100L / 2
+    assert(out.values.map(_._3).sum === t, "targets must sum to T exactly")
+    out.values.foreach { case (_, n, tgt, kept) =>
+      assert(kept === math.min(n, tgt)) }
+    val deShare = out("de")._3.toDouble / t
+    assert(deShare > 0.15 && deShare < 0.35,
+      s"τ=0.5 should lift de from 10% toward ~25%, got $deShare")
+  }
 }
