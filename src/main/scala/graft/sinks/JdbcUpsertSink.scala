@@ -41,7 +41,8 @@ class JdbcUpsertSink(
     batchSize: Int = 5000,
     dialect: String = "postgres",
     user: Option[String] = None,
-    password: Option[String] = None) extends Serializable {
+    password: Option[String] = None,
+    fenceTable: Option[String] = None) extends Serializable {
 
   private def cols: Seq[String] = keyCols ++ valCols
 
@@ -184,26 +185,80 @@ class JdbcUpsertSink(
     * Postgres path: single batched ON CONFLICT statement flushed
     * every `batchSize` rows (the production shape). Derby path:
     * UPDATE-then-INSERT emulation per row (test DB only).
+    *
+    * EPOCH FENCING (`fenceTable`): with accumulating `updateExprs`
+    * (balance = balance + excluded.balance) an upsert is NOT
+    * idempotent, and Structured Streaming's foreachBatch contract is
+    * at-least-once — a failed driver replays the whole micro-batch
+    * under the SAME batchId, and a speculative/retried task replays
+    * one partition. Passing a fence table upgrades the sink to
+    * exactly-once: each partition's transaction first checks its
+    * (table, batch, partition) fence row and SKIPS silently if
+    * present, then applies its rows AND inserts the fence row in the
+    * same transaction — the fence's primary key makes a racing
+    * duplicate task's commit fail and roll back atomically, so under
+    * any combination of batch replay and task retry every row is
+    * applied exactly once. (This is why the fence must be per
+    * partition and inside the data transaction: a driver-side
+    * batch-level fence leaves a window where some partitions
+    * committed and a replay double-applies them.)
+    *
+    * The fence table is caller-created:
+    *   CREATE TABLE <fenceTable> (sink_table VARCHAR(128) NOT NULL,
+    *     batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL,
+    *     PRIMARY KEY (sink_table, batch_id, partition_id))
     */
   def writeBatch(df: DataFrame, batchId: Long = 0L): Unit = {
     val projected = df.select((keyCols ++ valCols).map(df.col): _*)
     val outSchema = projected.schema
     val pg = dialect != "derby"
+    val fence = fenceTable
+    val sinkTable = table
     projected.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = connect()
-        // Statement batches flush for memory mid-partition, but the
-        // postgres path commits ONE transaction per partition: a
-        // failed/speculatively-retried task re-runs against a
-        // database that saw none of its rows. (Derby — the embedded
-        // test DB — autocommits per statement.)
-        if (pg) conn.setAutoCommit(false)
+        // Statement batches flush for memory mid-partition, but one
+        // transaction commits per partition: a failed or
+        // speculatively-retried task re-runs against a database that
+        // saw none of its rows. (Unfenced Derby — the embedded test
+        // DB — autocommits per statement; fenced mode is
+        // transactional on both dialects, the fence requires it.)
+        val txn = pg || fence.nonEmpty
+        if (txn) conn.setAutoCommit(false)
         try {
-          val up = new PartitionUpserter(conn, outSchema)
-          rows.foreach(up.write)
-          up.flush()
-          if (pg) conn.commit()
-          up.close()
+          val alreadyApplied = fence.exists { ft =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val chk = conn.prepareStatement(
+              s"SELECT 1 FROM $ft WHERE sink_table = ? AND batch_id = ? AND partition_id = ?")
+            chk.setString(1, sinkTable); chk.setLong(2, batchId); chk.setInt(3, pid)
+            val rs = chk.executeQuery()
+            val hit = rs.next()
+            rs.close(); chk.close()
+            hit
+          }
+          if (!alreadyApplied) {
+            val up = new PartitionUpserter(conn, outSchema)
+            rows.foreach(up.write)
+            up.flush()
+            fence.foreach { ft =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val ins = conn.prepareStatement(
+                s"INSERT INTO $ft (sink_table, batch_id, partition_id) VALUES (?, ?, ?)")
+              ins.setString(1, sinkTable); ins.setLong(2, batchId); ins.setInt(3, pid)
+              ins.executeUpdate() // PK violation here = a racing
+              ins.close()         // duplicate won — this txn rolls back
+            }
+            if (txn) conn.commit()
+            up.close()
+          } else if (txn) {
+            // the fence check itself opened a read transaction —
+            // end it (nothing to persist) or close() throws
+            conn.rollback()
+          }
+        } catch {
+          case t: Throwable =>
+            if (txn) try conn.rollback() catch { case _: Throwable => }
+            throw t
         } finally conn.close()
       }
     }
