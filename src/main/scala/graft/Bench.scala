@@ -214,7 +214,7 @@ object Bench {
         // and the two per-session collect+sort / multi-explode
         // shapes whose ~linear scaling was asserted but unprobed.
         "streaming_attribution", "streaming_incremental_dedup",
-        "event_pattern_match", "kanon_generalize")
+        "event_pattern_match", "kanon_generalize", "timeseries_subseq_match")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)

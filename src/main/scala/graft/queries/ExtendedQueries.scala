@@ -1074,6 +1074,98 @@ object ExtendedQueries {
     // epoch-days; the carried daily mean is the shared exact-cents
     // fragment (`dailyMeanSql` — see its comment for why round(avg)
     // cannot gate).
+    // C82: Z-NORMALIZED SUBSEQUENCE SIMILARITY SEARCH — the
+    // time-series query/motif-matching primitive (UCR-suite family;
+    // cf. "Time Series Similarity Search for Streaming Data in
+    // Distributed Systems", EDBT 2019): find, per user, the w=8
+    // windows of the event-value series closest to a fixed
+    // z-normalized query pattern under Euclidean distance.
+    // Z-normalization makes the match amplitude/offset-invariant —
+    // the shape matters, not the scale. Float determinism: every
+    // fold (window mean, variance, distance) is a LEFT fold seeded
+    // 0.0 in BOTH engines (Spark `aggregate` ≡ DuckDB list_reduce on
+    // a 0.0-prepended list), the pattern's z-form is computed once on
+    // exact dyadic literals, and the output distance is
+    // floor(d·1e6 + 0.5)/1e6 in both. Flat windows (sd = 0) have no
+    // z-form and are skipped identically. Scale shape: per-user
+    // series are bounded arrays (the event_pattern_match contract),
+    // windows explode map-side, and the top-3-per-user comes from
+    // TopKPerKey's bounded heaps — never a global sort.
+    Q("timeseries_subseq_match", {
+      val base = Seq(1.0, 2.0, 3.0, 4.0, 4.0, 3.0, 2.0, 1.0)
+      val pm = base.sum / 8.0
+      val psd = math.sqrt(base.map(x => (x - pm) * (x - pm)).sum / 8.0)
+      val pat = base.map(x => (x - pm) / psd)
+      val patSql = pat.mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, list(value ORDER BY tsec, event_id) AS vs
+         |  FROM e GROUP BY user_id),
+         |wins AS (
+         |  SELECT user_id, CAST(i AS BIGINT) AS start,
+         |    vs[CAST(i + 1 AS INT):CAST(i + 8 AS INT)] AS w
+         |  FROM s, unnest(range(0, len(vs) - 7)) AS u(i)
+         |  WHERE len(vs) >= 8),
+         |m1 AS (SELECT user_id, start, w,
+         |    list_reduce(list_prepend(0.0, w), (a, b) -> a + b) / 8.0 AS m
+         |  FROM wins),
+         |m2 AS (SELECT user_id, start, w, m,
+         |    sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(w, x -> (x - m) * (x - m))), (a, b) -> a + b) / 8.0)
+         |      AS sd
+         |  FROM m1),
+         |d AS (SELECT user_id, start,
+         |    floor(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 9), j ->
+         |        ((w[CAST(j AS INT)] - m) / sd - ($patSql)[CAST(j AS INT)])
+         |        * ((w[CAST(j AS INT)] - m) / sd - ($patSql)[CAST(j AS INT)]))),
+         |      (a, b) -> a + b) * 1000000 + 0.5) / 1000000 AS dist6
+         |  FROM m2 WHERE sd <> 0),
+         |r AS (SELECT user_id, start, dist6,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY dist6, start) AS rnk
+         |  FROM d)
+         |SELECT user_id, CAST(rnk AS INT) AS rnk, start, dist6
+         |FROM r WHERE rnk <= 3""".stripMargin
+    }) { (s, dir) =>
+      val base = Seq(1.0, 2.0, 3.0, 4.0, 4.0, 3.0, 2.0, 1.0)
+      val pm = base.sum / 8.0
+      val psd = math.sqrt(base.map(x => (x - pm) * (x - pm)).sum / 8.0)
+      val pat = base.map(x => (x - pm) / psd)
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000000000").as("tsec"))
+      val series = e
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(col("tsec"), col("event_id"), col("value"))).as("evs"))
+        .select(col("user_id"),
+          expr("transform(array_sort(evs), x -> x.value)").as("vs"))
+        .filter(size(col("vs")) >= 8)
+      val wins = series
+        .select(col("user_id"),
+          explode(expr("sequence(0, size(vs) - 8)")).as("start"), col("vs"))
+        .select(col("user_id"), col("start").cast("long").as("start"),
+          expr("slice(vs, CAST(start + 1 AS INT), 8)").as("w"))
+        .withColumn("m", expr("aggregate(w, 0D, (a, x) -> a + x) / 8.0"))
+        .withColumn("sd", sqrt(
+          expr("aggregate(w, 0D, (a, x) -> a + (x - m) * (x - m)) / 8.0")))
+        .filter(col("sd") =!= 0.0)
+      val patCol = array(pat.map(lit): _*)
+      val dist = wins
+        .withColumn("_p", patCol)
+        .withColumn("dist6",
+          floor(expr(
+            "aggregate(zip_with(w, _p, (x, q) -> ((x - m) / sd - q) * ((x - m) / sd - q)), 0D, (a, x) -> a + x)")
+            * 1000000 + lit(0.5)) / 1000000)
+        .select(col("user_id"), col("start"), col("dist6"))
+      graft.plans.TopK.perKey(dist, Seq("user_id"),
+          Seq(("dist6", true), ("start", true)), 3)
+        .select(col("user_id"), col("rnk").cast("int").as("rnk"),
+          col("start"), col("dist6"))
+    },
+
     Q("timeseries_gapfill",
       s"""WITH e AS (
         |  SELECT user_id,
