@@ -1140,8 +1140,13 @@ object ExtendedQueries {
       val series = e
         .groupBy(col("user_id"))
         .agg(collect_list(struct(col("tsec"), col("event_id"), col("value"))).as("evs"))
+        // Loud guard on the bounded-series contract: a power key's
+        // series fails with an actionable message instead of OOMing
+        // the task (graft.functions.Guards, spark.graft.collect.*).
         .select(col("user_id"),
-          expr("transform(array_sort(evs), x -> x.value)").as("vs"))
+          graft.functions.Guards.boundedSeries(s,
+            expr("transform(array_sort(evs), x -> x.value)"),
+            "timeseries_subseq_match").as("vs"))
         .filter(size(col("vs")) >= 8)
       val wins = series
         .select(col("user_id"),

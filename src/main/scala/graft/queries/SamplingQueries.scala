@@ -428,6 +428,15 @@ object SamplingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      // Self-cleaning: the memory sink pins its rows on the driver
+      // through the temp view for the session's lifetime. This result
+      // is bounded (100k ids / 16 = 6,250 rows), so localize it and
+      // drop the view — repeated invocations (warmup + N bench runs)
+      // must not accumulate orphaned in-memory tables.
+      import scala.jdk.CollectionConverters._
+      val localized = s.createDataFrame(
+        s.table(name).collect().toIndexedSeq.asJava, s.table(name).schema)
+      s.catalog.dropTempView(name)
+      localized
     })
 }

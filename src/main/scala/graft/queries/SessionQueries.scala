@@ -209,6 +209,11 @@ object SessionQueries {
         .withColumn("ini", upper(substring(col("event_type"), 1, 1)))
         .groupBy(col("user_id"), col("session_seq").cast("bigint").as("session_seq"))
         .agg(collect_list(struct(col("tsec"), col("event_id"), col("ini"))).as("evs"))
+        // Loud guard on the bounded-session contract (see
+        // graft.functions.Guards): an unbounded power session fails
+        // with an actionable message instead of OOMing the task.
+        .withColumn("evs",
+          graft.functions.Guards.boundedSeries(s, col("evs"), "event_pattern_match"))
         .withColumn("seq",
           array_join(expr("transform(array_sort(evs), x -> x.ini)"), ""))
         .select(col("user_id"), col("session_seq"),

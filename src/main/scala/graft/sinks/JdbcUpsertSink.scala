@@ -42,7 +42,8 @@ class JdbcUpsertSink(
     dialect: String = "postgres",
     user: Option[String] = None,
     password: Option[String] = None,
-    fenceTable: Option[String] = None) extends Serializable {
+    fenceTable: Option[String] = None,
+    fenceBuckets: Int = 32) extends Serializable {
 
   private def cols: Seq[String] = keyCols ++ valCols
 
@@ -203,13 +204,38 @@ class JdbcUpsertSink(
     * batch-level fence leaves a window where some partitions
     * committed and a replay double-applies them.)
     *
+    * A partition fence is only sound if a replayed batch partitions
+    * IDENTICALLY to the original attempt — otherwise previously
+    * committed partition ids fence out rows that were never applied
+    * while uncommitted rows re-apply. Upstream partitioning is NOT
+    * replay-stable (AQE coalescing, a changed
+    * spark.sql.shuffle.partitions, different source splits), so
+    * fenced mode makes the invariant hold BY CONSTRUCTION: the batch
+    * is hash-repartitioned on `keyCols` into a fixed `fenceBuckets`
+    * partitions inside writeBatch. Row→partition assignment then
+    * depends only on the key values and the bucket count, both stable
+    * across replays of the same micro-batch. Fenced mode also
+    * REQUIRES an explicit batchId >= 0 (foreachBatch always supplies
+    * one): a caller-forgotten batchId would silently fence every
+    * batch after the first as "already applied" — data loss with no
+    * error.
+    *
     * The fence table is caller-created:
     *   CREATE TABLE <fenceTable> (sink_table VARCHAR(128) NOT NULL,
     *     batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL,
     *     PRIMARY KEY (sink_table, batch_id, partition_id))
     */
-  def writeBatch(df: DataFrame, batchId: Long = 0L): Unit = {
-    val projected = df.select((keyCols ++ valCols).map(df.col): _*)
+  def writeBatch(df: DataFrame, batchId: Long = -1L): Unit = {
+    require(fenceTable.isEmpty || batchId >= 0,
+      s"fenced sink '$table' requires an explicit batchId >= 0 (got $batchId): " +
+        "without one every batch after the first is silently fenced out as " +
+        "a replay of batch 0 — pass the foreachBatch batchId through")
+    val raw = df.select((keyCols ++ valCols).map(df.col): _*)
+    // Replay-stable partitioning (see docstring): key-hash bucketing
+    // with an explicit partition count, which AQE never coalesces.
+    val projected =
+      if (fenceTable.isEmpty) raw
+      else raw.repartition(fenceBuckets, keyCols.map(raw.col): _*)
     val outSchema = projected.schema
     val pg = dialect != "derby"
     val fence = fenceTable
@@ -250,10 +276,18 @@ class JdbcUpsertSink(
             }
             if (txn) conn.commit()
             up.close()
-          } else if (txn) {
-            // the fence check itself opened a read transaction —
-            // end it (nothing to persist) or close() throws
-            conn.rollback()
+          } else {
+            // Loud, not silent: a fence skip is correct under replay
+            // but is the first thing to look at if totals look short.
+            System.err.println(
+              s"[JdbcUpsertSink] fence hit: table=$sinkTable batch=$batchId " +
+                s"partition=${org.apache.spark.TaskContext.getPartitionId()} " +
+                "already applied — skipping (replay/speculative retry)")
+            if (txn) {
+              // the fence check itself opened a read transaction —
+              // end it (nothing to persist) or close() throws
+              conn.rollback()
+            }
           }
         } catch {
           case t: Throwable =>

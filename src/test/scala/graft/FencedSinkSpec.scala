@@ -52,11 +52,16 @@ class FencedSinkSpec extends SparkTestBase {
     sink.writeBatch(Seq((1L, 2.5)).toDF("id", "balance").coalesce(1), batchId = 8L)
     assert(balances() === Map(1L -> 12.5, 2L -> 5.0))
 
-    // speculative-task image: the fence row for (batch 9, partition 0)
-    // is already committed — the partition must skip silently
+    // speculative-task image: the fence row for key 1's deterministic
+    // bucket is already committed — the partition must skip. The
+    // bucket is whatever partition batch 8 (same single key) fenced:
+    // key-hash bucketing makes it identical across batches.
     val c2 = java.sql.DriverManager.getConnection(url)
+    val rs2 = c2.createStatement().executeQuery(
+      "SELECT partition_id FROM fence WHERE batch_id = 8")
+    assert(rs2.next()); val keyOneBucket = rs2.getInt(1); rs2.close()
     c2.createStatement().execute(
-      "INSERT INTO fence VALUES ('fenced_accounts', 9, 0)")
+      s"INSERT INTO fence VALUES ('fenced_accounts', 9, $keyOneBucket)")
     c2.close()
     sink.writeBatch(Seq((1L, 100.0)).toDF("id", "balance").coalesce(1), batchId = 9L)
     assert(balances() === Map(1L -> 12.5, 2L -> 5.0),
@@ -73,5 +78,53 @@ class FencedSinkSpec extends SparkTestBase {
     unfenced.writeBatch(Seq((2L, 1.0)).toDF("id", "balance").coalesce(1), batchId = 10L)
     unfenced.writeBatch(Seq((2L, 1.0)).toDF("id", "balance").coalesce(1), batchId = 10L)
     assert(balances()(2L) === 7.0, "unfenced control should have double-applied")
+  }
+
+  test("replay with DIFFERENT upstream partitioning does not double-apply") {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE fenced_repart (id BIGINT PRIMARY KEY, balance DOUBLE)")
+    conn.createStatement().execute(
+      """CREATE TABLE fence_rp (sink_table VARCHAR(128) NOT NULL,
+        |  batch_id BIGINT NOT NULL, partition_id INTEGER NOT NULL,
+        |  PRIMARY KEY (sink_table, batch_id, partition_id))""".stripMargin)
+    conn.close()
+
+    val sink = new JdbcUpsertSink(
+      url = url, driver = driver, table = "fenced_repart",
+      keyCols = Seq("id"), valCols = Seq("balance"),
+      updateExprs = Map("balance" -> "fenced_repart.balance + excluded.balance"),
+      batchSize = 2, dialect = "derby", fenceTable = Some("fence_rp"),
+      fenceBuckets = 4)
+
+    def bal(): Map[Long, Double] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      val rs = c.createStatement().executeQuery("SELECT id, balance FROM fenced_repart")
+      val got = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      c.close(); got
+    }
+
+    val rows = (1L to 20L).map(i => (i, i.toDouble))
+    val expect = rows.toMap
+    // original attempt arrives as ONE upstream partition (only
+    // partition 0 would fence under naive upstream-partition fencing)
+    sink.writeBatch(rows.toDF("id", "balance").coalesce(1), batchId = 1L)
+    assert(bal() === expect)
+    // driver-restart replay of the SAME batchId arrives re-planned
+    // into 7 upstream partitions — the naive fence would double-apply
+    // every row outside original partition 0; key-hash bucketing
+    // inside the sink makes both attempts partition identically
+    sink.writeBatch(rows.toDF("id", "balance").repartition(7), batchId = 1L)
+    assert(bal() === expect,
+      "replay with different upstream partitioning double-applied rows")
+
+    // fenced mode refuses a missing/default batchId instead of
+    // silently no-opping every later batch
+    val err = intercept[IllegalArgumentException] {
+      sink.writeBatch(rows.toDF("id", "balance"))
+    }
+    assert(err.getMessage.contains("explicit batchId"))
   }
 }
