@@ -156,6 +156,11 @@ object Bench {
     // expected SUB-quadratic here (the fixed-k quadratic regime is
     // gone — see DedupQueries C32).
     val scaleProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
+    // Local-iteration aid: SPARK_GRAFT_REUSE_CLONES=1 skips rewriting
+    // a clone dir that already has all its tables (the ×1000 write is
+    // minutes). The driver never sets it, so official runs always
+    // regenerate from the current base tables.
+    val reuseClones = sys.env.getOrElse("SPARK_GRAFT_REUSE_CLONES", "0") == "1"
     def cloneTables(dir: String, copies: Int, withTrade: Boolean = false): Unit = {
       import org.apache.spark.sql.functions.{broadcast, col, lit, max}
       // events.ts is TIMESTAMP(NANOS): read as epoch-nano bigint (the
@@ -163,6 +168,10 @@ object Bench {
       // probe doesn't depend on an events-reading query having run
       // first in this session).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val wanted = Seq("documents", "embeddings", "events") ++
+        (if (withTrade) Seq("orders", "lineitem") else Nil)
+      if (reuseClones && wanted.forall(t =>
+          Files.exists(Paths.get(s"$dir/$t.parquet/_SUCCESS")))) return
       def duplicate(tbl: String, idCols: Seq[String],
           fixedShifts: Map[String, Long] = Map.empty): Map[String, Long] = {
         val t = spark.read.parquet(s"$sfDir/$tbl.parquet")
@@ -243,7 +252,9 @@ object Bench {
         // and the two per-session collect+sort / multi-explode
         // shapes whose ~linear scaling was asserted but unprobed.
         "streaming_attribution", "streaming_incremental_dedup",
-        "event_pattern_match", "kanon_generalize", "timeseries_subseq_match")
+        "event_pattern_match", "kanon_generalize", "timeseries_subseq_match",
+        // round-9: the sharded SemDeDup scale path (C83)
+        "semantic_dedup_sharded")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -350,7 +361,10 @@ object Bench {
       // (chained stateful D26; transformWithState/RocksDB D27) get a
       // second decade of state-growth evidence, matching the batch
       // dedup family.
-      "streaming_attribution", "streaming_tws_profile")
+      "streaming_attribution", "streaming_tws_profile",
+      // round-9: sharded SemDeDup (C83) — per-shard constant cost,
+      // expected ~linear here and at ×1000 (unlike C32's n^1.5).
+      "semantic_dedup_sharded")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]
@@ -391,7 +405,12 @@ object Bench {
     val x1000Names = Seq(
       "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
       "dedup_clusters", "line_dedup", "incremental_dedup",
-      "ann_lsh_topk", "span_dedup_docs")
+      "ann_lsh_topk", "span_dedup_docs",
+      // round-9: the sharded SemDeDup scale path (C83) — S = ⌈n/4096⌉
+      // constant-size shards restore linearity where unsharded C32's
+      // k = √n assign pass is n^1.5 (excluded here by design); this
+      // probe is the third-decade evidence the r8 verdict asked for.
+      "semantic_dedup_sharded")
       .filter(n => only.isEmpty || only(n))
     val sfx1000 = if (!scaleProbe || !x1000Probe || x1000Names.isEmpty)
       Map.empty[String, Double]

@@ -26,26 +26,48 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** E-step: nearest centroid per (grpCols..., id); ties break on
-    * (d2, cluster). min_by aggregation, not a window argmin: partial
-    * aggregation combines map-side, so the corpus×k expansion never
-    * reaches the exchange (a per-id window would shuffle+sort all of
-    * it). With no group columns every centroid joins every row (the
-    * broadcast nested-loop shape); with group columns the join keys
-    * on the group.
+    * (d2, cluster). MAP-ONLY: the codebook is folded into ONE row per
+    * group — an array of (cluster, cv) structs sorted by cluster —
+    * broadcast, and each data row computes its distance array with a
+    * `transform` over that nested array and takes the argmin in
+    * place. No row explosion, no aggregation, no sort: the previous
+    * join-then-min_by shape expanded every row k times WITH its
+    * vector payload through a SortAggregate, which at the ×1000 probe
+    * (2M rows × k = 64, ~550 B/row) meant sorting ~70 GB of
+    * k-replicated vectors per assign pass — observed heap exhaustion.
+    * Here the per-row cost is the same k dot products but the data
+    * never leaves its scan task.
+    *
+    * Tie-break equivalence: `array_position(d, array_min(d))` returns
+    * the FIRST index attaining the minimum, and the centroid array is
+    * sorted by cluster id — exactly min_by over (d2, cluster).
     */
   private def assignStep(v: DataFrame, centroids: DataFrame,
       grpCols: Seq[String], rnd: Column => Column): DataFrame = {
-    val d2 = rnd(VectorOps.dot(col("v"), col("v")) -
-      lit(2) * VectorOps.dot(col("v"), col("cv")) +
-      VectorOps.dot(col("cv"), col("cv")))
+    // one row per group: cents = [(cluster, cv), ...] sorted by
+    // cluster (struct ordering compares `cluster` first; ids are
+    // distinct so the cv arrays are never compared)
+    val cents =
+      if (grpCols.isEmpty)
+        centroids.agg(array_sort(
+          collect_list(struct(col("cluster"), col("cv")))).as("cents"))
+      else
+        centroids.groupBy(grpCols.map(col): _*)
+          .agg(array_sort(
+            collect_list(struct(col("cluster"), col("cv")))).as("cents"))
     val joined =
-      if (grpCols.isEmpty) v.join(broadcast(centroids))
-      else v.join(broadcast(centroids), grpCols)
-    joined.withColumn("_d2", d2)
-      .groupBy((grpCols :+ "id").map(col): _*)
-      .agg(
-        min_by(col("cluster"), struct(col("_d2"), col("cluster"))).as("cluster"),
-        first(col("v")).as("v"))
+      if (grpCols.isEmpty) v.crossJoin(broadcast(cents))
+      else v.join(broadcast(cents), grpCols)
+    val dists = transform(col("cents"), c =>
+      rnd(VectorOps.dot(col("v"), col("v")) -
+        lit(2) * VectorOps.dot(col("v"), c.getField("cv")) +
+        VectorOps.dot(c.getField("cv"), c.getField("cv"))))
+    joined
+      .withColumn("_d", dists)
+      .withColumn("cluster",
+        element_at(col("cents"),
+          array_position(col("_d"), array_min(col("_d"))).cast("int"))
+          .getField("cluster"))
       .select(grpCols.map(col) ++ Seq(col("id"), col("v"), col("cluster")): _*)
   }
 
@@ -129,6 +151,25 @@ object KMeans {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val a = assignStep(v, centroids, Nil, rounder(roundTo))
     if (keepVectors) a else a.select(col("id"), col("cluster"))
+  }
+
+  /** One E-step against FIXED per-group codebooks — [[assign]] for the
+    * [[fitPerGroup]] shape: each row competes only against its own
+    * group's centroids (the join keys on the group, so total work is
+    * rows × k regardless of how many groups exist — the property that
+    * makes hash-sharded pipelines linear in the corpus). Same distance
+    * rounding and (d2, cluster) tie-break as every other E-step here.
+    *
+    * @param centroids (grp, cluster, cv) — [[fitPerGroup]]'s output
+    *   convention; `grp` values with no centroids produce no rows.
+    */
+  def assignPerGroup(vecs: DataFrame, grpCol: String, idCol: String,
+      vecCol: String, centroids: DataFrame, roundTo: Option[Int] = None,
+      keepVectors: Boolean = false): DataFrame = {
+    val v = vecs.select(col(grpCol).as("grp"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = assignStep(v, centroids, Seq("grp"), rounder(roundTo))
+    if (keepVectors) a else a.select(col("grp"), col("id"), col("cluster"))
   }
 
   /** Per-group Lloyd k-means: an INDEPENDENT codebook for every value

@@ -321,6 +321,142 @@ object CorpusQueries {
           coalesce(col("kept_text"), lit("")).as("kept_text"))
     },
 
+    // C85: BOILERPLATE line scrub (CCNet §4.1 / OSCAR: navigation
+    // chrome, cookie banners, repeated headers are lines that recur
+    // across documents OF THE SAME SOURCE) — every occurrence of a
+    // line appearing in ≥ 2 distinct docs of its source is removed,
+    // including the first. Distinct from line_dedup (C45), which
+    // keeps one canonical copy corpus-wide: dedup preserves one
+    // banner, boilerplate scrub decides the banner is not content at
+    // all. Line = the C45 10-token segment convention (corpus carries
+    // no newlines; the segmentation is a parameter, the operator is
+    // the df-threshold + rewrite).
+    //
+    // Scale plan (the line_dedup shape): the df count groups by
+    // (source, 128-bit line fingerprint) with countDistinct(doc_id)
+    // — partial aggregation ships per-(line, doc) candidates, the
+    // flagged relation is (boilerplate lines)-sized, and the removal
+    // is a left_anti fingerprint join back. Third-fingerprint
+    // collision guard as in C1/C45.
+    Q("line_boilerplate_scrub",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |l AS (
+        |  SELECT doc_id, source, unnest(list_transform(
+        |    range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+        |    i -> struct_pack(
+        |      line_idx := CAST(i AS BIGINT),
+        |      line := array_to_string(
+        |        toks[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' '))),
+        |    recursive := true)
+        |  FROM t),
+        |bp AS (
+        |  SELECT source, line FROM (
+        |    SELECT source, line, count(DISTINCT doc_id) AS df
+        |    FROM l GROUP BY source, line)
+        |  WHERE df >= 2),
+        |k AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(line ORDER BY line_idx), ' ') AS kept_text
+        |  FROM l
+        |  WHERE NOT EXISTS (SELECT 1 FROM bp
+        |                    WHERE bp.source = l.source AND bp.line = l.line)
+        |  GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |      FROM l GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_lines,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM n LEFT JOIN k USING (doc_id)""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nSeg = ceil(size(toks).cast("double") / lit(10.0)).cast("int")
+      val lines = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))))
+          .as(Seq("line_idx", "line")))
+        .select(col("doc_id"), col("source"),
+          col("line_idx").cast("long").as("line_idx"), col("line"),
+          xxhash64(col("line")).as("h1"),
+          xxhash64(lit(42L), col("line")).as("h2"),
+          length(col("line")).as("hl"))
+      val bp = lines
+        .groupBy(col("source"), col("h1"), col("h2"), col("hl"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          countDistinct(xxhash64(lit(1337L), col("line"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in line_boilerplate_scrub")).isNull)
+        .filter(col("df") >= 2)
+        .select(col("source"), col("h1"), col("h2"), col("hl"))
+      val kept = lines.join(bp, Seq("source", "h1", "h2", "hl"), "left_anti")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(line_idx, line))), x -> x.line)"))
+            .as("kept_text"))
+      lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+    },
+
+    // C84: QUALITY-BAND SPLIT (the CCNet head/middle/tail recipe,
+    // Wenzek et al. 2020 — there by LM perplexity, here by the C10
+    // composite quality score, the same operator over a different
+    // score): per LANGUAGE, rank docs by score and cut at the count
+    // terciles — head = best third, tail = worst third — so
+    // downstream mixing can up-weight head data per language rather
+    // than globally (a global cut would assign whole low-resource
+    // languages to one band). RANK terciles, not score quantiles:
+    // the cuts are exact integers, no interpolation to disagree on.
+    // The ranking key is the UNROUNDED quality score (bit-equal
+    // across engines — the dedup_keep_best precedent), ties on
+    // doc_id; per-lang ranks via DistributedPrefixSum — two streamed
+    // range-partitioned passes, never a per-lang single-reducer
+    // window. Output pins the exact band SETS (id_sum) plus each
+    // band's score range.
+    Q("corpus_quality_bands",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, ${TextQueries.qualityRawSql} AS q
+         |  FROM documents),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY lang),
+         |r AS (
+         |  SELECT doc_id, lang, q,
+         |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rnk
+         |  FROM q),
+         |b AS (
+         |  SELECT r.lang, r.doc_id, r.q,
+         |    CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+         |         WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
+         |         ELSE 'tail' END AS band
+         |  FROM r JOIN n USING (lang))
+         |SELECT lang, band,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  floor(min(q) * 10000 + 0.5) / 10000 AS min_q,
+         |  floor(max(q) * 10000 + 0.5) / 10000 AS max_q
+         |FROM b GROUP BY lang, band""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("q"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // rank by quality DESC ⇔ prefix-count in (−q, doc_id) ASC order
+      val ranked = graft.operators.DistributedPrefixSum.running(
+        docs.withColumn("nq", -col("q")).withColumn("_one", lit(1L)),
+        "lang", Seq("nq", "doc_id"), "_one", "rnk")
+      ranked.join(broadcast(counts), Seq("lang"))
+        .withColumn("band",
+          when(col("rnk") <= expr("(n + 2) DIV 3"), "head")
+            .when(col("rnk") <= expr("(2 * n + 2) DIV 3"), "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          (floor(min(col("q")) * 10000 + lit(0.5)) / 10000).as("min_q"),
+          (floor(max(col("q")) * 10000 + lit(0.5)) / 10000).as("max_q"))
+    },
+
     // C46: quality-aware canonical selection — within each transitive
     // near-dup cluster keep the HIGHEST-quality member, not the
     // lowest id (what a production pipeline actually wants: among

@@ -257,17 +257,51 @@ object DedupQueries {
         |    THEN 1 ELSE 0 END AS INT) AS has_dup_span
         |FROM g JOIN c USING (g)
         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val grams = table(s, dir, "documents").select(
-        col("doc_id"),
+      // EXACT-CLONE COLLAPSE (the C32 move, r8 item #6): a doc's span
+      // profile is a pure function of (its text, the global span→
+      // doc-count table), and a span's doc count is Σ multiplicity
+      // over the UNIQUE texts containing it — so the 16-gram explode
+      // (the dominant cost: ~tokens-per-corpus rows) runs once per
+      // unique text, counts re-weight by clone multiplicity, and
+      // per-doc rows re-attach by text fingerprint. On the clone-
+      // heavy web-corpus regime (the ×1000 probe: 1000 clones/doc)
+      // the span passes shrink by the duplication factor; on a
+      // clone-free corpus the overhead is one fingerprint agg + one
+      // output join. 128-bit fingerprint + third-hash collision
+      // guard (the C1 convention). The dup-span semi-join prune
+      // stays: the doc-rollup exchange carries only duplicated
+      // spans, the minority in a real (non-clone-probe) corpus.
+      val keyed = table(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        xxhash64(col("text")).as("f1"),
+        xxhash64(lit(42L), col("text")).as("f2"),
+        length(col("text")).as("fl"))
+      val uniq = keyed
+        .groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(count(lit(1)).as("mult"), first(col("text")).as("text"),
+          countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in span_dedup_docs")).isNull)
+      val uniqGrams = uniq.select(
+        col("f1"), col("f2"), col("fl"), col("mult"),
         explode(graft.functions.VectorExpressions.tokenNgramHashes(
           split(col("text"), " "), 16)).as("g"))
-      val spanCounts = grams.groupBy(col("g"))
-        .agg(count(lit(1)).as("n_docs_with"))
-      grams.join(spanCounts, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      val dupSpans = uniqGrams.groupBy(col("g"))
+        .agg(sum(col("mult")).as("n_docs_with"))
+        .filter(col("n_docs_with") > 1)
+        .select(col("g"))
+      val totals = uniqGrams.groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(count(lit(1)).as("n_spans"))
+      val dupPer = uniqGrams.join(dupSpans, Seq("g"), "left_semi")
+        .groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(count(lit(1)).as("n_dup_spans"))
+      val repRes = totals.join(dupPer, Seq("f1", "f2", "fl"), "left")
+        .select(col("f1"), col("f2"), col("fl"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      // inner join: a unique text under 16 tokens has no spans, no
+      // totals row, and (per the oracle) no output row for its docs
+      keyed.select(col("doc_id"), col("f1"), col("f2"), col("fl"))
+        .join(repRes, Seq("f1", "f2", "fl"))
         .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
           (floor(col("n_dup_spans").cast("double") / col("n_spans") * 10000
             + lit(0.5)) / 10000).as("dup_frac"),
@@ -364,6 +398,13 @@ object DedupQueries {
       // DuckDB above it, a divergence that predates the collapse.)
       val groups = asg.groupBy(col("cluster"), col("v"))
         .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("g_n"))
+        // The non-zero-vector contract ENFORCED, not just commented
+        // (ADVICE r8): a zero vector's cosine is NaN, which Java
+        // orders below τ and DuckDB above it — fail loudly per unique
+        // vector (cheap: one dot per clone GROUP) instead of silently
+        // diverging from the oracle on out-of-contract data.
+        .filter(assert_true(VectorOps.dot(col("v"), col("v")) > 0,
+          lit("semantic_dedup: zero vector — cosine undefined")).isNull)
         .localCheckpoint() // one E-step pass total; reps self-join below
       val cos = VectorOps.dot(col("va"), col("vb")) /
         (sqrt(VectorOps.dot(col("va"), col("va"))) * sqrt(VectorOps.dot(col("vb"), col("vb"))))
@@ -380,6 +421,120 @@ object DedupQueries {
         .join(keptReps.groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_kept"), sum(col("rep_id")).as("kept_id_sum")),
           Seq("cluster"))
+    },
+
+    // C83: SHARDED SemDeDup — the scale path PAST the unsharded
+    // method's own floor. C32's k = ⌈√n⌉ codebook makes its
+    // full-corpus assign pass n·k = n^1.5: fine through the ×100
+    // decade (33 s measured), ~19 min at ×1000. Hash-sharding
+    // restores linear total work: S = max(4, ⌈n/4096⌉) shards of
+    // ~4096 vectors each, an INDEPENDENT codebook per shard
+    // (k = ⌈√(n/S)⌉ — the √-scaling applied WITHIN the fixed shard
+    // size), train/assign/pair-join entirely within shards. Per-shard
+    // cost is a constant (4096^1.5), so total work is S × const —
+    // LINEAR in n across any number of decades, embarrassingly
+    // parallel, and each shard's state fits one executor forever.
+    // The documented quality trade (SemDeDup, Abbas et al. 2023 runs
+    // the same regime: clusters never span their shard boundaries):
+    // a near-dup pair split across shards is NOT dropped — dedup
+    // recall trades against the restored linearity, exactly like
+    // LSH banding trades recall for the same property. All codebooks
+    // train in ONE set of passes (fitPerGroup, the PQ-training
+    // shape) — never a per-shard driver loop, which at ×1000's
+    // S = 489 would be thousands of sequential jobs.
+    // Oracle: the full train → assign → collapse chain replayed
+    // closed-form with shard-partitioned windows (assignShardCte /
+    // mStepShardCte, 6dp deterministic mode), S and k via scalar
+    // subqueries from the same integer/IEEE formulas.
+    Q("semantic_dedup_sharded",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |kv AS (SELECT GREATEST(4, CAST(ceil(count(*) / 4096.0) AS BIGINT)) AS s_cnt,
+         |  CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)
+         |    / GREATEST(4, CAST(ceil(count(*) / 4096.0) AS BIGINT)))) AS BIGINT) AS k
+         |  FROM e),
+         |es AS (SELECT vec_id % (SELECT s_cnt FROM kv) AS shard, vec_id, v FROM e),
+         |tr AS (SELECT shard, vec_id, v FROM (
+         |    SELECT shard, vec_id, v,
+         |      row_number() OVER (PARTITION BY shard ORDER BY vec_id) AS rn FROM es)
+         |  WHERE rn <= 32 * (SELECT k FROM kv)),
+         |c0 AS (SELECT shard, cluster, cv FROM (
+         |    SELECT shard,
+         |      CAST(row_number() OVER (PARTITION BY shard ORDER BY vec_id) AS INT) AS cluster,
+         |      v AS cv FROM tr)
+         |  WHERE cluster <= (SELECT k FROM kv)),
+         |a1 AS (${VectorQueries.assignShardCte("c0", "tr")}),
+         |c1 AS (${VectorQueries.mStepShardCte("a1")}),
+         |a2 AS (${VectorQueries.assignShardCte("c1", "tr")}),
+         |c2 AS (${VectorQueries.mStepShardCte("a2")}),
+         |asg AS (${VectorQueries.assignShardCte("c2", "es")}),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.shard = b.shard AND a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE $cosineExpr >= $CosineThreshold),
+         |kept AS (SELECT * FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM drops))
+         |SELECT m.shard, m.cluster, m.n_members, kk.n_kept, kk.kept_id_sum
+         |FROM (SELECT shard, cluster, CAST(count(*) AS BIGINT) AS n_members
+         |      FROM asg GROUP BY shard, cluster) m
+         |JOIN (SELECT shard, cluster, CAST(count(*) AS BIGINT) AS n_kept,
+         |        CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+         |      FROM kept GROUP BY shard, cluster) kk USING (shard, cluster)""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = e.count()
+      val S = math.max(4L, math.ceil(n / 4096.0).toLong)
+      val k = math.ceil(math.sqrt(n.toDouble / S)).toInt
+      val sharded = e.select((col("vec_id") % S).as("shard"),
+        col("vec_id").as("id"), col("v"))
+      // Per-shard training sample: the 32k lowest-id vectors of each
+      // shard, via a per-shard row_number WINDOW — safe here because
+      // a shard's size is ~4096 BY CONSTRUCTION of S, so each window
+      // task sorts a bounded group (and S grows with n, so
+      // parallelism scales). NOT TopKPerKey: its per-partition heaps
+      // hold k rows for EVERY key the partition sees — S × 32k full
+      // vectors on one task's heap, the wide-key regime its scaladoc
+      // forbids (observed: ×1000 heap exhaustion, S=489 × 2048 ×
+      // ~550 B ≈ 550 MB per task). localCheckpointed so the Lloyd
+      // rounds don't re-sort per pass.
+      val train = sharded
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("id"))))
+        .filter(col("_rn") <= 32 * k).drop("_rn")
+        .localCheckpoint()
+      val centroids = graft.operators.KMeans.fitPerGroup(
+        train, "shard", "id", "v", k, iterations = 2, roundTo = Some(6))
+      val asg = graft.operators.KMeans.assignPerGroup(
+          sharded, "shard", "id", "v", centroids, roundTo = Some(6),
+          keepVectors = true)
+        .select(col("grp").as("shard"), col("id").as("vec_id"),
+          col("cluster"), col("v"))
+      // Exact-clone collapse per (shard, cluster, v): the C32 proof
+      // holds verbatim within a shard (assignment is a function of
+      // (shard, vector); clones in DIFFERENT shards are split by
+      // design — part of the documented recall trade, since sharding
+      // already declines to compare them). Same enforced non-zero
+      // contract as C32.
+      val groups = asg.groupBy(col("shard"), col("cluster"), col("v"))
+        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("g_n"))
+        .filter(assert_true(VectorOps.dot(col("v"), col("v")) > 0,
+          lit("semantic_dedup_sharded: zero vector — cosine undefined")).isNull)
+        .localCheckpoint()
+      val cos = VectorOps.dot(col("va"), col("vb")) /
+        (sqrt(VectorOps.dot(col("va"), col("va"))) * sqrt(VectorOps.dot(col("vb"), col("vb"))))
+      val drops = groups.select(col("shard"), col("cluster"),
+          col("rep_id").as("id_a"), col("v").as("va"))
+        .join(groups.select(col("shard"), col("cluster"),
+          col("rep_id").as("id_b"), col("v").as("vb")),
+          Seq("shard", "cluster"))
+        .filter(col("id_a") < col("id_b") && cos >= CosineThreshold)
+        .select(col("id_b").as("rep_id")).distinct()
+      val keptReps = groups.join(drops, Seq("rep_id"), "left_anti")
+      groups.groupBy(col("shard"), col("cluster"))
+        .agg(sum(col("g_n")).as("n_members"))
+        .join(keptReps.groupBy(col("shard"), col("cluster"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("rep_id")).as("kept_id_sum")),
+          Seq("shard", "cluster"))
     },
 
     // C6: brute-force cosine ANN top-10 for the first 5 vectors.

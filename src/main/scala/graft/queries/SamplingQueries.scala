@@ -34,7 +34,7 @@ object SamplingQueries {
     * hashes: bottom-k SETS and their emission order are exactly
     * determined. Emits a subquery yielding `carry` columns + `hs`.
     */
-  private def fmix64SignedSql(carry: Seq[String], x: String, src: String): String = {
+  private[queries] def fmix64SignedSql(carry: Seq[String], x: String, src: String): String = {
     val c1 = BigInt("18397679294719823053") // 0xff51afd7ed558ccd
     val c2 = BigInt("14181476777654086739") // 0xc4ceb9fe1a85ec53
     val cs = carry.mkString(", ")

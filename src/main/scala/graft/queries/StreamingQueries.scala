@@ -753,6 +753,41 @@ object StreamingQueries {
         .filter(col("rnk") <= 20)
     },
 
+    // D31: DETERMINISTIC UNIFORM SAMPLE in streaming state — the
+    // bottom-k sketch (B34) as a live per-key reservoir: keep the 5
+    // event ids with the lowest signed-fmix64 rank per event_type,
+    // maintained incrementally across micro-batches. Bottom-k of a
+    // set is a lattice (merge = keep the k smallest of a union), so
+    // per-partition partials and per-batch state merges commute — the
+    // complete-mode snapshot after the AvailableNow replay is exactly
+    // the batch aggregate under ANY merge schedule, which is what
+    // lets a DuckDB fmix64 replay pin the SAMPLE ITSELF, not just its
+    // size. State per key is O(k) — a bounded reservoir, never the
+    // stream; the 100 TB-stream shape for "give me a reproducible
+    // sample of what's flowing" (debugging taps, canary diffing,
+    // training-data spot checks).
+    Q("streaming_bottomk_sample",
+      s"""WITH sg AS (
+         |  ${SamplingQueries.fmix64SignedSql(
+              Seq("event_type", "event_id"), "event_id", "events")}),
+         |r AS (
+         |  SELECT event_type, event_id,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hs) AS rnk
+         |  FROM sg)
+         |SELECT event_type, CAST(rnk AS INT) AS rnk, event_id
+         |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val ev = tableStream(s, dir, "events")
+        .select(col("event_type"), col("event_id"))
+      val agg = ev.groupBy(col("event_type"))
+        .agg(graft.functions.BottomKSample.bottomkSample(col("event_id"), 5)
+          .as("sample"))
+      val streamed = runToMemory(s, agg, "graft_stream_bk", mode = "complete")
+      streamed.select(col("event_type"),
+          posexplode(col("sample")).as(Seq("pos", "event_id")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rnk"),
+          col("event_id"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by

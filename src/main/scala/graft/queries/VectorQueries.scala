@@ -26,6 +26,30 @@ object VectorQueries {
        |          + list_dot_product(c.cv, c.cv), 6), c.cluster) AS rn
        |    FROM $eName e, $cs c) WHERE rn = 1""".stripMargin
 
+  /** Shard-keyed variant of [[assignCte]] — one Lloyd E-step where
+    * each vector competes only against ITS shard's centroids (`cs`
+    * carries (shard, cluster, cv); `eName` carries (shard, vec_id,
+    * v)). The closed-form replay of `KMeans.assignPerGroup`, shared
+    * with DedupQueries' sharded semantic_dedup.
+    */
+  private[queries] def assignShardCte(cs: String, eName: String): String =
+    s"""SELECT shard, vec_id, v, cluster FROM (
+       |    SELECT e.shard, e.vec_id, e.v, c.cluster,
+       |      row_number() OVER (PARTITION BY e.shard, e.vec_id ORDER BY
+       |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+       |          + list_dot_product(c.cv, c.cv), 6), c.cluster) AS rn
+       |    FROM $eName e JOIN $cs c ON e.shard = c.shard) WHERE rn = 1""".stripMargin
+
+  /** Shard-keyed variant of [[mStepCte]]: per (shard, cluster, dim)
+    * 6dp-rounded mean — the `KMeans.fitPerGroup` M-step closed-form.
+    */
+  private[queries] def mStepShardCte(as_ : String): String =
+    s"""SELECT shard, cluster, list(c ORDER BY dim) AS cv FROM (
+       |    SELECT shard, cluster, dim, round(avg(val), 6) AS c FROM (
+       |      SELECT shard, cluster, unnest(range(len(v))) AS dim, unnest(v) AS val
+       |      FROM $as_)
+       |    GROUP BY shard, cluster, dim) GROUP BY shard, cluster""".stripMargin
+
   /** DuckDB replay of one M-step over assignments CTE `as_`: per
     * (cluster, dim) 6dp-rounded mean, re-assembled into an array.
     */
