@@ -523,6 +523,130 @@ object TextQueries {
               .cast("double") / lit(1000000)).as("f_norm"))
     },
 
+    // C86: IN-ENGINE TRAINED text classifier — Rocchio / nearest
+    // class mean (Rocchio 1971; the closed-form member of the
+    // reference-corpus filter family that CCNet/GPT-3 instantiate
+    // with fasttext): w = mean(x | y=1) − mean(x | y=0) over the C47
+    // hashed bag-of-words features, bias = −w·(μ1+μ0)/2 (the
+    // midpoint rule), score = w·x + bias. Distinct from C40 (fixed
+    // hash weights, no training) and C42 (probability-ratio bucket
+    // weights): this one learns a geometric separator FROM labels in
+    // one closed-form pass — no iterative convergence to tune, which
+    // is exactly why it is deterministic enough to oracle-check.
+    //
+    // Label: the synthetic corpus draws every doc from ONE shared
+    // vocabulary (lang/source are uncorrelated with text — verified:
+    // no text feature separates them), so the gate uses a PLANTED
+    // concept, the ann_recall_gate convention: y = 1(Σ_j w*_j x_j ≥ 0)
+    // with w* = +1 on odd dims / −1 on even dims. The classifier must
+    // RECOVER the planted separator from labels alone; it lands ~87%
+    // accuracy at every SF (pinned ≥ 0.85 by RocchioSpec — Rocchio is
+    // Bayes-optimal only for identity-covariance classes, so
+    // imperfect recovery is the method's honest ceiling, not noise).
+    //
+    // Determinism: features are the C47 integer micro-units; class
+    // means use explicit floored division spelled identically in both
+    // engines ((a − ((a%d)+d)%d)/d — DuckDB // and Spark div disagree
+    // on negatives); every score is an EXACT BIGINT (≤ 17·2e12 —
+    // fits long to any n). Scale shape: ONE corpus tokenize→hash
+    // pass builds the sparse feature relation (localCheckpointed);
+    // training is one keyed label join + a 16-row driver collect
+    // (the PowerIteration model-to-driver convention); scoring is a
+    // broadcast join. No iteration, no global sort.
+    Q("rocchio_classifier_score",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |i AS (
+         |  SELECT doc_id, unnest(list_transform(toks, tok ->
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(
+         |        list_filter(string_split_regex(tok, ''), c -> c <> ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, b) -> (h * 31 + b) % 18446744073709551616))) AS h
+         |  FROM t),
+         |fi AS (
+         |  SELECT doc_id, CAST(h % 16 AS INT) AS dim,
+         |    CAST(sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+         |      AS f_int
+         |  FROM i GROUP BY doc_id, dim),
+         |nrm AS (SELECT doc_id, sqrt(CAST(sum(f_int * f_int) AS DOUBLE)) AS norm
+         |        FROM fi GROUP BY doc_id),
+         |x AS (
+         |  SELECT fi.doc_id, dim,
+         |    CASE WHEN norm = 0 THEN 0
+         |         ELSE CAST(floor(f_int / norm * 1000000 + 0.5) AS BIGINT) END AS x
+         |  FROM fi JOIN nrm USING (doc_id)),
+         |lab AS (
+         |  SELECT doc_id, CASE WHEN zs >= 0 THEN 1 ELSE 0 END AS y FROM (
+         |    SELECT doc_id,
+         |      CAST(sum(CASE WHEN dim % 2 = 1 THEN x ELSE -x END) AS BIGINT) AS zs
+         |    FROM x GROUP BY doc_id)),
+         |cnt AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+         |               CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM lab),
+         |s AS (
+         |  SELECT dim,
+         |    CAST(sum(CASE WHEN y = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN y = 0 THEN x ELSE 0 END) AS BIGINT) AS s0
+         |  FROM x JOIN lab USING (doc_id) GROUP BY dim),
+         |mu AS (
+         |  SELECT dim,
+         |    (s1 - ((s1 % n1 + n1) % n1)) // n1 AS mu1,
+         |    (s0 - ((s0 % n0 + n0) % n0)) // n0 AS mu0
+         |  FROM s, cnt),
+         |bias AS (
+         |  SELECT -((sw - ((sw % 2 + 2) % 2)) // 2) AS b FROM (
+         |    SELECT CAST(sum((mu1 - mu0) * (mu1 + mu0)) AS BIGINT) AS sw FROM mu)),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(x * (mu1 - mu0)) AS BIGINT) AS wx
+         |  FROM x JOIN mu USING (dim) GROUP BY doc_id)
+         |SELECT sc.doc_id, CAST(y AS INT) AS label, wx + b AS score,
+         |  CAST(CASE WHEN wx + b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM sc JOIN lab USING (doc_id), bias""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val inst = table(s, dir, "documents").select(col("doc_id"),
+        explode(transform(TF.wsTokens(col("text")),
+          t => Fingerprint64.fingerprint64(t))).as("h"))
+      val fi = inst
+        .groupBy(col("doc_id"),
+          col("h").bitwiseAND(lit(15L)).cast("int").as("dim"))
+        .agg(sum(when(shiftright(col("h"), 4).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as("f_int"))
+      val nrm = fi.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("f_int") * col("f_int")).cast("double")).as("norm"))
+      val x = fi.join(nrm, Seq("doc_id"))
+        .select(col("doc_id"), col("dim"),
+          when(col("norm") === 0, 0L)
+            .otherwise(floor(col("f_int") / col("norm") * lit(1000000)
+              + lit(0.5)).cast("long")).as("x"))
+        .localCheckpoint()
+      // planted labels: y = 1(w*·x ≥ 0), w* = ±1 by dim parity
+      val lab = x.groupBy(col("doc_id"))
+        .agg(sum(when(col("dim") % 2 === 1, col("x")).otherwise(-col("x")))
+          .as("zs"))
+        .select(col("doc_id"), (col("zs") >= 0).cast("long").as("y"))
+      // training: per-dim class sums, model-sized collect (16 rows)
+      val stats = x.join(lab, Seq("doc_id"))
+        .groupBy(col("dim"))
+        .agg(sum(when(col("y") === 1, col("x")).otherwise(0L)).as("s1"),
+          sum(when(col("y") === 0, col("x")).otherwise(0L)).as("s0"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val Seq(n1, n0) = lab.agg(sum(col("y")).as("n1"),
+          (count(lit(1)) - sum(col("y"))).as("n0"))
+        .collect().headOption.map(r => Seq(r.getLong(0), r.getLong(1))).get
+      val mu = stats.map { case (j, (s1v, s0v)) =>
+        j -> (Math.floorDiv(s1v, n1), Math.floorDiv(s0v, n0)) }
+      val bias = -Math.floorDiv(
+        mu.valuesIterator.map { case (m1, m0) => (m1 - m0) * (m1 + m0) }.sum, 2L)
+      val wDf = broadcast(
+        mu.toSeq.map { case (j, (m1, m0)) => (j, m1 - m0) }
+          .sortBy(_._1).toDF("dim", "w"))
+      x.join(wDf, Seq("dim"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("x") * col("w")).as("wx"))
+        .join(lab, Seq("doc_id"))
+        .select(col("doc_id"), col("y").cast("int").as("label"),
+          (col("wx") + lit(bias)).as("score"),
+          (col("wx") + lit(bias) >= 0).cast("int").as("pred"))
+    },
     // C41: PMI collocation scoring — the corpus-statistics operator
     // behind phrase mining / tokenizer seeding (Church & Hanks 1990):
     // rank word bigrams by pointwise mutual information against the
