@@ -374,6 +374,133 @@ object SamplingQueries {
           coalesce(col("idsum"), lit(0L)).as("kept_id_sum"))
     },
 
+    // C87: UniMax epoch-capped language sampling (Chung et al. 2023)
+    // — the max-min-fair successor to C81's temperature recipe:
+    // instead of shares ∝ p^τ, distribute the token budget as
+    // UNIFORMLY as possible across languages subject to a per-lang
+    // repetition cap of E = 2 epochs (cap_l = E·n_toks_l) — the
+    // water-filling allocation that provably minimizes the maximum
+    // per-language repetition rate. Budget T = (3·tot) DIV 2, so on
+    // this corpus every low-resource language hits its full-2-epoch
+    // cap and the head language (en) fills the remainder as a
+    // partial epoch — BOTH branches of the allocator are exercised,
+    // never vacuous.
+    //
+    // INTEGER water level: with caps sorted ascending and prefix
+    // sums P_m, the level for segment m is θ = (T − P_m) DIV (L − m),
+    // valid iff c_m ≤ θ < c_{m+1} (unique); the MOD remainder goes
+    // +1 token to the first R uncapped languages in (cap, lang)
+    // order, so Σ alloc = T EXACTLY. The allocator runs on the
+    // LANGUAGE table — model-sized, solved on the driver (the
+    // PowerIteration convention), replayed in the oracle as a
+    // window + candidate-segment filter. Partial-epoch selection =
+    // lowest fmix64(doc_id) ranks with cumulative tokens ≤ target
+    // via DistributedPrefixSum — two streamed range-partitioned
+    // passes, never a per-lang single-reducer window over the corpus.
+    Q("corpus_unimax_mix", {
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+         |      '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS nt
+         |  FROM documents),
+         |st AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_toks
+         |       FROM tk GROUP BY lang),
+         |tt AS (SELECT CAST((3 * sum(n_toks)) // 2 AS BIGINT) AS t,
+         |              CAST(count(*) AS BIGINT) AS l FROM st),
+         |sc AS (
+         |  SELECT lang, n_toks, 2 * n_toks AS cap,
+         |    row_number() OVER (ORDER BY 2 * n_toks, lang) AS rn,
+         |    CAST(coalesce(sum(2 * n_toks) OVER (ORDER BY 2 * n_toks, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS pfx
+         |  FROM st),
+         |cand AS (
+         |  SELECT rn - 1 AS m, pfx,
+         |    coalesce(lag(cap) OVER (ORDER BY rn), 0) AS c_m, cap AS c_next
+         |  FROM sc),
+         |seg AS (
+         |  SELECT m, (t - pfx) // (l - m) AS theta, (t - pfx) % (l - m) AS rmd
+         |  FROM cand, tt
+         |  WHERE t - pfx >= 0 AND c_m <= (t - pfx) // (l - m)
+         |    AND (t - pfx) // (l - m) < c_next
+         |  ORDER BY m LIMIT 1),
+         |ep AS (
+         |  SELECT lang, n_toks, cap,
+         |    CASE WHEN rn - 1 < (SELECT m FROM seg) THEN cap
+         |         ELSE (SELECT theta FROM seg)
+         |           + CASE WHEN rn - 1 - (SELECT m FROM seg) < (SELECT rmd FROM seg)
+         |                  THEN 1 ELSE 0 END END AS alloc
+         |  FROM sc),
+         |ep2 AS (
+         |  SELECT lang, n_toks, cap, alloc,
+         |    alloc // n_toks AS n_full, alloc % n_toks AS partial
+         |  FROM ep),
+         |sg AS (
+         |  ${fmix64SignedSql(Seq("doc_id", "lang", "nt"), "doc_id", "tk")}),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    sum(nt) OVER (PARTITION BY lang ORDER BY hs, doc_id) AS run
+         |  FROM sg),
+         |k AS (
+         |  SELECT r.lang, count(*) AS cnt, sum(doc_id) AS idsum
+         |  FROM r JOIN ep2 USING (lang) WHERE run <= partial GROUP BY r.lang)
+         |SELECT ep2.lang, ep2.n_toks, CAST(ep2.cap AS BIGINT) AS cap,
+         |  CAST(ep2.alloc AS BIGINT) AS alloc,
+         |  CAST(ep2.n_full AS BIGINT) AS n_full_epochs,
+         |  CAST(ep2.partial AS BIGINT) AS partial_tokens,
+         |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept_partial,
+         |  CAST(coalesce(k.idsum, 0) AS BIGINT) AS kept_id_sum
+         |FROM ep2 LEFT JOIN k USING (lang)""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val tk = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.wsTokens(col("text")))
+          .cast("long").as("nt"))
+        .localCheckpoint() // one tokenize pass feeds stats + selection
+      val stats = tk.groupBy(col("lang")).agg(sum(col("nt")).as("n_toks"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val tot = stats.map(_._2).sum
+      val budget = Math.floorDiv(3 * tot, 2)
+      // integer water-filling on the model-sized language table
+      val sorted = stats.map { case (lang, nt) => (lang, nt, 2 * nt) }
+        .sortBy { case (lang, _, cap) => (cap, lang) }
+      val L = sorted.length
+      val prefix = sorted.scanLeft(0L)(_ + _._3)
+      val m = (0 until L).find { mm =>
+        val rem = budget - prefix(mm)
+        rem >= 0 && {
+          val th = Math.floorDiv(rem, L - mm)
+          val cm = if (mm == 0) 0L else sorted(mm - 1)._3
+          cm <= th && th < sorted(mm)._3
+        }
+      }.getOrElse(L) // Σcap ≤ T ⇒ every language allocates its cap
+      val (theta, rmd) =
+        if (m >= L) (0L, 0L)
+        else (Math.floorDiv(budget - prefix(m), L - m),
+          (budget - prefix(m)) % (L - m))
+      val targets = sorted.zipWithIndex.map { case ((lang, nt, cap), i) =>
+        val alloc =
+          if (i < m) cap
+          else theta + (if (i - m < rmd) 1L else 0L)
+        (lang, nt, cap, alloc, Math.floorDiv(alloc, nt), alloc % nt)
+      }.toSeq.toDF("lang", "n_toks", "cap", "alloc", "n_full_epochs",
+        "partial_tokens")
+      val ranked = graft.operators.DistributedPrefixSum.running(
+        tk.withColumn("hs", graft.functions.Fingerprint64.fmix64(col("doc_id"))),
+        "lang", Seq("hs", "doc_id"), "nt", "run")
+      val kept = ranked
+        .join(broadcast(targets.select(col("lang"), col("partial_tokens"))),
+          Seq("lang"))
+        .filter(col("run") <= col("partial_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("idsum"))
+      targets.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_toks"), col("cap"), col("alloc"),
+          col("n_full_epochs"), col("partial_tokens"),
+          coalesce(col("cnt"), lit(0L)).as("n_kept_partial"),
+          coalesce(col("idsum"), lit(0L)).as("kept_id_sum"))
+    },
+
     // B102: CUSTOM DATASOURCE V2 under the gate — the connector-API
     // surface (graft.sources.SynthProvider): a deterministic
     // generated table read through Spark's v2 path with COLUMN
