@@ -308,6 +308,100 @@ object DedupQueries {
           (col("n_dup_spans") > 0).cast("int").as("has_dup_span"))
     },
 
+    // C88: MAXIMAL duplicated-substring intervals — the actual
+    // dedup-cut recipe of Lee et al. 2022 §4 (ExactSubstr): C31 only
+    // counts duplicated 16-token spans; removing them requires the
+    // MAXIMAL merged character ranges, because overlapping duplicated
+    // spans are one region of duplicated text, not many. Per doc:
+    // positions whose 16-gram occurs in >1 distinct document, merged
+    // into maximal token intervals [start, end) by the islands rule
+    // (break when the position gap exceeds the span width 16 — the
+    // gaps-and-islands pattern of B91 applied to span starts), then
+    // rolled up to n_intervals / covered_tokens / max_interval.
+    //
+    // Scale shape: the C31 clone-collapse applies verbatim — the
+    // positioned-gram explode (the dominant, tokens-per-corpus cost)
+    // runs once per UNIQUE text, dup decisions re-weight by clone
+    // multiplicity, intervals compute per unique text and re-attach
+    // to docs by fingerprint. The islands window partitions by text
+    // fingerprint: each partition is one document's dup positions —
+    // doc-bounded by construction, never a corpus sort. 8-byte span
+    // hashes on the exchange (the C31 convention: oracle joins span
+    // STRINGS, identical up to 64-bit collisions).
+    Q("span_dup_intervals",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(toks[CAST(i AS INT):CAST(i + 15 AS INT)], ' ') AS g
+        |  FROM t, unnest(range(1, len(toks) - 14)) AS u(i)
+        |  WHERE len(toks) >= 16),
+        |c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM p GROUP BY g),
+        |d AS (SELECT doc_id, pos FROM p JOIN c USING (g) WHERE nd > 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 16 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM d)),
+        |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 16 AS e
+        |       FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_tokens,
+        |  CAST(max(e - s) AS BIGINT) AS max_interval_tokens
+        |FROM iv GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val keyed = table(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        xxhash64(col("text")).as("f1"),
+        xxhash64(lit(42L), col("text")).as("f2"),
+        length(col("text")).as("fl"))
+      val uniq = keyed
+        .groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(count(lit(1)).as("mult"), first(col("text")).as("text"),
+          countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in span_dup_intervals")).isNull)
+      // positioned 16-gram hashes, once per unique text
+      val toks = split(col("text"), " ")
+      val posGrams = uniq
+        .filter(size(toks) >= 16)
+        .select(col("f1"), col("f2"), col("fl"), col("mult"),
+          posexplode(transform(sequence(lit(1), size(toks) - 15),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(16))))))
+            .as(Seq("_p0", "g")))
+        .withColumn("pos", col("_p0").cast("long") + 1).drop("_p0")
+      // a gram's doc count = Σ multiplicity over unique texts that
+      // CONTAIN it (distinct per text first — the C31 convention)
+      val dupGrams = posGrams
+        .groupBy(col("g"), col("f1"), col("f2"), col("fl"))
+        .agg(first(col("mult")).as("m"))
+        .groupBy(col("g")).agg(sum(col("m")).as("nd"))
+        .filter(col("nd") > 1).select(col("g"))
+      val dupPos = posGrams.join(dupGrams, Seq("g"), "left_semi")
+      // islands over each unique text's dup positions (doc-bounded)
+      val w = Window.partitionBy(col("f1"), col("f2"), col("fl"))
+        .orderBy(col("pos"))
+      val isl = dupPos
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") - col("prev") > 16, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perText = isl
+        .groupBy(col("f1"), col("f2"), col("fl"), col("island"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 16).as("e"))
+        .groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("e") - col("s")).as("covered_tokens"),
+          max(col("e") - col("s")).as("max_interval_tokens"))
+      keyed.select(col("doc_id"), col("f1"), col("f2"), col("fl"))
+        .join(perText, Seq("f1", "f2", "fl"))
+        .select(col("doc_id"), col("n_intervals"), col("covered_tokens"),
+          col("max_interval_tokens"))
+    },
+
     // C32: semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
     // embedding space, then drop any vector with a same-cluster
     // lower-id neighbor above the cosine threshold. Clustering bounds
