@@ -788,6 +788,64 @@ object StreamingQueries {
           col("event_id"))
     },
 
+    // D32: LIVE per-source MinHash signatures — C2's near-dup
+    // signature machinery as streaming state: each source's
+    // 16-permutation MinHash signature over the token sets of every
+    // document that has flowed so far, maintained incrementally
+    // across micro-batches. Each signature slot is min(fmix64(tok ⊕
+    // salt_i)) — and MIN over a set is a lattice (commutative,
+    // associative, idempotent), so per-partition partials and
+    // per-batch state merges commute: the complete-mode snapshot
+    // after the AvailableNow replay equals the batch aggregate under
+    // ANY batch split, which is what lets DuckDB replay the exact
+    // signature closed-form. State per source is O(16) longs — never
+    // the stream; at 100 TB this is THE way to keep live
+    // cross-source containment/similarity estimates (signature
+    // agreement ≈ Jaccard) without ever re-scanning history: the
+    // streaming companion of C75's batch cross-source matrix.
+    Q("streaming_minhash_sources", {
+      s"""WITH t AS (
+         |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+         |    '\\s+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT source, tok FROM t WHERE len(tok) > 0),
+         |th AS (
+         |  SELECT source,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(
+         |        list_filter(string_split_regex(tok, ''), c -> c <> ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS h
+         |  FROM tf),
+         |x AS (
+         |  SELECT source, CAST(i AS INT) AS sig_idx,
+         |    xor(h, CAST(i * 2654435761 AS HUGEINT)) AS xh
+         |  FROM th, (SELECT unnest(range(16)) AS i)),
+         |sg AS (
+         |  ${SamplingQueries.fmix64SignedSql(
+              Seq("source", "sig_idx"), "xh", "x")})
+         |SELECT source, sig_idx, CAST(min(hs) AS BIGINT) AS min_hash
+         |FROM sg GROUP BY source, sig_idx""".stripMargin
+    }) { (s, dir) =>
+      val toks = tableStream(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.wsTokens(col("text")))
+            .as("tok"))
+        .filter(length(col("tok")) > 0)
+      val salted = toks
+        .select(col("source"),
+          explode(sequence(lit(0), lit(15))).as("sig_idx"),
+          graft.functions.Fingerprint64.fingerprint64(col("tok")).as("th"))
+        .select(col("source"), col("sig_idx"),
+          graft.functions.Fingerprint64.fmix64(
+            col("th").bitwiseXOR(col("sig_idx").cast("long")
+              * lit(2654435761L))).as("hv"))
+      val agg = salted.groupBy(col("source"), col("sig_idx"))
+        .agg(min(col("hv")).as("min_hash"))
+      runToMemory(s, agg, "graft_stream_mh", mode = "complete")
+        .select(col("source"), col("sig_idx"), col("min_hash"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by
