@@ -214,7 +214,177 @@ object VectorQueries {
        |  FROM sc) WHERE rnk <= 10""".stripMargin
   }
 
+  /** DuckDB replay of the IVF-PQ composition (C89): coarse cell
+    * assign exactly as `ivfOracleSql` (unrounded left-fold dots, cid
+    * tie-break), residuals v − cv by exact IEEE subtraction, then the
+    * full `pqOracleSql` machinery — per-subspace 2-round Lloyd
+    * codebooks, 6dp encode, per-(query, probed-cell) residual ADC
+    * tables folded ascending from 0.0 — run over RESIDUALS with the
+    * candidate set restricted to the query's 3 probed cells.
+    */
+  private val ivfpqOracleSql: String = {
+    val m = 4; val sub = 16; val kSub = 4
+    val d2c = "list_dot_product(%s, %s) - 2 * list_dot_product(%s, c.cv) + list_dot_product(c.cv, c.cv)"
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = s * sub + sub
+      s"""rs$s AS (SELECT vec_id, rv[$lo:$hi] AS v FROM res),
+         |c0_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+         |           v AS cv FROM rs$s WHERE vec_id < $kSub),
+         |a1_$s AS (${assignCte(s"c0_$s", s"rs$s")}),
+         |c1_$s AS (${mStepCte(s"a1_$s")}),
+         |a2_$s AS (${assignCte(s"c1_$s", s"rs$s")}),
+         |c2_$s AS (${mStepCte(s"a2_$s")})""".stripMargin
+    }.mkString(",\n")
+    val centUnion = (0 until m)
+      .map(s => s"SELECT $s AS sub, cluster AS cid, cv FROM c2_$s")
+      .mkString("\nUNION ALL ")
+    val rsvUnion = (0 until m)
+      .map(s => s"SELECT vec_id, cell, $s AS sub, rv[${s * sub + 1}:${s * sub + sub}] AS rsv FROM res")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS ccv FROM e WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, v, cell, ccv FROM (
+       |    SELECT e.vec_id, e.v, c.cell, c.ccv,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.ccv)
+       |          + list_dot_product(c.ccv, c.ccv), c.cell) AS rn
+       |    FROM e, cent c) WHERE rn = 1),
+       |res AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${m * sub + 1}),
+       |      i -> v[CAST(i AS INT)] - ccv[CAST(i AS INT)]) AS rv
+       |  FROM asg),
+       |$perSub,
+       |pqc AS ($centUnion),
+       |rsv AS ($rsvUnion),
+       |codes AS (
+       |  SELECT vec_id, cell, sub, cid FROM (
+       |    SELECT s.vec_id, s.cell, s.sub, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+       |        round(list_dot_product(s.rsv, s.rsv) - 2 * list_dot_product(s.rsv, c.cv)
+       |          + list_dot_product(c.cv, c.cv), 6), c.cid) AS rn
+       |    FROM rsv s JOIN pqc c USING (sub)) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, cell, ccv FROM (
+       |    SELECT q.query_id, q.qv, c.cell, c.ccv,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.ccv)
+       |          + list_dot_product(c.ccv, c.ccv), c.cell) AS rn
+       |    FROM q, cent c) WHERE rn <= 3),
+       |qres AS (
+       |  SELECT query_id, cell, sub,
+       |    list_transform(range(sub * $sub + 1, sub * $sub + ${sub + 1}),
+       |      i -> qv[CAST(i AS INT)] - ccv[CAST(i AS INT)]) AS qrv
+       |  FROM probes, (SELECT unnest(range($m)) AS sub)),
+       |dt AS (
+       |  SELECT q.query_id, q.cell, q.sub, c.cid,
+       |    round(list_dot_product(q.qrv, q.qrv) - 2 * list_dot_product(q.qrv, c.cv)
+       |      + list_dot_product(c.cv, c.cv), 6) AS term
+       |  FROM qres q JOIN pqc c USING (sub)),
+       |sc AS (
+       |  SELECT d.query_id, k.vec_id,
+       |    list_reduce(list_prepend(0.0, list(d.term ORDER BY d.sub)),
+       |      (a, b) -> a + b) AS adc_d2
+       |  FROM codes k JOIN dt d ON k.cell = d.cell AND k.sub = d.sub AND k.cid = d.cid
+       |  WHERE k.vec_id <> d.query_id
+       |  GROUP BY d.query_id, k.vec_id)
+       |SELECT query_id, vec_id AS id, adc_d2, rnk FROM (
+       |  SELECT query_id, vec_id, adc_d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rnk
+       |  FROM sc) WHERE rnk <= 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // C89: IVF-PQ — THE production vector index (Jégou et al. 2011
+    // §IV; the FAISS IVFPQ default): the coarse IVF quantizer
+    // (ann_ivf_topk's 8 fixed cells) prunes the search to 3 probed
+    // cells, and product quantization over the RESIDUALS v − cell
+    // centroid (finer than C43's raw-vector PQ: residual energy is
+    // what's left AFTER the coarse quantizer explains the cell) packs
+    // each vector into m = 4 codes — at 100 TB the corpus-resident
+    // state is (cell, 4 codes) per vector and search cost is
+    // |probed cells| · ADC lookups, never a full scan and never the
+    // raw vectors again. ONE shared PQ codebook across cells (the
+    // FAISS layout), trained per-subspace in one fitPerGroup pass
+    // over residuals. Search: per (query, probed cell) the query
+    // residual differs, so the ADC table keys on (cell, sub, cid) —
+    // a tiny broadcast (queries × 3 cells × 16 entries) against the
+    // thin codes relation. Every stage replays closed-form: raw
+    // left-fold dots for cell assign/probes (bit-equal), exact IEEE
+    // residual subtraction, 6dp Lloyd rounds + encode, ADC folded
+    // ascending from 0.0.
+    Q("ann_ivfpq_topk", ivfpqOracleSql) { (s, dir) =>
+      val m = 4; val sub = 16; val kSub = 4
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("v").as("ccv"))
+      val d2cell = VectorOps.dot(col("v"), col("v")) -
+        lit(2) * VectorOps.dot(col("v"), col("ccv")) +
+        VectorOps.dot(col("ccv"), col("ccv"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("_d2", d2cell)
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cell"), col("ccv")), struct(col("_d2"), col("cell"))).as("c"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("c.cell").as("cell"),
+          zip_with(col("v"), col("c.ccv"), (a, b) => a - b).as("rv"))
+      val rsv = asg.select(col("vec_id"), col("cell"),
+          explode(array((0 until m).map(si =>
+            struct(lit(si).as("sub"),
+              slice(col("rv"), si * sub + 1, sub).as("rsv"))): _*)).as("p"))
+        .select(col("vec_id"), col("cell"), col("p.sub").as("sub"),
+          col("p.rsv").as("rsv"))
+        .localCheckpoint() // residuals feed train + encode, one compute
+      val codebook = graft.operators.KMeans.fitPerGroup(
+          rsv, "sub", "vec_id", "rsv", k = kSub, iterations = 2,
+          roundTo = Some(6))
+        .select(col("grp").as("sub"), col("cluster").as("cid"), col("cv"))
+        .localCheckpoint()
+      val d2pq = round(
+        VectorOps.dot(col("rsv"), col("rsv"))
+          - lit(2) * VectorOps.dot(col("rsv"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv")), 6)
+      val codes = rsv.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("cell"), col("sub"), col("cid"), d2pq.as("d2"))
+        .groupBy(col("vec_id"), col("cell"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      // probes: top-3 cells per query by raw d² (cell tie-break)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val qd2 = VectorOps.dot(col("qv"), col("qv")) -
+        lit(2) * VectorOps.dot(col("qv"), col("ccv")) +
+        VectorOps.dot(col("ccv"), col("ccv"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(qd2, col("cell"))))
+        .filter(col("_r") <= 3)
+        .select(col("query_id"), col("cell"),
+          zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qrv"))
+      val qrsv = probes.select(col("query_id"), col("cell"),
+          explode(array((0 until m).map(si =>
+            struct(lit(si).as("sub"),
+              slice(col("qrv"), si * sub + 1, sub).as("rsv"))): _*)).as("p"))
+        .select(col("query_id"), col("cell"), col("p.sub").as("sub"),
+          col("p.rsv").as("rsv"))
+      val dt = qrsv.join(broadcast(codebook), Seq("sub"))
+        .select(col("query_id"), col("cell"), col("sub"), col("cid"),
+          d2pq.as("term"))
+        .localCheckpoint() // tiny: queries × 3 cells × 16 entries
+      val scored = codes.join(broadcast(dt), Seq("cell", "sub", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("sub"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("adc_d2"))
+        .select(col("query_id"), col("vec_id").as("id"), col("adc_d2"))
+      graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("adc_d2", true), ("id", true)), 10)
+    },
 
     // C43: product quantization + asymmetric-distance search — the
     // memory-compression half of production vector search (Jégou et
