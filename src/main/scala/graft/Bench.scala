@@ -254,7 +254,16 @@ object Bench {
         "streaming_attribution", "streaming_incremental_dedup",
         "event_pattern_match", "kanon_generalize", "timeseries_subseq_match",
         // round-9: the sharded SemDeDup scale path (C83)
-        "semantic_dedup_sharded")
+        "semantic_dedup_sharded",
+        // round-9 second wave: the new tokens-per-corpus explodes
+        // (C85 boilerplate df, C88 positioned-gram intervals), the
+        // trained-model families (C86 Rocchio, C87 UniMax, C84
+        // bands), the streaming lattice states (D31/D32), and the
+        // IVF-PQ index chain (C89)
+        "line_boilerplate_scrub", "span_dup_intervals",
+        "rocchio_classifier_score", "corpus_unimax_mix",
+        "corpus_quality_bands", "streaming_minhash_sources",
+        "streaming_bottomk_sample", "ann_ivfpq_topk")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -364,7 +373,11 @@ object Bench {
       "streaming_attribution", "streaming_tws_profile",
       // round-9: sharded SemDeDup (C83) — per-shard constant cost,
       // expected ~linear here and at ×1000 (unlike C32's n^1.5).
-      "semantic_dedup_sharded")
+      "semantic_dedup_sharded",
+      // round-9 second wave: the two new tokens-per-corpus explodes
+      // (both clone-collapsed, expected span_dedup-like) and the
+      // IVF-PQ chain (coarse assign + residual PQ — linear encode)
+      "span_dup_intervals", "line_boilerplate_scrub", "ann_ivfpq_topk")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]
@@ -410,7 +423,11 @@ object Bench {
       // constant-size shards restore linearity where unsharded C32's
       // k = √n assign pass is n^1.5 (excluded here by design); this
       // probe is the third-decade evidence the r8 verdict asked for.
-      "semantic_dedup_sharded")
+      "semantic_dedup_sharded",
+      // round-9 second wave: C88 rides the same clone-collapsed
+      // positioned-gram explode as span_dedup_docs — third-decade
+      // evidence for the interval variant too.
+      "span_dup_intervals")
       .filter(n => only.isEmpty || only(n))
     val sfx1000 = if (!scaleProbe || !x1000Probe || x1000Names.isEmpty)
       Map.empty[String, Double]

@@ -846,6 +846,70 @@ object StreamingQueries {
         .select(col("source"), col("sig_idx"), col("min_hash"))
     },
 
+    // D33: streaming histogram quantiles — the production "p99 of a
+    // live metric" shape (DDSketch/HDR-histogram family, done with
+    // FIXED equi-width bins so the state is deterministic): per
+    // event_type, a 64-bin count histogram over integer-cent values
+    // maintained incrementally — counts are ADDITIVE, so per-batch
+    // state merges commute and the complete-mode snapshot equals the
+    // batch histogram under any batch split. p50/p90/p99 come from
+    // the snapshot closed-form: rank = ⌈q·n/100⌉ as (q·n + 99) DIV
+    // 100, first bin with cum ≥ rank, INTEGER within-bin linear
+    // interpolation ((rank − cum_before)·width DIV bin_count) — every
+    // step exact integers, so the estimate itself oracle-checks, not
+    // just the counts. State per key is O(64) longs — never the
+    // stream; the quantile math runs on the types×64 snapshot table.
+    Q("streaming_histogram_quantiles",
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |b AS (SELECT event_type, least(c // 1000, 63) AS bin,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM v GROUP BY event_type, bin),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM b GROUP BY event_type),
+        |cum AS (SELECT event_type, bin, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |       FROM b),
+        |rk AS (SELECT t.event_type, q.q, t.n,
+        |        (q.q * t.n + 99) // 100 AS rnk
+        |       FROM tot t, (SELECT unnest([50, 90, 99]) AS q) q),
+        |pick AS (
+        |  SELECT c.event_type, r.q, r.n, r.rnk, min(c.bin) AS bin
+        |  FROM cum c JOIN rk r USING (event_type)
+        |  WHERE c.cum >= r.rnk GROUP BY c.event_type, r.q, r.n, r.rnk)
+        |SELECT p.event_type, CAST(p.q AS INT) AS q, p.n,
+        |  CAST(p.bin * 1000
+        |    + ((p.rnk - (c.cum - c.cnt)) * 1000) // c.cnt AS BIGINT) AS est_cents
+        |FROM pick p JOIN cum c ON p.event_type = c.event_type AND p.bin = c.bin""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = tableStream(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val binned = ev
+        .groupBy(col("event_type"),
+          least(expr("c div 1000"), lit(63L)).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val snap = runToMemory(s, binned, "graft_stream_hist", mode = "complete")
+        .localCheckpoint()
+      // closed-form quantiles on the model-sized snapshot (≤ 64 bins
+      // per type — the windows below sort bounded per-type groups)
+      val tot = snap.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      val cum = snap.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+      val rk = tot.crossJoin(
+          s.range(1).select(explode(array(lit(50L), lit(90L), lit(99L))).as("q")))
+        .withColumn("rnk", expr("(q * n + 99) DIV 100"))
+      val pick = cum.join(rk, Seq("event_type"))
+        .filter(col("cum") >= col("rnk"))
+        .groupBy(col("event_type"), col("q"), col("n"), col("rnk"))
+        .agg(min(col("bin")).as("bin"))
+      pick.join(cum.select(col("event_type"), col("bin"), col("cnt"), col("cum")),
+          Seq("event_type", "bin"))
+        .select(col("event_type"), col("q").cast("int").as("q"), col("n"),
+          (col("bin") * 1000 + expr(
+            "((rnk - (cum - cnt)) * 1000) DIV cnt")).as("est_cents"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by
