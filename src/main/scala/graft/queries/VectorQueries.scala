@@ -444,6 +444,84 @@ object VectorQueries {
         Seq(("adc_d2", true), ("id", true)), 10)
     },
 
+    // C90: hard-negative mining for contrastive embedding training
+    // (DPR, Karpukhin et al. 2020; ANCE): per query, the top-5
+    // most-similar vectors from OTHER coarse cells — the cell is the
+    // weak "same topic" proxy, so cross-cell high-cosine items are
+    // exactly the hard negatives a bi-encoder trains against.
+    // Exclusion-constrained ANN, not plain top-k: the query's own
+    // cell (where the positives live) is banned, and the probe rank
+    // runs over the REMAINING cells. Scale shape: identical to the
+    // IVF search path (8-row centroid broadcast, 3 probed cells per
+    // query, per-cell rerank, TopKPerKey bounded heaps) — at 100 TB
+    // negatives mine at index-probe cost, never a corpus scan, and
+    // mining is embarrassingly parallel over queries. Replayed
+    // closed-form: raw left-fold dots for assign/probes (bit-equal),
+    // 6dp cosines with (cosine DESC, id) selection.
+    Q("ann_hard_negatives",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, v AS ccv FROM e WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.ccv)
+         |          + list_dot_product(c.ccv, c.ccv), c.cell) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+         |      FROM asg WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.ccv)
+         |          + list_dot_product(c.ccv, c.ccv), c.cell) AS rn
+         |    FROM q JOIN cent c ON c.cell <> q.qcell) WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS id,
+         |    round(list_dot_product(p.qv, a.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+         |  FROM asg a JOIN probes p USING (cell))
+         |SELECT query_id, id, cosine, rnk FROM (
+         |  SELECT query_id, id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("v").as("ccv"))
+      val d2cell = VectorOps.dot(col("v"), col("v")) -
+        lit(2) * VectorOps.dot(col("v"), col("ccv")) +
+        VectorOps.dot(col("ccv"), col("ccv"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("_d2", d2cell)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell"), struct(col("_d2"), col("cell"))).as("cell"),
+          first(col("v")).as("v"))
+      val q = asg.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("cell").as("qcell"))
+      val qd2 = VectorOps.dot(col("qv"), col("qv")) -
+        lit(2) * VectorOps.dot(col("qv"), col("ccv")) +
+        VectorOps.dot(col("ccv"), col("ccv"))
+      val probes = q.crossJoin(broadcast(cents))
+        .filter(col("cell") =!= col("qcell"))
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(qd2, col("cell"))))
+        .filter(col("_r") <= 3)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val cosine = round(
+        VectorOps.dot(col("qv"), col("v")) /
+          (sqrt(VectorOps.dot(col("qv"), col("qv")))
+            * sqrt(VectorOps.dot(col("v"), col("v")))), 6)
+      val scored = asg.join(broadcast(probes), Seq("cell"))
+        .select(col("query_id"), col("vec_id").as("id"), cosine.as("cosine"))
+      graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cosine", false), ("id", true)), 5)
+    },
+
     // C39: distributed first principal component (power iteration) —
     // corpus-scale work is the scatter matrix (map-side combined d²
     // groups) and a map-only projection scan; the d×d eigensolve runs
