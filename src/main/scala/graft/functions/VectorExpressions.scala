@@ -35,6 +35,9 @@ object VectorExpressions {
   def charShingleHashes(text: Column, k: Int): Column =
     GraftBridge.column(CharShingleHashes(GraftBridge.expression(text), k))
 
+  def positionedNgramHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(PositionedNgramHashes(GraftBridge.expression(tokens), n))
+
   def tokenNgramHashes(tokens: Column, n: Int): Column =
     GraftBridge.column(TokenNgramHashes(GraftBridge.expression(tokens), n))
 
@@ -179,6 +182,50 @@ case class TokenNgramHashes(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): TokenNgramHashes = copy(child = c)
+}
+
+/** POSITIONED variant of [[TokenNgramHashes]]: hash of the n-gram
+  * STARTING AT EACH POSITION (no dedupe, no sort — index i of the
+  * output is the window at token position i). Same hash family
+  * (31-poly token hashes with a separator step, 31-combined over the
+  * window, fmix64-finished), so positioned hashes join against
+  * [[TokenNgramHashes]] output — the dup-span interval query
+  * (span_dup_intervals) decides duplication on the distinct relation
+  * and locates positions with this one, without ever re-building the
+  * n-gram STRINGS per position. Empty array for fewer than n tokens.
+  */
+case class PositionedNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positioned_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val tokHashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val bytes = toks.getUTF8String(i).getBytes
+      var h = 0L
+      var j = 0
+      while (j < bytes.length) { h = h * 31L + bytes(j); j += 1 }
+      tokHashes(i) = h * 31L + ' '.toLong
+      i += 1
+    }
+    val windows = math.max(m - n + 1, 0)
+    val out = new Array[Long](windows)
+    i = 0
+    while (i < windows) {
+      var x = 0L
+      var j = 0
+      while (j < n) { x = x * 31L + tokHashes(i + j); j += 1 }
+      out(i) = VectorExpressions.fmix64(x)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PositionedNgramHashes = copy(child = c)
 }
 
 /** All `numHashes` minhash signatures in ONE pass over the element

@@ -362,22 +362,25 @@ object DedupQueries {
           countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
         .filter(assert_true(col("_nfp") === 1,
           lit("fingerprint collision in span_dup_intervals")).isNull)
-      // positioned 16-gram hashes, once per unique text
+      // duplication decides on the DISTINCT-per-text gram relation
+      // (TokenNgramHashes — one rolling-hash pass, spans dedupe in
+      // the expression), positions locate on the POSITIONED variant
+      // (same hash family, so the two relations join): the wide
+      // positioned relation shuffles exactly once (the semi join),
+      // never through the doc-count aggregation.
       val toks = split(col("text"), " ")
-      val posGrams = uniq
-        .filter(size(toks) >= 16)
-        .select(col("f1"), col("f2"), col("fl"), col("mult"),
-          posexplode(transform(sequence(lit(1), size(toks) - 15),
-            i => xxhash64(concat_ws(" ", slice(toks, i, lit(16))))))
-            .as(Seq("_p0", "g")))
-        .withColumn("pos", col("_p0").cast("long") + 1).drop("_p0")
-      // a gram's doc count = Σ multiplicity over unique texts that
-      // CONTAIN it (distinct per text first — the C31 convention)
-      val dupGrams = posGrams
-        .groupBy(col("g"), col("f1"), col("f2"), col("fl"))
-        .agg(first(col("mult")).as("m"))
-        .groupBy(col("g")).agg(sum(col("m")).as("nd"))
+      val uniqKeyed = uniq.filter(size(toks) >= 16).localCheckpoint()
+      val dupGrams = uniqKeyed
+        .select(col("mult"),
+          explode(graft.functions.VectorExpressions.tokenNgramHashes(
+            toks, 16)).as("g"))
+        .groupBy(col("g")).agg(sum(col("mult")).as("nd"))
         .filter(col("nd") > 1).select(col("g"))
+      val posGrams = uniqKeyed
+        .select(col("f1"), col("f2"), col("fl"),
+          posexplode(graft.functions.VectorExpressions
+            .positionedNgramHashes(toks, 16)).as(Seq("_p0", "g")))
+        .withColumn("pos", col("_p0").cast("long") + 1).drop("_p0")
       val dupPos = posGrams.join(dupGrams, Seq("g"), "left_semi")
       // islands over each unique text's dup positions (doc-bounded)
       val w = Window.partitionBy(col("f1"), col("f2"), col("fl"))
