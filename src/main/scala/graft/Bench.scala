@@ -263,14 +263,21 @@ object Bench {
         "line_boilerplate_scrub", "span_dup_intervals",
         "rocchio_classifier_score", "corpus_unimax_mix",
         "corpus_quality_bands", "streaming_minhash_sources",
-        "streaming_bottomk_sample", "ann_ivfpq_topk")
+        "streaming_bottomk_sample", "ann_ivfpq_topk",
+        "streaming_histogram_quantiles", "ann_hard_negatives",
+        "graph_hits",
+        // round-9 third wave: the streaming CEP session state (D34),
+        // the calibration table's quantile + agg pass (C91), and the
+        // binary-quantization Hamming scan + rerank (C92)
+        "streaming_pattern_match", "classifier_calibration",
+        "ann_binary_rerank")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
       "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore",
       "item_cooccurrence_topk", "grouped_ols2",
-      "rfm_segments", "graph_label_prop", "winsorize_prices")
+      "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits")
     // Untimed JIT/codegen warmup for the probe queries at the BASE
     // scale factor: the scale blocks now run first in the JVM, so
     // without this the first timed probe of each query would carry
@@ -377,7 +384,11 @@ object Bench {
       // round-9 second wave: the two new tokens-per-corpus explodes
       // (both clone-collapsed, expected span_dedup-like) and the
       // IVF-PQ chain (coarse assign + residual PQ — linear encode)
-      "span_dup_intervals", "line_boilerplate_scrub", "ann_ivfpq_topk")
+      "span_dup_intervals", "line_boilerplate_scrub", "ann_ivfpq_topk",
+      // round-9 third wave: the flat BQ Hamming scan (C92) — linear
+      // in the code relation by construction; a second decade checks
+      // the TopKPerKey candidate heaps hold it there.
+      "ann_binary_rerank")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg 1999) over a bipartite edge
+  * list — PageRank's sibling for bipartite intent: hub scores rank
+  * the left side by how much it links to authoritative right nodes,
+  * authority scores the converse. Normalization is L1 in exact
+  * integer `unit` units — each half-iteration rescales raw sums as
+  * (raw · unit) DIV Σraw — where the textbook L2 sqrt would need a
+  * cross-engine rounding contract; L1 vs L2 differ only by a positive
+  * global factor, so the ranking is identical.
+  *
+  * Scale shape (100 TB posture): per half-iteration ONE keyed join +
+  * map-side-combined sum over the edge list (O(edges) work, one
+  * shuffle on the scored side's key), the global Σ a broadcast
+  * single-row crossJoin; node state lives in DataFrames, never on the
+  * driver. The edge list should be localCheckpointed by the caller
+  * when it is derived (all 2·iters half-iterations re-read it).
+  *
+  * Overflow honesty under Spark 4 ANSI: a raw sum is bounded by
+  * unit · max-degree (each left node holds ≤ unit after rescale), so
+  * with unit = 1e6 the (raw · unit) product stays inside BIGINT up to
+  * ~9e6 max degree; beyond that ANSI arithmetic fails loudly rather
+  * than wrapping.
+  */
+object Hits {
+
+  /** One L1 rescale: raw (key, r) → (key, out) in integer units. */
+  private def l1Scale(raw: DataFrame, key: String, out: String,
+      unit: Long): DataFrame =
+    raw.crossJoin(broadcast(raw.agg(sum(col("r")).as("t"))))
+      .select(col(key), expr(s"(r * $unit) DIV t").as(out))
+
+  /** `iters` full HITS iterations over distinct bipartite edges
+    * (left, right). Returns (hubs(left, "h"), auths(right, "a")) in
+    * integer `unit` units, both L1-normalized up to DIV flooring.
+    */
+  def iterate(edges: DataFrame, left: String, right: String,
+      iters: Int, unit: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val lefts = edges.select(col(left)).distinct()
+    var h = lefts
+      .crossJoin(broadcast(lefts.agg(count(lit(1)).as("n"))))
+      .select(col(left), expr(s"$unit DIV n").as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = l1Scale(
+        edges.join(h, Seq(left)).groupBy(col(right))
+          .agg(sum(col("h")).as("r")),
+        right, "a", unit)
+      h = l1Scale(
+        edges.join(a, Seq(right)).groupBy(col(left))
+          .agg(sum(col("a")).as("r")),
+        left, "h", unit)
+    }
+    (h, a)
+  }
+}

@@ -265,6 +265,73 @@ object ExtendedQueries {
         .orderBy(col("pr_micro").desc, col("entity")).limit(20)
     },
 
+    // B107: HITS hubs & authorities (Kleinberg 1999) — PageRank's
+    // sibling for BIPARTITE intent: on the customer→supplier trade
+    // graph, hub scores rank customers by how much they buy from
+    // authoritative suppliers and authority scores rank suppliers by
+    // how much authoritative buyers buy from them — the mutual
+    // reinforcement PageRank's single score can't express. Two full
+    // HITS iterations with L1 normalization (not the textbook L2:
+    // an L1 step is sum-then-integer-scale, EXACT in micro units —
+    // (raw · 1e6) DIV Σraw — where an L2 sqrt would need a rounding
+    // contract; the ranking is identical since L1/L2 differ by a
+    // positive global factor). Scale shape: per iteration ONE keyed
+    // join + map-side-combined sum over the edge list (O(edges)),
+    // the global Σ a broadcast single-row crossJoin (the PMI nb
+    // precedent); node state never on the driver; top-20s via
+    // TakeOrderedAndProject. Sums fit BIGINT to ~9e9 trading
+    // customers (HUGEINT in the oracle; ANSI overflow is loud).
+    Q("graph_hits", {
+      def scaleCte(raw: String, key: String, out: String): String =
+        s"""SELECT $key, CAST((r * 1000000) // (SELECT sum(r) FROM $raw) AS BIGINT) AS $out
+           |  FROM $raw""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |custs AS (SELECT DISTINCT c FROM pairs),
+         |h0 AS (
+         |  SELECT c, CAST(1000000 // (SELECT count(*) FROM custs) AS BIGINT) AS h
+         |  FROM custs),
+         |a1r AS (SELECT p.s, CAST(sum(h.h) AS HUGEINT) AS r
+         |        FROM pairs p JOIN h0 h USING (c) GROUP BY p.s),
+         |a1 AS (${scaleCte("a1r", "s", "a")}),
+         |h1r AS (SELECT p.c, CAST(sum(a.a) AS HUGEINT) AS r
+         |        FROM pairs p JOIN a1 a USING (s) GROUP BY p.c),
+         |h1 AS (${scaleCte("h1r", "c", "h")}),
+         |a2r AS (SELECT p.s, CAST(sum(h.h) AS HUGEINT) AS r
+         |        FROM pairs p JOIN h1 h USING (c) GROUP BY p.s),
+         |a2 AS (${scaleCte("a2r", "s", "a")}),
+         |h2r AS (SELECT p.c, CAST(sum(a.a) AS HUGEINT) AS r
+         |        FROM pairs p JOIN a2 a USING (s) GROUP BY p.c),
+         |h2 AS (${scaleCte("h2r", "c", "h")})
+         |SELECT kind, entity, score_micro FROM (
+         |  SELECT 'hub' AS kind, 'c' || CAST(c AS VARCHAR) AS entity, h AS score_micro,
+         |    row_number() OVER (ORDER BY h DESC, c) AS rn FROM h2
+         |  UNION ALL
+         |  SELECT 'auth', 's' || CAST(s AS VARCHAR), a,
+         |    row_number() OVER (ORDER BY a DESC, s) FROM a2)
+         |WHERE rn <= 20""".stripMargin
+    }) { (s, dir) =>
+      val pairs = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint() // 4 half-iterations ride one edge build
+      val (h2, a2) = graft.operators.Hits.iterate(pairs, "c", "s", iters = 2)
+      // tie-break on the NUMERIC key (the oracle's ORDER BY ... , c)
+      val hubs = h2.orderBy(col("h").desc, col("c")).limit(20)
+        .select(lit("hub").as("kind"),
+          concat(lit("c"), col("c").cast("string")).as("entity"),
+          col("h").as("score_micro"))
+      val auths = a2.orderBy(col("a").desc, col("s")).limit(20)
+        .select(lit("auth").as("kind"),
+          concat(lit("s"), col("s").cast("string")).as("entity"),
+          col("a").as("score_micro"))
+      hubs.unionByName(auths)
+    },
+
     // B20: exact interpolated percentiles (both engines: linear
     // interpolation over the sorted set).
     Q("exact_percentiles",

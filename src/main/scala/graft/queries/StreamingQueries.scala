@@ -562,6 +562,78 @@ object StreamingQueries {
       finally graft.sources.Sources.restoreStateStore(s, prev)
     },
 
+    // D34: STREAMING CEP — the B106 MATCH_RECOGNIZE-lite operator
+    // (per-session event-initial strings + regex signal extraction)
+    // running inside transformWithState state instead of a batch
+    // groupBy: a ListState holds the open session's (tsec, event_id,
+    // initial) triples (bounded by the SESSION — the B45 rule, with
+    // the Guards ceiling failing loudly instead of OOMing the state
+    // store on a power key); session close follows the D2 contract
+    // verbatim (in-batch gap cross or event-time timer), so emission
+    // = every non-final session + final sessions under the final
+    // watermark. Pattern signals are computed on the emitted seq
+    // strings with the SAME Spark regexp expressions as batch B106 —
+    // one regexp contract for both forms; the oracle is B106's
+    // session-pattern CTEs + the D2 emission filter.
+    Q("streaming_pattern_match",
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |lagged AS (
+         |  SELECT user_id, event_id, tsec, event_type,
+         |    CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > $GapS
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         |sess AS (
+         |  SELECT user_id, event_id, tsec, event_type,
+         |    CAST(sum(is_new) OVER (
+         |      PARTITION BY user_id ORDER BY tsec, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_seq
+         |  FROM lagged),
+         |sq AS (
+         |  SELECT user_id, session_seq,
+         |    string_agg(upper(substring(event_type, 1, 1)), ''
+         |      ORDER BY tsec, event_id) AS seq,
+         |    max(tsec) + $GapS AS end_s,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY session_seq DESC)
+         |      AS rn_desc
+         |  FROM sess GROUP BY 1, 2),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e)
+         |SELECT user_id, session_seq,
+         |  CAST(len(seq) AS BIGINT) AS seq_len,
+         |  CAST(len(regexp_extract_all(seq, 'CV*P')) AS BIGINT) AS n_conv_paths,
+         |  CAST(CASE WHEN regexp_matches(seq, 'E.*P') THEN 1 ELSE 0 END AS INT)
+         |    AS err_before_purchase,
+         |  CAST(coalesce(list_max(list_transform(
+         |    regexp_extract_all(seq, 'V+'), x -> len(x))), 0) AS BIGINT)
+         |    AS max_view_run
+         |FROM sq, wm WHERE rn_desc > 1 OR end_s < fw""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val maxLen = s.conf.get(graft.functions.Guards.MaxSeriesKey,
+        graft.functions.Guards.MaxSeriesDefault.toString).toInt
+      val events = eventStream(s, dir).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"),
+        upper(substring(col("event_type"), 1, 1)).as("ini"))
+        .as[graft.streaming.PatEv]
+      val live = graft.streaming.TwsPattern
+        .patterns(events, GapS, DelayS, maxLen).toDF()
+      val prev = graft.sources.Sources.useRocksDBStateStore(s)
+      val streamed =
+        try runToMemory(s, live, "graft_stream_pattern")
+        finally graft.sources.Sources.restoreStateStore(s, prev)
+      streamed.select(col("user_id"), col("session_seq"),
+        length(col("seq")).cast("long").as("seq_len"),
+        expr("regexp_count(seq, 'CV*P')").cast("long").as("n_conv_paths"),
+        when(col("seq").rlike("E.*P"), 1).otherwise(0).cast("int")
+          .as("err_before_purchase"),
+        coalesce(
+          array_max(expr("transform(regexp_extract_all(seq, 'V+', 0), x -> length(x))")),
+          lit(0)).cast("long").as("max_view_run"))
+    },
+
     // D11 under the gate: STREAMING corpus curation — the C-family
     // composed under Structured Streaming (continuous ingest is how a
     // web-scale corpus actually arrives): documents replayed as a file

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.functions.{Fingerprint64, TextFunctions => TF}
-import graft.operators.DistributedPrefixSum
+import graft.operators.{DistributedPrefixSum, DistributedQuantile}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -554,98 +554,67 @@ object TextQueries {
     // (the PowerIteration model-to-driver convention); scoring is a
     // broadcast join. No iteration, no global sort.
     Q("rocchio_classifier_score",
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |i AS (
-         |  SELECT doc_id, unnest(list_transform(toks, tok ->
-         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |      list_transform(
-         |        list_filter(string_split_regex(tok, ''), c -> c <> ''),
-         |        c -> CAST(ord(c) AS HUGEINT))),
-         |      (h, b) -> (h * 31 + b) % 18446744073709551616))) AS h
-         |  FROM t),
-         |fi AS (
-         |  SELECT doc_id, CAST(h % 16 AS INT) AS dim,
-         |    CAST(sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
-         |      AS f_int
-         |  FROM i GROUP BY doc_id, dim),
-         |nrm AS (SELECT doc_id, sqrt(CAST(sum(f_int * f_int) AS DOUBLE)) AS norm
-         |        FROM fi GROUP BY doc_id),
-         |x AS (
-         |  SELECT fi.doc_id, dim,
-         |    CASE WHEN norm = 0 THEN 0
-         |         ELSE CAST(floor(f_int / norm * 1000000 + 0.5) AS BIGINT) END AS x
-         |  FROM fi JOIN nrm USING (doc_id)),
-         |lab AS (
-         |  SELECT doc_id, CASE WHEN zs >= 0 THEN 1 ELSE 0 END AS y FROM (
-         |    SELECT doc_id,
-         |      CAST(sum(CASE WHEN dim % 2 = 1 THEN x ELSE -x END) AS BIGINT) AS zs
-         |    FROM x GROUP BY doc_id)),
-         |cnt AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
-         |               CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM lab),
-         |s AS (
-         |  SELECT dim,
-         |    CAST(sum(CASE WHEN y = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
-         |    CAST(sum(CASE WHEN y = 0 THEN x ELSE 0 END) AS BIGINT) AS s0
-         |  FROM x JOIN lab USING (doc_id) GROUP BY dim),
-         |mu AS (
-         |  SELECT dim,
-         |    (s1 - ((s1 % n1 + n1) % n1)) // n1 AS mu1,
-         |    (s0 - ((s0 % n0 + n0) % n0)) // n0 AS mu0
-         |  FROM s, cnt),
-         |bias AS (
-         |  SELECT -((sw - ((sw % 2 + 2) % 2)) // 2) AS b FROM (
-         |    SELECT CAST(sum((mu1 - mu0) * (mu1 + mu0)) AS BIGINT) AS sw FROM mu)),
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(x * (mu1 - mu0)) AS BIGINT) AS wx
-         |  FROM x JOIN mu USING (dim) GROUP BY doc_id)
-         |SELECT sc.doc_id, CAST(y AS INT) AS label, wx + b AS score,
-         |  CAST(CASE WHEN wx + b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
-         |FROM sc JOIN lab USING (doc_id), bias""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val inst = table(s, dir, "documents").select(col("doc_id"),
-        explode(transform(TF.wsTokens(col("text")),
-          t => Fingerprint64.fingerprint64(t))).as("h"))
-      val fi = inst
-        .groupBy(col("doc_id"),
-          col("h").bitwiseAND(lit(15L)).cast("int").as("dim"))
-        .agg(sum(when(shiftright(col("h"), 4).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)).as("f_int"))
-      val nrm = fi.groupBy(col("doc_id"))
-        .agg(sqrt(sum(col("f_int") * col("f_int")).cast("double")).as("norm"))
-      val x = fi.join(nrm, Seq("doc_id"))
-        .select(col("doc_id"), col("dim"),
-          when(col("norm") === 0, 0L)
-            .otherwise(floor(col("f_int") / col("norm") * lit(1000000)
-              + lit(0.5)).cast("long")).as("x"))
-        .localCheckpoint()
-      // planted labels: y = 1(w*·x ≥ 0), w* = ±1 by dim parity
-      val lab = x.groupBy(col("doc_id"))
-        .agg(sum(when(col("dim") % 2 === 1, col("x")).otherwise(-col("x")))
-          .as("zs"))
-        .select(col("doc_id"), (col("zs") >= 0).cast("long").as("y"))
-      // training: per-dim class sums, model-sized collect (16 rows)
-      val stats = x.join(lab, Seq("doc_id"))
-        .groupBy(col("dim"))
-        .agg(sum(when(col("y") === 1, col("x")).otherwise(0L)).as("s1"),
-          sum(when(col("y") === 0, col("x")).otherwise(0L)).as("s0"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val Seq(n1, n0) = lab.agg(sum(col("y")).as("n1"),
-          (count(lit(1)) - sum(col("y"))).as("n0"))
-        .collect().headOption.map(r => Seq(r.getLong(0), r.getLong(1))).get
-      val mu = stats.map { case (j, (s1v, s0v)) =>
-        j -> (Math.floorDiv(s1v, n1), Math.floorDiv(s0v, n0)) }
-      val bias = -Math.floorDiv(
-        mu.valuesIterator.map { case (m1, m0) => (m1 - m0) * (m1 + m0) }.sum, 2L)
-      val wDf = broadcast(
-        mu.toSeq.map { case (j, (m1, m0)) => (j, m1 - m0) }
-          .sortBy(_._1).toDF("dim", "w"))
-      x.join(wDf, Seq("dim"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("x") * col("w")).as("wx"))
-        .join(lab, Seq("doc_id"))
-        .select(col("doc_id"), col("y").cast("int").as("label"),
-          (col("wx") + lit(bias)).as("score"),
-          (col("wx") + lit(bias) >= 0).cast("int").as("pred"))
+      s"""$rocchioCtes
+         |SELECT doc_id, label, score, pred FROM scored""".stripMargin) {
+      (s, dir) => rocchioScored(s, dir)
+    },
+
+    // C91: CLASSIFIER CALIBRATION / RELIABILITY TABLE (Guo et al.
+    // 2017's reliability diagram as a relation) — the eval stage that
+    // follows ANY trained corpus filter (C86 here; a fasttext/neural
+    // scorer in production): cut the score axis into deciles at the
+    // EXACT interpolated quantile breakpoints (DistributedQuantile ≡
+    // quantile_cont bit-for-bit — the decile_lift precedent) and
+    // report, per bin, the count, positive-label mass, positive-PRED
+    // mass, agreement, and exact micro-unit rates — the table that
+    // says WHERE on the score axis the filter's confidence is honest
+    // (a miscalibrated quality filter silently skews the corpus mix
+    // it gates). Scale shape: the C86 scored relation (one corpus
+    // pass, localCheckpointed) → 9 breakpoints broadcast over one
+    // keyed agg into ≤ 10 rows. All counts exact BIGINTs; rates are
+    // integer micro-units ((n · 1e6) div count — positive, so DuckDB
+    // // and Spark div agree); min/max score exact.
+    Q("classifier_calibration",
+      s"""$rocchioCtes,
+         |bp AS (
+         |  SELECT ${(1 to 9).map(k => s"quantile_cont(CAST(score AS DOUBLE), 0.$k) AS b$k").mkString(", ")}
+         |  FROM scored),
+         |d AS (
+         |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN score > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS bin,
+         |    label, pred, score
+         |  FROM scored, bp)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(label) AS BIGINT) AS n_pos,
+         |  CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+         |  CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS pos_rate_micro,
+         |  CAST((sum(CASE WHEN label = pred THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS acc_micro,
+         |  CAST(min(score) AS BIGINT) AS min_score,
+         |  CAST(max(score) AS BIGINT) AS max_score
+         |FROM d GROUP BY bin""".stripMargin) { (s, dir) =>
+      val scored = rocchioScored(s, dir).localCheckpoint()
+      val bps = DistributedQuantile
+        .quantiles(scored.withColumn("_g", lit("all")), "_g", "score",
+          (1 to 9).map(k => s"b$k" -> k / 10.0))
+        .drop("g")
+      val bin = (1 to 9)
+        .map(k => (col("score") > col(s"b$k")).cast("int"))
+        .reduce(_ + _)
+      scored.crossJoin(broadcast(bps))
+        .select(bin.cast("int").as("bin"), col("label"), col("pred"),
+          col("score"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).cast("long").as("n_pos"),
+          sum(col("pred")).cast("long").as("n_pred_pos"),
+          sum((col("label") === col("pred")).cast("long")).as("n_agree"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .select(col("bin"), col("n_docs"), col("n_pos"), col("n_pred_pos"),
+          col("n_agree"),
+          expr("(n_pos * 1000000) div n_docs").as("pos_rate_micro"),
+          expr("(n_agree * 1000000) div n_docs").as("acc_micro"),
+          col("min_score"), col("max_score"))
     },
     // C41: PMI collocation scoring — the corpus-statistics operator
     // behind phrase mining / tokenizer seeding (Church & Hanks 1990):
@@ -1076,6 +1045,113 @@ object TextQueries {
     * grams combined algebraically, no gram strings built) plus the
     * distinct exchange.
     */
+  /** The C86 Rocchio scored relation (doc_id, label, score, pred) as
+    * a DuckDB CTE chain ending in `scored` — shared by the C86 gate
+    * and the C91 calibration table so both oracles state ONE model.
+    */
+  private lazy val rocchioCtes: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |i AS (
+       |  SELECT doc_id, unnest(list_transform(toks, tok ->
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(
+       |        list_filter(string_split_regex(tok, ''), c -> c <> ''),
+       |        c -> CAST(ord(c) AS HUGEINT))),
+       |      (h, b) -> (h * 31 + b) % 18446744073709551616))) AS h
+       |  FROM t),
+       |fi AS (
+       |  SELECT doc_id, CAST(h % 16 AS INT) AS dim,
+       |    CAST(sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+       |      AS f_int
+       |  FROM i GROUP BY doc_id, dim),
+       |nrm AS (SELECT doc_id, sqrt(CAST(sum(f_int * f_int) AS DOUBLE)) AS norm
+       |        FROM fi GROUP BY doc_id),
+       |x AS (
+       |  SELECT fi.doc_id, dim,
+       |    CASE WHEN norm = 0 THEN 0
+       |         ELSE CAST(floor(f_int / norm * 1000000 + 0.5) AS BIGINT) END AS x
+       |  FROM fi JOIN nrm USING (doc_id)),
+       |lab AS (
+       |  SELECT doc_id, CASE WHEN zs >= 0 THEN 1 ELSE 0 END AS y FROM (
+       |    SELECT doc_id,
+       |      CAST(sum(CASE WHEN dim % 2 = 1 THEN x ELSE -x END) AS BIGINT) AS zs
+       |    FROM x GROUP BY doc_id)),
+       |cnt AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+       |               CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM lab),
+       |s AS (
+       |  SELECT dim,
+       |    CAST(sum(CASE WHEN y = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN y = 0 THEN x ELSE 0 END) AS BIGINT) AS s0
+       |  FROM x JOIN lab USING (doc_id) GROUP BY dim),
+       |mu AS (
+       |  SELECT dim,
+       |    (s1 - ((s1 % n1 + n1) % n1)) // n1 AS mu1,
+       |    (s0 - ((s0 % n0 + n0) % n0)) // n0 AS mu0
+       |  FROM s, cnt),
+       |bias AS (
+       |  SELECT -((sw - ((sw % 2 + 2) % 2)) // 2) AS b FROM (
+       |    SELECT CAST(sum((mu1 - mu0) * (mu1 + mu0)) AS BIGINT) AS sw FROM mu)),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(x * (mu1 - mu0)) AS BIGINT) AS wx
+       |  FROM x JOIN mu USING (dim) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT sc.doc_id, CAST(y AS INT) AS label, wx + b AS score,
+       |    CAST(CASE WHEN wx + b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+       |  FROM sc JOIN lab USING (doc_id), bias)""".stripMargin
+
+  /** The C86 Rocchio pipeline (see the C86 comment for the training
+    * shape): one tokenize→hash corpus pass, a 16-row model collect,
+    * a broadcast scoring join → (doc_id, label, score, pred).
+    */
+  private def rocchioScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val inst = table(s, dir, "documents").select(col("doc_id"),
+      explode(transform(TF.wsTokens(col("text")),
+        t => Fingerprint64.fingerprint64(t))).as("h"))
+    val fi = inst
+      .groupBy(col("doc_id"),
+        col("h").bitwiseAND(lit(15L)).cast("int").as("dim"))
+      .agg(sum(when(shiftright(col("h"), 4).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as("f_int"))
+    val nrm = fi.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("f_int") * col("f_int")).cast("double")).as("norm"))
+    val x = fi.join(nrm, Seq("doc_id"))
+      .select(col("doc_id"), col("dim"),
+        when(col("norm") === 0, 0L)
+          .otherwise(floor(col("f_int") / col("norm") * lit(1000000)
+            + lit(0.5)).cast("long")).as("x"))
+      .localCheckpoint()
+    // planted labels: y = 1(w*·x ≥ 0), w* = ±1 by dim parity
+    val lab = x.groupBy(col("doc_id"))
+      .agg(sum(when(col("dim") % 2 === 1, col("x")).otherwise(-col("x")))
+        .as("zs"))
+      .select(col("doc_id"), (col("zs") >= 0).cast("long").as("y"))
+    // training: per-dim class sums, model-sized collect (16 rows)
+    val stats = x.join(lab, Seq("doc_id"))
+      .groupBy(col("dim"))
+      .agg(sum(when(col("y") === 1, col("x")).otherwise(0L)).as("s1"),
+        sum(when(col("y") === 0, col("x")).otherwise(0L)).as("s0"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val Seq(n1, n0) = lab.agg(sum(col("y")).as("n1"),
+        (count(lit(1)) - sum(col("y"))).as("n0"))
+      .collect().headOption.map(r => Seq(r.getLong(0), r.getLong(1))).get
+    val mu = stats.map { case (j, (s1v, s0v)) =>
+      j -> (Math.floorDiv(s1v, n1), Math.floorDiv(s0v, n0)) }
+    val bias = -Math.floorDiv(
+      mu.valuesIterator.map { case (m1, m0) => (m1 - m0) * (m1 + m0) }.sum, 2L)
+    val wDf = broadcast(
+      mu.toSeq.map { case (j, (m1, m0)) => (j, m1 - m0) }
+        .sortBy(_._1).toDF("dim", "w"))
+    x.join(wDf, Seq("dim"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * col("w")).as("wx"))
+      .join(lab, Seq("doc_id"))
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        (col("wx") + lit(bias)).as("score"),
+        (col("wx") + lit(bias) >= 0).cast("int").as("pred"))
+  }
+
   private def winnowFps(s: org.apache.spark.sql.SparkSession, dir: String) =
     table(s, dir, "documents")
       .select(col("doc_id"),

@@ -298,6 +298,60 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(
 
+    // C92: BINARY-QUANTIZATION ANN with exact rerank (sign-bit codes
+    // à la Charikar 2002, packed per-DIMENSION — the flat "BQ +
+    // rescore" path modern vector stores ship alongside IVF/PQ): the
+    // coarse stage scans an 8 B/vector code relation with two
+    // XOR+popcount per candidate (at 100 TB an 800×-smaller persisted
+    // index read at memory bandwidth — the complement of cell pruning
+    // when recall must not depend on a quantizer's cell boundaries),
+    // keeps the top-50 by (Hamming, id) in TopKPerKey heaps, and
+    // reranks only the survivors against the raw vectors. Exact
+    // integer codes and Hamming distances + the 6dp cosine rerank →
+    // the whole chain replays closed-form (sign rule v[j] >= 0 is
+    // IEEE-identical both engines, including -0.0).
+    Q("ann_binary_rerank", {
+      def halfCte(off: Int): String =
+        s"""CAST(list_sum(list_transform(range(32), j ->
+           |      CASE WHEN v[CAST(j + ${off + 1} AS INT)] >= 0
+           |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+           |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, ${halfCte(0)} AS lo, ${halfCte(32)} AS hi
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM c
+         |      WHERE vec_id < 5),
+         |ham AS (
+         |  SELECT query_id, c.vec_id AS id,
+         |    CAST(bit_count(xor(qlo, lo)) + bit_count(xor(qhi, hi)) AS INT) AS hd
+         |  FROM c, q WHERE c.vec_id <> query_id),
+         |cand AS (
+         |  SELECT query_id, id, hd,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY hd, id) AS crn
+         |  FROM ham),
+         |rer AS (
+         |  SELECT query_id, id, hd,
+         |    round(list_dot_product(qe.v, ce.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+         |  FROM cand
+         |  JOIN e ce ON cand.id = ce.vec_id
+         |  JOIN e qe ON cand.query_id = qe.vec_id
+         |  WHERE crn <= 50),
+         |ranked AS (
+         |  SELECT query_id, id, hd, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id)
+         |      AS rnk
+         |  FROM rer)
+         |SELECT query_id, id, hd, cosine, rnk FROM ranked WHERE rnk <= 10""".stripMargin
+    }) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      VectorOps.binaryRerankTopK(
+        vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, candidates = 50)
+    },
+
     // C89: IVF-PQ — THE production vector index (Jégou et al. 2011
     // §IV; the FAISS IVFPQ default): the coarse IVF quantizer
     // (ann_ivf_topk's 8 fixed cells) prunes the search to 3 probed
