@@ -270,7 +270,11 @@ object Bench {
         // the calibration table's quantile + agg pass (C91), and the
         // binary-quantization Hamming scan + rerank (C92)
         "streaming_pattern_match", "classifier_calibration",
-        "ann_binary_rerank")
+        "ann_binary_rerank",
+        // round-9 third wave: the ExactSubstr cut execution (C93) —
+        // the C88 interval chain + a doc-local filter lambda — and
+        // the MMR greedy re-rank over bounded candidates (C94)
+        "span_dedup_rewrite", "ann_mmr_rerank")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -387,8 +391,9 @@ object Bench {
       "span_dup_intervals", "line_boilerplate_scrub", "ann_ivfpq_topk",
       // round-9 third wave: the flat BQ Hamming scan (C92) — linear
       // in the code relation by construction; a second decade checks
-      // the TopKPerKey candidate heaps hold it there.
-      "ann_binary_rerank")
+      // the TopKPerKey candidate heaps hold it there — and the
+      // ExactSubstr cut (C93), the heaviest rewrite in the span family.
+      "ann_binary_rerank", "span_dedup_rewrite")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]

@@ -45,15 +45,20 @@ object Hits {
       .crossJoin(broadcast(lefts.agg(count(lit(1)).as("n"))))
       .select(col(left), expr(s"$unit DIV n").as("h"))
     var a: DataFrame = null
+    // each half-iteration is localCheckpointed: the chain is read
+    // TWICE per step (the keyed sum + the Σ broadcast), so a lazy
+    // 2·iters-deep plan recomputes upstream 2^(2·iters) times; the
+    // checkpoint is node-sized (one row per live node), the iterative
+    //-graph convention PageRank/k-core already use
     for (_ <- 1 to iters) {
       a = l1Scale(
         edges.join(h, Seq(left)).groupBy(col(right))
           .agg(sum(col("h")).as("r")),
-        right, "a", unit)
+        right, "a", unit).localCheckpoint()
       h = l1Scale(
         edges.join(a, Seq(right)).groupBy(col(left))
           .agg(sum(col("a")).as("r")),
-        left, "h", unit)
+        left, "h", unit).localCheckpoint()
     }
     (h, a)
   }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.operators.{MinHashLSH, SimHash, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication + similarity-search queries (SURVEY.md §2 C1-C7).
@@ -167,6 +168,84 @@ object DedupQueries {
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
   }
 
+  /** C88/C93 shared interval machinery — the DuckDB CTE chain ending
+    * in `iv` (doc_id, island, s, e): per doc, the maximal merged
+    * token intervals covered by 16-grams that occur in more than one
+    * distinct doc (1-based positions, end-exclusive).
+    */
+  private val spanIntervalCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    array_to_string(toks[CAST(i AS INT):CAST(i + 15 AS INT)], ' ') AS g
+      |  FROM t, unnest(range(1, len(toks) - 14)) AS u(i)
+      |  WHERE len(toks) >= 16),
+      |c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM p GROUP BY g),
+      |d AS (SELECT doc_id, pos FROM p JOIN c USING (g) WHERE nd > 1),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 16 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |        FROM d)),
+      |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 16 AS e
+      |       FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** C88/C93 shared Spark chain. Returns (keyed, iv): `keyed` is
+    * every doc with its collision-guarded text fingerprint
+    * (doc_id, text, f1, f2, fl); `iv` the per-UNIQUE-TEXT maximal dup
+    * intervals (f1, f2, fl, island, s, e) — duplication decides on
+    * the DISTINCT-per-text gram relation (TokenNgramHashes — one
+    * rolling-hash pass), positions locate on the POSITIONED variant
+    * (same hash family, so the two relations join); the wide
+    * positioned relation shuffles exactly once (the semi join),
+    * never through the doc-count aggregation. Islands merge within
+    * each unique text (doc-bounded window, never a corpus sort).
+    */
+  private def spanDupIslands(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = table(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      xxhash64(col("text")).as("f1"),
+      xxhash64(lit(42L), col("text")).as("f2"),
+      length(col("text")).as("fl"))
+    val uniq = keyed
+      .groupBy(col("f1"), col("f2"), col("fl"))
+      .agg(count(lit(1)).as("mult"), first(col("text")).as("text"),
+        countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
+      .filter(assert_true(col("_nfp") === 1,
+        lit("fingerprint collision in span_dup_intervals")).isNull)
+    val toks = split(col("text"), " ")
+    val uniqKeyed = uniq.filter(size(toks) >= 16).localCheckpoint()
+    val dupGrams = uniqKeyed
+      .select(col("mult"),
+        explode(graft.functions.VectorExpressions.tokenNgramHashes(
+          toks, 16)).as("g"))
+      .groupBy(col("g")).agg(sum(col("mult")).as("nd"))
+      .filter(col("nd") > 1).select(col("g"))
+    val posGrams = uniqKeyed
+      .select(col("f1"), col("f2"), col("fl"),
+        posexplode(graft.functions.VectorExpressions
+          .positionedNgramHashes(toks, 16)).as(Seq("_p0", "g")))
+      .withColumn("pos", col("_p0").cast("long") + 1).drop("_p0")
+    val dupPos = posGrams.join(dupGrams, Seq("g"), "left_semi")
+    val w = Window.partitionBy(col("f1"), col("f2"), col("fl"))
+      .orderBy(col("pos"))
+    val isl = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > 16, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iv = isl
+      .groupBy(col("f1"), col("f2"), col("fl"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 16).as("e"))
+    (keyed, iv)
+  }
+
   val all: Seq[Q] = Seq(
 
     // C1: exact dedup on normalized text (hash-groupBy keep-first).
@@ -329,72 +408,13 @@ object DedupQueries {
     // hashes on the exchange (the C31 convention: oracle joins span
     // STRINGS, identical up to 64-bit collisions).
     Q("span_dup_intervals",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |p AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    array_to_string(toks[CAST(i AS INT):CAST(i + 15 AS INT)], ' ') AS g
-        |  FROM t, unnest(range(1, len(toks) - 14)) AS u(i)
-        |  WHERE len(toks) >= 16),
-        |c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM p GROUP BY g),
-        |d AS (SELECT doc_id, pos FROM p JOIN c USING (g) WHERE nd > 1),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(CASE WHEN prev IS NULL OR pos - prev > 16 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM (SELECT doc_id, pos,
-        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |        FROM d)),
-        |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 16 AS e
-        |       FROM isl GROUP BY doc_id, island)
+      s"""$spanIntervalCtes
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_intervals,
         |  CAST(sum(e - s) AS BIGINT) AS covered_tokens,
         |  CAST(max(e - s) AS BIGINT) AS max_interval_tokens
         |FROM iv GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val keyed = table(s, dir, "documents").select(
-        col("doc_id"), col("text"),
-        xxhash64(col("text")).as("f1"),
-        xxhash64(lit(42L), col("text")).as("f2"),
-        length(col("text")).as("fl"))
-      val uniq = keyed
-        .groupBy(col("f1"), col("f2"), col("fl"))
-        .agg(count(lit(1)).as("mult"), first(col("text")).as("text"),
-          countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
-        .filter(assert_true(col("_nfp") === 1,
-          lit("fingerprint collision in span_dup_intervals")).isNull)
-      // duplication decides on the DISTINCT-per-text gram relation
-      // (TokenNgramHashes — one rolling-hash pass, spans dedupe in
-      // the expression), positions locate on the POSITIONED variant
-      // (same hash family, so the two relations join): the wide
-      // positioned relation shuffles exactly once (the semi join),
-      // never through the doc-count aggregation.
-      val toks = split(col("text"), " ")
-      val uniqKeyed = uniq.filter(size(toks) >= 16).localCheckpoint()
-      val dupGrams = uniqKeyed
-        .select(col("mult"),
-          explode(graft.functions.VectorExpressions.tokenNgramHashes(
-            toks, 16)).as("g"))
-        .groupBy(col("g")).agg(sum(col("mult")).as("nd"))
-        .filter(col("nd") > 1).select(col("g"))
-      val posGrams = uniqKeyed
-        .select(col("f1"), col("f2"), col("fl"),
-          posexplode(graft.functions.VectorExpressions
-            .positionedNgramHashes(toks, 16)).as(Seq("_p0", "g")))
-        .withColumn("pos", col("_p0").cast("long") + 1).drop("_p0")
-      val dupPos = posGrams.join(dupGrams, Seq("g"), "left_semi")
-      // islands over each unique text's dup positions (doc-bounded)
-      val w = Window.partitionBy(col("f1"), col("f2"), col("fl"))
-        .orderBy(col("pos"))
-      val isl = dupPos
-        .withColumn("prev", lag(col("pos"), 1).over(w))
-        .withColumn("brk",
-          when(col("prev").isNull || col("pos") - col("prev") > 16, 1L)
-            .otherwise(0L))
-        .withColumn("island", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val perText = isl
-        .groupBy(col("f1"), col("f2"), col("fl"), col("island"))
-        .agg(min(col("pos")).as("s"), (max(col("pos")) + 16).as("e"))
+      val (keyed, iv) = spanDupIslands(s, dir)
+      val perText = iv
         .groupBy(col("f1"), col("f2"), col("fl"))
         .agg(count(lit(1)).as("n_intervals"),
           sum(col("e") - col("s")).as("covered_tokens"),
@@ -403,6 +423,55 @@ object DedupQueries {
         .join(perText, Seq("f1", "f2", "fl"))
         .select(col("doc_id"), col("n_intervals"), col("covered_tokens"),
           col("max_interval_tokens"))
+    },
+
+    // C93: EXECUTE the ExactSubstr cut (Lee et al. 2022 §4 — C88
+    // found the maximal duplicated intervals; this query performs the
+    // removal the recipe exists for): every doc re-emitted with the
+    // tokens inside its dup intervals cut out, plus before/after
+    // token counts. The per-doc interval set is collected into one
+    // bounded array (B45 rule — intervals per doc ≤ tokens/16) and
+    // the cut is a doc-local filter lambda over (token, position) —
+    // O(len · n_intervals) per doc, no corpus-wide join back of
+    // positions. Docs without dup spans (or < 16 tokens) pass through
+    // verbatim via the left join. Both engines emit the token-joined
+    // form (split on ' ' then rejoin), so the unchanged-doc identity
+    // holds by construction; the oracle replays the cut with a
+    // correlated NOT EXISTS over the same interval CTE.
+    Q("span_dedup_rewrite",
+      s"""$spanIntervalCtes,
+        |keptpos AS (
+        |  SELECT t.doc_id, CAST(i AS BIGINT) AS pos,
+        |    toks[CAST(i AS INT)] AS tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |    WHERE iv.doc_id = t.doc_id AND i >= iv.s AND i < iv.e)),
+        |rew AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM keptpos GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(cleaned, '') AS cleaned
+        |FROM t LEFT JOIN rew USING (doc_id)""".stripMargin) { (s, dir) =>
+      val (keyed, iv) = spanDupIslands(s, dir)
+      val ivs = iv.groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+      keyed.join(ivs, Seq("f1", "f2", "fl"), "left")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"),
+          col("ivs"))
+        // Spark's filter lambda index is 0-based (DuckDB's is
+        // 1-based) — compare i + 1 against the 1-based intervals
+        .withColumn("kept",
+          when(col("ivs").isNull, col("toks"))
+            .otherwise(expr(
+              """filter(toks, (t, i) ->
+                |  NOT exists(ivs, iv -> i + 1 >= iv.s AND i + 1 < iv.e))"""
+                .stripMargin)))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), " ").as("cleaned"))
     },
 
     // C32: semantic dedup (SemDeDup, Abbas et al. 2023): cluster the

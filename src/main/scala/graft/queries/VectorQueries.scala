@@ -352,6 +352,98 @@ object VectorQueries {
         k = 10, candidates = 50)
     },
 
+    // C94: MMR DIVERSE RE-RANKING (maximal marginal relevance,
+    // Carbonell & Goldstein 1998 — the standard answer to "my top-k
+    // retrieval results are 5 near-copies of the same chunk" in RAG /
+    // retrieval pipelines): greedily select 5 of the top-20
+    // candidates, each step maximizing λ·relevance − (1−λ)·max
+    // similarity to the already-selected set (λ = 0.5, ties by id).
+    // MMR is inherently SEQUENTIAL in k, so the scale posture bounds
+    // the sequential part instead of distributing it: candidates are
+    // a per-query TOP-20 (the ANN stage does the corpus work), and
+    // each greedy round is a join over the |Q|·20-row candidate
+    // relation — driver-looped 5×, data never driver-resident.
+    // Determinism: rel and pairwise sims are the 6dp cosine
+    // convention; the score combines them in identical IEEE order
+    // both engines; the oracle replays the greedy loop with a
+    // RECURSIVE CTE carrying (sel_ids, sel_vecs) state and a LATERAL
+    // per-step argmax.
+    Q("ann_mmr_rerank",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS id, e.v,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS rel
+        |  FROM e, q WHERE e.vec_id <> query_id),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, id, v, rel,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+        |    FROM scored) WHERE rn <= 20),
+        |sel AS (
+        |  WITH RECURSIVE s(query_id, k_step, sel_ids, sel_vecs) AS (
+        |    SELECT query_id, 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[][]) FROM q
+        |    UNION ALL
+        |    SELECT s.query_id, k_step + 1,
+        |      list_append(sel_ids, pick.id), list_append(sel_vecs, pick.v)
+        |    FROM s, LATERAL (
+        |      SELECT id, v FROM cand c
+        |      WHERE c.query_id = s.query_id AND NOT list_contains(s.sel_ids, c.id)
+        |      ORDER BY 0.5 * rel - 0.5 * coalesce(list_max(list_transform(s.sel_vecs,
+        |          sv -> round(list_dot_product(c.v, sv)
+        |            / (sqrt(list_dot_product(c.v, c.v))
+        |               * sqrt(list_dot_product(sv, sv))), 6))), 0.0) DESC,
+        |        id
+        |      LIMIT 1) pick
+        |    WHERE k_step < 5)
+        |  SELECT query_id, sel_ids FROM s WHERE k_step = 5)
+        |SELECT query_id, CAST(u.i AS INT) AS rank, sel_ids[CAST(u.i AS INT)] AS id
+        |FROM sel, unnest(range(1, len(sel_ids) + 1)) AS u(i)""".stripMargin) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      val e = vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
+      // candidate stage: the existing brute-force top-k (its (cosine
+      // desc, id) selection IS the oracle's top-20 rule); vectors and
+      // norms joined back once, checkpointed for the 5 greedy rounds
+      val cand = VectorOps.bruteForceTopK(
+          vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("id"), col("cosine").as("rel"))
+        .join(e.select(col("vec_id").as("id"), col("v"), col("nrm")), Seq("id"))
+        .localCheckpoint()
+      var selected = cand.filter(lit(false))
+        .select(col("query_id"), lit(0).as("rank"), col("id"),
+          col("v"), col("nrm"))
+      for (step <- 1 to 5) {
+        val remaining = cand.join(
+          selected.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+        val sims = remaining.join(
+            selected.select(col("query_id"), col("id").as("sid"),
+              col("v").as("sv"), col("nrm").as("snrm")),
+            Seq("query_id"), "left")
+          .select(col("query_id"), col("id"), col("rel"), col("v"), col("nrm"),
+            when(col("sid").isNull, lit(null).cast("double"))
+              .otherwise(round(VectorOps.dot(col("v"), col("sv"))
+                / (col("nrm") * col("snrm")), 6)).as("sim"))
+          .groupBy(col("query_id"), col("id"))
+          .agg(first(col("rel")).as("rel"), first(col("v")).as("v"),
+            first(col("nrm")).as("nrm"), max(col("sim")).as("maxsim"))
+          .select(col("query_id"), col("id"), col("v"), col("nrm"),
+            (lit(0.5) * col("rel")
+              - lit(0.5) * coalesce(col("maxsim"), lit(0.0))).as("score"))
+        val pick = graft.plans.TopK.perKey(sims, Seq("query_id"),
+            Seq(("score", false), ("id", true)), 1)
+          .select(col("query_id"), lit(step).as("rank"), col("id"),
+            col("v"), col("nrm"))
+        // checkpoint per round: each round reads `selected` twice
+        // (anti join + sim join) — the Hits lazy-chain lesson
+        selected = selected.unionByName(pick).localCheckpoint()
+      }
+      selected.select(col("query_id"), col("rank"), col("id"))
+    },
+
     // C89: IVF-PQ — THE production vector index (Jégou et al. 2011
     // §IV; the FAISS IVFPQ default): the coarse IVF quantizer
     // (ann_ivf_topk's 8 fixed cells) prunes the search to 3 probed

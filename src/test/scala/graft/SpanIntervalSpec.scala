@@ -83,4 +83,44 @@ class SpanIntervalSpec extends SparkTestBase {
     val rows = run(Seq((1L, t), (2L, t)))
     assert(rows == Seq((1L, 1L, 20L, 20L), (2L, 1L, 20L, 20L)))
   }
+
+  private def runRewrite(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rw").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("span_dedup_rewrite")(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_kept", $"cleaned")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("the rewrite cuts exactly the dup intervals and keeps the rest") {
+    // doc 1: dupA(16) uniq(20) dupB(16) → both dup regions removed,
+    // the 20 unique middle tokens survive verbatim and in order
+    val dupA = toks("a", 16); val dupB = toks("b", 16)
+    val mid = toks("u", 20)
+    val out = runRewrite(Seq(
+      (1L, s"$dupA $mid $dupB"),
+      (2L, s"$dupA ${toks("x", 20)}"),
+      (3L, s"${toks("y", 20)} $dupB")))
+    assert(out(1L) == ((52L, 20L, mid)), s"got ${out(1L)}")
+    // doc 2: dupA removed, its 20 unique tokens kept
+    assert(out(2L) == ((36L, 20L, toks("x", 20))))
+  }
+
+  test("docs without dup spans (or under 16 tokens) pass through verbatim") {
+    val short = toks("s", 5)
+    val long = toks("l", 30)
+    val out = runRewrite(Seq((1L, short), (2L, long)))
+    assert(out(1L) == ((5L, 5L, short)))
+    assert(out(2L) == ((30L, 30L, long)))
+  }
+
+  test("a fully duplicated doc rewrites to the empty string") {
+    val t = toks("c", 20)
+    val out = runRewrite(Seq((1L, t), (2L, t)))
+    assert(out(1L) == ((20L, 0L, "")) && out(2L) == ((20L, 0L, "")))
+  }
 }
