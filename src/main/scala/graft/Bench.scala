@@ -274,7 +274,7 @@ object Bench {
         // round-9 third wave: the ExactSubstr cut execution (C93) —
         // the C88 interval chain + a doc-local filter lambda — and
         // the MMR greedy re-rank over bounded candidates (C94)
-        "span_dedup_rewrite", "ann_mmr_rerank")
+        "span_dedup_rewrite", "ann_mmr_rerank", "contrastive_triplets")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -443,7 +443,11 @@ object Bench {
       // round-9 second wave: C88 rides the same clone-collapsed
       // positioned-gram explode as span_dedup_docs — third-decade
       // evidence for the interval variant too.
-      "span_dup_intervals")
+      "span_dup_intervals",
+      // round-9 third wave: the 8 B/vector BQ Hamming scan (C92,
+      // linear by construction) and the ExactSubstr cut (C93 — the
+      // interval chain + a doc-local lambda, span_dedup-family linear)
+      "ann_binary_rerank", "span_dedup_rewrite")
       .filter(n => only.isEmpty || only(n))
     val sfx1000 = if (!scaleProbe || !x1000Probe || x1000Names.isEmpty)
       Map.empty[String, Double]

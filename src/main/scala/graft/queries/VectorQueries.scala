@@ -668,6 +668,118 @@ object VectorQueries {
         Seq(("cosine", false), ("id", true)), 5)
     },
 
+    // C95: CONTRASTIVE TRIPLET CONSTRUCTION — the training-pair table
+    // a bi-encoder actually consumes (DPR, Karpukhin et al. 2020 §3:
+    // each anchor needs ONE positive and ONE hard negative; C90 mined
+    // negatives, this assembles the full (anchor, positive, negative)
+    // relation): positive = the anchor's nearest SAME-cell neighbor
+    // (the cell is the weak "same topic" proxy), negative = the
+    // nearest vector from the 3 nearest OTHER cells (C90's exclusion
+    // rule at k=1). Anchors are a bounded training batch (vec_id <
+    // 100) — mining is per-batch in every real contrastive setup, so
+    // the per-epoch cost is |batch|·(cell size) for positives plus
+    // the C90 index-probe cost for negatives, ~linear in the corpus
+    // via the broadcast batch, never an all-pairs join. Same 6dp
+    // cosine + (cosine DESC, id) selection as the whole ANN family →
+    // closed-form replay.
+    Q("contrastive_triplets",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, v AS ccv FROM e WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.ccv)
+         |          + list_dot_product(c.ccv, c.ccv), c.cell) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |anch AS (SELECT vec_id AS anchor_id, v AS av, cell AS acell
+         |         FROM asg WHERE vec_id < 100),
+         |pos AS (
+         |  SELECT anchor_id, id AS pos_id, cosine AS pos_cos FROM (
+         |    SELECT a.anchor_id, m.vec_id AS id,
+         |      round(list_dot_product(a.av, m.v)
+         |        / (sqrt(list_dot_product(a.av, a.av))
+         |           * sqrt(list_dot_product(m.v, m.v))), 6) AS cosine,
+         |      row_number() OVER (PARTITION BY a.anchor_id ORDER BY
+         |        round(list_dot_product(a.av, m.v)
+         |          / (sqrt(list_dot_product(a.av, a.av))
+         |             * sqrt(list_dot_product(m.v, m.v))), 6) DESC, m.vec_id) AS rn
+         |    FROM anch a JOIN asg m ON m.cell = a.acell
+         |      AND m.vec_id <> a.anchor_id) WHERE rn = 1),
+         |probes AS (
+         |  SELECT anchor_id, av, cell FROM (
+         |    SELECT a.anchor_id, a.av, c.cell,
+         |      row_number() OVER (PARTITION BY a.anchor_id ORDER BY
+         |        list_dot_product(a.av, a.av) - 2 * list_dot_product(a.av, c.ccv)
+         |          + list_dot_product(c.ccv, c.ccv), c.cell) AS rn
+         |    FROM anch a JOIN cent c ON c.cell <> a.acell) WHERE rn <= 3),
+         |neg AS (
+         |  SELECT anchor_id, id AS neg_id, cosine AS neg_cos FROM (
+         |    SELECT p.anchor_id, m.vec_id AS id,
+         |      round(list_dot_product(p.av, m.v)
+         |        / (sqrt(list_dot_product(p.av, p.av))
+         |           * sqrt(list_dot_product(m.v, m.v))), 6) AS cosine,
+         |      row_number() OVER (PARTITION BY p.anchor_id ORDER BY
+         |        round(list_dot_product(p.av, m.v)
+         |          / (sqrt(list_dot_product(p.av, p.av))
+         |             * sqrt(list_dot_product(m.v, m.v))), 6) DESC, m.vec_id) AS rn
+         |    FROM probes p JOIN asg m USING (cell)) WHERE rn = 1)
+         |SELECT a.anchor_id, acell AS cell, pos_id, pos_cos, neg_id, neg_cos
+         |FROM anch a JOIN pos USING (anchor_id) JOIN neg USING (anchor_id)""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("v").as("ccv"))
+      val d2cell = VectorOps.dot(col("v"), col("v")) -
+        lit(2) * VectorOps.dot(col("v"), col("ccv")) +
+        VectorOps.dot(col("ccv"), col("ccv"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("_d2", d2cell)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell"), struct(col("_d2"), col("cell"))).as("cell"),
+          first(col("v")).as("v"))
+        .localCheckpoint() // assignment feeds anchors, positives, negatives
+      val anch = asg.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+          col("cell").as("acell"))
+      val cosine = round(
+        VectorOps.dot(col("av"), col("v")) /
+          (sqrt(VectorOps.dot(col("av"), col("av")))
+            * sqrt(VectorOps.dot(col("v"), col("v")))), 6)
+      // positives: broadcast the batch against ONE corpus pass,
+      // cell-equality join keys — |batch|·(cell size) scored rows
+      // into bounded per-anchor heaps
+      val pos = graft.plans.TopK.perKey(
+          asg.join(broadcast(anch), col("cell") === col("acell")
+              && col("vec_id") =!= col("anchor_id"))
+            .select(col("anchor_id"), col("vec_id").as("id"),
+              cosine.as("cosine")),
+          Seq("anchor_id"), Seq(("cosine", false), ("id", true)), 1)
+        .select(col("anchor_id"), col("id").as("pos_id"),
+          col("cosine").as("pos_cos"))
+      val ad2 = VectorOps.dot(col("av"), col("av")) -
+        lit(2) * VectorOps.dot(col("av"), col("ccv")) +
+        VectorOps.dot(col("ccv"), col("ccv"))
+      val probes = anch.crossJoin(broadcast(cents))
+        .filter(col("cell") =!= col("acell"))
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("anchor_id")).orderBy(ad2, col("cell"))))
+        .filter(col("_r") <= 3)
+        .select(col("anchor_id"), col("av"), col("cell"))
+      val neg = graft.plans.TopK.perKey(
+          asg.join(broadcast(probes), Seq("cell"))
+            .select(col("anchor_id"), col("vec_id").as("id"),
+              cosine.as("cosine")),
+          Seq("anchor_id"), Seq(("cosine", false), ("id", true)), 1)
+        .select(col("anchor_id"), col("id").as("neg_id"),
+          col("cosine").as("neg_cos"))
+      anch.select(col("anchor_id"), col("acell").as("cell"))
+        .join(pos, Seq("anchor_id")).join(neg, Seq("anchor_id"))
+        .select(col("anchor_id"), col("cell"), col("pos_id"),
+          col("pos_cos"), col("neg_id"), col("neg_cos"))
+    },
+
     // C39: distributed first principal component (power iteration) —
     // corpus-scale work is the scatter matrix (map-side combined d²
     // groups) and a map-only projection scan; the d×d eigensolve runs
