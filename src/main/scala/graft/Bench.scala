@@ -274,7 +274,10 @@ object Bench {
         // round-9 third wave: the ExactSubstr cut execution (C93) —
         // the C88 interval chain + a doc-local filter lambda — and
         // the MMR greedy re-rank over bounded candidates (C94)
-        "span_dedup_rewrite", "ann_mmr_rerank", "contrastive_triplets")
+        "span_dedup_rewrite", "ann_mmr_rerank", "contrastive_triplets",
+        // round-9 fourth wave: live-histogram drift vs frozen
+        // reference (D35)
+        "streaming_drift_psi")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)

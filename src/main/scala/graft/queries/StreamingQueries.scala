@@ -982,6 +982,107 @@ object StreamingQueries {
             "((rnk - (cum - cnt)) * 1000) DIV cnt")).as("est_cents"))
     },
 
+    // D35: STREAMING DRIFT DETECTION — Population Stability Index of
+    // the LIVE value distribution against a static reference (the
+    // production model/feature-drift monitor: a trained model's
+    // reference histogram is fixed, the serving stream's histogram is
+    // live state, PSI says when to retrain): events before the epoch
+    // midpoint form the broadcast reference histogram (batch), events
+    // after it stream through the D33 additive bin state; PSI per
+    // event_type = Σ_b (p_b − q_b)·ln(p_b/q_b) over the full 64-bin
+    // domain with add-one smoothing (no empty-bin infinities, exact
+    // integer counts both sides). Distinct from D9 enrichment (row
+    // joins a static row): here the STATE ITSELF is compared to the
+    // reference after the stream — live aggregate vs frozen baseline.
+    // Determinism: counts are exact; p, q and the ln ratio combine
+    // exactly-representable doubles in pinned order; the per-type sum
+    // is an ordered fold over the ≤64 bins (the ADC precedent), and
+    // psi rounds 4dp (the text_pmi ln convention).
+    Q("streaming_drift_psi",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |sp AS (SELECT (min(tsec) + max(tsec)) // 2 AS split FROM e),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |dom AS (SELECT event_type, CAST(b AS BIGINT) AS bin
+        |        FROM types, unnest(range(64)) AS u(b)),
+        |ref AS (SELECT event_type, least(c // 1000, 63) AS bin,
+        |          CAST(count(*) AS BIGINT) AS cr
+        |        FROM e, sp WHERE tsec < split GROUP BY 1, 2),
+        |liv AS (SELECT event_type, least(c // 1000, 63) AS bin,
+        |          CAST(count(*) AS BIGINT) AS cl
+        |        FROM e, sp WHERE tsec >= split GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT d.event_type,
+        |    CAST(sum(coalesce(cr, 0)) AS BIGINT) AS n_ref,
+        |    CAST(sum(coalesce(cl, 0)) AS BIGINT) AS n_live
+        |  FROM dom d
+        |  LEFT JOIN ref USING (event_type, bin)
+        |  LEFT JOIN liv USING (event_type, bin)
+        |  GROUP BY 1),
+        |terms AS (
+        |  SELECT d.event_type, d.bin,
+        |    (CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(n_ref + 64 AS DOUBLE)
+        |     - CAST(coalesce(cl, 0) + 1 AS DOUBLE) / CAST(n_live + 64 AS DOUBLE))
+        |    * ln((CAST(coalesce(cr, 0) + 1 AS DOUBLE) * CAST(n_live + 64 AS DOUBLE))
+        |         / (CAST(coalesce(cl, 0) + 1 AS DOUBLE) * CAST(n_ref + 64 AS DOUBLE)))
+        |      AS term
+        |  FROM dom d
+        |  LEFT JOIN ref USING (event_type, bin)
+        |  LEFT JOIN liv USING (event_type, bin)
+        |  JOIN tot USING (event_type))
+        |SELECT t.event_type, n_ref, n_live,
+        |  floor(list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+        |    (a, b) -> a + b) * 10000 + 0.5) / 10000 AS psi
+        |FROM terms tr JOIN tot t USING (event_type)
+        |GROUP BY t.event_type, n_ref, n_live""".stripMargin) { (s, dir) =>
+      val batch = GraftSession.table(s, dir, "events").select(
+        col("event_type"), expr("ts div 1000000000").as("tsec"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val split = batch.agg(
+          expr("(min(tsec) + max(tsec)) div 2"))
+        .head().getLong(0)
+      val bin = least(expr("c div 1000"), lit(63L))
+      // frozen reference: the batch histogram below the split
+      val ref = batch.filter(col("tsec") < split)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("cr"))
+      // live histogram: D33's additive bin state over the stream
+      val live = tableStream(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .filter(col("tsec") >= split)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("cl"))
+      val snap = runToMemory(s, live, "graft_stream_psi", mode = "complete")
+      val dom = batch.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(63L))).as("bin"))
+      val joined = dom
+        .join(ref, Seq("event_type", "bin"), "left")
+        .join(snap, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cl"), lit(0L)).as("cl"))
+        .localCheckpoint() // totals + terms both read it
+      val tot = joined.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("n_ref"), sum(col("cl")).as("n_live"))
+      val p = (col("cr") + 1).cast("double") / (col("n_ref") + 64).cast("double")
+      val q = (col("cl") + 1).cast("double") / (col("n_live") + 64).cast("double")
+      val ratio = ((col("cr") + 1).cast("double") * (col("n_live") + 64).cast("double")) /
+        ((col("cl") + 1).cast("double") * (col("n_ref") + 64).cast("double"))
+      joined.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("n_ref"), col("n_live"), col("bin"),
+          ((p - q) * log(ratio)).as("term"))
+        .groupBy(col("event_type"), col("n_ref"), col("n_live"))
+        .agg((floor(aggregate(
+            sort_array(collect_list(struct(col("bin"), col("term")))),
+            lit(0.0), (a, x) => a + x.getField("term")) * 10000 + lit(0.5))
+          .cast("double") / 10000).as("psi"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by

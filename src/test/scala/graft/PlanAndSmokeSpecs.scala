@@ -279,4 +279,49 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("_salt"),
       s"salted join lost its scatter column:\n$plan")
   }
+
+  test("ann_binary_rerank bounds both stages with TopKPerKey heaps") {
+    // the Hamming scan and the rerank must both flow through the
+    // bounded-heap operator — a row_number window here would sort
+    // corpus × |Q| rows at 100 TB
+    val plan = planOf("ann_binary_rerank")
+    val heaps = "TopKPerKey".r.findAllIn(plan).length
+    // partial + final per stage = 4 exec nodes
+    assert(heaps >= 4, s"expected 2 TopKPerKey stages (4 nodes), got $heaps:\n$plan")
+    assert(!plan.contains("Window"), s"BQ path plans a window sort:\n$plan")
+  }
+
+  test("contrastive_triplets broadcasts the batch, heaps the selections") {
+    val plan = planOf("contrastive_triplets")
+    assert("TopKPerKey".r.findAllIn(plan).length >= 4,
+      s"positive/negative selection not heap-bounded:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"anchor batch not broadcast against the corpus pass:\n$plan")
+  }
+
+  test("classifier_calibration plans no window and one corpus-side agg chain") {
+    // deciles come from DistributedQuantile breakpoints broadcast over
+    // one keyed agg — a global ntile/row_number window here is the
+    // single-reducer sort this query exists to avoid
+    val plan = planOf("classifier_calibration")
+    assert(!plan.contains("Window"),
+      s"calibration binning fell back to a window sort:\n$plan")
+  }
+
+  test("graph_hits ranks via TakeOrdered, never a global sort") {
+    val plan = planOf("graph_hits")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20s are not TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("span_dedup_rewrite keeps string payloads off the join keys") {
+    val qe = SparkEntry.queries("span_dedup_rewrite")(spark, sfDir).queryExecution
+    val joinKeyTypes = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.toSeq.flatMap(_.references.toSeq.map(_.dataType.typeName))
+    }.flatten.toSet
+    assert(!joinKeyTypes.contains("string"),
+      s"rewrite join keys include a string: $joinKeyTypes")
+  }
 }
