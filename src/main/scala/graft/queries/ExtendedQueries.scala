@@ -581,6 +581,45 @@ object ExtendedQueries {
           col("asof_purchase_s"), col("asof_purchase_value"))
     },
 
+    // B23c: as-of join with MATCH TOLERANCE (kdb+ wj / pandas
+    // merge_asof(tolerance=...) semantics): the backward match is
+    // kept only when the gap is within 7 days — a stale quote/price
+    // must not enrich an event weeks later just because nothing
+    // newer exists. Same plan as B23 (the tolerance is a post-match
+    // null-out on the enriched columns, zero extra exchanges); the
+    // oracle wraps DuckDB's native ASOF join in the same CASE.
+    Q("asof_tolerance_purchase",
+      s"""WITH $eventsCte,
+         |p0 AS (SELECT user_id, tsec, value, event_id FROM e WHERE event_type = 'purchase'),
+         |p AS (
+         |  SELECT user_id, tsec, value FROM (
+         |    SELECT user_id, tsec, value,
+         |      row_number() OVER (PARTITION BY user_id, tsec ORDER BY event_id DESC) AS rn
+         |    FROM p0) WHERE rn = 1)
+         |SELECT e.event_id, e.user_id, e.tsec,
+         |  CASE WHEN e.tsec - p.tsec <= 604800 THEN p.tsec END AS asof_purchase_s,
+         |  CASE WHEN e.tsec - p.tsec <= 604800 THEN p.value END AS asof_purchase_value
+         |FROM e ASOF LEFT JOIN p
+         |  ON e.user_id = p.user_id AND e.tsec >= p.tsec""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("tsec"))
+      val w = Window.partitionBy(col("user_id"), col("tsec")).orderBy(col("event_id").desc)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("tsec").as("purchase_s"), col("value").as("purchase_value"))
+        .withColumn("tsec", col("purchase_s"))
+      val within = col("tsec") - col("asof_purchase_s") <= 604800L
+      AsOfJoin.asofBackward(
+          e.select(col("event_id"), col("user_id"), col("tsec")),
+          purchases.select(col("user_id"), col("tsec"), col("purchase_s"), col("purchase_value")),
+          keyCol = "user_id", tsCol = "tsec",
+          valueCols = Seq("purchase_s", "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          when(within, col("asof_purchase_s")).as("asof_purchase_s"),
+          when(within, col("asof_purchase_value")).as("asof_purchase_value"))
+    },
+
     // B31: collection aggregation — order-insensitive collect via
     // sorted list, compared as a joined string.
     Q("collect_sorted_priorities",
