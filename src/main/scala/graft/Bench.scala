@@ -277,14 +277,30 @@ object Bench {
         "span_dedup_rewrite", "ann_mmr_rerank", "contrastive_triplets",
         // round-9 fourth wave: live-histogram drift vs frozen
         // reference (D35)
-        "streaming_drift_psi")
+        "streaming_drift_psi",
+        // round-9 fifth wave: the decimal DDSketch groupBy-count
+        // (B108, orders-cloned), the coupled Holt fold (B109), the
+        // exact-integer KS gate (D36), the NB train+score pass (C96),
+        // the vocab-sized DoReMi KL chain (C97), the frame-shingle
+        // audio match (C98), and the as-of tolerance variant (B23c —
+        // the first probe of the union-sort as-of family)
+        "ddsketch_order_value", "timeseries_holt_trend",
+        "streaming_drift_ks", "naive_bayes_score",
+        "corpus_doremi_weights", "mm_audio_fingerprint",
+        "asof_tolerance_purchase",
+        // round-9 seventh wave: the prefix-filtered exact set-
+        // similarity join (B110 — the PPJoin candidate discipline is
+        // precisely what a scale probe should gate) and the
+        // decomposition's keyed-agg + bounded-window chain (B111)
+        "setsim_prefix_join", "timeseries_seasonal_decompose")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
       "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore",
       "item_cooccurrence_topk", "grouped_ols2",
-      "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits")
+      "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits",
+      "ddsketch_order_value")
     // Untimed JIT/codegen warmup for the probe queries at the BASE
     // scale factor: the scale blocks now run first in the JVM, so
     // without this the first timed probe of each query would carry
@@ -396,7 +412,21 @@ object Bench {
       // in the code relation by construction; a second decade checks
       // the TopKPerKey candidate heaps hold it there — and the
       // ExactSubstr cut (C93), the heaviest rewrite in the span family.
-      "ann_binary_rerank", "span_dedup_rewrite")
+      "ann_binary_rerank", "span_dedup_rewrite",
+      // round-9 sixth wave: the frame-shingle audio match (C98 —
+      // bounded windows, capped equi-join: the LSH shape), the NB
+      // train+score corpus pass (C96 — model-sized everything after
+      // the hash), the vocab-bounded DoReMi chain (C97), the
+      // exact-integer KS gate over live state (D36 — 64-bin state),
+      // and the calendar-bounded Holt fold (B109).
+      "mm_audio_fingerprint", "naive_bayes_score",
+      "corpus_doremi_weights", "streaming_drift_ks",
+      "timeseries_holt_trend",
+      // round-9 seventh wave: a second decade for the PPJoin prefix
+      // discipline (the claim under test: candidate buckets stay
+      // small because prefixes are globally rare) and the
+      // decomposition's events-linear chain.
+      "setsim_prefix_join", "timeseries_seasonal_decompose")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]
@@ -450,7 +480,14 @@ object Bench {
       // round-9 third wave: the 8 B/vector BQ Hamming scan (C92,
       // linear by construction) and the ExactSubstr cut (C93 — the
       // interval chain + a doc-local lambda, span_dedup-family linear)
-      "ann_binary_rerank", "span_dedup_rewrite")
+      "ann_binary_rerank", "span_dedup_rewrite",
+      // round-9 sixth wave: the three corpus-linear newcomers whose
+      // intermediates are bounded by construction (C98 capped shingle
+      // buckets; C96 16-row model; C97 vocab-sized folds — clone
+      // corpora repeat the same vocabulary, so the fold arrays are
+      // CONSTANT across decades).
+      "mm_audio_fingerprint", "naive_bayes_score",
+      "corpus_doremi_weights")
       .filter(n => only.isEmpty || only(n))
     val sfx1000 = if (!scaleProbe || !x1000Probe || x1000Names.isEmpty)
       Map.empty[String, Double]

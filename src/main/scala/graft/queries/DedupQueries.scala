@@ -310,6 +310,120 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     },
 
+    // B110: PREFIX-FILTERED EXACT SET-SIMILARITY JOIN (AllPairs /
+    // PPJoin family — Bayardo, Ma & Srikant, WWW 2007): every doc
+    // pair whose DISTINCT-3-GRAM-SHINGLE-set Jaccard ≥ 0.6, found
+    // WITHOUT an all-pairs scan and WITHOUT the probabilistic
+    // MinHash detour (C2's recall argument is statistical; this one
+    // is a theorem). Shingles, not unigram tokens, are the set
+    // universe — the C2 convention: this corpus's shared vocabulary
+    // makes unigram sets non-discriminative (57% of ALL pairs pass
+    // τ = 0.6 — a quadratic OUTPUT regime no join algorithm fixes),
+    // while shingle sets emit a sparse honest near-dup pair set
+    // (28/.../ rows across SFs). The prefix principle: order each
+    // doc's shingles by global rarity-first (df ASC, shingle) and
+    // keep only the first p = |x| − ⌈τ·|x|⌉ + 1; two sets with
+    // Jaccard ≥ τ MUST share a prefix element (smallest-common-
+    // element argument), so the candidate join runs on prefixes only
+    // — by construction the RAREST shingles, so bucket sizes are
+    // small exactly where a naive join explodes (boilerplate
+    // shingles land in suffixes and never join). Candidates then
+    // length-filter (τ·|x| ≤ |y| ≤ |x|/τ cross-multiplied) and
+    // verify by EXACT intersection count. The verified output SET is
+    // independent of WHICH total order the prefixes use
+    // (completeness holds for any), so Spark orders by (df, hash) on
+    // 8-byte gram hashes while the oracle orders by (df, string) —
+    // identical up to 64-bit collisions, the span_dedup contract.
+    // Scale shape: one tokenize→hash→distinct pass; df is a rollup;
+    // per-doc prefix selection is a DOC-bounded window (the rarity
+    // order is the SORT KEY itself, no global rank table); the
+    // verify join costs |x| rows per surviving candidate. jac_ppm =
+    // (inter·1e6) DIV union, exact integers throughout.
+    // SetSimJoinSpec proves completeness against the O(n²) brute
+    // force at sf0.001.
+    Q("setsim_prefix_join",
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))))
+        |    AS w
+        |  FROM t0 WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sa FROM t GROUP BY 1),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY w),
+        |pos AS (
+        |  SELECT t.doc_id, t.w,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.w)
+        |      AS p
+        |  FROM t JOIN df USING (w)),
+        |pre AS (
+        |  SELECT pos.doc_id, pos.w
+        |  FROM pos JOIN sz USING (doc_id)
+        |  WHERE p <= sa - (6 * sa + 9) // 10 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |lenok AS (
+        |  SELECT doc_a, doc_b, x.sa AS sa, y.sa AS sb
+        |  FROM cand
+        |  JOIN sz x ON x.doc_id = doc_a
+        |  JOIN sz y ON y.doc_id = doc_b
+        |  WHERE 6 * x.sa <= 10 * y.sa AND 6 * y.sa <= 10 * x.sa),
+        |inter AS (
+        |  SELECT l.doc_a, l.doc_b, l.sa, l.sb,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM lenok l
+        |  JOIN t ta ON ta.doc_id = l.doc_a
+        |  JOIN t tb ON tb.doc_id = l.doc_b AND tb.w = ta.w
+        |  GROUP BY l.doc_a, l.doc_b, l.sa, l.sb)
+        |SELECT doc_a, doc_b, inter, sa + sb - inter AS uni,
+        |  (inter * 1000000) // (sa + sb - inter) AS jac_ppm
+        |FROM inter
+        |WHERE 10 * inter >= 6 * (sa + sb - inter)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.functions.TextFunctions.wsTokens(col("text"))
+      val t = table(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.VectorExpressions
+            .tokenNgramHashes(toks, 3))).as("w"))
+        .localCheckpoint() // sizes, df, prefix and verify all read it
+      val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("sa"))
+      val df = t.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // doc-bounded window: rarity order is the sort key, no global
+      // rank relation
+      val pos = t.join(df, Seq("w"))
+        .withColumn("p", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+      val pre = pos.join(sz, Seq("doc_id"))
+        .filter(col("p") <= col("sa") - expr("(6 * sa + 9) DIV 10") + 1)
+        .select(col("doc_id"), col("w"))
+      val cand = pre.select(col("w"), col("doc_id").as("doc_a"))
+        .join(pre.select(col("w"), col("doc_id").as("doc_b")), Seq("w"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val lenok = cand
+        .join(sz.select(col("doc_id").as("doc_a"), col("sa")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("sa").as("sb")),
+          Seq("doc_b"))
+        .filter(lit(6) * col("sa") <= lit(10) * col("sb") &&
+          lit(6) * col("sb") <= lit(10) * col("sa"))
+      val inter = lenok
+        .join(t.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
+        .join(t.select(col("doc_id").as("doc_b"), col("w")),
+          Seq("doc_b", "w"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .filter(lit(10) * col("inter") >= lit(6) * (col("sa") + col("sb") - col("inter")))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sa") + col("sb") - col("inter")).as("uni"),
+          expr("(inter * 1000000) DIV (sa + sb - inter)").as("jac_ppm"))
+    },
+
     // C31: span-level duplication (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better"): a 16-token span
     // appearing in ≥ 2 distinct documents is duplicated text even

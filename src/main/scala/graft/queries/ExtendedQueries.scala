@@ -1508,5 +1508,198 @@ object ExtendedQueries {
             when(acc.isNull, dv.getField("v"))
               .otherwise(lit(0.25) * dv.getField("v") + lit(0.75) * acc)), 6)
             .as("ewma"))
+    },
+
+    // B108: DDSketch-style relative-error quantile sketch (Masson,
+    // Rim & Lee, VLDB 2019) in DECIMAL flavor: the bucket of a value
+    // is its exact integer cents truncated to the first TWO
+    // significant digits (zero-padded back to magnitude) — a base-10
+    // log-bucket histogram with ≤ 5% relative bucket width. The
+    // paper's gamma^i buckets need floor(ln x / ln gamma), whose
+    // bucket BOUNDARIES are libm-dependent and not cross-engine
+    // exact; first-2-digit bucketing is pure string/integer
+    // arithmetic, so the sketch is bit-deterministic while keeping
+    // the defining DDSketch property (bounded RELATIVE error at any
+    // magnitude, vs the fixed-bin D33 histogram whose error is
+    // absolute). Scale shape: the sketch relation IS a
+    // map-side-combinable groupBy count — additive, mergeable,
+    // ≤ ~90 buckets per decade regardless of n (the production
+    // shape: one tiny sketch per partition merged by +). Read-out:
+    // cumulative counts over the model-sized bucket relation (the
+    // single-partition window is over ≤ a few hundred rows — the
+    // allocation-table convention), target rank ceil(p·n) in exact
+    // integers, estimate = bucket lower edge. All BIGINTs.
+    Q("ddsketch_order_value",
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(rpad(substring(CAST(cents AS VARCHAR), 1, 2),
+        |      CAST(strlen(CAST(cents AS VARCHAR)) AS INT), '0') AS BIGINT)
+        |      AS bkt,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_buckets FROM b),
+        |cum AS (SELECT bkt, cnt, sum(cnt) OVER (ORDER BY bkt) AS cum FROM b),
+        |rk AS (SELECT CAST(q AS INT) AS q, n, n_buckets,
+        |         CAST((q * n + 99) // 100 AS BIGINT) AS target_rank
+        |       FROM n, unnest([50, 90, 99]) AS u(q))
+        |SELECT r.q, r.n, r.n_buckets, r.target_rank,
+        |  CAST(min(c.bkt) AS BIGINT) AS est_cents
+        |FROM cum c JOIN rk r ON c.cum >= r.target_rank
+        |GROUP BY r.q, r.n, r.n_buckets, r.target_rank""".stripMargin) { (s, dir) =>
+      val sk = table(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"))
+        .select(expr("CAST(rpad(substring(CAST(cents AS STRING), 1, 2), " +
+          "length(CAST(cents AS STRING)), '0') AS BIGINT)").as("bkt"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // totals + cumulative both read the sketch
+      val n = sk.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_buckets"))
+      // model-sized relation: the unpartitioned window sorts the
+      // ≤ few-hundred-row bucket table, never the orders scan
+      val cum = sk.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("bkt"))))
+      val rk = n.crossJoin(
+          s.range(1).select(explode(array(lit(50L), lit(90L), lit(99L))).as("q")))
+        .withColumn("target_rank", expr("(q * n + 99) DIV 100"))
+      cum.crossJoin(broadcast(rk))
+        .filter(col("cum") >= col("target_rank"))
+        .groupBy(col("q").cast("int").as("q"), col("n"), col("n_buckets"),
+          col("target_rank"))
+        .agg(min(col("bkt")).as("est_cents"))
+    },
+
+    // B109: Holt's linear-trend double exponential smoothing (Holt
+    // 1957) over each user's daily-mean series — the level+trend
+    // sibling of B89's single EWMA: l_t = α·v_t + (1−α)(l_{t−1} +
+    // b_{t−1}), b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1} with α = 0.5,
+    // β = 0.25, seeded l_1 = v_1, b_1 = 0; forecast = l + b. Same
+    // bounded-series contract as B89 (the series length is the
+    // CALENDAR day span, not the row count). Determinism: daily
+    // means are the shared exact-cents fragment; the coupled (l, b)
+    // recurrence replays via a RECURSIVE CTE (the MMR greedy-loop
+    // convention) with the SAME operation tree Spark's fold runs —
+    // NOT a struct-typed list_reduce: DuckDB v1.0.0 mutates struct
+    // accumulators in place mid-lambda (a later field sees an
+    // earlier field's UPDATED value from fold step 2 on), silently
+    // corrupting any coupled-state fold. IEEE double + and × are
+    // deterministic, the recursion pins the order; round 6dp at the
+    // end, the B89 convention.
+    Q("timeseries_holt_trend",
+      s"""WITH RECURSIVE e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, $dailyMeanSql AS v
+        |  FROM e GROUP BY user_id, day),
+        |hw AS (SELECT user_id, list(v ORDER BY day) AS vs,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM d GROUP BY user_id),
+        |rec AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS i, vs[1] AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM hw
+        |  UNION ALL
+        |  SELECT r.user_id, i + 1,
+        |    0.5 * h.vs[CAST(i + 1 AS INT)] + 0.5 * (l + b),
+        |    0.25 * ((0.5 * h.vs[CAST(i + 1 AS INT)] + 0.5 * (l + b)) - l)
+        |      + 0.75 * b
+        |  FROM rec r JOIN hw h USING (user_id) WHERE i < h.n)
+        |SELECT r.user_id, h.n AS n_days,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + b, 6) AS forecast
+        |FROM rec r JOIN hw h USING (user_id) WHERE r.i = h.n""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
+          col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(dailyMeanCol.as("v"))
+      val lNew = (acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =>
+        lit(0.5) * v + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("v")))).as("_dv"))
+        .select(col("user_id"), col("n_days").cast("bigint").as("n_days"),
+          aggregate(col("_dv"),
+            struct(lit(null).cast("double").as("l"), lit(0.0).as("b")),
+            (acc, dv) => {
+              val v = dv.getField("v")
+              when(acc.getField("l").isNull,
+                  struct(v.as("l"), lit(0.0).as("b")))
+                .otherwise(struct(
+                  lNew(acc, v).as("l"),
+                  (lit(0.25) * (lNew(acc, v) - acc.getField("l"))
+                    + lit(0.75) * acc.getField("b")).as("b")))
+            }).as("st"))
+        .select(col("user_id"), col("n_days"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(col("st.l") + col("st.b"), 6).as("forecast"))
+    },
+
+    // B111: CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (the
+    // moving-average decomposition behind STL, Cleveland et al. 1990
+    // §2 — value = trend + seasonal + residual) of each user's daily
+    // total: trend = row-centered 7-day moving average (full windows
+    // only, else NULL — row-centered over the OBSERVED sequence; the
+    // gapfill op B90 is the regularization step when calendar
+    // centering matters), seasonal = the user's day-of-week mean,
+    // residual = the rest. Determinism: daily totals are EXACT
+    // integer cent sums; trend and seasonal are each ONE division of
+    // exact integers (Σ7/7, Σdow/n) — identical doubles both
+    // engines; the residual combines them in pinned order; 6dp.
+    // Scale shape: one keyed agg to daily totals, a dow rollup of
+    // it, and a user-bounded 7-row window — no corpus sort, no
+    // unbounded state.
+    Q("timeseries_seasonal_decompose",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, day % 7 AS dow, CAST(sum(c) AS BIGINT) AS sc,
+        |        CAST(count(*) AS BIGINT) AS nc
+        |      FROM d GROUP BY 1, 2),
+        |m AS (
+        |  SELECT d.user_id, d.day, d.c,
+        |    CASE WHEN count(*) OVER w = 7
+        |         THEN CAST(sum(d.c) OVER w AS DOUBLE) / 7.0 END AS trend,
+        |    CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS seasonal
+        |  FROM d JOIN s ON s.user_id = d.user_id AND s.dow = d.day % 7
+        |  WINDOW w AS (PARTITION BY d.user_id ORDER BY d.day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT user_id, day, c AS cents,
+        |  round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+        |  round((CAST(c AS DOUBLE) - trend) - seasonal, 6) AS resid
+        |FROM m""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("c"))
+        .localCheckpoint() // dow rollup + the window both read it
+      val sDow = d.groupBy(col("user_id"), (col("day") % 7).as("dow"))
+        .agg(sum(col("c")).as("sc"), count(lit(1)).as("nc"))
+        .withColumnRenamed("user_id", "su")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val m = d.join(sDow,
+          col("su") === col("user_id") && col("dow") === col("day") % 7)
+        .select(col("user_id"), col("day"), col("c"),
+          when(count(lit(1)).over(w) === 7,
+            sum(col("c")).over(w).cast("double") / 7.0).as("trend"),
+          (col("sc").cast("double") / col("nc").cast("double"))
+            .as("seasonal"))
+      m.select(col("user_id"), col("day"), col("c").as("cents"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round((col("c").cast("double") - col("trend")) - col("seasonal"), 6)
+          .as("resid"))
     })
 }

@@ -489,6 +489,83 @@ object FrontierQueries {
         .filter(col("hamming") <= 3)
     },
 
+    // C98: AUDIO-FINGERPRINT DUPLICATE DETECTION — the Shazam-family
+    // recipe (Wang 2003) over the opaque media column, SEQUENCE
+    // flavor where C60's pHash is a single whole-item hash: each
+    // 64-byte "audio window" (the first 16 frames of the
+    // deterministic decode stub — the same kernel mm_frame_sample
+    // oracles bit-exactly) yields an 8-band energy vector; a window
+    // FINGERPRINT is its 8-bit energy-above-window-mean mask; two
+    // items match when they share ≥ 2 distinct 4-window SHINGLES of
+    // consecutive fingerprints (a time-aligned subsequence match —
+    // robust to content appended later, where a whole-item hash is
+    // not). Candidate discipline = the C31/C60 hot-bucket cap
+    // (shingles in > 64 items are boilerplate, dropped before the
+    // pair join). Determinism: band energies are exact dyadic
+    // rationals (multiples of 2⁻¹⁶, sums ≪ 2⁵³ — order-independent),
+    // the mean is an exact /8, so every bit and every shingle key is
+    // exact in both engines. Scale shape: per-item windows are
+    // BOUNDED (16), the lead() window sorts ≤ 16 rows per item, the
+    // shingle join is a capped equi-join — the MinHash-LSH
+    // band-bucket shape — and the pair agg is keyed.
+    Q("mm_audio_fingerprint",
+      s"""WITH ${MediaOracle.frameFeatureCtes(step = 1, maxFrames = 16L)},
+         |fpb AS (
+         |  SELECT doc_id, f,
+         |    CAST(list_sum(list_transform(range(8), j ->
+         |      CASE WHEN feats[CAST(j + 1 AS INT)] > list_sum(feats) / 8.0
+         |        THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS fp
+         |  FROM ft),
+         |sh AS (
+         |  SELECT doc_id, fp,
+         |    lead(fp, 1) OVER w AS f1, lead(fp, 2) OVER w AS f2,
+         |    lead(fp, 3) OVER w AS f3
+         |  FROM fpb WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+         |sk AS (
+         |  SELECT DISTINCT doc_id,
+         |    fp + 256 * f1 + 65536 * f2 + 16777216 * f3 AS sk
+         |  FROM sh WHERE f3 IS NOT NULL),
+         |fq AS (SELECT sk FROM sk GROUP BY sk HAVING count(*) <= 64),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sk a JOIN sk b USING (sk) JOIN fq USING (sk)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val fr = graft.operators.Multimodal.sampleFrames(s,
+          graft.operators.Multimodal.asMedia(docs, "text")
+            .select(col("doc_id"), col("media")),
+          "doc_id", frameBytes = 64, everyN = 1)
+        .filter(col("frame_idx") < 16)
+      val fp = fr.select(col("id").as("doc_id"), col("frame_idx").as("f"),
+        expr("""aggregate(
+            transform(features, (x, j) ->
+              CASE WHEN x > aggregate(features, 0D, (a, y) -> a + y) / 8.0
+                THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0L END),
+            0L, (a, x) -> a + x)""").as("fp"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      val sk = fp
+        .withColumn("f1", lead(col("fp"), 1).over(w))
+        .withColumn("f2", lead(col("fp"), 2).over(w))
+        .withColumn("f3", lead(col("fp"), 3).over(w))
+        .filter(col("f3").isNotNull)
+        .select(col("doc_id"),
+          (col("fp") + lit(256L) * col("f1") + lit(65536L) * col("f2")
+            + lit(16777216L) * col("f3")).as("sk"))
+        .distinct()
+        .localCheckpoint() // frequency cap + both pair sides read it
+      val fq = sk.groupBy(col("sk")).agg(count(lit(1)).as("n"))
+        .filter(col("n") <= 64).select(col("sk"))
+      val capped = sk.join(fq, Seq("sk"), "left_semi")
+      capped.select(col("sk"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("sk"), col("doc_id").as("doc_b")), Seq("sk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    },
+
     // B83: K-CORE PEELING (two rounds of the degeneracy peel at
     // k = 64 over the part co-occurrence graph) — the graph-analytics
     // density primitive behind community cores and spam-cluster

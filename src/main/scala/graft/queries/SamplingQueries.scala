@@ -374,6 +374,124 @@ object SamplingQueries {
           coalesce(col("idsum"), lit(0L)).as("kept_id_sum"))
     },
 
+    // C97: DoReMi-STYLE DOMAIN REWEIGHTING (Xie et al. 2023's
+    // excess-loss recipe, closed-form proxy): each source's EXCESS
+    // LOSS under the reference model is H_cross(domain, global) −
+    // H(domain) = KL(domain ‖ global-unigram-LM) — the exact
+    // quantity DoReMi's group-DRO loop estimates with two trained
+    // models, here computable in one pass because the reference
+    // model IS the global unigram LM (the text_lm_score convention).
+    // Domains are then tilted exponentially: weight ∝ token-share ·
+    // exp(KL), normalized to EXACTLY 1e6 ppm by largest-remainder
+    // (the C81 integer-allocation discipline). KL needs NO smoothing
+    // — every word of a domain is in the global table by
+    // construction, and KL ≥ 0 drops out for free. Determinism: all
+    // counts exact BIGINTs; each KL term is one double division of
+    // two exact integer products (< 2^53 up to ~9·10^7-token
+    // corpora) times one ln, summed in pinned w-order (the
+    // text_entropy fold) and floored 4dp; exp runs on that identical
+    // 4dp double in both engines, floored to 1e6 micro immediately
+    // (boundary-safe, same caveat as every libm call here); the
+    // allocation itself is pure integer arithmetic. Bound: the tilt
+    // stays in BIGINT for KL ≤ 2 nats — an order of magnitude above
+    // any real domain mixture's excess loss. Scale shape: ONE
+    // tokenize→count corpus pass (the per-(source, word) count
+    // relation is VOCAB-sized, not corpus-sized, and is the only
+    // localCheckpointed intermediate); everything after is rollups
+    // of it; the per-source fold arrays are vocab-length (Heaps-law
+    // sublinear). The allocation table is source-count rows.
+    Q("corpus_doremi_weights", {
+      val toks =
+        """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |wd AS (SELECT source, unnest(toks) AS w FROM t),
+         |cw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |       FROM wd GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS n_types
+         |       FROM cw GROUP BY 1),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1),
+         |g AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM cw GROUP BY w),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM cw),
+         |term AS (
+         |  SELECT cw.source, cw.w,
+         |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln((CAST(c AS DOUBLE) * CAST(nt AS DOUBLE))
+         |            / (CAST(cg AS DOUBLE) * CAST(n AS DOUBLE))) AS term
+         |  FROM cw JOIN ns USING (source) JOIN g USING (w), nn),
+         |kl AS (
+         |  SELECT source,
+         |    floor(list_reduce(list_prepend(0.0, list(term ORDER BY w)),
+         |      (a, b) -> a + b) * 10000 + 0.5) / 10000 AS kl
+         |  FROM term GROUP BY source),
+         |em AS (SELECT source, kl,
+         |         CAST(floor(exp(kl) * 1000000 + 0.5) AS BIGINT) AS em
+         |       FROM kl),
+         |wm AS (SELECT em.source, kl, n, em,
+         |         ((1000000 * n) // nt) * em AS wt
+         |       FROM em JOIN ns USING (source), nn),
+         |tw AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM wm),
+         |fl AS (SELECT source, kl, n, wt,
+         |         (1000000 * wt) // tot AS base,
+         |         (1000000 * wt) % tot AS rem
+         |       FROM wm, tw),
+         |lv AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS lft FROM fl)
+         |SELECT fl.source, nd.n_docs, fl.n AS n_tokens, fl.kl,
+         |  CAST(base + CASE WHEN row_number()
+         |      OVER (ORDER BY rem DESC, fl.source) <= (SELECT lft FROM lv)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
+         |FROM fl JOIN nd USING (source), lv""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val cw = docs.select(col("source"),
+          explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // ns, g, nn and the term join all read it
+      val ns = cw.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+      val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val g = cw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+      val nn = cw.agg(sum(col("c")).as("nt"))
+      val term = cw.join(broadcast(ns.select(col("source"), col("n"))),
+          Seq("source"))
+        .join(g, Seq("w")).crossJoin(broadcast(nn))
+        .select(col("source"), col("w"),
+          ((col("c").cast("double") / col("n").cast("double"))
+            * log((col("c").cast("double") * col("nt").cast("double"))
+              / (col("cg").cast("double") * col("n").cast("double"))))
+            .as("term"))
+      val kl = term.groupBy(col("source"))
+        .agg(sort_array(collect_list(struct(col("w"), col("term"))))
+          .as("_wt"))
+        .select(col("source"),
+          (floor(aggregate(col("_wt"), lit(0.0),
+            (a, x) => a + x.getField("term")) * 10000 + lit(0.5))
+            .cast("double") / 10000).as("kl"))
+      val wm = kl
+        .select(col("source"), col("kl"),
+          floor(exp(col("kl")) * 1000000 + lit(0.5)).cast("long").as("em"))
+        .join(broadcast(ns.select(col("source"), col("n"))), Seq("source"))
+        .crossJoin(broadcast(nn))
+        .withColumn("wt", expr("((1000000 * n) DIV nt) * em"))
+      val tw = wm.agg(sum(col("wt")).as("tot"))
+      val fl = wm.crossJoin(broadcast(tw))
+        .withColumn("base", expr("(1000000 * wt) DIV tot"))
+        .withColumn("rem", expr("(1000000 * wt) % tot"))
+      val lv = fl.agg((lit(1000000) - sum(col("base"))).as("lft"))
+      // source-count rows: the unpartitioned window sorts the
+      // allocation table, never the corpus
+      fl.crossJoin(broadcast(lv))
+        .withColumn("_r", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .join(broadcast(nd), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n").as("n_tokens"),
+          col("kl"),
+          (col("base") + when(col("_r") <= col("lft"), 1L).otherwise(0L))
+            .cast("long").as("weight_ppm"))
+    },
+
     // C87: UniMax epoch-capped language sampling (Chung et al. 2023)
     // — the max-min-fair successor to C81's temperature recipe:
     // instead of shares ∝ p^τ, distribute the token budget as

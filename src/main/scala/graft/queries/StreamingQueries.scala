@@ -1083,6 +1083,120 @@ object StreamingQueries {
           .cast("double") / 10000).as("psi"))
     },
 
+    // D36: STREAMING TWO-SAMPLE KOLMOGOROV-SMIRNOV GATE — D35's
+    // frozen-reference-vs-live-state shape with the OTHER canonical
+    // drift statistic: KS = max_b |CDF_ref(b) − CDF_live(b)| over the
+    // shared 64-bin domain. Where PSI needs smoothing and the 4dp-ln
+    // convention, KS is EXACT-INTEGER all the way to one final
+    // division: the CDF difference at bin b is |crc_b·n_live −
+    // clc_b·n_ref| in BIGINTs (cumulative counts ≤ n each side; the
+    // cross products stay < 2^53 up to ~9·10^7 events per half, three
+    // decades past the ×1000 probe corpus), the maximizing bin is an
+    // exact integer argmax (ties → min bin), and ks divides the two
+    // exact products once in doubles on the 6dp floor. State story
+    // identical to D33/D35: the live side is one additive 64-bin
+    // histogram per event_type — bytes of state regardless of stream
+    // length. The cumulative window sorts ≤ 64 rows per type.
+    Q("streaming_drift_ks",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |sp AS (SELECT (min(tsec) + max(tsec)) // 2 AS split FROM e),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |dom AS (SELECT event_type, CAST(b AS BIGINT) AS bin
+        |        FROM types, unnest(range(64)) AS u(b)),
+        |ref AS (SELECT event_type, least(c // 1000, 63) AS bin,
+        |          CAST(count(*) AS BIGINT) AS cr
+        |        FROM e, sp WHERE tsec < split GROUP BY 1, 2),
+        |liv AS (SELECT event_type, least(c // 1000, 63) AS bin,
+        |          CAST(count(*) AS BIGINT) AS cl
+        |        FROM e, sp WHERE tsec >= split GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.bin,
+        |    coalesce(cr, 0) AS cr, coalesce(cl, 0) AS cl
+        |  FROM dom d
+        |  LEFT JOIN ref USING (event_type, bin)
+        |  LEFT JOIN liv USING (event_type, bin)),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+        |    CAST(sum(cl) AS BIGINT) AS n_live
+        |  FROM j GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(cr) OVER w AS BIGINT) AS crc,
+        |    CAST(sum(cl) OVER w AS BIGINT) AS clc
+        |  FROM j WINDOW w AS (PARTITION BY event_type ORDER BY bin)),
+        |a AS (
+        |  SELECT c.event_type, bin, n_ref, n_live,
+        |    abs(crc * n_live - clc * n_ref) AS adiff
+        |  FROM c JOIN tot USING (event_type)),
+        |m AS (SELECT event_type, n_ref, n_live,
+        |        CAST(max(adiff) AS BIGINT) AS maxdiff
+        |      FROM a GROUP BY 1, 2, 3)
+        |SELECT m.event_type, m.n_ref, m.n_live,
+        |  CAST(min(a.bin) AS BIGINT) AS ks_bin,
+        |  CASE WHEN m.n_ref = 0 OR m.n_live = 0 THEN NULL
+        |       ELSE floor(CAST(maxdiff AS DOUBLE)
+        |              / (CAST(m.n_ref AS DOUBLE) * CAST(m.n_live AS DOUBLE))
+        |              * 1000000 + 0.5) / 1000000 END AS ks
+        |FROM m JOIN a ON a.event_type = m.event_type AND a.adiff = m.maxdiff
+        |GROUP BY m.event_type, m.n_ref, m.n_live, maxdiff""".stripMargin) { (s, dir) =>
+      val batch = GraftSession.table(s, dir, "events").select(
+        col("event_type"), expr("ts div 1000000000").as("tsec"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val split = batch.agg(expr("(min(tsec) + max(tsec)) div 2"))
+        .head().getLong(0)
+      val bin = least(expr("c div 1000"), lit(63L))
+      val ref = batch.filter(col("tsec") < split)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("cr"))
+      // live histogram: the D33 additive bin state over the stream
+      val live = tableStream(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .filter(col("tsec") >= split)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("cl"))
+      val snap = runToMemory(s, live, "graft_stream_ks", mode = "complete")
+      val dom = batch.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(63L))).as("bin"))
+      val joined = dom
+        .join(ref, Seq("event_type", "bin"), "left")
+        .join(snap, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cl"), lit(0L)).as("cl"))
+        .localCheckpoint() // totals + cumulative both read it
+      val tot = joined.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("n_ref"), sum(col("cl")).as("n_live"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bin"))
+      val cum = joined.select(col("event_type"), col("bin"),
+        sum(col("cr")).over(w).as("crc"), sum(col("cl")).over(w).as("clc"))
+      val a = cum.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("bin"), col("n_ref"), col("n_live"),
+          abs(col("crc") * col("n_live") - col("clc") * col("n_ref"))
+            .as("adiff"))
+        .localCheckpoint() // max + argmax both read it
+      val m = a.groupBy(col("event_type"), col("n_ref"), col("n_live"))
+        .agg(max(col("adiff")).as("maxdiff"))
+      m.join(a.select(col("event_type"), col("bin"), col("adiff")),
+          Seq("event_type"))
+        .filter(col("adiff") === col("maxdiff"))
+        .groupBy(col("event_type"), col("n_ref"), col("n_live"),
+          col("maxdiff"))
+        .agg(min(col("bin")).as("ks_bin"))
+        .select(col("event_type"), col("n_ref"), col("n_live"), col("ks_bin"),
+          when(col("n_ref") === 0 || col("n_live") === 0,
+              lit(null).cast("double"))
+            .otherwise(floor(col("maxdiff").cast("double")
+              / (col("n_ref").cast("double") * col("n_live").cast("double"))
+              * 1000000 + lit(0.5)).cast("double") / 1000000).as("ks"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by

@@ -616,6 +616,134 @@ object TextQueries {
           expr("(n_agree * 1000000) div n_docs").as("acc_micro"),
           col("min_score"), col("max_score"))
     },
+
+    // C96: MULTINOMIAL NAIVE BAYES text classifier (the generative
+    // member of the closed-form trained-filter family — McCallum &
+    // Nigam 1998; fasttext-style corpus quality/spam filters are
+    // linear models of exactly this shape): class-conditional token
+    // probabilities θ_cd = (S_cd + 1)/(tot_c + V) with Laplace
+    // smoothing over the V = 16 hashed dims (the C47 hashing trick,
+    // UNSIGNED count features — NB needs nonnegative multinomial
+    // counts, so this is a different feature map than C86's signed
+    // micro-normalized vectors), score = Σ_d x_d·ln(θ_1d/θ_0d) +
+    // ln-prior — a linear scorer whose weights come from counting,
+    // not iteration, which is what makes it oracle-exact. Label: the
+    // C86 planted-concept convention adapted to count features:
+    // y = 1(Σ_odd x_d − Σ_even x_d ≥ median) — the MEDIAN-centered
+    // parity separator (the raw ≥ 0 cut lands 10%/90%, letting a
+    // majority-class guesser score 89%; centering makes recovery
+    // accuracy mean something). The median is the exact interpolated
+    // quantile (DistributedQuantile ≡ quantile_cont bit-for-bit, the
+    // calibration precedent). NB must RECOVER the separator from
+    // labels alone (NaiveBayesSpec pins the recovery accuracy
+    // against both class rates). Determinism: every ln is taken on
+    // ONE division of
+    // two exact BIGINT products (< 2^53 up to ~10^8-token classes)
+    // and floored to INTEGER micro-units immediately (the 6dp
+    // convention); scores are then exact BIGINT dot products —
+    // bit-equal across engines, no summation-order exposure. Scale
+    // shape: ONE tokenize→hash corpus pass (localCheckpointed),
+    // labels + the 16-row model from keyed aggs of it, scoring a
+    // broadcast join — no iteration, no global sort.
+    Q("naive_bayes_score",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |i AS (
+         |  SELECT doc_id, unnest(list_transform(toks, tok ->
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(
+         |        list_filter(string_split_regex(tok, ''), c -> c <> ''),
+         |        c -> CAST(ord(c) AS HUGEINT))),
+         |      (h, b) -> (h * 31 + b) % 18446744073709551616))) AS h
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, CAST(h % 16 AS INT) AS dim,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM i GROUP BY doc_id, dim),
+         |z AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN dim % 2 = 1 THEN cnt ELSE -cnt END) AS BIGINT)
+         |      AS zs
+         |  FROM f GROUP BY doc_id),
+         |med AS (SELECT quantile_cont(CAST(zs AS DOUBLE), 0.5) AS m FROM z),
+         |lab AS (
+         |  SELECT doc_id, CASE WHEN CAST(zs AS DOUBLE) >= m THEN 1 ELSE 0 END
+         |    AS y
+         |  FROM z, med),
+         |pr AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+         |              CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM lab),
+         |dom AS (SELECT CAST(d AS INT) AS dim FROM unnest(range(16)) AS u(d)),
+         |sc AS (
+         |  SELECT dim,
+         |    CAST(sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS BIGINT) AS s0
+         |  FROM f JOIN lab USING (doc_id) GROUP BY dim),
+         |sd AS (SELECT dom.dim, coalesce(s1, 0) AS s1, coalesce(s0, 0) AS s0
+         |       FROM dom LEFT JOIN sc USING (dim)),
+         |tot AS (SELECT CAST(sum(s1) AS BIGINT) AS t1,
+         |               CAST(sum(s0) AS BIGINT) AS t0 FROM sd),
+         |w AS (
+         |  SELECT dim, CAST(floor(
+         |      ln(CAST((s1 + 1) * (t0 + 16) AS DOUBLE)
+         |         / CAST((s0 + 1) * (t1 + 16) AS DOUBLE)) * 1000000 + 0.5)
+         |    AS BIGINT) AS lr
+         |  FROM sd, tot),
+         |bi AS (SELECT CAST(floor(
+         |    ln(CAST(n1 + 1 AS DOUBLE) / CAST(n0 + 1 AS DOUBLE))
+         |    * 1000000 + 0.5) AS BIGINT) AS b FROM pr),
+         |s AS (SELECT doc_id, CAST(sum(cnt * lr) AS BIGINT) AS wx
+         |      FROM f JOIN w USING (dim) GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(y AS INT) AS label, wx + b AS score_micro,
+         |  CAST(CASE WHEN wx + b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM s JOIN lab USING (doc_id), bi""".stripMargin) { (s, dir) =>
+      val f = table(s, dir, "documents").select(col("doc_id"),
+          explode(transform(TF.wsTokens(col("text")),
+            t => Fingerprint64.fingerprint64(t))).as("h"))
+        .groupBy(col("doc_id"),
+          col("h").bitwiseAND(lit(15L)).cast("int").as("dim"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // labels, class sums and scoring all read it
+      val z = f.groupBy(col("doc_id"))
+        .agg(sum(when(col("dim") % 2 === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as("zs"))
+      val med = DistributedQuantile
+        .quantiles(z.withColumn("_g", lit("all"))
+          .withColumn("zsd", col("zs").cast("double")), "_g", "zsd",
+          Seq("m" -> 0.5))
+        .drop("g")
+      val lab = z.crossJoin(broadcast(med))
+        .select(col("doc_id"),
+          when(col("zs").cast("double") >= col("m"), 1L).otherwise(0L)
+            .as("y"))
+      val pr = lab.agg(sum(col("y")).as("n1"),
+        (count(lit(1)) - sum(col("y"))).as("n0"))
+      val dom = s.range(16).select(col("id").cast("int").as("dim"))
+      val sc = f.join(lab, Seq("doc_id"))
+        .groupBy(col("dim"))
+        .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("s1"),
+          sum(when(col("y") === 0, col("cnt")).otherwise(0L)).as("s0"))
+      val sd = dom.join(sc, Seq("dim"), "left")
+        .select(col("dim"), coalesce(col("s1"), lit(0L)).as("s1"),
+          coalesce(col("s0"), lit(0L)).as("s0"))
+        .localCheckpoint() // 16 rows: totals + weights both read it
+      val tot = sd.agg(sum(col("s1")).as("t1"), sum(col("s0")).as("t0"))
+      val w = sd.crossJoin(broadcast(tot))
+        .select(col("dim"), floor(
+          log(((col("s1") + 1) * (col("t0") + 16)).cast("double")
+            / ((col("s0") + 1) * (col("t1") + 16)).cast("double"))
+          * 1000000 + lit(0.5)).cast("long").as("lr"))
+      val bi = pr.select(floor(
+        log((col("n1") + 1).cast("double") / (col("n0") + 1).cast("double"))
+        * 1000000 + lit(0.5)).cast("long").as("b"))
+      f.join(broadcast(w), Seq("dim"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("lr")).cast("long").as("wx"))
+        .join(lab, Seq("doc_id"))
+        .crossJoin(broadcast(bi))
+        .select(col("doc_id"), col("y").cast("int").as("label"),
+          (col("wx") + col("b")).as("score_micro"),
+          when(col("wx") + col("b") >= 0, 1).otherwise(0).cast("int")
+            .as("pred"))
+    },
     // C41: PMI collocation scoring — the corpus-statistics operator
     // behind phrase mining / tokenizer seeding (Church & Hanks 1990):
     // rank word bigrams by pointwise mutual information against the
