@@ -292,7 +292,24 @@ object Bench {
         // similarity join (B110 — the PPJoin candidate discipline is
         // precisely what a scale probe should gate) and the
         // decomposition's keyed-agg + bounded-window chain (B111)
-        "setsim_prefix_join", "timeseries_seasonal_decompose")
+        "setsim_prefix_join", "timeseries_seasonal_decompose",
+        // round-9 eighth wave: the map-only Gopher rule scan (C99),
+        // the bounded per-user pair join (B112), the 9-group Benford
+        // count (B113, orders-cloned), and the additive decayed-count
+        // stream (D37)
+        "gopher_rules", "theilsen_trend", "benford_first_digit",
+        "streaming_decayed_counts",
+        // round-9 ninth wave: the distinct-cents-grain rank test
+        // (B114 — the prefix-sum pass is over the VALUE domain, so
+        // the claim is it stays near-constant as rows multiply) and
+        // the map-only dictionary tagger (C100). B115 reads only
+        // dimension tables (uncloned) — a 25-cell count has no scale
+        // question to probe.
+        "mannwhitney_values", "blocklist_tag",
+        // round-9 tenth wave: the prefix-sum stump search (B116 —
+        // same value-domain grain claim as B114) and the live
+        // relative-error sketch (D38 — state stays ~buckets/decade)
+        "decision_stump_value", "streaming_ddsketch_quantiles")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -300,7 +317,7 @@ object Bench {
       "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore",
       "item_cooccurrence_topk", "grouped_ols2",
       "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits",
-      "ddsketch_order_value")
+      "ddsketch_order_value", "benford_first_digit")
     // Untimed JIT/codegen warmup for the probe queries at the BASE
     // scale factor: the scale blocks now run first in the JVM, so
     // without this the first timed probe of each query would carry
@@ -426,7 +443,17 @@ object Bench {
       // discipline (the claim under test: candidate buckets stay
       // small because prefixes are globally rare) and the
       // decomposition's events-linear chain.
-      "setsim_prefix_join", "timeseries_seasonal_decompose")
+      "setsim_prefix_join", "timeseries_seasonal_decompose",
+      // round-9 eighth wave: the map-only rule scan (C99 — purest
+      // linear shape in the corpus family), the per-user bounded
+      // pair join (B112 — the claim: pairs stay calendar-bounded as
+      // users multiply), and the decayed-count stream (D37 — state
+      // stays types×days under 100× more events).
+      "gopher_rules", "theilsen_trend", "streaming_decayed_counts",
+      // round-9 ninth wave: second decades — the value-domain rank
+      // grain (B114) and the map-only tagger (C100).
+      "mannwhitney_values", "blocklist_tag",
+      "decision_stump_value", "streaming_ddsketch_quantiles")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]

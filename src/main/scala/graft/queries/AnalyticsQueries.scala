@@ -1013,5 +1013,261 @@ object AnalyticsQueries {
         .select(col("ok").as("orderkey"), col("ln").as("linenumber"),
           (col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
             .as("share_cents"))
+    },
+
+    // B114: MANN-WHITNEY U rank-sum test (Mann & Whitney 1947) —
+    // B60's nonparametric sibling: does 'purchase' draw from a
+    // stochastically larger value distribution than 'view', with NO
+    // normality assumption (Welch's t is moved by one wild value;
+    // rank statistics are not). The whole test is EXACT integers
+    // until two final pinned doubles: joint ranks never materialize
+    // per row — group to the distinct-cents grain (cnt, n1_c), one
+    // DistributedPrefixSum pass over the value order gives each tie
+    // run's cumulative position, and the tie-averaged rank DOUBLED
+    // is the integer 2·(cum−cnt) + cnt + 1, so 2·R₁ = Σ n1_c·(…) is
+    // an exact BIGINT (overflow-safe: 2R₁ ≤ 2n² < 2⁶³ to ~2·10⁹
+    // rows). Tie-corrected variance: σ² = (n₁n₂/12)·((n+1) −
+    // Σ(t³−t)/(n(n−1))) with T = Σ(t³−t) exact; z = (U₁ − n₁n₂/2)/σ
+    // — each factor ONE division/multiply of exact integers, one
+    // IEEE sqrt, 6dp floor form. Scale shape: one keyed agg to the
+    // value grain + two streamed range-partitioned passes — never a
+    // single-reducer rank window over the corpus.
+    Q("mannwhitney_values", {
+      val zSql = """(CAST(u1x2 AS DOUBLE) / 2.0
+        | - CAST(n1 * n2 AS DOUBLE) / 2.0)
+        | / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+        |   * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |      - CAST(tsum AS DOUBLE)
+        |        / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))"""
+        .stripMargin.replace("\n", "")
+      s"""WITH e AS (
+        |  SELECT event_type = 'purchase' AS g1,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |v AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(*) FILTER (g1) AS BIGINT) AS n1c
+        |  FROM e GROUP BY c),
+        |w AS (SELECT c, cnt, n1c, sum(cnt) OVER (ORDER BY c) AS cum
+        |      FROM v),
+        |agg AS (
+        |  SELECT CAST(sum(n1c) AS BIGINT) AS n1,
+        |    CAST(sum(cnt - n1c) AS BIGINT) AS n2,
+        |    CAST(sum(n1c * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+        |  FROM w),
+        |u AS (SELECT n1, n2, r1x2, tsum,
+        |        r1x2 - n1 * (n1 + 1) AS u1x2 FROM agg)
+        |SELECT n1, n2, r1x2, tsum, u1x2,
+        |  floor(($zSql) * 1000000 + 0.5) / 1000000 AS z
+        |FROM u""".stripMargin
+    }) { (s, dir) =>
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("g1").cast("long")).as("n1c"))
+      val w = DistributedPrefixSum.running(
+        v.withColumn("_g", lit("all")), "_g", Seq("c"), "cnt", "cum")
+      val agg = w.agg(
+        sum(col("n1c")).as("n1"),
+        sum(col("cnt") - col("n1c")).as("n2"),
+        sum(col("n1c") * (lit(2) * (col("cum") - col("cnt"))
+          + col("cnt") + 1)).as("r1x2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+      val u = agg.withColumn("u1x2",
+        col("r1x2") - col("n1") * (col("n1") + 1))
+      val z = (col("u1x2").cast("double") / 2.0
+          - (col("n1") * col("n2")).cast("double") / 2.0) /
+        sqrt((col("n1") * col("n2")).cast("double") / 12.0
+          * ((col("n1") + col("n2") + 1).cast("double")
+            - col("tsum").cast("double")
+              / ((col("n1") + col("n2"))
+                * (col("n1") + col("n2") - 1)).cast("double")))
+      u.select(col("n1"), col("n2"), col("r1x2"), col("tsum"), col("u1x2"),
+        (floor(z * lit(1000000) + lit(0.5)) / lit(1000000)).as("z"))
+    },
+
+    // B115: CHI-SQUARE TEST OF INDEPENDENCE over a categorical
+    // contingency table (Pearson 1900) — market segment × region on
+    // the customer→nation→region join: is segment mix independent of
+    // geography? The categorical companion to B60 (two-group means)
+    // and B114 (two-group ranks); B113 is the same statistic against
+    // a FIXED expected vector, here the expectation is the product
+    // of the margins. Observed counts exact; expected_rc = (row_tot ·
+    // col_tot)/n — ONE multiply of exact BIGINTs and ONE division;
+    // each term a pinned (obs−exp)²/exp tree; total an ordered
+    // (segment, region)-ascending fold from 0.0 (ADC convention),
+    // 6dp floor form. Scale shape: one multi-way broadcast join +
+    // ONE map-side-combinable 25-group count; margins and the fold
+    // live on the 25-row model relation.
+    Q("chisq_segment_region",
+      """WITH obs AS (
+        |  SELECT c_mktsegment AS seg, r_name AS region,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM customer
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(sum(observed) AS BIGINT) AS row_tot
+        |       FROM obs GROUP BY seg),
+        |ct AS (SELECT region, CAST(sum(observed) AS BIGINT) AS col_tot
+        |       FROM obs GROUP BY region),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+        |t AS (
+        |  SELECT o.seg, o.region, o.observed,
+        |    CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n AS expected
+        |  FROM obs o JOIN rt USING (seg) JOIN ct USING (region), n),
+        |chi AS (
+        |  SELECT floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(observed AS DOUBLE) - expected)
+        |           * (CAST(observed AS DOUBLE) - expected) / expected
+        |        ORDER BY seg, region)), (a, x) -> a + x) * 1000000 + 0.5)
+        |    / 1000000 AS chi2
+        |  FROM t)
+        |SELECT t.seg, t.region, t.observed,
+        |  floor(t.expected * 1000000 + 0.5) / 1000000 AS expected,
+        |  chi.chi2 AS chi2_total
+        |FROM t, chi""".stripMargin) { (s, dir) =>
+      val obs = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("region"))
+        .agg(count(lit(1)).as("observed"))
+        .localCheckpoint() // margins + cells read the 25-row table
+      val rt = obs.groupBy(col("seg")).agg(sum(col("observed")).as("row_tot"))
+      val ct = obs.groupBy(col("region"))
+        .agg(sum(col("observed")).as("col_tot"))
+      val n = obs.agg(sum(col("observed")).as("n"))
+      val t = obs.join(broadcast(rt), Seq("seg"))
+        .join(broadcast(ct), Seq("region"))
+        .crossJoin(broadcast(n))
+        .select(col("seg"), col("region"), col("observed"),
+          ((col("row_tot") * col("col_tot")).cast("double") / col("n"))
+            .as("expected"))
+        .withColumn("term",
+          (col("observed").cast("double") - col("expected"))
+            * (col("observed").cast("double") - col("expected"))
+            / col("expected"))
+        .localCheckpoint()
+      val chi = t
+        .agg(sort_array(collect_list(struct(col("seg"), col("region"),
+          col("term")))).as("ts"))
+        .select((floor(aggregate(col("ts"), lit(0.0),
+            (acc, x) => acc + x.getField("term")) * lit(1000000) + lit(0.5))
+          / lit(1000000)).as("chi2_total"))
+      t.crossJoin(broadcast(chi))
+        .select(col("seg"), col("region"), col("observed"),
+          (floor(col("expected") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("expected"),
+          col("chi2_total"))
+    },
+
+    // B116: DECISION STUMP trained in-engine (the 1-split CART tree,
+    // Breiman et al. 1984) — the TREE member of the closed-form
+    // trained-classifier family (C86 geometric, C96 generative):
+    // find the value threshold minimizing weighted Gini impurity for
+    // a binary label, exactly. Label = a PLANTED noisy threshold
+    // concept (the C86/ann_recall_gate convention): y = (cents ≥
+    // 3000) XOR (event_id % 10 = 0) — a known boundary with 10%
+    // deterministic label flips, so recovery is meaningful (acc ≈
+    // 0.9, threshold lands at the boundary; a majority guesser gets
+    // ~0.5). The search never materializes per-row ranks: group to
+    // the distinct-cents grain, two DistributedPrefixSum passes give
+    // (n_L, pos_L) at every candidate threshold, and minimizing Gini
+    // ⇔ maximizing score(t) = P_L/n_L + P_R/n_R with P = pos² +
+    // neg² — each P an exact BIGINT, the score ONE pinned double
+    // tree, argmax by (score DESC, t ASC) — bit-equal doubles make
+    // the tie rule deterministic cross-engine (the dedup_keep_best
+    // unrounded-order-key precedent). Thresholds with an empty right
+    // side are excluded (no 0-denominator). Scale shape: one keyed
+    // agg to the value grain + two streamed range-partitioned
+    // passes + a broadcast single-row total — never a corpus sort.
+    Q("decision_stump_value", {
+      val scoreSql = """(CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+        | / CAST(nl AS DOUBLE)
+        | + CAST((npos - pl) * (npos - pl)
+        |        + ((n - nl) - (npos - pl)) * ((n - nl) - (npos - pl))
+        |     AS DOUBLE) / CAST(n - nl AS DOUBLE))"""
+        .stripMargin.replace("\n", "")
+      s"""WITH e0 AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_id
+        |  FROM events),
+        |e AS (
+        |  SELECT c, CASE WHEN (c >= 3000) != (event_id % 10 = 0)
+        |                 THEN 1 ELSE 0 END AS y
+        |  FROM e0),
+        |v AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(y) AS BIGINT) AS pos
+        |      FROM e GROUP BY c),
+        |w AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS nl,
+        |        sum(pos) OVER (ORDER BY c) AS pl
+        |      FROM v),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |          CAST(sum(pos) AS BIGINT) AS npos FROM v),
+        |sc AS (
+        |  SELECT c AS threshold, nl, pl, n, npos, $scoreSql AS score
+        |  FROM w, tot WHERE nl < n),
+        |best AS (SELECT * FROM sc ORDER BY score DESC, threshold LIMIT 1)
+        |SELECT threshold, n, npos,
+        |  CAST(nl AS BIGINT) AS n_l, CAST(pl AS BIGINT) AS pos_l,
+        |  CAST(n - nl AS BIGINT) AS n_r,
+        |  CAST(npos - pl AS BIGINT) AS pos_r,
+        |  floor((1.0 - score / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS gini,
+        |  floor(CAST(greatest(pl, nl - pl)
+        |      + greatest(npos - pl, (n - nl) - (npos - pl)) AS DOUBLE)
+        |    / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS acc
+        |FROM best""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.DistributedPrefixSum
+      // the planted concept: cents ≥ 3000, 10% deterministic flips
+      val e = table(s, dir, "events")
+        .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"),
+          col("event_id"))
+        .select(col("c"),
+          ((col("c") >= 3000) =!= (col("event_id") % 10 === 0))
+            .cast("long").as("y"))
+      val v = e.groupBy(col("c"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+        .withColumn("_g", lit("all"))
+        .localCheckpoint() // two prefix passes + the total read it
+      val w1 = DistributedPrefixSum.running(v, "_g", Seq("c"), "cnt", "nl")
+      val w = DistributedPrefixSum.running(w1, "_g", Seq("c"), "pos", "pl")
+      val tot = v.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("npos"))
+      val sc = w.crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n"))
+        .select(col("c").as("threshold"), col("nl"), col("pl"), col("n"),
+          col("npos"),
+          ((col("pl") * col("pl")
+              + (col("nl") - col("pl")) * (col("nl") - col("pl")))
+            .cast("double") / col("nl").cast("double")
+          + ((col("npos") - col("pl")) * (col("npos") - col("pl"))
+              + ((col("n") - col("nl")) - (col("npos") - col("pl")))
+                * ((col("n") - col("nl")) - (col("npos") - col("pl"))))
+            .cast("double") / (col("n") - col("nl")).cast("double"))
+            .as("score"))
+      // argmax (score DESC, threshold ASC): max over (score, -t)
+      val best = sc
+        .agg(max(struct(col("score"), (-col("threshold")).as("negt"),
+          col("nl"), col("pl"), col("n"), col("npos"))).as("b"))
+        .select(col("b.score").as("score"),
+          (-col("b.negt")).as("threshold"), col("b.nl").as("nl"),
+          col("b.pl").as("pl"), col("b.n").as("n"), col("b.npos").as("npos"))
+      best.select(col("threshold"), col("n"), col("npos"),
+        col("nl").as("n_l"), col("pl").as("pos_l"),
+        (col("n") - col("nl")).as("n_r"),
+        (col("npos") - col("pl")).as("pos_r"),
+        (floor((lit(1.0) - col("score") / col("n").cast("double"))
+          * lit(1000000) + lit(0.5)) / lit(1000000)).as("gini"),
+        (floor((greatest(col("pl"), col("nl") - col("pl"))
+            + greatest(col("npos") - col("pl"),
+              (col("n") - col("nl")) - (col("npos") - col("pl"))))
+          .cast("double") / col("n").cast("double")
+          * lit(1000000) + lit(0.5)) / lit(1000000)).as("acc"))
     })
 }

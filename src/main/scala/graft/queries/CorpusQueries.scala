@@ -1058,5 +1058,52 @@ object CorpusQueries {
           sum(col("n_tokens")).as("kept_tokens"),
           sum(col("doc_id")).as("kept_id_sum"),
           min(col("score_milli")).as("worst_score_milli"))
+    },
+
+    // C100: DICTIONARY BLOCKLIST TAGGING (the CommonCrawl/C4
+    // bad-word-list filter shape, Raffel et al. 2020 §2.2 — a fixed
+    // term dictionary broadcast to every doc, per-doc occurrence
+    // evidence + a flag; the Aho-Corasick use case at the
+    // whitespace-token grain this corpus's conventions define): total
+    // hits via the fused one-pass TokenSetStats scan (the stopword
+    // kernel reused with a different dictionary — exactly how a real
+    // pipeline swaps wordlists), distinct hit terms via a set
+    // intersect on the deduped token list; flagged = ≥ 3 total hits
+    // OR ≥ 2 distinct terms (evidence-weighted, both count columns
+    // oracle-gated so the thresholds are replayable). Dictionary
+    // picks one common, one mid, one rare and one ABSENT term so
+    // every evidence regime is exercised (absent ⇒ the scan proves
+    // it never phantom-matches). Scale shape: map-only pass,
+    // dictionary O(1) broadcast, no shuffle beyond the scan.
+    Q("blocklist_tag", {
+      val terms = "['slow', 'merge', 'dup', 'crash']"
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+        |      ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains($terms, x)))
+        |      AS BIGINT) AS n_hits,
+        |    CAST(len(list_intersect(list_distinct(toks), $terms))
+        |      AS BIGINT) AS n_terms
+        |  FROM t)
+        |SELECT doc_id, n_hits, n_terms,
+        |  CAST(CASE WHEN n_hits >= 3 OR n_terms >= 2 THEN 1 ELSE 0 END
+        |    AS INT) AS flagged
+        |FROM m""".stripMargin
+    }) { (s, dir) =>
+      val terms = Seq("slow", "merge", "dup", "crash")
+      val toks = TF.wsTokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.VectorExpressions.tokenSetStats(toks, Seq(terms))
+            .getField("hits0").cast("long").as("n_hits"),
+          size(array_intersect(array_distinct(toks),
+            array(terms.map(lit): _*))).cast("long").as("n_terms"))
+        .select(col("doc_id"), col("n_hits"), col("n_terms"),
+          (col("n_hits") >= 3 || col("n_terms") >= 2).cast("int")
+            .as("flagged"))
     })
 }

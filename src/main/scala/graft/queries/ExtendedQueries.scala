@@ -1701,5 +1701,139 @@ object ExtendedQueries {
         round(col("seasonal"), 6).as("seasonal"),
         round((col("c").cast("double") - col("trend")) - col("seasonal"), 6)
           .as("resid"))
+    },
+
+    // B112: THEIL-SEN robust trend (Theil 1950 / Sen 1968 — the
+    // median-of-pairwise-slopes estimator, the robust sibling of
+    // B47's least-squares slope: one wild day moves OLS arbitrarily,
+    // Theil-Sen tolerates ~29% outliers). Per user over the shared
+    // exact-cents daily means: slope_ij = (v_j − v_i)/(d_j − d_i)
+    // for every day pair i < j, estimate = exact interpolated median
+    // of the sorted slope list. Determinism: v is the shared
+    // bit-equal daily mean; each slope is ONE subtract + ONE divide
+    // of identical doubles; the median reads two sorted positions
+    // ((n+1) DIV 2 and n DIV 2 + 1, 1-indexed) and averages them —
+    // the B20 exact-percentile convention. Scale shape: the pair
+    // join is per-user over the BOUNDED calendar-day series (B45
+    // contract, ≤ ~30 days here → ≤ 435 pairs/user), then one keyed
+    // agg; never a corpus×corpus join.
+    Q("theilsen_trend",
+      s"""WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, $dailyMeanSql AS v
+        |  FROM e GROUP BY user_id, day),
+        |p AS (
+        |  SELECT a.user_id,
+        |    (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM d a JOIN d b
+        |    ON a.user_id = b.user_id AND b.day > a.day),
+        |m AS (SELECT user_id, list(slope ORDER BY slope) AS ls,
+        |        CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM p GROUP BY user_id)
+        |SELECT user_id, n_pairs,
+        |  floor((ls[CAST((n_pairs + 1) // 2 AS INT)]
+        |       + ls[CAST(n_pairs // 2 + 1 AS INT)]) / 2.0
+        |    * 1000000 + 0.5) / 1000000 AS slope_med
+        |FROM m""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
+          col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(dailyMeanCol.as("v"))
+        .localCheckpoint() // both sides of the pair join read it
+      val a = daily.select(col("user_id"), col("day").as("da"),
+        col("v").as("va"))
+      val b = daily.select(col("user_id").as("ub"), col("day").as("db"),
+        col("v").as("vb"))
+      a.join(b, col("user_id") === col("ub") && col("db") > col("da"))
+        .select(col("user_id"),
+          ((col("vb") - col("va")) / (col("db") - col("da")).cast("double"))
+            .as("slope"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sort_array(collect_list(col("slope"))).as("ls"))
+        .select(col("user_id"), col("n_pairs"),
+          // explicit floor(x·10⁶ + 0.5)/10⁶, not round(…, 6): the
+          // text_quality convention — Spark's round (BigDecimal
+          // shortest-string HALF_UP) and DuckDB's (exact binary)
+          // disagree on .xxxxxx5 boundaries (hit at sf0.1)
+          (floor(((element_at(col("ls"),
+              expr("CAST((n_pairs + 1) DIV 2 AS INT)"))
+            + element_at(col("ls"), expr("CAST(n_pairs DIV 2 + 1 AS INT)")))
+            / 2.0) * lit(1000000) + lit(0.5)).cast("double") / lit(1000000))
+            .as("slope_med"))
+    },
+
+    // B113: BENFORD'S-LAW first-digit audit (Benford 1938; the
+    // fraud/data-quality screen auditors actually run): observed
+    // first-significant-digit counts of the exact order-value cents
+    // vs the Benford expectation p_d = log10(1 + 1/d), plus the
+    // chi-square statistic. Determinism: digits and counts are pure
+    // string/integer ops; the nine p_d constants are HARDCODED 6dp
+    // decimal literals (summing to exactly 1.000000) because log10
+    // is libm — both engines parse the same literal to the same
+    // double; expected = n·p_d (one multiply), each chi² term one
+    // pinned (obs − exp)²/exp tree, total an ordered digit-ascending
+    // fold from 0.0 (the ADC convention). Scale shape: ONE
+    // map-side-combinable 9-group count; everything after is on the
+    // 9-row model relation (single-row broadcast for the total).
+    Q("benford_first_digit",
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |o AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |        AS digit, CAST(count(*) AS BIGINT) AS observed
+        |      FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o),
+        |p AS (SELECT CAST(d AS INT) AS digit, pr FROM (VALUES
+        |        (1, 0.301030), (2, 0.176091), (3, 0.124939),
+        |        (4, 0.096910), (5, 0.079181), (6, 0.066947),
+        |        (7, 0.057992), (8, 0.051153), (9, 0.045757)) v(d, pr)),
+        |t AS (
+        |  SELECT p.digit, coalesce(o.observed, 0) AS observed, n.n, p.pr,
+        |    (CAST(coalesce(o.observed, 0) AS DOUBLE) - n.n * p.pr)
+        |      * (CAST(coalesce(o.observed, 0) AS DOUBLE) - n.n * p.pr)
+        |      / (n.n * p.pr) AS term
+        |  FROM p LEFT JOIN o USING (digit), n),
+        |chi AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(term ORDER BY digit)), (a, x) -> a + x), 6) AS chi2
+        |        FROM t)
+        |SELECT t.digit, t.observed, round(t.n * t.pr, 6) AS expected,
+        |  chi.chi2 AS chi2_total
+        |FROM t, chi""".stripMargin) { (s, dir) =>
+      val benford = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val o = table(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"))
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+      val n = o.agg(sum(col("observed")).as("n"))
+      val p = s.range(1).select(explode(array(benford.map { case (d, pr) =>
+        struct(lit(d).as("digit"), lit(pr).as("pr")) }: _*)).as("x"))
+        .select(col("x.digit").as("digit"), col("x.pr").as("pr"))
+      val t = p.join(o, Seq("digit"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("digit"),
+          coalesce(col("observed"), lit(0L)).as("observed"), col("n"),
+          col("pr"))
+        .withColumn("term",
+          (col("observed").cast("double") - col("n") * col("pr"))
+            * (col("observed").cast("double") - col("n") * col("pr"))
+            / (col("n") * col("pr")))
+        .localCheckpoint() // 9 rows: the fold and the rows both read it
+      val chi = t
+        .agg(sort_array(collect_list(struct(col("digit"), col("term"))))
+          .as("ts"))
+        .select(round(aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("chi2_total"))
+      t.crossJoin(broadcast(chi))
+        .select(col("digit"), col("observed"),
+          round(col("n") * col("pr"), 6).as("expected"), col("chi2_total"))
     })
 }

@@ -1479,6 +1479,124 @@ object StreamingQueries {
         .agg(max(struct(col("n_folded"), col("balance_cents"))).as("m"))
         .select(col("user_id"), col("m.n_folded").as("n_folded"),
           col("m.balance_cents").as("balance_cents"))
+    },
+
+    // D37: STREAMING TIME-DECAYED COUNTS — the "trending now" shape
+    // (exponentially decayed event weight, half-life = 1 day) that
+    // plain windowed counts (D13) can't express: yesterday counts
+    // half of today, last week an eighth of that. State is D33's
+    // additive discipline applied to DAYS instead of value bins: per
+    // (event_type, day) exact counts — merges commute under any
+    // batch split, state is O(active days) per key, never the
+    // stream. The decay is applied at READ-OUT on the model-sized
+    // snapshot (types × ≤31 days here), decaying every day to the
+    // corpus max day T: weight(d) = 2^(d − T), a 32-day horizon
+    // (older days weigh 0 — documented cut; 2⁻³² < 1e-9 is already
+    // sub-rounding). EXACT: the decayed sum is computed as the
+    // scaled BIGINT Σ cnt·2^(32 − (T − d)) — shifts of exact
+    // integers, no pow(), no libm — and the 6dp double is that
+    // integer divided once by 2³². Overflow-safe by construction:
+    // Σcnt·2³² < 2⁶³ up to ~2·10⁹ events per type.
+    Q("streaming_decayed_counts",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |b AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT max(day) AS td FROM b),
+        |s AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    t.td AS t_day,
+        |    CAST(sum(CASE WHEN t.td - day <= 32
+        |      THEN cnt * (CAST(1 AS BIGINT) << CAST(32 - (t.td - day) AS INT))
+        |      ELSE 0 END) AS BIGINT) AS decayed_scaled
+        |  FROM b, t GROUP BY event_type, t.td)
+        |SELECT event_type, n_events, t_day, decayed_scaled,
+        |  round(CAST(decayed_scaled AS DOUBLE) / 4294967296.0, 6) AS decayed
+        |FROM s""".stripMargin) { (s, dir) =>
+      val ev = tableStream(s, dir, "events").select(col("event_type"),
+        expr("ts div 1000000000 div 86400").as("day"))
+      val binned = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val snap = runToMemory(s, binned, "graft_stream_decay",
+        mode = "complete").localCheckpoint()
+      val t = snap.agg(max(col("day")).as("td"))
+      snap.crossJoin(broadcast(t))
+        .groupBy(col("event_type"), col("td").as("t_day"))
+        .agg(sum(col("cnt")).as("n_events"),
+          sum(when(col("td") - col("day") <= 32,
+            col("cnt") * expr("shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(32 - (td - day) AS INT))"))
+            .otherwise(0L)).as("decayed_scaled"))
+        .select(col("event_type"), col("n_events"), col("t_day"),
+          col("decayed_scaled"),
+          round(col("decayed_scaled").cast("double") / 4294967296.0, 6)
+            .as("decayed"))
+    },
+
+    // D38: STREAMING DDSketch QUANTILES — B108's relative-error
+    // decimal sketch as LIVE per-key state, completing the pair with
+    // D33 (fixed equi-width bins, ABSOLUTE error): per event_type the
+    // first-2-significant-digit bucket counts of the integer-cent
+    // value, maintained incrementally — the sketch relation is
+    // additive (merges commute under any batch split, the
+    // complete-mode snapshot equals the batch sketch), state O(~90
+    // buckets/decade) per key regardless of stream length, bounded
+    // RELATIVE error at any magnitude where D33's 64 fixed bins
+    // saturate above their range. Read-out = B108's closed-form on
+    // the snapshot: rank (q·n + 99) DIV 100, first bucket with cum ≥
+    // rank, estimate = bucket lower edge — all exact BIGINTs, so the
+    // estimates oracle-check, not just the counts. The cumulative
+    // window sorts ≤ ~200 buckets per type (model-sized).
+    Q("streaming_ddsketch_quantiles",
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(rpad(substring(CAST(cents AS VARCHAR), 1, 2),
+        |      CAST(strlen(CAST(cents AS VARCHAR)) AS INT), '0') AS BIGINT)
+        |      AS bkt,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM b GROUP BY event_type),
+        |cum AS (SELECT event_type, bkt, cnt,
+        |          sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt)
+        |            AS cum
+        |        FROM b),
+        |rk AS (SELECT t.event_type, CAST(q.q AS INT) AS q, t.n,
+        |         (q.q * t.n + 99) // 100 AS rnk
+        |       FROM tot t, (SELECT unnest([50, 90, 99]) AS q) q)
+        |SELECT c.event_type, r.q, r.n,
+        |  CAST(min(c.bkt) AS BIGINT) AS est_cents
+        |FROM cum c JOIN rk r USING (event_type)
+        |WHERE c.cum >= r.rnk
+        |GROUP BY c.event_type, r.q, r.n""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = tableStream(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val binned = ev
+        .select(col("event_type"),
+          expr("CAST(rpad(substring(CAST(cents AS STRING), 1, 2), " +
+            "length(CAST(cents AS STRING)), '0') AS BIGINT)").as("bkt"))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val snap = runToMemory(s, binned, "graft_stream_dds",
+        mode = "complete").localCheckpoint()
+      val tot = snap.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      val cum = snap.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bkt"))))
+      val rk = tot.crossJoin(
+          s.range(1).select(explode(array(lit(50L), lit(90L), lit(99L)))
+            .as("q")))
+        .withColumn("rnk", expr("(q * n + 99) DIV 100"))
+      cum.join(rk, Seq("event_type"))
+        .filter(col("cum") >= col("rnk"))
+        .groupBy(col("event_type"), col("q").cast("int").as("q"), col("n"))
+        .agg(min(col("bkt")).as("est_cents"))
     })
 
   /** Stateful streaming ops create one state store per shuffle

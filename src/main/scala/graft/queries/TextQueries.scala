@@ -1165,6 +1165,84 @@ object TextQueries {
         .agg(
           count(lit(1)).as("n_bigrams"),
           round(avg(col("logp")), 4).as("avg_logp_kn"))
+    },
+
+    // C99: Gopher/MassiveText rule-based quality filter (Rae et al.
+    // 2021, Table A1) — the canonical hand-rule suite production
+    // pipelines run BEFORE model-based scoring (C40/C86 are the
+    // learned stage; this is the cheap exact-arithmetic stage).
+    // Rules kept from the paper, each spelled as an INTEGER
+    // cross-multiplication so there is no ratio double to disagree
+    // on: (1) word count in [50, 100000] (~half this corpus fails —
+    // non-vacuous); (2) mean word length in [3, 10] via 3n ≤ Σlen ≤
+    // 10n; (3) degenerate-token ratio ≤ 10% — the paper's
+    // symbol-to-word rule re-targeted at this corpus's actual
+    // degeneracy, single-character tokens ('#'/'…' never occur here;
+    // 1-char floods do, 8/500 docs at sf0.01); (4) ≥ 80% of words
+    // contain an alphabetic character (5·alpha ≥ 4n — passes
+    // everywhere on this all-alpha corpus, kept because the COUNT
+    // column still oracle-checks the scan); (5) ≥ 2 stop-word hits
+    // (the paper's "stop word" rule, ~22% fail). keep = all five.
+    // Scale shape: ONE map-only pass over documents — every count a
+    // per-row fused token scan, no join, no shuffle beyond the scan.
+    Q("gopher_rules",
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_words,
+         |    CAST(length($normSql) - (len($toksSql) - 1) AS BIGINT)
+         |      AS sum_word_len,
+         |    CAST(len(list_filter($toksSql, t -> strlen(t) = 1)) AS BIGINT)
+         |      AS n_one_char,
+         |    CAST(len(list_filter($toksSql, t -> regexp_matches(t, '[a-z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(${hitsSql(TF.EnStop)} AS BIGINT) AS n_stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words, sum_word_len, n_one_char, n_alpha_words,
+         |  n_stop_hits,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+         |    AS INT) AS r_word_count,
+         |  CAST(CASE WHEN 3 * n_words <= sum_word_len
+         |             AND sum_word_len <= 10 * n_words THEN 1 ELSE 0 END
+         |    AS INT) AS r_mean_word_len,
+         |  CAST(CASE WHEN 10 * n_one_char <= n_words THEN 1 ELSE 0 END
+         |    AS INT) AS r_one_char,
+         |  CAST(CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END
+         |    AS INT) AS r_alpha,
+         |  CAST(CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS INT)
+         |    AS r_stopwords,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |             AND 3 * n_words <= sum_word_len
+         |             AND sum_word_len <= 10 * n_words
+         |             AND 10 * n_one_char <= n_words
+         |             AND 5 * n_alpha_words >= 4 * n_words
+         |             AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM m""".stripMargin) { (s, dir) =>
+      val toks = TF.wsTokens(col("text"))
+      val m = table(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        graft.functions.VectorExpressions.tokenSetStats(toks, Nil)
+          .getField("sum_len").cast("long").as("sum_word_len"),
+        size(filter(toks, t => length(t) === 1)).cast("long")
+          .as("n_one_char"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_words"),
+        TF.stopwordHits(col("text"), TF.EnStop).cast("long")
+          .as("n_stop_hits"))
+      val rWc = col("n_words").between(50L, 100000L)
+      val rMwl = (lit(3L) * col("n_words") <= col("sum_word_len")) &&
+        (col("sum_word_len") <= lit(10L) * col("n_words"))
+      val rOne = lit(10L) * col("n_one_char") <= col("n_words")
+      val rAlpha = lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words")
+      val rStop = col("n_stop_hits") >= 2L
+      m.select(col("doc_id"), col("n_words"), col("sum_word_len"),
+        col("n_one_char"), col("n_alpha_words"), col("n_stop_hits"),
+        rWc.cast("int").as("r_word_count"),
+        rMwl.cast("int").as("r_mean_word_len"),
+        rOne.cast("int").as("r_one_char"),
+        rAlpha.cast("int").as("r_alpha"),
+        rStop.cast("int").as("r_stopwords"),
+        (rWc && rMwl && rOne && rAlpha && rStop).cast("int").as("keep"))
     })
 
   /** Winnowing selection (C53): word-trigram rolling hashes, w=4

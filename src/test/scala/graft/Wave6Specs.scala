@@ -1,0 +1,387 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 eighth-wave specs — the semantics the SF oracle gate
+  * cannot isolate (it replays the same arithmetic; these pin what
+  * the operators MEAN against independent recomputations).
+  */
+
+/** C99 gopher_rules — each rule must fire on a purpose-built
+  * violating document and pass on a compliant one; the corpus run
+  * must be non-vacuous on the discriminating rules.
+  */
+class GopherRulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rules(text: String): Map[String, Int] = {
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    Seq((1L, text, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("gopher_rules")(spark, dir).collect().head
+    Seq("r_word_count", "r_mean_word_len", "r_one_char", "r_alpha",
+      "r_stopwords", "keep")
+      .map(c => c -> r.getAs[Int](c)).toMap
+  }
+
+  test("each rule fires on its planted violation and only there") {
+    val goodWords = Seq.fill(25)("the quick brown fox is near it and")
+      .mkString(" ") // 200 words, mean len ~3.9, stop hits >> 2
+    val good = rules(goodWords)
+    assert(good("keep") == 1, s"compliant doc rejected: $good")
+
+    val short = rules("the fox is in it and of a") // 8 words
+    assert(short("r_word_count") == 0 && short("keep") == 0)
+    assert(short("r_one_char") == 0) // 2/8 one-char > 10% — also fires
+
+    val longWords = rules(Seq.fill(60)(
+      "antidisestablishmentarianism incomprehensibilities the of")
+      .mkString(" ")) // mean (28+21+3+2)/4 = 13.5 > 10
+    assert(longWords("r_mean_word_len") == 0, s"$longWords")
+
+    val oneChar = rules(("x " * 40) + goodWords) // 40 degenerates
+    assert(oneChar("r_one_char") == 0 && oneChar("keep") == 0)
+
+    val numeric = rules(Seq.fill(30)("12 34 567 the of").mkString(" "))
+    assert(numeric("r_alpha") == 0, s"$numeric")
+
+    val noStops = rules(Seq.fill(60)("foo bar baz qux").mkString(" "))
+    assert(noStops("r_stopwords") == 0 && noStops("keep") == 0)
+  }
+
+  test("corpus run is non-vacuous on the discriminating rules") {
+    val df = SparkEntry.queries("gopher_rules")(spark, sfDir).cache()
+    val n = df.count()
+    assert(n > 0)
+    for (c <- Seq("r_word_count", "r_stopwords", "keep")) {
+      val pass = df.filter(col(c) === 1).count()
+      assert(pass > 0 && pass < n, s"$c vacuous: $pass/$n")
+    }
+    df.unpersist()
+  }
+}
+
+/** B112 theilsen_trend — the distributed pair-join median must equal
+  * a plain sequential recompute, and the estimator must actually be
+  * ROBUST: one wild outlier day moves OLS but not Theil-Sen.
+  */
+class TheilSenSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("distributed slope median equals a sequential recompute") {
+    val daily = GraftSession.table(spark, sfDir, "events")
+      .select($"user_id", expr("ts div 1000000000 div 86400").as("day"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id", $"day")
+      .agg((sum($"cents").cast("double") / (lit(100.0) * count(lit(1))))
+        .as("v"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1))
+
+    val got = SparkEntry.queries("theilsen_trend")(spark, sfDir)
+      .select($"user_id", $"n_pairs", $"slope_med")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val expected = daily.toMap.collect { case (u, s) if s.length >= 2 =>
+      val slopes = (for {
+        i <- s.indices; j <- (i + 1) until s.length
+      } yield (s(j)._2 - s(i)._2) / (s(j)._1 - s(i)._1).toDouble).sorted
+      val n = slopes.length
+      val med = (slopes((n + 1) / 2 - 1) + slopes(n / 2)) / 2.0
+      u -> (n.toLong, math.floor(med * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.keySet == expected.keySet)
+    for ((u, (np, med)) <- expected) {
+      assert(got(u)._1 == np, s"user $u pair count")
+      assert(math.abs(got(u)._2 - med) < 1e-9,
+        s"user $u: got ${got(u)._2}, want $med")
+    }
+  }
+
+  test("one outlier day leaves the median slope unmoved (robustness)") {
+    val dir = java.nio.file.Files.createTempDirectory("ts").toString
+    def write(points: Seq[(Long, Double)]): Unit =
+      points.zipWithIndex.map { case ((day, v), i) =>
+        (i.toLong, 7L, "view", v,
+          new java.sql.Timestamp(day * 86400L * 1000L))
+      }.toDF("event_id", "user_id", "event_type", "value", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // clean line: v = 2d over days 0..9 → every pair slope exactly 2
+    val line = (0L to 9L).map(d => d -> (2.0 * d))
+    write(line)
+    val clean = SparkEntry.queries("theilsen_trend")(spark, dir)
+      .select($"slope_med").as[Double].collect().head
+    assert(math.abs(clean - 2.0) < 1e-9)
+    // poison one day: day 5 jumps to 1000 — OLS slope leaves [1,3];
+    // the pairwise-median stays near 2 (≤ 9 of 45 pairs touch day 5)
+    write(line.updated(5, 5L -> 1000.0))
+    val robust = SparkEntry.queries("theilsen_trend")(spark, dir)
+      .select($"slope_med").as[Double].collect().head
+    assert(math.abs(robust - 2.0) < 0.5, s"median moved to $robust")
+  }
+}
+
+/** B113 benford_first_digit — the hardcoded 6dp Benford constants
+  * must sum to exactly 1e6 ppm, and the chi² must equal a sequential
+  * recompute from raw counts.
+  */
+class BenfordSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val probs = Seq(0.301030, 0.176091, 0.124939, 0.096910,
+    0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+
+  test("constants are a 6dp probability vector (ppm sum exactly 1e6)") {
+    assert(probs.map(p => math.round(p * 1e6)).sum == 1000000L)
+  }
+
+  test("chi2 equals a sequential recompute; digits cover 1..9") {
+    val rows = SparkEntry.queries("benford_first_digit")(spark, sfDir)
+      .select($"digit", $"observed", $"chi2_total")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    val n = rows.map(_._2).sum
+    var chi = 0.0
+    for (((_, obs, _), p) <- rows.zip(probs)) {
+      val e = n * p
+      chi += (obs.toDouble - e) * (obs.toDouble - e) / e
+    }
+    val want = math.floor(chi * 1e6 + 0.5) / 1e6
+    assert(rows.forall(r => math.abs(r._3 - want) < 1e-9),
+      s"chi2 ${rows.head._3} != $want")
+    // non-vacuous: this corpus is NOT Benford (digits 1-4 heavy)
+    assert(rows.head._3 > 100.0, "chi2 suspiciously small")
+  }
+}
+
+/** D37 streaming_decayed_counts — the streaming snapshot must equal
+  * the batch image (additive state merges commute), and the decay
+  * read-out must match a closed-form recompute with the documented
+  * 32-day horizon.
+  */
+class DecayedCountSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decayed snapshot equals a closed-form batch recompute") {
+    val days = GraftSession.table(spark, sfDir, "events")
+      .select($"event_type", expr("ts div 1000000000 div 86400").as("day"))
+      .as[(String, Long)].collect()
+    val t = days.map(_._2).max
+    val expected = days.groupBy(_._1).map { case (et, rows) =>
+      val scaled = rows.map(_._2)
+        .filter(d => t - d <= 32)
+        .map(d => 1L << (32 - (t - d)).toInt).sum
+      et -> (rows.length.toLong, scaled)
+    }
+    val got = SparkEntry.queries("streaming_decayed_counts")(spark, sfDir)
+      .select($"event_type", $"n_events", $"t_day", $"decayed_scaled",
+        $"decayed")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == expected.keySet)
+    for ((et, ne, td, sc, dec) <- got) {
+      assert(td == t)
+      assert((ne, sc) == expected(et), s"$et: ($ne,$sc) != ${expected(et)}")
+      assert(math.abs(dec - BigDecimal(sc.toDouble / 4294967296.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // decay is non-trivial: the scaled sum is NOT n · 2^32 (all
+    // events on the max day) and NOT 0 (all outside the horizon)
+    assert(got.exists(r => r._4 != r._2 * 4294967296L && r._4 != 0L))
+  }
+}
+
+/** B114 mannwhitney_values — sequential recompute of the tie-averaged
+  * rank-sum statistic from raw values, plus the U₁ + U₂ = n₁n₂
+  * identity that any rank bookkeeping error breaks.
+  */
+class MannWhitneySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("U and z equal a sequential recompute; U1 + U2 = n1*n2") {
+    val raw = GraftSession.table(spark, sfDir, "events")
+      .filter($"event_type".isin("purchase", "view"))
+      .select(($"event_type" === "purchase").as("g1"),
+        floor($"value" * 100 + lit(0.5)).cast("long").as("c"))
+      .as[(Boolean, Long)].collect()
+    val sorted = raw.sortBy(_._2)
+    // tie-averaged ranks, sequentially
+    var i = 0; var r1x2 = 0L; var tsum = 0L
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      val t = j - i
+      val rank2 = 2L * i + t + 1 // doubled average rank, 1-indexed
+      r1x2 += rank2 * sorted.slice(i, j).count(_._1)
+      tsum += t.toLong * t * t - t
+      i = j
+    }
+    val n1 = raw.count(_._1).toLong
+    val n2 = raw.length - n1
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val z = (u1x2.toDouble / 2.0 - (n1 * n2).toDouble / 2.0) /
+      math.sqrt((n1 * n2).toDouble / 12.0 *
+        ((n1 + n2 + 1).toDouble
+          - tsum.toDouble / ((n1 + n2) * (n1 + n2 - 1)).toDouble))
+    val row = SparkEntry.queries("mannwhitney_values")(spark, sfDir)
+      .select($"n1", $"n2", $"r1x2", $"tsum", $"u1x2", $"z")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(row._1 == n1 && row._2 == n2)
+    assert(row._3 == r1x2, s"2R1 ${row._3} != $r1x2")
+    assert(row._4 == tsum)
+    assert(row._5 == u1x2)
+    assert(math.abs(row._6 - math.floor(z * 1e6 + 0.5) / 1e6) < 1e-9)
+    // the pair-count identity: U1 + U2 = n1*n2 (scaled by 2)
+    // Σ all doubled ranks = n(n+1)
+    val r2x2 = raw.length.toLong * (raw.length + 1) - r1x2
+    val u2x2 = r2x2 - n2 * (n2 + 1)
+    assert(u1x2 + u2x2 == 2L * n1 * n2, "U1 + U2 != n1*n2")
+  }
+}
+
+/** B115 chisq_segment_region — sequential recompute plus the margin
+  * identity (expected sums to the observed margins), which any
+  * margin-join mistake breaks.
+  */
+class ChiSqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chi2 equals a sequential recompute; expected preserves margins") {
+    val rows = SparkEntry.queries("chisq_segment_region")(spark, sfDir)
+      .select($"seg", $"region", $"observed", $"expected", $"chi2_total")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(rows.length == 25) // 5 segments × 5 regions, all present
+    val n = rows.map(_._3).sum
+    val rowTot = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val colTot = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    var chi = 0.0
+    for ((seg, region, obs, expRounded, _) <-
+        rows.sortBy(r => (r._1, r._2))) {
+      val e = (rowTot(seg) * colTot(region)).toDouble / n
+      assert(math.abs(expRounded - math.floor(e * 1e6 + 0.5) / 1e6) < 1e-9)
+      chi += (obs.toDouble - e) * (obs.toDouble - e) / e
+    }
+    val want = math.floor(chi * 1e6 + 0.5) / 1e6
+    assert(rows.forall(r => math.abs(r._5 - want) < 1e-9))
+    // margins: Σ_region expected(seg, ·) = row_tot(seg) exactly
+    for ((seg, rt) <- rowTot) {
+      val sumE = rows.filter(_._1 == seg)
+        .map(r => (rowTot(r._1) * colTot(r._2)).toDouble / n).sum
+      assert(math.abs(sumE - rt) < 1e-6, s"margin broken for $seg")
+    }
+  }
+}
+
+/** C100 blocklist_tag — planted docs pin the hit accounting; the
+  * absent dictionary term must never phantom-match.
+  */
+class BlocklistSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("planted docs hit the exact counts; absent term never matches") {
+    val dir = java.nio.file.Files.createTempDirectory("bl").toString
+    Seq(
+      (1L, "slow slow slow fast", "en", "s"),      // 3 hits, 1 term
+      (2L, "slow merge fast table", "en", "s"),    // 2 hits, 2 terms
+      (3L, "fast table scan row", "en", "s"),      // clean
+      (4L, "crashing dupe slows", "en", "s"))      // substrings ≠ tokens
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("blocklist_tag")(spark, dir)
+      .select($"doc_id", $"n_hits", $"n_terms", $"flagged")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 3L, 1L, 1))  // total-hit threshold
+    assert(got(2L) == (2L, 2L, 2L, 1))  // distinct-term threshold
+    assert(got(3L) == (3L, 0L, 0L, 0))
+    assert(got(4L) == (4L, 0L, 0L, 0))  // token grain, not substring
+  }
+
+  test("corpus run is non-vacuous both ways") {
+    val df = SparkEntry.queries("blocklist_tag")(spark, sfDir).cache()
+    val n = df.count()
+    val f = df.filter($"flagged" === 1).count()
+    assert(f > 0 && f < n, s"flagged $f/$n vacuous")
+    df.unpersist()
+  }
+}
+
+/** B116 decision_stump_value — the stump must recover the PLANTED
+  * concept (boundary 3000, 10% deterministic flips ⇒ accuracy
+  * exactly 0.9 on the big corpus), and must find the provably best
+  * split on a hand-built table where every candidate is enumerable.
+  */
+class StumpSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("recovers the planted boundary with exactly the flip-rate accuracy") {
+    val r = SparkEntry.queries("decision_stump_value")(spark, sfDir)
+      .select($"threshold", $"n", $"acc", $"gini")
+      .as[(Long, Long, Double, Double)].collect().head
+    // left side is x ≤ t, so the planted 'x ≥ 3000' boundary is the
+    // largest cents below 3000
+    assert(r._1 < 3000 && r._1 >= 2990, s"threshold ${r._1} off-boundary")
+    assert(math.abs(r._3 - 0.9) < 0.005, s"acc ${r._3} != flip rate")
+    assert(r._4 < 0.2, s"gini ${r._4} not low")
+  }
+
+  test("finds the enumerably-best split on a hand-built table") {
+    val dir = java.nio.file.Files.createTempDirectory("stump").toString
+    // cents 100·k; y = planted (c >= 3000) xor (event_id % 10 == 0);
+    // event_ids chosen so NO flip fires → perfect split at 2900
+    val rows = (1L to 60L).map { k =>
+      (k * 10 + 1, k % 15 + 1, "view", k.toDouble, // value → cents 100k
+        new java.sql.Timestamp(86400000L * k))
+    }
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("decision_stump_value")(spark, dir)
+      .select($"threshold", $"acc", $"gini")
+      .as[(Long, Double, Double)].collect().head
+    // cents = floor(100k + 0.5) = 100k; boundary at 3000 → best
+    // threshold is the largest cents < 3000 = 2900; zero flips →
+    // perfect separation
+    assert(r._1 == 2900L, s"threshold ${r._1}")
+    assert(r._2 == 1.0 && r._3 == 0.0, s"acc ${r._2} gini ${r._3}")
+  }
+}
+
+/** D38 streaming_ddsketch_quantiles — the streamed sketch snapshot's
+  * estimates must equal the batch sketch computed directly, and each
+  * estimate must sit within the sketch's relative-error bracket of
+  * the exact rank statistic (the B108 guarantee, now on live state).
+  */
+class StreamingDdsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed estimates equal the batch sketch and bracket the exact ranks") {
+    val cents = GraftSession.table(spark, sfDir, "events")
+      .select($"event_type", floor($"value" * 100 + lit(0.5)).cast("long"))
+      .as[(String, Long)].collect()
+    def bucket(c: Long): Long = {
+      val s = c.toString
+      (s.take(2) + "0" * (s.length - math.min(2, s.length))).toLong
+    }
+    val got = SparkEntry.queries("streaming_ddsketch_quantiles")(spark, sfDir)
+      .select($"event_type", $"q", $"n", $"est_cents")
+      .as[(String, Int, Long, Long)].collect()
+    assert(got.length == cents.map(_._1).distinct.length * 3)
+    for ((et, q, n, est) <- got) {
+      val vals = cents.filter(_._1 == et).map(_._2).sorted
+      assert(n == vals.length)
+      // batch sketch recompute
+      val sk = vals.map(bucket).groupBy(identity).view.mapValues(_.length)
+        .toSeq.sortBy(_._1)
+      val rank = (q.toLong * n + 99) / 100
+      var cum = 0L
+      val want = sk.collectFirst {
+        case (b, c) if { cum += c; cum >= rank } => b
+      }.get
+      assert(est == want, s"$et p$q: $est != $want")
+      // relative-error bracket vs the exact rank statistic
+      val exact = vals(rank.toInt - 1)
+      assert(est <= exact && exact < est + math.max(est / 10, 1),
+        s"$et p$q: exact $exact outside bracket above $est")
+    }
+  }
+}
