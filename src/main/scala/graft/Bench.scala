@@ -169,7 +169,7 @@ object Bench {
       // first in this session).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val wanted = Seq("documents", "embeddings", "events") ++
-        (if (withTrade) Seq("orders", "lineitem") else Nil)
+        (if (withTrade) Seq("orders", "lineitem", "customer") else Nil)
       if (reuseClones && wanted.forall(t =>
           Files.exists(Paths.get(s"$dir/$t.parquet/_SUCCESS")))) return
       def duplicate(tbl: String, idCols: Seq[String],
@@ -210,6 +210,12 @@ object Bench {
         val oShifts = duplicate("orders", Seq("o_orderkey", "o_custkey"))
         duplicate("lineitem", Seq("l_orderkey", "l_suppkey"),
           Map("l_orderkey" -> oShifts("o_orderkey")))
+        // customer for the graph_ppr seed join: c_custkey must shift
+        // by the SAME stride as o_custkey so each replica's seed set
+        // stays closed over its own copy of the graph (c_nationkey
+        // unshifted → every replica re-seeds on its nation-0 cohort)
+        duplicate("customer", Seq("c_custkey"),
+          Map("c_custkey" -> oShifts("o_custkey")))
       }
     }
     val x10Names =
@@ -309,7 +315,28 @@ object Bench {
         // round-9 tenth wave: the prefix-sum stump search (B116 —
         // same value-domain grain claim as B114) and the live
         // relative-error sketch (D38 — state stays ~buckets/decade)
-        "decision_stump_value", "streaming_ddsketch_quantiles")
+        "decision_stump_value", "streaming_ddsketch_quantiles",
+        // round-9 eleventh wave: the bounded day-pair concordance
+        // (B117), the prefix-sum AUC on the score grain (C101), and
+        // the 9-digit live audit (D39)
+        "kendall_tau_daily", "classifier_auc", "streaming_benford",
+        // round-9 twelfth wave: seeded teleport PageRank (B118,
+        // trade-cloned — same O(edges)/round claim as B52)
+        "graph_ppr",
+        // round-9 thirteenth wave: the 5-fold CV loop (C102 — 5×
+        // the stump plan) and the lattice-max liveness state (D40)
+        "crossval_stump", "streaming_heartbeat",
+        // round-9 fourteenth wave: the per-key ordered debounce
+        // fold (B119 — user-bounded arrays, the D23 class)
+        "debounce_events",
+        // round-9 fifteenth wave: the exact value-grain KS (B120 —
+        // same near-constant-grain claim as B114) and the live
+        // debounce fold (D41 — buffered-tail state only)
+        "ks_two_sample_exact", "streaming_debounce",
+        // round-9 sixteenth wave: the bounded per-user burst join +
+        // windows (C103 — the claim: per-key quadratic stays bounded
+        // as keys multiply)
+        "user_behavior_profile")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -317,7 +344,7 @@ object Bench {
       "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore",
       "item_cooccurrence_topk", "grouped_ols2",
       "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits",
-      "ddsketch_order_value", "benford_first_digit")
+      "ddsketch_order_value", "benford_first_digit", "graph_ppr")
     // Untimed JIT/codegen warmup for the probe queries at the BASE
     // scale factor: the scale blocks now run first in the JVM, so
     // without this the first timed probe of each query would carry
@@ -453,7 +480,11 @@ object Bench {
       // round-9 ninth wave: second decades — the value-domain rank
       // grain (B114) and the map-only tagger (C100).
       "mannwhitney_values", "blocklist_tag",
-      "decision_stump_value", "streaming_ddsketch_quantiles")
+      "decision_stump_value", "streaming_ddsketch_quantiles",
+      "kendall_tau_daily", "streaming_benford",
+      "crossval_stump", "streaming_heartbeat", "debounce_events",
+      "ks_two_sample_exact", "streaming_debounce",
+      "user_behavior_profile")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]
@@ -514,7 +545,12 @@ object Bench {
       // corpora repeat the same vocabulary, so the fold arrays are
       // CONSTANT across decades).
       "mm_audio_fingerprint", "naive_bayes_score",
-      "corpus_doremi_weights")
+      "corpus_doremi_weights",
+      // round-9 eighth/ninth waves: the two purest map-only corpus
+      // scans (C99 fused rule kernel, C100 dictionary tagger) — the
+      // cheapest possible third-decade rows, pinning that the
+      // linear family's smallest constants stay linear too.
+      "gopher_rules", "blocklist_tag")
       .filter(n => only.isEmpty || only(n))
     val sfx1000 = if (!scaleProbe || !x1000Probe || x1000Names.isEmpty)
       Map.empty[String, Double]

@@ -78,4 +78,57 @@ object PageRank {
     }
     pr.select(col("node"), col("pr").as("pr_micro"))
   }
+
+  /** PERSONALIZED PageRank (Page et al. 1999 §6 / Jeh & Widom 2003):
+    * the teleport mass returns to a SEED set instead of spreading
+    * uniformly, so ranks measure proximity TO THE SEEDS — the
+    * recommendation/similar-entities primitive one global PageRank
+    * score cannot express. Same exact-integer micro-unit spelling as
+    * [[run]]: init = 1e6 div |S| on seeds (0 elsewhere), teleport =
+    * 150000 div |S| on seeds (0 elsewhere), damping (85·Σ) div 100.
+    * Non-seed sinks decay toward 0 unless reachable from the seeds —
+    * by construction, not by normalization.
+    *
+    * Scale shape identical to [[run]]: the seed FLAG is folded into
+    * the checkpointed node table once (seeds are a model-sized or
+    * keyed relation, never collected), one keyed join per iteration.
+    *
+    * @param seeds one LONG column `node`; deduplicated here.
+    */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iterations: Int = 2,
+      dampingPct: Int = 85): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val seedSet = seeds.select(col("node")).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false))
+        .as("is_seed"))
+      .localCheckpoint()
+    val ns = nodes.filter(col("is_seed")).count()
+    require(ns > 0, "PageRank.runPersonalized: no seed appears in the graph")
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(outdeg, "src").localCheckpoint()
+    var pr = nodes.select(col("node"), col("is_seed"),
+      when(col("is_seed"), lit(1000000L / ns)).otherwise(lit(0L)).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .select(col("dst").as("node"), expr("pr DIV outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(150000L / ns)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100"))
+            .as("pr"))
+        .cache()
+      next.count()
+      if (i > 0) pr.unpersist(blocking = true)
+      pr = next
+      i += 1
+    }
+    pr.select(col("node"), col("is_seed"), col("pr").as("ppr_micro"))
+  }
 }

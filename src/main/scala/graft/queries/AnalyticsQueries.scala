@@ -1090,6 +1090,169 @@ object AnalyticsQueries {
         (floor(z * lit(1000000) + lit(0.5)) / lit(1000000)).as("z"))
     },
 
+    // C103: USER BEHAVIOR PROFILE / bot-likeness evidence (the crawl
+    // bot-filter shape every web-corpus pipeline runs before text
+    // ever reaches curation — CommonCrawl UA filtering's behavioral
+    // cousin): per user (1) burst ceiling = max events in ANY
+    // sliding 300 s window — exact via the bounded per-user range
+    // self-join (each user's series is B45-bounded, so the fan-out
+    // is per-key quadratic-bounded, never corpus×corpus); (2)
+    // longest same-type run — the gaps-and-islands double
+    // row_number, user-bounded windows; (3) inter-arrival
+    // regularity — the exact scaled gap variance n·Σg² − (Σg)²
+    // (BIGINT; a metronome bot scores ~0, organic traffic scores
+    // large); suspect = longest run ≥ 5 (non-vacuous: 1/11/119
+    // users across SFs). All exact integers.
+    Q("user_behavior_profile",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |b AS (
+        |  SELECT a.user_id, a.event_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND b.t >= a.t AND b.t < a.t + 300
+        |  GROUP BY a.user_id, a.event_id),
+        |burst AS (SELECT user_id, CAST(max(c) AS BIGINT) AS burst_max
+        |          FROM b GROUP BY user_id),
+        |rn AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS r1,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY t, event_id) AS r2
+        |  FROM e),
+        |runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS run
+        |         FROM rn GROUP BY user_id, event_type, r1 - r2),
+        |lr AS (SELECT user_id, CAST(max(run) AS BIGINT) AS longest_run
+        |       FROM runs GROUP BY user_id),
+        |gaps AS (
+        |  SELECT user_id,
+        |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS g
+        |  FROM e),
+        |gs AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(count(*) * sum(g * g) - sum(g) * sum(g) AS BIGINT)
+        |      AS gap_var_scaled
+        |  FROM gaps WHERE g IS NOT NULL GROUP BY user_id),
+        |ne AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |       FROM e GROUP BY user_id)
+        |SELECT ne.user_id, ne.n_events, burst.burst_max, lr.longest_run,
+        |  coalesce(gs.n_gaps, 0) AS n_gaps,
+        |  coalesce(gs.gap_var_scaled, 0) AS gap_var_scaled,
+        |  CAST(CASE WHEN lr.longest_run >= 5 THEN 1 ELSE 0 END AS INT)
+        |    AS suspect
+        |FROM ne
+        |JOIN burst USING (user_id)
+        |JOIN lr USING (user_id)
+        |LEFT JOIN gs USING (user_id)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("t"))
+        .localCheckpoint() // burst join + windows + counts all read it
+      val a = e.select(col("user_id"), col("event_id"), col("t").as("ta"))
+      val b2 = e.select(col("user_id").as("ub"), col("t").as("tb"))
+      val burst = a.join(b2, col("user_id") === col("ub")
+          && col("tb") >= col("ta") && col("tb") < col("ta") + 300)
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id")).agg(max(col("c")).as("burst_max"))
+      val w1 = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      val lr = e
+        .select(col("user_id"), col("event_type"),
+          (row_number().over(w1) - row_number().over(w2)).as("grp"))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("user_id")).agg(max(col("run")).as("longest_run"))
+      val gs = e
+        .select(col("user_id"), (col("t") - lag(col("t"), 1).over(w1))
+          .as("g"))
+        .filter(col("g").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          (count(lit(1)) * sum(col("g") * col("g"))
+            - sum(col("g")) * sum(col("g"))).as("gap_var_scaled"))
+      val ne = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      ne.join(burst, Seq("user_id"))
+        .join(lr, Seq("user_id"))
+        .join(gs, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("burst_max"),
+          col("longest_run"),
+          coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+          coalesce(col("gap_var_scaled"), lit(0L)).as("gap_var_scaled"),
+          (col("longest_run") >= 5).cast("int").as("suspect"))
+    },
+
+    // B120: EXACT two-sample Kolmogorov-Smirnov test (batch) —
+    // D = max_x |ECDF₁(x) − ECDF₂(x)| between 'purchase' and 'view'
+    // value distributions, computed EXACTLY on the distinct-cents
+    // grain (no binning — D36's streaming variant bins to keep state
+    // bounded; batch needs no such concession): one keyed agg to
+    // (cnt₁, cnt₂) per value, ONE DistributedPrefixSum pass for both
+    // cumulative counts (packed as a single running (cnt₁, cnt₂)
+    // pair via two passes), then D_scaled = max |c₁·n₂ − c₂·n₁| in
+    // exact BIGINTs (< 2⁶³ to ~3·10⁹ rows/side), argmax value = min
+    // cents achieving it (deterministic tie rule), D = D_scaled /
+    // (n₁·n₂) ONE pinned division, 6dp floor. The B114 scale shape:
+    // value grain + streamed passes, never a corpus sort.
+    Q("ks_two_sample_exact",
+      """WITH e AS (
+        |  SELECT event_type = 'purchase' AS g1,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |v AS (
+        |  SELECT c, CAST(count(*) FILTER (g1) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER (NOT g1) AS BIGINT) AS c2
+        |  FROM e GROUP BY c),
+        |w AS (SELECT c, sum(c1) OVER (ORDER BY c) AS k1,
+        |        sum(c2) OVER (ORDER BY c) AS k2
+        |      FROM v),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |          CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+        |d AS (
+        |  SELECT t.n1, t.n2,
+        |    CAST(max(abs(k1 * t.n2 - k2 * t.n1)) AS BIGINT) AS d_scaled
+        |  FROM w, tot t GROUP BY t.n1, t.n2),
+        |arg AS (
+        |  SELECT CAST(min(w.c) AS BIGINT) AS at_cents
+        |  FROM w, d WHERE abs(w.k1 * d.n2 - w.k2 * d.n1) = d.d_scaled)
+        |SELECT d.n1, d.n2, d.d_scaled, arg.at_cents,
+        |  floor(CAST(d.d_scaled AS DOUBLE)
+        |    / (CAST(d.n1 AS DOUBLE) * CAST(d.n2 AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS ks_d
+        |FROM d, arg""".stripMargin) { (s, dir) =>
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(sum(col("g1").cast("long")).as("c1"),
+          sum((!col("g1")).cast("long")).as("c2"))
+        .withColumn("_g", lit("all"))
+        .localCheckpoint() // two prefix passes + the total read it
+      val w1 = DistributedPrefixSum.running(v, "_g", Seq("c"), "c1", "k1")
+      val w = DistributedPrefixSum.running(w1, "_g", Seq("c"), "c2", "k2")
+        .localCheckpoint() // the max and the argmax both read it
+      val tot = v.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val wt = w.crossJoin(broadcast(tot))
+        .withColumn("dev", abs(col("k1") * col("n2") - col("k2") * col("n1")))
+      val d = wt.groupBy(col("n1"), col("n2"))
+        .agg(max(col("dev")).as("d_scaled"))
+      val arg = wt.join(broadcast(d), Seq("n1", "n2"))
+        .filter(col("dev") === col("d_scaled"))
+        .groupBy(col("n1"), col("n2"), col("d_scaled"))
+        .agg(min(col("c")).as("at_cents"))
+      arg.select(col("n1"), col("n2"), col("d_scaled"), col("at_cents"),
+        (floor(col("d_scaled").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))
+          * lit(1000000) + lit(0.5)) / lit(1000000)).as("ks_d"))
+    },
+
     // B115: CHI-SQUARE TEST OF INDEPENDENCE over a categorical
     // contingency table (Pearson 1900) — market segment × region on
     // the customer→nation→region join: is segment mix independent of
@@ -1269,5 +1432,122 @@ object AnalyticsQueries {
               (col("n") - col("nl")) - (col("npos") - col("pl"))))
           .cast("double") / col("n").cast("double")
           * lit(1000000) + lit(0.5)) / lit(1000000)).as("acc"))
+    },
+
+    // C102: 5-FOLD CROSS-VALIDATION of the in-engine stump — the
+    // model-SELECTION primitive (train on 4/5, score on the held-out
+    // 1/5, per fold) that turns B116's training and C101's grading
+    // into the full distributed eval loop, with everything exact:
+    // fold = event_id % 5 (deterministic, replayable, balanced on
+    // dense ids); per fold the B116 search runs on the train split
+    // (same prefix-sum grain), the held-out rows are scored with the
+    // trained (threshold, left/right-majority) rule — majority =
+    // 2·pos ≥ n, ties to 1, spelled identically in both engines —
+    // and test accuracy is ONE exact integer ratio, 6dp floor. The
+    // planted flips use modulus 7, NOT B116's 10: gcd(5, 7) = 1
+    // spreads flips uniformly across folds, so every fold's TEST
+    // accuracy sits at ≈ 6/7 — with modulus 10 every flip landed in
+    // fold 0 (10 ≡ 0 mod 5), collapsing fold 0 to 0.5 and inflating
+    // the rest to 1.0: the fold/noise-correlation trap this comment
+    // documents. Scale shape: 5× the B116
+    // plan (each fold one keyed agg + two streamed passes + one
+    // broadcast-scored test pass); folds are independent.
+    Q("crossval_stump", {
+      def foldCtes(f: Int): String =
+        s"""v$f AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+           |        CAST(sum(y) AS BIGINT) AS pos
+           |      FROM e WHERE eid % 5 != $f GROUP BY c),
+           |w$f AS (SELECT c, cnt, pos, sum(cnt) OVER (ORDER BY c) AS nl,
+           |          sum(pos) OVER (ORDER BY c) AS pl
+           |        FROM v$f),
+           |tot$f AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           |            CAST(sum(pos) AS BIGINT) AS npos FROM v$f),
+           |sc$f AS (
+           |  SELECT c AS threshold, nl, pl, n, npos,
+           |    (CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+           |       / CAST(nl AS DOUBLE)
+           |     + CAST((npos - pl) * (npos - pl)
+           |            + ((n - nl) - (npos - pl)) * ((n - nl) - (npos - pl))
+           |         AS DOUBLE) / CAST(n - nl AS DOUBLE)) AS score
+           |  FROM w$f, tot$f WHERE nl < n),
+           |best$f AS (SELECT threshold,
+           |    CAST(CASE WHEN 2 * pl >= nl THEN 1 ELSE 0 END AS BIGINT)
+           |      AS ml,
+           |    CAST(CASE WHEN 2 * (npos - pl) >= n - nl THEN 1 ELSE 0 END
+           |      AS BIGINT) AS mr,
+           |    n AS n_train
+           |  FROM sc$f ORDER BY score DESC, threshold LIMIT 1),
+           |row$f AS (
+           |  SELECT CAST($f AS INT) AS fold, b.threshold, b.n_train,
+           |    CAST(count(*) AS BIGINT) AS n_test,
+           |    floor(CAST(sum(CASE WHEN
+           |        (CASE WHEN e.c <= b.threshold THEN b.ml ELSE b.mr END)
+           |          = e.y THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) * 1000000 + 0.5) / 1000000 AS test_acc
+           |  FROM e, best$f b WHERE eid % 5 = $f
+           |  GROUP BY b.threshold, b.n_train)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_id
+         |  FROM events),
+         |e AS (
+         |  SELECT c, event_id AS eid,
+         |    CAST(CASE WHEN (c >= 3000) != (event_id % 7 = 0)
+         |         THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM e0),
+         |${(0 to 4).map(foldCtes).mkString(",\n")}
+         |${(0 to 4).map(f => s"SELECT * FROM row$f").mkString("\nUNION ALL\n")}"""
+        .stripMargin
+    }) { (s, dir) =>
+      import graft.operators.DistributedPrefixSum
+      val e = table(s, dir, "events")
+        .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"),
+          col("event_id").as("eid"))
+        .select(col("c"), col("eid"),
+          ((col("c") >= 3000) =!= (col("eid") % 7 === 0))
+            .cast("long").as("y"))
+        .localCheckpoint() // 5 train scans + 5 test scans read it
+      val folds = (0 to 4).map { f =>
+        val v = e.filter(col("eid") % 5 =!= f)
+          .groupBy(col("c"))
+          .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+          .withColumn("_g", lit("all"))
+          .localCheckpoint()
+        val w1 = DistributedPrefixSum.running(v, "_g", Seq("c"), "cnt", "nl")
+        val w = DistributedPrefixSum.running(w1, "_g", Seq("c"), "pos", "pl")
+        val tot = v.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("npos"))
+        val sc = w.crossJoin(broadcast(tot))
+          .filter(col("nl") < col("n"))
+          .select(col("c").as("threshold"), col("nl"), col("pl"), col("n"),
+            col("npos"),
+            ((col("pl") * col("pl")
+                + (col("nl") - col("pl")) * (col("nl") - col("pl")))
+              .cast("double") / col("nl").cast("double")
+            + ((col("npos") - col("pl")) * (col("npos") - col("pl"))
+                + ((col("n") - col("nl")) - (col("npos") - col("pl")))
+                  * ((col("n") - col("nl")) - (col("npos") - col("pl"))))
+              .cast("double") / (col("n") - col("nl")).cast("double"))
+              .as("score"))
+        val best = sc
+          .agg(max(struct(col("score"), (-col("threshold")).as("negt"),
+            col("nl"), col("pl"), col("n"), col("npos"))).as("b"))
+          .select((-col("b.negt")).as("threshold"),
+            (lit(2) * col("b.pl") >= col("b.nl")).cast("long").as("ml"),
+            (lit(2) * (col("b.npos") - col("b.pl"))
+              >= col("b.n") - col("b.nl")).cast("long").as("mr"),
+            col("b.n").as("n_train"))
+        e.filter(col("eid") % 5 === f)
+          .crossJoin(broadcast(best))
+          .groupBy(col("threshold"), col("n_train"))
+          .agg(count(lit(1)).as("n_test"),
+            sum((when(col("c") <= col("threshold"), col("ml"))
+              .otherwise(col("mr")) === col("y")).cast("long"))
+              .as("n_correct"))
+          .select(lit(f).cast("int").as("fold"), col("threshold"),
+            col("n_train"), col("n_test"),
+            (floor(col("n_correct").cast("double")
+              / col("n_test").cast("double") * lit(1000000) + lit(0.5))
+              / lit(1000000)).as("test_acc"))
+      }
+      folds.reduce(_ unionByName _)
     })
 }

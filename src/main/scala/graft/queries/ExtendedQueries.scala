@@ -1767,6 +1767,215 @@ object ExtendedQueries {
             .as("slope_med"))
     },
 
+    // B119: PER-KEY ROLLING DEBOUNCE (the CDC/telemetry
+    // noise-suppression primitive: keep an event only if ≥ 300 s
+    // have passed since the last KEPT event of that key — a rolling
+    // cooldown, NOT a fixed time grid: whether event i survives
+    // depends on which earlier events survived, so this is a genuine
+    // ordered NON-DECOMPOSABLE fold (the D23 class), not a bucket
+    // distinct). Per user over (tsec, event_id)-ordered events
+    // (B45 bounded-series contract); emitted per user: event/kept
+    // counts + the kept id-SUM (pins the exact kept SET — the
+    // corpus_budget_select convention). The oracle replays the fold
+    // via RECURSIVE CTE, NOT list_reduce — the struct-accumulator
+    // in-place-mutation trap B109 documented applies to ANY
+    // multi-field fold state, and this one carries three fields.
+    Q("debounce_events",
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    event_id
+        |  FROM events),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(struct_pack(t := tsec, id := event_id)
+        |      ORDER BY tsec, event_id) AS xs,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY user_id),
+        |rec AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS i, xs[1].t AS last_kept,
+        |    CAST(1 AS BIGINT) AS n_kept, xs[1].id AS idsum
+        |  FROM arr
+        |  UNION ALL
+        |  SELECT r.user_id, i + 1,
+        |    CASE WHEN a.xs[CAST(i + 1 AS INT)].t - last_kept >= 300
+        |         THEN a.xs[CAST(i + 1 AS INT)].t ELSE last_kept END,
+        |    n_kept + CASE WHEN a.xs[CAST(i + 1 AS INT)].t - last_kept >= 300
+        |                  THEN 1 ELSE 0 END,
+        |    idsum + CASE WHEN a.xs[CAST(i + 1 AS INT)].t - last_kept >= 300
+        |                 THEN a.xs[CAST(i + 1 AS INT)].id ELSE 0 END
+        |  FROM rec r JOIN arr a USING (user_id) WHERE i < a.n)
+        |SELECT r.user_id, a.n AS n_events, r.n_kept,
+        |  CAST(r.idsum AS BIGINT) AS kept_id_sum
+        |FROM rec r JOIN arr a USING (user_id) WHERE r.i = a.n""".stripMargin) {
+      (s, dir) =>
+      val arr = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000").as("t"),
+          col("event_id").as("id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("t"), col("id")))).as("xs"))
+      arr.select(col("user_id"), col("n_events"),
+          aggregate(col("xs"),
+            struct(lit(null).cast("long").as("last_kept"),
+              lit(0L).as("n_kept"), lit(0L).as("idsum")),
+            (acc, x) => {
+              val keep = acc.getField("last_kept").isNull ||
+                x.getField("t") - acc.getField("last_kept") >= 300
+              struct(
+                when(keep, x.getField("t"))
+                  .otherwise(acc.getField("last_kept")).as("last_kept"),
+                (acc.getField("n_kept") + when(keep, 1L).otherwise(0L))
+                  .as("n_kept"),
+                (acc.getField("idsum")
+                  + when(keep, x.getField("id")).otherwise(0L)).as("idsum"))
+            }).as("st"))
+        .select(col("user_id"), col("n_events"),
+          col("st.n_kept").as("n_kept"),
+          col("st.idsum").as("kept_id_sum"))
+    },
+
+    // B118: PERSONALIZED PAGERANK (Page et al. 1999 §6 / Jeh & Widom
+    // 2003) — the teleport returns to a SEED set (customers of
+    // nation 0), so ranks measure proximity TO THE SEEDS over the
+    // customer↔supplier trade graph: "which suppliers matter to THIS
+    // cohort", the recommendation / similar-entities primitive B52's
+    // single global score cannot express. Same exact-integer
+    // micro-unit replay as B52 (init 1e6 div |S| on seeds, teleport
+    // 150000 div |S| on seeds else 0, damping (85·Σ) div 100 — all
+    // floor divisions of non-negative integers, closed-form in the
+    // oracle, no rounding contract needed); two iterations. Scale
+    // shape = B52: seed flag folded into the checkpointed node
+    // table, one keyed join + map-side-combined sum per round,
+    // O(edges), node state never on the driver; top-20 via
+    // TakeOrderedAndProject.
+    Q("graph_ppr", {
+      def iterCte(prev: String): String =
+        s"""SELECT nodes.node, nodes.is_seed,
+           |    CAST(CASE WHEN nodes.is_seed
+           |           THEN 150000 // (SELECT ns FROM params) ELSE 0 END
+           |      + (85 * coalesce(m.in_mass, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.pr // o.outdeg) AS in_mass
+           |    FROM $prev p
+           |    JOIN edges e ON p.node = e.src
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) m ON nodes.node = m.node""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT cn AS src, sn AS dst FROM pairs
+         |  UNION ALL SELECT sn, cn FROM pairs),
+         |seeds AS (
+         |  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+         |  WHERE c_nationkey = 0),
+         |nodes AS (
+         |  SELECT n.node, s.node IS NOT NULL AS is_seed
+         |  FROM (SELECT src AS node FROM edges
+         |        UNION SELECT dst FROM edges) n
+         |  LEFT JOIN seeds s ON n.node = s.node),
+         |params AS (SELECT count(*) AS ns FROM nodes WHERE is_seed),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |pr0 AS (
+         |  SELECT node, is_seed,
+         |    CAST(CASE WHEN is_seed
+         |      THEN 1000000 // (SELECT ns FROM params) ELSE 0 END AS BIGINT)
+         |      AS pr
+         |  FROM nodes),
+         |it1 AS (${iterCte("pr0")}),
+         |it2 AS (${iterCte("it1")})
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+         |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS entity,
+         |  CAST(is_seed AS INT) AS is_seed, pr AS ppr_micro
+         |FROM it2 WHERE pr > 0 ORDER BY pr DESC, entity LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val pairs = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cn"),
+          (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val seeds = table(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.PageRank
+        .runPersonalized(edges, "src", "dst", seeds, iterations = 2)
+        .filter(col("ppr_micro") > 0)
+        .select(
+          concat(
+            when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+            expr("node DIV 2").cast("string")).as("entity"),
+          col("is_seed").cast("int").as("is_seed"),
+          col("ppr_micro"))
+        .orderBy(col("ppr_micro").desc, col("entity")).limit(20)
+    },
+
+    // B117: KENDALL TAU-B rank correlation (Kendall 1938) per user —
+    // is the user's daily spend TRENDING with time, measured by pair
+    // CONCORDANCE instead of a fitted slope (B112 estimates the
+    // slope; tau-b says how consistently ordered the series is, in
+    // [−1, 1], outlier-immune and scale-free). Over the shared
+    // exact-cents daily means: for every day pair i<j, concordant if
+    // v_j > v_i, discordant if v_j < v_i, tied if equal (day ties
+    // impossible — days are distinct by construction, so the tau-b
+    // denominator needs only the value-tie correction): tau_b =
+    // (C − D)/√(n₀(n₀ − T)) with n₀ = n(n−1)/2 — C, D, T exact
+    // BIGINT counts from the bounded per-user pair join (B45
+    // contract), the estimate ONE IEEE sqrt + ONE division, 6dp
+    // floor form; NULL when every value ties (zero denominator —
+    // stated, not crashed). Scale shape: same bounded pair join as
+    // B112 + one keyed agg; never corpus×corpus.
+    Q("kendall_tau_daily",
+      s"""WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, $dailyMeanSql AS v
+        |  FROM e GROUP BY user_id, day),
+        |p AS (
+        |  SELECT a.user_id,
+        |    CAST(count(*) FILTER (b.v > a.v) AS BIGINT) AS nc,
+        |    CAST(count(*) FILTER (b.v < a.v) AS BIGINT) AS nd,
+        |    CAST(count(*) FILTER (b.v = a.v) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS n0
+        |  FROM d a JOIN d b
+        |    ON a.user_id = b.user_id AND b.day > a.day
+        |  GROUP BY a.user_id)
+        |SELECT user_id, n0, nc, nd, nt,
+        |  CASE WHEN nt < n0 THEN
+        |    floor(CAST(nc - nd AS DOUBLE)
+        |      / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - nt AS DOUBLE))
+        |      * 1000000 + 0.5) / 1000000 END AS tau_b
+        |FROM p""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
+          col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(dailyMeanCol.as("v"))
+        .localCheckpoint() // both sides of the pair join read it
+      val a = daily.select(col("user_id"), col("day").as("da"),
+        col("v").as("va"))
+      val b = daily.select(col("user_id").as("ub"), col("day").as("db"),
+        col("v").as("vb"))
+      val p = a.join(b, col("user_id") === col("ub") && col("db") > col("da"))
+        .groupBy(col("user_id"))
+        .agg(sum((col("vb") > col("va")).cast("long")).as("nc"),
+          sum((col("vb") < col("va")).cast("long")).as("nd"),
+          sum((col("vb") === col("va")).cast("long")).as("nt"),
+          count(lit(1)).as("n0"))
+      p.select(col("user_id"), col("n0"), col("nc"), col("nd"), col("nt"),
+        when(col("nt") < col("n0"),
+          floor((col("nc") - col("nd")).cast("double")
+            / sqrt(col("n0").cast("double") * (col("n0") - col("nt"))
+              .cast("double"))
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("tau_b"))
+    },
+
     // B113: BENFORD'S-LAW first-digit audit (Benford 1938; the
     // fraud/data-quality screen auditors actually run): observed
     // first-significant-digit counts of the exact order-value cents

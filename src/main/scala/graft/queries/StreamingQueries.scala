@@ -1481,6 +1481,60 @@ object StreamingQueries {
           col("m.balance_cents").as("balance_cents"))
     },
 
+    // D41: STREAMING ROLLING DEBOUNCE — B119's cooldown rule over an
+    // out-of-order stream (the CDC noise gate running LIVE). The
+    // D23 machinery verbatim (`SessionPipeline.statefulDebounceFold`):
+    // survival depends on which earlier events survived — a genuine
+    // ordered non-decomposable fold — so each key buffers below-
+    // watermark rows in state and folds them in (tsec, event_id)
+    // order; the oracle replays the SAME recursive fold over exactly
+    // the rows below the final watermark (the D23 emission rule),
+    // and the kept id-SUM pins the exact surviving set.
+    Q("streaming_debounce",
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |r AS (SELECT user_id, event_id, tsec FROM e, wm WHERE tsec < fw),
+         |arr AS (
+         |  SELECT user_id,
+         |    list(struct_pack(t := tsec, id := event_id)
+         |      ORDER BY tsec, event_id) AS xs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM r GROUP BY user_id),
+         |rec AS (
+         |  SELECT user_id, CAST(1 AS BIGINT) AS i, xs[1].t AS last_kept,
+         |    CAST(1 AS BIGINT) AS n_kept, xs[1].id AS idsum
+         |  FROM arr
+         |  UNION ALL
+         |  SELECT q.user_id, i + 1,
+         |    CASE WHEN a.xs[CAST(i + 1 AS INT)].t - last_kept >= 300
+         |         THEN a.xs[CAST(i + 1 AS INT)].t ELSE last_kept END,
+         |    n_kept + CASE WHEN a.xs[CAST(i + 1 AS INT)].t - last_kept >= 300
+         |                  THEN 1 ELSE 0 END,
+         |    idsum + CASE WHEN a.xs[CAST(i + 1 AS INT)].t - last_kept >= 300
+         |                 THEN a.xs[CAST(i + 1 AS INT)].id ELSE 0 END
+         |  FROM rec q JOIN arr a USING (user_id) WHERE i < a.n)
+         |SELECT q.user_id, a.n AS n_seen, q.n_kept,
+         |  CAST(q.idsum AS BIGINT) AS kept_id_sum
+         |FROM rec q JOIN arr a USING (user_id) WHERE q.i = a.n""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"))
+        .as[SessionPipeline.DebEvent]
+      val folded = SessionPipeline.statefulDebounceFold(ev, DelayS).toDF()
+      runToMemory(s, folded, "graft_stream_debounce", mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_seen"), col("n_kept"), col("kept_id_sum")))
+          .as("m"))
+        .select(col("user_id"), col("m.n_seen").as("n_seen"),
+          col("m.n_kept").as("n_kept"),
+          col("m.kept_id_sum").as("kept_id_sum"))
+    },
+
     // D37: STREAMING TIME-DECAYED COUNTS — the "trending now" shape
     // (exponentially decayed event weight, half-life = 1 day) that
     // plain windowed counts (D13) can't express: yesterday counts
@@ -1597,6 +1651,140 @@ object StreamingQueries {
         .filter(col("cum") >= col("rnk"))
         .groupBy(col("event_type"), col("q").cast("int").as("q"), col("n"))
         .agg(min(col("bkt")).as("est_cents"))
+    },
+
+    // D39: STREAMING BENFORD MONITOR — B113's first-digit fraud/DQ
+    // audit as LIVE per-key state (the "is this feed drifting into
+    // fabricated values" production monitor, the D35/D36 shape with
+    // a THEORETICAL reference instead of a frozen empirical one):
+    // per event_type the 9 first-significant-digit counts of the
+    // integer-cent value, maintained incrementally — additive state,
+    // O(9) longs per key regardless of stream length, snapshot ≡
+    // batch counts under any split. Read-out = B113's arithmetic per
+    // type on the snapshot: expected = n·p_d with the HARDCODED 6dp
+    // Benford constants (Σ exactly 1.000000), chi² an ordered
+    // digit-ascending ≤9-term fold from 0.0, 6dp floor form. The
+    // LEFT JOIN to the constant digit domain keeps absent digits as
+    // exact zeros (a digit the stream never produced still
+    // contributes its expected mass).
+    Q("streaming_benford",
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |o AS (SELECT event_type,
+        |        CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |          AS digit,
+        |        CAST(count(*) AS BIGINT) AS observed
+        |      FROM c GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM c),
+        |p AS (SELECT CAST(d AS INT) AS digit, pr FROM (VALUES
+        |        (1, 0.301030), (2, 0.176091), (3, 0.124939),
+        |        (4, 0.096910), (5, 0.079181), (6, 0.066947),
+        |        (7, 0.057992), (8, 0.051153), (9, 0.045757)) v(d, pr)),
+        |dom AS (SELECT event_type, digit, pr FROM types, p),
+        |n AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS n
+        |      FROM o GROUP BY 1),
+        |t AS (
+        |  SELECT d.event_type, d.digit,
+        |    coalesce(o.observed, 0) AS observed, n.n, d.pr,
+        |    (CAST(coalesce(o.observed, 0) AS DOUBLE) - n.n * d.pr)
+        |      * (CAST(coalesce(o.observed, 0) AS DOUBLE) - n.n * d.pr)
+        |      / (n.n * d.pr) AS term
+        |  FROM dom d
+        |  LEFT JOIN o USING (event_type, digit)
+        |  JOIN n USING (event_type)),
+        |chi AS (
+        |  SELECT event_type,
+        |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(term ORDER BY digit)), (a, x) -> a + x)
+        |      * 1000000 + 0.5) / 1000000 AS chi2
+        |  FROM t GROUP BY event_type)
+        |SELECT t.event_type, t.digit, t.observed, t.n,
+        |  floor(t.n * t.pr * 1000000 + 0.5) / 1000000 AS expected,
+        |  chi.chi2 AS chi2_total
+        |FROM t JOIN chi USING (event_type)""".stripMargin) { (s, dir) =>
+      val benford = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val ev = tableStream(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val binned = ev
+        .select(col("event_type"),
+          substring(col("cents").cast("string"), 1, 1).cast("int")
+            .as("digit"))
+        .groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("observed"))
+      val snap = runToMemory(s, binned, "graft_stream_benford",
+        mode = "complete").localCheckpoint()
+      val p = s.range(1).select(explode(array(benford.map { case (d, pr) =>
+        struct(lit(d).as("digit"), lit(pr).as("pr")) }: _*)).as("x"))
+        .select(col("x.digit").as("digit"), col("x.pr").as("pr"))
+      val dom = snap.select(col("event_type")).distinct().crossJoin(p)
+      val n = snap.groupBy(col("event_type"))
+        .agg(sum(col("observed")).as("n"))
+      val t = dom.join(snap, Seq("event_type", "digit"), "left")
+        .join(broadcast(n), Seq("event_type"))
+        .select(col("event_type"), col("digit"),
+          coalesce(col("observed"), lit(0L)).as("observed"), col("n"),
+          col("pr"))
+        .withColumn("term",
+          (col("observed").cast("double") - col("n") * col("pr"))
+            * (col("observed").cast("double") - col("n") * col("pr"))
+            / (col("n") * col("pr")))
+        .localCheckpoint() // the fold and the rows both read it
+      val chi = t.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("digit"), col("term"))))
+          .as("ts"))
+        .select(col("event_type"),
+          (floor(aggregate(col("ts"), lit(0.0),
+            (acc, x) => acc + x.getField("term")) * lit(1000000)
+            + lit(0.5)) / lit(1000000)).as("chi2_total"))
+      t.join(broadcast(chi), Seq("event_type"))
+        .select(col("event_type"), col("digit"), col("observed"), col("n"),
+          (floor(col("n") * col("pr") * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("expected"),
+          col("chi2_total"))
+    },
+
+    // D40: STREAMING HEARTBEAT / LIVENESS MONITOR — the "which
+    // devices went quiet" production shape (fleet monitoring, feed
+    // SLA alerting): per user the LAST-SEEN event time and event
+    // count as live state. last_seen = max(tsec) is a LATTICE (like
+    // D32's MinHash mins): per-batch maxes merge commutatively, so
+    // the complete-mode snapshot equals the batch aggregate under
+    // ANY batch split — state O(1) per key. Read-out on the
+    // model-sized snapshot: silence = corpus max tsec − last_seen
+    // (the stream's own clock — no wall time, replayable), stale =
+    // silence > 2× the global MEDIAN inter-user silence... no —
+    // stale = silence > 86400 (one day), a FIXED documented
+    // threshold (a data-derived one would gate nothing when all
+    // users are quiet together). All exact integers.
+    Q("streaming_heartbeat",
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |s AS (SELECT user_id, CAST(max(tsec) AS BIGINT) AS last_seen,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY user_id),
+        |t AS (SELECT max(last_seen) AS now FROM s)
+        |SELECT user_id, n_events, last_seen,
+        |  CAST(t.now - last_seen AS BIGINT) AS silence_s,
+        |  CAST(CASE WHEN t.now - last_seen > 86400 THEN 1 ELSE 0 END
+        |    AS INT) AS stale
+        |FROM s, t""".stripMargin) { (s, dir) =>
+      val ev = tableStream(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000000000").as("tsec"))
+      val state = ev.groupBy(col("user_id"))
+        .agg(max(col("tsec")).as("last_seen"),
+          count(lit(1)).as("n_events"))
+      val snap = runToMemory(s, state, "graft_stream_hb",
+        mode = "complete").localCheckpoint()
+      val t = snap.agg(max(col("last_seen")).as("now"))
+      snap.crossJoin(broadcast(t))
+        .select(col("user_id"), col("n_events"), col("last_seen"),
+          (col("now") - col("last_seen")).as("silence_s"),
+          (col("now") - col("last_seen") > 86400L).cast("int").as("stale"))
     })
 
   /** Stateful streaming ops create one state store per shuffle

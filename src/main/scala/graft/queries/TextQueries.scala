@@ -1167,6 +1167,54 @@ object TextQueries {
           round(avg(col("logp")), 4).as("avg_logp_kn"))
     },
 
+    // C101: EXACT DISTRIBUTED AUC of the in-engine classifier (the
+    // model-eval half of the trained-filter family: C86/C96 train,
+    // C91 calibrates, this GRADES — ROC-AUC is the metric quality
+    // filters are actually selected by). AUC = P(score⁺ > score⁻) +
+    // ½P(=) — exactly the Mann-Whitney U statistic normalized by
+    // n₁n₀ (AUC = U₁/(n₁n₀)), so the B114 machinery applies
+    // verbatim: group the scored relation to the distinct-score
+    // grain (scores are exact BIGINTs — the C86 contract), ONE
+    // DistributedPrefixSum pass, doubled tie-averaged ranks as exact
+    // integers, 2R₁ an exact BIGINT; AUC = (2R₁ − n₁(n₁+1)) /
+    // (2n₁n₀) — ONE pinned double division, 6dp floor form. Never a
+    // corpus rank window; ties handled exactly (no interpolation to
+    // disagree on).
+    Q("classifier_auc",
+      s"""$rocchioCtes,
+         |v AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         |        CAST(sum(label) AS BIGINT) AS pos
+         |      FROM scored GROUP BY score),
+         |w AS (SELECT score, cnt, pos, sum(cnt) OVER (ORDER BY score)
+         |        AS cum FROM v),
+         |agg AS (
+         |  SELECT CAST(sum(pos) AS BIGINT) AS n1,
+         |    CAST(sum(cnt - pos) AS BIGINT) AS n0,
+         |    CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r1x2
+         |  FROM w)
+         |SELECT n1, n0, r1x2,
+         |  floor(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+         |    / CAST(2 * n1 * n0 AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |    AS auc
+         |FROM agg""".stripMargin) { (s, dir) =>
+      import graft.operators.DistributedPrefixSum
+      val v = rocchioScored(s, dir)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("label")).cast("long")
+          .as("pos"))
+        .withColumn("_g", lit("all"))
+      val w = DistributedPrefixSum.running(v, "_g", Seq("score"), "cnt",
+        "cum")
+      w.agg(sum(col("pos")).as("n1"),
+          sum(col("cnt") - col("pos")).as("n0"),
+          sum(col("pos") * (lit(2) * (col("cum") - col("cnt"))
+            + col("cnt") + 1)).as("r1x2"))
+        .select(col("n1"), col("n0"), col("r1x2"),
+          (floor((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double")
+            / (lit(2) * col("n1") * col("n0")).cast("double")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("auc"))
+    },
+
     // C99: Gopher/MassiveText rule-based quality filter (Rae et al.
     // 2021, Table A1) — the canonical hand-rule suite production
     // pipelines run BEFORE model-based scoring (C40/C86 are the

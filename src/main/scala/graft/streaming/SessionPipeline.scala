@@ -226,6 +226,74 @@ object SessionPipeline extends Serializable {
   case class BalState(balance: Long, nFolded: Long, buffered: Seq[BalDelta])
   case class BalOut(user_id: Long, n_folded: Long, balance_cents: Long)
 
+  case class DebEvent(user_id: Long, event_id: Long, tsec: Long)
+  /** lastKept = Long.MinValue ⇒ nothing kept yet (the fold seed). */
+  case class DebState(lastKept: Long, nSeen: Long, nKept: Long,
+      idSum: Long, buffered: Seq[DebEvent])
+  case class DebOut(user_id: Long, n_seen: Long, n_kept: Long,
+      kept_id_sum: Long)
+
+  /** D41: STREAMING ROLLING DEBOUNCE — B119's cooldown fold (keep an
+    * event iff ≥ `cooldownS` since the last KEPT event of its key)
+    * over an out-of-order stream. Like the D23 balance fold, the
+    * rule is a genuine ordered NON-DECOMPOSABLE fold (survival
+    * depends on which earlier events survived), so each key buffers
+    * rows in state and folds them in (tsec, event_id) order ONLY
+    * below the watermark; rows at/above it stay buffered for the
+    * next batch. Event-time timers re-arm above the watermark so a
+    * quiet key still drains. Emission (update mode): one running
+    * (n_seen, n_kept, kept_id_sum) row per fold step — consumers
+    * take the max-n_seen row per key (the D23 convention).
+    */
+  def statefulDebounceFold(events: Dataset[DebEvent], delayS: Long,
+      cooldownS: Long = 300L): Dataset[DebOut] = {
+    import events.sparkSession.implicits._
+
+    def foldReady(uid: Long, st: DebState, wmS: Long): (DebState, Option[DebOut]) = {
+      val (ready, hold) = st.buffered.partition(_.tsec < wmS)
+      if (ready.isEmpty) (st, None)
+      else {
+        var last = st.lastKept; var nk = st.nKept; var ids = st.idSum
+        ready.sortBy(r => (r.tsec, r.event_id)).foreach { r =>
+          if (last == Long.MinValue || r.tsec - last >= cooldownS) {
+            last = r.tsec; nk += 1; ids += r.event_id
+          }
+        }
+        val next = DebState(last, st.nSeen + ready.size, nk, ids, hold)
+        (next, Some(DebOut(uid, next.nSeen, next.nKept, next.idSum)))
+      }
+    }
+
+    def update(uid: Long, rows: Iterator[DebEvent],
+        state: GroupState[DebState]): Iterator[DebOut] = {
+      val wmS = state.getCurrentWatermarkMs() / 1000L
+      val st0 = state.getOption
+        .getOrElse(DebState(Long.MinValue, 0L, 0L, 0L, Nil))
+      val withNew =
+        if (state.hasTimedOut) st0
+        else st0.copy(buffered = st0.buffered ++ rows)
+      val (next, out) = foldReady(uid, withNew, wmS)
+      if (next.buffered.isEmpty && state.hasTimedOut) state.remove()
+      else {
+        state.update(next)
+        val wake = next.buffered.map(_.tsec * 1000L) match {
+          case Nil => state.getCurrentWatermarkMs() + 1000L
+          case ts => math.max(ts.min + 1L, state.getCurrentWatermarkMs() + 1L)
+        }
+        state.setTimeoutTimestamp(wake)
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[DebEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** D23: streaming NON-DECOMPOSABLE ordered fold — the floored
     * running balance (balance = max(0, balance + Δ), B71) over an
     * out-of-order stream. The fold has no partial-aggregation or

@@ -385,3 +385,402 @@ class StreamingDdsSpec extends SparkTestBase {
     }
   }
 }
+
+/** C101 classifier_auc — the rank-formula AUC must equal the O(n²)
+  * pairwise definition P(s⁺ > s⁻) + ½P(=), and the classifier must
+  * actually beat chance (else the metric gates nothing).
+  */
+class AucSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rank-sum AUC equals the pairwise definition and beats chance") {
+    val scored = SparkEntry.queries("rocchio_classifier_score")(spark, sfDir)
+      .select($"score", $"label").as[(Long, Int)].collect()
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    var num = 0.0
+    for (p <- pos; q <- neg)
+      num += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val want = math.floor(num / (pos.length.toLong * neg.length) * 1e6
+      + 0.5) / 1e6
+    val row = SparkEntry.queries("classifier_auc")(spark, sfDir)
+      .select($"n1", $"n0", $"auc").as[(Long, Long, Double)].collect().head
+    assert(row._1 == pos.length && row._2 == neg.length)
+    assert(math.abs(row._3 - want) < 1e-9, s"auc ${row._3} != $want")
+    assert(row._3 > 0.8, s"classifier AUC ${row._3} suspiciously weak")
+  }
+}
+
+/** B117 kendall_tau_daily — sequential recompute plus the three
+  * boundary regimes (perfectly rising → +1, falling → −1, constant →
+  * NULL) on hand-built series.
+  */
+class KendallSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tau equals a sequential recompute on the corpus") {
+    val daily = GraftSession.table(spark, sfDir, "events")
+      .select($"user_id", expr("ts div 1000000000 div 86400").as("day"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id", $"day")
+      .agg((sum($"cents").cast("double") / (lit(100.0) * count(lit(1))))
+        .as("v"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    val got = SparkEntry.queries("kendall_tau_daily")(spark, sfDir)
+      .select($"user_id", $"n0", $"nc", $"nd", $"nt", $"tau_b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((u, vs) <- daily if vs.length >= 2) {
+      var nc = 0L; var nd = 0L; var nt = 0L
+      for (i <- vs.indices; j <- (i + 1) until vs.length) {
+        if (vs(j) > vs(i)) nc += 1
+        else if (vs(j) < vs(i)) nd += 1
+        else nt += 1
+      }
+      val n0 = nc + nd + nt
+      val r = got(u)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        == (n0, nc, nd, nt), s"user $u counts")
+      if (nt < n0) {
+        val tau = (nc - nd).toDouble / math.sqrt(n0.toDouble * (n0 - nt))
+        assert(math.abs(r.getDouble(5) - math.floor(tau * 1e6 + 0.5) / 1e6)
+          < 1e-9, s"user $u tau")
+      } else assert(r.isNullAt(5))
+    }
+  }
+
+  test("boundary regimes: rising +1, falling -1, constant NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("kt").toString
+    val rows =
+      (0L to 9L).map(d => (d, 1L, 10.0 + d)) ++      // rising
+      (0L to 9L).map(d => (d, 2L, 90.0 - d)) ++      // falling
+      (0L to 9L).map(d => (d, 3L, 50.0))             // constant
+    rows.zipWithIndex.map { case ((day, u, v), i) =>
+      (i.toLong, u, "view", v, new java.sql.Timestamp(day * 86400000L))
+    }.toSeq.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("kendall_tau_daily")(spark, dir)
+      .select($"user_id", $"tau_b").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).contains(-1.0))
+    assert(got(3L).isEmpty)
+  }
+}
+
+/** D39 streaming_benford — the live per-type digit counts must equal
+  * the batch image, and each type's chi² must equal a sequential
+  * recompute against the hardcoded constants.
+  */
+class StreamingBenfordSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val probs = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+    4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+    8 -> 0.051153, 9 -> 0.045757)
+
+  test("snapshot equals batch counts; per-type chi2 recomputes") {
+    val batch = GraftSession.table(spark, sfDir, "events")
+      .select($"event_type",
+        substring(floor($"value" * 100 + lit(0.5)).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      .as[(String, Int)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("streaming_benford")(spark, sfDir)
+      .select($"event_type", $"digit", $"observed", $"n", $"chi2_total")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(got.length == got.map(_._1).distinct.length * 9)
+    for ((et, rows) <- got.groupBy(_._1)) {
+      val n = rows.map(_._3).sum
+      assert(rows.forall(_._4 == n))
+      var chi = 0.0
+      for ((_, d, obs, _, _) <- rows.sortBy(_._2)) {
+        assert(obs == batch.getOrElse((et, d), 0L), s"$et d$d count")
+        val e = n * probs(d)
+        chi += (obs.toDouble - e) * (obs.toDouble - e) / e
+      }
+      val want = math.floor(chi * 1e6 + 0.5) / 1e6
+      assert(rows.forall(r => math.abs(r._5 - want) < 1e-9), s"$et chi2")
+    }
+  }
+}
+
+/** B118 graph_ppr — personalized ranks on a hand-built two-community
+  * graph: teleport mass must stay in the seed community; a node with
+  * no path from the seeds must end at exactly 0.
+  */
+class PprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("seed community outranks the far community; unreachable is 0") {
+    // community A: 1↔2, 1↔3 (seed 1); community B: 10↔11 (no bridge)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = graft.operators.PageRank
+      .runPersonalized(edges, "src", "dst", seeds, iterations = 2)
+      .select($"node", $"ppr_micro").as[(Long, Long)].collect().toMap
+    // sequential replay of the integer recurrence: |S|=1 →
+    // pr0 = (1e6, 0, 0, 0, 0); outdeg(1)=2, others 1
+    // it1: in(2) = pr(1) DIV 2 = 500000, in(3) = 500000,
+    //      in(1) = 0; seed teleport 150000
+    //      pr1 = 1: 150000, 2: 425000, 3: 425000, 10/11: 0
+    // it2: in(1) = 425000 + 425000 = 850000 → 150000 + 722500
+    //      in(2) = 150000 DIV 2 = 75000 → 63750; same 3
+    assert(got(1L) == 872500L, s"seed ${got(1L)}")
+    assert(got(2L) == 63750L && got(3L) == 63750L)
+    assert(got(10L) == 0L && got(11L) == 0L, "unreachable leaked mass")
+  }
+
+  test("corpus run: top-20 non-empty, seeds present, ranks positive") {
+    val rows = SparkEntry.queries("graph_ppr")(spark, sfDir)
+      .select($"entity", $"is_seed", $"ppr_micro")
+      .as[(String, Int, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_._3 > 0))
+    assert(rows.exists(_._2 == 1), "no seed in the top-20")
+    assert(rows.exists(_._1.startsWith("s")),
+      "no supplier reached by seed mass")
+  }
+}
+
+/** D40 streaming_heartbeat — last-seen is a lattice max (snapshot ≡
+  * batch under any split); silence and staleness recompute exactly.
+  */
+class HeartbeatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("snapshot equals batch last-seen; staleness exact and non-vacuous") {
+    val batch = GraftSession.table(spark, sfDir, "events")
+      .select($"user_id", expr("ts div 1000000000").as("tsec"))
+      .as[(Long, Long)].collect()
+    val last = batch.groupBy(_._1).view
+      .mapValues(r => (r.map(_._2).max, r.length.toLong)).toMap
+    val now = last.values.map(_._1).max
+    val got = SparkEntry.queries("streaming_heartbeat")(spark, sfDir)
+      .select($"user_id", $"n_events", $"last_seen", $"silence_s", $"stale")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(got.length == last.size)
+    for ((u, ne, ls, sil, st) <- got) {
+      assert((ls, ne) == last(u), s"user $u state")
+      assert(sil == now - ls)
+      assert(st == (if (now - ls > 86400) 1 else 0))
+    }
+    val stales = got.count(_._5 == 1)
+    assert(stales > 0 && stales < got.length, s"stale $stales vacuous")
+  }
+}
+
+/** C102 crossval_stump — every fold must recover the planted
+  * boundary, test accuracy must sit at the designed 6/7 flip
+  * complement on EVERY fold (fold/noise uniformity — the gcd(5,7)=1
+  * design), and folds must partition the corpus.
+  */
+class CrossValSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("all folds recover the boundary at the designed accuracy") {
+    val rows = SparkEntry.queries("crossval_stump")(spark, sfDir)
+      .select($"fold", $"threshold", $"n_train", $"n_test", $"test_acc")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 to 4))
+    val total = GraftSession.table(spark, sfDir, "events").count()
+    for ((f, t, ntr, nte, acc) <- rows) {
+      assert(ntr + nte == total, s"fold $f does not partition")
+      // sf0.001 trains on ~4.8k rows — the empirical optimum wobbles
+      // a few cents below the planted 3000 where the grid is sparse
+      assert(t < 3000 && t >= 2900, s"fold $f threshold $t off-boundary")
+      assert(math.abs(acc - 6.0 / 7.0) < 0.03,
+        s"fold $f acc $acc != ~6/7 — fold/noise correlation?")
+    }
+    // folds are near-balanced (dense event ids)
+    val sizes = rows.map(_._4)
+    assert(sizes.max - sizes.min <= math.max(2, total / 100))
+  }
+}
+
+/** B119 debounce_events — sequential recompute, plus the planted
+  * cascade that separates a rolling cooldown from a fixed time grid:
+  * whether an event survives depends on which EARLIER events
+  * survived.
+  */
+class DebounceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fold equals a sequential recompute on the corpus") {
+    val byUser = GraftSession.table(spark, sfDir, "events")
+      .select($"user_id", expr("ts div 1000000000").as("t"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sorted)
+    val got = SparkEntry.queries("debounce_events")(spark, sfDir)
+      .select($"user_id", $"n_events", $"n_kept", $"kept_id_sum")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == byUser.keySet.toSet)
+    for ((u, evs) <- byUser) {
+      var last = Long.MinValue; var nk = 0L; var idsum = 0L
+      for ((t, id) <- evs) {
+        if (last == Long.MinValue || t - last >= 300) {
+          last = t; nk += 1; idsum += id
+        }
+      }
+      assert(got(u) == (evs.length.toLong, nk, idsum), s"user $u")
+    }
+  }
+
+  test("rolling cooldown cascades (not a fixed grid)") {
+    val dir = java.nio.file.Files.createTempDirectory("db").toString
+    // t = 0, 200, 400: rolling keeps {0, 400} (200 suppressed, 400
+    // measured from 0); a fixed 300s grid would keep {0, 400} too —
+    // so add t=500: rolling suppresses it (last kept 400), a grid
+    // starting at 0 would keep nothing new; t=700 kept (700-400=300).
+    // Distinguishing case: t = 0, 200, 400, 500, 700 → kept {0, 400,
+    // 700}; a 300s-bucket first-per-bucket rule keeps {0, 400, 600s
+    // bucket→700} TOO — so pin the SUPPRESSION of 200 and 500 via
+    // the id-sum, which only the rolling rule produces with these
+    // ids.
+    Seq((1L, 0L), (2L, 200L), (4L, 400L), (8L, 500L), (16L, 700L))
+      .map { case (id, t) =>
+        (id, 9L, "view", 1.0, new java.sql.Timestamp(t * 1000L)) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("debounce_events")(spark, dir)
+      .select($"n_events", $"n_kept", $"kept_id_sum")
+      .as[(Long, Long, Long)].collect().head
+    assert(r == (5L, 3L, 1L + 4L + 16L), s"got $r")
+  }
+}
+
+/** B120 ks_two_sample_exact — sequential ECDF recompute, plus a
+  * planted full-separation case (disjoint supports ⇒ D = 1).
+  */
+class KsExactSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("D equals a sequential ECDF sweep on the corpus") {
+    val raw = GraftSession.table(spark, sfDir, "events")
+      .filter($"event_type".isin("purchase", "view"))
+      .select(($"event_type" === "purchase").as("g1"),
+        floor($"value" * 100 + lit(0.5)).cast("long").as("c"))
+      .as[(Boolean, Long)].collect()
+    val n1 = raw.count(_._1).toLong
+    val n2 = raw.length - n1
+    val values = raw.map(_._2).distinct.sorted
+    var k1 = 0L; var k2 = 0L; var best = 0L; var at = Long.MaxValue
+    for (c <- values) {
+      k1 += raw.count(r => r._1 && r._2 == c)
+      k2 += raw.count(r => !r._1 && r._2 == c)
+      val dev = math.abs(k1 * n2 - k2 * n1)
+      if (dev > best) { best = dev; at = c }
+      else if (dev == best && c < at) at = c
+    }
+    val row = SparkEntry.queries("ks_two_sample_exact")(spark, sfDir)
+      .select($"n1", $"n2", $"d_scaled", $"at_cents", $"ks_d")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(row._1 == n1 && row._2 == n2)
+    assert(row._3 == best && row._4 == at, s"got $row want ($best, $at)")
+    assert(math.abs(row._5 - math.floor(
+      best.toDouble / (n1.toDouble * n2) * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("disjoint supports give D = 1 exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    // purchases all at cents 100-500, views all at 10000+
+    val rows = (1L to 50L).map(k =>
+      (k, k % 7, "purchase", k.toDouble % 5 + 1,
+        new java.sql.Timestamp(k * 1000))) ++
+      (51L to 100L).map(k =>
+        (k, k % 7, "view", 100.0 + k,
+          new java.sql.Timestamp(k * 1000)))
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("ks_two_sample_exact")(spark, dir)
+      .select($"ks_d").as[Double].collect().head
+    assert(r == 1.0, s"D $r != 1 on disjoint supports")
+  }
+}
+
+/** D41 streaming_debounce — the streamed fold must equal a
+  * sequential replay over exactly the below-final-watermark rows
+  * (the D23 emission rule), id-sum pinning the surviving set.
+  */
+class StreamingDebounceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stream equals the sequential below-watermark replay") {
+    val all = GraftSession.table(spark, sfDir, "events")
+      .select($"user_id", $"event_id", expr("ts div 1000000000").as("t"))
+      .as[(Long, Long, Long)].collect()
+    val fw = all.map(_._3).max - 3600L
+    val byUser = all.filter(_._3 < fw)
+      .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._2)).sorted)
+    val got = SparkEntry.queries("streaming_debounce")(spark, sfDir)
+      .select($"user_id", $"n_seen", $"n_kept", $"kept_id_sum")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == byUser.keySet.toSet)
+    for ((u, evs) <- byUser) {
+      var last = Long.MinValue; var nk = 0L; var ids = 0L
+      for ((t, id) <- evs) {
+        if (last == Long.MinValue || t - last >= 300) {
+          last = t; nk += 1; ids += id
+        }
+      }
+      assert(got(u) == (evs.length.toLong, nk, ids), s"user $u")
+    }
+  }
+}
+
+/** C103 user_behavior_profile — planted metronome bot vs organic
+  * user: the bot's burst ceiling, run length and zero gap variance
+  * must all fire; the organic series must not.
+  */
+class BehaviorProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("planted metronome bot fires every signal; organic does not") {
+    val dir = java.nio.file.Files.createTempDirectory("bot").toString
+    // bot (user 1): 8 'view' events exactly 30 s apart — one 300 s
+    // window holds >= 8? window [0,300) holds t=0..270 → 10 slots,
+    // here 8 events at 0,30,...,210 all inside → burst 8; gap var 0;
+    // run 8. organic (user 2): varied types, irregular gaps.
+    val bot = (0 until 8).map(i =>
+      (i.toLong, 1L, "view", 1.0, new java.sql.Timestamp(i * 30000L)))
+    val organic = Seq(
+      (100L, 2L, "view", 1.0, 0L), (101L, 2L, "click", 1.0, 400000L),
+      (102L, 2L, "purchase", 1.0, 1100000L), (103L, 2L, "view", 1.0, 2500000L))
+      .map { case (id, u, et, v, ms) =>
+        (id, u, et, v, new java.sql.Timestamp(ms)) }
+    (bot ++ organic)
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("user_behavior_profile")(spark, dir)
+      .select($"user_id", $"n_events", $"burst_max", $"longest_run",
+        $"gap_var_scaled", $"suspect")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 8L, 8L, 8L, 0L, 1), s"bot ${got(1L)}")
+    val org = got(2L)
+    assert(org._3 == 1L && org._4 <= 2L && org._5 > 0L && org._6 == 0,
+      s"organic $org")
+  }
+
+  test("corpus run: exact recompute of gap variance for one user") {
+    val rows = GraftSession.table(spark, sfDir, "events")
+      .select($"user_id", expr("ts div 1000000000").as("t"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val u = rows.head._1
+    val ts = rows.filter(_._1 == u).map(r => (r._2, r._3)).sorted.map(_._1)
+    val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+    val n = gaps.length.toLong
+    val want = n * gaps.map(g => g * g).sum - {
+      val s = gaps.sum; s * s
+    }
+    val got = SparkEntry.queries("user_behavior_profile")(spark, sfDir)
+      .filter($"user_id" === u)
+      .select($"n_gaps", $"gap_var_scaled")
+      .as[(Long, Long)].collect().head
+    assert(got == (n, want), s"user $u: $got != ($n, $want)")
+  }
+}
