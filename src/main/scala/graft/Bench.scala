@@ -336,7 +336,14 @@ object Bench {
         // round-9 sixteenth wave: the bounded per-user burst join +
         // windows (C103 — the claim: per-key quadratic stays bounded
         // as keys multiply)
-        "user_behavior_profile")
+        "user_behavior_profile",
+        // round-9 seventeenth wave: the fingerprint-grain card
+        // rollup (C104) and the map-only fertility pass (C105)
+        "corpus_datacard", "tokenizer_fertility",
+        // round-9 eighteenth wave: the held-out LM scoring join
+        // (C106 — the C24 shape) and the centroid-distance vector
+        // screen (C107)
+        "text_lm_heldout", "embedding_outliers")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -484,7 +491,8 @@ object Bench {
       "kendall_tau_daily", "streaming_benford",
       "crossval_stump", "streaming_heartbeat", "debounce_events",
       "ks_two_sample_exact", "streaming_debounce",
-      "user_behavior_profile")
+      "user_behavior_profile", "corpus_datacard", "tokenizer_fertility",
+      "text_lm_heldout", "embedding_outliers")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]
@@ -550,7 +558,9 @@ object Bench {
       // scans (C99 fused rule kernel, C100 dictionary tagger) — the
       // cheapest possible third-decade rows, pinning that the
       // linear family's smallest constants stay linear too.
-      "gopher_rules", "blocklist_tag")
+      "gopher_rules", "blocklist_tag",
+      // round-9 seventeenth wave: the map-only fertility rollup
+      "tokenizer_fertility")
       .filter(n => only.isEmpty || only(n))
     val sfx1000 = if (!scaleProbe || !x1000Probe || x1000Names.isEmpty)
       Map.empty[String, Double]

@@ -1060,6 +1060,75 @@ object CorpusQueries {
           min(col("score_milli")).as("worst_score_milli"))
     },
 
+    // C104: DATASET CARD / per-source corpus summary (the
+    // "datasheets for datasets" report, Gebru et al. 2021 — the
+    // one-page evidence table a dataset release ships): per source
+    // the doc count, exact whitespace-token total, distinct
+    // languages, EXACT-duplicate fraction (docs sharing a normalized
+    // 128-bit fingerprint with ≥1 other doc of the same source — the
+    // C1 fingerprint contract), mean quality in exact milli units
+    // ((Σ⌊q·1000⌋) DIV n — integer, no rounding contract), and the
+    // token-count range. One corpus scan + one fingerprint-grain
+    // keyed agg; everything else is per-source rollups.
+    Q("corpus_datacard",
+      s"""WITH d AS (
+        |  SELECT source, lang, doc_id,
+        |    CAST($nTokSql AS BIGINT) AS n_toks,
+        |    CAST(floor((${TextQueries.qualityRawSql}) * 1000) AS BIGINT)
+        |      AS q_milli,
+        |    $normSql AS norm
+        |  FROM documents),
+        |fpc AS (SELECT source, norm, CAST(count(*) AS BIGINT) AS c
+        |        FROM d GROUP BY source, norm)
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        |  CAST(count(*) FILTER (fpc.c > 1) AS BIGINT) AS n_dup_docs,
+        |  CAST((sum(d.q_milli) - ((sum(d.q_milli) % count(*)
+        |      + count(*)) % count(*))) // count(*) AS BIGINT)
+        |    AS mean_q_milli,
+        |  CAST(min(d.n_toks) AS BIGINT) AS min_toks,
+        |  CAST(max(d.n_toks) AS BIGINT) AS max_toks
+        |FROM d JOIN fpc ON d.source = fpc.source AND d.norm = fpc.norm
+        |GROUP BY d.source""".stripMargin) { (s, dir) =>
+      // Spark keys the dup rollup on the C1 128-bit fingerprint pair
+      // + length (never the text itself on the exchange), with the
+      // third-fingerprint collision guard; the oracle states the
+      // same relation over the normalized TEXT (the C1 convention).
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("lang"), col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_toks"),
+          floor(TF.qualityScore(col("text")) * 1000).cast("long")
+            .as("q_milli"),
+          TF.normalizeText(col("text")).as("norm"))
+        .select(col("source"), col("lang"), col("doc_id"), col("n_toks"),
+          col("q_milli"),
+          struct(xxhash64(col("norm")), xxhash64(lit(42L), col("norm")),
+            length(col("norm"))).as("fp"),
+          xxhash64(lit(1337L), col("norm")).as("_fp3"))
+        .localCheckpoint() // fingerprint rollup + the card read it
+      val fpc = d.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("c"), countDistinct(col("_fp3")).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in corpus_datacard")).isNull)
+        .select(col("source"), col("fp"), col("c"))
+      d.join(fpc, Seq("source", "fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum((col("c") > 1).cast("long")).as("n_dup_docs"),
+          sum(col("q_milli")).as("_sq"),
+          min(col("n_toks")).as("min_toks"),
+          max(col("n_toks")).as("max_toks"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_langs"), col("n_dup_docs"),
+          expr("(_sq - (((_sq % n_docs) + n_docs) % n_docs)) div n_docs")
+            .as("mean_q_milli"),
+          col("min_toks"), col("max_toks"))
+    },
+
     // C100: DICTIONARY BLOCKLIST TAGGING (the CommonCrawl/C4
     // bad-word-list filter shape, Raffel et al. 2020 §2.2 — a fixed
     // term dictionary broadcast to every doc, per-doc occurrence

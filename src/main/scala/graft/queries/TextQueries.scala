@@ -1167,6 +1167,118 @@ object TextQueries {
           round(avg(col("logp")), 4).as("avg_logp_kn"))
     },
 
+    // C106: HELD-OUT LM PERPLEXITY — the honest LM-quality metric
+    // (C24/C78 self-train and score the SAME corpus, fine for
+    // quality FILTERING; model EVAL demands a train/test split and
+    // an OOV story): train the add-one bigram LM on the even-doc_id
+    // half, score the odd half, where an unseen bigram backs off
+    // through the same add-one formula — (cb+1)/(cu+V) is well-
+    // defined at cb = cu = 0 (→ 1/V), so scoring is total, no
+    // silent inner-join drop. Per test doc: avg ln P (4dp, the C24
+    // convention) and the OOV-bigram rate (exact ratio, 6dp floor) —
+    // the number that says how much of the score IS backoff. Scale
+    // shape = C24: one corpus explode, model-sized train rollups,
+    // one LEFT scoring join.
+    Q("text_lm_heldout",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id,
+         |    t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |tr AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+         |te AS (SELECT * FROM big WHERE doc_id % 2 = 1),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM tr GROUP BY w1, w2),
+         |uc AS (SELECT w1, count(*) AS cu FROM tr GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w1) AS vocab FROM tr)
+         |SELECT te.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(ln((coalesce(bc.cb, 0) + 1.0)
+         |    / (coalesce(uc.cu, 0) + v.vocab))), 4) AS avg_logp,
+         |  CAST(count(*) FILTER (bc.cb IS NULL) AS BIGINT) AS oov_bigrams,
+         |  floor(CAST(count(*) FILTER (bc.cb IS NULL) AS DOUBLE)
+         |    / count(*) * 1000000 + 0.5) / 1000000 AS oov_rate
+         |FROM te
+         |LEFT JOIN bc USING (w1, w2)
+         |LEFT JOIN uc USING (w1), v
+         |GROUP BY te.doc_id""".stripMargin) { (s, dir) =>
+      val toks = table(s, dir, "documents").select(
+        col("doc_id"), split(TF.normalizeText(col("text")), " ").as("t"))
+      val big2 = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.tokenPairs(col("t")))
+            .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .localCheckpoint() // train rollups + test scoring read it
+      val tr = big2.filter(col("doc_id") % 2 === 0)
+      val te = big2.filter(col("doc_id") % 2 === 1)
+      val bc = tr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
+      val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      val v = bc.agg(countDistinct(col("w1")).as("vocab"))
+      te.join(bc, Seq("w1", "w2"), "left")
+        .join(uc, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((coalesce(col("cb"), lit(0L)) + 1.0)
+            / (coalesce(col("cu"), lit(0L)) + col("vocab"))).as("logp"),
+          col("cb").isNull.cast("long").as("oov"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("logp")), 4).as("avg_logp"),
+          sum(col("oov")).as("oov_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+          col("oov_bigrams"),
+          (floor(col("oov_bigrams").cast("double")
+            / col("n_bigrams").cast("double") * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("oov_rate"))
+    },
+
+    // C105: TOKENIZER FERTILITY per language (the tokenizer-eval
+    // metric multilingual LM reports actually publish — Rust et al.
+    // 2021: subwords per word; a tokenizer is "bad at" a language
+    // when fertility is high and chars-per-subword low): per lang
+    // the corpus word total (whitespace tokens), subword total (the
+    // C11 BPE-ish run convention), char total; fertility =
+    // Σsubwords/Σwords and chars_per_subword = Σchars/Σsubwords —
+    // each ONE pinned division of exact BIGINTs, 6dp floor form.
+    // ONE map-only corpus pass + a per-lang rollup.
+    Q("tokenizer_fertility",
+      s"""WITH m AS (
+         |  SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS words,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS subwords,
+         |    CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(words) AS BIGINT) AS words,
+         |  CAST(sum(subwords) AS BIGINT) AS subwords,
+         |  CAST(sum(chars) AS BIGINT) AS chars,
+         |  floor(CAST(sum(subwords) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+         |    * 1000000 + 0.5) / 1000000 AS fertility,
+         |  floor(CAST(sum(chars) AS DOUBLE) / CAST(sum(subwords) AS DOUBLE)
+         |    * 1000000 + 0.5) / 1000000 AS chars_per_subword
+         |FROM m GROUP BY lang""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("words"),
+          TF.subwordCount(col("text")).cast("long").as("subwords"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("words"),
+          sum(col("subwords")).as("subwords"), sum(col("chars")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
+          col("chars"),
+          (floor(col("subwords").cast("double")
+            / col("words").cast("double") * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("fertility"),
+          (floor(col("chars").cast("double")
+            / col("subwords").cast("double") * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("chars_per_subword"))
+    },
+
     // C101: EXACT DISTRIBUTED AUC of the in-engine classifier (the
     // model-eval half of the trained-filter family: C86/C96 train,
     // C91 calibrates, this GRADES — ROC-AUC is the metric quality

@@ -826,6 +826,56 @@ object VectorQueries {
     },
 
     // C18: elementwise per-label centroid.
+    // C107: EMBEDDING OUTLIER DETECTION — distance-to-centroid
+    // ranking (the curation screen that catches mis-embedded /
+    // corrupted vectors before they poison ANN indexes or k-means):
+    // global centroid per dim via the C18 round(avg, 6) convention
+    // (model-sized: d = 64 rows, collected driver-side — the BPE
+    // top-pair class of collect), broadcast as an array literal;
+    // each vector's squared L2 distance is a PINNED dim-ascending
+    // left fold from 0.0 over zip_with (the ADC precedent — never a
+    // distributed Σ of ulp-order-sensitive doubles); top-20 ranked
+    // by the UNROUNDED distance (the dedup_keep_best order-key
+    // precedent), vec_id tie-break, displayed at 6dp floor. One
+    // map-only scoring pass + TakeOrderedAndProject.
+    Q("embedding_outliers",
+      """WITH e AS (SELECT vec_id, label,
+        |        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT unnest(range(len(v))) AS dim, unnest(v) AS val
+        |      FROM e),
+        |c AS (SELECT CAST(dim AS INT) AS dim, round(avg(val), 6) AS c
+        |      FROM u GROUP BY dim),
+        |ca AS (SELECT list(c ORDER BY dim) AS cv FROM c),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(e.v)), i ->
+        |        (e.v[CAST(i + 1 AS INT)] - ca.cv[CAST(i + 1 AS INT)])
+        |        * (e.v[CAST(i + 1 AS INT)] - ca.cv[CAST(i + 1 AS INT)]))),
+        |      (a, x) -> a + x) AS dist2
+        |  FROM e, ca)
+        |SELECT vec_id, label,
+        |  floor(dist2 * 1000000 + 0.5) / 1000000 AS dist2
+        |FROM d ORDER BY d.dist2 DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint() // centroid pass + scoring pass read it
+      val cRows = e
+        .select(posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("dim")).agg(round(avg(col("val")), 6).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+      val cArr = array(cRows.map(p => lit(p._2)): _*)
+      e.select(col("vec_id"), col("label"),
+          aggregate(zip_with(col("v"), cArr, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("_d2"))
+        .orderBy(col("_d2").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("label"),
+          (floor(col("_d2") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("dist2"))
+    },
+
     Q("embedding_centroids",
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |u AS (SELECT label,

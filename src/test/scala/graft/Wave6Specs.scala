@@ -784,3 +784,150 @@ class BehaviorProfileSpec extends SparkTestBase {
     assert(got == (n, want), s"user $u: $got != ($n, $want)")
   }
 }
+
+/** C104 corpus_datacard — the card's totals must re-add from
+  * independent per-doc scans, and the dup fraction must count
+  * exactly the planted duplicate docs.
+  */
+class DatacardSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("card totals re-add; planted dups are counted exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("card").toString
+    Seq(
+      (1L, "the quick brown fox", "en", "a"),
+      (2L, "the quick brown fox", "en", "a"),   // dup of 1 (same src)
+      (3L, "THE  quick   brown fox ", "en", "a"), // dup after norm
+      (4L, "something else entirely", "de", "a"),
+      (5L, "the quick brown fox", "en", "b"))   // same text, OTHER src
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_datacard")(spark, dir)
+      .select($"source", $"n_docs", $"n_langs", $"n_dup_docs")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == ("a", 4L, 2L, 3L), s"a: ${got("a")}") // 1,2,3 dup
+    assert(got("b") == ("b", 1L, 1L, 0L), s"b: ${got("b")}") // src-local
+  }
+
+  test("corpus card totals equal independent recomputes") {
+    val docs = GraftSession.table(spark, sfDir, "documents")
+      .select($"source", graft.functions.TextFunctions
+        .tokenCount($"text").cast("long"))
+      .as[(String, Long)].collect()
+    val got = SparkEntry.queries("corpus_datacard")(spark, sfDir)
+      .select($"source", $"n_docs", $"total_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for ((src, rows) <- docs.groupBy(_._1)) {
+      assert(got(src)._2 == rows.length && got(src)._3 == rows.map(_._2).sum,
+        s"$src totals")
+    }
+  }
+}
+
+/** C105 tokenizer_fertility — exact recompute per lang; fertility
+  * must be ≥ 1 by construction (every word is ≥ 1 subword run).
+  */
+class FertilitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fertility recomputes exactly and is >= 1 everywhere") {
+    val m = GraftSession.table(spark, sfDir, "documents")
+      .select($"lang",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"),
+        graft.functions.TextFunctions.subwordCount($"text").cast("long"),
+        length($"text").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+    val got = SparkEntry.queries("tokenizer_fertility")(spark, sfDir)
+      .select($"lang", $"words", $"subwords", $"chars", $"fertility")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((lang, rows) <- m.groupBy(_._1)) {
+      val (w, sw, ch) = (rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum)
+      val r = got(lang)
+      assert((r._2, r._3, r._4) == (w, sw, ch), s"$lang totals")
+      assert(math.abs(r._5 - math.floor(sw.toDouble / w * 1e6 + 0.5) / 1e6)
+        < 1e-9)
+      assert(r._5 >= 1.0, s"$lang fertility ${r._5} < 1")
+    }
+  }
+}
+
+/** C106 text_lm_heldout — scoring must be TOTAL (every test bigram
+  * scored, OOV included), train/test must not leak, and a planted
+  * unseen-bigram doc must score exactly the backoff 1/V.
+  */
+class HeldoutLmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("OOV docs score the exact backoff; coverage is total") {
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    Seq(
+      (0L, "a b a b a b", "en", "s"),        // train: bigrams ab, ba
+      (2L, "a b a b", "en", "s"),            // train
+      (1L, "a b a b", "en", "s"),            // test: all seen
+      (3L, "zz qq zz qq", "en", "s"))        // test: all OOV
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_lm_heldout")(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"avg_logp", $"oov_bigrams",
+        $"oov_rate")
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 3L)) // only odd docs scored
+    assert(got(1L)._4 == 0L && got(1L)._5 == 0.0)
+    // vocab = {a, b} → V = 2; fully-OOV bigram P = 1/2
+    val r3 = got(3L)
+    assert(r3._4 == r3._2 && r3._5 == 1.0, s"doc 3 not fully OOV: $r3")
+    val want = BigDecimal(math.log(1.0 / 2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r3._3 - want) < 1e-9, s"backoff ${r3._3} != $want")
+  }
+
+  test("corpus run: only odd docs, non-vacuous OOV both ways") {
+    val rows = SparkEntry.queries("text_lm_heldout")(spark, sfDir)
+      .select($"doc_id", $"oov_bigrams", $"n_bigrams")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(_._1 % 2 == 1))
+    val oov = rows.map(_._2).sum
+    val tot = rows.map(_._3).sum
+    assert(oov > 0 && oov < tot, s"OOV $oov/$tot vacuous")
+  }
+}
+
+/** C107 embedding_outliers — a planted far-away vector must rank
+  * first with the exactly-computable distance; ranking matches a
+  * sequential recompute.
+  */
+class EmbeddingOutlierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("planted outlier ranks first; distances recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    val d = 8
+    // 9 unit-ish vectors near the origin + one at distance 100
+    val base = (1L to 9L).map(i =>
+      (i, Array.fill(d)(0.01f * i), 0))
+    val outlier = (99L, Array.fill(d)(100.0f), 1)
+    (base :+ outlier).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("embedding_outliers")(spark, dir)
+      .select($"vec_id", $"dist2").as[(Long, Double)].collect()
+    assert(got.head._1 == 99L, s"outlier not first: ${got.head}")
+    // the centroid is pulled 1/10 toward the outlier, so base vecs
+    // sit ~10 away (dist² ~8·10²·d/64…) — dominance is ~80×, not
+    // unbounded; 10× is the honest planted margin
+    assert(got.head._2 > got(1)._2 * 10, "outlier not dominant")
+    // sequential recompute of the top distance
+    val vecs = (base :+ outlier).map(v => v._1 -> v._2.map(_.toDouble))
+    val c = (0 until d).map(j => BigDecimal(
+      vecs.map(_._2(j)).sum / vecs.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    var dist = 0.0
+    for (j <- 0 until d) {
+      val t = vecs.last._2(j) - c(j); dist += t * t
+    }
+    assert(math.abs(got.head._2 - math.floor(dist * 1e6 + 0.5) / 1e6)
+      < 1e-6, s"${got.head._2} != $dist")
+  }
+}
