@@ -343,7 +343,13 @@ object Bench {
         // round-9 eighteenth wave: the held-out LM scoring join
         // (C106 — the C24 shape) and the centroid-distance vector
         // screen (C107)
-        "text_lm_heldout", "embedding_outliers")
+        "text_lm_heldout", "embedding_outliers",
+        // round-9 nineteenth wave: the paired rank test (B121 —
+        // user-grain then |d|-grain) and the confusion rollup (C108)
+        "wilcoxon_signed_rank", "langid_confusion",
+        // round-9 twentieth wave: the per-type prefix-sum SSE
+        // changepoint search (B122)
+        "changepoint_value")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -492,7 +498,8 @@ object Bench {
       "crossval_stump", "streaming_heartbeat", "debounce_events",
       "ks_two_sample_exact", "streaming_debounce",
       "user_behavior_profile", "corpus_datacard", "tokenizer_fertility",
-      "text_lm_heldout", "embedding_outliers")
+      "text_lm_heldout", "embedding_outliers",
+      "wilcoxon_signed_rank", "langid_confusion", "changepoint_value")
       .filter(n => only.isEmpty || only(n))
     val sfx100 = if (!scaleProbe || !x100Probe || x100Names.isEmpty)
       Map.empty[String, Double]

@@ -1090,6 +1090,209 @@ object AnalyticsQueries {
         (floor(z * lit(1000000) + lit(0.5)) / lit(1000000)).as("z"))
     },
 
+    // B122: EXACT LEAST-SQUARES CHANGEPOINT (binary segmentation's
+    // single step — Scott & Knott 1974; the offline "WHERE did the
+    // metric shift" answer where B67's CUSUM answers "did it"): per
+    // event_type, the split day t minimizing within-segment SSE of
+    // the daily totals. Exactly the B116 search re-targeted from
+    // Gini to variance: with prefix sums (n, Σc, Σc²) at every
+    // candidate day, SSE_L + SSE_R = (Q_L − S_L²/n_L) + (Q_R −
+    // S_R²/n_R) — minimized ⇔ S_L²/n_L + S_R²/n_R maximized; score =
+    // (CAST(S_L² AS DOUBLE)·n_R + S_R²·n_L)/(n_L·n_R) ONE pinned
+    // tree over exact BIGINTs (S² up to ~(10⁹)² needs the double
+    // cast — deterministic IEEE, the B116 argmax precedent), argmax
+    // (score DESC, day ASC). Means and the SSE reduction are then
+    // exact ratios, 6dp floor. Scale shape: one keyed agg to (type,
+    // day), per-type cumulative windows over the ≤31-day
+    // model-sized relation.
+    Q("changepoint_value", {
+      // f = S_L²/n_L + S_R²/n_R over the common denominator n_L·n_R:
+      // (S_L²·n_R + S_R²·n_L)/(n_L·n_R) — the SSE-decomposition
+      // objective. (A first cut divided each square by its OWN n
+      // before cross-multiplying — that maximizes mean_L² + mean_R²,
+      // which is biased toward extreme tiny segments; the planted-
+      // step spec caught it splitting 19/1 instead of 10/10.)
+      val scoreSql = """(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+        | * CAST(n - nl AS DOUBLE)
+        | + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+        | * CAST(nl AS DOUBLE))
+        | / (CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE))"""
+        .stripMargin.replace("\n", "")
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT event_type, day,
+        |        CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(cents) AS BIGINT) AS sc
+        |      FROM e GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, cnt, sc,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS nl,
+        |    sum(sc) OVER (PARTITION BY event_type ORDER BY day) AS sl
+        |  FROM d),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |          CAST(sum(sc) AS BIGINT) AS s
+        |        FROM d GROUP BY event_type),
+        |sc2 AS (
+        |  SELECT w.event_type, w.day AS split_day, w.nl, w.sl, t.n, t.s,
+        |    $scoreSql AS score
+        |  FROM w JOIN tot t USING (event_type) WHERE w.nl < t.n),
+        |best AS (
+        |  SELECT event_type, split_day, nl, sl, n, s
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY event_type
+        |          ORDER BY score DESC, split_day) AS rk
+        |        FROM sc2)
+        |  WHERE rk = 1)
+        |SELECT event_type, split_day,
+        |  CAST(nl AS BIGINT) AS n_before, CAST(n - nl AS BIGINT) AS n_after,
+        |  floor(CAST(sl AS DOUBLE) / (100.0 * nl) * 1000000 + 0.5)
+        |    / 1000000 AS mean_before,
+        |  floor(CAST(s - sl AS DOUBLE) / (100.0 * (n - nl)) * 1000000
+        |    + 0.5) / 1000000 AS mean_after
+        |FROM best""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000000000 div 86400")
+          .as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sc"))
+        .localCheckpoint() // cumulative window + totals read it
+      // per-type ≤31-day partitions: the plain window is model-sized
+      val w0 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val w = d.withColumn("nl", sum(col("cnt")).over(w0))
+        .withColumn("sl", sum(col("sc")).over(w0))
+      val tot = d.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"), sum(col("sc")).as("s"))
+      val sc2 = w.join(broadcast(tot), Seq("event_type"))
+        .filter(col("nl") < col("n"))
+        .select(col("event_type"), col("day").as("split_day"), col("nl"),
+          col("sl"), col("n"), col("s"),
+          ((col("sl").cast("double") * col("sl").cast("double")
+              * (col("n") - col("nl")).cast("double")
+            + (col("s") - col("sl")).cast("double")
+              * (col("s") - col("sl")).cast("double")
+              * col("nl").cast("double"))
+            / (col("nl").cast("double")
+              * (col("n") - col("nl")).cast("double"))).as("score"))
+      sc2.groupBy(col("event_type"))
+        .agg(max(struct(col("score"), (-col("split_day")).as("negd"),
+          col("nl"), col("sl"), col("n"), col("s"))).as("b"))
+        .select(col("event_type"), (-col("b.negd")).as("split_day"),
+          col("b.nl").as("n_before"),
+          (col("b.n") - col("b.nl")).as("n_after"),
+          (floor(col("b.sl").cast("double") / (lit(100.0) * col("b.nl"))
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("mean_before"),
+          (floor((col("b.s") - col("b.sl")).cast("double")
+            / (lit(100.0) * (col("b.n") - col("b.nl")))
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("mean_after"))
+    },
+
+    // B121: WILCOXON SIGNED-RANK test (Wilcoxon 1945) — the PAIRED
+    // member completing the rank-test trio (B60 parametric unpaired,
+    // B114 rank unpaired, this one paired): did each user's daily
+    // spend CHANGE between the first and second half of the
+    // observation window, judged on signed ranks of the per-user
+    // paired differences (no normality assumption; one user's wild
+    // swing gets one rank, not unbounded leverage). Pairs: per-user
+    // first-half vs second-half daily-cent means (epoch-midpoint
+    // split, the D35 convention) — each a bit-equal pinned double,
+    // their difference ONE subtraction; zero diffs dropped (the
+    // standard treatment). Ranks of |d| with ties averaged — the
+    // B114 grain trick on the |d| DOUBLE values (bit-equal cross-
+    // engine, so grouping on them is exact): doubled tie-averaged
+    // rank = 2(cum−cnt)+cnt+1 exact BIGINT; 2W⁺ = Σ over positive
+    // diffs. Tie-corrected normal approximation: z = (W⁺ −
+    // n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48) — exact integers to
+    // one sqrt + one division, 6dp floor. Scale shape: one keyed agg
+    // to users, one to the |d| grain, one streamed prefix pass.
+    Q("wilcoxon_signed_rank", {
+      val zSql = """(CAST(wx2 AS DOUBLE) / 2.0
+        | - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+        | / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+        |   - CAST(tsum AS DOUBLE) / 48.0)"""
+        .stripMargin.replace("\n", "")
+      s"""WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |sp AS (SELECT (min(tsec) + max(tsec)) // 2 AS split FROM e),
+        |h AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN tsec < split THEN cents ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(count(*) FILTER (tsec < split) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN tsec >= split THEN cents ELSE 0 END)
+        |      AS BIGINT) AS s2,
+        |    CAST(count(*) FILTER (tsec >= split) AS BIGINT) AS n2
+        |  FROM e, sp GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(s2 AS DOUBLE) / (100.0 * n2)
+        |      - CAST(s1 AS DOUBLE) / (100.0 * n1) AS diff
+        |  FROM h WHERE n1 > 0 AND n2 > 0),
+        |nz AS (SELECT user_id, diff, abs(diff) AS ad FROM d
+        |       WHERE diff <> 0),
+        |v AS (SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(count(*) FILTER (diff > 0) AS BIGINT) AS np
+        |      FROM nz GROUP BY ad),
+        |w AS (SELECT ad, cnt, np, sum(cnt) OVER (ORDER BY ad) AS cum
+        |      FROM v),
+        |agg AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(np * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS wx2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+        |  FROM w)
+        |SELECT n, n_pos, wx2, tsum,
+        |  floor(($zSql) * 1000000 + 0.5) / 1000000 AS z
+        |FROM agg""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.DistributedPrefixSum
+      val e = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .localCheckpoint() // the split scalar + the halves read it
+      // DIV, not `/`: Column./ on longs is DOUBLE division
+      val sp = e.agg(min(col("tsec")).as("_mn"), max(col("tsec")).as("_mx"))
+        .select(expr("(_mn + _mx) div 2").as("split"))
+      val h = e.crossJoin(broadcast(sp))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("tsec") < col("split"), col("cents"))
+          .otherwise(0L)).as("s1"),
+          sum((col("tsec") < col("split")).cast("long")).as("n1"),
+          sum(when(col("tsec") >= col("split"), col("cents"))
+            .otherwise(0L)).as("s2"),
+          sum((col("tsec") >= col("split")).cast("long")).as("n2"))
+      val d = h.filter(col("n1") > 0 && col("n2") > 0)
+        .select(col("user_id"),
+          (col("s2").cast("double") / (lit(100.0) * col("n2"))
+            - col("s1").cast("double") / (lit(100.0) * col("n1")))
+            .as("diff"))
+        .filter(col("diff") =!= 0)
+      val v = d.select(col("diff"), abs(col("diff")).as("ad"))
+        .groupBy(col("ad"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("diff") > 0).cast("long")).as("np"))
+        .withColumn("_g", lit("all"))
+      val w = DistributedPrefixSum.running(v, "_g", Seq("ad"), "cnt", "cum")
+      val agg = w.agg(sum(col("cnt")).as("n"), sum(col("np")).as("n_pos"),
+        sum(col("np") * (lit(2) * (col("cum") - col("cnt"))
+          + col("cnt") + 1)).as("wx2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+      val z = (col("wx2").cast("double") / 2.0
+          - (col("n") * (col("n") + 1)).cast("double") / 4.0) /
+        sqrt((col("n") * (col("n") + 1) * (lit(2) * col("n") + 1))
+          .cast("double") / 24.0
+          - col("tsum").cast("double") / 48.0)
+      agg.select(col("n"), col("n_pos"), col("wx2"), col("tsum"),
+        (floor(z * lit(1000000) + lit(0.5)) / lit(1000000)).as("z"))
+    },
+
     // C103: USER BEHAVIOR PROFILE / bot-likeness evidence (the crawl
     // bot-filter shape every web-corpus pipeline runs before text
     // ever reaches curation — CommonCrawl UA filtering's behavioral

@@ -1167,6 +1167,67 @@ object TextQueries {
           round(avg(col("logp")), 4).as("avg_logp_kn"))
     },
 
+    // C108: LANGUAGE-ID CONFUSION MATRIX — the classifier-eval
+    // completion for C9 (text_langid emits per-doc predictions; an
+    // eval needs the labeled confusion matrix + per-class
+    // precision/recall): cells = exact counts over (lang,
+    // lang_pred), per-cell row_tot (support) and col_tot (predicted
+    // mass) margins, precision = cell/col_tot and recall =
+    // cell/row_tot on DIAGONAL cells (each ONE exact division, 6dp
+    // floor; off-diagonal rows carry the margins so the full matrix
+    // is pinned, not just the diagonal). ONE map-only prediction
+    // pass + a ≤ |langs|² count; margins on the model-sized matrix.
+    Q("langid_confusion", {
+      val predSql = s"""CASE WHEN regexp_matches(text,
+        | '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        | WHEN ${hitsSql(TF.EnStop)} = 0 AND ${hitsSql(TF.EsStop)} = 0
+        |   AND ${hitsSql(TF.DeStop)} = 0 AND ${hitsSql(TF.FrStop)} = 0
+        |   THEN 'und'
+        | WHEN ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.EsStop)}
+        |   AND ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.DeStop)}
+        |   AND ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.FrStop)} THEN 'en'
+        | WHEN ${hitsSql(TF.EsStop)} >= ${hitsSql(TF.DeStop)}
+        |   AND ${hitsSql(TF.EsStop)} >= ${hitsSql(TF.FrStop)} THEN 'es'
+        | WHEN ${hitsSql(TF.DeStop)} >= ${hitsSql(TF.FrStop)} THEN 'de'
+        | ELSE 'fr' END""".stripMargin.replace("\n", "")
+      s"""WITH p AS (SELECT lang, $predSql AS lang_pred FROM documents),
+        |cells AS (SELECT lang, lang_pred,
+        |            CAST(count(*) AS BIGINT) AS n
+        |          FROM p GROUP BY lang, lang_pred),
+        |rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_tot
+        |       FROM cells GROUP BY lang),
+        |ct AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS col_tot
+        |       FROM cells GROUP BY lang_pred)
+        |SELECT c.lang, c.lang_pred, c.n, rt.row_tot, ct.col_tot,
+        |  CASE WHEN c.lang = c.lang_pred THEN
+        |    floor(CAST(c.n AS DOUBLE) / ct.col_tot * 1000000 + 0.5)
+        |      / 1000000 END AS precision_d,
+        |  CASE WHEN c.lang = c.lang_pred THEN
+        |    floor(CAST(c.n AS DOUBLE) / rt.row_tot * 1000000 + 0.5)
+        |      / 1000000 END AS recall_d
+        |FROM cells c JOIN rt USING (lang) JOIN ct USING (lang_pred)"""
+        .stripMargin
+    }) { (s, dir) =>
+      val cells = table(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // both margins + the cells read it
+      val rt = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_tot"))
+      val ct = cells.groupBy(col("lang_pred"))
+        .agg(sum(col("n")).as("col_tot"))
+      cells.join(broadcast(rt), Seq("lang"))
+        .join(broadcast(ct), Seq("lang_pred"))
+        .select(col("lang"), col("lang_pred"), col("n"), col("row_tot"),
+          col("col_tot"),
+          when(col("lang") === col("lang_pred"),
+            floor(col("n").cast("double") / col("col_tot")
+              * lit(1000000) + lit(0.5)) / lit(1000000)).as("precision_d"),
+          when(col("lang") === col("lang_pred"),
+            floor(col("n").cast("double") / col("row_tot")
+              * lit(1000000) + lit(0.5)) / lit(1000000)).as("recall_d"))
+    },
+
     // C106: HELD-OUT LM PERPLEXITY — the honest LM-quality metric
     // (C24/C78 self-train and score the SAME corpus, fine for
     // quality FILTERING; model EVAL demands a train/test split and

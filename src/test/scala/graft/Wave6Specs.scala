@@ -931,3 +931,134 @@ class EmbeddingOutlierSpec extends SparkTestBase {
       < 1e-6, s"${got.head._2} != $dist")
   }
 }
+
+/** B121 wilcoxon_signed_rank — sequential recompute of signed ranks
+  * from the same paired means, plus the W⁺ + W⁻ = n(n+1)/2 identity.
+  */
+class WilcoxonSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("W+ and z equal a sequential recompute; W+ + W- = n(n+1)/2") {
+    val raw = GraftSession.table(spark, sfDir, "events")
+      .select($"user_id", expr("ts div 1000000000").as("t"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val split = (raw.map(_._2).min + raw.map(_._2).max) / 2
+    val diffs = raw.groupBy(_._1).values.flatMap { rows =>
+      val (a, b) = rows.partition(_._2 < split)
+      if (a.isEmpty || b.isEmpty) None
+      else {
+        val d = b.map(_._3).sum.toDouble / (100.0 * b.length) -
+          a.map(_._3).sum.toDouble / (100.0 * a.length)
+        if (d == 0) None else Some(d)
+      }
+    }.toArray
+    val sorted = diffs.sortBy(math.abs)
+    var i = 0; var wx2 = 0L; var tsum = 0L
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length
+        && math.abs(sorted(j)) == math.abs(sorted(i))) j += 1
+      val t = j - i
+      val rank2 = 2L * i + t + 1
+      wx2 += rank2 * sorted.slice(i, j).count(_ > 0)
+      tsum += t.toLong * t * t - t
+      i = j
+    }
+    val n = diffs.length.toLong
+    val z = (wx2.toDouble / 2.0 - n * (n + 1) / 4.0) /
+      math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tsum / 48.0)
+    val row = SparkEntry.queries("wilcoxon_signed_rank")(spark, sfDir)
+      .select($"n", $"n_pos", $"wx2", $"tsum", $"z")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(row._1 == n && row._2 == diffs.count(_ > 0))
+    assert(row._3 == wx2 && row._4 == tsum, s"got $row want ($wx2, $tsum)")
+    assert(math.abs(row._5 - math.floor(z * 1e6 + 0.5) / 1e6) < 1e-9)
+    // Σ all doubled ranks = n(n+1): W+x2 + W-x2 = n(n+1)
+    val wm2 = n * (n + 1) - wx2
+    assert(wx2 + wm2 == n * (n + 1))
+    assert(wm2 >= 0, "negative-rank mass broken")
+  }
+}
+
+/** C108 langid_confusion — the matrix must re-add to the corpus, the
+  * margins must be consistent, and precision/recall must recompute
+  * from the cells; planted clean docs land on the diagonal.
+  */
+class LangidConfusionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("matrix re-adds, margins consistent, diagonal metrics recompute") {
+    val rows = SparkEntry.queries("langid_confusion")(spark, sfDir)
+      .select($"lang", $"lang_pred", $"n", $"row_tot", $"col_tot",
+        $"precision_d", $"recall_d").collect()
+    val total = GraftSession.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells don't re-add")
+    val byLang = rows.groupBy(_.getString(0))
+    for ((lang, rs) <- byLang) {
+      val rt = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == rt, s"$lang row margin")
+      assert(rs.forall(_.getLong(3) == rt))
+    }
+    for (r <- rows if r.getString(0) == r.getString(1)) {
+      val p = math.floor(r.getLong(2).toDouble / r.getLong(4) * 1e6 + 0.5) / 1e6
+      val rc = math.floor(r.getLong(2).toDouble / r.getLong(3) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(5) == p && r.getDouble(6) == rc)
+    }
+    // the heuristic is non-trivial on this corpus: some diagonal mass
+    // AND some confusion
+    assert(rows.exists(r => r.getString(0) == r.getString(1)))
+    assert(rows.exists(r => r.getString(0) != r.getString(1)))
+  }
+}
+
+/** B122 changepoint_value — a planted step function must be split at
+  * exactly the step day with the exact segment means, and the corpus
+  * result must equal a sequential SSE sweep.
+  */
+class ChangepointSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("planted step is found exactly with exact means") {
+    val dir = java.nio.file.Files.createTempDirectory("cp").toString
+    // days 0-9 value 10.00, days 10-19 value 50.00 — step at day 9/10
+    val rows = (0L to 19L).map { d =>
+      (d, 5L, "view", if (d < 10) 10.0 else 50.0,
+        new java.sql.Timestamp(d * 86400000L))
+    }
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("changepoint_value")(spark, dir)
+      .select($"split_day", $"n_before", $"n_after", $"mean_before",
+        $"mean_after")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(r == (9L, 10L, 10L, 10.0, 50.0), s"got $r")
+  }
+
+  test("corpus split equals a sequential SSE sweep per type") {
+    val d = GraftSession.table(spark, sfDir, "events")
+      .select($"event_type", expr("ts div 1000000000 div 86400").as("day"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val got = SparkEntry.queries("changepoint_value")(spark, sfDir)
+      .select($"event_type", $"split_day").as[(String, Long)].collect()
+      .toMap
+    for ((et, rows) <- d.groupBy(_._1)) {
+      val byDay = rows.groupBy(_._2).view
+        .mapValues(r => (r.length.toLong, r.map(_._3).sum))
+        .toSeq.sortBy(_._1)
+      val n = byDay.map(_._2._1).sum
+      val s = byDay.map(_._2._2).sum
+      var nl = 0L; var sl = 0L
+      var bestScore = Double.NegativeInfinity; var bestDay = Long.MaxValue
+      for ((day, (c, sc)) <- byDay if nl + c < n) {
+        nl += c; sl += sc
+        val score = (sl.toDouble * sl.toDouble * (n - nl)
+          + (s - sl).toDouble * (s - sl).toDouble * nl) /
+          (nl.toDouble * (n - nl))
+        if (score > bestScore) { bestScore = score; bestDay = day }
+      }
+      assert(got(et) == bestDay, s"$et: ${got(et)} != $bestDay")
+    }
+  }
+}
