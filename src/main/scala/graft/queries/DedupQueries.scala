@@ -384,9 +384,38 @@ object DedupQueries {
         |FROM inter
         |WHERE 10 * inter >= 6 * (sa + sb - inter)""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // CLONE COLLAPSE (the C31/C32 convention, applied here after
+      // the ×100 probe OOM'd the raw formulation): exact-duplicate
+      // texts have IDENTICAL shingle sets, so a clone group of c docs
+      // turns every prefix bucket it touches c× denser and the
+      // candidate equi-join (c·b)² -quadratic. Run the whole PPJoin
+      // on one REPRESENTATIVE per normalized text; re-expand at the
+      // end — within-group pairs all have J = 1 ≥ τ by identity, and
+      // a cross pair (u, v) replicates to every member pair with the
+      // SAME (inter, uni): output provably identical to the direct
+      // form (which the unchanged DuckDB oracle still states).
+      val norm = graft.functions.TextFunctions.normalizeText(col("text"))
+      val docs = table(s, dir, "documents")
+        .filter(size(graft.functions.TextFunctions.wsTokens(col("text")))
+          >= 3)
+        .select(col("doc_id"), col("text"),
+          struct(xxhash64(norm), xxhash64(lit(42L), norm), length(norm))
+            .as("fp"), xxhash64(lit(1337L), norm).as("_fp3"))
+        .localCheckpoint() // groups + rep texts read it
+      val groups = docs.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("copies"),
+          countDistinct(col("_fp3")).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in setsim_prefix_join")).isNull)
+        .select(col("fp"), col("rep"), col("copies"))
+        .localCheckpoint()
+      val members = docs.select(col("fp"), col("doc_id"))
+      val reps = docs.join(groups.select(col("fp"), col("rep")),
+          Seq("fp"))
+        .filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"))
       val toks = graft.functions.TextFunctions.wsTokens(col("text"))
-      val t = table(s, dir, "documents")
-        .filter(size(toks) >= 3)
+      val t = reps
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.VectorExpressions
             .tokenNgramHashes(toks, 3))).as("w"))
@@ -417,11 +446,38 @@ object DedupQueries {
           Seq("doc_b", "w"))
         .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
         .agg(count(lit(1)).as("inter"))
-      inter
-        .filter(lit(10) * col("inter") >= lit(6) * (col("sa") + col("sb") - col("inter")))
+      val upairs = inter
+        .filter(lit(10) * col("inter") >= lit(6)
+          * (col("sa") + col("sb") - col("inter")))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           (col("sa") + col("sb") - col("inter")).as("uni"),
           expr("(inter * 1000000) DIV (sa + sb - inter)").as("jac_ppm"))
+      // re-expansion 1: rep-pair → every member pair (same stats);
+      // least/greatest restores the doc_a < doc_b contract
+      val repFp = groups.select(col("rep"), col("fp"))
+      val cross = upairs
+        .join(repFp.select(col("rep").as("doc_a"), col("fp").as("fpa")),
+          Seq("doc_a"))
+        .join(repFp.select(col("rep").as("doc_b"), col("fp").as("fpb")),
+          Seq("doc_b"))
+        .join(members.select(col("fp").as("fpa"), col("doc_id").as("ia")),
+          Seq("fpa"))
+        .join(members.select(col("fp").as("fpb"), col("doc_id").as("ib")),
+          Seq("fpb"))
+        .select(least(col("ia"), col("ib")).as("doc_a"),
+          greatest(col("ia"), col("ib")).as("doc_b"),
+          col("inter"), col("uni"), col("jac_ppm"))
+      // re-expansion 2: within-group pairs — identical sets, J = 1
+      // exactly (inter = uni = sa), always above τ
+      val within = members
+        .join(members.withColumnRenamed("doc_id", "doc_b"), Seq("fp"))
+        .filter(col("doc_id") < col("doc_b"))
+        .join(groups.select(col("fp"), col("rep")), Seq("fp"))
+        .join(sz.select(col("doc_id").as("rep"), col("sa")), Seq("rep"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"),
+          col("sa").as("inter"), col("sa").as("uni"),
+          lit(1000000L).as("jac_ppm"))
+      cross.unionByName(within)
     },
 
     // C31: span-level duplication (Lee et al. 2022, "Deduplicating
