@@ -701,7 +701,12 @@ object TextQueries {
         .groupBy(col("doc_id"),
           col("h").bitwiseAND(lit(15L)).cast("int").as("dim"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // labels, class sums and scoring all read it
+        // labels, class sums and scoring all read it — DISK_ONLY, not
+        // localCheckpoint: at ×1000 this relation is ~80M rows and a
+        // memory-resident checkpoint squeezed execution memory to
+        // UNABLE_TO_ACQUIRE in the bench JVM; disk-backed reuse keeps
+        // the explode single-run without competing for the heap
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val z = f.groupBy(col("doc_id"))
         .agg(sum(when(col("dim") % 2 === 1, col("cnt"))
           .otherwise(-col("cnt"))).as("zs"))
