@@ -40,7 +40,17 @@ object Hits {
   def iterate(edges: DataFrame, left: String, right: String,
       iters: Int, unit: Long = 1000000L): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val lefts = edges.select(col(left)).distinct()
+    val lefts = edges.select(col(left)).distinct().localCheckpoint()
+    // Lower bound mirroring the documented BIGINT-overflow honesty
+    // contract above: `unit DIV n` floors to 0 once the distinct left
+    // count exceeds `unit`, collapsing every score to 0 and making
+    // l1Scale divide by Σ = 0 (ANSI error). Fail with the remedy
+    // instead.
+    val nLeft = lefts.count()
+    require(nLeft <= unit,
+      s"Hits.iterate: $nLeft distinct left nodes exceed unit=$unit — the " +
+        "initial hub share would floor to 0 and all scores collapse; raise " +
+        "`unit` (overflow ceiling is unit · maxDegree ≤ ~9.2e18)")
     var h = lefts
       .crossJoin(broadcast(lefts.agg(count(lit(1)).as("n"))))
       .select(col(left), expr(s"$unit DIV n").as("h"))

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * corpus scale, document-link or citation graphs for curation
   * weighting).
   *
-  * Exact-integer spelling: ranks live in MICRO-units (1e6 = mass 1)
-  * and every step is integer arithmetic — init = 1e6 div N, per-edge
-  * contribution = pr div outdeg, damping = (85 · Σ) div 100 plus a
-  * teleport constant 150000 div N. Integer sums are order-independent
+  * Exact-integer spelling: ranks live in `unit` units (`unit` = mass
+  * 1; 1e6 "micro" by default, 1e12 for million-node-plus graphs) and
+  * every step is integer arithmetic — init = unit div N, per-edge
+  * contribution = pr div outdeg, damping = (d · Σ) div 100 plus a
+  * teleport share ((100 − d) · 10000) div N (150000 div N at the
+  * default d = 85). Integer sums are order-independent
   * and floor division on non-negative integers is identical in every
   * engine, so a fixed-iteration run is replayable closed-form by an
   * external SQL oracle (the `kmeans_iterations` convention, without
@@ -31,33 +33,60 @@ object PageRank {
   /** @param edges two LONG columns (srcCol, dstCol); treated as given
     *   (direct the graph — or union both directions — upstream).
     *   Nodes are defined as the vertices appearing in `edges`.
-    * @return (node: LONG, pr_micro: LONG) after `iterations` rounds.
+    * @param unit integer mass resolution (1 full unit of rank mass =
+    *   `unit`); must be a multiple of 100 so the teleport share
+    *   (100 − d)% is exact. 1e6 ("micro") suffices to ~150k nodes at
+    *   d = 85; pass 1e12 for million-to-billion-node graphs (the ×100
+    *   trade clone has 1.6M nodes — micro units would floor BOTH the
+    *   init share and the teleport to 0 and every rank silently
+    *   decays; found by the round-10 scale probe).
+    * @return (node: LONG, pr_unit: LONG) after `iterations` rounds.
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 2, dampingPct: Int = 85): DataFrame = {
-    // Checkpoint the EDGE table, not just the node set: every
+      iterations: Int = 2, dampingPct: Int = 85,
+      unit: Long = 1000000L): DataFrame = {
+    // Persist the EDGE table, not just the node set: every
     // iteration's materialization re-executes the edge lineage (for
     // graph_pagerank, an orders⋈lineitem join + distinct) otherwise —
-    // ~2 recomputations per round. Joins below are keyed large-side
-    // joins, so the checkpoint's loss of size statistics costs
-    // nothing here (contrast the recall gate's broadcast-dependent
-    // corpus, which must NOT be checkpointed).
+    // ~2 recomputations per round. DISK_ONLY, not localCheckpoint:
+    // the in-heap checkpoint of an edge-scale relation (100M rows at
+    // the ×100 trade clone) pins gigabytes of storage against
+    // execution memory and OOMs a task mid-join — the exact failure
+    // mode r9's naive_bayes ×1000 probe found, rediscovered here by
+    // the round-10 ×100 graph probe. Edges stream from local disk
+    // once per round; only the node-sized rank table lives in memory.
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .persist()
     val n = nodes.count()
     require(n > 0, "PageRank.run: empty edge table — no nodes to rank")
+    require(dampingPct >= 0 && dampingPct < 100,
+      s"PageRank.run: dampingPct must be in [0, 100), got $dampingPct")
+    require(unit > 0 && unit % 100 == 0,
+      s"PageRank.run: unit must be a positive multiple of 100, got $unit")
+    // (1 − d) in `unit` units, DERIVED from dampingPct so teleport +
+    // damping always sum to 1 (unit = 1e6, d = 85 ⇒ 150000, the
+    // historical constant). Floor of the per-node share must stay
+    // nonzero or all ranks silently decay to 0 — hence the ceiling.
+    val teleportMass = unit / 100L * (100L - dampingPct)
+    require(n <= teleportMass,
+      s"PageRank.run: $n nodes exceeds the teleport resolution " +
+        s"($teleportMass at unit=$unit); per-node teleport would floor to 0 " +
+        "and all ranks decay — raise `unit` (e.g. 1e12)")
     // outdeg is a STATIC property of the edge table — fold it into
     // the checkpointed edges ONCE instead of re-joining it to the
     // contribution stream every round (one keyed join + one shuffle
     // saved per iteration; at ×10 scale the avoidable outdeg join
     // was the single largest per-round cost).
     val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(outdeg, "src").localCheckpoint()
-    val teleport = 150000L / n // (1 − d) in micro-units, floor
-    var pr = nodes.select(col("node"), lit(1000000L / n).as("pr"))
+    val e = e0.join(outdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    e.count() // materialize while e0 is still pinned
+    e0.unpersist(blocking = false)
+    val teleport = teleportMass / n
+    var pr = nodes.select(col("node"), lit(unit / n).as("pr"))
     var i = 0
     while (i < iterations) {
       val contrib = pr.join(e, pr("node") === e("src"))
@@ -76,7 +105,7 @@ object PageRank {
       pr = next
       i += 1
     }
-    pr.select(col("node"), col("pr").as("pr_micro"))
+    pr.select(col("node"), col("pr").as("pr_unit"))
   }
 
   /** PERSONALIZED PageRank (Page et al. 1999 §6 / Jeh & Widom 2003):
@@ -85,7 +114,8 @@ object PageRank {
     * recommendation/similar-entities primitive one global PageRank
     * score cannot express. Same exact-integer micro-unit spelling as
     * [[run]]: init = 1e6 div |S| on seeds (0 elsewhere), teleport =
-    * 150000 div |S| on seeds (0 elsewhere), damping (85·Σ) div 100.
+    * ((100 − d)·10000) div |S| on seeds (0 elsewhere), damping
+    * (d·Σ) div 100.
     * Non-seed sinks decay toward 0 unless reachable from the seeds —
     * by construction, not by normalization.
     *
@@ -94,25 +124,44 @@ object PageRank {
     * keyed relation, never collected), one keyed join per iteration.
     *
     * @param seeds one LONG column `node`; deduplicated here.
+    * @param unit integer mass resolution — see [[run]].
     */
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, iterations: Int = 2,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
+    // DISK_ONLY for the edge-scale relations — see [[run]].
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val seedSet = seeds.select(col("node")).distinct()
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
       .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false))
         .as("is_seed"))
-      .localCheckpoint()
+      .persist()
     val ns = nodes.filter(col("is_seed")).count()
     require(ns > 0, "PageRank.runPersonalized: no seed appears in the graph")
+    require(dampingPct >= 0 && dampingPct < 100,
+      s"PageRank.runPersonalized: dampingPct must be in [0, 100), got $dampingPct")
+    require(unit > 0 && unit % 100 == 0,
+      s"PageRank.runPersonalized: unit must be a positive multiple of 100, got $unit")
+    // Teleport mass derived from dampingPct (not the historical
+    // hardcoded 150000): teleport + damping sum to 1 for ANY
+    // dampingPct, and the seed-count ceiling below keeps the per-seed
+    // floor share nonzero (|S| > mass ⇒ every rank decays to 0).
+    val teleportMass = unit / 100L * (100L - dampingPct)
+    require(ns <= teleportMass,
+      s"PageRank.runPersonalized: $ns seeds exceed the teleport " +
+        s"resolution ($teleportMass at unit=$unit); per-seed teleport would " +
+        "floor to 0 — raise `unit` (e.g. 1e12)")
     val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(outdeg, "src").localCheckpoint()
+    val e = e0.join(outdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    e.count() // materialize while e0 is still pinned
+    e0.unpersist(blocking = false)
+    val seedTeleport = teleportMass / ns
     var pr = nodes.select(col("node"), col("is_seed"),
-      when(col("is_seed"), lit(1000000L / ns)).otherwise(lit(0L)).as("pr"))
+      when(col("is_seed"), lit(unit / ns)).otherwise(lit(0L)).as("pr"))
     var i = 0
     while (i < iterations) {
       val contrib = pr.join(e, pr("node") === e("src"))
@@ -120,7 +169,7 @@ object PageRank {
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), col("is_seed"),
-          (when(col("is_seed"), lit(150000L / ns)).otherwise(lit(0L)) +
+          (when(col("is_seed"), lit(seedTeleport)).otherwise(lit(0L)) +
             expr(s"($dampingPct * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100"))
             .as("pr"))
         .cache()
@@ -129,6 +178,6 @@ object PageRank {
       pr = next
       i += 1
     }
-    pr.select(col("node"), col("is_seed"), col("pr").as("ppr_micro"))
+    pr.select(col("node"), col("is_seed"), col("pr").as("ppr_unit"))
   }
 }

@@ -218,10 +218,14 @@ object ExtendedQueries {
     // floor division in both engines make the two fixed iterations
     // replayable closed-form, the kmeans_iterations convention
     // without even needing decimal rounding.
+    // Units are PICO (1e12 = mass 1) as of round 10: the ×100 trade
+    // clone carries 1.6M nodes, where the original micro units floor
+    // BOTH the init share (1e6 div n = 0) and the teleport to 0 and
+    // every rank silently decays — found by the round-10 scale probe.
     Q("graph_pagerank", {
       def iterCte(prev: String): String =
         s"""SELECT nodes.node,
-           |    CAST(150000 // (SELECT n FROM params)
+           |    CAST(150000000000 // (SELECT n FROM params)
            |      + (85 * coalesce(m.in_mass, 0)) // 100 AS BIGINT) AS pr
            |  FROM nodes LEFT JOIN (
            |    SELECT e.dst AS node, sum(p.pr // o.outdeg) AS in_mass
@@ -239,13 +243,14 @@ object ExtendedQueries {
          |params AS (SELECT count(*) AS n FROM nodes),
          |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          |pr0 AS (
-         |  SELECT node, CAST(1000000 // (SELECT n FROM params) AS BIGINT) AS pr
+         |  SELECT node,
+         |    CAST(1000000000000 // (SELECT n FROM params) AS BIGINT) AS pr
          |  FROM nodes),
          |it1 AS (${iterCte("pr0")}),
          |it2 AS (${iterCte("it1")})
          |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
          |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS entity,
-         |  pr AS pr_micro
+         |  pr AS pr_pico
          |FROM it2 ORDER BY pr DESC, entity LIMIT 20""".stripMargin
     }) { (s, dir) =>
       val pairs = table(s, dir, "orders")
@@ -256,13 +261,14 @@ object ExtendedQueries {
         .distinct()
       val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
         .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
-      graft.operators.PageRank.run(edges, "src", "dst", iterations = 2)
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 2,
+          unit = 1000000000000L)
         .select(
           concat(
             when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
             expr("node DIV 2").cast("string")).as("entity"),
-          col("pr_micro"))
-        .orderBy(col("pr_micro").desc, col("entity")).limit(20)
+          col("pr_unit").as("pr_pico"))
+        .orderBy(col("pr_pico").desc, col("entity")).limit(20)
     },
 
     // B107: HITS hubs & authorities (Kleinberg 1999) — PageRank's
@@ -1848,11 +1854,12 @@ object ExtendedQueries {
     // table, one keyed join + map-side-combined sum per round,
     // O(edges), node state never on the driver; top-20 via
     // TakeOrderedAndProject.
+    // Pico units (1e12 = mass 1) as of round 10 — see graph_pagerank.
     Q("graph_ppr", {
       def iterCte(prev: String): String =
         s"""SELECT nodes.node, nodes.is_seed,
            |    CAST(CASE WHEN nodes.is_seed
-           |           THEN 150000 // (SELECT ns FROM params) ELSE 0 END
+           |           THEN 150000000000 // (SELECT ns FROM params) ELSE 0 END
            |      + (85 * coalesce(m.in_mass, 0)) // 100 AS BIGINT) AS pr
            |  FROM nodes LEFT JOIN (
            |    SELECT e.dst AS node, sum(p.pr // o.outdeg) AS in_mass
@@ -1879,14 +1886,14 @@ object ExtendedQueries {
          |pr0 AS (
          |  SELECT node, is_seed,
          |    CAST(CASE WHEN is_seed
-         |      THEN 1000000 // (SELECT ns FROM params) ELSE 0 END AS BIGINT)
-         |      AS pr
+         |      THEN 1000000000000 // (SELECT ns FROM params) ELSE 0 END
+         |      AS BIGINT) AS pr
          |  FROM nodes),
          |it1 AS (${iterCte("pr0")}),
          |it2 AS (${iterCte("it1")})
          |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
          |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS entity,
-         |  CAST(is_seed AS INT) AS is_seed, pr AS ppr_micro
+         |  CAST(is_seed AS INT) AS is_seed, pr AS ppr_pico
          |FROM it2 WHERE pr > 0 ORDER BY pr DESC, entity LIMIT 20""".stripMargin
     }) { (s, dir) =>
       val pairs = table(s, dir, "orders")
@@ -1903,15 +1910,16 @@ object ExtendedQueries {
         .filter(col("c_nationkey") === 0)
         .select((col("c_custkey") * 2).as("node"))
       graft.operators.PageRank
-        .runPersonalized(edges, "src", "dst", seeds, iterations = 2)
-        .filter(col("ppr_micro") > 0)
+        .runPersonalized(edges, "src", "dst", seeds, iterations = 2,
+          unit = 1000000000000L)
+        .filter(col("ppr_unit") > 0)
         .select(
           concat(
             when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
             expr("node DIV 2").cast("string")).as("entity"),
           col("is_seed").cast("int").as("is_seed"),
-          col("ppr_micro"))
-        .orderBy(col("ppr_micro").desc, col("entity")).limit(20)
+          col("ppr_unit").as("ppr_pico"))
+        .orderBy(col("ppr_pico").desc, col("entity")).limit(20)
     },
 
     // B117: KENDALL TAU-B rank correlation (Kendall 1938) per user —

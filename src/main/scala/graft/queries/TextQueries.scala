@@ -1309,7 +1309,19 @@ object TextQueries {
     // C11 BPE-ish run convention), char total; fertility =
     // Σsubwords/Σwords and chars_per_subword = Σchars/Σsubwords —
     // each ONE pinned division of exact BIGINTs, 6dp floor form.
-    // ONE map-only corpus pass + a per-lang rollup.
+    //
+    // Scale shape (the r9 ×1000 fix): fertility is a per-(lang, word)
+    // statistic × occurrence counts, so the expensive subword regex
+    // runs on the DISTINCT-WORD grain, not the corpus grain. The
+    // subword classes ([a-z]+ | [0-9]+ | single other non-space) can
+    // never span whitespace, so Σ_doc subwords(text) ≡
+    // Σ_(lang,word) cnt · subwords(word) exactly — explode whitespace
+    // tokens, map-side-combined count to the vocabulary grain (Heaps'
+    // law: ~n^0.5 distinct words on a real corpus; CONSTANT on clone
+    // corpora), regex once per distinct word. The doc-grain pass that
+    // remains carries only length() and count() — no match-array
+    // allocation. Was the heaviest non-dedup ×1000 row (33.2 s judge)
+    // as a doc-grain regexp_extract_all scan.
     Q("tokenizer_fertility",
       s"""WITH m AS (
          |  SELECT lang,
@@ -1327,14 +1339,18 @@ object TextQueries {
          |  floor(CAST(sum(chars) AS DOUBLE) / CAST(sum(subwords) AS DOUBLE)
          |    * 1000000 + 0.5) / 1000000 AS chars_per_subword
          |FROM m GROUP BY lang""".stripMargin) { (s, dir) =>
-      table(s, dir, "documents")
-        .select(col("lang"),
-          TF.tokenCount(col("text")).cast("long").as("words"),
-          TF.subwordCount(col("text")).cast("long").as("subwords"),
-          length(col("text")).cast("long").as("chars"))
+      val docs = table(s, dir, "documents")
+      val docAgg = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("chars"))
+      val wordAgg = docs
+        .select(col("lang"), explode(TF.wsTokens(col("text"))).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("words"),
-          sum(col("subwords")).as("subwords"), sum(col("chars")).as("chars"))
+        .agg(sum(col("cnt")).as("words"),
+          sum(col("cnt") * TF.subwordCount(col("word")).cast("long"))
+            .as("subwords"))
+      docAgg.join(wordAgg, Seq("lang"))
         .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
           col("chars"),
           (floor(col("subwords").cast("double")

@@ -520,7 +520,7 @@ class PprSpec extends SparkTestBase {
     val seeds = Seq(Tuple1(1L)).toDF("node")
     val got = graft.operators.PageRank
       .runPersonalized(edges, "src", "dst", seeds, iterations = 2)
-      .select($"node", $"ppr_micro").as[(Long, Long)].collect().toMap
+      .select($"node", $"ppr_unit").as[(Long, Long)].collect().toMap
     // sequential replay of the integer recurrence: |S|=1 →
     // pr0 = (1e6, 0, 0, 0, 0); outdeg(1)=2, others 1
     // it1: in(2) = pr(1) DIV 2 = 500000, in(3) = 500000,
@@ -535,7 +535,7 @@ class PprSpec extends SparkTestBase {
 
   test("corpus run: top-20 non-empty, seeds present, ranks positive") {
     val rows = SparkEntry.queries("graph_ppr")(spark, sfDir)
-      .select($"entity", $"is_seed", $"ppr_micro")
+      .select($"entity", $"is_seed", $"ppr_pico")
       .as[(String, Int, Long)].collect()
     assert(rows.length == 20)
     assert(rows.forall(_._3 > 0))
