@@ -426,7 +426,12 @@ object Bench {
         "wilcoxon_signed_rank", "langid_confusion",
         // round-9 twentieth wave: the per-type prefix-sum SSE
         // changepoint search (B122)
-        "changepoint_value")
+        "changepoint_value",
+        // round-10 first wave: the day-grain rank/lag statistics
+        // (B123 Spearman, B124 ACF — orders-cloned; the claim is the
+        // day grid is constant across clones so cost is the one keyed
+        // day agg) and the langs×64 distribution distance (C109)
+        "spearman_daily", "timeseries_acf", "hist_emd_langs")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -434,7 +439,8 @@ object Bench {
       "basket_rules", "scd2_history", "join_size_estimate", "graph_kcore",
       "item_cooccurrence_topk", "grouped_ols2",
       "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits",
-      "ddsketch_order_value", "benford_first_digit", "graph_ppr")
+      "ddsketch_order_value", "benford_first_digit", "graph_ppr",
+      "spearman_daily", "timeseries_acf")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on
@@ -585,7 +591,10 @@ object Bench {
       // streaming row) and for the iterative graph family (B52 —
       // O(edges)/round rested on one-decade evidence; trade clones
       // now generate at ×100 for it).
-      "streaming_pattern_match", "graph_pagerank")
+      "streaming_pattern_match", "graph_pagerank",
+      // round-10 first wave: day-grain statistics (near-constant
+      // claim — the mannwhitney class) + the langs×64 EMD
+      "spearman_daily", "timeseries_acf", "hist_emd_langs")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")
