@@ -431,7 +431,13 @@ object Bench {
         // (B123 Spearman, B124 ACF — orders-cloned; the claim is the
         // day grid is constant across clones so cost is the one keyed
         // day agg) and the langs×64 distribution distance (C109)
-        "spearman_daily", "timeseries_acf", "hist_emd_langs")
+        "spearman_daily", "timeseries_acf", "hist_emd_langs",
+        // round-10 second wave: RANGE frames (orders-cloned,
+        // per-customer windows), the zone-map stats pass
+        // (lineitem-cloned map-side agg), and the TopK-capped
+        // posting-list build (vocab-grain claim)
+        "window_range_frames", "zonemap_prune_stats",
+        "inverted_index_postings")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -440,7 +446,8 @@ object Bench {
       "item_cooccurrence_topk", "grouped_ols2",
       "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits",
       "ddsketch_order_value", "benford_first_digit", "graph_ppr",
-      "spearman_daily", "timeseries_acf")
+      "spearman_daily", "timeseries_acf",
+      "window_range_frames", "zonemap_prune_stats")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on
@@ -594,7 +601,11 @@ object Bench {
       "streaming_pattern_match", "graph_pagerank",
       // round-10 first wave: day-grain statistics (near-constant
       // claim — the mannwhitney class) + the langs×64 EMD
-      "spearman_daily", "timeseries_acf", "hist_emd_langs")
+      "spearman_daily", "timeseries_acf", "hist_emd_langs",
+      // round-10 second wave: the bounded-heap posting build — the
+      // claim: clone corpora repeat the vocabulary, so the index
+      // grain is constant while the explode grows linearly
+      "inverted_index_postings")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

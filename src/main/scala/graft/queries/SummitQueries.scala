@@ -244,5 +244,138 @@ object SummitQueries {
           (floor(col("emd_num").cast("double")
             / (col("n_a") * col("n_b")).cast("double")
             * lit(1000000) + lit(0.5)) / lit(1000000)).as("emd_bins"))
+    },
+
+    // B125: RANGE window frames over event-time VALUE distance — the
+    // frame family B26 (ROWS frames) cannot express: "revenue in the
+    // 30 CALENDAR DAYS before this order" counts peers and gaps by
+    // the ORDER KEY'S VALUE, not by row position (two orders the same
+    // day see identical frames; a quiet month shrinks the frame to
+    // the current row). Exact: cents BIGINT sums, day = epoch//86400
+    // as the numeric range key. Both directions: trailing [-30, 0]
+    // and strictly-forward [1, 30] (empty → exact 0). Scale shape:
+    // one partitioned window per customer — Spark sorts within the
+    // customer partition only, no global sort, the standard
+    // 100 TB-safe window discipline.
+    Q("window_range_frames",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cents_30d,
+        |  CAST(coalesce(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY day
+        |    RANGE BETWEEN 1 FOLLOWING AND 30 FOLLOWING), 0) AS BIGINT)
+        |    AS cents_next30
+        |FROM o""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("cents")).over(byCust.rangeBetween(-30, 0)).as("cents_30d"),
+        coalesce(sum(col("cents")).over(byCust.rangeBetween(1, 30)), lit(0L))
+          .as("cents_next30"))
+    },
+
+    // B126: ZONE-MAP / data-skipping statistics (the parquet
+    // row-group-footer contract every 100 TB scan plan lives on:
+    // min/max per storage zone decide which zones a predicate can
+    // PRUNE without reading — Moerkotte's small materialized
+    // aggregates, VLDB'98; the engine-side view of what
+    // `.explain`'s PushedFilters consumes). Zones = 256-key orderkey
+    // extents (the clustered write order, so zones are value-tight on
+    // the cluster key and loose on uncorrelated ones — exactly the
+    // effect the stats expose); per zone exact row count, min/max
+    // price cents and ship day, and the prune verdicts for two fixed
+    // predicates: cents > 9,000,000 (prunable iff max ≤ threshold)
+    // and ship day ≥ 10,000 (prunable iff max < cutoff). ONE
+    // map-side-combined keyed agg — the same pass a writer takes to
+    // emit footer stats.
+    Q("zonemap_prune_stats",
+      """SELECT l_orderkey // 256 AS zone,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents,
+        |  CAST(min(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+        |    AS BIGINT) AS min_day,
+        |  CAST(max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+        |    AS BIGINT) AS max_day,
+        |  CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    <= 9000000 AS INT) AS prune_price,
+        |  CAST(max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+        |    < 10000 AS INT) AS prune_day
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .select(expr("l_orderkey div 256").as("zone"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .select(col("zone"), col("n_rows"), col("min_cents"),
+          col("max_cents"), col("min_day"), col("max_day"),
+          (col("max_cents") <= 9000000L).cast("int").as("prune_price"),
+          (col("max_day") < 10000L).cast("int").as("prune_day"))
+    },
+
+    // C110: INVERTED-INDEX posting lists with delta (gap) encoding —
+    // the IR-engine build step (Zobel & Moffat 2006): per rare-ish
+    // term (length ≥ 4 — the content-word band of this corpus) its document
+    // frequency and the FIRST ≤8 doc ids as gaps (first id, then
+    // successive differences — the compression-friendly layout real
+    // indexes store). Determinism: terms deduped per doc, postings
+    // strictly ascending doc_id, gaps rendered as one CSV string so
+    // the oracle compares exact bytes. Scale shape: the cap runs
+    // through the bounded-heap TopKPerKey physical operator (B39) —
+    // k·|terms-per-partition| memory, never a full per-term sort of
+    // the posting relation; df is a map-side-combined keyed count.
+    Q("inverted_index_postings",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+         |    ' '))) AS term
+         |  FROM documents),
+         |t AS (SELECT term, doc_id FROM toks WHERE length(term) >= 4),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM t GROUP BY term),
+         |r AS (
+         |  SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         |    doc_id - coalesce(lag(doc_id) OVER (
+         |      PARTITION BY term ORDER BY doc_id), 0) AS gap
+         |  FROM t),
+         |p AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS n_postings,
+         |    string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)
+         |      AS postings
+         |  FROM r WHERE rn <= 8 GROUP BY term)
+         |SELECT p.term, df.df, p.n_postings, p.postings
+         |FROM p JOIN df USING (term)""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFunctions.wsTokens(col("text")))).as("term"))
+        .filter(length(col("term")) >= 4)
+      val df = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val top8 = graft.plans.TopK.perKey(
+        t, Seq("term"), Seq(("doc_id", true)), 8)
+      val p = top8.groupBy(col("term"))
+        .agg(count(lit(1)).as("n_postings"),
+          sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("term"), col("n_postings"),
+          expr("""array_join(transform(ids, (x, i) ->
+            cast(x - if(i = 0, cast(0 as bigint), element_at(ids, i))
+            as string)), ',')""").as("postings"))
+      p.join(df, "term")
+        .select(col("term"), col("df"), col("n_postings"), col("postings"))
     })
 }
