@@ -437,7 +437,10 @@ object Bench {
         // (lineitem-cloned map-side agg), and the TopK-capped
         // posting-list build (vocab-grain claim)
         "window_range_frames", "zonemap_prune_stats",
-        "inverted_index_postings")
+        "inverted_index_postings",
+        // round-10 third wave: U-shaped credit (the B94 interval-join
+        // shape) and the live EMD read-out on D33 state
+        "attribution_position", "streaming_drift_emd")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -605,7 +608,10 @@ object Bench {
       // round-10 second wave: the bounded-heap posting build — the
       // claim: clone corpora repeat the vocabulary, so the index
       // grain is constant while the explode grows linearly
-      "inverted_index_postings")
+      "inverted_index_postings",
+      // round-10 third wave: live EMD state (64 bins/type — the D36
+      // class)
+      "streaming_drift_emd")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

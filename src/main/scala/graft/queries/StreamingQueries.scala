@@ -1197,6 +1197,104 @@ object StreamingQueries {
               * 1000000 + lit(0.5)).cast("double") / 1000000).as("ks"))
     },
 
+    // D42: streaming drift via EARTH-MOVER'S distance (round 10) —
+    // completing the live drift trio on the SAME frozen-reference-vs-
+    // live-state shape: PSI (D35) needs smoothing, KS (D36) is the
+    // sup-norm (worst single bin), EMD integrates the WHOLE |CDF
+    // difference| so it sees how far apart mass sits (C109's batch
+    // metric on D33's additive 64-bin state). Exact-integer to one
+    // division: EMD·n_ref·n_live = Σ_b |crc_b·n_live − clc_b·n_ref|
+    // in BIGINTs (64 bins × products < 2^63 to ~9·10^8 events/half);
+    // live side = one additive histogram per event_type — bytes of
+    // state regardless of stream length; the read-out windows sort
+    // ≤64 rows/type.
+    Q("streaming_drift_emd",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |sp AS (SELECT (min(tsec) + max(tsec)) // 2 AS split FROM e),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |dom AS (SELECT event_type, CAST(b AS BIGINT) AS bin
+        |        FROM types, unnest(range(64)) AS u(b)),
+        |ref AS (SELECT event_type, least(c // 1000, 63) AS bin,
+        |          CAST(count(*) AS BIGINT) AS cr
+        |        FROM e, sp WHERE tsec < split GROUP BY 1, 2),
+        |liv AS (SELECT event_type, least(c // 1000, 63) AS bin,
+        |          CAST(count(*) AS BIGINT) AS cl
+        |        FROM e, sp WHERE tsec >= split GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.bin,
+        |    coalesce(cr, 0) AS cr, coalesce(cl, 0) AS cl
+        |  FROM dom d
+        |  LEFT JOIN ref USING (event_type, bin)
+        |  LEFT JOIN liv USING (event_type, bin)),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+        |    CAST(sum(cl) AS BIGINT) AS n_live
+        |  FROM j GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(cr) OVER w AS BIGINT) AS crc,
+        |    CAST(sum(cl) OVER w AS BIGINT) AS clc
+        |  FROM j WINDOW w AS (PARTITION BY event_type ORDER BY bin))
+        |SELECT c.event_type, n_ref, n_live,
+        |  CAST(sum(abs(crc * n_live - clc * n_ref)) AS BIGINT) AS emd_num,
+        |  CASE WHEN n_ref = 0 OR n_live = 0 THEN NULL
+        |       ELSE floor(CAST(sum(abs(crc * n_live - clc * n_ref))
+        |              AS DOUBLE)
+        |              / (CAST(n_ref AS DOUBLE) * CAST(n_live AS DOUBLE))
+        |              * 1000000 + 0.5) / 1000000 END AS emd_bins
+        |FROM c JOIN tot USING (event_type)
+        |GROUP BY c.event_type, n_ref, n_live""".stripMargin) { (s, dir) =>
+      val batch = GraftSession.table(s, dir, "events").select(
+        col("event_type"), expr("ts div 1000000000").as("tsec"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val split = batch.agg(expr("(min(tsec) + max(tsec)) div 2"))
+        .head().getLong(0)
+      val bin = least(expr("c div 1000"), lit(63L))
+      val ref = batch.filter(col("tsec") < split)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("cr"))
+      // live histogram: the D33 additive bin state over the stream
+      val live = tableStream(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .filter(col("tsec") >= split)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("cl"))
+      val snap = runToMemory(s, live, "graft_stream_emd", mode = "complete")
+      val dom = batch.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(63L))).as("bin"))
+      val joined = dom
+        .join(ref, Seq("event_type", "bin"), "left")
+        .join(snap, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cl"), lit(0L)).as("cl"))
+        .localCheckpoint() // totals + cumulative both read it
+      val tot = joined.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("n_ref"), sum(col("cl")).as("n_live"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bin"))
+      val cum = joined.select(col("event_type"), col("bin"),
+        sum(col("cr")).over(w).as("crc"), sum(col("cl")).over(w).as("clc"))
+      cum.join(broadcast(tot), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_ref"), col("n_live"))
+        .agg(sum(abs(col("crc") * col("n_live") - col("clc") * col("n_ref")))
+          .as("emd_num"))
+        .select(col("event_type"), col("n_ref"), col("n_live"),
+          col("emd_num"),
+          when(col("n_ref") === 0 || col("n_live") === 0,
+              lit(null).cast("double"))
+            .otherwise(floor(col("emd_num").cast("double")
+              / (col("n_ref").cast("double") * col("n_live").cast("double"))
+              * 1000000 + lit(0.5)).cast("double") / 1000000)
+            .as("emd_bins"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by

@@ -377,5 +377,116 @@ object SummitQueries {
             as string)), ',')""").as("postings"))
       p.join(df, "term")
         .select(col("term"), col("df"), col("n_postings"), col("postings"))
+    },
+
+    // B127: POSITION-BASED (U-shaped) attribution — the industry's
+    // third canonical credit rule beside last-touch (B79) and linear
+    // multi-touch (B94): the FIRST touch (discovery) and the LAST
+    // touch (closer) each earn 40%, the middles share the remaining
+    // 20% (collapsing to an equal split for ≤ 2 touches — the
+    // standard degeneration). Exactness contract (the B78
+    // largest-remainder discipline): every percentage is integer
+    // floor division of cents with the remainder allocated by
+    // position order, so each purchase's credits SUM EXACTLY to its
+    // cents — an auditor can re-add the ledger. Scale shape: the B79
+    // keyed interval join (RangeJoin bucketed point-in-interval — one
+    // keyed exchange, never per-user cross products) + per-purchase
+    // windows (purchase-bounded partitions).
+    Q("attribution_position", {
+      val look = 3600L
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events),
+         |p AS (SELECT event_id AS purchase_id, user_id, tsec AS ps,
+         |        CAST(floor(value * 100) AS BIGINT) AS cents
+         |      FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, tsec AS cs
+         |      FROM e WHERE event_type = 'click'),
+         |j AS (SELECT p.purchase_id, p.user_id, p.ps, p.cents,
+         |        c.click_id, c.cs
+         |      FROM p JOIN c ON p.user_id = c.user_id
+         |        AND c.cs >= p.ps - $look AND c.cs <= p.ps),
+         |rk AS (SELECT purchase_id, user_id, ps, cents, click_id, cs,
+         |        row_number() OVER (PARTITION BY purchase_id
+         |          ORDER BY cs, click_id) AS rn,
+         |        count(*) OVER (PARTITION BY purchase_id) AS n
+         |      FROM j),
+         |cr AS (
+         |  SELECT purchase_id, user_id, ps, click_id, cs,
+         |    CASE
+         |      WHEN n = 1 THEN 'solo'
+         |      WHEN rn = 1 THEN 'first'
+         |      WHEN rn = n THEN 'last'
+         |      ELSE 'mid' END AS role,
+         |    CASE
+         |      WHEN n <= 2 THEN cents // n
+         |        + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END
+         |      WHEN rn = 1 OR rn = n THEN (cents * 40) // 100
+         |      ELSE (cents - 2 * ((cents * 40) // 100)) // (n - 2)
+         |        + CASE WHEN rn - 1 <=
+         |            (cents - 2 * ((cents * 40) // 100)) % (n - 2)
+         |          THEN 1 ELSE 0 END END AS credit_cents
+         |  FROM rk)
+         |SELECT purchase_id, user_id, ps AS purchase_s, click_id,
+         |  cs AS click_s, role, CAST(credit_cents AS BIGINT)
+         |    AS credit_cents
+         |FROM cr
+         |UNION ALL
+         |SELECT purchase_id, user_id, ps AS purchase_s,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'direct',
+         |  cents
+         |FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM j)"""
+        .stripMargin
+    }) { (s, dir) =>
+      import graft.operators.RangeJoin
+      val look = 3600L
+      val e = table(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("tsec"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tsec").as("ps"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("lo", col("ps") - look)
+        .withColumn("hi", col("ps"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsec").as("cs"))
+      val joined = RangeJoin.pointInIntervalKeyed(
+        clicks, purchases, Seq("user_id"), "cs", "lo", "hi", look)
+      val w = Window.partitionBy(col("purchase_id"))
+      val first40 = expr("(cents * 40) div 100")
+      val midPot = col("cents") - lit(2) * first40
+      val attributed = joined
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("cs"), col("click_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("purchase_id"), col("user_id"),
+          col("ps").as("purchase_s"), col("click_id"),
+          col("cs").as("click_s"),
+          when(col("n") === 1, lit("solo"))
+            .when(col("rn") === 1, lit("first"))
+            .when(col("rn") === col("n"), lit("last"))
+            .otherwise(lit("mid")).as("role"),
+          when(col("n") <= 2,
+              expr("cents div n") +
+                when(col("rn") <= col("cents") % col("n"), 1L).otherwise(0L))
+            .when(col("rn") === 1 || col("rn") === col("n"), first40)
+            .otherwise(expr(
+              "(cents - 2 * ((cents * 40) div 100)) div (n - 2)") +
+              when(col("rn") - 1 <=
+                midPot % (col("n") - 2), 1L).otherwise(0L))
+            .as("credit_cents"))
+      val direct = purchases
+        .join(joined.select("purchase_id").distinct(),
+          Seq("purchase_id"), "left_anti")
+        .select(col("purchase_id"), col("user_id"),
+          col("ps").as("purchase_s"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("click_s"),
+          lit("direct").as("role"),
+          col("cents").as("credit_cents"))
+      attributed.unionByName(direct)
     })
 }
