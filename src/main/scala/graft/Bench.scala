@@ -440,7 +440,11 @@ object Bench {
         "inverted_index_postings",
         // round-10 third wave: U-shaped credit (the B94 interval-join
         // shape) and the live EMD read-out on D33 state
-        "attribution_position", "streaming_drift_emd")
+        "attribution_position", "streaming_drift_emd",
+        // round-10 fourth wave: Markov removal-effect attribution —
+        // corpus cost is the per-user journey windows; the chain
+        // solve is (types+3)², model-sized
+        "attribution_markov")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -611,7 +615,15 @@ object Bench {
       "inverted_index_postings",
       // round-10 third wave: live EMD state (64 bins/type — the D36
       // class)
-      "streaming_drift_emd")
+      "streaming_drift_emd",
+      // round-10 second wave, second decade: the per-customer RANGE
+      // window and the map-only zone-stats pass (both orders/lineitem
+      // trade-cloned)
+      "window_range_frames", "zonemap_prune_stats",
+      // round-10 fourth wave: cloned users repeat journey shapes, so
+      // the transition matrix (and the driver-side chain solve) is
+      // CONSTANT while the journey windows grow linearly
+      "attribution_markov")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

@@ -488,5 +488,179 @@ object SummitQueries {
           lit("direct").as("role"),
           col("cents").as("credit_cents"))
       attributed.unionByName(direct)
+    },
+
+    // B128: MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2014 —
+    // the DATA-DRIVEN attribution model behind Google Analytics'
+    // DDA, where B79/B94/B127 are rule-based): per-user journeys
+    // (each purchase closes one) become a first-order Markov chain
+    // over channel states with absorbing conv/null; a channel's
+    // credit is its REMOVAL EFFECT — the drop in the chain's
+    // conversion probability when every edge into the channel is
+    // redirected to null. Chain solved by a FIXED 32-step power
+    // iteration in BOTH engines (the KMeans/PageRank fixed-iteration
+    // convention); every probability ONE exact division of BIGINT
+    // counts; each step's sums fold edge terms in (from, to) order
+    // from 0.0 (the list_reduce ordered-fold convention) so every
+    // intermediate double is bit-identical. Scale shape: transition
+    // counts are ONE keyed corpus aggregate (journeys via per-user
+    // windows); the chain is (channels+3)² — model-sized, the only
+    // collect (guarded) — operators/MarkovAttribution.scala.
+    Q("attribution_markov",
+      """WITH RECURSIVE e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |ej AS (
+        |  SELECT user_id, event_id, event_type, tsec,
+        |    coalesce(count(*) FILTER (event_type = 'purchase') OVER (
+        |      PARTITION BY user_id ORDER BY tsec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |  FROM e),
+        |seqs AS (
+        |  SELECT user_id, jid,
+        |    coalesce(list(event_type ORDER BY tsec, event_id)
+        |      FILTER (event_type <> 'purchase'), []) AS chs,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM ej GROUP BY 1, 2),
+        |paths AS (
+        |  SELECT ['start'] || chs ||
+        |    [CASE WHEN conv = 1 THEN 'conv' ELSE 'null' END] AS p
+        |  FROM seqs),
+        |trans AS (
+        |  SELECT p[CAST(i AS INT)] AS frm, p[CAST(i + 1 AS INT)] AS tto,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM paths, unnest(range(1, len(p))) AS u(i)
+        |  GROUP BY 1, 2),
+        |rowtot AS (
+        |  SELECT frm, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM trans GROUP BY 1),
+        |channels AS (
+        |  SELECT DISTINCT ch FROM (
+        |    SELECT frm AS ch FROM trans
+        |    UNION SELECT tto FROM trans)
+        |  WHERE ch NOT IN ('start', 'conv', 'null')),
+        |variants AS (
+        |  SELECT 'base' AS removed
+        |  UNION ALL SELECT ch FROM channels),
+        |vedges AS (
+        |  SELECT v.removed, t.frm,
+        |    CASE WHEN t.tto = v.removed THEN 'null' ELSE t.tto END AS tto,
+        |    CAST(sum(t.cnt) AS BIGINT) AS cnt
+        |  FROM variants v JOIN trans t ON t.frm <> v.removed
+        |  GROUP BY 1, 2, 3),
+        |pedges AS (
+        |  SELECT removed, frm, tto, CAST(cnt AS DOUBLE) / tot AS p
+        |  FROM vedges JOIN rowtot USING (frm)
+        |  UNION ALL
+        |  SELECT v.removed, a.s, a.s, 1.0
+        |  FROM variants v, (SELECT unnest(['conv', 'null']) AS s) a),
+        |vstates AS (
+        |  SELECT v.removed,
+        |    list_sort(['start', 'conv', 'null'] ||
+        |      coalesce(list(c.ch ORDER BY c.ch) FILTER (c.ch IS NOT NULL),
+        |        [])) AS states
+        |  FROM variants v LEFT JOIN channels c ON c.ch <> v.removed
+        |  GROUP BY v.removed),
+        |elist AS (
+        |  SELECT p.removed,
+        |    list(struct_pack(
+        |      fi := list_position(s.states, p.frm),
+        |      ti := list_position(s.states, p.tto),
+        |      p := p.p) ORDER BY p.frm, p.tto) AS edges,
+        |    any_value(s.states) AS states
+        |  FROM pedges p JOIN vstates s USING (removed)
+        |  GROUP BY p.removed),
+        |it AS (
+        |  SELECT removed, 0 AS step,
+        |    -- CAST: a bare 1.0 is DECIMAL(2,1) and the recursive CTE
+        |    -- pins v to the base term's type — every step would
+        |    -- quantize to one decimal place (observed: conv = 3.4)
+        |    list_transform(states,
+        |      x -> CASE WHEN x = 'start' THEN CAST(1.0 AS DOUBLE)
+        |           ELSE CAST(0.0 AS DOUBLE) END) AS v,
+        |    states, edges
+        |  FROM elist
+        |  UNION ALL
+        |  SELECT removed, step + 1,
+        |    list_transform(range(1, len(states) + 1), i ->
+        |      list_reduce(
+        |        list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+        |          list_filter(edges, ed -> ed.ti = i),
+        |          ed -> v[CAST(ed.fi AS INT)] * ed.p)),
+        |        (a, b) -> a + b)),
+        |    states, edges
+        |  FROM it WHERE step < 32),
+        |fin AS (
+        |  SELECT removed, v[CAST(list_position(states, 'conv') AS INT)]
+        |    AS conv
+        |  FROM it WHERE step = 32),
+        |re AS (
+        |  SELECT f.removed AS channel, b.conv AS cb, f.conv AS cr,
+        |    CASE WHEN b.conv = 0 THEN 0.0
+        |         ELSE greatest(0.0, 1.0 - f.conv / b.conv) END AS re_raw
+        |  FROM fin f, (SELECT conv FROM fin WHERE removed = 'base') b
+        |  WHERE f.removed <> 'base'),
+        |tre AS (
+        |  SELECT list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list(re_raw ORDER BY channel)),
+        |    (a, b) -> a + b) AS s
+        |  FROM re)
+        |SELECT channel,
+        |  floor(cb * 1000000 + 0.5) / 1000000 AS conv_base,
+        |  floor(cr * 1000000 + 0.5) / 1000000 AS conv_removed,
+        |  floor(re_raw * 1000000 + 0.5) / 1000000 AS removal_effect,
+        |  floor(CASE WHEN tre.s = 0 THEN 0.0 ELSE re_raw / tre.s END
+        |    * 1000000 + 0.5) / 1000000 AS share
+        |FROM re, tre""".stripMargin) { (s, dir) =>
+      import graft.operators.MarkovAttribution
+      val e = table(s, dir, "events").select(col("event_id"),
+        col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      val ej = e.withColumn("jid",
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .localCheckpoint() // chain edges + terminals both read it
+      val chans = ej.filter(col("event_type") =!= "purchase")
+      val wj = Window.partitionBy(col("user_id"), col("jid"))
+        .orderBy(col("tsec"), col("event_id"))
+      val chainEdges = chans
+        .withColumn("frm",
+          coalesce(lag(col("event_type"), 1).over(wj), lit("start")))
+        .select(col("frm"), col("event_type").as("tto"))
+      val lastCh = chans.groupBy(col("user_id"), col("jid"))
+        .agg(max_by(col("event_type"), struct(col("tsec"), col("event_id")))
+          .as("last_ch"))
+      val terminal = ej.groupBy(col("user_id"), col("jid"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .join(lastCh, Seq("user_id", "jid"), "left")
+        .select(coalesce(col("last_ch"), lit("start")).as("frm"),
+          when(col("conv") === 1, lit("conv")).otherwise(lit("null"))
+            .as("tto"))
+      // the ONLY collect: the transition matrix — (channels+3)²,
+      // model-sized by construction; guard loudly, never OOM
+      val transRows = chainEdges.unionByName(terminal)
+        .groupBy(col("frm"), col("tto")).agg(count(lit(1)).as("cnt"))
+        .collect()
+      require(transRows.length <= 400,
+        s"attribution_markov: ${transRows.length} transition kinds — " +
+          "state space is not model-sized; refusing to solve on the driver")
+      val counts = transRows.map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val channels = counts.keysIterator
+        .flatMap { case (f, t) => Iterator(f, t) }
+        .filterNot(Set("start", "conv", "null")).toSeq.distinct.sorted
+      val res = MarkovAttribution.removalEffects(counts, channels)
+      def floor6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+      import s.implicits._
+      res.map(r => (r.channel, floor6(r.convBase), floor6(r.convRemoved),
+          floor6(r.removalEffect), floor6(r.share)))
+        .toDF("channel", "conv_base", "conv_removed", "removal_effect",
+          "share")
     })
 }
