@@ -444,7 +444,10 @@ object Bench {
         // round-10 fourth wave: Markov removal-effect attribution —
         // corpus cost is the per-user journey windows; the chain
         // solve is (types+3)², model-sized
-        "attribution_markov")
+        "attribution_markov",
+        // round-10 fifth wave: the exact dedup threshold curve —
+        // B110's join + a broadcast band rollup
+        "dedup_threshold_curve")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -623,7 +626,10 @@ object Bench {
       // round-10 fourth wave: cloned users repeat journey shapes, so
       // the transition matrix (and the driver-side chain solve) is
       // CONSTANT while the journey windows grow linearly
-      "attribution_markov")
+      "attribution_markov",
+      // round-10 fifth wave: rides B110's clone-collapsed prefix join
+      // (already ×100-probed) + a model-sized band rollup
+      "dedup_threshold_curve")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

@@ -662,5 +662,67 @@ object SummitQueries {
           floor6(r.removalEffect), floor6(r.share)))
         .toDF("channel", "conv_base", "conv_removed", "removal_effect",
           "share")
+    },
+
+    // C111: DEDUP THRESHOLD CURVE — the "how aggressive should my
+    // near-dup threshold be" decision table every curation run needs
+    // BEFORE committing to a τ (Lee et al. ACL'22 sweep this
+    // exactly): per candidate threshold (0.6/0.7/0.8/0.9 Jaccard)
+    // the exact duplicate-pair count and the number of documents
+    // touched by at least one pair. Built ON the PPJoin exact
+    // set-similarity join (B110 — completeness is a theorem, so the
+    // curve is exact, not an LSH estimate): one pass at the loosest
+    // threshold, then the curve is a model-sized rollup over bands.
+    // Scale shape: B110's clone-collapsed prefix-filter join + a
+    // broadcast 4-row band join; nothing new touches the corpus.
+    Q("dedup_threshold_curve", {
+      val base = DedupQueries.all.find(_.name == "setsim_prefix_join").get
+        .oracle.get
+      s"""WITH base AS ($base),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+         |        FROM documents),
+         |bands AS (SELECT CAST(unnest([600000, 700000, 800000, 900000])
+         |            AS BIGINT) AS threshold_ppm),
+         |hit AS (
+         |  SELECT b.threshold_ppm, base.doc_a, base.doc_b
+         |  FROM bands b JOIN base ON base.jac_ppm >= b.threshold_ppm),
+         |np AS (SELECT threshold_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM hit GROUP BY 1),
+         |nd AS (
+         |  SELECT threshold_ppm, CAST(count(DISTINCT d) AS BIGINT)
+         |    AS n_dup_docs
+         |  FROM (SELECT threshold_ppm, unnest([doc_a, doc_b]) AS d
+         |        FROM hit)
+         |  GROUP BY 1)
+         |SELECT b.threshold_ppm,
+         |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  tot.n_docs_total
+         |FROM bands b
+         |LEFT JOIN np USING (threshold_ppm)
+         |LEFT JOIN nd USING (threshold_ppm), tot""".stripMargin
+    }) { (s, dir) =>
+      val pairs = DedupQueries.all.find(_.name == "setsim_prefix_join").get
+        .spark(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+        .localCheckpoint() // pair counts + doc counts both read it
+      val nTotal = table(s, dir, "documents").count()
+      val bands = s.range(0, 4)
+        .select((lit(600000L) + col("id") * 100000L).as("threshold_ppm"))
+      val hit = pairs.crossJoin(broadcast(bands))
+        .filter(col("jac_ppm") >= col("threshold_ppm"))
+      val np = hit.groupBy(col("threshold_ppm"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = hit
+        .select(col("threshold_ppm"),
+          explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy(col("threshold_ppm"))
+        .agg(countDistinct(col("d")).as("n_dup_docs"))
+      bands.join(np, Seq("threshold_ppm"), "left")
+        .join(nd, Seq("threshold_ppm"), "left")
+        .select(col("threshold_ppm"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          lit(nTotal).as("n_docs_total"))
     })
 }
