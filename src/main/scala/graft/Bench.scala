@@ -446,8 +446,9 @@ object Bench {
         // solve is (types+3)², model-sized
         "attribution_markov",
         // round-10 fifth wave: the exact dedup threshold curve —
-        // B110's join + a broadcast band rollup
-        "dedup_threshold_curve")
+        // B110's join + a broadcast band rollup — and the dynamic-gap
+        // native session windows (merged-interval state, the D1 class)
+        "dedup_threshold_curve", "streaming_dynamic_sessions")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)

@@ -1295,6 +1295,72 @@ object StreamingQueries {
             .as("emd_bins"))
     },
 
+    // D43: DYNAMIC-GAP session windows (round 10) — D1's native
+    // `session_window` with a PER-EVENT gap expression (Spark 3.2+
+    // surface): a purchase closes its session after 900 s, an error
+    // after 1800 s, anything else after 3600 s — the
+    // "intent-dependent inactivity" rule real sessionizers ship,
+    // inexpressible with one static gap. Semantics under test: each
+    // event opens [t, t + gap(event)]; touching-or-overlapping
+    // intervals merge — an event landing EXACTLY on a session's end
+    // still merges (pinned empirically at sf0.1: one boundary event
+    // per ~90k sessions — the oracle's first `>=` cut split it);
+    // session end = max event end. The oracle replays that with a
+    // running max of interval ends per user (new session iff tsec
+    // STRICTLY exceeds the max end of all preceding intervals —
+    // sessions are time-contiguous so the running max is exactly the
+    // open session's end), and the same append-mode emission rule as
+    // D1 (end strictly below the final watermark). State per live
+    // session is one merged interval + counters.
+    Q("streaming_dynamic_sessions",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CASE WHEN event_type = 'purchase' THEN 900
+         |         WHEN event_type = 'error' THEN 1800
+         |         ELSE 3600 END AS gap
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, tsec, value, gap,
+         |    coalesce(max(tsec + gap) OVER (
+         |      PARTITION BY user_id ORDER BY tsec, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      AS prev_end
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, tsec, value, gap,
+         |    CAST(sum(CASE WHEN prev_end < tsec THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY tsec, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS session_seq
+         |  FROM m),
+         |agg AS (
+         |  SELECT user_id, min(tsec) AS start_s, max(tsec + gap) AS end_s,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    round(sum(value), 2) AS sum_value
+         |  FROM sess GROUP BY user_id, session_seq),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e)
+         |SELECT user_id, start_s, end_s, n_events, sum_value
+         |FROM agg, wm WHERE end_s < fw""".stripMargin) { (s, dir) =>
+      val raw = eventStream(s, dir)
+      val events = raw.select(col("user_id"), col("event_type"),
+        col("value"),
+        timestamp_seconds(expr("ts div 1000000000")).as("ts"))
+      val gap = when(col("event_type") === "purchase", lit("900 seconds"))
+        .when(col("event_type") === "error", lit("1800 seconds"))
+        .otherwise(lit("3600 seconds"))
+      val sessions = events
+        .withWatermark("ts", s"$DelayS seconds")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_s"),
+          unix_timestamp(col("session_window.end")).as("end_s"),
+          col("n_events"), col("sum_value"))
+      runToMemory(s, sessions, "graft_stream_dynsessions")
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by
