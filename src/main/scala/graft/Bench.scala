@@ -448,7 +448,10 @@ object Bench {
         // round-10 fifth wave: the exact dedup threshold curve —
         // B110's join + a broadcast band rollup — and the dynamic-gap
         // native session windows (merged-interval state, the D1 class)
-        "dedup_threshold_curve", "streaming_dynamic_sessions")
+        "dedup_threshold_curve", "streaming_dynamic_sessions",
+        // round-10 sixth wave: the zone clustering-factor probe
+        // (lineitem-cloned; same one-agg pass as zonemap stats)
+        "zonemap_overlap_factor")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -458,7 +461,8 @@ object Bench {
       "rfm_segments", "graph_label_prop", "winsorize_prices", "graph_hits",
       "ddsketch_order_value", "benford_first_digit", "graph_ppr",
       "spearman_daily", "timeseries_acf",
-      "window_range_frames", "zonemap_prune_stats")
+      "window_range_frames", "zonemap_prune_stats",
+      "zonemap_overlap_factor")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on
@@ -636,6 +640,7 @@ object Bench {
       // window and the map-only zone-stats pass (both orders/lineitem
       // trade-cloned)
       "window_range_frames", "zonemap_prune_stats",
+      "zonemap_overlap_factor",
       // round-10 fourth wave: cloned users repeat journey shapes, so
       // the transition matrix (and the driver-side chain solve) is
       // CONSTANT while the journey windows grow linearly

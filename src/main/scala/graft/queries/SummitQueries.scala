@@ -724,5 +724,67 @@ object SummitQueries {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
           lit(nTotal).as("n_docs_total"))
+    },
+
+    // B129: ZONE OVERLAP FACTOR — the CLUSTERING-QUALITY companion to
+    // B126's zone maps (the Oracle-DBA "clustering factor", recast
+    // for zone pruning): for point predicates along the ship-day
+    // domain, how many 256-key zones must a scan actually read
+    // because their [min_day, max_day] extent covers the probe? A
+    // well-clustered layout touches O(1) zones per probe; a layout
+    // uncorrelated with the predicate column touches nearly all of
+    // them (lineitem is written in orderkey order, so ship-day
+    // extents are wide — exactly what this measures and what a B42
+    // Z-order rewrite would fix). Probes = the 8 octile points of the
+    // day range (data-derived exact integers, never empty). Zone
+    // stats are the same ONE keyed agg as B126; probing is a
+    // broadcast 8×zones interval test, model-sized output.
+    Q("zonemap_overlap_factor",
+      """WITH z AS (
+        |  SELECT l_orderkey // 256 AS zone,
+        |    min(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+        |      AS min_day,
+        |    max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+        |      AS max_day
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT min(min_day) AS d0, max(max_day) AS d1,
+        |        CAST(count(*) AS BIGINT) AS n_zones FROM z),
+        |probes AS (
+        |  SELECT CAST(k AS BIGINT) AS k,
+        |    d0 + (d1 - d0) * CAST(k AS BIGINT) // 8 AS probe_day,
+        |    n_zones
+        |  FROM b, unnest(range(8)) AS u(k))
+        |SELECT p.k, p.probe_day, p.n_zones,
+        |  CAST(count(*) FILTER (z.min_day <= p.probe_day
+        |    AND p.probe_day <= z.max_day) AS BIGINT) AS n_zones_touched,
+        |  floor(CAST(count(*) FILTER (z.min_day <= p.probe_day
+        |      AND p.probe_day <= z.max_day) AS DOUBLE)
+        |    / CAST(p.n_zones AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS overlap_factor
+        |FROM probes p CROSS JOIN z
+        |GROUP BY p.k, p.probe_day, p.n_zones""".stripMargin) { (s, dir) =>
+      val z = table(s, dir, "lineitem")
+        .select(expr("l_orderkey div 256").as("zone"),
+          expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+        .groupBy(col("zone"))
+        .agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .localCheckpoint() // bounds + the probe join both read it
+      val b = z.agg(min(col("min_day")).as("d0"), max(col("max_day")).as("d1"),
+        count(lit(1)).as("n_zones"))
+      val probes = b.crossJoin(
+          broadcast(s.range(8).select(col("id").as("k"))))
+        .select(col("k"),
+          (col("d0") + expr("(d1 - d0) * k div 8")).as("probe_day"),
+          col("n_zones"))
+      probes.crossJoin(z)
+        .groupBy(col("k"), col("probe_day"), col("n_zones"))
+        .agg(sum(when(col("min_day") <= col("probe_day") &&
+            col("probe_day") <= col("max_day"), 1L).otherwise(0L))
+          .as("n_zones_touched"))
+        .select(col("k"), col("probe_day"), col("n_zones"),
+          col("n_zones_touched"),
+          (floor(col("n_zones_touched").cast("double")
+            / col("n_zones").cast("double") * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("overlap_factor"))
     })
 }
