@@ -551,15 +551,21 @@ object Bench {
       * conservative direction (the recorded number can only be ≥ the
       * engine's true cost), and the scale question the ceiling gates
       * (is this query super-linear?) is already answered by a sample
-      * an order of magnitude under the ceiling. Saves ~200 s across
-      * the ~75 mostly-fast ×100/×1000 probes.
+      * an order of magnitude under the ceiling. The threshold scales
+      * with the block ceiling (15% of it, floor 15 s): a ×1000 probe
+      * at 35 s against a 300 s ceiling has answered its linearity
+      * question just as decisively as a ×100 probe at 12 s against
+      * 180 s. Saves ~400 s across the ~80 ×100/×1000 probes — the
+      * back-to-back round-10 closing runs measured 3,202 s vs
+      * 3,633 s of block wall on IDENTICAL code (residual machine
+      * load), so the shape needs that margin under the ~1 h ceiling.
       */
     val fastConfirmSec =
       sys.env.getOrElse("SPARK_GRAFT_FAST_CONFIRM_SEC", "15").toDouble
     def runCeilingMin2(name: String, dir: String, ceilingSec: Int,
         tag: String): Double = {
       val a = runCeiling(name, dir, ceilingSec, tag)
-      if (a < 0 || a <= fastConfirmSec) a
+      if (a < 0 || a <= math.max(fastConfirmSec, ceilingSec * 0.15)) a
       else {
         val b = runCeiling(name, dir, ceilingSec, tag)
         if (b < 0) a else math.min(a, b)
@@ -740,14 +746,21 @@ object Bench {
       finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
     }
 
-    // ---- headline block (AFTER the scale probes — see above): full
-    // untimed warmup pass, then `runsPerQuery` timed PASSES over the
-    // whole suite (pass-wise rather than back-to-back per query, so a
+    // ---- headline block (AFTER the scale probes — see above):
+    // untimed warmup pass over the queries the probe blocks did NOT
+    // already run (a query probed at ×10 has compiled exactly the
+    // same generated code — the plan differs only in its input path —
+    // so re-warming it buys nothing; the probed set includes the
+    // expensive queries, making this roughly half the old full-pass
+    // warmup cost), then `runsPerQuery` timed PASSES over the whole
+    // suite (pass-wise rather than back-to-back per query, so a
     // partial flush after pass 1 already carries one sample for every
     // query — and the samples of one query are decorrelated in time,
     // which is what min-of-N wants). Median + min reported per query.
+    val probeWarmed = if (scaleProbe) x10Names.toSet else Set.empty[String]
     measureBlock("headline") {
-      queries.foreach { case (n, fn) => run(n, fn) } // warmup (untimed)
+      queries.foreach { case (n, fn) =>
+        if (!probeWarmed(n)) run(n, fn) } // warmup (untimed)
       for (_ <- 1 to runsPerQuery) {
         queries.foreach { case (n, fn) =>
           val t = run(n, fn)
