@@ -1,0 +1,341 @@
+package graft.queries
+
+import graft.GraftSession.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 statistics wave: the k-group parametric tests and the
+  * dependence/concentration measures that close out the monitoring
+  * family (ANOVA beside the two-sample t of B60; Brown-Forsythe
+  * beside it as the variance-homogeneity gate ANOVA assumes;
+  * mutual information beside the chi-square independence test B115;
+  * Gini/Lorenz beside the revenue-Pareto concentration B70).
+  *
+  * Shared conventions (AnalyticsQueries/SummitQueries): exact
+  * integer sufficient statistics (BIGINT, DECIMAL(38,0)/HUGEINT for
+  * squares) down to ONE pinned double division, 6dp floor form
+  * `floor(x*1e6 + 0.5)/1e6`; where a log is inherent (MI), each
+  * term is quantized to an exact 1e-4 integer grid FIRST (the C34
+  * entropy convention) so the cross-cell sum is order-independent
+  * exact-integer arithmetic, immune to double summation order.
+  * Dollars (floor(price)) rather than cents where group sums get
+  * squared: S_g² must stay inside DECIMAL(38,0) and S_g²/n_g inside
+  * BIGINT at the x1000 clone scale.
+  */
+object ZenithQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // B131: ONE-WAY ANOVA F statistic (Fisher 1925) of order value
+    // across the five order priorities — the k-group generalization
+    // of B60's two-sample t. Exact spelling: per-group sufficient
+    // stats (n_g, S_g = Σ dollars, Q_g = Σ dollars² in DECIMAL(38,0))
+    // are map-side-combinable integer sums; the between-group sum of
+    // squares uses the identity SSB = Σ_g S_g²//n_g − S²//N with the
+    // quotients as exact INTEGER floor divisions (both engines
+    // truncate identically on positive operands; the ≤1-unit floor
+    // loss per group is deterministic and shared, and SSB in dollar²
+    // units is astronomically larger than k units whenever F is
+    // meaningful). SSW = Q − Σ_g S_g²//n_g. F = (SSB·(N−k)) /
+    // (SSW·(k−1)) — exact integer products into ONE double division,
+    // 6dp floor. Scale shape: one map-side-combined groupBy over
+    // orders to a k-row relation; everything after is k-grain.
+    // Clone note: clones repeat the price domain, so per-group means
+    // are clone-invariant and F grows ~linearly with N (the
+    // statistic's own behavior, not a plan artifact).
+    Q("anova_oneway",
+      """WITH g AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      * CAST(floor(o_totalprice) AS BIGINT) AS HUGEINT)) AS HUGEINT)
+        |      AS q
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS HUGEINT) AS ss,
+        |    CAST(sum(q) AS HUGEINT) AS qq,
+        |    CAST(sum(CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+        |      AS HUGEINT) AS tt
+        |  FROM g),
+        |f AS (
+        |  SELECT k, nn,
+        |    greatest(tt - ss * ss // nn, 0) AS ssb,
+        |    greatest(qq - tt, 0) AS ssw
+        |  FROM t)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |  CAST(ssb AS DOUBLE) AS ssb_dollars2,
+        |  CAST(ssw AS DOUBLE) AS ssw_dollars2,
+        |  CASE WHEN ssw > 0 AND nn > k THEN
+        |    floor(CAST(ssb * (nn - k) AS DOUBLE)
+        |      / CAST(ssw * (k - 1) AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS f_stat
+        |FROM f""".stripMargin) { (s, dir) =>
+      val dollars = floor(col("o_totalprice")).cast("long")
+      val g = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), dollars.as("d"))
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("q"))
+      val t = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s").cast("decimal(38,0)")).as("ss"),
+        sum(col("q")).as("qq"),
+        sum(expr("cast(cast(s as decimal(38,0)) * s div n as decimal(38,0))"))
+          .as("tt"))
+      t.select(col("k"), col("nn"),
+          greatest(col("tt") - expr("ss * ss div nn"), lit(0))
+            .cast("decimal(38,0)").as("ssb"),
+          greatest(col("qq") - col("tt"), lit(0)).cast("decimal(38,0)")
+            .as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_rows"),
+          col("ssb").cast("double").as("ssb_dollars2"),
+          col("ssw").cast("double").as("ssw_dollars2"),
+          when(col("ssw") > 0 && col("nn") > col("k"),
+            floor((col("ssb") * (col("nn") - col("k"))).cast("double")
+              / (col("ssw") * (col("k") - 1)).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("f_stat"))
+    },
+
+    // B130: BROWN-FORSYTHE / LEVENE variance-homogeneity test
+    // (Brown & Forsythe JASA 1974 — the robust median-centered
+    // Levene) across the five order priorities: W = the one-way
+    // ANOVA F computed on z = |x − median_g|. It is the gate ANOVA's
+    // equal-variance assumption needs, and nothing in the test
+    // family (t/U/KS/chi²/F) measures SPREAD homogeneity. Exact
+    // spelling: the group median is the LOWER median on the dollar
+    // grain (the smallest value whose cumulative count reaches
+    // ⌈n_g/2⌉ — an exact integer convention both engines replay; the
+    // value-grain window is the B114 prefix-sum identity: distinct
+    // dollar values per group, clone-invariant by Heaps-like domain
+    // repetition), z is an exact non-negative integer, and the F
+    // algebra on (n, Σz, Σz²) is B131's — exact integers into one
+    // double division, 6dp floor. Scale shape: one value-grain agg
+    // (map-side combined), a k-partition window on the VALUE grain,
+    // a broadcast 5-row median join back to orders, then the k-row
+    // F. Two passes over orders, no row-grain shuffle sort.
+    Q("levene_spread",
+      """WITH d AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders),
+        |vc AS (
+        |  SELECT pri, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT pri, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY pri ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY pri) AS BIGINT) AS n
+        |  FROM vc),
+        |med AS (
+        |  SELECT pri, CAST(min(v) AS BIGINT) AS med
+        |  FROM cw WHERE cum >= (n + 1) // 2 GROUP BY pri),
+        |z AS (
+        |  SELECT d.pri, abs(d.v - med.med) AS z
+        |  FROM d JOIN med ON d.pri = med.pri),
+        |g AS (
+        |  SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS BIGINT) AS s,
+        |    CAST(sum(CAST(z * z AS HUGEINT)) AS HUGEINT) AS q
+        |  FROM z GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS HUGEINT) AS ss,
+        |    CAST(sum(q) AS HUGEINT) AS qq,
+        |    CAST(sum(CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+        |      AS HUGEINT) AS tt
+        |  FROM g),
+        |f AS (
+        |  SELECT k, nn,
+        |    greatest(tt - ss * ss // nn, 0) AS ssb,
+        |    greatest(qq - tt, 0) AS ssw
+        |  FROM t)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |  CASE WHEN ssw > 0 AND nn > k THEN
+        |    floor(CAST(ssb * (nn - k) AS DOUBLE)
+        |      / CAST(ssw * (k - 1) AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS w_stat
+        |FROM f""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val vc = d.groupBy(col("pri"), col("v")).agg(count(lit(1)).as("cnt"))
+      // value-grain window: distinct dollar values per priority —
+      // bounded by the price domain, clone-invariant
+      val wOrd = Window.partitionBy(col("pri")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("pri"))
+      val med = vc
+        .select(col("pri"), col("v"), col("cnt"),
+          sum(col("cnt")).over(wOrd).as("cum"),
+          sum(col("cnt")).over(wAll).as("n"))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("pri")).agg(min(col("v")).as("med"))
+      val z = d.join(broadcast(med), Seq("pri"))
+        .select(col("pri"), abs(col("v") - col("med")).as("z"))
+      val g = z.groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("s"),
+          sum((col("z") * col("z")).cast("decimal(38,0)")).as("q"))
+      val t = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s").cast("decimal(38,0)")).as("ss"),
+        sum(col("q")).as("qq"),
+        sum(expr("cast(cast(s as decimal(38,0)) * s div n as decimal(38,0))"))
+          .as("tt"))
+      t.select(col("k"), col("nn"),
+          greatest(col("tt") - expr("ss * ss div nn"), lit(0))
+            .cast("decimal(38,0)").as("ssb"),
+          greatest(col("qq") - col("tt"), lit(0)).cast("decimal(38,0)")
+            .as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_rows"),
+          when(col("ssw") > 0 && col("nn") > col("k"),
+            floor((col("ssb") * (col("nn") - col("k"))).cast("double")
+              / (col("ssw") * (col("k") - 1)).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("w_stat"))
+    },
+
+    // B132: GINI COEFFICIENT / Lorenz concentration (Gini 1912) of
+    // per-customer revenue within each market segment — the standard
+    // inequality measure beside B70's top-share Pareto cut. Exact
+    // spelling: the sorted-rank formula G = (2Σᵢ i·xᵢ − (n+1)Σx) /
+    // (n·Σx) is evaluated WITHOUT a row-grain sort via the
+    // tie-invariant prefix-sum identity on the value grain (the
+    // B114/C101 discipline): for a value v occurring cnt times with
+    // cumBefore smaller values, its rank block contributes
+    // 2Σi·v = v·cnt·(2·cumBefore + cnt + 1) — an exact integer.
+    // Numerator and denominator stay in DECIMAL(38,0)/HUGEINT down
+    // to ONE double division, 6dp floor. Scale shape: orders joined
+    // to customer (broadcastable dimension at test SF; keyed shuffle
+    // at cluster scale), one per-customer rollup, then a VALUE-GRAIN
+    // window per segment (distinct revenue-cents values — clones
+    // repeat customer revenues, so the grain is clone-invariant; in
+    // a real corpus it is bounded by the price domain).
+    Q("gini_segment",
+      """WITH cust AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |vc AS (
+        |  SELECT segment, cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cust GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT segment, cents, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY cents)
+        |      AS BIGINT) - cnt AS cb
+        |  FROM vc),
+        |g AS (
+        |  SELECT segment,
+        |    CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(cents * cnt) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cnt * (2 * cb + cnt + 1))
+        |      AS HUGEINT) AS two_six
+        |  FROM cw GROUP BY 1)
+        |SELECT segment, n AS n_customers, sx AS total_cents,
+        |  CASE WHEN sx > 0 AND n > 0 THEN
+        |    floor(CAST(two_six - (n + 1) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS gini
+        |FROM g""".stripMargin) { (s, dir) =>
+      val cust = table(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .join(table(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_mktsegment").as("segment")), Seq("ck"))
+        .groupBy(col("segment"), col("ck"))
+        .agg(sum(col("c")).as("cents"))
+      val vc = cust.groupBy(col("segment"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("segment")).orderBy(col("cents"))
+      val cw = vc.select(col("segment"), col("cents"), col("cnt"),
+        (sum(col("cnt")).over(w) - col("cnt")).as("cb"))
+      cw.groupBy(col("segment"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("cents") * col("cnt")).as("sx"),
+          sum((col("cents").cast("decimal(38,0)") * col("cnt")
+            * (col("cb") * 2 + col("cnt") + 1)).cast("decimal(38,0)"))
+            .as("two_six"))
+        .select(col("segment"), col("n").as("n_customers"),
+          col("sx").as("total_cents"),
+          when(col("sx") > 0 && col("n") > 0,
+            floor((col("two_six")
+                - ((col("n") + 1).cast("decimal(38,0)") * col("sx")))
+                .cast("double")
+              / (col("n").cast("decimal(38,0)") * col("sx")).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("gini"))
+    },
+
+    // B133: MUTUAL INFORMATION (in nats) between market segment and
+    // nation over customers — the information-theoretic dependence
+    // measure beside B115's chi-square (chi² asks IF the margins are
+    // independent; MI measures HOW MANY bits the dependence carries,
+    // the feature-selection ranking statistic). Log determinism: the
+    // per-cell pointwise-MI ln((N·n_xy)/(n_x·n_y)) is ONE double
+    // division of exact BIGINT products followed by one libm ln,
+    // quantized to the exact 1e-4 integer grid (the C34 entropy
+    // convention — the grid absorbs sub-ulp libm drift); each cell's
+    // contribution n_xy·pmi_e4 is then an exact BIGINT, so the
+    // cross-cell sum is ORDER-INDEPENDENT integer arithmetic — no
+    // double summation-order noise at any grid size. MI = Σterm /
+    // (N·10⁴), one double division, 6dp floor. Scale shape: one
+    // map-side-combined groupBy over customer to a (segments ×
+    // nations) model-sized grid; margins and the total are grid-side
+    // broadcast joins.
+    Q("mutual_information",
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT segment, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM cells GROUP BY 1),
+        |my AS (SELECT nation, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nn FROM cells),
+        |p AS (
+        |  SELECT segment, nation, n_xy, n_x, n_y, nn,
+        |    CAST(floor(ln(CAST(nn * n_xy AS DOUBLE)
+        |        / CAST(n_x * n_y AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+        |      AS pmi_e4
+        |  FROM cells JOIN mx USING (segment) JOIN my USING (nation),
+        |    tot),
+        |mi AS (
+        |  SELECT floor(CAST(sum(n_xy * pmi_e4) AS DOUBLE)
+        |    / CAST(max(nn) * 10000 AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS mi_nats
+        |  FROM p)
+        |SELECT segment, nation, n_xy,
+        |  CAST(pmi_e4 AS DOUBLE) / 10000 AS pmi, mi_nats
+        |FROM p, mi""".stripMargin) { (s, dir) =>
+      val cells = table(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_xy"))
+        .localCheckpoint() // grid feeds margins, total, and the join
+      val mx = cells.groupBy(col("segment")).agg(sum(col("n_xy")).as("n_x"))
+      val my = cells.groupBy(col("nation")).agg(sum(col("n_xy")).as("n_y"))
+      val tot = cells.agg(sum(col("n_xy")).as("nn"))
+      val p = cells
+        .join(broadcast(mx), Seq("segment"))
+        .join(broadcast(my), Seq("nation"))
+        .crossJoin(broadcast(tot))
+        .select(col("segment"), col("nation"), col("n_xy"),
+          floor(log((col("nn") * col("n_xy")).cast("double")
+              / (col("n_x") * col("n_y")).cast("double"))
+            * 10000 + lit(0.5)).cast("long").as("pmi_e4"),
+          col("nn"))
+        .localCheckpoint() // cells feed the MI rollup and the output
+      val mi = p.agg(
+        (floor(sum(col("n_xy") * col("pmi_e4")).cast("double")
+          / (max(col("nn")) * 10000).cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("mi_nats"))
+      p.crossJoin(broadcast(mi))
+        .select(col("segment"), col("nation"), col("n_xy"),
+          (col("pmi_e4").cast("double") / 10000).as("pmi"),
+          col("mi_nats"))
+    })
+}

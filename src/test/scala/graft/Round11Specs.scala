@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 statistics-wave specs — hand-computed planted cases for
+  * the semantics the SF oracle gate cannot isolate (both engines
+  * replay the same arithmetic; these pin what the statistics MEAN).
+  */
+
+/** B131 anova_oneway — textbook two-group case with a hand-solved F,
+  * plus degenerate guards (zero within-variance → NULL).
+  */
+class AnovaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Double)]): org.apache.spark.sql.Row = {
+    val dir = java.nio.file.Files.createTempDirectory("anova").toString
+    rows.toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    SparkEntry.queries("anova_oneway")(spark, dir).collect().head
+  }
+
+  test("hand-solved two-group F: SSB=150, SSW=4, F=150") {
+    // A: 9,10,11 (mean 10); B: 19,20,21 (mean 20). Grand mean 15.
+    // SSB = 3·25 + 3·25 = 150; SSW = 2 + 2 = 4; F = (150/1)/(4/4) = 150.
+    val r = run(Seq("A" -> 9.0, "A" -> 10.0, "A" -> 11.0,
+      "B" -> 19.0, "B" -> 20.0, "B" -> 21.0))
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Double]("ssb_dollars2") == 150.0)
+    assert(r.getAs[Double]("ssw_dollars2") == 4.0)
+    assert(r.getAs[Double]("f_stat") == 150.0)
+  }
+
+  test("zero within-group variance → NULL F, exact SSB") {
+    val r = run(Seq("A" -> 10.0, "A" -> 10.0, "B" -> 20.0, "B" -> 20.0))
+    assert(r.getAs[Double]("ssb_dollars2") == 100.0)
+    assert(r.getAs[Double]("ssw_dollars2") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  test("corpus run is non-degenerate") {
+    val r = SparkEntry.queries("anova_oneway")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_groups") == 5L)
+    assert(r.getAs[Double]("f_stat") > 0.0)
+  }
+}
+
+/** B130 levene_spread — Brown-Forsythe W: equal medians + unequal
+  * spreads must fire; identical spreads must land exactly on 0.
+  */
+class LeveneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Double)]): org.apache.spark.sql.Row = {
+    val dir = java.nio.file.Files.createTempDirectory("levene").toString
+    rows.toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    SparkEntry.queries("levene_spread")(spark, dir).collect().head
+  }
+
+  test("hand-solved spread difference: W = 4 exactly") {
+    // A: 10,10,10 → lower median 10, z = {0,0,0}
+    // B: 5,15,25 → lower median 15 (cum≥2), z = {10,0,10}
+    // n=6, k=2; S_A=0,Q_A=0; S_B=20,Q_B=200
+    // T = 0 + 400//3 = 133; S²//N = 400//6 = 66
+    // SSB = 133−66 = 67; SSW = 200−133 = 67; W = (67·4)/(67·1) = 4.
+    val r = run(Seq("A" -> 10.0, "A" -> 10.0, "A" -> 10.0,
+      "B" -> 5.0, "B" -> 15.0, "B" -> 25.0))
+    assert(r.getAs[Double]("w_stat") == 4.0)
+  }
+
+  test("identical group spreads → W = 0 exactly") {
+    // both groups have z-multiset {1,0,1} after median centering
+    val r = run(Seq("A" -> 9.0, "A" -> 10.0, "A" -> 11.0,
+      "B" -> 19.0, "B" -> 20.0, "B" -> 21.0))
+    assert(r.getAs[Double]("w_stat") == 0.0)
+  }
+
+  test("corpus run is non-degenerate") {
+    val r = SparkEntry.queries("levene_spread")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_rows") > 0L)
+    assert(!r.isNullAt(r.fieldIndex("w_stat")))
+  }
+}
+
+/** B132 gini_segment — exact planted Lorenz cases: perfect equality
+  * is 0, the 1-2-3-4 ladder is exactly 0.25, and ties are handled by
+  * the rank-block identity (invariant to order among equals).
+  */
+class GiniSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rev: Seq[Double]): Map[String, org.apache.spark.sql.Row] = {
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    rev.zipWithIndex.map { case (v, i) => (i.toLong + 1, "SEG") }
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    rev.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    SparkEntry.queries("gini_segment")(spark, dir).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+  }
+
+  test("perfect equality → gini 0; 1-2-3-4 ladder → exactly 0.25") {
+    assert(run(Seq(5.0, 5.0, 5.0, 5.0))("SEG").getAs[Double]("gini") == 0.0)
+    // sorted 100,200,300,400 cents: 2Σi·x = 6000; (n+1)Σx = 5000;
+    // n·Σx = 4000 → G = 1000/4000 = 0.25
+    assert(run(Seq(1.0, 2.0, 3.0, 4.0))("SEG").getAs[Double]("gini") == 0.25)
+  }
+
+  test("ties collapse to the same value block: {1,1,4} gini = 1/3") {
+    // sorted 100,100,400: 2Σi·x = 2(100+200+1200) = 3000;
+    // (n+1)Σx = 2400; n·Σx = 1800 → (3000−2400)/1800 = 1/3
+    val g = run(Seq(1.0, 1.0, 4.0))("SEG").getAs[Double]("gini")
+    assert(g == math.floor(600.0 / 1800.0 * 1e6 + 0.5) / 1e6, s"got $g")
+  }
+
+  test("corpus ginis are concentration-shaped: strictly inside (0,1)") {
+    val rows = SparkEntry.queries("gini_segment")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g > 0.0 && g < 1.0, s"${r.getAs[String]("segment")}: $g")
+    }
+  }
+}
+
+/** B133 mutual_information — planted dependence extremes: a
+  * deterministic 2×2 mapping carries exactly ln 2 nats; a uniform
+  * grid carries exactly 0.
+  */
+class MutualInfoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Int)]): (Double, Map[(String, Long), Double]) = {
+    val dir = java.nio.file.Files.createTempDirectory("mi").toString
+    rows.zipWithIndex.map { case ((seg, nat), i) => (i.toLong, seg, nat) }
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // orders unused by the query but keep the loader honest
+    val out = SparkEntry.queries("mutual_information")(spark, dir).collect()
+    val mi = out.head.getAs[Double]("mi_nats")
+    val pmi = out.map(r =>
+      (r.getAs[String]("segment"), r.getAs[Long]("nation")) ->
+        r.getAs[Double]("pmi")).toMap
+    (mi, pmi)
+  }
+
+  test("deterministic mapping → MI = ln 2 on the 1e-4 grid") {
+    val (mi, pmi) = run(Seq("A" -> 0, "A" -> 0, "B" -> 1, "B" -> 1))
+    val ln2e4 = math.floor(math.log(2.0) * 1e4 + 0.5) / 1e4 // 0.6931
+    assert(pmi(("A", 0L)) == ln2e4 && pmi(("B", 1L)) == ln2e4)
+    // MI = Σ n·pmi_e4 / (N·1e4) = (2+2)·6931/40000 = 0.6931
+    assert(mi == 0.6931, s"got $mi")
+  }
+
+  test("independent uniform grid → MI = 0 exactly") {
+    val (mi, pmi) = run(Seq(
+      "A" -> 0, "A" -> 1, "B" -> 0, "B" -> 1))
+    assert(pmi.values.forall(_ == 0.0))
+    assert(mi == 0.0)
+  }
+
+  test("corpus MI is small but the grid is full") {
+    val out = SparkEntry.queries("mutual_information")(spark, sfDir).collect()
+    assert(out.length > 50) // segments × nations grid is populated
+    val mi = out.head.getAs[Double]("mi_nats")
+    assert(mi >= 0.0 && mi < 0.5, s"synthetic independence broken: $mi")
+  }
+}
