@@ -770,5 +770,161 @@ object ZenithQueries {
           col("tri").as("triangles"),
           (col("cc_e6").cast("double") / 1000000).as("cc"),
           col("n_nodes"), col("avg_cc"))
+    },
+
+    // B136: HOLT-WINTERS additive triple exponential smoothing
+    // (Winters 1960; Holt 1957) with weekly seasonality over the
+    // zero-filled global daily revenue grid — completing the
+    // forecasting family: B48 EWMA smooths level, B109 Holt adds
+    // trend, B111 decomposition ASSUMES the season and B124 ACF
+    // MEASURES it; Holt-Winters forecasts with all three. α=1/2,
+    // β=γ=1/4 (exact binary fractions). Determinism: daily values
+    // are exact integer cent sums on the B45 calendar grid (missing
+    // days = exact 0); the level seed is ONE division of an exact
+    // 7-day integer sum; the recursion is a coupled fold whose IEEE
+    // ops run in pinned order — Spark folds a sort_array'd series
+    // with `aggregate`, DuckDB a RECURSIVE CTE carrying (l, b) as
+    // scalars and the 7-slot seasonal vector as a LIST column (the
+    // B128 state-vector precedent; struct accumulators are the
+    // documented DuckDB fold bug, scalars+list are safe); round 6dp
+    // at the end, the B109 convention. The seasonal list is kept
+    // with HEAD = next step's season: each step consumes s[1] and
+    // appends the re-estimated season at the tail, so horizon-h
+    // forecasts read s[h] directly. Scale shape: one keyed day agg
+    // over events (map-side combined); the grid, the 30-element
+    // series and the fold are CALENDAR-sized — constant across any
+    // corpus scale (the day-grain class).
+    Q("holt_winters", {
+      val l0 = "CAST(vs[1]+vs[2]+vs[3]+vs[4]+vs[5]+vs[6]+vs[7] AS DOUBLE)/7.0"
+      val v = "CAST(h.vs[CAST(r.i + 1 AS INT)] AS DOUBLE)"
+      val lN = s"0.5*($v - r.s[1]) + 0.5*(r.l + r.b)"
+      s"""WITH RECURSIVE e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT day, CAST(sum(c) AS BIGINT) AS v FROM e GROUP BY day),
+        |sp AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |grid AS (SELECT unnest(range(mn, mx + 1)) AS day FROM sp),
+        |z AS (
+        |  SELECT grid.day, coalesce(d.v, 0) AS v
+        |  FROM grid LEFT JOIN d USING (day)),
+        |hw AS (SELECT list(v ORDER BY day) AS vs,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM z),
+        |rec AS (
+        |  SELECT CAST(7 AS BIGINT) AS i, $l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    list_transform(range(7),
+        |      j -> CAST(vs[CAST(j + 1 AS INT)] AS DOUBLE) - ($l0)) AS s
+        |  FROM hw
+        |  UNION ALL
+        |  SELECT r.i + 1, $lN,
+        |    0.25*(($lN) - r.l) + 0.75*r.b,
+        |    list_append(r.s[2:], 0.25*($v - ($lN)) + 0.75*r.s[1])
+        |  FROM rec r, hw h WHERE r.i < h.n),
+        |fin AS (SELECT r.l, r.b, r.s, h.n FROM rec r, hw h WHERE r.i = h.n)
+        |SELECT CAST(hz AS BIGINT) AS h, n AS n_days,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(s[CAST(hz AS INT)], 6) AS seasonal,
+        |  round(l + hz * b + s[CAST(hz AS INT)], 6) AS forecast
+        |FROM fin, unnest(range(1, 8)) AS u(hz)""".stripMargin
+    }) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val grid = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      // calendar-sized from here on: one row carrying the series
+      val series = grid.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("day"), col("v")))),
+          dv => dv.getField("v")).as("vs"))
+        .select(col("vs"), size(col("vs")).cast("long").as("n"))
+      val folded = series.select(col("n"),
+        aggregate(
+          expr("slice(vs, 8, greatest(cast(size(vs) as int) - 7, 0))"),
+          struct(
+            (expr("aggregate(slice(vs, 1, 7), 0L, (a, x) -> a + x)")
+              .cast("double") / 7.0).as("l"),
+            lit(0.0).as("b"),
+            transform(expr("slice(vs, 1, 7)"), x => x.cast("double")
+              - expr("aggregate(slice(vs, 1, 7), 0L, (a, x) -> a + x)")
+                .cast("double") / 7.0).as("s")),
+          (acc, vL) => {
+            val v = vL.cast("double")
+            val sHead = element_at(acc.getField("s"), 1)
+            val lN = lit(0.5) * (v - sHead) +
+              lit(0.5) * (acc.getField("l") + acc.getField("b"))
+            struct(lN.as("l"),
+              (lit(0.25) * (lN - acc.getField("l"))
+                + lit(0.75) * acc.getField("b")).as("b"),
+              concat(slice(acc.getField("s"), 2, 6),
+                array(lit(0.25) * (v - lN) + lit(0.75) * sHead)).as("s"))
+          }).as("st"))
+      folded.select(col("n"), col("st"),
+          explode(sequence(lit(1L), lit(7L))).as("h"))
+        .select(col("h"), col("n").as("n_days"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(element_at(col("st.s"), col("h").cast("int")), 6)
+            .as("seasonal"),
+          round(col("st.l") + col("h") * col("st.b")
+            + element_at(col("st.s"), col("h").cast("int")), 6)
+            .as("forecast"))
+    },
+
+    // C115: SCENE-CUT DETECTION over the sampled frame stream — the
+    // shot-boundary pass of any video-curation pipeline (threshold on
+    // the inter-frame feature distance; Rasheed & Shah ICIP 2003's
+    // color-histogram L1 shape on C20's deterministic frame kernel).
+    // The frame features are exact multiples of 2⁻¹⁶ (the
+    // mm_frame_sample contract), so the 8-dim L1 distance is EXACT
+    // dyadic-rational double arithmetic — order-independent, no
+    // rounding grid needed anywhere. A transition is a cut when
+    // dist > 9.0 (≈ the distance distribution's upper decile — cuts are
+    // populated on the synthetic corpus, pinned by spec). Scale
+    // shape: the frame explode is the C20 batched iterator transform
+    // (constant memory, map-only); the lag window partitions per doc
+    // (frames/doc bounded by payload bytes / 128).
+    Q("mm_scene_cuts", {
+      s"""WITH ${MediaOracle.frameFeatureCtes(step = 2)},
+        |fd AS (
+        |  SELECT doc_id, f,
+        |    lag(f) OVER (PARTITION BY doc_id ORDER BY f) AS pf,
+        |    lag(feats) OVER (PARTITION BY doc_id ORDER BY f) AS pfeats,
+        |    feats
+        |  FROM ft),
+        |dist AS (
+        |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |    CAST(pf AS INT) AS prev_idx,
+        |    list_reduce(list_prepend(0.0, list_transform(range(8),
+        |      j -> abs(feats[CAST(j + 1 AS INT)]
+        |             - pfeats[CAST(j + 1 AS INT)]))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM fd WHERE pf IS NOT NULL)
+        |SELECT doc_id AS id, frame_idx, prev_idx, dist,
+        |  CAST(CASE WHEN dist > 9.0 THEN 1 ELSE 0 END AS INT) AS is_cut
+        |FROM dist""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val frames = graft.operators.Multimodal.sampleFrames(s,
+        graft.operators.Multimodal.asMedia(docs, "text")
+          .select(col("doc_id"), col("media")),
+        "doc_id", frameBytes = 64, everyN = 2)
+      val w = Window.partitionBy(col("id")).orderBy(col("frame_idx"))
+      frames
+        .select(col("id"), col("frame_idx"),
+          lag(col("frame_idx"), 1).over(w).as("prev_idx"),
+          lag(col("features"), 1).over(w).as("pfeats"),
+          col("features"))
+        .filter(col("prev_idx").isNotNull)
+        .select(col("id"), col("frame_idx"), col("prev_idx"),
+          aggregate(
+            zip_with(col("features"), col("pfeats"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => acc + x).as("dist"))
+        .select(col("id"), col("frame_idx"), col("prev_idx"), col("dist"),
+          when(col("dist") > 9.0, lit(1)).otherwise(lit(0)).cast("int")
+            .as("is_cut"))
     })
 }

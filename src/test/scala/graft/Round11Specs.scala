@@ -370,3 +370,91 @@ class ClusteringCoeffSpec extends SparkTestBase {
     assert(avg > 0.0 && avg < 1.0, s"degenerate projection: $avg")
   }
 }
+
+/** B136 holt_winters — a constant series is a fixed point (level =
+  * the constant, zero trend/season), and a pure period-7 signal is
+  * recovered EXACTLY by the seasonal forecasts.
+  */
+class HoltWintersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(dailyValues: Seq[Double]): Array[org.apache.spark.sql.Row] = {
+    val dir = java.nio.file.Files.createTempDirectory("hw").toString
+    val day0 = 19723L * 86400 // inside the corpus range, day-aligned
+    dailyValues.zipWithIndex.map { case (v, i) =>
+      (i.toLong, (day0 + i * 86400L) * 1000000000L, 1L, "et", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    SparkEntry.queries("holt_winters")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("h"))
+  }
+
+  test("constant series is a fixed point: level=c, trend=0, season=0") {
+    val out = run(Seq.fill(10)(5.0)) // 10 days of 500 cents
+    out.foreach { r =>
+      assert(r.getAs[Double]("level") == 500.0)
+      assert(r.getAs[Double]("trend") == 0.0)
+      assert(r.getAs[Double]("seasonal") == 0.0)
+      assert(r.getAs[Double]("forecast") == 500.0)
+    }
+    assert(out.head.getAs[Long]("n_days") == 10L)
+  }
+
+  test("pure period-7 signal: forecasts recover the pattern exactly") {
+    val pattern = Seq(7.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) // cents 700,0,...
+    val out = run(pattern ++ pattern) // 14 days, two full periods
+    // l0 = 100; s_i = p_i − 100; the fold is a fixed point, so
+    // forecast(h) = 100 + (p_h − 100) = p_h
+    val expected = Seq(700.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    out.zip(expected).foreach { case (r, p) =>
+      assert(r.getAs[Double]("level") == 100.0)
+      assert(r.getAs[Double]("trend") == 0.0)
+      assert(r.getAs[Double]("forecast") == p,
+        s"h=${r.getAs[Long]("h")}: ${r.getAs[Double]("forecast")} != $p")
+    }
+  }
+
+  test("corpus forecast: 7 horizons off the 30-day grid") {
+    val out = SparkEntry.queries("holt_winters")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("h"))
+    assert(out.length == 7)
+    assert(out.head.getAs[Long]("n_days") == 30L)
+    out.foreach(r => assert(r.getAs[Double]("forecast") > 0.0))
+  }
+}
+
+/** C115 mm_scene_cuts — identical frames measure exactly 0 distance
+  * (no cut); differing frames measure positive distance; the flag is
+  * exactly the 9.0-threshold predicate.
+  */
+class SceneCutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(text: String): Array[org.apache.spark.sql.Row] = {
+    val dir = java.nio.file.Files.createTempDirectory("scut").toString
+    Seq((1L, text, "en", "s")).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("mm_scene_cuts")(spark, dir).collect()
+  }
+
+  test("identical frames → dist exactly 0, no cut") {
+    val out = run("a" * 256) // frames 0 and 2, both 'a'×64
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("dist") == 0.0)
+    assert(out.head.getAs[Int]("is_cut") == 0)
+  }
+
+  test("different frame content → positive dist, flag = threshold predicate") {
+    val out = run(("a" * 128) + ("b" * 128)) // frame 0 'a'×64, frame 2 'b'×64
+    assert(out.length == 1)
+    val d = out.head.getAs[Double]("dist")
+    assert(d > 0.0)
+    assert(out.head.getAs[Int]("is_cut") == (if (d > 9.0) 1 else 0))
+  }
+
+  test("corpus transitions populate both classes") {
+    val out = SparkEntry.queries("mm_scene_cuts")(spark, sfDir).collect()
+    val cuts = out.count(_.getAs[Int]("is_cut") == 1)
+    assert(cuts > 0 && cuts < out.length, s"$cuts/${out.length}")
+  }
+}
