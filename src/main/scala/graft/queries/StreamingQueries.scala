@@ -1361,6 +1361,122 @@ object StreamingQueries {
       runToMemory(s, sessions, "graft_stream_dynsessions")
     },
 
+    // D44: streaming prefix z-score anomaly gate — each event tested
+    // against the running mean/σ of all PRIOR events of its type
+    // (the live telemetry outlier monitor). A genuine ordered fold
+    // (what counts as "prior" is order-determined), so it rides the
+    // D23 buffered-fold machinery (SessionPipeline.statefulAnomalyFold)
+    // with the anomaly predicate in EXACT integer arithmetic — no
+    // doubles, no sqrt: (v·n − S)²·(n−1) > 9·n·(n·Q − S²), warm-up
+    // n ≥ 30. The oracle replays the identical prefix rule with
+    // per-type cumulative windows over exactly the rows below the
+    // final watermark (the D23 emission rule), products in HUGEINT.
+    Q("streaming_zscore_anomaly",
+      s"""WITH e AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |r AS (SELECT event_type, event_id, tsec, c
+         |      FROM e, wm WHERE tsec < fw),
+         |w AS (
+         |  SELECT event_type, c,
+         |    CAST(row_number() OVER win - 1 AS BIGINT) AS pn,
+         |    CAST(sum(c) OVER win - c AS BIGINT) AS ps,
+         |    CAST(sum(CAST(c AS HUGEINT) * c) OVER win
+         |      - CAST(c AS HUGEINT) * c AS HUGEINT) AS pq
+         |  FROM r
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY tsec, event_id)),
+         |a AS (
+         |  SELECT event_type, c,
+         |    CASE WHEN pn >= 30 AND
+         |      CAST(c * pn - ps AS HUGEINT) * (c * pn - ps) * (pn - 1)
+         |        > 9 * pn * (pn * pq - CAST(ps AS HUGEINT) * ps)
+         |      THEN 1 ELSE 0 END AS anom
+         |  FROM w)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_folded,
+         |  CAST(sum(anom) AS BIGINT) AS n_anomalies,
+         |  CAST(sum(c) AS BIGINT) AS sum_cents
+         |FROM a GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .as[SessionPipeline.AnomEvent]
+      val folded = SessionPipeline.statefulAnomalyFold(ev, DelayS).toDF()
+      runToMemory(s, folded, "graft_stream_zscore", mode = "update")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_folded"), col("n_anomalies"),
+          col("sum_cents"))).as("m"))
+        .select(col("event_type"), col("m.n_folded").as("n_folded"),
+          col("m.n_anomalies").as("n_anomalies"),
+          col("m.sum_cents").as("sum_cents"))
+    },
+
+    // D45: streaming one-way ANOVA — B131's F statistic computed
+    // LIVE across event types from additive per-type sufficient
+    // statistics (n, Σc, Σc² — bytes of state per type, the
+    // partial-merge-friendly form): the always-on experiment monitor
+    // beside the drift trio (PSI/KS/EMD compare distributions to a
+    // frozen reference; the live F compares the groups to EACH
+    // OTHER). Complete-mode snapshot after AvailableNow replay, then
+    // the exact-integer F algebra on the k-row snapshot — identical
+    // spellings to B131, cents grain.
+    Q("streaming_anova",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS s,
+        |    CAST(sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT))
+        |      AS HUGEINT) AS q
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS HUGEINT) AS ss,
+        |    CAST(sum(q) AS HUGEINT) AS qq,
+        |    CAST(sum(CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+        |      AS HUGEINT) AS tt
+        |  FROM g),
+        |f AS (
+        |  SELECT k, nn,
+        |    greatest(tt - ss * ss // nn, 0) AS ssb,
+        |    greatest(qq - tt, 0) AS ssw
+        |  FROM t)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |  CASE WHEN ssw > 0 AND nn > k THEN
+        |    floor(CAST(ssb * (nn - k) AS DOUBLE)
+        |      / CAST(ssw * (k - 1) AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS f_stat
+        |FROM f""".stripMargin) { (s, dir) =>
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val live = eventStream(s, dir)
+        .select(col("event_type"), cents.as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      val g = runToMemory(s, live, "graft_stream_anova", mode = "complete")
+      val t = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s").cast("decimal(38,0)")).as("ss"),
+        sum(col("q")).as("qq"),
+        sum(expr("cast(cast(s as decimal(38,0)) * s div n as decimal(38,0))"))
+          .as("tt"))
+      t.select(col("k"), col("nn"),
+          greatest(col("tt") - expr("ss * ss div nn"), lit(0))
+            .cast("decimal(38,0)").as("ssb"),
+          greatest(col("qq") - col("tt"), lit(0)).cast("decimal(38,0)")
+            .as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_rows"),
+          when(col("ssw") > 0 && col("nn") > col("k"),
+            floor((col("ssb") * (col("nn") - col("k"))).cast("double")
+              / (col("ssw") * (col("k") - 1)).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("f_stat"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by

@@ -351,4 +351,84 @@ object SessionPipeline extends Serializable {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class AnomEvent(event_type: String, event_id: Long, tsec: Long,
+      cents: Long)
+  case class AnomState(n: Long, s: Long, q: Long, nAnom: Long,
+      buffered: Seq[AnomEvent])
+  case class AnomOut(event_type: String, n_folded: Long,
+      n_anomalies: Long, sum_cents: Long)
+
+  /** D44: STREAMING PREFIX Z-SCORE ANOMALY GATE — per key, each event
+    * is tested against the running mean/variance of all PRIOR events
+    * (the live telemetry outlier monitor; Welford's recurrence kept
+    * as additive integer sufficient statistics n/Σc/Σc² instead of
+    * the float mean/M2 form, so replay is exact). The prefix rule
+    * makes this a genuine ORDERED fold — which events count as
+    * "prior" is order-determined — so it rides the D23 machinery:
+    * buffer below-watermark rows in state, fold in (tsec, event_id)
+    * order. The anomaly test is EXACT integer arithmetic, no doubles
+    * and no sqrt: |v − S/n| > 3·σ  ⟺  (v·n − S)²·(n−1) > 9·n·(n·Q − S²)
+    * (sample variance), evaluated in BigInt; warm-up: prior n ≥ 30.
+    * Σc² stays in a Long — c ≤ 10⁵ cents ⇒ c² ≤ 10¹⁰, safe to ~10⁸
+    * events/key (the stated bound; the ×1000 clone corpus holds
+    * ~1.4·10⁷/key). State is 4 longs + the below-watermark buffer.
+    */
+  def statefulAnomalyFold(events: Dataset[AnomEvent],
+      delayS: Long): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+
+    def anomalous(st: AnomState, c: Long): Boolean = {
+      if (st.n < 30) false
+      else {
+        val n = BigInt(st.n); val s = BigInt(st.s); val q = BigInt(st.q)
+        val dev = BigInt(c) * n - s
+        dev * dev * (n - 1) > 9 * n * (n * q - s * s)
+      }
+    }
+
+    def foldReady(key: String, st: AnomState,
+        wmS: Long): (AnomState, Option[AnomOut]) = {
+      val (ready, hold) = st.buffered.partition(_.tsec < wmS)
+      if (ready.isEmpty) (st, None)
+      else {
+        var cur = st
+        ready.sortBy(r => (r.tsec, r.event_id)).foreach { r =>
+          val hit = if (anomalous(cur, r.cents)) 1L else 0L
+          cur = AnomState(cur.n + 1, cur.s + r.cents,
+            cur.q + r.cents * r.cents, cur.nAnom + hit, Nil)
+        }
+        val next = cur.copy(buffered = hold)
+        (next, Some(AnomOut(key, next.n, next.nAnom, next.s)))
+      }
+    }
+
+    def update(key: String, rows: Iterator[AnomEvent],
+        state: GroupState[AnomState]): Iterator[AnomOut] = {
+      val wmS = state.getCurrentWatermarkMs() / 1000L
+      val st0 = state.getOption.getOrElse(AnomState(0L, 0L, 0L, 0L, Nil))
+      val withNew =
+        if (state.hasTimedOut) st0
+        else st0.copy(buffered = st0.buffered ++ rows)
+      val (next, out) = foldReady(key, withNew, wmS)
+      if (next.buffered.isEmpty && state.hasTimedOut) state.remove()
+      else {
+        state.update(next)
+        val wake = next.buffered.map(_.tsec * 1000L) match {
+          case Nil => state.getCurrentWatermarkMs() + 1000L
+          case ts => math.max(ts.min + 1L, state.getCurrentWatermarkMs() + 1L)
+        }
+        state.setTimeoutTimestamp(wake)
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -458,3 +458,74 @@ class SceneCutSpec extends SparkTestBase {
     assert(cuts > 0 && cuts < out.length, s"$cuts/${out.length}")
   }
 }
+
+/** D44 streaming_zscore_anomaly — a planted constant prefix makes the
+  * 31st extreme event the one anomaly; the warm-up gate and the
+  * watermark emission rule are pinned.
+  */
+class ZscoreAnomalySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("constant warm-up then one extreme → exactly one anomaly") {
+    val dir = java.nio.file.Files.createTempDirectory("zanom").toString
+    val t0 = 19723L * 86400
+    val rows =
+      (0 until 30).map(i =>
+        (i.toLong, (t0 + i) * 1000000000L, 1L, "probe", 10.0, "{}")) ++
+      Seq((30L, (t0 + 30) * 1000000000L, 1L, "probe", 100.0, "{}"),
+        // watermark pusher: 3 hours later, different key
+        (31L, (t0 + 10800) * 1000000000L, 2L, "push", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("streaming_zscore_anomaly")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val p = out("probe")
+    assert(p.getAs[Long]("n_folded") == 31L)
+    assert(p.getAs[Long]("n_anomalies") == 1L)
+    assert(p.getAs[Long]("sum_cents") == 30L * 1000 + 10000)
+    // the 30 constant warm-up events never self-flag
+    assert(!out.contains("push") ||
+      out("push").getAs[Long]("n_anomalies") == 0L)
+  }
+
+  test("corpus stream folds every type below the watermark, no flood") {
+    val out = SparkEntry.queries("streaming_zscore_anomaly")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_folded")
+      val a = r.getAs[Long]("n_anomalies")
+      assert(n > 30 && a >= 0 && a < n / 2,
+        s"${r.getAs[String]("event_type")}: $a/$n")
+    }
+  }
+}
+
+/** D45 streaming_anova — the live F equals the hand-solved batch
+  * case (the B131 planted algebra on the cents grain).
+  */
+class StreamingAnovaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand-solved two-group F = 150 off the live snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("sanova").toString
+    val t0 = 19723L * 86400
+    val vals = Seq("A" -> 0.09, "A" -> 0.10, "A" -> 0.11,
+      "B" -> 0.19, "B" -> 0.20, "B" -> 0.21)
+    vals.zipWithIndex.map { case ((ty, v), i) =>
+      (i.toLong, (t0 + i) * 1000000000L, 1L, ty, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("streaming_anova")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Double]("f_stat") == 150.0)
+  }
+
+  test("corpus live F is defined and positive") {
+    val r = SparkEntry.queries("streaming_anova")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_groups") >= 3L)
+    assert(r.getAs[Double]("f_stat") > 0.0)
+  }
+}
