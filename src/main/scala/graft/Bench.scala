@@ -451,7 +451,29 @@ object Bench {
         "dedup_threshold_curve", "streaming_dynamic_sessions",
         // round-10 sixth wave: the zone clustering-factor probe
         // (lineitem-cloned; same one-agg pass as zonemap stats)
-        "zonemap_overlap_factor")
+        "zonemap_overlap_factor",
+        // round-11 statistics wave: k-grain tests (map-side-combined
+        // sufficient stats) + the two value-grain identities
+        "anova_oneway", "levene_spread", "gini_segment",
+        "mutual_information",
+        // round-11 text wave: vocab-grain fits over the TF explode
+        "zipf_law_fit", "token_burstiness", "distinct_ngram_diversity",
+        // round-11 graph wave. graph_clustering_coeff is ×10-ONLY by
+        // design: clones shift order/supplier keys but repeat
+        // l_partkey, so the capped part-projection gets DENSER, not
+        // bigger — wedge growth there is a data regime (the
+        // geo_radius_join rationale), not a plan property.
+        // graph_degree_powerlaw's edge build is B52's (already
+        // ×100-probed via graph_pagerank); its own degree-grain
+        // rollup is the cheap part.
+        "graph_degree_powerlaw", "graph_clustering_coeff",
+        // round-11 forecast/multimodal/streaming additions.
+        // streaming_zscore_anomaly is ×10-ONLY: it keys by event_type
+        // (~5 keys), so the ordered-fold buffer per key is the honest
+        // bottleneck — the production spelling shards the key; the
+        // probe gates the base shape.
+        "holt_winters", "mm_scene_cuts",
+        "streaming_zscore_anomaly", "streaming_anova")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -462,7 +484,13 @@ object Bench {
       "ddsketch_order_value", "benford_first_digit", "graph_ppr",
       "spearman_daily", "timeseries_acf",
       "window_range_frames", "zonemap_prune_stats",
-      "zonemap_overlap_factor")
+      "zonemap_overlap_factor",
+      // round-11: the order-grain statistics (value/k-grain after one
+      // pass), the customer-grid MI, and the two graph probes ride
+      // the trade clones
+      "anova_oneway", "levene_spread", "gini_segment",
+      "mutual_information", "graph_degree_powerlaw",
+      "graph_clustering_coeff")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on
@@ -653,7 +681,17 @@ object Bench {
       "attribution_markov",
       // round-10 fifth wave: rides B110's clone-collapsed prefix join
       // (already ×100-probed) + a model-sized band rollup
-      "dedup_threshold_curve")
+      "dedup_threshold_curve",
+      // round-11 second decades: the k/value-grain statistics (the
+      // mannwhitney near-constant class — clones repeat the price
+      // domain), the customer-grid MI, the vocab-grain text fits,
+      // the (source, ngram) distinct shuffle (the dedup-exact
+      // class), the day-grain HW fold, the frame-window scene cuts,
+      // and the bytes-of-state live ANOVA
+      "anova_oneway", "levene_spread", "gini_segment",
+      "mutual_information", "zipf_law_fit", "token_burstiness",
+      "distinct_ngram_diversity", "holt_winters", "mm_scene_cuts",
+      "streaming_anova")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")
@@ -725,7 +763,10 @@ object Bench {
       "tokenizer_fertility",
       // round-10: the langs×64 EMD — one map-only binning pass, then
       // model-sized; the cheapest possible third-decade row
-      "hist_emd_langs")
+      "hist_emd_langs",
+      // round-11: the day-grain HW fold and the vocab-grain Zipf fit
+      // — both near-constant claims earn a third decade cheaply
+      "holt_winters", "zipf_law_fit")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x1000Probe && x1000Names.nonEmpty) measureBlock("x1000") {
       val x1000Dir = sys.env.getOrElse("SPARK_GRAFT_X1000_DIR", "/tmp/graft_sfx1000")
