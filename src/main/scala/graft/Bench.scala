@@ -473,7 +473,25 @@ object Bench {
         // bottleneck — the production spelling shards the key; the
         // probe gates the base shape.
         "holt_winters", "mm_scene_cuts",
-        "streaming_zscore_anomaly", "streaming_anova")
+        "streaming_zscore_anomaly", "streaming_anova",
+        // round-12 wave: the value-grain KS family (bh_fdr — the
+        // mannwhitney class), the day-grain D-L fold (pacf — the acf
+        // class), the vocab-graph PageRank (textrank), the quotient-CC
+        // profile (rides dedup_clusters), and the 20-cell live grid
+        // (streaming_chisq). graph_adamic_adar is ×10-ONLY: the capped
+        // part projection DENSIFIES under clones (the
+        // graph_clustering_coeff rationale) — wedge growth there is a
+        // data regime, not a plan property.
+        "bh_fdr_ks", "timeseries_pacf", "graph_adamic_adar",
+        "textrank_keywords", "dedup_cluster_profile", "streaming_chisq",
+        // round-12 second batch: the k-group rank test (value-grain),
+        // the dollar-grain² pairwise median, the day-grain survival
+        // test. streaming_page_hinkley is ×10-ONLY — the per-type
+        // ordered-fold buffer is the honest bottleneck (the
+        // streaming_zscore_anomaly rationale; production shards the
+        // key).
+        "kruskal_wallis", "hodges_lehmann", "log_rank_conversion",
+        "streaming_page_hinkley")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -490,7 +508,11 @@ object Bench {
       // the trade clones
       "anova_oneway", "levene_spread", "gini_segment",
       "mutual_information", "graph_degree_powerlaw",
-      "graph_clustering_coeff")
+      "graph_clustering_coeff",
+      // round-12: the segment-KS grid and the day-grain PACF read
+      // orders(+customer); Adamic-Adar reads lineitem; KW reads orders
+      "bh_fdr_ks", "timeseries_pacf", "graph_adamic_adar",
+      "kruskal_wallis")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on
@@ -691,7 +713,16 @@ object Bench {
       "anova_oneway", "levene_spread", "gini_segment",
       "mutual_information", "zipf_law_fit", "token_burstiness",
       "distinct_ngram_diversity", "holt_winters", "mm_scene_cuts",
-      "streaming_anova")
+      "streaming_anova",
+      // round-12 second decades: the segment×value-grain KS grid
+      // (near-constant grain), the day-grain D-L fold, the
+      // vocab-constant TextRank graph, the quotient-CC profile, and
+      // the 20-cell live chi-square grid
+      "bh_fdr_ks", "timeseries_pacf", "textrank_keywords",
+      "dedup_cluster_profile", "streaming_chisq",
+      // round-12 second batch, second decades: value-grain rank sums,
+      // the bounded diff-grain cross join, the day-grain risk sets
+      "kruskal_wallis", "hodges_lehmann", "log_rank_conversion")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, ExtendedQueries, FrontierQueries, HorizonQueries, Q, RelationalQueries, SamplingQueries, SessionQueries, StreamingQueries, SummitQueries, TextQueries, VectorQueries, ZenithQueries}
+import graft.queries.{AnalyticsQueries, ApexQueries, CorpusQueries, DedupQueries, ExtendedQueries, FrontierQueries, HorizonQueries, Q, RelationalQueries, SamplingQueries, SessionQueries, StreamingQueries, SummitQueries, TextQueries, VectorQueries, ZenithQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,7 +60,8 @@ object SparkEntry {
       DedupQueries.all ++ ExtendedQueries.all ++ CorpusQueries.all ++
       VectorQueries.all ++ StreamingQueries.all ++ SamplingQueries.all ++
       AnalyticsQueries.all ++ FrontierQueries.all ++ HorizonQueries.all ++
-      SummitQueries.all ++ ZenithQueries.all ++ multimodalQueries
+      SummitQueries.all ++ ZenithQueries.all ++ ApexQueries.all ++
+      multimodalQueries
 
   /** Flagship: the reference's trip pipeline re-expressed — keyed
     * inactivity sessionization over the event stream.

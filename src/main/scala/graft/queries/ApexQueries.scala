@@ -1,0 +1,843 @@
+package graft.queries
+
+import graft.GraftSession.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 wave: multiple-testing correction (BH-FDR over a KS-test
+  * family), partial autocorrelation (Durbin-Levinson), link
+  * prediction (Adamic-Adar), and TextRank keyword extraction —
+  * closing the remaining gaps in the test, forecasting-diagnostic,
+  * graph, and text-analysis families.
+  *
+  * Shared conventions: exact integer sufficient statistics down to
+  * pinned double divisions, 6dp floor form `floor(x*1e6 + 0.5)/1e6`;
+  * libm values (exp/ln) quantized to an exact integer grid FIRST
+  * (the C34/B133 convention) so cross-row sums are order-independent
+  * integer arithmetic; deterministic total-order tie rules on every
+  * top-k.
+  */
+object ApexQueries {
+
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  private def sparkToks = split(
+    regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+
+  val all: Seq[Q] = Seq(
+
+    // B137: BENJAMINI-HOCHBERG FDR over a KS-test FAMILY (Benjamini &
+    // Hochberg JRSS-B 1995) — the multiple-testing correction every
+    // monitoring deployment needs once it runs the B120/B114/B115
+    // tests per segment/metric (at α=0.05, five uncorrected tests
+    // false-alarm ~23% of the time). Family: for each market segment,
+    // the two-sample KS of in-segment vs rest-of-corpus order values,
+    // D exact on the cents value grain (the B120 spelling: cum_g and
+    // cumAll as integer prefix sums over the value-grain grid,
+    // D_scaled = max |cum_g·n_rest − (cumAll−cum_g)·n_in| in BIGINT).
+    // P-values from the asymptotic Kolmogorov series Q(λ) =
+    // 2·Σ_{k=1..10} (−1)^{k−1} e^{−2k²λ²} with λ² = D_scaled² /
+    // (n_in·n_rest·N) — exact integer products (DECIMAL(38,0)/
+    // HUGEINT) into ONE double division; each exp term quantized to
+    // the exact 1e-6 grid so the alternating sum is exact integer
+    // arithmetic, clamped to [0, 1e6]; λ ≤ 0.2 pins p to 1 (below the
+    // truncated series' validity floor — unreachable at any tested
+    // SF). BH step-up at α = 0.05, m = 5: rank p ascending (ties by
+    // segment), k* = max{i : p6_(i) ≤ i·10000} in exact integers,
+    // reject ranks ≤ k*. Scale shape: one orders⋈customer keyed join
+    // to the (segment, cents) value grain, one segment-partitioned
+    // window + one value-grain-bounded global window (stated bound,
+    // the B114/B120 discipline), then everything is 5-row model-sized.
+    Q("bh_fdr_ks",
+      """WITH oc AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(floor(o.o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |vc AS (
+        |  SELECT seg, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM oc GROUP BY 1, 2),
+        |gc AS (
+        |  SELECT c, CAST(sum(cnt) AS BIGINT) AS gcnt,
+        |    CAST(sum(sum(cnt)) OVER (ORDER BY c) AS BIGINT) AS cum_all
+        |  FROM vc GROUP BY c),
+        |segs AS (
+        |  SELECT seg, CAST(sum(cnt) AS BIGINT) AS n_in FROM vc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+        |grid AS (
+        |  SELECT s.seg, s.n_in, g.c, g.cum_all, t.n,
+        |    CAST(sum(coalesce(v.cnt, 0)) OVER (
+        |      PARTITION BY s.seg ORDER BY g.c) AS BIGINT) AS cum_g
+        |  FROM segs s CROSS JOIN gc g
+        |  LEFT JOIN vc v ON v.seg = s.seg AND v.c = g.c, tot t),
+        |d AS (
+        |  SELECT seg, n_in, n - n_in AS n_rest, n,
+        |    CAST(max(abs(cum_g * (n - n_in) - (cum_all - cum_g) * n_in))
+        |      AS BIGINT) AS d_scaled
+        |  FROM grid GROUP BY seg, n_in, n),
+        |lam AS (
+        |  SELECT seg, n_in, n_rest, d_scaled,
+        |    CAST(CAST(d_scaled AS HUGEINT) * d_scaled AS DOUBLE)
+        |      / CAST(CAST(n_in AS HUGEINT) * n_rest * n AS DOUBLE) AS lam2
+        |  FROM d),
+        |p AS (
+        |  SELECT seg, n_in, n_rest, d_scaled, lam2,
+        |    CASE WHEN lam2 <= 0.04 THEN CAST(1000000 AS BIGINT)
+        |    ELSE least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |      2 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 11), k ->
+        |          CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END
+        |          * CAST(floor(exp(-2 * k * k * lam2) * 1000000 + 0.5)
+        |              AS BIGINT))),
+        |        (a, x) -> a + x))) END AS p6
+        |  FROM lam),
+        |r AS (
+        |  SELECT seg, n_in, n_rest, d_scaled, lam2, p6,
+        |    CAST(row_number() OVER (ORDER BY p6, seg) AS BIGINT) AS bh_rank
+        |  FROM p),
+        |kstar AS (
+        |  SELECT coalesce(max(bh_rank) FILTER (p6 <= bh_rank * 10000), 0)
+        |    AS k FROM r)
+        |SELECT seg AS segment, n_in, n_rest, d_scaled,
+        |  floor(CAST(d_scaled AS DOUBLE)
+        |    / CAST(CAST(n_in AS HUGEINT) * n_rest AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS ks_d,
+        |  CAST(p6 AS DOUBLE) / 1000000 AS p_value, bh_rank,
+        |  CAST(CASE WHEN bh_rank <= k THEN 1 ELSE 0 END AS INT) AS rejected
+        |FROM r, kstar""".stripMargin) { (s, dir) =>
+      val oc = table(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .join(table(s, dir, "customer")
+          .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg")),
+          Seq("ck"))
+      val vc = oc.groupBy(col("seg"), col("c")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the global grain, margins, and the grid
+      // global value grain with the unpartitioned prefix sum — bounded
+      // by the distinct-cents domain (clone-invariant; the B120 bound)
+      val gc = vc.groupBy(col("c")).agg(sum(col("cnt")).as("gcnt"))
+        .withColumn("cum_all",
+          sum(col("gcnt")).over(Window.orderBy(col("c"))))
+      val segs = vc.groupBy(col("seg")).agg(sum(col("cnt")).as("n_in"))
+      val tot = vc.agg(sum(col("cnt")).as("n"))
+      val grid = broadcast(segs).crossJoin(gc)
+        .join(vc, Seq("seg", "c"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_g",
+          sum(coalesce(col("cnt"), lit(0L))).over(
+            Window.partitionBy(col("seg")).orderBy(col("c"))))
+      val d = grid.groupBy(col("seg"), col("n_in"), col("n"))
+        .agg(max(abs(col("cum_g") * (col("n") - col("n_in"))
+          - (col("cum_all") - col("cum_g")) * col("n_in"))).as("d_scaled"))
+        .select(col("seg"), col("n_in"), (col("n") - col("n_in")).as("n_rest"),
+          col("n"), col("d_scaled"))
+      val lam = d.withColumn("lam2",
+        (col("d_scaled").cast("decimal(38,0)") * col("d_scaled"))
+          .cast("double")
+          / (col("n_in").cast("decimal(38,0)") * col("n_rest") * col("n"))
+            .cast("double"))
+      val p = lam.withColumn("p6",
+        when(col("lam2") <= 0.04, lit(1000000L))
+          .otherwise(least(lit(1000000L), greatest(lit(0L),
+            lit(2) * aggregate(sequence(lit(1), lit(10)), lit(0L),
+              (acc, k) => acc
+                + when(k % 2 === 1, lit(1L)).otherwise(lit(-1L))
+                * floor(exp(lit(-2.0) * k * k * col("lam2"))
+                    * 1000000 + lit(0.5)).cast("long"))))))
+      val r = p.withColumn("bh_rank",
+        row_number().over(Window.orderBy(col("p6"), col("seg"))).cast("long"))
+      val kstar = r.agg(coalesce(
+        max(when(col("p6") <= col("bh_rank") * 10000, col("bh_rank"))),
+        lit(0L)).as("k"))
+      r.crossJoin(broadcast(kstar))
+        .select(col("seg").as("segment"), col("n_in"), col("n_rest"),
+          col("d_scaled"),
+          (floor(col("d_scaled").cast("double")
+            / (col("n_in").cast("decimal(38,0)") * col("n_rest"))
+              .cast("double") * 1000000 + lit(0.5)) / 1000000).as("ks_d"),
+          (col("p6").cast("double") / 1000000).as("p_value"),
+          col("bh_rank"),
+          when(col("bh_rank") <= col("k"), lit(1)).otherwise(lit(0))
+            .cast("int").as("rejected"))
+    },
+
+    // B138: PARTIAL AUTOCORRELATION FUNCTION at lags 1-7 via the
+    // Durbin-Levinson recursion (Durbin 1960; Box & Jenkins 1970
+    // ch.3) on B124's zero-filled daily revenue grid — the AR-order
+    // diagnostic ACF alone can't give (ACF of an AR(1) decays
+    // geometrically forever; PACF cuts off sharply at the true
+    // order — THE plot a forecaster reads before fitting B109/B136).
+    // Determinism: the ρ inputs are the B124 exact-integer
+    // cross-products (n-scaled deviations, DECIMAL(38,0)/HUGEINT)
+    // into one double division each — bit-identical cross-engine;
+    // the recursion φ_{k,k} = (ρ_k − Σ_j φ_{k−1,j}·ρ_{k−j}) /
+    // (1 − Σ_j φ_{k−1,j}·ρ_j), φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+    // is a pinned-order IEEE fold — Spark `aggregate` over lags
+    // carrying the φ vector as an array, DuckDB a RECURSIVE CTE
+    // carrying it as a LIST (the B128/B136 state-vector precedent);
+    // inner sums fold j-ascending from 0.0 in both engines; a
+    // degenerate reflection denominator (= 0) pins φ_{k,k} to 0
+    // (unreachable on any non-constant series); 6dp round at the
+    // end. Scale shape: one keyed day agg over orders (map-side
+    // combined); the grid, the ≤7·n lag self-join and the fold are
+    // CALENDAR-sized — constant across corpus scale (the B123/B124
+    // day-grain class).
+    Q("timeseries_pacf", {
+      val sumJ = (body: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(1, CAST(r.k + 1 AS BIGINT)),
+           |    j -> $body)), (a, x) -> a + x)""".stripMargin
+      val num = s"rl.rho[CAST(r.k + 1 AS INT)] - ${sumJ(
+        "r.phi[CAST(j AS INT)] * rl.rho[CAST(r.k + 1 - j AS INT)]")}"
+      val den = s"1.0 - ${sumJ(
+        "r.phi[CAST(j AS INT)] * rl.rho[CAST(j AS INT)]")}"
+      s"""WITH RECURSIVE o AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |grid AS (
+        |  SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+        |  FROM bounds),
+        |x AS (
+        |  SELECT g.day, CAST(coalesce(o.cents, 0) AS BIGINT) AS v
+        |  FROM grid g LEFT JOIN o ON g.day = o.day),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v) AS BIGINT) AS tot FROM x),
+        |dev AS (
+        |  SELECT x.day, CAST(s.n * x.v - s.tot AS HUGEINT) AS dv
+        |  FROM x, s),
+        |den0 AS (SELECT sum(dv * dv) AS den FROM dev),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |num0 AS (
+        |  SELECT l.lag, sum(a.dv * b.dv) AS num
+        |  FROM lags l
+        |  JOIN dev a ON true
+        |  JOIN dev b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag),
+        |rl AS (
+        |  SELECT list(CAST(num0.num AS DOUBLE) / CAST(den0.den AS DOUBLE)
+        |    ORDER BY num0.lag) AS rho,
+        |    max(s.n) AS n_days
+        |  FROM num0, den0, s),
+        |rec AS (
+        |  SELECT CAST(1 AS BIGINT) AS k,
+        |    [rho[1]] AS phi, [rho[1]] AS pacf
+        |  FROM rl
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    list_append(list_transform(range(1, CAST(k + 1 AS BIGINT)),
+        |      j -> phi[CAST(j AS INT)]
+        |           - pk * phi[CAST(k + 1 - j AS INT)]), pk),
+        |    list_append(pacf, pk)
+        |  FROM (
+        |    SELECT r.k, r.phi, r.pacf,
+        |      CASE WHEN ($den) <> 0 THEN ($num) / ($den)
+        |           ELSE 0.0 END AS pk
+        |    FROM rec r, rl) WHERE k < 7),
+        |fin AS (SELECT pacf FROM rec WHERE k = 7)
+        |SELECT CAST(l.lag AS BIGINT) AS lag, rl.n_days,
+        |  round(rl.rho[CAST(l.lag AS INT)], 6) AS acf,
+        |  round(f.pacf[CAST(l.lag AS INT)], 6) AS pacf
+        |FROM lags l, rl, fin f""".stripMargin
+    }) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      // calendar grid with exact-0 fill (day-grain, model-sized)
+      val x = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(o, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("v"))
+      val st = x.agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+      val dev = x.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("n") * col("v") - col("tot")).cast("decimal(18,0)").as("dv"),
+          col("n"))
+        .localCheckpoint() // both sides of the lag self-join + the den
+      val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val a = dev.select(col("day").as("da"), col("dv").as("dva"), col("n"))
+      val b = dev.select(col("day").as("db"), col("dv").as("dvb"))
+      val num = a.crossJoin(broadcast(lags))
+        .join(b, col("db") === col("da") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(sum(col("dva") * col("dvb")).as("num"), first(col("n")).as("n"))
+      // one row carrying (rho[1..7], n) — model-sized from here on
+      val rl = num.crossJoin(broadcast(den))
+        .select(col("lag"), col("n"),
+          (col("num").cast("double") / col("den").cast("double")).as("rho"))
+        .agg(transform(sort_array(collect_list(struct(col("lag"), col("rho")))),
+            lr => lr.getField("rho")).as("rho"),
+          max(col("n")).as("n_days"))
+      // Durbin-Levinson fold, k = 2..7, pinned IEEE order (j-ascending
+      // inner sums from 0.0 — mirrors the oracle's list_reduce exactly)
+      val folded = rl.withColumn("st", expr(
+        """aggregate(
+          |  sequence(2, 7),
+          |  named_struct('phi', array(element_at(rho, 1)),
+          |               'pacf', array(element_at(rho, 1))),
+          |  (acc, k) -> named_struct(
+          |    'phi',
+          |    concat(
+          |      transform(sequence(1, k - 1),
+          |        j -> element_at(acc.phi, j)
+          |          - (CASE WHEN (1D - aggregate(sequence(1, k - 1), 0D,
+          |                (a, j2) -> a + element_at(acc.phi, j2)
+          |                             * element_at(rho, j2))) <> 0D
+          |              THEN (element_at(rho, k)
+          |                    - aggregate(sequence(1, k - 1), 0D,
+          |                        (a, j2) -> a + element_at(acc.phi, j2)
+          |                                     * element_at(rho, k - j2)))
+          |                   / (1D - aggregate(sequence(1, k - 1), 0D,
+          |                        (a, j2) -> a + element_at(acc.phi, j2)
+          |                                     * element_at(rho, j2)))
+          |              ELSE 0D END)
+          |            * element_at(acc.phi, k - j)),
+          |      array(CASE WHEN (1D - aggregate(sequence(1, k - 1), 0D,
+          |                (a, j2) -> a + element_at(acc.phi, j2)
+          |                             * element_at(rho, j2))) <> 0D
+          |              THEN (element_at(rho, k)
+          |                    - aggregate(sequence(1, k - 1), 0D,
+          |                        (a, j2) -> a + element_at(acc.phi, j2)
+          |                                     * element_at(rho, k - j2)))
+          |                   / (1D - aggregate(sequence(1, k - 1), 0D,
+          |                        (a, j2) -> a + element_at(acc.phi, j2)
+          |                                     * element_at(rho, j2)))
+          |              ELSE 0D END)),
+          |    'pacf',
+          |    concat(acc.pacf,
+          |      array(CASE WHEN (1D - aggregate(sequence(1, k - 1), 0D,
+          |                (a, j2) -> a + element_at(acc.phi, j2)
+          |                             * element_at(rho, j2))) <> 0D
+          |              THEN (element_at(rho, k)
+          |                    - aggregate(sequence(1, k - 1), 0D,
+          |                        (a, j2) -> a + element_at(acc.phi, j2)
+          |                                     * element_at(rho, k - j2)))
+          |                   / (1D - aggregate(sequence(1, k - 1), 0D,
+          |                        (a, j2) -> a + element_at(acc.phi, j2)
+          |                                     * element_at(rho, j2)))
+          |              ELSE 0D END))))""".stripMargin))
+      folded
+        .select(col("n_days"), col("rho"), col("st.pacf").as("pacf"),
+          explode(sequence(lit(1L), lit(7L))).as("lag"))
+        .select(col("lag"), col("n_days"),
+          round(element_at(col("rho"), col("lag").cast("int")), 6).as("acf"),
+          round(element_at(col("pacf"), col("lag").cast("int")), 6)
+            .as("pacf"))
+    },
+
+    // B139: ADAMIC-ADAR LINK PREDICTION (Adamic & Adar Soc. Netw.
+    // 2003; Liben-Nowell & Kleinberg CIKM'03) over the part co-order
+    // projection (the B135 edge build) — for NON-adjacent pairs
+    // sharing neighbors, AA(u,w) = Σ_{v ∈ N(u)∩N(w)} 1/ln(d_v): the
+    // standard common-neighbor score that down-weights promiscuous
+    // hubs, the baseline every graph-ML recommender is measured
+    // against. Exactness: each center's 1/ln(d_v) is quantized to
+    // the exact 1e-6 grid (C34/B133 convention — d ≥ 2 so ln ≥ ln 2),
+    // so per-pair AA sums are order-independent BIGINT arithmetic
+    // and the (aa_e6 DESC, u, w) top-20 total order is exact.
+    // Scale shape: wedges enumerate per CENTER with the degree cap
+    // d ≤ 64 (hub suppression — a d-degree center contributes
+    // (d choose 2) wedges but only 1/ln(d) → 0 score each; capping
+    // hubs is the standard production concession, stated in the
+    // contract, and bounds wedge count at 2016/center = O(V)); the
+    // existing-edge exclusion is one anti-join on the (u<w)-oriented
+    // edge set; top-20 via TakeOrderedAndProject, never a global sort.
+    Q("graph_adamic_adar",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 16381 AS node
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.node AS u, b.node AS v
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.node < b.node),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |adj AS (
+        |  SELECT u AS ctr, v AS nbr FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |ctr AS (
+        |  SELECT adj.ctr, adj.nbr,
+        |    CAST(floor(1000000.0 / ln(CAST(deg.d AS DOUBLE)) + 0.5)
+        |      AS BIGINT) AS term_e6
+        |  FROM adj JOIN deg ON deg.n = adj.ctr
+        |  WHERE deg.d BETWEEN 2 AND 64),
+        |wedge AS (
+        |  SELECT a.nbr AS u, b.nbr AS w, a.term_e6
+        |  FROM ctr a JOIN ctr b ON a.ctr = b.ctr AND a.nbr < b.nbr),
+        |cand AS (
+        |  SELECT u, w, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(term_e6) AS BIGINT) AS aa_e6
+        |  FROM wedge GROUP BY u, w),
+        |nonadj AS (
+        |  SELECT c.* FROM cand c
+        |  LEFT JOIN e ON e.u = c.u AND e.v = c.w
+        |  WHERE e.u IS NULL),
+        |top AS (
+        |  SELECT u, w, n_common, aa_e6,
+        |    CAST(row_number() OVER (ORDER BY aa_e6 DESC, u, w) AS BIGINT)
+        |      AS rnk
+        |  FROM nonadj)
+        |SELECT rnk, u, w, n_common,
+        |  CAST(aa_e6 AS DOUBLE) / 1000000 AS adamic_adar
+        |FROM top WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % 16381).as("node"))
+        .distinct()
+      val e = items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.node") < col("b.node"))
+        .select(col("a.node").as("u"), col("b.node").as("v"))
+        .distinct()
+        .localCheckpoint() // edges feed degrees, adjacency, exclusion
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val adj = e.select(col("u").as("ctr"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("ctr"), col("u").as("nbr")))
+      val ctr = adj.join(deg.withColumnRenamed("n", "ctr"), Seq("ctr"))
+        .filter(col("d").between(2, 64))
+        .select(col("ctr"), col("nbr"),
+          floor(lit(1000000.0) / log(col("d").cast("double")) + lit(0.5))
+            .cast("long").as("term_e6"))
+        .localCheckpoint() // both sides of the wedge self-join
+      val wedge = ctr.as("a").join(ctr.as("b"),
+          col("a.ctr") === col("b.ctr") && col("a.nbr") < col("b.nbr"))
+        .select(col("a.nbr").as("u"), col("b.nbr").as("w"),
+          col("a.term_e6").as("term_e6"))
+      val cand = wedge.groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("n_common"), sum(col("term_e6")).as("aa_e6"))
+      // existing-edge exclusion: composite-key left_anti on the
+      // (u < w)-oriented edge set (wedge pairs carry the same order)
+      val nonadj = cand.join(e.withColumnRenamed("v", "w"), Seq("u", "w"),
+        "left_anti")
+      nonadj
+        .orderBy(col("aa_e6").desc, col("u"), col("w")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("aa_e6").desc, col("u"), col("w"))).cast("long"))
+        .select(col("rnk"), col("u"), col("w"), col("n_common"),
+          (col("aa_e6").cast("double") / 1000000).as("adamic_adar"))
+    },
+
+    // C116: TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau EMNLP 2004)
+    // — corpus-level keywords as PageRank over the word co-occurrence
+    // graph (adjacent-token pairs; vocabulary restricted to tokens
+    // with corpus frequency ≥ 5): the unsupervised keyword/labeling
+    // pass of a curation pipeline, and the graph-reuse proof that the
+    // B52 integer PageRank runs on ARBITRARY node domains (words,
+    // not keys). Two fixed iterations in exact PICO units (init
+    // 1e12 div N, damping 85, teleport derived — the B52/B118
+    // spelling), so both engines replay the arithmetic closed-form
+    // with NO floating point; top-20 by (pr DESC, word). Scale
+    // shape: the bigram explode is one token-scan pass; the edge set
+    // collapses to DISTINCT vocab-grain pairs (Heaps-bounded); each
+    // PageRank round is one keyed join + map-side-combined sum,
+    // O(edges); ranks never on the driver; top-20 via
+    // TakeOrderedAndProject.
+    Q("textrank_keywords", {
+      def iterCte(prev: String): String =
+        s"""SELECT nodes.node,
+           |    CAST(150000000000 // (SELECT n FROM params)
+           |      + (85 * coalesce(m.in_mass, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.pr // o.outdeg) AS in_mass
+           |    FROM $prev p
+           |    JOIN edges e ON p.node = e.src
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) m ON nodes.node = m.node""".stripMargin
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |uni AS (
+         |  SELECT unnest(toks) AS w FROM t),
+         |vocab AS (
+         |  SELECT w FROM uni WHERE w <> ''
+         |  GROUP BY w HAVING count(*) >= 5),
+         |big AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> struct_pack(a := toks[CAST(i AS INT)],
+         |                     b := toks[CAST(i + 1 AS INT)]))) AS p
+         |  FROM t WHERE len(toks) >= 2),
+         |pairs AS (
+         |  SELECT DISTINCT least(p.a, p.b) AS wa, greatest(p.a, p.b) AS wb
+         |  FROM big
+         |  WHERE p.a <> p.b AND p.a <> '' AND p.b <> ''
+         |    AND p.a IN (SELECT w FROM vocab)
+         |    AND p.b IN (SELECT w FROM vocab)),
+         |edges AS (
+         |  SELECT wa AS src, wb AS dst FROM pairs
+         |  UNION ALL SELECT wb, wa FROM pairs),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |params AS (SELECT count(*) AS n FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |pr0 AS (
+         |  SELECT node,
+         |    CAST(1000000000000 // (SELECT n FROM params) AS BIGINT) AS pr
+         |  FROM nodes),
+         |it1 AS (${iterCte("pr0")}),
+         |it2 AS (${iterCte("it1")}),
+         |r AS (
+         |  SELECT node AS keyword, pr AS pr_pico,
+         |    CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT)
+         |      AS rnk
+         |  FROM it2)
+         |SELECT rnk, keyword, pr_pico FROM r WHERE rnk <= 20""".stripMargin
+    }) { (s, dir) =>
+      val t = table(s, dir, "documents").select(sparkToks.as("toks"))
+        .localCheckpoint() // feeds the unigram count and the bigram explode
+      val vocab = t.select(explode(col("toks")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .select(col("w"))
+      val big = t.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a,
+            |              element_at(toks, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b") && col("a") =!= "" && col("b") =!= "")
+      val pairs = big
+        .join(vocab.withColumnRenamed("w", "a"), Seq("a"), "left_semi")
+        .join(vocab.withColumnRenamed("w", "b"), Seq("b"), "left_semi")
+        .select(least(col("a"), col("b")).as("wa"),
+          greatest(col("a"), col("b")).as("wb"))
+        .distinct()
+      val edges = pairs.select(col("wa").as("src"), col("wb").as("dst"))
+        .unionByName(pairs.select(col("wb").as("src"), col("wa").as("dst")))
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 2,
+          unit = 1000000000000L)
+        .orderBy(col("pr_unit").desc, col("node")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("pr_unit").desc, col("node"))).cast("long"))
+        .select(col("rnk"), col("node").as("keyword"),
+          col("pr_unit").as("pr_pico"))
+    },
+
+    // B142: KRUSKAL-WALLIS H TEST (Kruskal & Wallis JASA 1952) of
+    // order value across the five priorities — the k-group RANK test
+    // completing the test lattice: B131 is the k-group PARAMETRIC
+    // member, B114 the 2-group rank member; KW is the nonparametric
+    // ANOVA that survives heavy tails B131's F can't. Exact spelling:
+    // the B114 doubled tie-averaged-rank identity on the VALUE grain
+    // (a value v with global count cnt and cumBefore smaller values
+    // carries r2 = 2·cumBefore + cnt + 1), so per-group rank sums
+    // R2_g = Σ cnt_{g,v}·r2(v) are exact BIGINTs; Σ R_g²/n_g uses
+    // q_g = (R2_g²·10⁶) // (4·n_g) as exact e6-scaled integer floor
+    // quotients (DECIMAL(38,0) — R2_g ≤ n_g·2N ≈ 0.4·N² under the
+    // balanced 5-priority split, so R2²·10⁶ ≈ 0.16·N⁴·10⁶ holds
+    // inside 38 digits to N ~ 1.5·10⁸, the ×1000 clone scale; ANSI
+    // overflow past that is loud, not silent; the ≤10⁻⁶-unit floor
+    // loss per group is shared and spec-invisible); H = 12·Σq/(10⁶·N(N+1))
+    // − 3(N+1) and the tie correction H/C with C = 1 − Σ(t³−t)/(N³−N)
+    // fold into ONE pinned double tree over exact integers, 6dp
+    // floor; all-tied data (C = 0) → NULL. Scale shape: one keyed agg
+    // to the (pri, cents) grain, one value-grain-bounded global
+    // prefix window (the B114 class — clones repeat the price
+    // domain), then k-row model-sized.
+    Q("kruskal_wallis",
+      """WITH e AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |vc AS (
+        |  SELECT pri, c, CAST(count(*) AS BIGINT) AS cntg
+        |  FROM e GROUP BY 1, 2),
+        |gc AS (
+        |  SELECT c, CAST(sum(cntg) AS BIGINT) AS cnt,
+        |    CAST(sum(sum(cntg)) OVER (ORDER BY c) AS BIGINT) AS cum
+        |  FROM vc GROUP BY c),
+        |r AS (
+        |  SELECT v.pri, v.cntg,
+        |    2 * (g.cum - g.cnt) + g.cnt + 1 AS r2
+        |  FROM vc v JOIN gc g ON v.c = g.c),
+        |grp AS (
+        |  SELECT pri, CAST(sum(cntg) AS BIGINT) AS n,
+        |    CAST(sum(CAST(cntg AS HUGEINT) * r2) AS HUGEINT) AS r2g
+        |  FROM r GROUP BY pri),
+        |ties AS (
+        |  SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+        |    AS HUGEINT) AS tsum FROM gc),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(r2g * r2g * 1000000 // (4 * n)) AS HUGEINT) AS sumq
+        |  FROM grp),
+        |h AS (
+        |  SELECT k, nn, t.tsum,
+        |    CAST(12 * sumq AS DOUBLE)
+        |      / CAST(CAST(nn AS HUGEINT) * (nn + 1) * 1000000 AS DOUBLE)
+        |      - CAST(3 * (nn + 1) AS DOUBLE) AS h_raw,
+        |    CAST(CAST(nn AS HUGEINT) * nn * nn - nn AS HUGEINT) AS n3n
+        |  FROM agg, ties t)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |  floor(h_raw * 1000000 + 0.5) / 1000000 AS h_stat,
+        |  CASE WHEN n3n > tsum THEN
+        |    floor(h_raw * CAST(n3n AS DOUBLE) / CAST(n3n - tsum AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS h_tie_corrected
+        |FROM h""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+      val vc = e.groupBy(col("pri"), col("c")).agg(count(lit(1)).as("cntg"))
+        .localCheckpoint() // feeds the global grain and the rank join
+      // global value grain + the one unpartitioned prefix window
+      // (bounded by the distinct-cents domain — the B114 class)
+      val gc = vc.groupBy(col("c")).agg(sum(col("cntg")).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("c"))))
+      val r = vc.join(gc, Seq("c"))
+        .select(col("pri"), col("cntg"),
+          (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1).as("r2"))
+      val grp = r.groupBy(col("pri"))
+        .agg(sum(col("cntg")).as("n"),
+          sum(col("cntg").cast("decimal(38,0)") * col("r2")).as("r2g"))
+      val ties = gc.agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt")
+        * col("cnt") - col("cnt")).as("tsum"))
+      val agg = grp.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(expr("cast(r2g * r2g * 1000000 div " +
+          "(4 * cast(n as decimal(38,0))) as decimal(38,0))")).as("sumq"))
+      val h = agg.crossJoin(broadcast(ties))
+        .select(col("k"), col("nn"), col("tsum"),
+          ((col("sumq") * 12).cast("double")
+            / (col("nn").cast("decimal(38,0)") * (col("nn") + 1) * 1000000)
+              .cast("double")
+            - (lit(3) * (col("nn") + 1)).cast("double")).as("h_raw"),
+          (col("nn").cast("decimal(38,0)") * col("nn") * col("nn")
+            - col("nn")).as("n3n"))
+      h.select(col("k").as("n_groups"), col("nn").as("n_rows"),
+        (floor(col("h_raw") * 1000000 + lit(0.5)) / 1000000).as("h_stat"),
+        when(col("n3n") > col("tsum"),
+          floor(col("h_raw") * col("n3n").cast("double")
+            / (col("n3n") - col("tsum")).cast("double")
+            * 1000000 + lit(0.5)) / 1000000).as("h_tie_corrected"))
+    },
+
+    // B141: HODGES-LEHMANN SHIFT ESTIMATOR (Hodges & Lehmann 1963)
+    // between purchase and view values — the median of all pairwise
+    // differences: the robust "how big is the shift" companion to
+    // B114's Mann-Whitney "is there a shift" (the U test's point
+    // estimate, insensitive to the tails that wreck a mean
+    // difference). Exact spelling: both samples collapse to the
+    // DOLLAR value grain (the pairwise-difference multiset is then a
+    // cross join of two bounded grains — ~330² cells, constant
+    // across clones since clones repeat the price domain); each
+    // difference d = a − b carries weight P(a)·V(b) (exact BIGINT);
+    // HL = the LOWER weighted median — the smallest d whose
+    // cumulative weight reaches (T+1)//2, T = n1·n2 — one
+    // diff-grain-bounded prefix window, all exact integers, no
+    // doubles anywhere. Scale shape: two map-side-combined value
+    // grains, one bounded cross join, one bounded window.
+    Q("hodges_lehmann",
+      """WITH p AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS a,
+        |    CAST(count(*) AS BIGINT) AS pa
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |v AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS vb
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |d AS (
+        |  SELECT p.a - v.b AS d, CAST(sum(p.pa * v.vb) AS BIGINT) AS w
+        |  FROM p, v GROUP BY 1),
+        |t AS (SELECT CAST(sum(pa) AS BIGINT) AS n1 FROM p),
+        |u AS (SELECT CAST(sum(vb) AS BIGINT) AS n2 FROM v),
+        |cw AS (
+        |  SELECT d, CAST(sum(w) OVER (ORDER BY d) AS BIGINT) AS cum
+        |  FROM d),
+        |hl AS (
+        |  SELECT CAST(min(cw.d) AS BIGINT) AS hl_shift
+        |  FROM cw, t, u WHERE cw.cum >= (t.n1 * u.n2 + 1) // 2)
+        |SELECT t.n1, u.n2, CAST(t.n1 * u.n2 AS BIGINT) AS n_pairs,
+        |  hl.hl_shift
+        |FROM t, u, hl""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(floor(col("value")).cast("long").as("a"))
+        .agg(count(lit(1)).as("pa"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(floor(col("value")).cast("long").as("b"))
+        .agg(count(lit(1)).as("vb"))
+      val d = p.crossJoin(broadcast(v))
+        .groupBy((col("a") - col("b")).as("d"))
+        .agg(sum(col("pa") * col("vb")).as("w"))
+      val t = p.agg(sum(col("pa")).as("n1"))
+      val u = v.agg(sum(col("vb")).as("n2"))
+      // diff-grain prefix window (bounded by the dollar-domain square)
+      val cw = d.withColumn("cum", sum(col("w")).over(Window.orderBy(col("d"))))
+      val hl = cw.crossJoin(broadcast(t)).crossJoin(broadcast(u))
+        .filter(col("cum") >= expr("(n1 * n2 + 1) div 2"))
+        .agg(min(col("d")).as("hl_shift"))
+      broadcast(t).crossJoin(broadcast(u)).crossJoin(broadcast(hl))
+        .select(col("n1"), col("n2"), (col("n1") * col("n2")).as("n_pairs"),
+          col("hl_shift"))
+    },
+
+    // B140: LOG-RANK TEST (Mantel 1966; Peto & Peto 1972) comparing
+    // signup→purchase conversion survival between the two user
+    // parity cohorts (a deterministic A/B assignment hash) — the
+    // survival-analysis significance test completing B90's
+    // Kaplan-Meier-style curve (B90 DRAWS the curves; log-rank asks
+    // whether they differ): censoring done right (users who never
+    // convert are censored at the corpus horizon, not dropped — the
+    // mistake that biases naive conversion comparisons). Exact
+    // spelling: durations on the day grain; at each distinct death
+    // day t the at-risk counts n_g(t) come from group-partitioned
+    // prefix windows over the (group, day) end-count grain (ended
+    // strictly before t are out; same-day deaths/censors still at
+    // risk); E1_t = d_t·n1_t·10⁶ // n_t and the hypergeometric
+    // V_t = d_t·n1_t·n2_t·(n_t−d_t)·10⁶ // (n_t²·(n_t−1)) are EXACT
+    // integer floor divisions (numerators in DECIMAL(38,0)/HUGEINT),
+    // so O1, E1, V accumulate as order-independent integers; χ² =
+    // (O1·10⁶ − E1)² / (V·10⁶) — ONE double division, 6dp floor.
+    // Scale shape: one keyed per-user min/max pass over events
+    // (map-side combined), then everything on the calendar-bounded
+    // day grain.
+    Q("log_rank_conversion",
+      """WITH ue AS (
+        |  SELECT user_id,
+        |    CAST(min(CASE WHEN event_type = 'signup'
+        |      THEN floor(epoch(ts)) END) AS BIGINT) AS s_sec,
+        |    CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
+        |  FROM events GROUP BY user_id),
+        |tm AS (SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS t_max
+        |       FROM events),
+        |pu AS (
+        |  SELECT e.user_id,
+        |    CAST(min(floor(epoch(e.ts))) AS BIGINT) AS p_sec
+        |  FROM events e JOIN ue ON e.user_id = ue.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND floor(epoch(e.ts)) >= ue.s_sec
+        |  GROUP BY e.user_id),
+        |durs AS (
+        |  SELECT ue.user_id % 2 AS grp,
+        |    CASE WHEN pu.p_sec IS NOT NULL
+        |      THEN (pu.p_sec - ue.s_sec) // 86400
+        |      ELSE (tm.t_max - ue.s_sec) // 86400 END AS day,
+        |    CASE WHEN pu.p_sec IS NOT NULL THEN 1 ELSE 0 END AS died
+        |  FROM ue LEFT JOIN pu ON ue.user_id = pu.user_id, tm
+        |  WHERE ue.s_sec IS NOT NULL),
+        |gd AS (
+        |  SELECT grp, day, CAST(count(*) AS BIGINT) AS n_end,
+        |    CAST(sum(died) AS BIGINT) AS n_died
+        |  FROM durs GROUP BY 1, 2),
+        |gtot AS (SELECT grp, CAST(sum(n_end) AS BIGINT) AS n_g
+        |         FROM gd GROUP BY grp),
+        |deathdays AS (
+        |  SELECT day, CAST(sum(n_died) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN grp = 1 THEN n_died ELSE 0 END) AS BIGINT)
+        |      AS d1
+        |  FROM gd GROUP BY day HAVING sum(n_died) > 0),
+        |eb AS (
+        |  SELECT dd.day, g.grp, g.n_g,
+        |    CAST(coalesce(sum(gd.n_end), 0) AS BIGINT) AS ended
+        |  FROM deathdays dd CROSS JOIN gtot g
+        |  LEFT JOIN gd ON gd.grp = g.grp AND gd.day < dd.day
+        |  GROUP BY dd.day, g.grp, g.n_g),
+        |atrisk AS (
+        |  SELECT dd.day, dd.d, dd.d1,
+        |    CAST(sum(CASE WHEN e.grp = 1 THEN e.n_g - e.ended ELSE 0 END)
+        |      AS BIGINT) AS n1t,
+        |    CAST(sum(e.n_g - e.ended) AS BIGINT) AS nt
+        |  FROM deathdays dd JOIN eb e ON e.day = dd.day
+        |  GROUP BY dd.day, dd.d, dd.d1),
+        |terms AS (
+        |  SELECT day, d, d1, n1t, nt,
+        |    CAST(CAST(d AS HUGEINT) * n1t * 1000000 // nt AS BIGINT)
+        |      AS e1_e6,
+        |    CAST(CASE WHEN nt > 1 THEN
+        |      CAST(d AS HUGEINT) * n1t * (nt - n1t) * (nt - d) * 1000000
+        |        // (CAST(nt AS HUGEINT) * nt * (nt - 1))
+        |      ELSE 0 END AS BIGINT) AS v_e6
+        |  FROM atrisk),
+        |agg AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(e1_e6) AS BIGINT) AS e1_e6,
+        |    CAST(sum(v_e6) AS BIGINT) AS v_e6
+        |  FROM terms),
+        |gt AS (
+        |  SELECT CAST(sum(CASE WHEN grp = 1 THEN n_g ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN n_g ELSE 0 END) AS BIGINT) AS n0
+        |  FROM gtot)
+        |SELECT gt.n0, gt.n1, agg.o1,
+        |  CAST(agg.e1_e6 AS DOUBLE) / 1000000 AS e1,
+        |  CASE WHEN agg.v_e6 > 0 THEN
+        |    floor(CAST(CAST(agg.o1 * 1000000 - agg.e1_e6 AS HUGEINT)
+        |        * (agg.o1 * 1000000 - agg.e1_e6) AS DOUBLE)
+        |      / CAST(CAST(agg.v_e6 AS HUGEINT) * 1000000 AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS chi2_logrank
+        |FROM gt, agg""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+        .localCheckpoint() // feeds the per-user pass, the purchase
+                           // pass, and the horizon
+      val ue = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("sec")))
+          .as("s_sec"))
+        .filter(col("s_sec").isNotNull)
+      val tm = ev.agg(max(col("sec")).as("t_max"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(ue, Seq("user_id"))
+        .filter(col("sec") >= col("s_sec"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
+      val durs = ue.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(tm))
+        .select((col("user_id") % 2).as("grp"),
+          when(col("p_sec").isNotNull,
+            expr("(p_sec - s_sec) div 86400"))
+            .otherwise(expr("(t_max - s_sec) div 86400")).as("day"),
+          when(col("p_sec").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("died"))
+      val gd = durs.groupBy(col("grp"), col("day"))
+        .agg(count(lit(1)).as("n_end"), sum(col("died")).as("n_died"))
+        .localCheckpoint() // feeds totals and the risk window
+      val gtot = gd.groupBy(col("grp")).agg(sum(col("n_end")).as("n_g"))
+      val deathdays = gd.groupBy(col("day"))
+        .agg(sum(col("n_died")).as("d"),
+          sum(when(col("grp") === 1, col("n_died")).otherwise(lit(0L)))
+            .as("d1"))
+        .filter(col("d") > 0)
+        .localCheckpoint() // feeds the ends-before join and the rollup
+      // at-risk of EVERY group at every death day: ends-strictly-before
+      // range join on the calendar-bounded day grain
+      val eb = deathdays.select(col("day"))
+        .crossJoin(broadcast(gtot))
+        .join(gd.select(col("grp"), col("day").as("eday"),
+          col("n_end")), Seq("grp"), "left")
+        .groupBy(col("day"), col("grp"), col("n_g"))
+        .agg(coalesce(sum(when(col("eday") < col("day"), col("n_end"))),
+          lit(0L)).as("ended"))
+      val atrisk = deathdays.join(eb, Seq("day"))
+        .groupBy(col("day"), col("d"), col("d1"))
+        .agg(sum(when(col("grp") === 1, col("n_g") - col("ended"))
+          .otherwise(lit(0L))).as("n1t"),
+          sum(col("n_g") - col("ended")).as("nt"))
+      val terms = atrisk.select(col("d1"),
+        expr("cast(cast(d as decimal(38,0)) * n1t * 1000000 div nt " +
+          "as bigint)").as("e1_e6"),
+        expr("cast(case when nt > 1 then cast(d as decimal(38,0)) * n1t " +
+          "* (nt - n1t) * (nt - d) * 1000000 " +
+          "div (cast(nt as decimal(38,0)) * nt * (nt - 1)) " +
+          "else 0 end as bigint)").as("v_e6"))
+      val agg = terms.agg(sum(col("d1")).as("o1"),
+        sum(col("e1_e6")).as("e1_e6"), sum(col("v_e6")).as("v_e6"))
+      val gt = gtot.agg(
+        sum(when(col("grp") === 1, col("n_g")).otherwise(lit(0L))).as("n1"),
+        sum(when(col("grp") === 0, col("n_g")).otherwise(lit(0L))).as("n0"))
+      broadcast(gt).crossJoin(broadcast(agg))
+        .select(col("n0"), col("n1"), col("o1"),
+          (col("e1_e6").cast("double") / 1000000).as("e1"),
+          when(col("v_e6") > 0,
+            floor(((col("o1") * 1000000 - col("e1_e6"))
+                .cast("decimal(38,0)")
+              * (col("o1") * 1000000 - col("e1_e6"))).cast("double")
+              / (col("v_e6").cast("decimal(38,0)") * 1000000).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("chi2_logrank"))
+    })
+}

@@ -143,6 +143,76 @@ object CorpusQueries {
       collapsedClusters(s, dir)
     },
 
+    // C117: DEDUP CLUSTER PROFILE — the cluster-size histogram +
+    // duplicate-mass summary a curation team reads before committing
+    // a dedup policy (Lee et al. ACL'22 §4 report exactly this
+    // distribution): per cluster size k, how many near-dup clusters
+    // and docs; k = 1 is the un-clustered remainder; dup_docs =
+    // Σ_{k≥2} (k−1)·n_clusters is the mass a keep-one policy would
+    // drop, dup_pct its corpus share (ONE division, 6dp floor). All
+    // counts exact integers off C15b's transitive clusters (the
+    // collapsed quotient-graph CC — clone groups never expand to
+    // c²/2 pairs). Scale shape: the C15b machinery + a cluster-grain
+    // rollup + a size-grain (≤ max-cluster-size rows) rollup.
+    Q("dedup_cluster_profile",
+      s"""WITH RECURSIVE $pairsCte,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+         |  FROM cl GROUP BY cluster_id),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_clustered FROM cl),
+         |hist AS (
+         |  SELECT k AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(k * count(*) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY k
+         |  UNION ALL
+         |  SELECT 1, n_corpus - n_clustered, n_corpus - n_clustered
+         |  FROM nd, nc),
+         |dup AS (
+         |  SELECT CAST(sum(CASE WHEN cluster_size >= 2
+         |      THEN n_docs - n_clusters ELSE 0 END) AS BIGINT) AS dup_docs
+         |  FROM hist)
+         |SELECT h.cluster_size, h.n_clusters, h.n_docs, nd.n_corpus,
+         |  d.dup_docs,
+         |  floor(CAST(d.dup_docs AS DOUBLE) / CAST(nd.n_corpus AS DOUBLE)
+         |    * 1000000 + 0.5) / 1000000 AS dup_pct
+         |FROM hist h, nd, dup d""".stripMargin) { (s, dir) =>
+      val cl = collapsedClusters(s, dir)
+        .localCheckpoint() // feeds the size rollup and the clustered count
+      val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+      val nd = table(s, dir, "documents").agg(count(lit(1)).as("n_corpus"))
+      val nc = cl.agg(count(lit(1)).as("n_clustered"))
+      val hist = sizes.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("k").as("cluster_size"), col("n_clusters"),
+          (col("k") * col("n_clusters")).as("n_docs"))
+        .unionByName(broadcast(nd).crossJoin(broadcast(nc))
+          .select(lit(1L).as("cluster_size"),
+            (col("n_corpus") - col("n_clustered")).as("n_clusters"),
+            (col("n_corpus") - col("n_clustered")).as("n_docs")))
+        .localCheckpoint() // feeds the dup-mass rollup and the output
+      val dup = hist.agg(sum(when(col("cluster_size") >= 2,
+        col("n_docs") - col("n_clusters")).otherwise(lit(0L))).as("dup_docs"))
+      hist.crossJoin(broadcast(nd)).crossJoin(broadcast(dup))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          col("n_corpus"), col("dup_docs"),
+          (floor(col("dup_docs").cast("double")
+            / col("n_corpus").cast("double") * 1000000 + lit(0.5))
+            / 1000000).as("dup_pct"))
+    },
+
     // C55: dedup-cluster-aware dataset split — the leakage-safe split:
     // assignment hashes the near-dup CLUSTER label (C15b's transitive
     // components; singletons label as themselves), never the doc, so

@@ -1477,6 +1477,141 @@ object StreamingQueries {
               * 1000000 + lit(0.5)) / 1000000).as("f_stat"))
     },
 
+    // D47: streaming Page-Hinkley drift alarm — the classic online
+    // mean-shift detector (Page 1954): per type, m_t = Σ(x_i − x̄_i),
+    // PH_t = m_t − min_{i≤t} m_i (min incl. the initial 0), alarm at
+    // λ = 50 dollars. The running mean makes the fold ORDERED (D23/
+    // D44 machinery, SessionPipeline.statefulPageHinkley); FULLY
+    // exact integers — dev_e6 = c·10⁶ − (S·10⁶)//t is an integer
+    // floor division, so m/min/PH replay bit-for-bit as prefix
+    // windows over exactly the rows below the final watermark.
+    Q("streaming_page_hinkley",
+      s"""WITH e AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |r AS (SELECT event_type, event_id, tsec, c
+         |      FROM e, wm WHERE tsec < fw),
+         |w AS (
+         |  SELECT event_type, c,
+         |    CAST(row_number() OVER win AS BIGINT) AS t,
+         |    CAST(sum(c) OVER win AS BIGINT) AS s
+         |  FROM r
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY tsec, event_id)),
+         |dv AS (
+         |  SELECT event_type, t,
+         |    c * 1000000 - (s * 1000000) // t AS dev
+         |  FROM w),
+         |m AS (
+         |  SELECT event_type, t,
+         |    CAST(sum(dev) OVER win2 AS BIGINT) AS m
+         |  FROM dv
+         |  WINDOW win2 AS (PARTITION BY event_type ORDER BY t)),
+         |ph AS (
+         |  SELECT event_type, t, m,
+         |    m - least(CAST(min(m) OVER win3 AS BIGINT), 0) AS ph
+         |  FROM m
+         |  WINDOW win3 AS (PARTITION BY event_type ORDER BY t))
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_folded,
+         |  CAST(max(ph) AS BIGINT) AS max_ph_e6,
+         |  CAST(count(*) FILTER (ph > 5000000000) AS BIGINT) AS n_alarms
+         |FROM ph GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .as[SessionPipeline.AnomEvent]
+      val folded = SessionPipeline.statefulPageHinkley(ev, DelayS).toDF()
+      runToMemory(s, folded, "graft_stream_ph", mode = "update")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_folded"), col("max_ph_e6"),
+          col("n_alarms"))).as("m"))
+        .select(col("event_type"), col("m.n_folded").as("n_folded"),
+          col("m.max_ph_e6").as("max_ph_e6"),
+          col("m.n_alarms").as("n_alarms"))
+    },
+
+    // D46: streaming chi-square independence monitor — the
+    // CATEGORICAL drift/dependence gate beside the numeric trio
+    // (D35 PSI / D36 KS / D42 EMD compare a numeric distribution to
+    // a reference; live chi-square watches whether event TYPE and
+    // value BAND stay independent — the "did checkout errors start
+    // skewing expensive" alarm). State = the (type × 4-band)
+    // contingency grid as additive counts (model-sized,
+    // partial-merge-friendly); bands at the fixed 15/36/72 value
+    // cuts (the reference quartiles, pinned so the grid is static).
+    // Complete-mode snapshot after AvailableNow replay, then B115's
+    // exact algebra on the 20-row grid: expected = row·col/N (exact
+    // BIGINT product, ONE division), χ² an ordered (type, band)-
+    // ascending fold from 0.0 (the ADC convention), 6dp floor.
+    Q("streaming_chisq",
+      """WITH obs AS (
+        |  SELECT event_type,
+        |    CASE WHEN value < 15 THEN 0 WHEN value < 36 THEN 1
+        |         WHEN value < 72 THEN 2 ELSE 3 END AS band,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_tot
+        |       FROM obs GROUP BY 1),
+        |ct AS (SELECT band, CAST(sum(observed) AS BIGINT) AS col_tot
+        |       FROM obs GROUP BY 1),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+        |t AS (
+        |  SELECT o.event_type, o.band, o.observed,
+        |    CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n AS expected
+        |  FROM obs o JOIN rt USING (event_type) JOIN ct USING (band), n),
+        |chi AS (
+        |  SELECT floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(observed AS DOUBLE) - expected)
+        |           * (CAST(observed AS DOUBLE) - expected) / expected
+        |        ORDER BY event_type, band)), (a, x) -> a + x)
+        |      * 1000000 + 0.5) / 1000000 AS chi2
+        |  FROM t)
+        |SELECT t.event_type, CAST(t.band AS INT) AS band, t.observed,
+        |  floor(t.expected * 1000000 + 0.5) / 1000000 AS expected,
+        |  chi.chi2 AS chi2_total
+        |FROM t, chi""".stripMargin) { (s, dir) =>
+      val band = when(col("value") < 15, lit(0))
+        .when(col("value") < 36, lit(1))
+        .when(col("value") < 72, lit(2)).otherwise(lit(3))
+      val live = eventStream(s, dir)
+        .select(col("event_type"), band.as("band"))
+        .groupBy(col("event_type"), col("band"))
+        .agg(count(lit(1)).as("observed"))
+      val obs = runToMemory(s, live, "graft_stream_chisq", mode = "complete")
+        .localCheckpoint() // margins + cells read the 20-row snapshot
+      val rt = obs.groupBy(col("event_type"))
+        .agg(sum(col("observed")).as("row_tot"))
+      val ct = obs.groupBy(col("band")).agg(sum(col("observed")).as("col_tot"))
+      val n = obs.agg(sum(col("observed")).as("n"))
+      val t = obs.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("band"))
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("band"), col("observed"),
+          ((col("row_tot") * col("col_tot")).cast("double") / col("n"))
+            .as("expected"))
+        .withColumn("term",
+          (col("observed").cast("double") - col("expected"))
+            * (col("observed").cast("double") - col("expected"))
+            / col("expected"))
+        .localCheckpoint()
+      val chi = t
+        .agg(sort_array(collect_list(struct(col("event_type"), col("band"),
+          col("term")))).as("ts"))
+        .select((floor(aggregate(col("ts"), lit(0.0),
+            (acc, x) => acc + x.getField("term")) * lit(1000000) + lit(0.5))
+          / lit(1000000)).as("chi2_total"))
+      t.crossJoin(broadcast(chi))
+        .select(col("event_type"), col("band").cast("int").as("band"),
+          col("observed"),
+          (floor(col("expected") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("expected"),
+          col("chi2_total"))
+    },
+
     // D15: streaming CDC materialization — the changelog-to-serving-
     // table stream (cdc_merge_latest's batch semantics as a live
     // view): per-key latest-version state via a complete-mode max_by

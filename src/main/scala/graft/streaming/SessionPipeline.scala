@@ -431,4 +431,76 @@ object SessionPipeline extends Serializable {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class PhState(n: Long, s: Long, m: Long, minM: Long, maxPh: Long,
+      nAlarms: Long, buffered: Seq[AnomEvent])
+  case class PhOut(event_type: String, n_folded: Long, max_ph_e6: Long,
+      n_alarms: Long)
+
+  /** D47: STREAMING PAGE-HINKLEY DRIFT ALARM — the classic online
+    * mean-shift detector (Page Biometrika 1954; Hinkley 1971), per
+    * key: m_t = Σ_{i≤t} (x_i − x̄_i), PH_t = m_t − min_{i≤t} m_i
+    * (min including the initial 0), alarm when PH_t > λ. The running
+    * mean makes the fold genuinely ORDERED, so it rides the D23/D44
+    * buffered-fold machinery. FULLY exact integers: the per-step
+    * deviation is dev_e6 = c·10⁶ − (S_t·10⁶) // t (integer floor
+    * division — S·10⁶ stays in a Long to ~9·10¹² cents/key), so m,
+    * minM and PH are exact BIGINTs both engines replay bit-for-bit
+    * with prefix windows. λ = 5000 cents · 10⁶ (a 50-dollar sustained
+    * mean lift). State per key: 6 longs + the below-watermark buffer.
+    */
+  def statefulPageHinkley(events: Dataset[AnomEvent], delayS: Long,
+      lambdaE6: Long = 5000L * 1000000): Dataset[PhOut] = {
+    import events.sparkSession.implicits._
+
+    def foldReady(key: String, st: PhState,
+        wmS: Long): (PhState, Option[PhOut]) = {
+      val (ready, hold) = st.buffered.partition(_.tsec < wmS)
+      if (ready.isEmpty) (st, None)
+      else {
+        var cur = st
+        ready.sortBy(r => (r.tsec, r.event_id)).foreach { r =>
+          val n = cur.n + 1
+          val s = cur.s + r.cents
+          val dev = r.cents * 1000000L - (s * 1000000L) / n
+          val m = cur.m + dev
+          val minM = math.min(cur.minM, m)
+          val ph = m - minM
+          cur = PhState(n, s, m, minM, math.max(cur.maxPh, ph),
+            cur.nAlarms + (if (ph > lambdaE6) 1L else 0L), Nil)
+        }
+        val next = cur.copy(buffered = hold)
+        (next, Some(PhOut(key, next.n, next.maxPh, next.nAlarms)))
+      }
+    }
+
+    def update(key: String, rows: Iterator[AnomEvent],
+        state: GroupState[PhState]): Iterator[PhOut] = {
+      val wmS = state.getCurrentWatermarkMs() / 1000L
+      val st0 = state.getOption.getOrElse(
+        PhState(0L, 0L, 0L, 0L, 0L, 0L, Nil))
+      val withNew =
+        if (state.hasTimedOut) st0
+        else st0.copy(buffered = st0.buffered ++ rows)
+      val (next, out) = foldReady(key, withNew, wmS)
+      if (next.buffered.isEmpty && state.hasTimedOut) state.remove()
+      else {
+        state.update(next)
+        val wake = next.buffered.map(_.tsec * 1000L) match {
+          case Nil => state.getCurrentWatermarkMs() + 1000L
+          case ts => math.max(ts.min + 1L, state.getCurrentWatermarkMs() + 1L)
+        }
+        state.setTimeoutTimestamp(wake)
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }
