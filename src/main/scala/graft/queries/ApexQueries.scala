@@ -330,6 +330,192 @@ object ApexQueries {
             .as("pacf"))
     },
 
+    // B143: LJUNG-BOX PORTMANTEAU TEST (Ljung & Box Biometrika 1978)
+    // over the zero-filled daily revenue grid — the "is this series
+    // white noise" omnibus that reads ALL of B124's autocorrelations
+    // at once: Q_k = n(n+2)·Σ_{j≤k} ρ_j²/(n−j), emitted cumulatively
+    // for k = 1..7 (fitting residuals that fail Q mean the B109/B136
+    // model family left structure on the table). Determinism: ρ_j
+    // are B124's exact-integer cross-products into one division each
+    // (bit-identical); each Q_k is its own j-ascending fold from 0.0
+    // (the ADC convention — Spark `aggregate` over sequence, DuckDB
+    // list_reduce over range, identical association), one pinned
+    // multiply by n(n+2), 6dp floor. Scale shape: the B124 plan —
+    // one keyed day agg, calendar-sized everything after.
+    Q("ljung_box",
+      """WITH o AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |grid AS (
+        |  SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+        |  FROM bounds),
+        |x AS (
+        |  SELECT g.day, CAST(coalesce(o.cents, 0) AS BIGINT) AS v
+        |  FROM grid g LEFT JOIN o ON g.day = o.day),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v) AS BIGINT) AS tot FROM x),
+        |dev AS (
+        |  SELECT x.day, CAST(s.n * x.v - s.tot AS HUGEINT) AS dv
+        |  FROM x, s),
+        |den0 AS (SELECT sum(dv * dv) AS den FROM dev),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |num0 AS (
+        |  SELECT l.lag, sum(a.dv * b.dv) AS num
+        |  FROM lags l
+        |  JOIN dev a ON true
+        |  JOIN dev b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag),
+        |rl AS (
+        |  SELECT list(CAST(num0.num AS DOUBLE) / CAST(den0.den AS DOUBLE)
+        |    ORDER BY num0.lag) AS rho, max(s.n) AS n
+        |  FROM num0, den0, s)
+        |SELECT CAST(l.lag AS BIGINT) AS lag, rl.n AS n_days,
+        |  round(rl.rho[CAST(l.lag AS INT)], 6) AS acf,
+        |  floor(CAST(rl.n * (rl.n + 2) AS DOUBLE)
+        |    * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, l.lag + 1), j ->
+        |          rl.rho[CAST(j AS INT)] * rl.rho[CAST(j AS INT)]
+        |            / CAST(rl.n - j AS DOUBLE))),
+        |        (a, t) -> a + t) * 1000000 + 0.5) / 1000000 AS q_stat
+        |FROM lags l, rl""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val x = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(o, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("v"))
+      val st = x.agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+      val dev = x.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("n") * col("v") - col("tot")).cast("decimal(18,0)").as("dv"),
+          col("n"))
+        .localCheckpoint() // both sides of the lag self-join + the den
+      val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val a = dev.select(col("day").as("da"), col("dv").as("dva"), col("n"))
+      val b = dev.select(col("day").as("db"), col("dv").as("dvb"))
+      val num = a.crossJoin(broadcast(lags))
+        .join(b, col("db") === col("da") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(sum(col("dva") * col("dvb")).as("num"), first(col("n")).as("n"))
+      val rl = num.crossJoin(broadcast(den))
+        .select(col("lag"), col("n"),
+          (col("num").cast("double") / col("den").cast("double")).as("rho"))
+        .agg(transform(sort_array(collect_list(struct(col("lag"), col("rho")))),
+            lr => lr.getField("rho")).as("rho"),
+          max(col("n")).as("n"))
+      rl.select(col("n"), col("rho"),
+          explode(sequence(lit(1L), lit(7L))).as("lag"))
+        .select(col("lag"), col("n").as("n_days"),
+          round(element_at(col("rho"), col("lag").cast("int")), 6).as("acf"),
+          (floor((col("n") * (col("n") + 2)).cast("double")
+            * expr("""aggregate(sequence(1, cast(lag as int)), 0D,
+                     |  (a, j) -> a + element_at(rho, j) * element_at(rho, j)
+                     |              / cast(n - j as double))""".stripMargin)
+            * 1000000 + lit(0.5)) / 1000000).as("q_stat"))
+    },
+
+    // B144: WALD-WOLFOWITZ RUNS TEST (Wald & Wolfowitz 1940) of the
+    // daily revenue series against its own median — the
+    // distribution-free "is the sequence RANDOM" diagnostic the
+    // trend/changepoint family assumes away (too FEW runs = sticky
+    // regimes/trend, too MANY = oscillation; B67/B122 find WHERE a
+    // shift is, the runs test asks whether ordering matters at all).
+    // Exact spelling: the reference cut is the LOWER median of the
+    // day values (the B130 prefix-sum convention on the value grain);
+    // signs s_t = [v_t > med]; R = 1 + Σ[s_t ≠ s_{t−1}] via one lag
+    // window over the calendar-bounded grid — all exact integers;
+    // z = (R − μ)/σ with μ = 2n₁n₂/(n₁+n₂) + 1 and σ² =
+    // 2n₁n₂(2n₁n₂−n₁−n₂)/((n₁+n₂)²(n₁+n₂−1)) — exact BIGINT products
+    // into ONE pinned double tree (sqrt is IEEE-exact), 6dp floor;
+    // a one-sided series (n₁ = 0 or n₂ = 0) → NULL. Scale shape: one
+    // keyed day agg over orders; everything after day-grain.
+    Q("runs_test_daily",
+      """WITH o AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |grid AS (
+        |  SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+        |  FROM bounds),
+        |x AS (
+        |  SELECT g.day, CAST(coalesce(o.v, 0) AS BIGINT) AS v
+        |  FROM grid g LEFT JOIN o ON g.day = o.day),
+        |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY v),
+        |cw AS (
+        |  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM vc),
+        |med AS (SELECT CAST(min(v) AS BIGINT) AS med
+        |        FROM cw WHERE cum >= (n + 1) // 2),
+        |sg AS (
+        |  SELECT x.day, CASE WHEN x.v > med.med THEN 1 ELSE 0 END AS s
+        |  FROM x, med),
+        |ch AS (
+        |  SELECT s, lag(s) OVER (ORDER BY day) AS ps FROM sg),
+        |agg AS (
+        |  SELECT CAST(sum(s) AS BIGINT) AS n1,
+        |    CAST(sum(1 - s) AS BIGINT) AS n2,
+        |    CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM ch)
+        |SELECT n1, n2, r AS n_runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+        |    floor((CAST(r AS DOUBLE)
+        |        - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |           + 1))
+        |      / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+        |          / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS z
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("v"))
+      val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val x = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(o, Seq("day"), "left")
+        .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint() // feeds the median grain and the sign scan
+      // lower median on the day-value grain (calendar-bounded)
+      val vc = x.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val cw = vc.select(col("v"),
+        sum(col("cnt")).over(Window.orderBy(col("v"))).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy()).as("n"))
+      val med = cw.filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("v")).as("med"))
+      val sg = x.crossJoin(broadcast(med))
+        .select(col("day"),
+          when(col("v") > col("med"), lit(1L)).otherwise(lit(0L)).as("s"))
+      val ch = sg.select(col("s"),
+        lag(col("s"), 1).over(Window.orderBy(col("day"))).as("ps"))
+      val agg = ch.agg(sum(col("s")).as("n1"),
+        sum(lit(1L) - col("s")).as("n2"),
+        (lit(1L) + sum(when(col("ps").isNotNull && col("s") =!= col("ps"),
+          lit(1L)).otherwise(lit(0L)))).as("r"))
+      agg.select(col("n1"), col("n2"), col("r").as("n_runs"),
+        when(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1,
+          floor((col("r").cast("double")
+              - ((lit(2) * col("n1") * col("n2")).cast("double")
+                / (col("n1") + col("n2")).cast("double") + lit(1.0)))
+            / sqrt((lit(2) * col("n1") * col("n2")
+                * (lit(2) * col("n1") * col("n2") - col("n1") - col("n2")))
+                .cast("double")
+              / ((col("n1") + col("n2")) * (col("n1") + col("n2"))
+                * (col("n1") + col("n2") - 1)).cast("double"))
+            * 1000000 + lit(0.5)) / 1000000).as("z"))
+    },
+
     // B139: ADAMIC-ADAR LINK PREDICTION (Adamic & Adar Soc. Netw.
     // 2003; Liben-Nowell & Kleinberg CIKM'03) over the part co-order
     // projection (the B135 edge build) — for NON-adjacent pairs

@@ -873,6 +873,116 @@ object DedupQueries {
           Seq("shard", "cluster"))
     },
 
+    // C118: SEMDEDUP EPSILON SWEEP — the τ-calibration pass for
+    // SEMANTIC dedup (what C111's threshold curve is for the exact
+    // set-similarity family; Abbas et al. 2023 §4 report exactly this
+    // retained-fraction-vs-ε curve before committing a dedup budget):
+    // for each candidate cosine ε, how many cluster representatives
+    // a keep-lowest-id SemDeDup pass would drop. ONE pass of the C83
+    // sharded chain (per-shard codebooks, map-only assignment, exact
+    // clone collapse) computes per-rep maxcos = max cosine to any
+    // lower-id same-(shard, cluster) rep — the drop decision at EVERY
+    // ε simultaneously, since the rule is one-shot, not iterative —
+    // then a broadcast 4-ε rollup. Non-rep clone members are exact
+    // duplicates (cosine 1 ≥ any ε), so docs_kept(ε) = reps_kept(ε);
+    // pct_kept is ONE division, 6dp floor. Scale: the C83 cost + a
+    // rep-grain max — the sweep itself is model-sized.
+    Q("semdedup_eps_sweep",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |kv AS (SELECT GREATEST(4, CAST(ceil(count(*) / 4096.0) AS BIGINT)) AS s_cnt,
+         |  CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)
+         |    / GREATEST(4, CAST(ceil(count(*) / 4096.0) AS BIGINT)))) AS BIGINT) AS k
+         |  FROM e),
+         |es AS (SELECT vec_id % (SELECT s_cnt FROM kv) AS shard, vec_id, v FROM e),
+         |tr AS (SELECT shard, vec_id, v FROM (
+         |    SELECT shard, vec_id, v,
+         |      row_number() OVER (PARTITION BY shard ORDER BY vec_id) AS rn FROM es)
+         |  WHERE rn <= 32 * (SELECT k FROM kv)),
+         |c0 AS (SELECT shard, cluster, cv FROM (
+         |    SELECT shard,
+         |      CAST(row_number() OVER (PARTITION BY shard ORDER BY vec_id) AS INT) AS cluster,
+         |      v AS cv FROM tr)
+         |  WHERE cluster <= (SELECT k FROM kv)),
+         |a1 AS (${VectorQueries.assignShardCte("c0", "tr")}),
+         |c1 AS (${VectorQueries.mStepShardCte("a1")}),
+         |a2 AS (${VectorQueries.assignShardCte("c1", "tr")}),
+         |c2 AS (${VectorQueries.mStepShardCte("a2")}),
+         |asg AS (${VectorQueries.assignShardCte("c2", "es")}),
+         |grp AS (
+         |  SELECT shard, cluster, v, CAST(min(vec_id) AS BIGINT) AS rep_id
+         |  FROM asg GROUP BY shard, cluster, v),
+         |pc AS (
+         |  SELECT b.rep_id AS id_b, max($cosineExpr) AS mc
+         |  FROM grp a JOIN grp b
+         |    ON a.shard = b.shard AND a.cluster = b.cluster
+         |   AND a.rep_id < b.rep_id
+         |  GROUP BY b.rep_id),
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reps FROM grp),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM e),
+         |eps AS (SELECT unnest([0.45, 0.55, 0.65, 0.75]) AS eps),
+         |sw AS (
+         |  SELECT ep.eps,
+         |    CAST(coalesce(count(*) FILTER (pc.mc >= ep.eps), 0) AS BIGINT)
+         |      AS n_dropped
+         |  FROM eps ep LEFT JOIN pc ON true GROUP BY ep.eps)
+         |SELECT sw.eps, nr.n_reps, sw.n_dropped,
+         |  nr.n_reps - sw.n_dropped AS n_docs_kept, nd.n_docs,
+         |  floor(CAST(nr.n_reps - sw.n_dropped AS DOUBLE)
+         |    / CAST(nd.n_docs AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |    AS pct_kept
+         |FROM sw, nr, nd""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = e.count()
+      val S = math.max(4L, math.ceil(n / 4096.0).toLong)
+      val k = math.ceil(math.sqrt(n.toDouble / S)).toInt
+      val sharded = e.select((col("vec_id") % S).as("shard"),
+        col("vec_id").as("id"), col("v"))
+      val train = sharded
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("id"))))
+        .filter(col("_rn") <= 32 * k).drop("_rn")
+        .localCheckpoint()
+      val centroids = graft.operators.KMeans.fitPerGroup(
+        train, "shard", "id", "v", k, iterations = 2, roundTo = Some(6))
+      val asg = graft.operators.KMeans.assignPerGroup(
+          sharded, "shard", "id", "v", centroids, roundTo = Some(6),
+          keepVectors = true)
+        .select(col("grp").as("shard"), col("id").as("vec_id"),
+          col("cluster"), col("v"))
+      val groups = asg.groupBy(col("shard"), col("cluster"), col("v"))
+        .agg(min(col("vec_id")).as("rep_id"))
+        .filter(assert_true(VectorOps.dot(col("v"), col("v")) > 0,
+          lit("semdedup_eps_sweep: zero vector — cosine undefined")).isNull)
+        .localCheckpoint()
+      val cos = VectorOps.dot(col("va"), col("vb")) /
+        (sqrt(VectorOps.dot(col("va"), col("va")))
+          * sqrt(VectorOps.dot(col("vb"), col("vb"))))
+      val pc = groups.select(col("shard"), col("cluster"),
+          col("rep_id").as("id_a"), col("v").as("va"))
+        .join(groups.select(col("shard"), col("cluster"),
+          col("rep_id").as("id_b"), col("v").as("vb")),
+          Seq("shard", "cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_b")).agg(max(cos).as("mc"))
+      val nr = groups.agg(count(lit(1)).as("n_reps"))
+      val nd = e.agg(count(lit(1)).as("n_docs"))
+      val epsDf = s.createDataFrame(
+        Seq(0.45, 0.55, 0.65, 0.75).map(Tuple1.apply)).toDF("eps")
+      val sw = broadcast(epsDf).join(pc, col("mc") >= col("eps"), "left")
+        .groupBy(col("eps"))
+        .agg(sum(when(col("mc").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_dropped"))
+      sw.crossJoin(broadcast(nr)).crossJoin(broadcast(nd))
+        .select(col("eps"), col("n_reps"), col("n_dropped"),
+          (col("n_reps") - col("n_dropped")).as("n_docs_kept"),
+          col("n_docs"),
+          (floor((col("n_reps") - col("n_dropped")).cast("double")
+            / col("n_docs").cast("double") * 1000000 + lit(0.5))
+            / 1000000).as("pct_kept"))
+    },
+
     // C6: brute-force cosine ANN top-10 for the first 5 vectors.
     Q("ann_bruteforce_topk",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -72,4 +72,14 @@ class Round12PlanSpec extends SparkTestBase {
     assert(!plan.contains("props"),
       s"scan reads the props payload the test never touches:\n$plan")
   }
+
+  test("ljung-box and runs test collapse orders to the day grain map-side") {
+    for (q <- Seq("ljung_box", "runs_test_daily")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_sum"),
+        s"$q: no map-side day agg before the calendar fold:\n$plan")
+      assert(!plan.contains("o_custkey"),
+        s"$q: scan reads columns the statistic never touches:\n$plan")
+    }
+  }
 }
