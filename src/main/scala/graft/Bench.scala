@@ -494,7 +494,10 @@ object Bench {
         "streaming_page_hinkley",
         // round-12 third batch: two more day-grain statistics and the
         // SemDeDup ε-sweep (one C83 sharded pass + a rep-grain max)
-        "ljung_box", "runs_test_daily", "semdedup_eps_sweep")
+        "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
+        // round-12 fourth batch: two more value-grain tests and the
+        // token-linear span-corruption example builder
+        "anderson_darling", "jonckheere_trend", "span_corruption")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -515,7 +518,8 @@ object Bench {
       // round-12: the segment-KS grid and the day-grain PACF read
       // orders(+customer); Adamic-Adar reads lineitem; KW reads orders
       "bh_fdr_ks", "timeseries_pacf", "graph_adamic_adar",
-      "kruskal_wallis", "ljung_box", "runs_test_daily")
+      "kruskal_wallis", "ljung_box", "runs_test_daily",
+      "jonckheere_trend")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on
@@ -728,7 +732,10 @@ object Bench {
       "kruskal_wallis", "hodges_lehmann", "log_rank_conversion",
       // round-12 third batch second decades: day-grain statistics and
       // the sharded-chain ε-sweep (the C83 linearity claim)
-      "ljung_box", "runs_test_daily", "semdedup_eps_sweep")
+      "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
+      // round-12 fourth batch second decades: the value-grain AD/JT
+      // tests (near-constant grain) and the linear span builder
+      "anderson_darling", "jonckheere_trend", "span_corruption")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

@@ -516,6 +516,176 @@ object ApexQueries {
             * 1000000 + lit(0.5)) / 1000000).as("z"))
     },
 
+    // B145: TWO-SAMPLE ANDERSON-DARLING TEST (Scholz & Stephens JASA
+    // 1987, the k = 2 rank form without midrank correction) between
+    // purchase and view values — the tail-sensitive alternative to
+    // B120's KS (KS sees only the worst CDF gap; AD integrates the
+    // squared gap with 1/(B(N−B)) weights that blow up in the tails,
+    // where distribution shifts that matter for pricing live). Exact
+    // spelling on the cents value grain: per distinct value j
+    // (excluding the last, where B = N), per sample i, the term
+    // t_ij = ((N·M_ij − n_i·B_j)²·10⁶) // (n_i·N·B_j·(N−B_j)) is an
+    // EXACT integer floor division (numerator ≤ N⁴·10⁶ —
+    // DECIMAL(38,0) holds it to N ~ 4·10⁷, the ×1000 two-type
+    // event count; ANSI-loud past that); the per-value contribution
+    // l_j·(t_1j + t_2j) and the total are then order-independent
+    // BIGINT sums; A² = Σ/10⁶, 6dp floor form. Scale shape: one
+    // keyed agg to the value grain + ONE value-grain-bounded global
+    // prefix window (the B120 class), map-side combined.
+    Q("anderson_darling",
+      """WITH e AS (
+        |  SELECT event_type = 'purchase' AS g1,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |v AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS l,
+        |    CAST(count(*) FILTER (g1) AS BIGINT) AS l1
+        |  FROM e GROUP BY c),
+        |w AS (
+        |  SELECT c, l, l1,
+        |    CAST(sum(l) OVER (ORDER BY c) AS BIGINT) AS b,
+        |    CAST(sum(l1) OVER (ORDER BY c) AS BIGINT) AS m1
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(l1) AS BIGINT) AS n1,
+        |          CAST(sum(l - l1) AS BIGINT) AS n2,
+        |          CAST(sum(l) AS BIGINT) AS n FROM v),
+        |terms AS (
+        |  SELECT w.l *
+        |    (CAST(CAST(w.m1 * t.n - t.n1 * w.b AS HUGEINT)
+        |       * (w.m1 * t.n - t.n1 * w.b) * 1000000
+        |       // (CAST(t.n1 AS HUGEINT) * t.n * w.b * (t.n - w.b))
+        |       AS BIGINT)
+        |     + CAST(CAST((w.b - w.m1) * t.n - t.n2 * w.b AS HUGEINT)
+        |       * ((w.b - w.m1) * t.n - t.n2 * w.b) * 1000000
+        |       // (CAST(t.n2 AS HUGEINT) * t.n * w.b * (t.n - w.b))
+        |       AS BIGINT)) AS contrib
+        |  FROM w, tot t WHERE w.b < t.n)
+        |SELECT t.n1, t.n2,
+        |  floor(CAST(coalesce((SELECT sum(contrib) FROM terms), 0)
+        |    AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000 AS ad_stat
+        |FROM tot t""".stripMargin) { (s, dir) =>
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("l"), sum(col("g1").cast("long")).as("l1"))
+        .localCheckpoint() // the prefix pass and the totals read it
+      // value-grain-bounded global prefix window (the B120 class)
+      val w = v.select(col("c"), col("l"), col("l1"),
+        sum(col("l")).over(Window.orderBy(col("c"))).as("b"),
+        sum(col("l1")).over(Window.orderBy(col("c"))).as("m1"))
+      val tot = v.agg(sum(col("l1")).as("n1"),
+        sum(col("l") - col("l1")).as("n2"), sum(col("l")).as("n"))
+      val terms = w.crossJoin(broadcast(tot))
+        .filter(col("b") < col("n"))
+        .select((col("l") * (
+          expr("""cast(cast(m1 * n - n1 * b as decimal(38,0))
+                 |  * (m1 * n - n1 * b) * 1000000
+                 |  div (cast(n1 as decimal(38,0)) * n * b * (n - b))
+                 |  as bigint)""".stripMargin)
+          + expr("""cast(cast((b - m1) * n - n2 * b as decimal(38,0))
+                   |  * ((b - m1) * n - n2 * b) * 1000000
+                   |  div (cast(n2 as decimal(38,0)) * n * b * (n - b))
+                   |  as bigint)""".stripMargin))).as("contrib"))
+      val ad = terms.agg(coalesce(sum(col("contrib")), lit(0L)).as("s"))
+      broadcast(tot).crossJoin(broadcast(ad))
+        .select(col("n1"), col("n2"),
+          (floor(col("s").cast("double") / 1000000 * 1000000 + lit(0.5))
+            / 1000000).as("ad_stat"))
+    },
+
+    // B146: JONCKHEERE-TERPSTRA ORDERED-TREND TEST (Jonckheere
+    // Biometrika 1954; Terpstra 1952) of order value across the five
+    // priorities IN THEIR NATURAL ORDER — the test B142 cannot be:
+    // Kruskal-Wallis asks "do the groups differ at all", JT asks "do
+    // they INCREASE along the ordering" (urgent → low), the right
+    // alternative when the factor is ordinal. Exact spelling: J2 =
+    // Σ_{g<h} (2·#(x_g < y_h) + #(x_g = y_h)) computed on the cents
+    // value grain — the grid carries every group's count and prefix
+    // at every distinct value (the B137 grid), so each ordered pair
+    // (g, h) contributes Σ_v cnt_h(v)·(2·cb_g(v) + cnt_g(v)) in
+    // exact BIGINTs; z = (J2/2 − μ)/σ with the untied null moments
+    // μ = (N² − Σn_g²)/4, σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72 —
+    // exact integer products into ONE pinned double tree (documented
+    // spelling: the classic no-tie-correction normal approximation),
+    // 6dp floor. Scale shape: the B137 grid (one keyed agg, one
+    // segment-partitioned prefix window over the value grain), then
+    // a 10-pair × value-grain join, model-sized moments.
+    Q("jonckheere_trend",
+      """WITH e AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |vc AS (
+        |  SELECT g, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |gc AS (SELECT DISTINCT c FROM vc),
+        |segs AS (SELECT DISTINCT g FROM vc),
+        |grid AS (
+        |  SELECT s.g, gc.c,
+        |    CAST(coalesce(v.cnt, 0) AS BIGINT) AS cnt,
+        |    CAST(sum(coalesce(v.cnt, 0)) OVER (
+        |      PARTITION BY s.g ORDER BY gc.c) AS BIGINT)
+        |      - CAST(coalesce(v.cnt, 0) AS BIGINT) AS cb
+        |  FROM segs s CROSS JOIN gc
+        |  LEFT JOIN vc v ON v.g = s.g AND v.c = gc.c),
+        |j AS (
+        |  SELECT CAST(sum(b.cnt * (2 * a.cb + a.cnt)) AS HUGEINT) AS j2
+        |  FROM grid a JOIN grid b ON a.c = b.c AND a.g < b.g),
+        |ns AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sn2,
+        |    CAST(sum(CAST(cnt AS HUGEINT) * cnt * (2 * cnt + 3))
+        |      AS HUGEINT) AS sn23
+        |  FROM (SELECT g, CAST(sum(cnt) AS BIGINT) AS cnt
+        |        FROM vc GROUP BY g))
+        |SELECT ns.n AS n_rows, CAST(j.j2 AS BIGINT) AS j2,
+        |  CASE WHEN ns.n > 1 THEN
+        |    floor((CAST(j.j2 AS DOUBLE) / 2.0
+        |        - CAST(CAST(ns.n AS HUGEINT) * ns.n - ns.sn2 AS DOUBLE)
+        |          / 4.0)
+        |      / sqrt(CAST(CAST(ns.n AS HUGEINT) * ns.n * (2 * ns.n + 3)
+        |          - ns.sn23 AS DOUBLE) / 72.0)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS z
+        |FROM j, ns""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+      val vc = e.groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the grid, the value grain, the moments
+      val gc = vc.select(col("c")).distinct()
+      val segs = vc.select(col("g")).distinct()
+      val grid = broadcast(segs).crossJoin(gc)
+        .join(vc, Seq("g", "c"), "left")
+        .select(col("g"), col("c"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn("cb",
+          sum(col("cnt")).over(
+            Window.partitionBy(col("g")).orderBy(col("c"))) - col("cnt"))
+        .localCheckpoint() // both sides of the ordered-pair join
+      val j = grid.as("a").join(grid.as("b"),
+          col("a.c") === col("b.c") && col("a.g") < col("b.g"))
+        .agg(sum((col("b.cnt")
+          * (col("a.cb") * 2 + col("a.cnt"))).cast("decimal(38,0)"))
+          .as("j2"))
+      val ns = vc.groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+        .agg(sum(col("cnt")).as("n"),
+          sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).as("sn2"),
+          sum((col("cnt") * col("cnt") * (col("cnt") * 2 + 3))
+            .cast("decimal(38,0)")).as("sn23"))
+      broadcast(j).crossJoin(broadcast(ns))
+        .select(col("n").as("n_rows"), col("j2").cast("long").as("j2"),
+          when(col("n") > 1,
+            floor((col("j2").cast("double") / 2.0
+                - (col("n").cast("decimal(38,0)") * col("n") - col("sn2"))
+                  .cast("double") / 4.0)
+              / sqrt((col("n").cast("decimal(38,0)") * col("n")
+                  * (col("n") * 2 + 3) - col("sn23")).cast("double") / 72.0)
+              * 1000000 + lit(0.5)) / 1000000).as("z"))
+    },
+
     // B139: ADAMIC-ADAR LINK PREDICTION (Adamic & Adar Soc. Netw.
     // 2003; Liben-Nowell & Kleinberg CIKM'03) over the part co-order
     // projection (the B135 edge build) — for NON-adjacent pairs

@@ -213,6 +213,113 @@ object CorpusQueries {
             / 1000000).as("dup_pct"))
     },
 
+    // C119: T5-STYLE SPAN-CORRUPTION EXAMPLE CONSTRUCTION (Raffel et
+    // al. JMLR 2020 §3.1.4) — the pretraining-example builder that
+    // turns a document into (inputs-with-sentinels, targets): tokens
+    // are marked for corruption by a DETERMINISTIC integer mask
+    // ((doc_id·1000003 + i·101) mod 97 < 15 — ~15.5% noise density,
+    // the paper's default; a shared pure-integer rule both engines
+    // replay exactly, no RNG; the position stride 101 ≡ 4 (mod 97)
+    // is deliberately SMALL so consecutive marks — and therefore
+    // real multi-token spans — actually occur, the paper's mean span
+    // length 3 regime), consecutive marked tokens merge into
+    // one span, each span becomes <extra_id_K> in the inputs while
+    // the targets carry <extra_id_K> followed by the span's tokens.
+    // Pure integer/string arithmetic — nothing to round. Scale
+    // shape: one posexplode (linear in corpus tokens), one
+    // doc-partitioned lag/cumsum window (bounded by doc length — the
+    // C16/C25 class), one keyed re-assembly groupBy.
+    Q("span_corruption",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    toks[CAST(i AS INT)] AS w
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |f AS (
+         |  SELECT doc_id, pos, w,
+         |    CASE WHEN (doc_id * 1000003 + pos * 101) % 97 < 15
+         |      THEN 1 ELSE 0 END AS flag
+         |  FROM tok WHERE w <> ''),
+         |st AS (
+         |  SELECT doc_id, pos, w, flag,
+         |    CASE WHEN flag = 1 AND
+         |      coalesce(lag(flag) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+         |        = 0 THEN 1 ELSE 0 END AS start
+         |  FROM f),
+         |sp AS (
+         |  SELECT doc_id, pos, w, flag, start,
+         |    CAST(sum(start) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS BIGINT) - 1 AS span_id
+         |  FROM st),
+         |pieces AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN flag = 0 THEN w
+         |         WHEN start = 1 THEN '<extra_id_' || span_id || '>'
+         |    END AS in_piece,
+         |    CASE WHEN flag = 1 AND start = 1
+         |           THEN '<extra_id_' || span_id || '> ' || w
+         |         WHEN flag = 1 THEN w
+         |    END AS tgt_piece
+         |  FROM sp),
+         |asm AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN tgt_piece IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_corrupted,
+         |    CAST(sum(CASE WHEN in_piece LIKE '<extra_id_%' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_spans,
+         |    coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+         |      FILTER (in_piece IS NOT NULL), '') AS input_text,
+         |    coalesce(string_agg(tgt_piece, ' ' ORDER BY pos)
+         |      FILTER (tgt_piece IS NOT NULL), '') AS target_text
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_corrupted, n_spans,
+         |  input_text, target_text
+         |FROM asm""".stripMargin) { (s, dir) =>
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as(Seq("pos0", "w")))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("w"))
+      val f = tok.withColumn("flag",
+        when((col("doc_id") * 1000003 + col("pos") * 101) % 97 < 15,
+          lit(1)).otherwise(lit(0)))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val sp = f
+        .withColumn("start", when(col("flag") === 1 &&
+          coalesce(lag(col("flag"), 1).over(wd), lit(0)) === 0, lit(1))
+          .otherwise(lit(0)))
+        .withColumn("span_id",
+          sum(col("start")).over(wd).cast("long") - 1)
+      val pieces = sp.select(col("doc_id"), col("pos"),
+        when(col("flag") === 0, col("w"))
+          .when(col("start") === 1,
+            concat(lit("<extra_id_"), col("span_id"), lit(">")))
+          .as("in_piece"),
+        when(col("flag") === 1 && col("start") === 1,
+          concat(lit("<extra_id_"), col("span_id"), lit("> "), col("w")))
+          .when(col("flag") === 1, col("w"))
+          .as("tgt_piece"))
+      pieces.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tgt_piece").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupted"),
+          sum(when(col("in_piece").startsWith("<extra_id_"), 1L)
+            .otherwise(0L)).as("n_spans"),
+          coalesce(array_join(transform(filter(
+            sort_array(collect_list(struct(col("pos"), col("in_piece")
+              .as("p")))), x => x.getField("p").isNotNull),
+            x => x.getField("p")), " "), lit("")).as("input_text"),
+          coalesce(array_join(transform(filter(
+            sort_array(collect_list(struct(col("pos"), col("tgt_piece")
+              .as("p")))), x => x.getField("p").isNotNull),
+            x => x.getField("p")), " "), lit("")).as("target_text"))
+    },
+
     // C55: dedup-cluster-aware dataset split — the leakage-safe split:
     // assignment hashes the near-dup CLUSTER label (C15b's transitive
     // components; singletons label as themselves), never the doc, so

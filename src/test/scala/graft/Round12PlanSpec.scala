@@ -82,4 +82,20 @@ class Round12PlanSpec extends SparkTestBase {
         s"$q: scan reads columns the statistic never touches:\n$plan")
     }
   }
+
+  test("AD and JT collapse to the value grain map-side") {
+    for (q <- Seq("anderson_darling", "jonckheere_trend")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_"),
+        s"$q: the value grain reaches a shuffle un-combined:\n$plan")
+    }
+  }
+
+  test("span corruption windows partition per document — no global sort") {
+    val plan = planOf("span_corruption")
+    assert(!plan.matches("(?s).*Exchange SinglePartition.*Window.*"),
+      s"unpartitioned window over the token explode:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"no doc-partitioned window exchange:\n$plan")
+  }
 }
