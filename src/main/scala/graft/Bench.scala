@@ -497,7 +497,12 @@ object Bench {
         "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
         // round-12 fourth batch: two more value-grain tests and the
         // token-linear span-corruption example builder
-        "anderson_darling", "jonckheere_trend", "span_corruption")
+        "anderson_darling", "jonckheere_trend", "span_corruption",
+        // round-12 fifth batch: the 2-row effect-size agg and the
+        // TopKPerKey preference-pair builder. cramers_v reads the
+        // customer dimension only (the B115 rationale: a 25-cell
+        // count has no scale question to probe).
+        "cohens_d", "preference_pairs")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -735,7 +740,9 @@ object Bench {
       "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
       // round-12 fourth batch second decades: the value-grain AD/JT
       // tests (near-constant grain) and the linear span builder
-      "anderson_darling", "jonckheere_trend", "span_corruption")
+      "anderson_darling", "jonckheere_trend", "span_corruption",
+      // round-12 fifth batch second decades
+      "cohens_d", "preference_pairs")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

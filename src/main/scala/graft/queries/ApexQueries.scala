@@ -667,14 +667,16 @@ object ApexQueries {
         .localCheckpoint() // both sides of the ordered-pair join
       val j = grid.as("a").join(grid.as("b"),
           col("a.c") === col("b.c") && col("a.g") < col("b.g"))
-        .agg(sum((col("b.cnt")
-          * (col("a.cb") * 2 + col("a.cnt"))).cast("decimal(38,0)"))
+        .agg(sum(col("b.cnt").cast("decimal(38,0)")
+          * (col("a.cb") * 2 + col("a.cnt")))
           .as("j2"))
+      // widen BEFORE multiplying: n_g³ passes Long at the ×100 clone
+      // scale (3e6³ ≈ 3e19 > 2⁶³ — found by the ×100 probe, ANSI-loud)
       val ns = vc.groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
         .agg(sum(col("cnt")).as("n"),
-          sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).as("sn2"),
-          sum((col("cnt") * col("cnt") * (col("cnt") * 2 + 3))
-            .cast("decimal(38,0)")).as("sn23"))
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("sn2"),
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt")
+            * (col("cnt") * 2 + 3)).as("sn23"))
       broadcast(j).crossJoin(broadcast(ns))
         .select(col("n").as("n_rows"), col("j2").cast("long").as("j2"),
           when(col("n") > 1,
@@ -684,6 +686,181 @@ object ApexQueries {
               / sqrt((col("n").cast("decimal(38,0)") * col("n")
                   * (col("n") * 2 + 3) - col("sn23")).cast("double") / 72.0)
               * 1000000 + lit(0.5)) / 1000000).as("z"))
+    },
+
+    // B147: CRAMÉR'S V EFFECT SIZE (Cramér 1946) for the segment ×
+    // region contingency — the statistic the B115 chi-square test
+    // should be read WITH (χ² grows with N, so at corpus scale
+    // everything is "significant"; V = √(χ²/(N·(min(r,c)−1))) is the
+    // scale-free association strength in [0,1] that answers whether
+    // the dependence MATTERS). Exact spelling: B115's algebra on the
+    // DENSIFIED grid — every (seg, region) cell including the EMPTY
+    // ones (a sparse groupBy silently drops zero cells, and a perfect
+    // association's χ² lives half in them — pinned by CramersVSpec's
+    // 2×2); expected = row·col/N one division, χ² an ordered (seg,
+    // region)-ascending fold from 0.0, then V in one pinned sqrt tree
+    // off the UNROUNDED χ²; both 6dp floor. Scale shape: one
+    // broadcast join + one 25-cell map-side-combined count + a
+    // model-sized densifying cross join; everything after model-sized.
+    Q("cramers_v",
+      """WITH obs0 AS (
+        |  SELECT c_mktsegment AS seg, r_name AS region,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM customer
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT s.seg, r.region,
+        |    CAST(coalesce(o.observed, 0) AS BIGINT) AS observed
+        |  FROM (SELECT DISTINCT seg FROM obs0) s
+        |  CROSS JOIN (SELECT DISTINCT region FROM obs0) r
+        |  LEFT JOIN obs0 o ON o.seg = s.seg AND o.region = r.region),
+        |rt AS (SELECT seg, CAST(sum(observed) AS BIGINT) AS row_tot
+        |       FROM obs GROUP BY seg),
+        |ct AS (SELECT region, CAST(sum(observed) AS BIGINT) AS col_tot
+        |       FROM obs GROUP BY region),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT seg) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT region) AS BIGINT) AS c
+        |  FROM obs),
+        |t AS (
+        |  SELECT o.seg, o.region, o.observed,
+        |    CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n AS expected
+        |  FROM obs o JOIN rt USING (seg) JOIN ct USING (region), n),
+        |chi AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(observed AS DOUBLE) - expected)
+        |           * (CAST(observed AS DOUBLE) - expected) / expected
+        |        ORDER BY seg, region)), (a, x) -> a + x) AS chi2
+        |  FROM t)
+        |SELECT n.n, dims.r AS n_rows_dim, dims.c AS n_cols_dim,
+        |  floor(chi.chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+        |  floor(sqrt(chi.chi2 / (CAST(n.n AS DOUBLE)
+        |      * (least(dims.r, dims.c) - 1)))
+        |    * 1000000 + 0.5) / 1000000 AS cramers_v
+        |FROM chi, n, dims""".stripMargin) { (s, dir) =>
+      val obs0 = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("region"))
+        .agg(count(lit(1)).as("observed"))
+        .localCheckpoint() // the densify cross join reads it three ways
+      // densify: zero cells carry half a perfect association's chi2
+      val obs = obs0.select(col("seg")).distinct()
+        .crossJoin(obs0.select(col("region")).distinct())
+        .join(obs0, Seq("seg", "region"), "left")
+        .select(col("seg"), col("region"),
+          coalesce(col("observed"), lit(0L)).as("observed"))
+        .localCheckpoint() // margins, dims, cells read the dense grid
+      val rt = obs.groupBy(col("seg")).agg(sum(col("observed")).as("row_tot"))
+      val ct = obs.groupBy(col("region"))
+        .agg(sum(col("observed")).as("col_tot"))
+      val n = obs.agg(sum(col("observed")).as("n"))
+      val dims = obs.agg(countDistinct(col("seg")).as("r"),
+        countDistinct(col("region")).as("c"))
+      val t = obs.join(broadcast(rt), Seq("seg"))
+        .join(broadcast(ct), Seq("region"))
+        .crossJoin(broadcast(n))
+        .select(col("seg"), col("region"), col("observed"),
+          ((col("row_tot") * col("col_tot")).cast("double") / col("n"))
+            .as("expected"))
+        .withColumn("term",
+          (col("observed").cast("double") - col("expected"))
+            * (col("observed").cast("double") - col("expected"))
+            / col("expected"))
+      val chi = t
+        .agg(sort_array(collect_list(struct(col("seg"), col("region"),
+          col("term")))).as("ts"))
+        .select(aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"))
+      broadcast(chi).crossJoin(broadcast(n)).crossJoin(broadcast(dims))
+        .select(col("n"), col("r").as("n_rows_dim"), col("c").as("n_cols_dim"),
+          (floor(col("chi2") * 1000000 + lit(0.5)) / 1000000).as("chi2"),
+          (floor(sqrt(col("chi2") / (col("n").cast("double")
+              * (least(col("r"), col("c")) - 1)))
+            * 1000000 + lit(0.5)) / 1000000).as("cramers_v"))
+    },
+
+    // B148: COHEN'S D / HEDGES' G standardized mean difference
+    // (Cohen 1969; Hedges 1981) between purchase and view values —
+    // the effect size the B60/B114 significance tests should be read
+    // with (the "how big in SD units", immune to the N-driven
+    // p-value inflation at corpus scale). Exact spelling: per-group
+    // sufficient stats (n, Σc, Σc² in BIGINT/DECIMAL(38,0)) feed
+    // ONE pinned double tree — means m = S/n, sample variances
+    // s² = (Q − S²/n)/(n−1), pooled s_p² = ((n1−1)s1² +
+    // (n2−1)s2²)/(n1+n2−2), d = (m1−m2)/√s_p², g = d·(1 −
+    // 3/(4(n1+n2)−9)) — 6dp floor; a zero pooled variance → NULL.
+    // Scale shape: one map-side-combined 2-row groupBy over events.
+    Q("cohens_d", {
+      val dSql = """((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        | / sqrt((
+        |     (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |   + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+        |   / (n1 + n2 - 2)))""".stripMargin.replace("\n", "")
+      s"""WITH g AS (
+        |  SELECT event_type = 'purchase' AS g1,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS s,
+        |    CAST(sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT))
+        |      AS HUGEINT) AS q
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN g1 THEN n END) AS n1,
+        |    max(CASE WHEN g1 THEN s END) AS s1,
+        |    max(CASE WHEN g1 THEN q END) AS q1,
+        |    max(CASE WHEN NOT g1 THEN n END) AS n2,
+        |    max(CASE WHEN NOT g1 THEN s END) AS s2,
+        |    max(CASE WHEN NOT g1 THEN q END) AS q2
+        |  FROM g)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 + n2 > 2 AND
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) > 0
+        |  THEN floor($dSql * 1000000 + 0.5) / 1000000 END AS cohens_d,
+        |  CASE WHEN n1 + n2 > 2 AND
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) > 0
+        |  THEN floor($dSql * (1 - 3.0 / (4 * (n1 + n2) - 9))
+        |    * 1000000 + 0.5) / 1000000 END AS hedges_g
+        |FROM w""".stripMargin
+    }) { (s, dir) =>
+      val g = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("g1"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      val w = g.agg(
+        max(when(col("g1"), col("n"))).as("n1"),
+        max(when(col("g1"), col("s"))).as("s1"),
+        max(when(col("g1"), col("q"))).as("q1"),
+        max(when(!col("g1"), col("n"))).as("n2"),
+        max(when(!col("g1"), col("s"))).as("s2"),
+        max(when(!col("g1"), col("q"))).as("q2"))
+      val ssw = (col("q1").cast("double")
+          - col("s1").cast("double") * col("s1") / col("n1")) +
+        (col("q2").cast("double")
+          - col("s2").cast("double") * col("s2") / col("n2"))
+      val d = (col("s1").cast("double") / col("n1")
+          - col("s2").cast("double") / col("n2")) /
+        sqrt(ssw / (col("n1") + col("n2") - 2))
+      w.select(col("n1"), col("n2"),
+        when(col("n1") + col("n2") > 2 && ssw > 0,
+          floor(d * 1000000 + lit(0.5)) / 1000000).as("cohens_d"),
+        when(col("n1") + col("n2") > 2 && ssw > 0,
+          floor(d * (lit(1.0) - lit(3.0)
+              / (lit(4) * (col("n1") + col("n2")) - 9))
+            * 1000000 + lit(0.5)) / 1000000).as("hedges_g"))
     },
 
     // B139: ADAMIC-ADAR LINK PREDICTION (Adamic & Adar Soc. Netw.

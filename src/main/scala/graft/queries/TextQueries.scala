@@ -87,6 +87,70 @@ object TextQueries {
         r4(TF.qualityScore(col("text"))).as("quality"))
     },
 
+    // C120: PREFERENCE-PAIR CONSTRUCTION (the DPO/RLHF data-builder
+    // shape — Rafailov et al. 2023 consume (chosen, rejected) pairs;
+    // production pipelines synthesize them by pairing the best and
+    // worst candidates under a scorer): per source, pair the i-th
+    // BEST document with the i-th WORST (i ≤ 4) under the C10
+    // quality score, for sources with ≥ 8 docs (the bound that makes
+    // top-4 and bottom-4 provably disjoint under ANY tie pattern —
+    // a top-4 doc has ≤ 3 above it, a bottom-4 doc ≤ 3 below, so
+    // membership in both needs n ≤ 7). Determinism: the 4dp-floored
+    // quality is the C10 cross-engine-exact column; tie rules (q
+    // DESC, id ASC) / (q ASC, id DESC) are total orders; margin is
+    // one IEEE subtraction of identical doubles. Scale shape: the
+    // rankings run through the bounded-heap TopKPerKey operator
+    // (B39) — 4-row heaps with map-side combine, NEVER a per-source
+    // window sort of the corpus (source has ~5 values: the window
+    // spelling would pull the whole corpus into 5 sorted tasks).
+    Q("preference_pairs",
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    floor($qualityRawSql * 10000 + 0.5) / 10000 AS q
+         |  FROM documents),
+         |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |       FROM scored GROUP BY source),
+         |best AS (
+         |  SELECT source, doc_id, q,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY q DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM scored),
+         |worst AS (
+         |  SELECT source, doc_id, q,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY q, doc_id DESC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT b.source, b.rnk AS pair_rank,
+         |  b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+         |  b.q AS chosen_q, w.q AS rejected_q,
+         |  b.q - w.q AS margin
+         |FROM best b
+         |JOIN worst w ON b.source = w.source AND b.rnk = w.rnk
+         |JOIN ns ON ns.source = b.source
+         |WHERE b.rnk <= 4 AND ns.n >= 8""".stripMargin) { (s, dir) =>
+      def r4(c: org.apache.spark.sql.Column) =
+        floor(c * lit(10000) + lit(0.5)).cast("double") / lit(10000)
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          r4(TF.qualityScore(col("text"))).as("q"))
+        .localCheckpoint() // feeds both rankings and the source counts
+      val ns = scored.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val best = graft.plans.TopK.perKey(scored, Seq("source"),
+        Seq(("q", false), ("doc_id", true)), 4)
+      val worst = graft.plans.TopK.perKey(scored, Seq("source"),
+        Seq(("q", true), ("doc_id", false)), 4)
+      best.select(col("source"), col("rnk"), col("doc_id").as("chosen_id"),
+          col("q").as("chosen_q"))
+        .join(worst.select(col("source"), col("rnk"),
+          col("doc_id").as("rejected_id"), col("q").as("rejected_q")),
+          Seq("source", "rnk"))
+        .join(broadcast(ns.filter(col("n") >= 8)), Seq("source"), "left_semi")
+        .select(col("source"), col("rnk").cast("long").as("pair_rank"),
+          col("chosen_id"), col("rejected_id"),
+          col("chosen_q"), col("rejected_q"),
+          (col("chosen_q") - col("rejected_q")).as("margin"))
+    },
+
     // C9: heuristic language ID; rollup vs. the labeled lang column.
     Q("text_langid",
       s"""WITH scored AS (

@@ -98,4 +98,12 @@ class Round12PlanSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(doc_id"),
       s"no doc-partitioned window exchange:\n$plan")
   }
+
+  test("preference pairs rank through TopKPerKey, never a window sort") {
+    val plan = planOf("preference_pairs")
+    assert(plan.contains("TopKPerKey"),
+      s"the per-source ranking fell back to a window sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a window operator appeared in the ranking path:\n$plan")
+  }
 }
