@@ -502,7 +502,10 @@ object Bench {
         // TopKPerKey preference-pair builder. cramers_v reads the
         // customer dimension only (the B115 rationale: a 25-cell
         // count has no scale question to probe).
-        "cohens_d", "preference_pairs")
+        "cohens_d", "preference_pairs",
+        // round-12 sixth batch: the calendar×k rank grid and the
+        // frame-stream shot rollup
+        "friedman_test", "mm_shot_segments")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -742,7 +745,9 @@ object Bench {
       // tests (near-constant grain) and the linear span builder
       "anderson_darling", "jonckheere_trend", "span_corruption",
       // round-12 fifth batch second decades
-      "cohens_d", "preference_pairs")
+      "cohens_d", "preference_pairs",
+      // round-12 sixth batch second decades
+      "friedman_test", "mm_shot_segments")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

@@ -863,6 +863,179 @@ object ApexQueries {
             * 1000000 + lit(0.5)) / 1000000).as("hedges_g"))
     },
 
+    // B149: FRIEDMAN TEST (Friedman JASA 1937) — the repeated-
+    // measures rank test over the (day × event-type) block design:
+    // within each day, the five types' revenue totals are ranked
+    // (tie-averaged), and χ²_F asks whether any type SYSTEMATICALLY
+    // outranks the others across days — the within-block companion
+    // to B142 (KW pools all rows; Friedman controls for the day
+    // effect, the right test when days differ wildly in volume).
+    // Exact spelling: the dense (day, type) grid with 0-filled cells
+    // (a type silent on a day ranks lowest, not absent); doubled
+    // tie-averaged ranks r2 = 2·cb + cnt + 1 on the within-day value
+    // grain (exact integers; ties across types share a day rank);
+    // the tie-corrected statistic χ² = (k−1)·Σ_j (R2_j − n(k+1))² /
+    // (Σ r2² − n·k·(k+1)²) is EXACT integer algebra into ONE double
+    // division, 6dp floor (the doubled-rank substitution cancels
+    // every /2 — no rounding anywhere before the final division);
+    // all-tied data (denominator 0) → NULL. Scale shape: one keyed
+    // (day, type) agg over events (map-side combined); the grid,
+    // within-day rank windows (≤ k rows per partition) and moments
+    // are calendar×k-sized — constant across corpus scale.
+    Q("friedman_test",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type AS ty,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |tys AS (SELECT DISTINCT ty FROM e),
+        |grid AS (
+        |  SELECT d.day, t.ty, CAST(coalesce(e.v, 0) AS BIGINT) AS v
+        |  FROM days d CROSS JOIN tys t
+        |  LEFT JOIN e ON e.day = d.day AND e.ty = t.ty),
+        |vc AS (
+        |  SELECT day, v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (PARTITION BY day ORDER BY v)
+        |      AS BIGINT) - CAST(count(*) AS BIGINT) AS cb
+        |  FROM grid GROUP BY day, v),
+        |r AS (
+        |  SELECT g.day, g.ty, 2 * vc.cb + vc.cnt + 1 AS r2
+        |  FROM grid g JOIN vc ON vc.day = g.day AND vc.v = g.v),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT ty) AS BIGINT) AS k
+        |  FROM r),
+        |rj AS (SELECT ty, CAST(sum(r2) AS BIGINT) AS r2j FROM r GROUP BY ty),
+        |num AS (
+        |  SELECT CAST(sum(CAST(r2j - d.n * (d.k + 1) AS HUGEINT)
+        |    * (r2j - d.n * (d.k + 1))) AS HUGEINT) AS n2
+        |  FROM rj, dims d),
+        |den AS (
+        |  SELECT CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT)
+        |    - CAST(max(d.n) * max(d.k) * (max(d.k) + 1) * (max(d.k) + 1)
+        |        AS HUGEINT) AS d2
+        |  FROM r, dims d)
+        |SELECT d.n AS n_days, d.k AS n_types,
+        |  CASE WHEN den.d2 > 0 THEN
+        |    floor(CAST((d.k - 1) * num.n2 AS DOUBLE)
+        |      / CAST(den.d2 AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS chi2_friedman
+        |FROM dims d, num, den""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          col("event_type").as("ty"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day"), col("ty")).agg(sum(col("c")).as("v"))
+        .localCheckpoint() // feeds days, types, and the grid
+      val days = e.select(col("day")).distinct()
+      val tys = e.select(col("ty")).distinct()
+      val grid = days.crossJoin(broadcast(tys))
+        .join(e, Seq("day", "ty"), "left")
+        .select(col("day"), col("ty"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint() // feeds the within-day value grain + ranks
+      // within-day tie-averaged doubled ranks (≤ k rows per partition)
+      val vc = grid.groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", sum(col("cnt")).over(
+          Window.partitionBy(col("day")).orderBy(col("v"))) - col("cnt"))
+      val r = grid.join(vc, Seq("day", "v"))
+        .select(col("day"), col("ty"),
+          (col("cb") * 2 + col("cnt") + 1).as("r2"))
+        .localCheckpoint() // feeds dims, rank sums, and the moments
+      val dims = r.agg(countDistinct(col("day")).as("n"),
+        countDistinct(col("ty")).as("k"))
+      val rj = r.groupBy(col("ty")).agg(sum(col("r2")).as("r2j"))
+      val num = rj.crossJoin(broadcast(dims))
+        .agg(sum(((col("r2j") - col("n") * (col("k") + 1))
+          .cast("decimal(38,0)")
+          * (col("r2j") - col("n") * (col("k") + 1)))).as("n2"))
+      val den = r.crossJoin(broadcast(dims))
+        .agg((sum(col("r2").cast("decimal(38,0)") * col("r2"))
+          - max(col("n").cast("decimal(38,0)") * col("k")
+            * (col("k") + 1) * (col("k") + 1))).as("d2"))
+      broadcast(dims).crossJoin(broadcast(num)).crossJoin(broadcast(den))
+        .select(col("n").as("n_days"), col("k").as("n_types"),
+          when(col("d2") > 0,
+            floor(((col("k") - 1) * col("n2")).cast("double")
+              / col("d2").cast("double") * 1000000 + lit(0.5)) / 1000000)
+            .as("chi2_friedman"))
+    },
+
+    // C121: SHOT SEGMENTATION over the sampled frame stream — the
+    // step AFTER C115's cut detection in any video-curation pipeline
+    // (Rasheed & Shah 2003): consecutive frames between cuts group
+    // into SHOTS, the unit video dedup/captioning operates on. Shot
+    // id = running count of cuts per doc (one lag + one cumsum
+    // window, both doc-partitioned); per shot: frame span, count,
+    // and total L1 feature energy — the frame features are exact
+    // multiples of 2⁻¹⁶ (the C20 contract), so per-shot energy sums
+    // are EXACT dyadic-rational double arithmetic, order-independent,
+    // no rounding grid needed. Scale shape: the C20 batched iterator
+    // explode (map-only, constant memory) + doc-partitioned windows
+    // (frames/doc bounded by payload bytes / 128) + one keyed rollup.
+    Q("mm_shot_segments", {
+      s"""WITH ${MediaOracle.frameFeatureCtes(step = 2)},
+        |fd AS (
+        |  SELECT doc_id, f, feats,
+        |    lag(feats) OVER (PARTITION BY doc_id ORDER BY f) AS pfeats
+        |  FROM ft),
+        |cut AS (
+        |  SELECT doc_id, f, feats,
+        |    CASE WHEN pfeats IS NOT NULL AND
+        |      list_reduce(list_prepend(0.0, list_transform(range(8),
+        |        j -> abs(feats[CAST(j + 1 AS INT)]
+        |               - pfeats[CAST(j + 1 AS INT)]))),
+        |        (a, x) -> a + x) > 9.0
+        |    THEN 1 ELSE 0 END AS is_cut
+        |  FROM fd),
+        |sh AS (
+        |  SELECT doc_id, f, feats,
+        |    CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f)
+        |      AS BIGINT) AS shot_id
+        |  FROM cut)
+        |SELECT doc_id AS id, shot_id,
+        |  CAST(min(f) AS INT) AS first_frame,
+        |  CAST(max(f) AS INT) AS last_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  list_reduce(list_prepend(0.0,
+        |    list(list_reduce(list_prepend(0.0, feats), (a, x) -> a + x)
+        |      ORDER BY f)), (a, x) -> a + x) AS total_energy
+        |FROM sh GROUP BY doc_id, shot_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val frames = graft.operators.Multimodal.sampleFrames(s,
+        graft.operators.Multimodal.asMedia(docs, "text")
+          .select(col("doc_id"), col("media")),
+        "doc_id", frameBytes = 64, everyN = 2)
+      val w = Window.partitionBy(col("id")).orderBy(col("frame_idx"))
+      val cut = frames
+        .withColumn("pfeats", lag(col("features"), 1).over(w))
+        .withColumn("is_cut",
+          when(col("pfeats").isNotNull &&
+            aggregate(zip_with(col("features"), col("pfeats"),
+              (a, b) => abs(a - b)), lit(0.0), (acc, x) => acc + x) > 9.0,
+            lit(1)).otherwise(lit(0)))
+      val sh = cut.withColumn("shot_id",
+        sum(col("is_cut")).over(w).cast("long"))
+      // per-frame energy is a sum of exact 2^-16 multiples — the
+      // per-shot rollup folds frame energies in frame order (the
+      // oracle's ORDER BY f list fold), dyadic-exact either way
+      sh.withColumn("fe",
+          aggregate(col("features"), lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("id"), col("shot_id"))
+        .agg(min(col("frame_idx")).cast("int").as("first_frame"),
+          max(col("frame_idx")).cast("int").as("last_frame"),
+          count(lit(1)).as("n_frames"),
+          aggregate(transform(sort_array(collect_list(
+            struct(col("frame_idx"), col("fe")))),
+            x => x.getField("fe")), lit(0.0), (acc, x) => acc + x)
+            .as("total_energy"))
+        .select(col("id"), col("shot_id"), col("first_frame"),
+          col("last_frame"), col("n_frames"), col("total_energy"))
+    },
+
     // B139: ADAMIC-ADAR LINK PREDICTION (Adamic & Adar Soc. Netw.
     // 2003; Liben-Nowell & Kleinberg CIKM'03) over the part co-order
     // projection (the B135 edge build) — for NON-adjacent pairs
