@@ -1036,6 +1036,116 @@ object ApexQueries {
           col("last_frame"), col("n_frames"), col("total_energy"))
     },
 
+    // B150: GRAPH MODULARITY (Newman & Girvan 2004) of the B100
+    // label-propagation communities on the part co-order projection
+    // — the quality score that tells you whether the communities the
+    // engine found MEAN anything (Q ≈ 0 = no better than random
+    // wiring; the measurement B100 ships without). Exact spelling:
+    // the B100 two-round deterministic label prop verbatim (max_by
+    // on (cnt·2⁴¹ − lbl) — the documented deterministic tiebreak),
+    // then Q = Σ_c (4m·e_c − d_c²) / (4m²) with m = |E|, e_c =
+    // intra-community edges, d_c = community degree sums — the whole
+    // numerator is ONE exact integer (4m·e_c ≤ 4m² ≈ 7·10¹⁶ at the
+    // LpNodes-capped projection — inside BIGINT at any clone scale
+    // since the projection densifies rather than grows), ONE double
+    // division, 6dp floor. Top-10 communities by size emitted with
+    // the global Q attached. Scale shape: the B100 plan (two keyed
+    // join+agg rounds over the adjacency) + two edge-grain label
+    // joins + model-sized community rollups.
+    Q("graph_modularity", {
+      val pick = "CAST(arg_max(nlbl, CAST(cnt * 2199023255552 - nlbl AS BIGINT)) AS BIGINT)"
+      s"""WITH it AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 16381 AS node
+         |  FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.node AS u, b.node AS v
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.node < b.node),
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v AS node, u AS nbr FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |c1 AS (SELECT a.node, l.lbl AS nlbl, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM adj a JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),
+         |l1 AS (SELECT node, $pick AS lbl FROM c1 GROUP BY node),
+         |c2 AS (SELECT a.node, l.lbl AS nlbl, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM adj a JOIN l1 l ON a.nbr = l.node GROUP BY 1, 2),
+         |l2 AS (SELECT node, $pick AS lbl FROM c2 GROUP BY node),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |ec AS (
+         |  SELECT lu.lbl, CAST(count(*) AS BIGINT) AS e_c
+         |  FROM e JOIN l2 lu ON e.u = lu.node JOIN l2 lv ON e.v = lv.node
+         |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
+         |dc AS (
+         |  SELECT l2.lbl, CAST(sum(deg.d) AS BIGINT) AS d_c,
+         |    CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM l2 JOIN deg ON deg.node = l2.node GROUP BY l2.lbl),
+         |q AS (
+         |  SELECT floor(CAST(sum(4 * m.m * coalesce(ec.e_c, 0)
+         |      - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS DOUBLE)
+         |    / CAST(4 * CAST(max(m.m) AS HUGEINT) * max(m.m) AS DOUBLE)
+         |    * 1000000 + 0.5) / 1000000 AS q_mod
+         |  FROM dc LEFT JOIN ec USING (lbl), m),
+         |top AS (
+         |  SELECT dc.lbl, dc.n_nodes, coalesce(ec.e_c, 0) AS intra_edges,
+         |    dc.d_c AS degree_sum,
+         |    CAST(row_number() OVER (ORDER BY dc.n_nodes DESC, dc.lbl)
+         |      AS BIGINT) AS rnk
+         |  FROM dc LEFT JOIN ec USING (lbl))
+         |SELECT rnk, lbl AS community, n_nodes, intra_edges, degree_sum,
+         |  q.q_mod AS q_modularity
+         |FROM top, q WHERE rnk <= 10""".stripMargin
+    }) { (s, dir) =>
+      val it = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % 16381).as("node")).distinct()
+      val e = it.select(col("ok"), col("node").as("u"))
+        .join(it.select(col("ok"), col("node").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+        .localCheckpoint() // feeds adjacency, m, and both label joins
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val l0 = adj.select(col("node")).distinct()
+        .withColumn("lbl", col("node"))
+      def round(lbls: org.apache.spark.sql.DataFrame) = adj
+        .join(lbls.select(col("node").as("nbr"), col("lbl").as("nlbl")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max_by(col("nlbl"),
+          (col("cnt") * 2199023255552L - col("nlbl")).cast("long")).as("lbl"))
+      val l2 = round(round(l0)).localCheckpoint() // three consumers
+      val m = e.agg(count(lit(1)).as("m"))
+      val ec = e
+        .join(l2.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(l2.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_c"))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val dc = l2.join(deg, Seq("node"))
+        .groupBy(col("lbl"))
+        .agg(sum(col("d")).as("d_c"), count(lit(1)).as("n_nodes"))
+        .join(ec, Seq("lbl"), "left")
+        .select(col("lbl"), col("d_c"), col("n_nodes"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"))
+        .localCheckpoint() // feeds Q and the top-10
+      val q = dc.crossJoin(broadcast(m))
+        .agg((floor(sum(col("m") * col("e_c") * 4
+            - col("d_c").cast("decimal(38,0)") * col("d_c")).cast("double")
+          / (max(col("m")).cast("decimal(38,0)") * max(col("m")) * 4)
+            .cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("q_mod"))
+      dc.orderBy(col("n_nodes").desc, col("lbl")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n_nodes").desc, col("lbl"))).cast("long"))
+        .crossJoin(broadcast(q))
+        .select(col("rnk"), col("lbl").as("community"), col("n_nodes"),
+          col("e_c").as("intra_edges"), col("d_c").as("degree_sum"),
+          col("q_mod").as("q_modularity"))
+    },
+
     // B139: ADAMIC-ADAR LINK PREDICTION (Adamic & Adar Soc. Netw.
     // 2003; Liben-Nowell & Kleinberg CIKM'03) over the part co-order
     // projection (the B135 edge build) — for NON-adjacent pairs

@@ -766,6 +766,60 @@ object CorpusQueries {
           floor((col("cum_tok") - col("n_tok")) / 2048.0).cast("bigint").as("bin_id"))
     },
 
+    // C122: PACKING EFFICIENCY AUDIT — the fill-rate/waste report on
+    // C16's prefix-cut sequence packer (what a training team reads
+    // before committing a context length: Krell et al. 2022 report
+    // exactly these numbers for packed BERT). Per language: docs,
+    // bins (= distinct prefix-cut bin ids), total tokens, fill =
+    // tokens/(bins·2048) ONE division 6dp, and the STRADDLER count —
+    // docs whose token span crosses a 2048 boundary (the packer's
+    // truncation/continuation cases): a doc straddles iff
+    // (cum−n)//2048 ≠ (cum−1)//2048 on the same exact prefix sums
+    // C16 assigns bins from (n > 0; integer floor both engines).
+    // Scale shape: C16's DistributedPrefixSum pass + one keyed
+    // language rollup — no new shuffles beyond the packer's own.
+    Q("packing_efficiency",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST($nTokSql AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |g AS (
+         |  SELECT lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT (cum - n_tok) // 2048) AS BIGINT) AS n_bins,
+         |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN n_tok > 0 AND
+         |      (cum - n_tok) // 2048 <> (cum - 1) // 2048
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         |  FROM c GROUP BY lang)
+         |SELECT lang, n_docs, n_bins, total_tokens, n_straddlers,
+         |  floor(CAST(total_tokens AS DOUBLE)
+         |    / CAST(n_bins * 2048 AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |    AS fill_rate
+         |FROM g""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      val c = graft.operators.DistributedPrefixSum
+        .running(d, "lang", Seq("doc_id"), "n_tok", "cum")
+      c.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(expr("(cum - n_tok) div 2048")).as("n_bins"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(when(col("n_tok") > 0 &&
+            expr("(cum - n_tok) div 2048") =!= expr("(cum - 1) div 2048"),
+            1L).otherwise(0L)).as("n_straddlers"))
+        .select(col("lang"), col("n_docs"), col("n_bins"),
+          col("total_tokens"), col("n_straddlers"),
+          (floor(col("total_tokens").cast("double")
+            / (col("n_bins") * 2048).cast("double") * 1000000 + lit(0.5))
+            / 1000000).as("fill_rate"))
+    },
+
     // C25: overlapping-window document chunking — the RAG/pretraining
     // primitive that turns long docs into fixed-token windows
     // (size 128, stride 96 → 32-token overlap). A chunk i exists
