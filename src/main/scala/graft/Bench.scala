@@ -621,20 +621,25 @@ object Bench {
       * engine's true cost), and the scale question the ceiling gates
       * (is this query super-linear?) is already answered by a sample
       * an order of magnitude under the ceiling. The threshold scales
-      * with the block ceiling (15% of it, floor 15 s): a ×1000 probe
-      * at 35 s against a 300 s ceiling has answered its linearity
-      * question just as decisively as a ×100 probe at 12 s against
-      * 180 s. Saves ~400 s across the ~80 ×100/×1000 probes — the
-      * back-to-back round-10 closing runs measured 3,202 s vs
-      * 3,633 s of block wall on IDENTICAL code (residual machine
-      * load), so the shape needs that margin under the ~1 h ceiling.
+      * with the block ceiling (50% of it since late round 10 — was
+      * 15%; floor 15 s): the same argument holds at any magnitude
+      * under the ceiling — a ×100 probe at 71 s against 180 s has
+      * answered its sublinearity question (its ×10 row is 12 s), and
+      * an inflated kept sample only OVERSTATES the cost, never hides
+      * a regression; the confirming run survives only for samples in
+      * the ceiling's own neighborhood, where inflation could flip
+      * the timeout verdict itself. The 15% → 50% move returned
+      * ~110 s of ×100 wall after the post-closing waves pushed the
+      * official shape to 3,632 s of block wall — the r9 death zone.
       */
     val fastConfirmSec =
       sys.env.getOrElse("SPARK_GRAFT_FAST_CONFIRM_SEC", "15").toDouble
+    val fastConfirmFrac =
+      sys.env.getOrElse("SPARK_GRAFT_FAST_CONFIRM_FRAC", "0.5").toDouble
     def runCeilingMin2(name: String, dir: String, ceilingSec: Int,
         tag: String): Double = {
       val a = runCeiling(name, dir, ceilingSec, tag)
-      if (a < 0 || a <= math.max(fastConfirmSec, ceilingSec * 0.15)) a
+      if (a < 0 || a <= math.max(fastConfirmSec, ceilingSec * fastConfirmFrac)) a
       else {
         val b = runCeiling(name, dir, ceilingSec, tag)
         if (b < 0) a else math.min(a, b)
@@ -861,14 +866,34 @@ object Bench {
     // query — and the samples of one query are decorrelated in time,
     // which is what min-of-N wants). Median + min reported per query.
     val probeWarmed = if (scaleProbe) x10Names.toSet else Set.empty[String]
+    // Headline fast-confirm (late round 10 — the probe-block rule
+    // applied to the headline, after the post-closing waves pushed
+    // the official shape to 3,632 s of block wall, the r9 death
+    // zone): the second timed pass protects the record from one-off
+    // load inflation, but for a query whose first sample is already
+    // SMALL the second pass cannot change the story — load only
+    // INFLATES, so keeping the small first sample is the
+    // conservative direction (the probe fast-confirm's own
+    // argument). Queries over the threshold keep min-of-2; the heavy
+    // tail — the queries a regression would actually move — is
+    // exactly the set that still gets both passes. Default 3 s
+    // covers ~90% of the suite and returns ~350 s of headline wall.
+    val headlineFastSec =
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_FAST_SEC", "3").toDouble
     measureBlock("headline") {
       queries.foreach { case (n, fn) =>
         if (!probeWarmed(n)) run(n, fn) } // warmup (untimed)
-      for (_ <- 1 to runsPerQuery) {
+      for (pass <- 1 to runsPerQuery) {
         queries.foreach { case (n, fn) =>
-          val t = run(n, fn)
-          headlineSamples(n) = t :: headlineSamples.getOrElse(n, Nil)
-          flush()
+          val prior = headlineSamples.getOrElse(n, Nil)
+          val skip = pass > 1 && prior.nonEmpty &&
+            prior.filter(_ >= 0).forall(_ <= headlineFastSec) &&
+            prior.exists(_ >= 0)
+          if (!skip) {
+            val t = run(n, fn)
+            headlineSamples(n) = t :: prior
+            flush()
+          }
         }
       }
     }
