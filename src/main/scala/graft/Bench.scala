@@ -509,7 +509,9 @@ object Bench {
         // round-12 seventh batch: modularity rides the label-prop
         // projection (×10-only — the clustering_coeff densification
         // rationale); the packing audit rides C16's prefix pass
-        "graph_modularity", "packing_efficiency")
+        "graph_modularity", "packing_efficiency",
+        // round-12 eighth batch: the two-group streamed quantile pass
+        "qq_shift_deciles")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -758,7 +760,9 @@ object Bench {
       // round-12 sixth batch second decades
       "friedman_test", "mm_shot_segments",
       // round-12 seventh batch second decade (the C16 linear class)
-      "packing_efficiency")
+      "packing_efficiency",
+      // round-12 eighth batch second decade (streamed sorted passes)
+      "qq_shift_deciles")
       .filter(n => only.isEmpty || only(n))
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")

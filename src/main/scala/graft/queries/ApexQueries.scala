@@ -1146,6 +1146,46 @@ object ApexQueries {
           col("q_mod").as("q_modularity"))
     },
 
+    // B151: Q-Q DECILE SHIFT TABLE (Wilk & Gnanadesikan Biometrika
+    // 1968's Q-Q plot as a table) between purchase and view values —
+    // the WHERE-did-the-distribution-move diagnostic the scalar
+    // tests can't give (B120/B145 say THAT it moved, B141 gives one
+    // shift number; the Q-Q table shows the shift per decile — tail
+    // inflation vs uniform translation vs compression). Exactness:
+    // deciles come from DistributedQuantile (streamed sorted passes,
+    // bit-identical to DuckDB's quantile_cont interpolation — the
+    // B20 contract); per-decile values rounded 4dp, the shift one
+    // IEEE subtraction of identical doubles. Scale shape: ONE
+    // two-group quantile pass (never a per-group buffered
+    // percentile), then a 9-row join.
+    Q("qq_shift_deciles", {
+      val qs = "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+      s"""WITH p AS (SELECT quantile_cont(value, $qs) AS q
+         |  FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT quantile_cont(value, $qs) AS q
+         |  FROM events WHERE event_type = 'view'),
+         |d AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS decile)
+         |SELECT d.decile,
+         |  round(p.q[d.decile], 4) AS q_purchase,
+         |  round(v.q[d.decile], 4) AS q_view,
+         |  round(p.q[d.decile], 4) - round(v.q[d.decile], 4) AS shift
+         |FROM d, p, v""".stripMargin
+    }) { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+      val q = graft.operators.DistributedQuantile.quantiles(
+        ev, "event_type", "value", (1 to 9).map(k => s"d$k" -> k / 10.0))
+      def melt(g: String, out: String) = q.filter(col("g") === g)
+        .select(posexplode(array((1 to 9).map(k => col(s"d$k")): _*))
+          .as(Seq("i", "qv")))
+        .select((col("i") + 1).cast("int").as("decile"),
+          round(col("qv"), 4).as(out))
+      melt("purchase", "q_purchase")
+        .join(melt("view", "q_view"), Seq("decile"))
+        .select(col("decile"), col("q_purchase"), col("q_view"),
+          (col("q_purchase") - col("q_view")).as("shift"))
+    },
+
     // B139: ADAMIC-ADAR LINK PREDICTION (Adamic & Adar Soc. Netw.
     // 2003; Liben-Nowell & Kleinberg CIKM'03) over the part co-order
     // projection (the B135 edge build) — for NON-adjacent pairs
