@@ -511,7 +511,29 @@ object Bench {
         // rationale); the packing audit rides C16's prefix pass
         "graph_modularity", "packing_efficiency",
         // round-12 eighth batch: the two-group streamed quantile pass
-        "qq_shift_deciles")
+        "qq_shift_deciles",
+        // round-10 closing wave: the brute-force eval scan (linear in
+        // the embedding clones; knn_classify rides the same shape),
+        // the day-grain trend/lag statistics (the spearman/acf class:
+        // the claim is the calendar grid is clone-constant, cost is
+        // the one keyed day agg), the PrefixSum SPRT walk (one
+        // range-partitioned streamed pass — the B71 linear claim),
+        // the token-linear text passes (gram joins / HUGEINT spectrum
+        // / hashed explode), and the live sharded SPRT (4 bounded
+        // shard states — the streaming_zscore_anomaly rationale).
+        // graph_jaccard_neighbors and graph_bfs_layers are ×10-ONLY:
+        // both ride the capped part projection, which DENSIFIES
+        // under clones (the graph_clustering_coeff rationale).
+        "retrieval_eval", "mann_kendall_trend", "timeseries_ccf",
+        "sprt_decision", "self_bleu_bigram", "text_yule_k",
+        "feature_hash_vectors", "graph_jaccard_neighbors",
+        "graph_bfs_layers", "streaming_sprt",
+        // round-10 closing wave 2: the train-split gram anti-join
+        // (token-linear distinct + anti-join — the C73 class).
+        // ols_influence / seasonal_mann_kendall ride the probed
+        // day-grain class (spearman/mann_kendall_trend);
+        // text_sentence_stats is map-only — no scale question.
+        "ngram_novelty")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -533,7 +555,11 @@ object Bench {
       // orders(+customer); Adamic-Adar reads lineitem; KW reads orders
       "bh_fdr_ks", "timeseries_pacf", "graph_adamic_adar",
       "kruskal_wallis", "ljung_box", "runs_test_daily",
-      "jonckheere_trend")
+      "jonckheere_trend",
+      // round-10 closing: the day-grain trend test reads orders; the
+      // two new graph probes read lineitem
+      "mann_kendall_trend", "graph_jaccard_neighbors",
+      "graph_bfs_layers")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on

@@ -109,7 +109,9 @@ object DedupQueries {
   // 64-bit wraparound multiply in HUGEINT: (x * C) mod 2^64 with the
   // product split into 32-bit halves (a full 64×64 product overflows
   // INT128). C is a compile-time constant, pre-split hi/lo.
-  private def mulMod64(x: String, c: BigInt): String = {
+  // private[queries]: PinnacleQueries reuses the same replay for the
+  // feature-hashing oracle.
+  private[queries] def mulMod64(x: String, c: BigInt): String = {
     val hi = c >> 32
     val lo = c & 0xffffffffL
     s"((($x % 4294967296) * $lo + ((($x % 4294967296) * $hi + ($x // 4294967296) * $lo) % 4294967296) * 4294967296) % 18446744073709551616)"

@@ -1534,6 +1534,71 @@ object StreamingQueries {
           col("m.n_alarms").as("n_alarms"))
     },
 
+    // D48: streaming SPRT — Wald's sequential test run LIVE per
+    // traffic shard (user_id % 4), freezing each shard's decision at
+    // its first boundary crossing (the "stop the experiment early"
+    // monitor; batch twin B157). Ordered prefix fold on the D23/D44
+    // machinery (SessionPipeline.statefulSprt); LLR = exact-integer
+    // running counts × the SAME pinned log-literals as B157, so the
+    // crossing replays bit-for-bit as prefix windows over exactly the
+    // rows below the final watermark.
+    Q("streaming_sprt",
+      s"""WITH e AS (
+         |  SELECT user_id % 4 AS shard, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |r AS (SELECT shard, event_id, tsec, x FROM e, wm WHERE tsec < fw),
+         |w AS (
+         |  SELECT shard,
+         |    CAST(row_number() OVER win AS BIGINT) AS n,
+         |    CAST(sum(x) OVER win AS BIGINT) AS n1
+         |  FROM r
+         |  WINDOW win AS (PARTITION BY shard ORDER BY tsec, event_id)),
+         |l AS (
+         |  SELECT shard, n, n1,
+         |    n1 * 0.4054651081081642
+         |      + (n - n1) * (-0.05715841383994864) AS llr
+         |  FROM w),
+         |cr AS (
+         |  SELECT shard, min(n) AS nx FROM l
+         |  WHERE llr >= 2.9444389791664403 OR llr <= -2.9444389791664403
+         |  GROUP BY shard),
+         |at AS (
+         |  SELECT l.shard, l.n AS n_at, l.n1 AS n1_at, l.llr
+         |  FROM l JOIN cr ON l.shard = cr.shard AND l.n = cr.nx),
+         |tot AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_seen,
+         |    CAST(sum(x) AS BIGINT) AS n1
+         |  FROM r GROUP BY shard)
+         |SELECT t.shard, t.n_seen, t.n1,
+         |  CASE WHEN a.shard IS NULL THEN 'continue'
+         |    WHEN a.llr >= 2.9444389791664403 THEN 'accept_h1'
+         |    ELSE 'accept_h0' END AS decision,
+         |  CAST(coalesce(a.n_at, 0) AS BIGINT) AS n_at_decision,
+         |  CAST(coalesce(a.n1_at, 0) AS BIGINT) AS n1_at_decision
+         |FROM tot t LEFT JOIN at a ON t.shard = a.shard""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .select((col("user_id") % 4).as("shard"), col("event_id"),
+            expr("ts div 1000000000").as("tsec"),
+            when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+              .cast("int").as("x"))
+          .as[SessionPipeline.SprtEvent]
+        val folded = SessionPipeline.statefulSprt(ev, DelayS).toDF()
+        runToMemory(s, folded, "graft_stream_sprt", mode = "update")
+          .groupBy(col("shard"))
+          .agg(max_by(struct(col("n_seen"), col("n1"), col("decision"),
+            col("n_at_decision"), col("n1_at_decision")), col("n_seen"))
+            .as("m"))
+          .select(col("shard"), col("m.n_seen").as("n_seen"),
+            col("m.n1").as("n1"), col("m.decision").as("decision"),
+            col("m.n_at_decision").as("n_at_decision"),
+            col("m.n1_at_decision").as("n1_at_decision"))
+    },
+
     // D46: streaming chi-square independence monitor — the
     // CATEGORICAL drift/dependence gate beside the numeric trio
     // (D35 PSI / D36 KS / D42 EMD compare a numeric distribution to

@@ -503,4 +503,87 @@ object SessionPipeline extends Serializable {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class SprtEvent(shard: Long, event_id: Long, tsec: Long, x: Int)
+  case class SprtState(n: Long, n1: Long, decision: Int, nAt: Long,
+      n1At: Long, buffered: Seq[SprtEvent])
+  case class SprtOut(shard: Long, n_seen: Long, n1: Long, decision: String,
+      n_at_decision: Long, n1_at_decision: Long)
+
+  /** D48: STREAMING SPRT — Wald's sequential probability ratio test
+    * (Wald 1945) run LIVE per traffic shard: each shard walks its
+    * events in (tsec, event_id) order testing H0: P(purchase) = 0.10
+    * vs H1: P = 0.15 at α = β = 0.05, freezing its decision at the
+    * first ±ln(0.95/0.05) boundary crossing (the group-sequential
+    * "stop the experiment early" monitor; the batch twin is B157
+    * sprt_decision). The prefix LLR makes the fold ORDERED, so it
+    * rides the D23/D44 buffered-fold machinery. State per shard is
+    * five longs + the below-watermark buffer; the LLR uses the SAME
+    * pinned double log-literals as B157 (exact-integer counts ×
+    * pinned constants — no live libm), so the oracle replays the
+    * crossing bit-for-bit with prefix windows.
+    */
+  def statefulSprt(events: Dataset[SprtEvent],
+      delayS: Long): Dataset[SprtOut] = {
+    import events.sparkSession.implicits._
+    val C1 = 0.4054651081081642      // ln(0.15/0.10), pinned
+    val C0 = -0.05715841383994864    // ln(0.85/0.90), pinned
+    val Bound = 2.9444389791664403   // ln(0.95/0.05), pinned
+
+    def foldReady(key: Long, st: SprtState,
+        wmS: Long): (SprtState, Option[SprtOut]) = {
+      val (ready, hold) = st.buffered.partition(_.tsec < wmS)
+      if (ready.isEmpty) (st, None)
+      else {
+        var cur = st
+        ready.sortBy(r => (r.tsec, r.event_id)).foreach { r =>
+          val n = cur.n + 1
+          val n1 = cur.n1 + r.x
+          var dec = cur.decision
+          var nAt = cur.nAt
+          var n1At = cur.n1At
+          if (dec == 0) {
+            val llr = n1 * C1 + (n - n1) * C0
+            if (llr >= Bound) { dec = 1; nAt = n; n1At = n1 }
+            else if (llr <= -Bound) { dec = 2; nAt = n; n1At = n1 }
+          }
+          cur = SprtState(n, n1, dec, nAt, n1At, Nil)
+        }
+        val next = cur.copy(buffered = hold)
+        val decision = next.decision match {
+          case 1 => "accept_h1"; case 2 => "accept_h0"; case _ => "continue"
+        }
+        (next, Some(SprtOut(key, next.n, next.n1, decision,
+          next.nAt, next.n1At)))
+      }
+    }
+
+    def update(key: Long, rows: Iterator[SprtEvent],
+        state: GroupState[SprtState]): Iterator[SprtOut] = {
+      val wmS = state.getCurrentWatermarkMs() / 1000L
+      val st0 = state.getOption.getOrElse(SprtState(0L, 0L, 0, 0L, 0L, Nil))
+      val withNew =
+        if (state.hasTimedOut) st0
+        else st0.copy(buffered = st0.buffered ++ rows)
+      val (next, out) = foldReady(key, withNew, wmS)
+      if (next.buffered.isEmpty && state.hasTimedOut) state.remove()
+      else {
+        state.update(next)
+        val wake = next.buffered.map(_.tsec * 1000L) match {
+          case Nil => state.getCurrentWatermarkMs() + 1000L
+          case ts => math.max(ts.min + 1L, state.getCurrentWatermarkMs() + 1L)
+        }
+        state.setTimeoutTimestamp(wake)
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[SprtEvent]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }
