@@ -533,7 +533,16 @@ object Bench {
         // ols_influence / seasonal_mann_kendall ride the probed
         // day-grain class (spearman/mann_kendall_trend);
         // text_sentence_stats is map-only — no scale question.
-        "ngram_novelty")
+        "ngram_novelty",
+        // round-10 closing wave 3: the 8-sweep IVF tuning curve (8×
+        // the probed ann_ivf shape + one shared brute-force pass).
+        // hurst/durbin_watson ride the day-grain class;
+        // mm_keyframe_select rides the probed mm_shot_segments plan.
+        "ann_ivf_nprobe_curve",
+        // round-10 closing wave 4: the orders×32 codegen'd weight
+        // pass (map-only into a 32-group agg — the linear claim).
+        // diff_in_diff is a 4-cell agg — no scale question.
+        "poisson_bootstrap_ci")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
@@ -559,7 +568,9 @@ object Bench {
       // round-10 closing: the day-grain trend test reads orders; the
       // two new graph probes read lineitem
       "mann_kendall_trend", "graph_jaccard_neighbors",
-      "graph_bfs_layers")
+      "graph_bfs_layers",
+      // round-10 closing: the bootstrap reads orders
+      "poisson_bootstrap_ci")
     // The r9 shape ran an untimed base-SF warmup loop over every
     // probe query here (~310 s of the wall that pushed the official
     // run past the driver's ceiling). Dropped: first-run JIT lands on

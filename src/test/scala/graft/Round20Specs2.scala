@@ -95,3 +95,124 @@ class InfluenceSeasonalSpec extends SparkTestBase {
     }
   }
 }
+
+/** B162 hurst_rescaled_range / B163 durbin_watson / C133
+  * mm_keyframe_select / C134 ann_ivf_nprobe_curve.
+  */
+class HurstDwKeyframeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dailyOrders(cents: Seq[Long]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("hdw").toString
+    cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(i.toLong)), c / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("hurst: 256-day alternating series → R/S exactly 1 at every window") {
+    val cents = (0 until 256).map(i => if (i % 2 == 0) 100L else 300L)
+    val rows = SparkEntry.queries("hurst_rescaled_range")(
+      spark, dailyOrders(cents)).collect()
+      .map(r => r.getAs[Long]("window_days") -> r).toMap
+    assert(rows.keySet == Set(64L, 128L, 256L))
+    assert(rows(64L).getAs[Long]("n_blocks") == 4L)
+    assert(rows(128L).getAs[Long]("n_blocks") == 2L)
+    assert(rows(256L).getAs[Long]("n_blocks") == 1L)
+    rows.values.foreach(r => assert(r.getAs[Double]("mean_rs") == 1.0))
+  }
+
+  test("durbin_watson: alternating residuals → DW = 3.4 (negative autocorr)") {
+    val r = SparkEntry.queries("durbin_watson")(
+      spark, dailyOrders(Seq(200L, 100L, 200L, 100L))).collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("dw") == 3.4)
+  }
+
+  test("durbin_watson: perfect line → zero residuals → NULL dw") {
+    val r = SparkEntry.queries("durbin_watson")(
+      spark, dailyOrders(Seq(100L, 200L, 300L, 400L))).collect().head
+    assert(r.isNullAt(r.fieldIndex("dw")))
+  }
+
+  test("corpus: one keyframe per shot, inside the shot span") {
+    val shots = SparkEntry.queries("mm_shot_segments")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shot_id")) -> r).toMap
+    val keys = SparkEntry.queries("mm_keyframe_select")(spark, sfDir)
+      .collect()
+    assert(keys.length == shots.size) // exactly one per shot
+    keys.foreach { k =>
+      val sh = shots((k.getAs[Long]("id"), k.getAs[Long]("shot_id")))
+      val kf = k.getAs[Int]("keyframe_idx")
+      assert(kf >= sh.getAs[Int]("first_frame")
+        && kf <= sh.getAs[Int]("last_frame"))
+      assert(k.getAs[Long]("n_frames") == sh.getAs[Long]("n_frames"))
+      assert(k.getAs[Double]("dist") >= 0.0)
+    }
+  }
+
+  test("poisson_bootstrap: identical order values → SE exactly 0") {
+    val dir = java.nio.file.Files.createTempDirectory("boot").toString
+    import spark.implicits._
+    (0 until 50).map(i => (i.toLong, java.sql.Date.valueOf("2024-01-01"),
+      2.0)).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("poisson_bootstrap_ci")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_orders") == 50L)
+    assert(r.getAs[Double]("theta") == 200.0)
+    // every replicate with any mass has mean exactly 200; P(zero
+    // mass) ≈ e^-50 — the plant pins SE to the zero fixed point
+    assert(r.getAs[Double]("se_boot") == 0.0)
+    assert(r.getAs[Double]("ci_lo") == 200.0)
+    assert(r.getAs[Double]("ci_hi") == 200.0)
+  }
+
+  test("diff_in_diff: planted +50-cent treated lift → did = 50") {
+    val dir = java.nio.file.Files.createTempDirectory("did").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    // ctrl (user 0) flat at $1; treat (user 1) $2 pre, $2.50 post
+    val rows = for (d <- 0 to 3; u <- 0 to 1) yield {
+      val v = if (u == 0) 1.0 else if (d < 2) 2.0 else 2.5
+      (u.toLong, t0 + d * 86400L, v)
+    }
+    rows.zipWithIndex.map { case ((u, sec, v), i) =>
+      (i.toLong, sec * 1000000000L, u, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("diff_in_diff")(spark, dir).collect().head
+    assert(r.getAs[Double]("m_ctrl_pre") == 100.0)
+    assert(r.getAs[Double]("m_ctrl_post") == 100.0)
+    assert(r.getAs[Double]("m_treat_pre") == 200.0)
+    assert(r.getAs[Double]("m_treat_post") == 250.0)
+    assert(r.getAs[Double]("did") == 50.0)
+  }
+
+  test("corpus: bootstrap CI brackets theta; DiD cells populated") {
+    val b = SparkEntry.queries("poisson_bootstrap_ci")(spark, sfDir)
+      .collect().head
+    assert(b.getAs[Double]("se_boot") > 0.0)
+    assert(b.getAs[Double]("ci_lo") < b.getAs[Double]("theta"))
+    assert(b.getAs[Double]("ci_hi") > b.getAs[Double]("theta"))
+    val d = SparkEntry.queries("diff_in_diff")(spark, sfDir).collect().head
+    Seq("m_treat_post", "m_treat_pre", "m_ctrl_post", "m_ctrl_pre")
+      .foreach(c => assert(!d.isNullAt(d.fieldIndex(c)), c))
+  }
+
+  test("corpus: nprobe recall curve monotone, exhaustive probe = 1.0") {
+    val rows = SparkEntry.queries("ann_ivf_nprobe_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.length == 8)
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      recalls.mkString(","))
+    // probing all 8 cells IS the exhaustive search
+    assert(recalls.last == 1.0)
+    rows.foreach(r => assert(r.getAs[Long]("hits")
+      <= 10L * r.getAs[Long]("n_queries")))
+  }
+}
