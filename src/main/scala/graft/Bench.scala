@@ -542,6 +542,15 @@ object Bench {
         // round-10 closing wave 4: the orders×32 codegen'd weight
         // pass (map-only into a 32-group agg — the linear claim).
         // diff_in_diff is a 4-cell agg — no scale question.
+        // Wave 5 (breusch_pagan / cochran_q / prop_ztest /
+        // graph_katz2) adds no new probe: BP rides the day-grain
+        // class, Cochran the user-distinct class, the z-test is a
+        // 2-cell agg, and katz2 is the probed B118 edge build plus
+        // one degree join (densification rationale). Wave 6
+        // (rank_fusion / partial_correlation / point_biserial /
+        // json_key_profile / streaming_prop_ztest) likewise: three
+        // probed ANN passes, the day-grain class, 2-cell aggs, and
+        // the A2 map-only parse.
         "poisson_bootstrap_ci")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a

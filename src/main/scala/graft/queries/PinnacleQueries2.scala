@@ -809,5 +809,584 @@ object PinnacleQueries2 {
           dp6(col("c1")).as("m_ctrl_post"),
           dp6(col("c0")).as("m_ctrl_pre"),
           dp6((col("t1") - col("t0")) - (col("c1") - col("c0"))).as("did"))
+    },
+
+    // B165: BREUSCH-PAGAN heteroskedasticity test (Breusch & Pagan
+    // Econometrica 1979; the Koenker studentized LM form) on the
+    // daily trend fit — "does the trend's ERROR VARIANCE drift with
+    // time" (B163's DW asks about error correlation; BP about error
+    // scale — both must pass for the B73 line's SEs to mean
+    // anything): regress e² on x, LM = n·R²_aux. Exactness: the
+    // scaled residual E_t (the B163 exact integer) converts once to
+    // double; g_t = E_t² and the aux-regression moments run as
+    // day-ascending ORDERED folds over identical doubles (the ADC
+    // convention), one division, 6dp. Day-grain.
+    Q("breusch_pagan",
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(day) AS BIGINT) AS sx,
+        |             CAST(sum(cents) AS BIGINT) AS sy FROM d),
+        |dev AS (
+        |  SELECT d.day,
+        |    CAST(s.n * d.day - s.sx AS HUGEINT) AS dx,
+        |    CAST(s.n * d.cents - s.sy AS HUGEINT) AS dy
+        |  FROM d, s),
+        |mm AS (SELECT sum(dx * dx) AS dxx, sum(dx * dy) AS dxy FROM dev),
+        |e AS (
+        |  SELECT dev.day, CAST(dev.dx AS DOUBLE) AS x,
+        |    CAST(dev.dy * mm.dxx - dev.dx * mm.dxy AS DOUBLE) AS ev
+        |  FROM dev, mm),
+        |l AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    list(x ORDER BY day) AS xs,
+        |    list(ev * ev ORDER BY day) AS gs
+        |  FROM e),
+        |f AS (
+        |  SELECT n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), gs),
+        |      (a, v) -> a + v) AS sg,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, CAST(n + 1 AS INT)),
+        |        i -> xs[CAST(i AS INT)] * gs[CAST(i AS INT)])),
+        |      (a, v) -> a + v) AS sxg,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(xs, v -> v * v)), (a, v) -> a + v) AS sxx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, v -> v * v)), (a, v) -> a + v) AS sgg
+        |  FROM l)
+        |SELECT n AS n_days,
+        |  CASE WHEN sxx > 0 AND n * sgg > sg * sg THEN
+        |    floor(n * (n * sxg) * (n * sxg)
+        |      / (n * sxx * (n * sgg - sg * sg)) * 1000000 + 0.5) / 1000000
+        |  END AS lm_stat
+        |FROM f""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "orders")
+        .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+        .localCheckpoint()
+      val st = d.agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("cents")).as("sy"))
+      val dev = d.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("n").cast("decimal(38,0)") * col("day") - col("sx"))
+            .as("dx"),
+          (col("n").cast("decimal(38,0)") * col("cents") - col("sy"))
+            .as("dy"), col("n"))
+        .localCheckpoint()
+      val mm = dev.agg(sum(col("dx") * col("dx")).as("dxx"),
+        sum(col("dx") * col("dy")).as("dxy"))
+      val e = dev.crossJoin(broadcast(mm))
+        .select(col("day"), col("n"), col("dx").cast("double").as("x"),
+          (col("dy") * col("dxx") - col("dx") * col("dxy")).cast("double")
+            .as("ev"))
+      val l = e.agg(first(col("n")).as("n"),
+        transform(sort_array(collect_list(struct(col("day"), col("x")))),
+          v => v.getField("x")).as("xs"),
+        transform(sort_array(collect_list(struct(col("day"),
+          (col("ev") * col("ev")).as("g")))), v => v.getField("g"))
+          .as("gs"))
+      val f = l.select(col("n"),
+        aggregate(col("gs"), lit(0.0), (a, v) => a + v).as("sg"),
+        aggregate(expr("""transform(sequence(1, size(xs)),
+            i -> element_at(xs, i) * element_at(gs, i))"""),
+          lit(0.0), (a, v) => a + v).as("sxg"),
+        aggregate(transform(col("xs"), v => v * v), lit(0.0),
+          (a, v) => a + v).as("sxx"),
+        aggregate(transform(col("gs"), v => v * v), lit(0.0),
+          (a, v) => a + v).as("sgg"))
+      f.select(col("n").as("n_days"),
+        when(col("sxx") > 0 &&
+          col("n") * col("sgg") > col("sg") * col("sg"),
+          floor(col("n") * (col("n") * col("sxg"))
+            * (col("n") * col("sxg"))
+            / (col("n") * col("sxx")
+               * (col("n") * col("sgg") - col("sg") * col("sg")))
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("lm_stat"))
+    },
+
+    // B166: COCHRAN'S Q (Cochran Biometrika 1950) — the k-treatment
+    // binary repeated-measures test: per user the 0/1 outcome "did
+    // this user perform the event type at least once" across the
+    // view/cart/purchase funnel stages; Q asks whether stage
+    // completion rates differ beyond per-user propensity (McNemar's
+    // k-way generalization — the B115 chi-square would ignore the
+    // per-user pairing). Q = k(k−1)·Σ_j(C_j − T/k)²·k / (k·T − ΣR_u²)
+    // spelled with EXACT integers: numerator ×k² to clear the mean
+    // (Σ(k·C_j − T)² — BIGINTs), ONE division, 6dp floor. Scale
+    // shape: one (user, type) distinct + one user agg + one type agg
+    // — all map-side-combinable.
+    Q("cochran_q",
+      """WITH stages AS (
+        |  SELECT unnest(['view', 'cart', 'purchase']) AS ty),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |hit AS (
+        |  SELECT u.user_id, s.ty,
+        |    CASE WHEN e.user_id IS NOT NULL THEN 1 ELSE 0 END AS x
+        |  FROM u CROSS JOIN stages s
+        |  LEFT JOIN (SELECT DISTINCT user_id, event_type FROM events) e
+        |    ON e.user_id = u.user_id AND e.event_type = s.ty),
+        |rw AS (
+        |  SELECT user_id, CAST(sum(x) AS BIGINT) AS r
+        |  FROM hit GROUP BY 1),
+        |cl AS (
+        |  SELECT ty, CAST(sum(x) AS BIGINT) AS c
+        |  FROM hit GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(r) AS BIGINT) AS t,
+        |    CAST(sum(r * r) AS BIGINT) AS r2,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM rw),
+        |num AS (
+        |  SELECT CAST(sum((3 * c - tot.t) * (3 * c - tot.t)) AS BIGINT)
+        |    AS s2
+        |  FROM cl, tot GROUP BY tot.t)
+        |SELECT tot.n_users, tot.t AS total_hits,
+        |  CASE WHEN 3 * tot.t - tot.r2 > 0 THEN
+        |    floor(CAST(2 * num.s2 AS DOUBLE)
+        |      / CAST(3 * (3 * tot.t - tot.r2) AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS q_stat
+        |FROM tot, num""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint() // feeds users and the stage hits
+      val u = ev.select(col("user_id")).distinct()
+      val stages = s.createDataFrame(
+        Seq("view", "cart", "purchase").map(Tuple1.apply)).toDF("ty")
+      val hit = u.crossJoin(broadcast(stages))
+        .join(ev.withColumnRenamed("event_type", "ty")
+          .withColumn("present", lit(1)), Seq("user_id", "ty"), "left")
+        .select(col("user_id"), col("ty"),
+          coalesce(col("present"), lit(0)).cast("long").as("x"))
+      val rw = hit.groupBy(col("user_id")).agg(sum(col("x")).as("r"))
+      val cl = hit.groupBy(col("ty")).agg(sum(col("x")).as("c"))
+      val tot = rw.agg(sum(col("r")).as("t"),
+        sum(col("r") * col("r")).as("r2"), count(lit(1)).as("n_users"))
+      val num = cl.crossJoin(broadcast(tot))
+        .agg(sum((lit(3) * col("c") - col("t"))
+          * (lit(3) * col("c") - col("t"))).as("s2"),
+          first(col("t")).as("t"))
+      broadcast(tot).crossJoin(broadcast(num.select(col("s2"))))
+        .select(col("n_users"), col("t").as("total_hits"),
+          when(lit(3) * col("t") - col("r2") > 0,
+            floor((lit(2) * col("s2")).cast("double")
+              / (lit(3) * (lit(3) * col("t") - col("r2"))).cast("double")
+              * lit(1000000) + lit(0.5)) / lit(1000000)).as("q_stat"))
+    },
+
+    // B167: TWO-PROPORTION Z-TEST (the pooled-variance form every
+    // A/B readout starts with; Fleiss, Statistical Methods for Rates
+    // and Proportions) on conversion (purchase among events) between
+    // the user_id%2 arms: z = (p1−p0)/√(p̂(1−p̂)(1/n1+1/n0)). B106
+    // tests VALUE means; this tests the RATE — the other half of
+    // every experiment readout. Exactness: counts exact; z as a
+    // fixed IEEE expression over four integers (two divisions, one
+    // sqrt), 6dp floor. One 2-group keyed agg.
+    Q("prop_ztest",
+      """WITH a AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 1 THEN y END) AS y1,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 0 THEN y END) AS y0
+        |  FROM a)
+        |SELECT n1, y1, n0, y0,
+        |  floor((CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0)
+        |    / sqrt((CAST(y1 + y0 AS DOUBLE) / (n1 + n0))
+        |      * (1 - CAST(y1 + y0 AS DOUBLE) / (n1 + n0))
+        |      * (1.0 / n1 + 1.0 / n0))
+        |    * 1000000 + 0.5) / 1000000 AS z
+        |FROM m""".stripMargin) { (s, dir) =>
+      val a = table(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("y"))
+      val m = a.agg(
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("y"))).as("y1"),
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("y"))).as("y0"))
+      val p1 = col("y1").cast("double") / col("n1")
+      val p0 = col("y0").cast("double") / col("n0")
+      val pp = (col("y1") + col("y0")).cast("double") / (col("n1") + col("n0"))
+      m.select(col("n1"), col("y1"), col("n0"), col("y0"),
+        (floor((p1 - p0)
+          / sqrt(pp * (lit(1) - pp)
+            * (lit(1.0) / col("n1") + lit(1.0) / col("n0")))
+          * lit(1000000) + lit(0.5)) / lit(1000000)).as("z"))
+    },
+
+    // B168: KATZ CENTRALITY, 2-hop truncation (Katz Psychometrika
+    // 1953) over the co-purchase part graph — the walk-counting
+    // centrality that credits a node for REACH, not just degree
+    // (B52's PageRank normalizes by out-degree; Katz counts raw
+    // attenuated walks — the "how much of the graph can this part
+    // pull" ranking). Truncated at 2 hops with α = 1/8 so the score
+    // is the EXACT integer katz64 = 64 + 8·deg(u) + Σ_v deg(v) over
+    // neighbors v (×64 clears both α powers); the truncation is the
+    // documented contract (the B51 fixed-k convention — closed-form
+    // replayable, no convergence question). Top-20 by (katz64 DESC,
+    // node). Scale: the B118 edge build + ONE degree join + one
+    // keyed sum — no iteration state.
+    Q("graph_katz2",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 16381 AS node
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.node AS u, b.node AS v
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.node < b.node),
+        |adj AS (SELECT u AS node, v AS nbr FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |k AS (
+        |  SELECT a.node,
+        |    CAST(64 + 8 * max(du.d) + sum(dv.d) AS BIGINT) AS katz64
+        |  FROM adj a
+        |  JOIN deg du ON du.node = a.node
+        |  JOIN deg dv ON dv.node = a.nbr
+        |  GROUP BY a.node),
+        |top AS (
+        |  SELECT node, katz64,
+        |    CAST(row_number() OVER (ORDER BY katz64 DESC, node) AS BIGINT)
+        |      AS rnk
+        |  FROM k)
+        |SELECT rnk, node, katz64 FROM top WHERE rnk <= 20""".stripMargin) {
+      (s, dir) =>
+        val items = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"),
+            (col("l_partkey") % 16381).as("node"))
+          .distinct()
+        val e = items.as("a").join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.node") < col("b.node"))
+          .select(col("a.node").as("u"), col("b.node").as("v"))
+          .distinct()
+        val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+          .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+          .localCheckpoint() // feeds degrees and the 2-hop sum
+        val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+        val k = adj
+          .join(deg.select(col("node"), col("d").as("du")), Seq("node"))
+          .join(deg.select(col("node").as("nbr"), col("d").as("dv")),
+            Seq("nbr"))
+          .groupBy(col("node"))
+          .agg((lit(64) + lit(8) * max(col("du")) + sum(col("dv")))
+            .cast("long").as("katz64"))
+        k.orderBy(col("katz64").desc, col("node")).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("katz64").desc, col("node"))).cast("long"))
+          .select(col("rnk"), col("node"), col("katz64"))
+    },
+
+    // C136: JSON KEY PROFILE — schema inference over a semi-
+    // structured column (the "what's actually in this JSON blob"
+    // audit that precedes every A1-style typed-schema commitment;
+    // the profiling half of Spark's own schema-of-JSON machinery,
+    // emitted as a TABLE): per key across events.props — document
+    // count and the observed type spectrum (int/float/bool/null/
+    // string) classified by PINNED regexes identical in both
+    // engines. Deterministic: map<string,string> extraction yields
+    // the same unquoted value images as json_extract_string; counts
+    // exact. Scale shape: one map-only parse + explode + keyed count
+    // — the A2 class.
+    Q("json_key_profile",
+      """WITH kv AS (
+        |  SELECT unnest(json_keys(props)) AS k, props FROM events),
+        |v AS (
+        |  SELECT k, json_extract_string(props, '$."' || k || '"') AS val
+        |  FROM kv)
+        |SELECT k AS key, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(sum(CASE WHEN val IS NOT NULL
+        |    AND regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_int,
+        |  CAST(sum(CASE WHEN val IS NOT NULL
+        |    AND regexp_matches(val, '^-?[0-9]*\.[0-9]+$') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_float,
+        |  CAST(sum(CASE WHEN val IN ('true', 'false') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bool,
+        |  CAST(sum(CASE WHEN val IS NOT NULL
+        |    AND NOT regexp_matches(val, '^-?[0-9]+$')
+        |    AND NOT regexp_matches(val, '^-?[0-9]*\.[0-9]+$')
+        |    AND val NOT IN ('true', 'false') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_string
+        |FROM v GROUP BY k""".stripMargin) { (s, dir) =>
+      val kv = table(s, dir, "events")
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+          .as(Seq("k", "val")))
+      val isInt = col("val").rlike("^-?[0-9]+$")
+      val isFloat = col("val").rlike("^-?[0-9]*\\.[0-9]+$")
+      val isBool = col("val").isin("true", "false")
+      kv.groupBy(col("k").as("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("val").isNotNull && isInt, 1L).otherwise(0L))
+            .as("n_int"),
+          sum(when(col("val").isNotNull && isFloat, 1L).otherwise(0L))
+            .as("n_float"),
+          sum(when(isBool, 1L).otherwise(0L)).as("n_bool"),
+          sum(when(col("val").isNotNull && !isInt && !isFloat && !isBool,
+            1L).otherwise(0L)).as("n_string"))
+    },
+
+    // C125: RECIPROCAL-RANK FUSION (Cormack, Clarke & Büttcher SIGIR
+    // 2009 — THE standard hybrid-search combiner, what every
+    // lexical+vector retrieval stack ships): fuse the C7b IVF and C7
+    // LSH top-10 lists per query by score = Σ 1/(60+rank), spelled
+    // with a PINNED fixed-point weight table w_r = round(1e6/(60+r))
+    // (the C123 no-live-libm convention) so the fused score is an
+    // exact BIGINT; fused order (score DESC, id), hit-flagged against
+    // the C6 brute-force truth. Composition: reuses the three ANN
+    // queries' own plans and oracles verbatim (the
+    // dedup_threshold_curve convention). Scale shape: three bounded
+    // ANN passes + model-sized |Q|·10 joins.
+    Q("retrieval_rank_fusion", {
+      val ivf = DedupQueries.all.find(_.name == "ann_ivf_topk").get
+        .oracle.get
+      val lsh = DedupQueries.all.find(_.name == "ann_lsh_topk").get
+        .oracle.get
+      val bf = DedupQueries.all.find(_.name == "ann_bruteforce_topk").get
+        .oracle.get
+      val w = Seq(16393L, 16129L, 15873L, 15625L, 15385L, 15152L,
+        14925L, 14706L, 14493L, 14286L)
+      val wValues = w.zipWithIndex
+        .map { case (x, i) => s"(${i + 1}, $x)" }.mkString(", ")
+      s"""WITH ivf AS (SELECT * FROM ($ivf)),
+         |lsh AS (SELECT * FROM ($lsh)),
+         |bf AS (SELECT * FROM ($bf)),
+         |w AS (SELECT * FROM (VALUES $wValues) AS t(rnk, wt)),
+         |scored AS (
+         |  SELECT query_id, id, CAST(sum(wt) AS BIGINT) AS score_e6
+         |  FROM (
+         |    SELECT i.query_id, i.id, w.wt
+         |    FROM ivf i JOIN w ON w.rnk = i.rnk
+         |    UNION ALL
+         |    SELECT l.query_id, l.id, w.wt
+         |    FROM lsh l JOIN w ON w.rnk = l.rnk)
+         |  GROUP BY 1, 2),
+         |fused AS (
+         |  SELECT query_id, id, score_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_e6 DESC, id) AS BIGINT) AS fused_rank
+         |  FROM scored)
+         |SELECT f.query_id, f.id, f.score_e6, f.fused_rank,
+         |  CAST(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS in_bf
+         |FROM fused f
+         |LEFT JOIN bf b ON b.query_id = f.query_id AND b.id = f.id
+         |WHERE f.fused_rank <= 10""".stripMargin
+    }) { (s, dir) =>
+      val w = Seq(16393L, 16129L, 15873L, 15625L, 15385L, 15152L,
+        14925L, 14706L, 14493L, 14286L)
+      val wArr = array(w.map(lit): _*)
+      def ranked(name: String) = DedupQueries.all.find(_.name == name).get
+        .spark(s, dir)
+        .select(col("query_id"), col("id"),
+          element_at(wArr, col("rnk")).as("wt"))
+      val scored = ranked("ann_ivf_topk")
+        .unionByName(ranked("ann_lsh_topk"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(col("wt")).as("score_e6"))
+      // |Q|·≤20 rows — model-sized keyed window
+      val fused = scored.withColumn("fused_rank",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("score_e6").desc, col("id"))).cast("long"))
+        .filter(col("fused_rank") <= 10)
+      val bf = DedupQueries.all.find(_.name == "ann_bruteforce_topk").get
+        .spark(s, dir).select(col("query_id"), col("id"),
+          lit(1).as("hit"))
+      fused.join(broadcast(bf), Seq("query_id", "id"), "left")
+        .select(col("query_id"), col("id"), col("score_e6"),
+          col("fused_rank"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_bf"))
+    },
+
+    // B169: PARTIAL CORRELATION (Fisher 1924's r_xy·z) between the
+    // daily purchase and view series CONTROLLING FOR TIME — "do the
+    // two streams co-move beyond both just trending": r_xy·z =
+    // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over the zero-filled
+    // calendar grid with z = day index. The three pairwise
+    // correlations come from B154's exact machinery (BIGINT devs,
+    // DECIMAL(38,0)/HUGEINT products, two-sqrt denominators); the
+    // partial formula is fixed IEEE arithmetic on those three
+    // doubles, 6dp floor. One keyed (type, day) agg; day-grain after.
+    Q("partial_correlation",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |d AS (
+        |  SELECT day, event_type, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |x AS (
+        |  SELECT g.day,
+        |    CAST(coalesce(sum(CASE WHEN d.event_type = 'purchase'
+        |      THEN d.cents END), 0) AS BIGINT) AS vx,
+        |    CAST(coalesce(sum(CASE WHEN d.event_type = 'view'
+        |      THEN d.cents END), 0) AS BIGINT) AS vy
+        |  FROM (SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+        |        FROM bounds) g
+        |  LEFT JOIN d ON g.day = d.day GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(vx) AS BIGINT) AS sx,
+        |             CAST(sum(vy) AS BIGINT) AS sy,
+        |             CAST(sum(day) AS BIGINT) AS sz FROM x),
+        |dev AS (
+        |  SELECT CAST(s.n * x.vx - s.sx AS HUGEINT) AS dx,
+        |    CAST(s.n * x.vy - s.sy AS HUGEINT) AS dy,
+        |    CAST(s.n * x.day - s.sz AS HUGEINT) AS dz
+        |  FROM x, s),
+        |mm AS (
+        |  SELECT
+        |    CAST(sum(dx * dy) AS DOUBLE)
+        |      / (sqrt(CAST(sum(dx * dx) AS DOUBLE))
+        |         * sqrt(CAST(sum(dy * dy) AS DOUBLE))) AS rxy,
+        |    CAST(sum(dx * dz) AS DOUBLE)
+        |      / (sqrt(CAST(sum(dx * dx) AS DOUBLE))
+        |         * sqrt(CAST(sum(dz * dz) AS DOUBLE))) AS rxz,
+        |    CAST(sum(dy * dz) AS DOUBLE)
+        |      / (sqrt(CAST(sum(dy * dy) AS DOUBLE))
+        |         * sqrt(CAST(sum(dz * dz) AS DOUBLE))) AS ryz,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM dev)
+        |SELECT n AS n_days,
+        |  floor(rxy * 1000000 + 0.5) / 1000000 AS r_xy,
+        |  floor(rxz * 1000000 + 0.5) / 1000000 AS r_xz,
+        |  floor(ryz * 1000000 + 0.5) / 1000000 AS r_yz,
+        |  CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0 THEN
+        |    floor((rxy - rxz * ryz)
+        |      / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+        |      * 1000000 + 0.5) / 1000000 END AS r_xy_given_z
+        |FROM mm""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(expr("(ts div 1000000000) div 86400").as("day"),
+          col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val d = e.groupBy(col("day"), col("event_type"))
+        .agg(sum(col("cents")).as("cents"))
+      val bounds = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val x = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(d, Seq("day"), "left")
+        .groupBy(col("day"))
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          col("cents"))), lit(0L)).as("vx"),
+          coalesce(sum(when(col("event_type") === "view", col("cents"))),
+            lit(0L)).as("vy"))
+      val st = x.agg(count(lit(1)).as("n"), sum(col("vx")).as("sx"),
+        sum(col("vy")).as("sy"), sum(col("day")).as("sz"))
+      val dev = x.crossJoin(broadcast(st))
+        .select((col("n").cast("decimal(38,0)") * col("vx") - col("sx"))
+          .as("dx"),
+          (col("n").cast("decimal(38,0)") * col("vy") - col("sy")).as("dy"),
+          (col("n").cast("decimal(38,0)") * col("day") - col("sz")).as("dz"))
+      val mm = dev.agg(
+        (sum(col("dx") * col("dy")).cast("double")
+          / (sqrt(sum(col("dx") * col("dx")).cast("double"))
+             * sqrt(sum(col("dy") * col("dy")).cast("double")))).as("rxy"),
+        (sum(col("dx") * col("dz")).cast("double")
+          / (sqrt(sum(col("dx") * col("dx")).cast("double"))
+             * sqrt(sum(col("dz") * col("dz")).cast("double")))).as("rxz"),
+        (sum(col("dy") * col("dz")).cast("double")
+          / (sqrt(sum(col("dy") * col("dy")).cast("double"))
+             * sqrt(sum(col("dz") * col("dz")).cast("double")))).as("ryz"),
+        count(lit(1)).as("n"))
+      def dp6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + lit(0.5)) / 1000000
+      mm.select(col("n").as("n_days"),
+        dp6(col("rxy")).as("r_xy"), dp6(col("rxz")).as("r_xz"),
+        dp6(col("ryz")).as("r_yz"),
+        when((lit(1) - col("rxz") * col("rxz"))
+          * (lit(1) - col("ryz") * col("ryz")) > 0,
+          dp6((col("rxy") - col("rxz") * col("ryz"))
+            / sqrt((lit(1) - col("rxz") * col("rxz"))
+              * (lit(1) - col("ryz") * col("ryz")))))
+          .as("r_xy_given_z"))
+    },
+
+    // B170: POINT-BISERIAL correlation (the Pearson r between a
+    // binary and a continuous variable — Tate 1954) between the
+    // weekend flag (epoch day 0 = Thursday, so dow = (day+3)%7 with
+    // Monday 0; weekend = dow ≥ 5) and order value: "do weekend
+    // orders run larger" as
+    // a CORRELATION (B106's t answers the same family as a test;
+    // r_pb is the effect-size form, r_pb² the variance explained).
+    // r_pb = (M1−M0)/σ · √(n1·n0)/n with σ the population sd —
+    // spelled over exact integer sums (Σx² in DECIMAL(38,0)/HUGEINT)
+    // into a fixed IEEE expression, 6dp floor. ONE 2-group keyed agg.
+    Q("point_biserial",
+      """WITH o AS (
+        |  SELECT CASE WHEN (CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |      // 86400 + 3) % 7 >= 5 THEN 1 ELSE 0 END AS wk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+        |  FROM o GROUP BY 1),
+        |m AS (
+        |  SELECT
+        |    max(CASE WHEN wk = 1 THEN n END) AS n1,
+        |    max(CASE WHEN wk = 1 THEN s END) AS s1,
+        |    max(CASE WHEN wk = 0 THEN n END) AS n0,
+        |    max(CASE WHEN wk = 0 THEN s END) AS s0,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS st,
+        |    sum(q) AS qt
+        |  FROM g)
+        |SELECT n1, n0,
+        |  CASE WHEN CAST(n AS HUGEINT) * qt > CAST(st AS HUGEINT) * st
+        |  THEN
+        |    floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * qt
+        |          - CAST(st AS HUGEINT) * st AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * n))
+        |      * sqrt(CAST(n1 AS DOUBLE) * n0) / n
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS r_pb
+        |FROM m""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(when(expr("(unix_timestamp(o_orderdate) div 86400 + 3) % 7")
+          >= 5, lit(1)).otherwise(lit(0)).as("wk"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val g = o.groupBy(col("wk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
+      val m = g.agg(
+        max(when(col("wk") === 1, col("n"))).as("n1"),
+        max(when(col("wk") === 1, col("s"))).as("s1"),
+        max(when(col("wk") === 0, col("n"))).as("n0"),
+        max(when(col("wk") === 0, col("s"))).as("s0"),
+        sum(col("n")).as("n"), sum(col("s")).as("st"),
+        sum(col("q")).as("qt"))
+      m.select(col("n1"), col("n0"),
+        when(col("n").cast("decimal(38,0)") * col("qt")
+          > col("st").cast("decimal(38,0)") * col("st"),
+          floor((col("s1").cast("double") / col("n1")
+              - col("s0").cast("double") / col("n0"))
+            / sqrt((col("n").cast("decimal(38,0)") * col("qt")
+                - col("st").cast("decimal(38,0)") * col("st")).cast("double")
+              / (col("n").cast("double") * col("n")))
+            * sqrt(col("n1").cast("double") * col("n0")) / col("n")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("r_pb"))
     })
 }

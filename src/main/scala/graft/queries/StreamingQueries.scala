@@ -1599,6 +1599,58 @@ object StreamingQueries {
             col("m.n1_at_decision").as("n1_at_decision"))
     },
 
+    // D49: streaming two-proportion z monitor — B167's pooled z-test
+    // as a LIVE experiment read-out: per-arm (user_id % 2) additive
+    // (n, conversions) state — the partial-merge-friendly shape, two
+    // rows total — with the z computed on the complete-mode snapshot
+    // (the streaming_chisq convention). This is the "peeking"
+    // dashboard number; D48's SPRT is the sequentially-VALID decision
+    // — the engine ships both so the contrast is explicit. Exact
+    // counts into the same fixed IEEE z expression as B167, 6dp.
+    Q("streaming_prop_ztest",
+      """WITH a AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 1 THEN y END) AS y1,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 0 THEN y END) AS y0
+        |  FROM a)
+        |SELECT n1, y1, n0, y0,
+        |  floor((CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0)
+        |    / sqrt((CAST(y1 + y0 AS DOUBLE) / (n1 + n0))
+        |      * (1 - CAST(y1 + y0 AS DOUBLE) / (n1 + n0))
+        |      * (1.0 / n1 + 1.0 / n0))
+        |    * 1000000 + 0.5) / 1000000 AS z
+        |FROM m""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir)
+        .groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("y"))
+      val snap = runToMemory(s, ev, "graft_stream_propz",
+        mode = "complete")
+      val m = snap.agg(
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("y"))).as("y1"),
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("y"))).as("y0"))
+      val p1 = col("y1").cast("double") / col("n1")
+      val p0 = col("y0").cast("double") / col("n0")
+      val pp = (col("y1") + col("y0")).cast("double") /
+        (col("n1") + col("n0"))
+      m.select(col("n1"), col("y1"), col("n0"), col("y0"),
+        (floor((p1 - p0) /
+          sqrt(pp * (lit(1) - pp)
+            * (lit(1.0) / col("n1") + lit(1.0) / col("n0")))
+          * lit(1000000) + lit(0.5)) / lit(1000000)).as("z"))
+    },
+
     // D46: streaming chi-square independence monitor — the
     // CATEGORICAL drift/dependence gate beside the numeric trio
     // (D35 PSI / D36 KS / D42 EMD compare a numeric distribution to

@@ -203,6 +203,155 @@ class HurstDwKeyframeSpec extends SparkTestBase {
       .foreach(c => assert(!d.isNullAt(d.fieldIndex(c)), c))
   }
 
+  test("breusch_pagan: 4-day plant → LM = 1.118012") {
+    val r = SparkEntry.queries("breusch_pagan")(
+      spark, dailyOrders(Seq(100L, 200L, 100L, 400L))).collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("lm_stat") == 1.118012)
+  }
+
+  test("cochran_q: nested funnel plant → Q = 3.0 exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("cq").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    val rows = Seq((1L, "view"), (2L, "view"), (2L, "cart"),
+      (3L, "view"), (3L, "cart"), (3L, "purchase"))
+    rows.zipWithIndex.map { case ((u, ty), i) =>
+      (i.toLong, (t0 + i) * 1000000000L, u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("cochran_q")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == 3L)
+    assert(r.getAs[Long]("total_hits") == 6L)
+    assert(r.getAs[Double]("q_stat") == 3.0) // 2·18 / (3·(18−14))
+  }
+
+  test("prop_ztest: 2/4 vs 1/4 arms → z = 0.730297") {
+    val dir = java.nio.file.Files.createTempDirectory("pz").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    // arm 1 (odd users): 4 events, 2 purchases; arm 0: 4 events, 1
+    val rows = Seq((1L, "purchase"), (1L, "purchase"), (1L, "view"),
+      (1L, "view"), (2L, "purchase"), (2L, "view"), (2L, "view"),
+      (2L, "view"))
+    rows.zipWithIndex.map { case ((u, ty), i) =>
+      (i.toLong, (t0 + i) * 1000000000L, u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("prop_ztest")(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("y1") == 2L)
+    assert(r.getAs[Long]("n0") == 4L && r.getAs[Long]("y0") == 1L)
+    assert(r.getAs[Double]("z") == 0.730297)
+  }
+
+  test("katz2: triangle + pendant → hand-computed attenuated walks") {
+    val dir = java.nio.file.Files.createTempDirectory("katz").toString
+    import spark.implicits._
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 3L), (200L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("graph_katz2")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    // katz64 = 64 + 8·deg + Σ neighbor degs
+    val expect = Seq((3L, 93L), (1L, 85L), (2L, 85L), (4L, 75L))
+    assert(rows.map(r => (r.getAs[Long]("node"), r.getAs[Long]("katz64")))
+      .toSeq == expect)
+  }
+
+  test("streaming prop-z snapshot equals the batch z on the same plant") {
+    val dir = java.nio.file.Files.createTempDirectory("spz").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    val rows = Seq((1L, "purchase"), (1L, "purchase"), (1L, "view"),
+      (1L, "view"), (2L, "purchase"), (2L, "view"), (2L, "view"),
+      (2L, "view"))
+    rows.zipWithIndex.map { case ((u, ty), i) =>
+      (i.toLong, (t0 + i) * 1000000000L, u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val live = SparkEntry.queries("streaming_prop_ztest")(spark, dir)
+      .collect().head
+    assert(live.getAs[Double]("z") == 0.730297) // the B167 plant value
+    assert(live.getAs[Long]("n1") == 4L && live.getAs[Long]("y0") == 1L)
+  }
+
+  test("json_key_profile: mixed-type plant classifies every key") {
+    val dir = java.nio.file.Files.createTempDirectory("jkp").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    val props = Seq(
+      """{"a": 1, "b": 2.5, "c": true, "d": null, "e": "x"}""",
+      """{"a": -7, "e": "0.5.1"}""")
+    props.zipWithIndex.map { case (p, i) =>
+      (i.toLong, (t0 + i) * 1000000000L, 1L, "view", 1.0, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("json_key_profile")(spark, dir)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(rows.keySet == Set("a", "b", "c", "d", "e"))
+    assert(rows("a").getAs[Long]("n") == 2L
+      && rows("a").getAs[Long]("n_int") == 2L)
+    assert(rows("b").getAs[Long]("n_float") == 1L)
+    assert(rows("c").getAs[Long]("n_bool") == 1L)
+    assert(rows("d").getAs[Long]("n_null") == 1L)
+    assert(rows("e").getAs[Long]("n_string") == 2L) // "0.5.1" not a float
+  }
+
+  test("partial_correlation: y ≡ x plant → r_xy = 1 and r_xy·z = 1") {
+    val dir = java.nio.file.Files.createTempDirectory("pcor").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    val vals = Seq(1.0, 2.0, 1.5, 3.0)
+    val rows = vals.zipWithIndex.flatMap { case (v, d) =>
+      Seq(("purchase", d, v), ("view", d, v))
+    }
+    rows.zipWithIndex.map { case ((ty, d, v), i) =>
+      (i.toLong, (t0 + d * 86400L + 1) * 1000000000L, 1L, ty, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("partial_correlation")(spark, dir)
+      .collect().head
+    assert(r.getAs[Double]("r_xy") == 1.0)
+    assert(r.getAs[Double]("r_xz") == r.getAs[Double]("r_yz"))
+    assert(r.getAs[Double]("r_xy_given_z") == 1.0)
+  }
+
+  test("point_biserial: weekend +200-cent plant → r_pb = 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("pbis").toString
+    import spark.implicits._
+    // epoch days 0,1 = Thu,Fri ($1); 2,3 = Sat,Sun ($3)
+    Seq((0, 1.0), (1, 1.0), (2, 3.0), (3, 3.0)).zipWithIndex.map {
+      case ((d, v), i) => (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(d.toLong)), v)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("point_biserial")(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n0") == 2L)
+    assert(r.getAs[Double]("r_pb") == 1.0)
+  }
+
+  test("corpus: fused RRF scores decompose into the pinned weight table") {
+    val w = Seq(16393L, 16129L, 15873L, 15625L, 15385L, 15152L,
+      14925L, 14706L, 14493L, 14286L)
+    def list(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"))
+        -> r.getAs[Int]("rnk")).toMap
+    val ivf = list("ann_ivf_topk")
+    val lsh = list("ann_lsh_topk")
+    val fused = SparkEntry.queries("retrieval_rank_fusion")(spark, sfDir)
+      .collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("id"))
+      val expected = ivf.get(key).map(rk => w(rk - 1)).getOrElse(0L) +
+        lsh.get(key).map(rk => w(rk - 1)).getOrElse(0L)
+      assert(r.getAs[Long]("score_e6") == expected, key)
+      assert(r.getAs[Long]("fused_rank") >= 1L
+        && r.getAs[Long]("fused_rank") <= 10L)
+    }
+  }
+
   test("corpus: nprobe recall curve monotone, exhaustive probe = 1.0") {
     val rows = SparkEntry.queries("ann_ivf_nprobe_curve")(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("nprobe"))
