@@ -550,7 +550,11 @@ object Bench {
         // (rank_fusion / partial_correlation / point_biserial /
         // json_key_profile / streaming_prop_ztest) likewise: three
         // probed ANN passes, the day-grain class, 2-cell aggs, and
-        // the A2 map-only parse.
+        // the A2 map-only parse. Wave 7 (code_detect map-only;
+        // kendall_w = the probed friedman grid; odds_ratio 4-cell;
+        // kaplan_meier = the probed log_rank duration machinery;
+        // attribution_time_decay = the probed B94/B141 interval-join
+        // shape) likewise adds no new probe.
         "poisson_bootstrap_ci")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a

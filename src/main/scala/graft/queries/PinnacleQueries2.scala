@@ -1388,5 +1388,428 @@ object PinnacleQueries2 {
               / (col("n").cast("double") * col("n")))
             * sqrt(col("n1").cast("double") * col("n0")) / col("n")
             * lit(1000000) + lit(0.5)) / lit(1000000)).as("r_pb"))
+    },
+
+    // C137: CODE-vs-PROSE DETECTION — the language-domain router
+    // every mixed-corpus pipeline runs before tokenizer/quality
+    // decisions (StarCoder's pipeline, Li et al. 2023, separates
+    // code; code in a prose corpus poisons perplexity filters and
+    // vice versa): per doc, symbol density ({};()=<>[] per char),
+    // code-keyword hits (a PINNED 16-token set over the C10 token
+    // grain), and indented-line ratio (RAW text lines starting with
+    // 2+ spaces — normalization would erase exactly this signal);
+    // flag = symbol ratio > 0.04 AND (keywords ≥ 2 OR indent ratio >
+    // 0.2), cuts pinned. All-integer counts off regex/token scans,
+    // two divisions, 6dp. Map-only.
+    Q("text_code_detect", {
+      val kw = Seq("def", "return", "import", "class", "void", "int",
+        "function", "var", "const", "if", "else", "for", "while",
+        "public", "static", "new")
+      val kwList = kw.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]]'))
+         |    AS BIGINT) AS n_symbols,
+         |  CAST(len(list_filter(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |    t -> list_contains($kwList, t))) AS BIGINT) AS n_keywords,
+         |  CAST(len(list_filter(string_split(text, chr(10)),
+         |    l -> l LIKE '  %')) AS BIGINT) AS n_indented,
+         |  CAST(greatest(len(string_split(text, chr(10))), 1) AS BIGINT)
+         |    AS n_lines,
+         |  floor(CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]]'))
+         |      AS DOUBLE) / greatest(length(text), 1)
+         |    * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+         |  CAST(CASE WHEN
+         |    CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]]'))
+         |      AS DOUBLE) / greatest(length(text), 1) > 0.04
+         |    AND (len(list_filter(string_split(
+         |        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |        t -> list_contains($kwList, t))) >= 2
+         |      OR CAST(len(list_filter(string_split(text, chr(10)),
+         |          l -> l LIKE '  %')) AS DOUBLE)
+         |        / greatest(len(string_split(text, chr(10))), 1) > 0.2)
+         |    THEN 1 ELSE 0 END AS INT) AS is_code
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      val kw = Seq("def", "return", "import", "class", "void", "int",
+        "function", "var", "const", "if", "else", "for", "while",
+        "public", "static", "new")
+      val kwArr = array(kw.map(lit): _*)
+      val nSym = size(regexp_extract_all(col("text"),
+        lit("[{}();=<>\\[\\]]"), lit(0))).cast("long")
+      val nKw = size(filter(graft.functions.TextFunctions
+        .wsTokens(col("text")), t => array_contains(kwArr, t))).cast("long")
+      val lines = split(col("text"), "\n")
+      val nInd = size(filter(lines, l => l.startsWith("  "))).cast("long")
+      val nLines = greatest(size(lines), lit(1)).cast("long")
+      val symRatio = nSym.cast("double") / greatest(length(col("text")),
+        lit(1))
+      val indRatio = nInd.cast("double") / nLines
+      table(s, dir, "documents").select(col("doc_id"),
+        nSym.as("n_symbols"), nKw.as("n_keywords"),
+        nInd.as("n_indented"), nLines.as("n_lines"),
+        (floor(symRatio * 1000000 + lit(0.5)) / 1000000).as("symbol_ratio"),
+        when(symRatio > 0.04 && (nKw >= 2 || indRatio > 0.2), lit(1))
+          .otherwise(lit(0)).cast("int").as("is_code"))
+    },
+
+    // B171: KENDALL'S W — coefficient of concordance (Kendall &
+    // Babington Smith 1939): the EFFECT SIZE companion to B149's
+    // Friedman test (χ²_F says whether days agree on the event-type
+    // ordering; W ∈ [0,1] says HOW MUCH — W = χ²_F/(n(k−1))), on the
+    // same (day × type) dense value grid with tie-averaged doubled
+    // ranks. Exact integer algebra into ONE division (the doubled-
+    // rank substitution clears every /2; tie correction via the
+    // Σr2² denominator form), 6dp floor. One keyed (day, type) agg;
+    // calendar×k after.
+    Q("kendall_w",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type AS ty,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |g0 AS (SELECT day, ty, CAST(sum(c) AS BIGINT) AS v
+        |       FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM g0),
+        |tys AS (SELECT DISTINCT ty FROM g0),
+        |grid AS (
+        |  SELECT d.day, t.ty, CAST(coalesce(g0.v, 0) AS BIGINT) AS v
+        |  FROM days d CROSS JOIN tys t
+        |  LEFT JOIN g0 ON g0.day = d.day AND g0.ty = t.ty),
+        |vc AS (
+        |  SELECT day, v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (PARTITION BY day ORDER BY v)
+        |      AS BIGINT) AS cum
+        |  FROM grid GROUP BY day, v),
+        |r AS (
+        |  SELECT g.day, g.ty, 2 * (vc.cum - vc.cnt) + vc.cnt + 1 AS r2
+        |  FROM grid g JOIN vc ON g.day = vc.day AND g.v = vc.v),
+        |dims AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+        |                CAST(count(DISTINCT ty) AS BIGINT) AS k FROM r),
+        |rj AS (SELECT ty, CAST(sum(r2) AS BIGINT) AS r2j FROM r GROUP BY ty),
+        |num AS (
+        |  SELECT CAST(sum(CAST(r2j - d.n * (d.k + 1) AS HUGEINT)
+        |    * (r2j - d.n * (d.k + 1))) AS HUGEINT) AS s2
+        |  FROM rj, dims d),
+        |den AS (
+        |  SELECT CAST(sum(CAST(r2 AS HUGEINT) * r2)
+        |    - max(CAST(d.n AS HUGEINT) * d.k * (d.k + 1) * (d.k + 1))
+        |    AS HUGEINT) AS d2
+        |  FROM r, dims d)
+        |SELECT d.n AS n_days, d.k AS n_types,
+        |  CASE WHEN den.d2 > 0 THEN
+        |    floor(CAST((d.k - 1) * num.s2 AS DOUBLE)
+        |      / CAST(den.d2 AS DOUBLE) / (d.n * (d.k - 1))
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS w
+        |FROM dims d, num, den""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          col("event_type").as("ty"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day"), col("ty")).agg(sum(col("c")).as("v"))
+        .localCheckpoint()
+      val days = e.select(col("day")).distinct()
+      val tys = e.select(col("ty")).distinct()
+      val grid = days.crossJoin(broadcast(tys))
+        .join(e, Seq("day", "ty"), "left")
+        .select(col("day"), col("ty"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint()
+      val vc = grid.groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", sum(col("cnt")).over(
+          Window.partitionBy(col("day")).orderBy(col("v"))) - col("cnt"))
+      val r = grid.join(vc, Seq("day", "v"))
+        .select(col("day"), col("ty"),
+          (col("cb") * 2 + col("cnt") + 1).as("r2"))
+        .localCheckpoint()
+      val dims = r.agg(countDistinct(col("day")).as("n"),
+        countDistinct(col("ty")).as("k"))
+      val rj = r.groupBy(col("ty")).agg(sum(col("r2")).as("r2j"))
+      val num = rj.crossJoin(broadcast(dims))
+        .agg(sum(((col("r2j") - col("n") * (col("k") + 1))
+          .cast("decimal(38,0)")
+          * (col("r2j") - col("n") * (col("k") + 1)))).as("s2"))
+      val den = r.crossJoin(broadcast(dims))
+        .agg((sum(col("r2").cast("decimal(38,0)") * col("r2"))
+          - max(col("n").cast("decimal(38,0)") * col("k")
+            * (col("k") + 1) * (col("k") + 1))).as("d2"))
+      broadcast(dims).crossJoin(broadcast(num)).crossJoin(broadcast(den))
+        .select(col("n").as("n_days"), col("k").as("n_types"),
+          when(col("d2") > 0,
+            floor(((col("k") - 1) * col("s2")).cast("double")
+              / col("d2").cast("double")
+              / (col("n") * (col("k") - 1))
+              * lit(1000000) + lit(0.5)) / lit(1000000)).as("w"))
+    },
+
+    // B172: ODDS RATIO for the 2×2 (weekend × high-value) order
+    // grid (Fisher's exact-test cell layout, Woolf 1955's log-OR SE):
+    // OR = (a·d)/(b·c) as one exact-integer ratio into a division;
+    // log-OR at the engine-ln 4dp grid (the text_entropy libm
+    // convention); Woolf SE = √(1/a+1/b+1/c+1/d) fixed IEEE, 6dp.
+    // High-value = cents ≥ 20,000,000 (a pinned cut). ONE 4-cell agg.
+    Q("odds_ratio",
+      """WITH o AS (
+        |  SELECT CASE WHEN (CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |      // 86400 + 3) % 7 >= 5 THEN 1 ELSE 0 END AS wk,
+        |    CASE WHEN CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      >= 20000000 THEN 1 ELSE 0 END AS hi
+        |  FROM orders),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN wk = 1 AND hi = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN wk = 1 AND hi = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN wk = 0 AND hi = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN wk = 0 AND hi = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM o)
+        |SELECT a, b, c, d,
+        |  CASE WHEN b > 0 AND c > 0 THEN
+        |    floor(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)), 4)
+        |  END AS log_or,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    floor(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+        |      * 1000000 + 0.5) / 1000000 END AS se_log_or
+        |FROM c""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(when(expr("(unix_timestamp(o_orderdate) div 86400 + 3) % 7")
+          >= 5, lit(1)).otherwise(lit(0)).as("wk"),
+          when(floor(col("o_totalprice") * 100).cast("long")
+            >= 20000000L, lit(1)).otherwise(lit(0)).as("hi"))
+      val cdf = o.agg(
+        sum(when(col("wk") === 1 && col("hi") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("wk") === 1 && col("hi") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("wk") === 0 && col("hi") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("wk") === 0 && col("hi") === 0, 1L).otherwise(0L))
+          .as("d"))
+      cdf.select(col("a"), col("b"), col("c"), col("d"),
+        when(col("b") > 0 && col("c") > 0,
+          floor((col("a") * col("d")).cast("double")
+            / (col("b") * col("c")).cast("double")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("odds_ratio"),
+        when(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0,
+          round(log((col("a") * col("d")).cast("double")
+            / (col("b") * col("c")).cast("double")), 4)).as("log_or"),
+        when(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0,
+          floor(sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+            + lit(1.0) / col("c") + lit(1.0) / col("d"))
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("se_log_or"))
+    },
+
+    // B173: KAPLAN-MEIER SURVIVAL CURVE (Kaplan & Meier JASA 1958) —
+    // the curve itself, where B143's log-rank only TESTS two curves:
+    // time-to-first-purchase from signup with right-censoring at the
+    // horizon, S(t) = Π_{s≤t}(1 − d_s/n_s) over death days.
+    // Determinism: d/n are exact integer ratios; each row's S is a
+    // day-ascending LEFT FOLD PRODUCT over its own prefix of terms
+    // (both engines fold the identical doubles in the identical
+    // order — the ADC convention's multiplicative form), 6dp floor.
+    // Scale shape: the B143 duration machinery (keyed user aggs +
+    // day-grain rollups); the per-row prefix fold is O(days²) on the
+    // CALENDAR-BOUNDED grain — constant in corpus size.
+    Q("kaplan_meier",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |ue AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup'
+        |    THEN sec END) AS s_sec
+        |  FROM e GROUP BY 1),
+        |us AS (SELECT user_id, s_sec FROM ue WHERE s_sec IS NOT NULL),
+        |tm AS (SELECT max(sec) AS t_max FROM e),
+        |pu AS (
+        |  SELECT e.user_id, min(e.sec) AS p_sec
+        |  FROM e JOIN us ON us.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= us.s_sec
+        |  GROUP BY 1),
+        |durs AS (
+        |  SELECT us.user_id,
+        |    CASE WHEN pu.p_sec IS NOT NULL
+        |      THEN (pu.p_sec - us.s_sec) // 86400
+        |      ELSE (tm.t_max - us.s_sec) // 86400 END AS day,
+        |    CASE WHEN pu.p_sec IS NOT NULL THEN 1 ELSE 0 END AS died
+        |  FROM us LEFT JOIN pu ON us.user_id = pu.user_id, tm),
+        |gd AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_end,
+        |    CAST(sum(died) AS BIGINT) AS d
+        |  FROM durs GROUP BY 1),
+        |n0 AS (SELECT CAST(sum(n_end) AS BIGINT) AS n FROM gd),
+        |risk AS (
+        |  SELECT gd.day, gd.d,
+        |    n0.n - CAST(coalesce(sum(gd.n_end) OVER (ORDER BY gd.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM gd, n0),
+        |dd AS (SELECT day, d, n_risk FROM risk WHERE d > 0),
+        |terms AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list(day ORDER BY day) AS ds,
+        |    list(CAST(n_risk - d AS DOUBLE) / n_risk ORDER BY day) AS ts,
+        |    list(n_risk ORDER BY day) AS ns,
+        |    list(d ORDER BY day) AS dls
+        |  FROM dd),
+        |km AS (
+        |  SELECT ds[CAST(i AS INT)] AS day, ns[CAST(i AS INT)] AS n_risk,
+        |    dls[CAST(i AS INT)] AS n_died,
+        |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      ts[1:CAST(i AS INT)]), (a, v) -> a * v) AS s_km
+        |  FROM terms, unnest(range(1, CAST(k + 1 AS INT))) AS u(i))
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_died AS BIGINT) AS n_died,
+        |  floor(s_km * 1000000 + 0.5) / 1000000 AS s_km
+        |FROM km""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+        .localCheckpoint() // signups, horizon, purchases
+      val us = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("sec")))
+          .as("s_sec"))
+        .filter(col("s_sec").isNotNull)
+      val tm = e.agg(max(col("sec")).as("t_max"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(us, Seq("user_id"))
+        .filter(col("sec") >= col("s_sec"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
+      val durs = us.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(tm))
+        .select(
+          when(col("p_sec").isNotNull,
+            expr("(p_sec - s_sec) div 86400"))
+            .otherwise(expr("(t_max - s_sec) div 86400")).as("day"),
+          when(col("p_sec").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("died"))
+      val gd = durs.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_end"), sum(col("died")).as("d"))
+        .localCheckpoint() // day-grain
+      val n0 = gd.agg(sum(col("n_end")).as("n"))
+      // day-grain bounded window (calendar horizon)
+      val risk = gd.crossJoin(broadcast(n0))
+        .withColumn("ended_before",
+          coalesce(sum(col("n_end")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("day"), col("d"),
+          (col("n") - col("ended_before")).as("n_risk"))
+        .filter(col("d") > 0)
+      val terms = risk.agg(
+        transform(sort_array(collect_list(struct(col("day"),
+          struct(col("n_risk"), col("d")).as("v")))),
+          x => x.getField("v")).as("vs"),
+        sort_array(collect_list(col("day"))).as("ds"))
+      terms
+        .select(explode(expr("sequence(1, size(ds))")).as("i"),
+          col("ds"), col("vs"))
+        .select(
+          element_at(col("ds"), col("i")).as("day"),
+          element_at(col("vs"), col("i")).getField("n_risk").as("n_risk"),
+          element_at(col("vs"), col("i")).getField("d").as("n_died"),
+          aggregate(
+            expr("""transform(slice(vs, 1, i),
+              v -> cast(v.n_risk - v.d as double) / v.n_risk)"""),
+            lit(1.0), (a, v) => a * v).as("s_raw"))
+        .select(col("day"), col("n_risk"), col("n_died"),
+          (floor(col("s_raw") * 1000000 + lit(0.5)) / 1000000).as("s_km"))
+    },
+
+    // B174: TIME-DECAY ATTRIBUTION (the fourth member of the credit
+    // family — B93 last-touch, B94 linear, B141 U-shaped, B148
+    // Markov; industry half-life weighting): each purchase's cents
+    // split across its 1-hour-lookback clicks with weight 2^(6−k),
+    // k = age in 10-minute half-lives — DYADIC weights so every
+    // w ∈ {1..64} is an exact BIGINT and credit conserves TO THE
+    // CENT via weighted largest-remainder (base = cents·w div W; the
+    // leftover cents go +1 to the earliest clicks in (click_s,
+    // click_id) order — the B94 Hamilton discipline, weighted).
+    // Clickless purchases keep full credit on the NULL "direct" row.
+    // Scale shape: B94's keyed point-in-interval join + per-purchase
+    // windows (small by construction).
+    Q("attribution_time_decay",
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, tsec AS ps,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, tsec AS cs
+        |      FROM e WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.ps, p.cents,
+        |        c.click_id, c.cs,
+        |        CAST(power(2, 6 - least((p.ps - c.cs) // 600, 6))
+        |          AS BIGINT) AS w
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.cs >= p.ps - 3600 AND c.cs <= p.ps),
+        |rk AS (SELECT purchase_id, user_id, ps, cents, click_id, cs, w,
+        |        row_number() OVER (PARTITION BY purchase_id
+        |          ORDER BY cs, click_id) AS rn,
+        |        CAST(sum(w) OVER (PARTITION BY purchase_id) AS BIGINT)
+        |          AS tw
+        |      FROM j),
+        |base AS (
+        |  SELECT purchase_id, user_id, ps, cents, click_id, cs, rn,
+        |    cents * w // tw AS b,
+        |    cents - CAST(sum(cents * w // tw)
+        |      OVER (PARTITION BY purchase_id) AS BIGINT) AS leftover
+        |  FROM rk)
+        |SELECT purchase_id, user_id, ps AS purchase_s, click_id,
+        |  cs AS click_s,
+        |  CAST(b + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS credit_cents
+        |FROM base
+        |UNION ALL
+        |SELECT purchase_id, user_id, ps AS purchase_s,
+        |  CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_s,
+        |  cents AS credit_cents
+        |FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM j)""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000000000").as("tsec"))
+        .localCheckpoint() // purchases + clicks
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tsec").as("ps"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("lo", col("ps") - 3600L)
+        .withColumn("hi", col("ps"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsec").as("cs"))
+      val joined = graft.operators.RangeJoin.pointInIntervalKeyed(
+        clicks, purchases, Seq("user_id"), "cs", "lo", "hi", 3600L)
+        .withColumn("w",
+          expr("cast(power(2, 6 - least((ps - cs) div 600, 6)) as bigint)"))
+      val w = Window.partitionBy(col("purchase_id"))
+      val attributed = joined
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("cs"), col("click_id"))))
+        .withColumn("tw", sum(col("w")).over(w))
+        .withColumn("b", expr("cents * w div tw"))
+        .withColumn("leftover", col("cents") - sum(col("b")).over(w))
+        .select(col("purchase_id"), col("user_id"),
+          col("ps").as("purchase_s"), col("click_id"),
+          col("cs").as("click_s"),
+          (col("b") + when(col("rn") <= col("leftover"), 1L)
+            .otherwise(0L)).as("credit_cents"))
+      val direct = purchases
+        .join(joined.select("purchase_id").distinct(),
+          Seq("purchase_id"), "left_anti")
+        .select(col("purchase_id"), col("user_id"),
+          col("ps").as("purchase_s"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("click_s"),
+          col("cents").as("credit_cents"))
+      attributed.unionByName(direct)
     })
 }

@@ -352,6 +352,122 @@ class HurstDwKeyframeSpec extends SparkTestBase {
     }
   }
 
+  test("code detect: keyword+indent+symbol plant flags; prose does not") {
+    val dir = java.nio.file.Files.createTempDirectory("code").toString
+    import spark.implicits._
+    Seq((0L, "def foo():\n  return bar;\n  x = [1];", "en", "s1", 1L),
+      (1L, "the cat sat on the mat", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_code_detect")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val c = rows(0L)
+    assert(c.getAs[Long]("n_keywords") == 2L) // def, return
+    assert(c.getAs[Long]("n_indented") == 2L)
+    assert(c.getAs[Long]("n_lines") == 3L)
+    assert(c.getAs[Int]("is_code") == 1)
+    val p = rows(1L)
+    assert(p.getAs[Long]("n_symbols") == 0L)
+    assert(p.getAs[Int]("is_code") == 0)
+  }
+
+  test("kendall_w: two perfectly concordant days → W = 1") {
+    val dir = java.nio.file.Files.createTempDirectory("kw").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    val rows = for (d <- 0 to 1; (ty, v) <- Seq(("view", 1.0),
+      ("cart", 2.0), ("purchase", 3.0))) yield (ty, d, v)
+    rows.zipWithIndex.map { case ((ty, d, v), i) =>
+      (i.toLong, (t0 + d * 86400L + 1) * 1000000000L, 1L, ty, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("kendall_w")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Double]("w") == 1.0)
+  }
+
+  test("odds_ratio: 2/1/1/2 grid → OR=4, Woolf SE=√3") {
+    val dir = java.nio.file.Files.createTempDirectory("or").toString
+    import spark.implicits._
+    // epoch days 0,1 weekday; 2,3 weekend; hi = price ≥ $200k
+    val rows = Seq((2, 250000.0), (3, 250000.0), (2, 1.0), // a=2, b=1
+      (0, 250000.0), (0, 1.0), (1, 1.0)) // c=1, d=2
+    rows.zipWithIndex.map { case ((d, v), i) =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(d.toLong)), v)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("odds_ratio")(spark, dir).collect().head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")) == ((2L, 1L, 1L, 2L)))
+    assert(r.getAs[Double]("odds_ratio") == 4.0)
+    assert(r.getAs[Double]("log_or") == 1.3863)
+    assert(r.getAs[Double]("se_log_or") == 1.732051)
+  }
+
+  test("kaplan_meier: 3-user plant → S = 2/3 then 1/3 at the death days") {
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    val rows = Seq((1L, "signup", 0L), (2L, "signup", 0L),
+      (3L, "signup", 0L), (1L, "purchase", 86400L),
+      (2L, "purchase", 3 * 86400L), (3L, "view", 5 * 86400L))
+    rows.zipWithIndex.map { case ((u, ty, off), i) =>
+      (i.toLong, (t0 + off) * 1000000000L, u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val km = SparkEntry.queries("kaplan_meier")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(km.length == 2) // death days only
+    assert(km(0).getAs[Long]("day") == 1L)
+    assert(km(0).getAs[Long]("n_risk") == 3L)
+    assert(km(0).getAs[Double]("s_km") == 0.666667)
+    assert(km(1).getAs[Long]("day") == 3L)
+    assert(km(1).getAs[Long]("n_risk") == 2L)
+    assert(km(1).getAs[Double]("s_km") == 0.333333)
+  }
+
+  test("time-decay attribution: 64:16 weights conserve 127 cents exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("td").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    val ps = t0 + 10000
+    val rows = Seq((10L, "click", ps - 1500, 0.0), // k=2 → w=16, rn 1
+      (11L, "click", ps - 60, 0.0), // k=0 → w=64, rn 2
+      (12L, "purchase", ps, 1.27))
+    rows.map { case (id, ty, sec, v) =>
+      (id, sec * 1000000000L, 1L, ty, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows2 = SparkEntry.queries("attribution_time_decay")(spark, dir)
+      .collect().map(r => Option(r.get(r.fieldIndex("click_id")))
+        .map(_.asInstanceOf[Long]) -> r.getAs[Long]("credit_cents")).toMap
+    // base: 127·16/80 = 25 (+1 leftover to the earliest), 127·64/80 = 101
+    assert(rows2(Some(10L)) == 26L)
+    assert(rows2(Some(11L)) == 101L)
+    assert(rows2.values.sum == 127L)
+  }
+
+  test("corpus: KM curve non-increasing from 1; time-decay conserves cents") {
+    val km = SparkEntry.queries("kaplan_meier")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(km.nonEmpty)
+    val ss = km.map(_.getAs[Double]("s_km"))
+    assert(ss.head <= 1.0 && ss.forall(_ >= 0.0))
+    assert(ss.zip(ss.tail).forall { case (a, b) => b <= a })
+    val td = SparkEntry.queries("attribution_time_decay")(spark, sfDir)
+    val purchases = graft.GraftSession.table(spark, sfDir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("value") * 100).cast("long")
+        .as("c"))
+      .agg(org.apache.spark.sql.functions.sum("c")).collect().head.getLong(0)
+    val credited = td.agg(org.apache.spark.sql.functions
+      .sum("credit_cents")).collect().head.getLong(0)
+    assert(credited == purchases) // conservation to the cent
+  }
+
   test("corpus: nprobe recall curve monotone, exhaustive probe = 1.0") {
     val rows = SparkEntry.queries("ann_ivf_nprobe_curve")(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("nprobe"))
