@@ -554,7 +554,10 @@ object Bench {
         // kendall_w = the probed friedman grid; odds_ratio 4-cell;
         // kaplan_meier = the probed log_rank duration machinery;
         // attribution_time_decay = the probed B94/B141 interval-join
-        // shape) likewise adds no new probe.
+        // shape) likewise adds no new probe. Post-record wave
+        // (mcnemar user-grain, assortativity = the probed B118 edge
+        // build + map-side edge sums, embedding audit map-only):
+        // none either.
         "poisson_bootstrap_ci")
         .filter(n => only.isEmpty || only(n))
     // queries reading orders/lineitem need the trade clone set (a

@@ -1811,5 +1811,178 @@ object PinnacleQueries2 {
           lit(null).cast("long").as("click_s"),
           col("cents").as("credit_cents"))
       attributed.unionByName(direct)
+    },
+
+    // B175: McNEMAR'S TEST (McNemar Psychometrika 1947) — the PAIRED
+    // 2×2 before/after: did each user's purchasing status CHANGE
+    // across the B164 calendar midpoint (B167's z compares two
+    // independent arms; McNemar conditions on the discordant pairs
+    // b = converted-then-stopped, c = started-converting — the
+    // within-user design; B166's Cochran is its k-way extension):
+    // continuity-corrected χ² = (|b−c|−1)²/(b+c). Exact integers to
+    // ONE division, 6dp. One (user, period) distinct + one user agg.
+    Q("mcnemar_test",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT e.user_id,
+        |    max(CASE WHEN e.event_type = 'purchase' AND e.day < b.mid
+        |      THEN 1 ELSE 0 END) AS pre,
+        |    max(CASE WHEN e.event_type = 'purchase' AND e.day >= b.mid
+        |      THEN 1 ELSE 0 END) AS post
+        |  FROM e, b GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM u)
+        |SELECT n_users, b, c,
+        |  CASE WHEN b + c > 0 THEN
+        |    floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |      / (b + c) * 1000000 + 0.5) / 1000000 END AS chi2
+        |FROM c""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000000000) div 86400").as("day"),
+          col("event_type"))
+        .localCheckpoint() // bound + per-user flags
+      val b = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val u = e.crossJoin(broadcast(b))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+          && col("day") < col("mid"), 1).otherwise(0)).as("pre"),
+          max(when(col("event_type") === "purchase"
+            && col("day") >= col("mid"), 1).otherwise(0)).as("post"))
+      val c = u.agg(
+        sum(when(col("pre") === 1 && col("post") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("pre") === 0 && col("post") === 1, 1L).otherwise(0L))
+          .as("c"),
+        count(lit(1)).as("n_users"))
+      c.select(col("n_users"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          floor(((abs(col("b") - col("c")) - 1)
+            * (abs(col("b") - col("c")) - 1)).cast("double")
+            / (col("b") + col("c")) * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("chi2"))
+    },
+
+    // B176: DEGREE ASSORTATIVITY (Newman PRL 2002) of the co-purchase
+    // part graph — do high-degree parts co-occur with high-degree
+    // parts (r > 0, hub-clubbing) or with leaves (r < 0, hub-and-
+    // spoke; most co-purchase graphs): the Pearson correlation of
+    // endpoint degrees over edges, in the ×4M² integer form r =
+    // (4M·Σjk − S²)/(2M·Σ(j²+k²) − S²) with S = Σ(j+k) — every term
+    // an exact DECIMAL(38,0)/HUGEINT, ONE division, 6dp. Scale
+    // shape: the B118 edge build + one degree join + three edge-
+    // grain sums (map-side combined).
+    Q("graph_assortativity",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 16381 AS node
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.node AS u, b.node AS v
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.node < b.node),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |ed AS (
+        |  SELECT du.d AS j, dv.d AS k
+        |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CAST(j AS HUGEINT) * k) AS HUGEINT) AS sjk,
+        |    CAST(sum(j + k) AS BIGINT) AS s,
+        |    CAST(sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k)
+        |      AS HUGEINT) AS sq
+        |  FROM ed)
+        |SELECT m AS n_edges,
+        |  CASE WHEN 2 * m * sq > CAST(s AS HUGEINT) * s THEN
+        |    floor(CAST(4 * m * sjk - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |      / CAST(2 * m * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS assortativity
+        |FROM m""".stripMargin) { (s, dir) =>
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % 16381).as("node"))
+        .distinct()
+      val e = items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.node") < col("b.node"))
+        .select(col("a.node").as("u"), col("b.node").as("v"))
+        .distinct()
+        .localCheckpoint() // degrees + the endpoint join
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val ed = e
+        .join(deg.select(col("n").as("u"), col("d").as("j")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("k")), Seq("v"))
+        .select(col("j"), col("k"))
+      val m = ed.agg(count(lit(1)).as("m"),
+        sum(col("j").cast("decimal(38,0)") * col("k")).as("sjk"),
+        sum(col("j") + col("k")).as("s"),
+        sum(col("j").cast("decimal(38,0)") * col("j")
+          + col("k").cast("decimal(38,0)") * col("k")).as("sq"))
+      m.select(col("m").as("n_edges"),
+        when(lit(2) * col("m") * col("sq")
+          > col("s").cast("decimal(38,0)") * col("s"),
+          floor((lit(4) * col("m") * col("sjk")
+            - col("s").cast("decimal(38,0)") * col("s")).cast("double")
+            / (lit(2) * col("m") * col("sq")
+              - col("s").cast("decimal(38,0)") * col("s")).cast("double")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("assortativity"))
+    },
+
+    // C138: EMBEDDING HEALTH AUDIT — the index-ingest screen every
+    // vector store runs before building (zero vectors break cosine,
+    // norm drift breaks IP-vs-cosine assumptions, dimension
+    // inconsistency breaks everything): per label, vector count,
+    // dimension min/max, zero-vector count, and mean L2 norm (exact
+    // dot products via ArrayDot; per-label mean as a vec_id-ascending
+    // ORDERED fold, 6dp). Map-only scan + one keyed agg; the
+    // label-grain fold is model-sized (labels ≤ 10).
+    Q("embedding_norm_audit",
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, len(v) AS dim,
+        |    sqrt(list_dot_product(v, v)) AS nrm,
+        |    CASE WHEN list_dot_product(v, v) = 0 THEN 1 ELSE 0 END
+        |      AS is_zero
+        |  FROM e)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(dim) AS INT) AS dim_min,
+        |  CAST(max(dim) AS INT) AS dim_max,
+        |  CAST(sum(is_zero) AS BIGINT) AS n_zero,
+        |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(nrm ORDER BY vec_id)), (a, x) -> a + x)
+        |    / count(*) * 1000000 + 0.5) / 1000000 AS mean_norm
+        |FROM n GROUP BY label""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val n = e.select(col("vec_id"), col("label"),
+        size(col("v")).as("dim"),
+        sqrt(VectorOps.dot(col("v"), col("v"))).as("nrm"),
+        when(VectorOps.dot(col("v"), col("v")) === 0.0, 1L)
+          .otherwise(0L).as("is_zero"))
+      n.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).cast("int").as("dim_min"),
+          max(col("dim")).cast("int").as("dim_max"),
+          sum(col("is_zero")).as("n_zero"),
+          (floor(aggregate(transform(sort_array(collect_list(
+            struct(col("vec_id"), col("nrm")))),
+            x => x.getField("nrm")), lit(0.0), (a, x) => a + x)
+            / count(lit(1)) * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("mean_norm"))
     })
 }

@@ -468,6 +468,51 @@ class HurstDwKeyframeSpec extends SparkTestBase {
     assert(credited == purchases) // conservation to the cent
   }
 
+  test("mcnemar: 3 stoppers vs 1 starter → chi2 = (2−1)²/4 = 0.25") {
+    val dir = java.nio.file.Files.createTempDirectory("mcn").toString
+    import spark.implicits._
+    val t0 = 19723L * 86400
+    // days 0..3 → mid = 2; pre-only users 1,2,3 (b=3), post-only 4
+    // (c=1), both 5, neither 6
+    val rows = Seq((1L, "purchase", 0), (2L, "purchase", 0),
+      (3L, "purchase", 1), (4L, "purchase", 3), (5L, "purchase", 0),
+      (5L, "purchase", 3), (6L, "view", 0), (6L, "view", 3))
+    rows.zipWithIndex.map { case ((u, ty, d), i) =>
+      (i.toLong, (t0 + d * 86400L + 1) * 1000000000L, u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("mcnemar_test")(spark, dir).collect().head
+    assert(r.getAs[Long]("b") == 3L && r.getAs[Long]("c") == 1L)
+    assert(r.getAs[Long]("n_users") == 6L)
+    assert(r.getAs[Double]("chi2") == 0.25)
+  }
+
+  test("assortativity: a 3-leaf star is perfectly disassortative (−1)") {
+    val dir = java.nio.file.Files.createTempDirectory("ast").toString
+    import spark.implicits._
+    Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 3L), (300L, 1L),
+      (300L, 4L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_assortativity")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("embedding audit: [3,4] and zero vector → mean norm 2.5, one zero") {
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    import spark.implicits._
+    Seq((0L, Array(3.0f, 4.0f), 0), (1L, Array(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("embedding_norm_audit")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") == 2L)
+    assert(r.getAs[Int]("dim_min") == 2 && r.getAs[Int]("dim_max") == 2)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Double]("mean_norm") == 2.5)
+  }
+
   test("corpus: nprobe recall curve monotone, exhaustive probe = 1.0") {
     val rows = SparkEntry.queries("ann_ivf_nprobe_curve")(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("nprobe"))
