@@ -7,22 +7,45 @@ import java.nio.file.{Files, Paths}
   * file (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json`) so a
   * truncated log can't lose the result.
   *
-  * Methodology:
-  *   - queries run in sorted-name order (stable across runs);
-  *   - the headline block takes a full untimed warmup pass first, so
-  *     JVM/JIT/codegen warmup doesn't land on whichever query happens
-  *     to run first; it is then timed in `SPARK_GRAFT_BENCH_RUNS`
-  *     (default 2) full passes and the MEDIAN + MIN are reported —
-  *     single-run numbers on a shared 32-thread JVM showed 5× swings
-  *     on unchanged code, so one sample can't distinguish a
-  *     regression from GC/scheduler noise (min is the load-robust
-  *     statistic: external load only ever inflates a sample);
+  * Methodology (round 11 — the official record must survive ANY kill;
+  * BENCH_r09 and r10 both died rc 124 with the headline block last):
+  *   - the HEADLINE BLOCK RUNS FIRST. It is the official metric, and
+  *     two consecutive driver rounds proved that whatever runs last
+  *     is the block a wall-clock kill eats. Fresh-JVM inflation is
+  *     controlled the same way it always was: a full untimed warmup
+  *     pass, then `SPARK_GRAFT_BENCH_RUNS` (default 2) timed passes
+  *     with MEDIAN + MIN reported (min is the load-robust statistic:
+  *     external load only ever inflates a sample);
+  *   - a GLOBAL WALL BUDGET (`SPARK_GRAFT_BENCH_BUDGET_S`, default
+  *     2,600 s of bench-JVM wall) is checked before every probe
+  *     measurement and before every clone-table write; once
+  *     exceeded, every remaining probe records the sentinel -3.0
+  *     ("skipped_budget") instead of running. The headline block is
+  *     budget-EXEMPT — it is the record;
+  *   - probe blocks run headline → ×10 → ×1000 → ×100: ×10 carries
+  *     the new-query evidence, ×1000 carries the verdict-gating
+  *     third-decade rows (so they outrank ×100, whose canary rows
+  *     all have two green official decades already — ×100 is the
+  *     block a budget squeeze sacrifices first);
+  *   - PROBE RETIREMENT (round 11): settled probes — two rounds of
+  *     green official records plus a judge isolation table (VERDICT
+  *     r10) — are frozen in `retiredX10`/`retiredX100` below and no
+  *     longer run by default (SPARK_GRAFT_PROBE_RETIRED=1 resurrects
+  *     them for a local audit). What still runs every round: a
+  *     ~22-row canary spanning every scale family, probes for
+  *     queries added or changed since the last green record, and
+  *     every ×1000 row. Pointers to the frozen rows' last green
+  *     records live in SURVEY §20;
+  *   - ×1000 rows are guarded by a PINNED EXPECTED-VALUE table (the
+  *     extension-session official record, idle box, 2026-08-16 —
+  *     SURVEY §19): a sample above 3× its pinned value triggers up
+  *     to two more samples (load can only inflate; min wins), and a
+  *     row still above 3× is flagged in-record as `load_suspect`
+  *     rather than trusted;
   *   - the JSON record is flushed INCREMENTALLY — after every probe
   *     result and every headline sample — so a harness-ceiling kill
-  *     at any point leaves every completed measurement parseable
-  *     (BENCH_r09 was rc 124 with a single end-of-run write and lost
-  *     100% of a ~95%-complete run); the final write sets
-  *     `"complete":true`;
+  *     at any point leaves every completed measurement parseable;
+  *     the final write sets `"complete":true`;
   *   - execution is forced through the `noop` datasource write, which
   *     materializes every output row — `.count()` would let Catalyst
   *     collapse narrow projections to a row-count scan.
@@ -32,11 +55,6 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    // 2 timed passes (was 3 through r9): the builder's own
-    // median-vs-min spread is ~11%, and the third pass cost ~390 s of
-    // the wall that pushed the r9 official run past the driver's
-    // ceiling (3,627 s, rc 124). Median-of-2 = mean; min-of-2 stays
-    // the load-robust statistic.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,6 +63,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- global wall budget (r10 verdict #1). Measured from bench
+    // main entry: sbt launch/compile land outside it, so the default
+    // leaves ~1,000 s of sbt margin inside the observed ~3,600 s
+    // driver kill zone.
+    val benchStartNanos = System.nanoTime()
+    def elapsedS(): Double = (System.nanoTime() - benchStartNanos) / 1e9
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2600").toDouble
+    def budgetLeft(): Boolean = elapsedS() < budgetS
+    val SkippedBudget = -3.0
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c → time only those queries (local
     // iteration aid; the driver always runs the full set).
@@ -132,6 +161,7 @@ object Bench {
     val sfx10 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sfx100 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sfx1000 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val loadSuspect = scala.collection.mutable.LinkedHashSet.empty[String]
     // name -> timed samples (newest first); median/min derived at
     // flush time so partial passes still yield a usable record.
     val headlineSamples =
@@ -159,7 +189,9 @@ object Bench {
       val totalMin = mins.valuesIterator.filter(_ >= 0).sum
       val blockEnvJson = blockEnv
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"probes_before_headline","scale_probe_runs":"min_of_2_fast_confirm_skip","block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
+      val loadSuspectJson =
+        loadSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"headline_first_then_x10_x1000_x100","scale_probe_runs":"min_of_2_fast_confirm_skip_x1000_expected_guard","bench_budget_s":$budgetS%.0f,"elapsed_s":${elapsedS()}%.1f,"skip_codes":{"failed":-1,"timeout":-2,"skipped_budget":-3},"load_suspect":$loadSuspectJson,"block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
     }
     def flush(complete: Boolean = false): String = {
       val json = buildJson(complete)
@@ -180,25 +212,50 @@ object Bench {
       r
     }
 
-    // ---- scale probes RUN BEFORE THE HEADLINE BLOCK. r8 evidence:
-    // every ×100/×1000 probe ran once at the END of a JVM that had
-    // already executed ~1,000 query invocations, and the official
-    // record came out up to 17× above the engine's isolated cost
-    // (judge re-run). Probing first gives the scale blocks the
-    // fresh-JVM conditions an isolated re-run has; the headline block
-    // is median-of-N + min-of-N protected and keeps its own full
-    // warmup pass, so it tolerates running later.
+    // ---- HEADLINE BLOCK — FIRST and budget-exempt (r10 verdict #1:
+    // two consecutive driver kills ate whichever block ran last, and
+    // the headline is the one block that constitutes the official
+    // metric). Full untimed warmup pass (fresh JVM — every query pays
+    // its codegen/JIT here, not in a timed sample), then
+    // `runsPerQuery` timed PASSES over the whole suite (pass-wise
+    // rather than back-to-back per query, so a partial flush after
+    // pass 1 already carries one sample for every query — and the
+    // samples of one query are decorrelated in time, which is what
+    // min-of-N wants). Median + min reported per query.
     //
-    // Scale probes: dedup + ANN + window/session families on a
-    // 10× (and 100×, below) corpus — documents/embeddings duplicated
-    // with shifted doc ids (every doc gains N−1 exact clones, the
-    // realistic web-corpus dedup regime), events duplicated with
-    // shifted USER ids (N× users, same per-user session shape). The
-    // capped/banded paths must grow ~linearly; embed-cosine is the
-    // exact-by-design O(n²) baseline. semantic_dedup now TRAINS its
-    // codebook with k = ⌈√n⌉, so its pair join is ~n^1.5 and it is
-    // expected SUB-quadratic here (the fixed-k quadratic regime is
-    // gone — see DedupQueries C32).
+    // Headline fast-confirm (late round 10): pass 2 is skipped for a
+    // query whose first sample is already ≤ 3 s — load only INFLATES,
+    // so keeping the small first sample is the conservative
+    // direction; the heavy tail — the queries a regression would
+    // actually move — is exactly the set that still gets both passes.
+    val headlineFastSec =
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_FAST_SEC", "3").toDouble
+    measureBlock("headline") {
+      queries.foreach { case (n, fn) => run(n, fn) } // warmup (untimed)
+      for (pass <- 1 to runsPerQuery) {
+        queries.foreach { case (n, fn) =>
+          val prior = headlineSamples.getOrElse(n, Nil)
+          val skip = pass > 1 && prior.nonEmpty &&
+            prior.filter(_ >= 0).forall(_ <= headlineFastSec) &&
+            prior.exists(_ >= 0)
+          if (!skip) {
+            val t = run(n, fn)
+            headlineSamples(n) = t :: prior
+            flush()
+          }
+        }
+      }
+    }
+
+    // ---- scale probes (AFTER the headline — see above). The probe
+    // corpora: documents/embeddings duplicated with shifted doc ids
+    // (every doc gains N−1 exact clones, the realistic web-corpus
+    // dedup regime), events duplicated with shifted USER ids (N×
+    // users, same per-user session shape). The capped/banded paths
+    // must grow ~linearly; embed-cosine is the exact-by-design O(n²)
+    // baseline. semantic_dedup TRAINS its codebook with k = ⌈√n⌉, so
+    // its pair join is ~n^1.5 and is expected SUB-quadratic (the
+    // fixed-k quadratic regime is gone — see DedupQueries C32).
     val scaleProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
     // Local-iteration aid: SPARK_GRAFT_REUSE_CLONES=1 skips rewriting
     // a clone dir that already has all its tables (the ×1000 write is
@@ -295,271 +352,197 @@ object Bench {
           (priorTables ++ wanted).distinct.sorted
             .map("\"" + _ + "\"").mkString(",")}]}""")
     }
+
+    // ---- probe retirement (round 11, r10 verdict #2). The retired
+    // rows each carry TWO green official records (round-10 closing
+    // bench #2 + the extension-session closing bench, SURVEY §19)
+    // plus the r10 judge isolation table (VERDICT r10) — re-proving
+    // them every round is what starved two consecutive official runs
+    // of their headline block. Frozen here with their last-green
+    // pointers in SURVEY §20; SPARK_GRAFT_PROBE_RETIRED=1 resurrects
+    // the full lists for a local audit. Per-name rationales for the
+    // retired rows live in the git history of this file (round ≤ 10).
+    val includeRetired =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_RETIRED", "0") == "1"
+    val retiredX10 = Seq(
+      "dedup_simhash", "dedup_embed_cosine", "dedup_exact_docs",
+      "ann_lsh_topk", "ann_ivf_topk", "ann_recall_gate",
+      "text_bm25", "text_repetition", "text_lm_score",
+      "contamination_check", "corpus_curate_pipeline",
+      "pack_documents", "mm_frame_sample",
+      "span_dedup_docs", "semantic_dedup", "corpus_rebalance",
+      "text_entropy", "timeseries_gapfill", "timeseries_ewma",
+      "ann_ivf_trained", "tokenizer_bpe_merges", "text_quality_model",
+      "embedding_pca_project", "streaming_corpus_curate",
+      "text_pmi_bigrams", "corpus_importance_weights", "ann_pq_topk",
+      "mg_heavy_hitters", "streaming_heavy_hitters", "corpus_pps_sample",
+      "line_dedup", "doc_embed_hash", "dedup_keep_best",
+      "basket_rules", "scd2_history", "join_size_estimate",
+      "event_transitions", "rolling_distinct_users", "timeseries_cusum",
+      "text_tfidf_top_terms", "vocab_coverage", "text_lang_mixture",
+      "text_winnow_fingerprints", "winnow_dup_pairs",
+      "mm_phash_dupes", "incremental_dedup", "bloom_dedup_index",
+      "corpus_token_drift", "heaps_law_curve", "corpus_length_trim",
+      "interval_overlap_join", "graph_kcore", "attribution_last_touch",
+      "attribution_multi_touch", "ohlc_bars",
+      "item_cooccurrence_topk", "grouped_ols2",
+      "streaming_ohlc", "rfm_segments", "graph_label_prop",
+      "corpus_shuffle_order", "ma_crossover", "corpus_decontaminate",
+      "dedup_source_matrix", "length_bucket_batches", "winsorize_prices",
+      "streaming_tws_sessions", "streaming_tws_topk",
+      "streaming_incremental_dedup",
+      "event_pattern_match", "kanon_generalize", "timeseries_subseq_match",
+      "line_boilerplate_scrub", "span_dup_intervals",
+      "rocchio_classifier_score", "corpus_unimax_mix",
+      "corpus_quality_bands", "streaming_minhash_sources",
+      "streaming_bottomk_sample", "streaming_histogram_quantiles",
+      "ann_hard_negatives", "graph_hits",
+      "classifier_calibration", "ann_binary_rerank",
+      "ann_mmr_rerank", "contrastive_triplets",
+      "streaming_drift_psi", "ddsketch_order_value",
+      "timeseries_holt_trend", "streaming_drift_ks",
+      "naive_bayes_score", "corpus_doremi_weights",
+      "mm_audio_fingerprint", "asof_tolerance_purchase",
+      "timeseries_seasonal_decompose",
+      "gopher_rules", "theilsen_trend", "benford_first_digit",
+      "streaming_decayed_counts", "blocklist_tag",
+      "decision_stump_value", "streaming_ddsketch_quantiles",
+      "kendall_tau_daily", "classifier_auc", "streaming_benford",
+      "graph_ppr", "crossval_stump", "streaming_heartbeat",
+      "debounce_events", "ks_two_sample_exact", "streaming_debounce",
+      "user_behavior_profile", "corpus_datacard", "tokenizer_fertility",
+      "text_lm_heldout", "embedding_outliers",
+      "wilcoxon_signed_rank", "langid_confusion", "changepoint_value",
+      "timeseries_acf", "hist_emd_langs",
+      "zonemap_prune_stats", "inverted_index_postings",
+      "attribution_position", "streaming_drift_emd",
+      "dedup_threshold_curve", "streaming_dynamic_sessions",
+      "zonemap_overlap_factor",
+      "anova_oneway", "levene_spread", "gini_segment",
+      "mutual_information",
+      "zipf_law_fit", "token_burstiness",
+      "graph_degree_powerlaw", "graph_clustering_coeff",
+      "holt_winters", "streaming_zscore_anomaly", "streaming_anova",
+      "bh_fdr_ks", "timeseries_pacf", "graph_adamic_adar",
+      "textrank_keywords", "dedup_cluster_profile", "streaming_chisq",
+      "kruskal_wallis", "hodges_lehmann", "log_rank_conversion",
+      "streaming_page_hinkley",
+      "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
+      "anderson_darling", "jonckheere_trend", "span_corruption",
+      "cohens_d", "preference_pairs",
+      "friedman_test", "mm_shot_segments",
+      "graph_modularity", "packing_efficiency",
+      "qq_shift_deciles",
+      "retrieval_eval", "mann_kendall_trend", "timeseries_ccf",
+      "sprt_decision", "self_bleu_bigram", "text_yule_k",
+      "feature_hash_vectors", "graph_jaccard_neighbors",
+      "graph_bfs_layers", "streaming_sprt",
+      "ngram_novelty", "ann_ivf_nprobe_curve",
+      "poisson_bootstrap_ci", "ann_ivfpq_topk",
+      "span_dedup_rewrite", "setsim_prefix_join")
+    val retiredX100 = Seq(
+      "dedup_exact_docs", "dedup_simhash",
+      "span_dedup_docs", "semantic_dedup",
+      "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
+      "mm_phash_dupes", "incremental_dedup", "bloom_dedup_index",
+      "span_dup_intervals", "line_boilerplate_scrub", "ann_ivfpq_topk",
+      "ann_binary_rerank",
+      "mm_audio_fingerprint", "naive_bayes_score",
+      "corpus_doremi_weights", "streaming_drift_ks",
+      "timeseries_holt_trend",
+      "timeseries_seasonal_decompose",
+      "gopher_rules", "theilsen_trend", "streaming_decayed_counts",
+      "blocklist_tag",
+      "decision_stump_value", "streaming_ddsketch_quantiles",
+      "kendall_tau_daily", "streaming_benford",
+      "crossval_stump", "streaming_heartbeat", "debounce_events",
+      "ks_two_sample_exact", "streaming_debounce",
+      "user_behavior_profile", "corpus_datacard", "tokenizer_fertility",
+      "text_lm_heldout", "embedding_outliers",
+      "wilcoxon_signed_rank", "langid_confusion", "changepoint_value",
+      "timeseries_acf", "hist_emd_langs",
+      "inverted_index_postings", "streaming_drift_emd",
+      "zonemap_prune_stats", "zonemap_overlap_factor",
+      "dedup_threshold_curve",
+      "anova_oneway", "levene_spread", "gini_segment",
+      "mutual_information", "zipf_law_fit", "token_burstiness",
+      "holt_winters", "streaming_anova",
+      "bh_fdr_ks", "timeseries_pacf", "textrank_keywords",
+      "dedup_cluster_profile", "streaming_chisq",
+      "kruskal_wallis", "hodges_lehmann", "log_rank_conversion",
+      "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
+      "anderson_darling", "jonckheere_trend", "span_corruption",
+      "cohens_d", "preference_pairs",
+      "friedman_test", "mm_shot_segments",
+      "packing_efficiency", "qq_shift_deciles",
+      "span_dedup_rewrite", "setsim_prefix_join")
+
+    // ---- the canary set (runs every round): ~22 rows spanning every
+    // scale family, so a regression anywhere in the engine still
+    // moves at least one probe. One line of rationale each.
+    val canaryX10 = Seq(
+      "dedup_minhash_pairs",     // banded MinHash dedup family
+      "dedup_clusters",          // iterative quotient-CC join
+      "semantic_dedup_sharded",  // sharded SemDeDup production path
+      "line_dedup",              // line-grain explode dedup
+      "span_dedup_rewrite",      // heaviest span-family rewrite (ExactSubstr)
+      "ann_ivf_trained",         // trained IVF chain (train+assign+search)
+      "ann_ivfpq_topk",          // PQ residual-encode chain
+      "graph_pagerank",          // iterative graph, trade clones
+      "graph_triangles",         // heaviest one-shot graph join, trade
+      "streaming_pattern_match", // CEP ListState — largest streaming row
+      "streaming_tws_profile",   // transformWithState/RocksDB state
+      "streaming_attribution",   // chained stateful streaming
+      "sessionize_events",       // session windows over event stream
+      "corpus_pretrain_pipeline",// multi-stage corpus pipeline composite
+      "text_top_bigrams",        // token explode + TopKPerKey
+      "distinct_ngram_diversity",// heaviest text distinct shuffle
+      "setsim_prefix_join",      // PPJoin prefix-filter discipline
+      "window_range_frames",     // value-RANGE window frames, trade
+      "mannwhitney_values",      // value-grain statistics class
+      "spearman_daily",          // day-grain statistics class, trade
+      "attribution_markov",      // journey windows + model-sized solve
+      "mm_scene_cuts")           // multimodal frame-stream family
+    // ×100 canary = the ×10 canary minus rows that never had a ×100
+    // decade (sessionize_events, text_top_bigrams, graph_triangles —
+    // adding a first ×100 decade is a deliberate act, not a canary).
+    val canaryX100 = canaryX10.diff(
+      Seq("sessionize_events", "text_top_bigrams", "graph_triangles"))
+
+    // Round-11 additions: probes for queries ADDED or CHANGED since
+    // the last green record join here (and graduate to the canary or
+    // the retired list once they carry two green records).
+    val newX10 = Seq(
+      // C139: incremental IVF maintenance — assign+append+drift is
+      // linear in the batch, search rides the probed IVF shape
+      "ann_ivf_incremental",
+      // C140: reservoir per source — one pass, bounded heaps
+      "reservoir_sample_sources",
+      // C141: stable interleave of two engine rankings — rides the
+      // probed retrieval plans + one bounded merge fold per query
+      "interleaved_ranking",
+      // B177: two-sample Cramér-von Mises on the value grain (the
+      // mannwhitney near-constant-grain class)
+      "cramer_von_mises",
+      // B178: Page's L ordered trend over the day×type rank grid
+      // (the friedman calendar×k class)
+      "pages_trend_test",
+      // B179: Theil-U forecast accuracy over the day grid (day-grain
+      // near-constant class)
+      "theil_u_forecast",
+      // C142: simhash bit-agreement near-dup confirm — rides the
+      // probed simhash family, adds one band-grouped pair pass
+      "simhash_hamming_pairs",
+      // D50: live top-k with additive counts + fixed heap per type
+      "streaming_topk_decay")
+    val newX100 = Seq(
+      "ann_ivf_incremental", "reservoir_sample_sources",
+      "cramer_von_mises", "simhash_hamming_pairs")
+
     val x10Names =
-      Seq("dedup_minhash_pairs", "dedup_simhash", "dedup_embed_cosine",
-        "dedup_clusters", "dedup_exact_docs",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_recall_gate",
-        "text_top_bigrams", "sessionize_events",
-        "text_bm25", "text_repetition", "text_lm_score",
-        "contamination_check", "corpus_curate_pipeline",
-        "pack_documents", "mm_frame_sample",
-        "span_dedup_docs", "semantic_dedup", "corpus_rebalance",
-        "text_entropy", "timeseries_gapfill", "timeseries_ewma",
-        "corpus_pretrain_pipeline", "ann_ivf_trained",
-        "tokenizer_bpe_merges", "text_quality_model",
-        "embedding_pca_project", "streaming_corpus_curate",
-        "text_pmi_bigrams", "corpus_importance_weights", "ann_pq_topk",
-        "mg_heavy_hitters", "streaming_heavy_hitters", "corpus_pps_sample",
-        "graph_pagerank", "line_dedup", "doc_embed_hash", "dedup_keep_best",
-        "graph_triangles", "basket_rules", "scd2_history", "join_size_estimate",
-        "event_transitions", "rolling_distinct_users", "timeseries_cusum",
-        "text_tfidf_top_terms", "vocab_coverage", "text_lang_mixture",
-        "text_winnow_fingerprints", "winnow_dup_pairs",
-        "mm_phash_dupes", "incremental_dedup", "bloom_dedup_index", "corpus_token_drift",
-        "heaps_law_curve", "corpus_length_trim", "interval_overlap_join",
-        "graph_kcore", "attribution_last_touch",
-        // round-10: events-cloned (linear) + trade-cloned additions.
-        // geo_radius_join and decile_lift read customer, which the
-        // clone corpus does not carry — and geo pair counts grow with
-        // the SQUARE of spatial density (a data regime, not a plan
-        // property), so a same-area clone probe would mis-read as a
-        // quadratic plan anyway.
-        "attribution_multi_touch", "ohlc_bars",
-        "item_cooccurrence_topk", "grouped_ols2",
-        "streaming_ohlc", "rfm_segments", "graph_label_prop",
-        "corpus_shuffle_order", "ma_crossover", "corpus_decontaminate",
-        "dedup_source_matrix", "length_bucket_batches", "winsorize_prices",
-        "streaming_tws_profile", "streaming_tws_sessions", "streaming_tws_topk",
-        // round-8: the two stateful-streaming shapes with the most
-        // state growth (chained stateful D26; incremental dedup D21)
-        // and the two per-session collect+sort / multi-explode
-        // shapes whose ~linear scaling was asserted but unprobed.
-        "streaming_attribution", "streaming_incremental_dedup",
-        "event_pattern_match", "kanon_generalize", "timeseries_subseq_match",
-        // round-9: the sharded SemDeDup scale path (C83)
-        "semantic_dedup_sharded",
-        // round-9 second wave: the new tokens-per-corpus explodes
-        // (C85 boilerplate df, C88 positioned-gram intervals), the
-        // trained-model families (C86 Rocchio, C87 UniMax, C84
-        // bands), the streaming lattice states (D31/D32), and the
-        // IVF-PQ index chain (C89)
-        "line_boilerplate_scrub", "span_dup_intervals",
-        "rocchio_classifier_score", "corpus_unimax_mix",
-        "corpus_quality_bands", "streaming_minhash_sources",
-        "streaming_bottomk_sample", "ann_ivfpq_topk",
-        "streaming_histogram_quantiles", "ann_hard_negatives",
-        "graph_hits",
-        // round-9 third wave: the streaming CEP session state (D34),
-        // the calibration table's quantile + agg pass (C91), and the
-        // binary-quantization Hamming scan + rerank (C92)
-        "streaming_pattern_match", "classifier_calibration",
-        "ann_binary_rerank",
-        // round-9 third wave: the ExactSubstr cut execution (C93) —
-        // the C88 interval chain + a doc-local filter lambda — and
-        // the MMR greedy re-rank over bounded candidates (C94)
-        "span_dedup_rewrite", "ann_mmr_rerank", "contrastive_triplets",
-        // round-9 fourth wave: live-histogram drift vs frozen
-        // reference (D35)
-        "streaming_drift_psi",
-        // round-9 fifth wave: the decimal DDSketch groupBy-count
-        // (B108, orders-cloned), the coupled Holt fold (B109), the
-        // exact-integer KS gate (D36), the NB train+score pass (C96),
-        // the vocab-sized DoReMi KL chain (C97), the frame-shingle
-        // audio match (C98), and the as-of tolerance variant (B23c —
-        // the first probe of the union-sort as-of family)
-        "ddsketch_order_value", "timeseries_holt_trend",
-        "streaming_drift_ks", "naive_bayes_score",
-        "corpus_doremi_weights", "mm_audio_fingerprint",
-        "asof_tolerance_purchase",
-        // round-9 seventh wave: the prefix-filtered exact set-
-        // similarity join (B110 — the PPJoin candidate discipline is
-        // precisely what a scale probe should gate) and the
-        // decomposition's keyed-agg + bounded-window chain (B111)
-        "setsim_prefix_join", "timeseries_seasonal_decompose",
-        // round-9 eighth wave: the map-only Gopher rule scan (C99),
-        // the bounded per-user pair join (B112), the 9-group Benford
-        // count (B113, orders-cloned), and the additive decayed-count
-        // stream (D37)
-        "gopher_rules", "theilsen_trend", "benford_first_digit",
-        "streaming_decayed_counts",
-        // round-9 ninth wave: the distinct-cents-grain rank test
-        // (B114 — the prefix-sum pass is over the VALUE domain, so
-        // the claim is it stays near-constant as rows multiply) and
-        // the map-only dictionary tagger (C100). B115 reads only
-        // dimension tables (uncloned) — a 25-cell count has no scale
-        // question to probe.
-        "mannwhitney_values", "blocklist_tag",
-        // round-9 tenth wave: the prefix-sum stump search (B116 —
-        // same value-domain grain claim as B114) and the live
-        // relative-error sketch (D38 — state stays ~buckets/decade)
-        "decision_stump_value", "streaming_ddsketch_quantiles",
-        // round-9 eleventh wave: the bounded day-pair concordance
-        // (B117), the prefix-sum AUC on the score grain (C101), and
-        // the 9-digit live audit (D39)
-        "kendall_tau_daily", "classifier_auc", "streaming_benford",
-        // round-9 twelfth wave: seeded teleport PageRank (B118,
-        // trade-cloned — same O(edges)/round claim as B52)
-        "graph_ppr",
-        // round-9 thirteenth wave: the 5-fold CV loop (C102 — 5×
-        // the stump plan) and the lattice-max liveness state (D40)
-        "crossval_stump", "streaming_heartbeat",
-        // round-9 fourteenth wave: the per-key ordered debounce
-        // fold (B119 — user-bounded arrays, the D23 class)
-        "debounce_events",
-        // round-9 fifteenth wave: the exact value-grain KS (B120 —
-        // same near-constant-grain claim as B114) and the live
-        // debounce fold (D41 — buffered-tail state only)
-        "ks_two_sample_exact", "streaming_debounce",
-        // round-9 sixteenth wave: the bounded per-user burst join +
-        // windows (C103 — the claim: per-key quadratic stays bounded
-        // as keys multiply)
-        "user_behavior_profile",
-        // round-9 seventeenth wave: the fingerprint-grain card
-        // rollup (C104) and the map-only fertility pass (C105)
-        "corpus_datacard", "tokenizer_fertility",
-        // round-9 eighteenth wave: the held-out LM scoring join
-        // (C106 — the C24 shape) and the centroid-distance vector
-        // screen (C107)
-        "text_lm_heldout", "embedding_outliers",
-        // round-9 nineteenth wave: the paired rank test (B121 —
-        // user-grain then |d|-grain) and the confusion rollup (C108)
-        "wilcoxon_signed_rank", "langid_confusion",
-        // round-9 twentieth wave: the per-type prefix-sum SSE
-        // changepoint search (B122)
-        "changepoint_value",
-        // round-10 first wave: the day-grain rank/lag statistics
-        // (B123 Spearman, B124 ACF — orders-cloned; the claim is the
-        // day grid is constant across clones so cost is the one keyed
-        // day agg) and the langs×64 distribution distance (C109)
-        "spearman_daily", "timeseries_acf", "hist_emd_langs",
-        // round-10 second wave: RANGE frames (orders-cloned,
-        // per-customer windows), the zone-map stats pass
-        // (lineitem-cloned map-side agg), and the TopK-capped
-        // posting-list build (vocab-grain claim)
-        "window_range_frames", "zonemap_prune_stats",
-        "inverted_index_postings",
-        // round-10 third wave: U-shaped credit (the B94 interval-join
-        // shape) and the live EMD read-out on D33 state
-        "attribution_position", "streaming_drift_emd",
-        // round-10 fourth wave: Markov removal-effect attribution —
-        // corpus cost is the per-user journey windows; the chain
-        // solve is (types+3)², model-sized
-        "attribution_markov",
-        // round-10 fifth wave: the exact dedup threshold curve —
-        // B110's join + a broadcast band rollup — and the dynamic-gap
-        // native session windows (merged-interval state, the D1 class)
-        "dedup_threshold_curve", "streaming_dynamic_sessions",
-        // round-10 sixth wave: the zone clustering-factor probe
-        // (lineitem-cloned; same one-agg pass as zonemap stats)
-        "zonemap_overlap_factor",
-        // round-11 statistics wave: k-grain tests (map-side-combined
-        // sufficient stats) + the two value-grain identities
-        "anova_oneway", "levene_spread", "gini_segment",
-        "mutual_information",
-        // round-11 text wave: vocab-grain fits over the TF explode
-        "zipf_law_fit", "token_burstiness", "distinct_ngram_diversity",
-        // round-11 graph wave. graph_clustering_coeff is ×10-ONLY by
-        // design: clones shift order/supplier keys but repeat
-        // l_partkey, so the capped part-projection gets DENSER, not
-        // bigger — wedge growth there is a data regime (the
-        // geo_radius_join rationale), not a plan property.
-        // graph_degree_powerlaw's edge build is B52's (already
-        // ×100-probed via graph_pagerank); its own degree-grain
-        // rollup is the cheap part.
-        "graph_degree_powerlaw", "graph_clustering_coeff",
-        // round-11 forecast/multimodal/streaming additions.
-        // streaming_zscore_anomaly is ×10-ONLY: it keys by event_type
-        // (~5 keys), so the ordered-fold buffer per key is the honest
-        // bottleneck — the production spelling shards the key; the
-        // probe gates the base shape.
-        "holt_winters", "mm_scene_cuts",
-        "streaming_zscore_anomaly", "streaming_anova",
-        // round-12 wave: the value-grain KS family (bh_fdr — the
-        // mannwhitney class), the day-grain D-L fold (pacf — the acf
-        // class), the vocab-graph PageRank (textrank), the quotient-CC
-        // profile (rides dedup_clusters), and the 20-cell live grid
-        // (streaming_chisq). graph_adamic_adar is ×10-ONLY: the capped
-        // part projection DENSIFIES under clones (the
-        // graph_clustering_coeff rationale) — wedge growth there is a
-        // data regime, not a plan property.
-        "bh_fdr_ks", "timeseries_pacf", "graph_adamic_adar",
-        "textrank_keywords", "dedup_cluster_profile", "streaming_chisq",
-        // round-12 second batch: the k-group rank test (value-grain),
-        // the dollar-grain² pairwise median, the day-grain survival
-        // test. streaming_page_hinkley is ×10-ONLY — the per-type
-        // ordered-fold buffer is the honest bottleneck (the
-        // streaming_zscore_anomaly rationale; production shards the
-        // key).
-        "kruskal_wallis", "hodges_lehmann", "log_rank_conversion",
-        "streaming_page_hinkley",
-        // round-12 third batch: two more day-grain statistics and the
-        // SemDeDup ε-sweep (one C83 sharded pass + a rep-grain max)
-        "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
-        // round-12 fourth batch: two more value-grain tests and the
-        // token-linear span-corruption example builder
-        "anderson_darling", "jonckheere_trend", "span_corruption",
-        // round-12 fifth batch: the 2-row effect-size agg and the
-        // TopKPerKey preference-pair builder. cramers_v reads the
-        // customer dimension only (the B115 rationale: a 25-cell
-        // count has no scale question to probe).
-        "cohens_d", "preference_pairs",
-        // round-12 sixth batch: the calendar×k rank grid and the
-        // frame-stream shot rollup
-        "friedman_test", "mm_shot_segments",
-        // round-12 seventh batch: modularity rides the label-prop
-        // projection (×10-only — the clustering_coeff densification
-        // rationale); the packing audit rides C16's prefix pass
-        "graph_modularity", "packing_efficiency",
-        // round-12 eighth batch: the two-group streamed quantile pass
-        "qq_shift_deciles",
-        // round-10 closing wave: the brute-force eval scan (linear in
-        // the embedding clones; knn_classify rides the same shape),
-        // the day-grain trend/lag statistics (the spearman/acf class:
-        // the claim is the calendar grid is clone-constant, cost is
-        // the one keyed day agg), the PrefixSum SPRT walk (one
-        // range-partitioned streamed pass — the B71 linear claim),
-        // the token-linear text passes (gram joins / HUGEINT spectrum
-        // / hashed explode), and the live sharded SPRT (4 bounded
-        // shard states — the streaming_zscore_anomaly rationale).
-        // graph_jaccard_neighbors and graph_bfs_layers are ×10-ONLY:
-        // both ride the capped part projection, which DENSIFIES
-        // under clones (the graph_clustering_coeff rationale).
-        "retrieval_eval", "mann_kendall_trend", "timeseries_ccf",
-        "sprt_decision", "self_bleu_bigram", "text_yule_k",
-        "feature_hash_vectors", "graph_jaccard_neighbors",
-        "graph_bfs_layers", "streaming_sprt",
-        // round-10 closing wave 2: the train-split gram anti-join
-        // (token-linear distinct + anti-join — the C73 class).
-        // ols_influence / seasonal_mann_kendall ride the probed
-        // day-grain class (spearman/mann_kendall_trend);
-        // text_sentence_stats is map-only — no scale question.
-        "ngram_novelty",
-        // round-10 closing wave 3: the 8-sweep IVF tuning curve (8×
-        // the probed ann_ivf shape + one shared brute-force pass).
-        // hurst/durbin_watson ride the day-grain class;
-        // mm_keyframe_select rides the probed mm_shot_segments plan.
-        "ann_ivf_nprobe_curve",
-        // round-10 closing wave 4: the orders×32 codegen'd weight
-        // pass (map-only into a 32-group agg — the linear claim).
-        // diff_in_diff is a 4-cell agg — no scale question.
-        // Wave 5 (breusch_pagan / cochran_q / prop_ztest /
-        // graph_katz2) adds no new probe: BP rides the day-grain
-        // class, Cochran the user-distinct class, the z-test is a
-        // 2-cell agg, and katz2 is the probed B118 edge build plus
-        // one degree join (densification rationale). Wave 6
-        // (rank_fusion / partial_correlation / point_biserial /
-        // json_key_profile / streaming_prop_ztest) likewise: three
-        // probed ANN passes, the day-grain class, 2-cell aggs, and
-        // the A2 map-only parse. Wave 7 (code_detect map-only;
-        // kendall_w = the probed friedman grid; odds_ratio 4-cell;
-        // kaplan_meier = the probed log_rank duration machinery;
-        // attribution_time_decay = the probed B94/B141 interval-join
-        // shape) likewise adds no new probe. Post-record wave
-        // (mcnemar user-grain, assortativity = the probed B118 edge
-        // build + map-side edge sums, embedding audit map-only):
-        // none either.
-        "poisson_bootstrap_ci")
-        .filter(n => only.isEmpty || only(n))
+      ((if (includeRetired) retiredX10 else Nil) ++ canaryX10 ++ newX10)
+        .distinct.filter(n => only.isEmpty || only(n))
+        .filter(SparkEntry.queries.contains)
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
@@ -570,59 +553,50 @@ object Bench {
       "spearman_daily", "timeseries_acf",
       "window_range_frames", "zonemap_prune_stats",
       "zonemap_overlap_factor",
-      // round-11: the order-grain statistics (value/k-grain after one
-      // pass), the customer-grid MI, and the two graph probes ride
-      // the trade clones
       "anova_oneway", "levene_spread", "gini_segment",
       "mutual_information", "graph_degree_powerlaw",
       "graph_clustering_coeff",
-      // round-12: the segment-KS grid and the day-grain PACF read
-      // orders(+customer); Adamic-Adar reads lineitem; KW reads orders
       "bh_fdr_ks", "timeseries_pacf", "graph_adamic_adar",
       "kruskal_wallis", "ljung_box", "runs_test_daily",
       "jonckheere_trend",
-      // round-10 closing: the day-grain trend test reads orders; the
-      // two new graph probes read lineitem
       "mann_kendall_trend", "graph_jaccard_neighbors",
-      "graph_bfs_layers",
-      // round-10 closing: the bootstrap reads orders
-      "poisson_bootstrap_ci")
-    // The r9 shape ran an untimed base-SF warmup loop over every
-    // probe query here (~310 s of the wall that pushed the official
-    // run past the driver's ceiling). Dropped: first-run JIT lands on
-    // the single-run ×10 probes (~0.1-0.3 s of codegen against
-    // multi-second measurements — an acceptable, uniform bias toward
-    // the HONEST direction), and the ceiling-gated ×100/×1000 blocks
-    // run after ×10 has warmed their queries and are min-of-2 anyway.
-    if (scaleProbe && x10Names.nonEmpty) measureBlock("x10") {
-      val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
-      cloneTables(x10Dir, 10,
-        withTrade = x10Names.exists(tradeQueries.contains))
-      // Partitions scale with data here too (×100 already does this
-      // at 256): 10× rows on the base 32 partitions makes iterative
-      // shuffles (pagerank, CC) pay oversized tasks; AQE coalesces
-      // the small stages back down.
-      val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_X10_PARTITIONS", "64"))
-      // try/finally: a probe that throws must not leak the scaled
-      // partition override into every later measurement in this JVM.
-      try x10Names.foreach { n =>
-        sfx10(n) = run(n, SparkEntry.queries(n), x10Dir)
-        flush()
-      }
-      finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
+      "graph_bfs_layers", "poisson_bootstrap_ci",
+      // round-11: the value-grain CvM reads order totals; Page's L
+      // and Theil-U read the orders day grid
+      "cramer_von_mises", "pages_trend_test", "theil_u_forecast")
+
+    /** Budget-gated probe loop body: a probe past the global budget
+      * records the -3.0 sentinel instead of running (r10 verdict #1 —
+      * the skip is visible in-record, never silent).
+      */
+    def probeOrSkip(name: String, sink: scala.collection.mutable.Map[String, Double])(
+        measure: => Double): Unit = {
+      sink(name) = if (budgetLeft()) measure else SkippedBudget
+      flush()
     }
 
-    // ---- sf_x100 probe: two decades of scale evidence for the
-    // scale-critical dedup/ANN queries only. Each runs ONCE under a
-    // wall-clock ceiling (default 180 s — a query that can't finish a
-    // 100× corpus in that budget is reported as -2.0 "timeout", which
-    // IS the probe's finding). dedup_embed_cosine is excluded by
-    // design: it is the exact-O(n²) specification baseline and would
-    // trivially exceed any ceiling at 100× — its approximate
-    // replacements (minhash/simhash/semantic) are exactly what this
-    // probe gates.
+    if (scaleProbe && x10Names.nonEmpty) measureBlock("x10") {
+      val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sfx10")
+      if (!budgetLeft()) { x10Names.foreach(n => { sfx10(n) = SkippedBudget }); flush() }
+      else {
+        cloneTables(x10Dir, 10,
+          withTrade = x10Names.exists(tradeQueries.contains))
+        // Partitions scale with data here too (×100 already does this
+        // at 256): 10× rows on the base 32 partitions makes iterative
+        // shuffles (pagerank, CC) pay oversized tasks; AQE coalesces
+        // the small stages back down.
+        val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_X10_PARTITIONS", "64"))
+        // try/finally: a probe that throws must not leak the scaled
+        // partition override into every later measurement in this JVM.
+        try x10Names.foreach { n =>
+          probeOrSkip(n, sfx10)(run(n, SparkEntry.queries(n), x10Dir))
+        }
+        finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
+      }
+    }
+
     /** One run under a wall-clock ceiling (−2.0 = timeout, which IS
       * the probe's finding). Releases the predecessor's state OUTSIDE
       * the awaited future: after a heavy query the blocking drain +
@@ -668,24 +642,15 @@ object Bench {
       * timeout IS the probe's finding, and retrying it would double
       * the worst-case block cost for no information.
       *
-      * Fast-confirm skip (round 10, part of getting the official
-      * shape back under the driver's ceiling): a first sample at or
-      * under `fastConfirmSec` is kept WITHOUT the confirming run —
-      * load can only have inflated it, so skipping the retry is the
-      * conservative direction (the recorded number can only be ≥ the
-      * engine's true cost), and the scale question the ceiling gates
-      * (is this query super-linear?) is already answered by a sample
-      * an order of magnitude under the ceiling. The threshold scales
-      * with the block ceiling (50% of it since late round 10 — was
-      * 15%; floor 15 s): the same argument holds at any magnitude
-      * under the ceiling — a ×100 probe at 71 s against 180 s has
-      * answered its sublinearity question (its ×10 row is 12 s), and
-      * an inflated kept sample only OVERSTATES the cost, never hides
-      * a regression; the confirming run survives only for samples in
-      * the ceiling's own neighborhood, where inflation could flip
-      * the timeout verdict itself. The 15% → 50% move returned
-      * ~110 s of ×100 wall after the post-closing waves pushed the
-      * official shape to 3,632 s of block wall — the r9 death zone.
+      * Fast-confirm skip (round 10): a first sample at or under
+      * max(fastConfirmSec, ceiling × fastConfirmFrac) is kept WITHOUT
+      * the confirming run — load can only have inflated it, so
+      * skipping the retry is the conservative direction (the recorded
+      * number can only be ≥ the engine's true cost), and the scale
+      * question the ceiling gates (is this query super-linear?) is
+      * already answered by a sample well under the ceiling; the
+      * confirming run survives only for samples in the ceiling's own
+      * neighborhood, where inflation could flip the timeout verdict.
       */
     val fastConfirmSec =
       sys.env.getOrElse("SPARK_GRAFT_FAST_CONFIRM_SEC", "15").toDouble
@@ -701,122 +666,117 @@ object Bench {
       }
     }
 
-    val x100Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X100", "1") != "0"
-    val x100Names = Seq(
+    // ---- sf_x1000 probe (runs BEFORE ×100 since round 11: its rows
+    // gate verdicts — every ×1000 row is kept by the retirement
+    // policy — while the ×100 canary rows all carry two green
+    // official decades; under a budget squeeze ×100 is the block to
+    // sacrifice). A THIRD decade of scale evidence for the LINEAR
+    // dedup/ANN family only (5M docs / 2M vectors — the realistic
+    // crawl-shard size). semantic_dedup is excluded BY DESIGN here
+    // the way dedup_embed_cosine is excluded at ×100: its codebook
+    // scales k = √n, so the full-corpus assign pass is the method's
+    // own n^1.5 floor (~19 min at this scale) — the capped/banded/
+    // hashed queries below are exactly what this probe gates as
+    // linear across THREE decades.
+    //
+    // Expected-value guard (r10 verdict #3): min-of-2 is not
+    // load-robust when both samples land in the same load regime
+    // (dedup_clusters ×1000: 170.5 s driver-loaded vs 12.0 s judge-
+    // isolated — a 14× spread that survived min-of-2). Each row pins
+    // the value from the last green official record (extension-
+    // session closing bench, idle box, 2026-08-16 — SURVEY §19); a
+    // sample above 3× its pin triggers up to two more samples, and a
+    // row still above 3× lands in `load_suspect` in the record.
+    val x1000Expected = Map(
+      "ann_binary_rerank" -> 3.6, "ann_lsh_topk" -> 3.5,
+      "blocklist_tag" -> 6.6, "corpus_doremi_weights" -> 4.5,
+      "dedup_clusters" -> 20.6, "dedup_exact_docs" -> 3.6,
+      "dedup_minhash_pairs" -> 28.9, "dedup_simhash" -> 41.3,
+      "gopher_rules" -> 18.2, "hist_emd_langs" -> 1.1,
+      "holt_winters" -> 2.6, "incremental_dedup" -> 9.4,
+      "line_dedup" -> 46.8, "mm_audio_fingerprint" -> 33.1,
+      "naive_bayes_score" -> 37.2, "semantic_dedup_sharded" -> 24.7,
+      "span_dedup_docs" -> 5.9, "span_dedup_rewrite" -> 7.1,
+      "span_dup_intervals" -> 3.7, "tokenizer_fertility" -> 4.6,
+      "zipf_law_fit" -> 4.0)
+    val x1000Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X1000", "1") != "0"
+    val x1000Names = Seq(
       "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
-      "span_dedup_docs", "semantic_dedup", "dedup_clusters",
-      "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained",
-      "corpus_pretrain_pipeline", "line_dedup",
-      "mm_phash_dupes", "incremental_dedup", "bloom_dedup_index",
-      // round-9: the two largest-state stateful-streaming shapes
-      // (chained stateful D26; transformWithState/RocksDB D27) get a
-      // second decade of state-growth evidence, matching the batch
-      // dedup family.
-      "streaming_attribution", "streaming_tws_profile",
-      // round-9: sharded SemDeDup (C83) — per-shard constant cost,
-      // expected ~linear here and at ×1000 (unlike C32's n^1.5).
-      "semantic_dedup_sharded",
-      // round-9 second wave: the two new tokens-per-corpus explodes
-      // (both clone-collapsed, expected span_dedup-like) and the
-      // IVF-PQ chain (coarse assign + residual PQ — linear encode)
-      "span_dup_intervals", "line_boilerplate_scrub", "ann_ivfpq_topk",
-      // round-9 third wave: the flat BQ Hamming scan (C92) — linear
-      // in the code relation by construction; a second decade checks
-      // the TopKPerKey candidate heaps hold it there — and the
-      // ExactSubstr cut (C93), the heaviest rewrite in the span family.
+      "dedup_clusters", "line_dedup", "incremental_dedup",
+      "ann_lsh_topk", "span_dedup_docs",
+      "semantic_dedup_sharded", "span_dup_intervals",
       "ann_binary_rerank", "span_dedup_rewrite",
-      // round-9 sixth wave: the frame-shingle audio match (C98 —
-      // bounded windows, capped equi-join: the LSH shape), the NB
-      // train+score corpus pass (C96 — model-sized everything after
-      // the hash), the vocab-bounded DoReMi chain (C97), the
-      // exact-integer KS gate over live state (D36 — 64-bin state),
-      // and the calendar-bounded Holt fold (B109).
       "mm_audio_fingerprint", "naive_bayes_score",
-      "corpus_doremi_weights", "streaming_drift_ks",
-      "timeseries_holt_trend",
-      // round-9 seventh wave: a second decade for the PPJoin prefix
-      // discipline (the claim under test: candidate buckets stay
-      // small because prefixes are globally rare) and the
-      // decomposition's events-linear chain.
-      "setsim_prefix_join", "timeseries_seasonal_decompose",
-      // round-9 eighth wave: the map-only rule scan (C99 — purest
-      // linear shape in the corpus family), the per-user bounded
-      // pair join (B112 — the claim: pairs stay calendar-bounded as
-      // users multiply), and the decayed-count stream (D37 — state
-      // stays types×days under 100× more events).
-      "gopher_rules", "theilsen_trend", "streaming_decayed_counts",
-      // round-9 ninth wave: second decades — the value-domain rank
-      // grain (B114) and the map-only tagger (C100).
-      "mannwhitney_values", "blocklist_tag",
-      "decision_stump_value", "streaming_ddsketch_quantiles",
-      "kendall_tau_daily", "streaming_benford",
-      "crossval_stump", "streaming_heartbeat", "debounce_events",
-      "ks_two_sample_exact", "streaming_debounce",
-      "user_behavior_profile", "corpus_datacard", "tokenizer_fertility",
-      "text_lm_heldout", "embedding_outliers",
-      "wilcoxon_signed_rank", "langid_confusion", "changepoint_value",
-      // round-10 (r9 verdict #3/#4): a second decade for the
-      // streaming-CEP ListState shape (D34 — the largest ×10
-      // streaming row) and for the iterative graph family (B52 —
-      // O(edges)/round rested on one-decade evidence; trade clones
-      // now generate at ×100 for it).
-      "streaming_pattern_match", "graph_pagerank",
-      // round-10 first wave: day-grain statistics (near-constant
-      // claim — the mannwhitney class) + the langs×64 EMD
-      "spearman_daily", "timeseries_acf", "hist_emd_langs",
-      // round-10 second wave: the bounded-heap posting build — the
-      // claim: clone corpora repeat the vocabulary, so the index
-      // grain is constant while the explode grows linearly
-      "inverted_index_postings",
-      // round-10 third wave: live EMD state (64 bins/type — the D36
-      // class)
-      "streaming_drift_emd",
-      // round-10 second wave, second decade: the per-customer RANGE
-      // window and the map-only zone-stats pass (both orders/lineitem
-      // trade-cloned)
-      "window_range_frames", "zonemap_prune_stats",
-      "zonemap_overlap_factor",
-      // round-10 fourth wave: cloned users repeat journey shapes, so
-      // the transition matrix (and the driver-side chain solve) is
-      // CONSTANT while the journey windows grow linearly
-      "attribution_markov",
-      // round-10 fifth wave: rides B110's clone-collapsed prefix join
-      // (already ×100-probed) + a model-sized band rollup
-      "dedup_threshold_curve",
-      // round-11 second decades: the k/value-grain statistics (the
-      // mannwhitney near-constant class — clones repeat the price
-      // domain), the customer-grid MI, the vocab-grain text fits,
-      // the (source, ngram) distinct shuffle (the dedup-exact
-      // class), the day-grain HW fold, the frame-window scene cuts,
-      // and the bytes-of-state live ANOVA
-      "anova_oneway", "levene_spread", "gini_segment",
-      "mutual_information", "zipf_law_fit", "token_burstiness",
-      "distinct_ngram_diversity", "holt_winters", "mm_scene_cuts",
-      "streaming_anova",
-      // round-12 second decades: the segment×value-grain KS grid
-      // (near-constant grain), the day-grain D-L fold, the
-      // vocab-constant TextRank graph, the quotient-CC profile, and
-      // the 20-cell live chi-square grid
-      "bh_fdr_ks", "timeseries_pacf", "textrank_keywords",
-      "dedup_cluster_profile", "streaming_chisq",
-      // round-12 second batch, second decades: value-grain rank sums,
-      // the bounded diff-grain cross join, the day-grain risk sets
-      "kruskal_wallis", "hodges_lehmann", "log_rank_conversion",
-      // round-12 third batch second decades: day-grain statistics and
-      // the sharded-chain ε-sweep (the C83 linearity claim)
-      "ljung_box", "runs_test_daily", "semdedup_eps_sweep",
-      // round-12 fourth batch second decades: the value-grain AD/JT
-      // tests (near-constant grain) and the linear span builder
-      "anderson_darling", "jonckheere_trend", "span_corruption",
-      // round-12 fifth batch second decades
-      "cohens_d", "preference_pairs",
-      // round-12 sixth batch second decades
-      "friedman_test", "mm_shot_segments",
-      // round-12 seventh batch second decade (the C16 linear class)
-      "packing_efficiency",
-      // round-12 eighth batch second decade (streamed sorted passes)
-      "qq_shift_deciles")
+      "corpus_doremi_weights", "gopher_rules", "blocklist_tag",
+      "tokenizer_fertility", "hist_emd_langs",
+      "holt_winters", "zipf_law_fit")
       .filter(n => only.isEmpty || only(n))
+    def runX1000Row(name: String, dir: String, ceilingSec: Int): Double = {
+      var best = runCeiling(name, dir, ceilingSec, "x1000")
+      if (best < 0) return best // timeout/failure IS the finding
+      val bar = x1000Expected.get(name).map(_ * 3.0)
+      val fastKeep =
+        best <= math.max(fastConfirmSec, ceilingSec * fastConfirmFrac) &&
+          bar.forall(best <= _)
+      if (!fastKeep) {
+        // confirming sample (generic min-of-2), plus — for a row
+        // still above its 3× pin — one more (verdict #3's third
+        // sample); min wins throughout.
+        var extra = 0
+        val maxExtra = if (bar.isDefined) 2 else 1
+        var continue = true
+        // budgetLeft(): a load-inflated row must not chase its pin
+        // past the global wall budget — three ceiling-length samples
+        // of one row could otherwise add ~900 s past the gate.
+        while (continue && extra < maxExtra && budgetLeft()) {
+          val s = runCeiling(name, dir, ceilingSec, "x1000")
+          if (s >= 0) best = math.min(best, s)
+          extra += 1
+          continue = bar.exists(best > _)
+        }
+        if (bar.exists(best > _)) {
+          loadSuspect += name
+          System.err.println(
+            f"[bench] x1000 LOAD-SUSPECT $name: min $best%.1f s > 3x pinned ${x1000Expected(name)}%.1f s")
+        }
+      }
+      best
+    }
+    if (scaleProbe && x1000Probe && x1000Names.nonEmpty) measureBlock("x1000") {
+      val x1000Dir = sys.env.getOrElse("SPARK_GRAFT_X1000_DIR", "/tmp/graft_sfx1000")
+      val ceilingSec =
+        // ~10× the ×100 ceiling's headroom logic: the heaviest linear
+        // query here (line_dedup, ~47 s official) projects well under
+        // it; 300 s flags anything super-linear by >5× while
+        // tolerating a loaded harness.
+        sys.env.getOrElse("SPARK_GRAFT_X1000_CEILING_SEC", "300").toInt
+      if (!budgetLeft()) { x1000Names.foreach(n => { sfx1000(n) = SkippedBudget }); flush() }
+      else {
+        cloneTables(x1000Dir, 1000)
+        val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_X1000_PARTITIONS", "512"))
+        try x1000Names.foreach { n =>
+          probeOrSkip(n, sfx1000)(runX1000Row(n, x1000Dir, ceilingSec))
+        }
+        finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
+      }
+    }
+
+    // ---- sf_x100 probe: the second decade for the canary families
+    // plus this round's additions. Each runs min-of-2 under a
+    // wall-clock ceiling (default 180 s — a query that can't finish a
+    // 100× corpus in that budget is reported as -2.0 "timeout", which
+    // IS the probe's finding). dedup_embed_cosine is excluded by
+    // design: it is the exact-O(n²) specification baseline and would
+    // trivially exceed any ceiling at 100× — its approximate
+    // replacements (minhash/simhash/semantic) are exactly what this
+    // probe gates.
+    val x100Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X100", "1") != "0"
+    val x100Names =
+      ((if (includeRetired) retiredX100 else Nil) ++ canaryX100 ++ newX100)
+        .distinct.filter(n => only.isEmpty || only(n))
+        .filter(SparkEntry.queries.contains)
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")
       val ceilingSec =
@@ -828,132 +788,25 @@ object Bench {
         // ceiling still fails loudly while not flagging the
         // heavy-but-subquadratic query under a loaded harness.
         sys.env.getOrElse("SPARK_GRAFT_X100_CEILING_SEC", "180").toInt
-      cloneTables(x100Dir, 100,
-        withTrade = x100Names.exists(tradeQueries.contains))
-      // Partitions scale with data (the README cluster guidance): at
-      // 100× rows with the base 32 shuffle partitions, per-task state
-      // outgrows the 4 GiB harness JVM (observed: dedup_clusters'
-      // iterative CC join OOMs). 256 partitions ⇒ ~8× smaller tasks;
-      // AQE coalesces the small stages back down.
-      val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_X100_PARTITIONS", "256"))
-      try x100Names.foreach { n =>
-        sfx100(n) = runCeilingMin2(n, x100Dir, ceilingSec, "x100")
-        flush()
-      }
-      finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
-    }
-
-    // ---- sf_x1000 probe: a THIRD decade of scale evidence for the
-    // LINEAR dedup/ANN family only (5M docs / 2M vectors — the
-    // realistic crawl-shard size). semantic_dedup is excluded BY
-    // DESIGN here the way dedup_embed_cosine is excluded at ×100:
-    // its codebook scales k = √n, so the full-corpus assign pass is
-    // the method's own n^1.5 floor (~19 min at this scale) — the
-    // capped/banded/hashed queries below are exactly what this probe
-    // gates as linear across THREE decades.
-    val x1000Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X1000", "1") != "0"
-    val x1000Names = Seq(
-      "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
-      "dedup_clusters", "line_dedup", "incremental_dedup",
-      "ann_lsh_topk", "span_dedup_docs",
-      // round-9: the sharded SemDeDup scale path (C83) — S = ⌈n/4096⌉
-      // constant-size shards restore linearity where unsharded C32's
-      // k = √n assign pass is n^1.5 (excluded here by design); this
-      // probe is the third-decade evidence the r8 verdict asked for.
-      "semantic_dedup_sharded",
-      // round-9 second wave: C88 rides the same clone-collapsed
-      // positioned-gram explode as span_dedup_docs — third-decade
-      // evidence for the interval variant too.
-      "span_dup_intervals",
-      // round-9 third wave: the 8 B/vector BQ Hamming scan (C92,
-      // linear by construction) and the ExactSubstr cut (C93 — the
-      // interval chain + a doc-local lambda, span_dedup-family linear)
-      "ann_binary_rerank", "span_dedup_rewrite",
-      // round-9 sixth wave: the three corpus-linear newcomers whose
-      // intermediates are bounded by construction (C98 capped shingle
-      // buckets; C96 16-row model; C97 vocab-sized folds — clone
-      // corpora repeat the same vocabulary, so the fold arrays are
-      // CONSTANT across decades).
-      "mm_audio_fingerprint", "naive_bayes_score",
-      "corpus_doremi_weights",
-      // round-9 eighth/ninth waves: the two purest map-only corpus
-      // scans (C99 fused rule kernel, C100 dictionary tagger) — the
-      // cheapest possible third-decade rows, pinning that the
-      // linear family's smallest constants stay linear too.
-      "gopher_rules", "blocklist_tag",
-      // round-9 seventeenth wave: the map-only fertility rollup
-      "tokenizer_fertility",
-      // round-10: the langs×64 EMD — one map-only binning pass, then
-      // model-sized; the cheapest possible third-decade row
-      "hist_emd_langs",
-      // round-11: the day-grain HW fold and the vocab-grain Zipf fit
-      // — both near-constant claims earn a third decade cheaply
-      "holt_winters", "zipf_law_fit")
-      .filter(n => only.isEmpty || only(n))
-    if (scaleProbe && x1000Probe && x1000Names.nonEmpty) measureBlock("x1000") {
-      val x1000Dir = sys.env.getOrElse("SPARK_GRAFT_X1000_DIR", "/tmp/graft_sfx1000")
-      val ceilingSec =
-        // ~10× the ×100 ceiling's headroom logic: the heaviest linear
-        // query here (dedup_minhash_pairs, ~4 s at ×100) projects to
-        // ~40 s; 300 s flags anything super-linear by >5× while
-        // tolerating a loaded harness.
-        sys.env.getOrElse("SPARK_GRAFT_X1000_CEILING_SEC", "300").toInt
-      cloneTables(x1000Dir, 1000)
-      val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_X1000_PARTITIONS", "512"))
-      try x1000Names.foreach { n =>
-        sfx1000(n) = runCeilingMin2(n, x1000Dir, ceilingSec, "x1000")
-        flush()
-      }
-      finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
-    }
-
-    // ---- headline block (AFTER the scale probes — see above):
-    // untimed warmup pass over the queries the probe blocks did NOT
-    // already run (a query probed at ×10 has compiled exactly the
-    // same generated code — the plan differs only in its input path —
-    // so re-warming it buys nothing; the probed set includes the
-    // expensive queries, making this roughly half the old full-pass
-    // warmup cost), then `runsPerQuery` timed PASSES over the whole
-    // suite (pass-wise rather than back-to-back per query, so a
-    // partial flush after pass 1 already carries one sample for every
-    // query — and the samples of one query are decorrelated in time,
-    // which is what min-of-N wants). Median + min reported per query.
-    val probeWarmed = if (scaleProbe) x10Names.toSet else Set.empty[String]
-    // Headline fast-confirm (late round 10 — the probe-block rule
-    // applied to the headline, after the post-closing waves pushed
-    // the official shape to 3,632 s of block wall, the r9 death
-    // zone): the second timed pass protects the record from one-off
-    // load inflation, but for a query whose first sample is already
-    // SMALL the second pass cannot change the story — load only
-    // INFLATES, so keeping the small first sample is the
-    // conservative direction (the probe fast-confirm's own
-    // argument). Queries over the threshold keep min-of-2; the heavy
-    // tail — the queries a regression would actually move — is
-    // exactly the set that still gets both passes. Default 3 s
-    // covers ~90% of the suite and returns ~350 s of headline wall.
-    val headlineFastSec =
-      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_FAST_SEC", "3").toDouble
-    measureBlock("headline") {
-      queries.foreach { case (n, fn) =>
-        if (!probeWarmed(n)) run(n, fn) } // warmup (untimed)
-      for (pass <- 1 to runsPerQuery) {
-        queries.foreach { case (n, fn) =>
-          val prior = headlineSamples.getOrElse(n, Nil)
-          val skip = pass > 1 && prior.nonEmpty &&
-            prior.filter(_ >= 0).forall(_ <= headlineFastSec) &&
-            prior.exists(_ >= 0)
-          if (!skip) {
-            val t = run(n, fn)
-            headlineSamples(n) = t :: prior
-            flush()
-          }
+      if (!budgetLeft()) { x100Names.foreach(n => { sfx100(n) = SkippedBudget }); flush() }
+      else {
+        cloneTables(x100Dir, 100,
+          withTrade = x100Names.exists(tradeQueries.contains))
+        // Partitions scale with data (the README cluster guidance): at
+        // 100× rows with the base 32 shuffle partitions, per-task state
+        // outgrows the 4 GiB harness JVM (observed: dedup_clusters'
+        // iterative CC join OOMs). 256 partitions ⇒ ~8× smaller tasks;
+        // AQE coalesces the small stages back down.
+        val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_X100_PARTITIONS", "256"))
+        try x100Names.foreach { n =>
+          probeOrSkip(n, sfx100)(runCeilingMin2(n, x100Dir, ceilingSec, "x100"))
         }
+        finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
       }
     }
+
     val stats = headlineSamples.toSeq.map { case (n, ss) => n -> medMin(ss) }
     val results = stats.map { case (n, (med, _)) => n -> med }
     val total = results.map(_._2).filter(_ >= 0).sum

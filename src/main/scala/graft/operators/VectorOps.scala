@@ -381,6 +381,121 @@ object VectorOps {
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 
+  /** Cell assignment carrying the CHOSEN cell's e6-floored squared
+    * distance (the member-to-centroid fit statistic the incremental
+    * index tracks per cell): min over (d2, cid) structs picks the
+    * same cell as [[ivfWriteIndex]]'s min_by, and the struct-min's d2
+    * field is the matching distance. d2 is the sequential-fold
+    * expression (dot(x,x) − 2·dot(x,y) + dot(y,y)) an external
+    * engine replays bit-identically; the e6 floor makes every
+    * downstream sum exact integer arithmetic.
+    */
+  private def assignWithD2(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String,
+      centroidVecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = centroids.select(col(cidCol).as("cid"),
+      asDouble(col(centroidVecCol)).as("cv"))
+    c.join(broadcast(cent))
+      .withColumn("_d2", d2(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        min_by(col("cid"), struct(col("_d2"), col("cid"))).as("cid"),
+        min(struct(col("_d2"), col("cid"))).as("_m"),
+        first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("cid").cast("int").as("cid"),
+        floor(col("_m").getField("_d2") * lit(1000000) + lit(0.5))
+          .cast("long").as("d2e6"))
+  }
+
+  private def statsPath(path: String): String = path + "_stats"
+
+  /** C139: INITIALIZE an incrementally-maintainable IVF index — the
+    * [[ivfWriteIndex]] layout (cell-partitioned parquet, searchable
+    * by [[ivfSearchIndex]] verbatim) plus a model-sized per-cell
+    * stats sidecar `<path>_stats` with (cid, n_base, sum_d2e6_base,
+    * n_app, sum_d2e6_app): the base build's member counts and
+    * e6-floored member-to-centroid squared distances, with the
+    * append counters zeroed. Both paths are wiped first — the
+    * incremental chain's correctness rests on starting from a
+    * known-empty directory (appends never rewrite, so stale files
+    * would silently survive).
+    */
+  def ivfInitIndexIncremental(spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String, centroidVecCol: String,
+      path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
+    val assigned = assignWithD2(
+      base, centroids, idCol, vecCol, cidCol, centroidVecCol)
+      .localCheckpoint() // one assignment feeds both the index write and the stats seed
+    assigned.select(col("id"), col("v"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_base"), sum(col("d2e6")).as("sum_d2e6_base"))
+      .select(col("cid"), col("n_base"), col("sum_d2e6_base"),
+        lit(0L).as("n_app"), lit(0L).as("sum_d2e6_app"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** C139: APPEND a batch into a persisted IVF index WITHOUT a full
+    * rebuild — the daily-ingest path of a production vector store.
+    * The batch is assigned against the EXISTING centroids (so search
+    * results stay identical to a from-scratch assignment — the
+    * incremental recall gate in the query), written with
+    * mode("append") + partitionBy: only the cell directories that
+    * actually receive rows gain files, untouched cells' files are
+    * never rewritten (pinned in IvfIncrementalSpec by file listing).
+    * The stats sidecar merges the batch's per-cell (count, Σd2e6)
+    * into the append counters — the drift signal: a cell whose
+    * appended members sit systematically farther from its centroid
+    * than its base members is a cell the codebook no longer fits,
+    * and the query surfaces the retrain trigger when the exact
+    * ratio crosses the bound. The sidecar is model-sized (one row
+    * per cell), so the read-merge-rewrite is a guarded driver-side
+    * materialization, not a distributed self-overwrite.
+    */
+  def ivfAppendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String,
+      centroidVecCol: String): Unit = {
+    val assigned = assignWithD2(
+      batch, centroids, idCol, vecCol, cidCol, centroidVecCol)
+      .localCheckpoint() // one assignment feeds both the append and the stats merge
+    assigned.select(col("id"), col("v"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+    val batchStats = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_app"), sum(col("d2e6")).as("sum_d2e6_app"))
+      .select(col("cid"), lit(0L).as("n_base"), lit(0L).as("sum_d2e6_base"),
+        col("n_app"), col("sum_d2e6_app"))
+    val old = spark.read.parquet(statsPath(path))
+      .select(col("cid"), col("n_base"), col("sum_d2e6_base"),
+        col("n_app"), col("sum_d2e6_app"))
+    val merged = old.unionByName(batchStats)
+      .groupBy(col("cid"))
+      .agg(sum(col("n_base")).as("n_base"),
+        sum(col("sum_d2e6_base")).as("sum_d2e6_base"),
+        sum(col("n_app")).as("n_app"),
+        sum(col("sum_d2e6_app")).as("sum_d2e6_app"))
+    // Materialize BEFORE overwriting the path being read (a lazy
+    // overwrite would delete its own input); loud bound — the
+    // sidecar is one row per CELL, never per vector.
+    val rows = merged.collect()
+    require(rows.length <= 65536,
+      s"ivfAppendIndex: ${rows.length} cells exceed the model-size bound")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema)
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Read the incremental index's per-cell stats sidecar. */
+  def ivfReadStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(statsPath(path))
+
   /** Search a persisted IVF index (written by [[ivfWriteIndex]]):
     * queries rank cells against the same centroids, then join the
     * probed cells against the index scan ON THE PARTITION COLUMN —

@@ -386,8 +386,8 @@ object PinnacleQueries {
         |             CAST(sum(vx) AS BIGINT) AS sx,
         |             CAST(sum(vy) AS BIGINT) AS sy FROM x),
         |dev AS (
-        |  SELECT x.day, CAST(s.n * x.vx - s.sx AS HUGEINT) AS dx,
-        |    CAST(s.n * x.vy - s.sy AS HUGEINT) AS dy
+        |  SELECT x.day, CAST(CAST(s.n AS HUGEINT) * x.vx - s.sx AS HUGEINT) AS dx,
+        |    CAST(CAST(s.n AS HUGEINT) * x.vy - s.sy AS HUGEINT) AS dy
         |  FROM x, s),
         |den AS (
         |  SELECT sqrt(CAST(sum(dx * dx) AS DOUBLE))
@@ -423,10 +423,16 @@ object PinnacleQueries {
             lit(0L)).as("vy"))
       val st = x.agg(count(lit(1)).as("n"), sum(col("vx")).as("sx"),
         sum(col("vy")).as("sy"))
+      // n is widened to decimal BEFORE the multiply (r10 ADVICE):
+      // n·vx in LongType wraps silently under non-ANSI Spark while
+      // the DuckDB oracle errors loudly on BIGINT overflow — the
+      // sibling day-grain queries' widen-before-multiply discipline.
       val dev = x.crossJoin(broadcast(st))
         .select(col("day"),
-          (col("n") * col("vx") - col("sx")).cast("decimal(19,0)").as("dx"),
-          (col("n") * col("vy") - col("sy")).cast("decimal(19,0)").as("dy"),
+          (col("n").cast("decimal(38,0)") * col("vx") - col("sx"))
+            .cast("decimal(19,0)").as("dx"),
+          (col("n").cast("decimal(38,0)") * col("vy") - col("sy"))
+            .cast("decimal(19,0)").as("dy"),
           col("n"))
         .localCheckpoint() // feeds den and the 7-lag join twice
       val den = dev.agg((sqrt(sum(col("dx") * col("dx")).cast("double"))
@@ -514,6 +520,15 @@ object PinnacleQueries {
       val folded = th
         .agg(transform(sort_array(collect_list(struct(col("bucket"),
           col("th_i")))), s => s.getField("th_i")).as("ths"))
+        // Empty-replicate guard (r10 ADVICE): on a degenerate
+        // single-bucket corpus th is empty after the sx > x
+        // exclusion — Spark's global agg still emits one row while
+        // the oracle's `FROM th, mth` cross join emits zero. The
+        // size filter makes both engines agree on the empty edge
+        // (the method's own precondition is ≥ 2 buckets: θ̄/SE
+        // divide by bn, so a dropped replicate biases both engines
+        // identically — documented, not hidden).
+        .filter(size(col("ths")) > 0)
         .select(aggregate(col("ths"), lit(0.0), (a, v) => a + v)
           .as("sum_th"), col("ths"))
       val withBar = folded.crossJoin(broadcast(t))
@@ -674,6 +689,14 @@ object PinnacleQueries {
         .select(col("event_id"),
           (when(col("event_type") === "purchase",
             lit(1L << 32)).otherwise(lit(0L)) + 1L).as("packed"))
+      // Loud guard (r10 ADVICE): the packed counters are exact only
+      // while n stays under 2^31 — past it the low word carries into
+      // n1 and the decision would corrupt SILENTLY. One cheap
+      // metadata-served count fails fast instead (the repo's
+      // collision-assert convention).
+      val nEvents = e.count()
+      require(nEvents < (1L << 31),
+        s"sprt_decision: $nEvents events exceed the 2^31 packed-counter bound")
       // ONE streamed prefix pass carries both counters: cum =
       // (running n1) << 32 | (running n) — exact to 2^31 events.
       val w = graft.operators.DistributedPrefixSum.running(

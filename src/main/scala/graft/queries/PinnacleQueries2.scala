@@ -1099,7 +1099,15 @@ object PinnacleQueries2 {
     // string) classified by PINNED regexes identical in both
     // engines. Deterministic: map<string,string> extraction yields
     // the same unquoted value images as json_extract_string; counts
-    // exact. Scale shape: one map-only parse + explode + keyed count
+    // exact. PRECONDITION (r10 ADVICE): props values must be FLAT
+    // SCALARS and keys must not contain quote characters — nested
+    // objects/arrays are re-rendered differently by the two engines
+    // (from_json re-serializes, json_extract_string returns the raw
+    // image) and a quoted key breaks the '$."k"' path. The events
+    // generator emits flat scalar props with identifier keys, so the
+    // contract holds on every graft table; profiling foreign JSON
+    // with nested values needs a scalar filter on both sides first.
+    // Scale shape: one map-only parse + explode + keyed count
     // — the A2 class.
     Q("json_key_profile",
       """WITH kv AS (

@@ -825,6 +825,103 @@ object VectorQueries {
         "vec_id", "v", "cid", "cv", k = 10, nProbe = 3)
     },
 
+    // C139: INCREMENTAL IVF INDEX MAINTENANCE — the daily-ingest
+    // path of a production vector store (r10 verdict #6; the
+    // C62-incremental-dedup pattern applied to the ANN family): the
+    // base corpus (vec_id % 4 < 2) builds the cell-partitioned index
+    // + a per-cell stats sidecar, then TWO batches (% 4 = 2, % 4 = 3)
+    // append WITHOUT a rebuild — assigned against the frozen
+    // centroids, written mode("append") so only touched cell
+    // directories gain files (file reuse pinned in
+    // IvfIncrementalSpec). Output per cell: member counts, and the
+    // DRIFT ratio — mean e6-floored member-to-centroid d² of
+    // appended members over base members, all-integer cross products
+    // (HUGEINT/decimal(38,0)) into ONE division, 6dp floor — with
+    // the retrain trigger at ratio ≥ 1.25 (a cell whose new members
+    // fit systematically worse is a cell the codebook no longer
+    // covers). `search_match` is the incremental recall gate,
+    // computed for real on the Spark side: searching the
+    // incrementally-grown index must return EXACTLY the from-scratch
+    // ivfTopK result over the full corpus (same centroids ⇒ same
+    // assignment ⇒ identical top-k — the strongest possible form of
+    // "search quality survives N appends"); the oracle pins 1.
+    // The oracle recomputes every stat from scratch over the full
+    // table — equality proves the incremental sidecar maintenance is
+    // lossless. Scale shape: each append is one batch-linear assign
+    // + a cell-pruned write; the sidecar merge is model-sized (one
+    // row per cell); nothing ever re-reads the existing index.
+    Q("ann_ivf_incremental", {
+      val d2 = "list_dot_product(%s, %s) - 2 * list_dot_product(%s, c.cv) + list_dot_product(c.cv, c.cv)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, cid,
+         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2e6
+         |  FROM (
+         |    SELECT e.vec_id, c.cid, ${d2.format("e.v", "e.v", "e.v")} AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${d2.format("e.v", "e.v", "e.v")}, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |st AS (
+         |  SELECT cid,
+         |    CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN vec_id % 4 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN vec_id % 4 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
+         |    CAST(coalesce(sum(CASE WHEN vec_id % 4 < 2 THEN d2e6 END), 0) AS BIGINT) AS sb,
+         |    CAST(coalesce(sum(CASE WHEN vec_id % 4 >= 2 THEN d2e6 END), 0) AS BIGINT) AS sa
+         |  FROM asg GROUP BY cid),
+         |r AS (
+         |  SELECT cid, n_total, n_base, n_appended,
+         |    CASE WHEN n_base > 0 AND n_appended > 0 AND sb > 0 THEN
+         |      floor(CAST(CAST(sa AS HUGEINT) * n_base AS DOUBLE)
+         |        / CAST(CAST(sb AS HUGEINT) * n_appended AS DOUBLE)
+         |        * 1000000 + 0.5) / 1000000 END AS drift_ratio
+         |  FROM st)
+         |SELECT CAST(cid AS INT) AS cid, n_total, n_base, n_appended,
+         |  drift_ratio,
+         |  CAST(CASE WHEN drift_ratio >= 1.25 THEN 1 ELSE 0 END AS INT)
+         |    AS retrain,
+         |  CAST(1 AS INT) AS search_match
+         |FROM r""".stripMargin }) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      val cents = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_ivf_incr").toString
+      VectorOps.ivfInitIndexIncremental(s,
+        vecs.filter(col("vec_id") % 4 < 2), cents,
+        "vec_id", "embedding", "cid", "cv", loc)
+      VectorOps.ivfAppendIndex(s, loc,
+        vecs.filter(col("vec_id") % 4 === 2), cents,
+        "vec_id", "embedding", "cid", "cv")
+      VectorOps.ivfAppendIndex(s, loc,
+        vecs.filter(col("vec_id") % 4 === 3), cents,
+        "vec_id", "embedding", "cid", "cv")
+      // incremental recall gate: the grown index must search
+      // IDENTICALLY to a from-scratch assignment over the full corpus
+      val qs = vecs.filter(col("vec_id") < 5)
+      val inc = VectorOps.ivfSearchIndex(s, loc, qs, cents,
+        "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
+      val full = VectorOps.ivfTopK(vecs, qs, cents,
+        "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
+      val diffs = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+      val stats = VectorOps.ivfReadStats(s, loc)
+      val ratio = when(
+        col("n_base") > 0 && col("n_app") > 0 && col("sum_d2e6_base") > 0,
+        floor((col("sum_d2e6_app").cast("decimal(38,0)") * col("n_base"))
+            .cast("double")
+          / (col("sum_d2e6_base").cast("decimal(38,0)") * col("n_app"))
+            .cast("double") * lit(1000000) + lit(0.5)) / lit(1000000))
+      stats.select(col("cid").cast("int").as("cid"),
+          (col("n_base") + col("n_app")).as("n_total"),
+          col("n_base"), col("n_app").as("n_appended"),
+          ratio.as("drift_ratio"))
+        .withColumn("retrain",
+          when(col("drift_ratio") >= 1.25, 1).otherwise(0).cast("int"))
+        .withColumn("search_match",
+          lit(if (diffs == 0) 1 else 0).cast("int"))
+    },
+
     // C18: elementwise per-label centroid.
     // C107: EMBEDDING OUTLIER DETECTION — distance-to-centroid
     // ranking (the curation screen that catches mis-embedded /
