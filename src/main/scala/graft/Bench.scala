@@ -516,28 +516,33 @@ object Bench {
       // C139: incremental IVF maintenance — assign+append+drift is
       // linear in the batch, search rides the probed IVF shape
       "ann_ivf_incremental",
-      // C140: reservoir per source — one pass, bounded heaps
-      "reservoir_sample_sources",
+      // C140: RAG chunker — token-linear explode, doc-bounded chunks
+      "rag_chunk_split",
       // C141: stable interleave of two engine rankings — rides the
       // probed retrieval plans + one bounded merge fold per query
       "interleaved_ranking",
+      // C142: attribute-filtered IVF search — the probed IVF shape
+      // with a pushed-down label predicate on the candidate scan
+      "ann_filtered_search",
       // B177: two-sample Cramér-von Mises on the value grain (the
       // mannwhitney near-constant-grain class)
       "cramer_von_mises",
       // B178: Page's L ordered trend over the day×type rank grid
       // (the friedman calendar×k class)
       "pages_trend_test",
-      // B179: Theil-U forecast accuracy over the day grid (day-grain
-      // near-constant class)
+      // B179: Theil-U + MASE forecast accuracy over the day grid
+      // (day-grain near-constant class)
       "theil_u_forecast",
-      // C142: simhash bit-agreement near-dup confirm — rides the
-      // probed simhash family, adds one band-grouped pair pass
-      "simhash_hamming_pairs",
-      // D50: live top-k with additive counts + fixed heap per type
+      // B180: Cliff's delta off the mannwhitney rank machinery
+      "cliff_delta",
+      // B181/B182: intermittent-demand fold + forecast-bias monitor
+      // (day-grain folds, the holt_winters class)
+      "croston_intermittent", "tracking_signal",
+      // D51: live decayed top-k through bounded per-type heaps
       "streaming_topk_decay")
     val newX100 = Seq(
-      "ann_ivf_incremental", "reservoir_sample_sources",
-      "cramer_von_mises", "simhash_hamming_pairs")
+      "ann_ivf_incremental", "rag_chunk_split",
+      "ann_filtered_search", "cramer_von_mises")
 
     val x10Names =
       ((if (includeRetired) retiredX10 else Nil) ++ canaryX10 ++ newX10)
@@ -560,10 +565,9 @@ object Bench {
       "kruskal_wallis", "ljung_box", "runs_test_daily",
       "jonckheere_trend",
       "mann_kendall_trend", "graph_jaccard_neighbors",
-      "graph_bfs_layers", "poisson_bootstrap_ci",
-      // round-11: the value-grain CvM reads order totals; Page's L
-      // and Theil-U read the orders day grid
-      "cramer_von_mises", "pages_trend_test", "theil_u_forecast")
+      "graph_bfs_layers", "poisson_bootstrap_ci")
+    // (round-11's new statistics/forecast probes all read EVENTS —
+    // no trade clones needed)
 
     /** Budget-gated probe loop body: a probe past the global budget
       * records the -3.0 sentinel instead of running (r10 verdict #1 —

@@ -595,6 +595,138 @@ object ApexQueries {
             / 1000000).as("ad_stat"))
     },
 
+    // B177: TWO-SAMPLE CRAMÉR-VON MISES CRITERION (Cramér 1928, von
+    // Mises 1931; the two-sample functional form of Anderson 1962)
+    // between purchase and view values — the WHOLE-DISTRIBUTION
+    // companion to B120's KS (worst single gap) and B145's AD
+    // (tail-weighted): T = n₁n₂/N² · Σ_v l_v (F₁(v) − F₂(v))², the
+    // squared CDF gap integrated against the POOLED empirical
+    // measure — the tie-well-defined spelling on the cents value
+    // grain. Exact arithmetic: F₁ − F₂ = (m₁n₂ − m₂n₁)/(n₁n₂), so
+    // T = Σ l·d² / (n₁·n₂·N²) with d = m₁n₂ − m₂n₁ an exact BIGINT
+    // and l·d² summed in DECIMAL(38,0)/HUGEINT (|d| ≤ n₁n₂ ⇒
+    // Σ ≤ N·(n₁n₂)² ≈ 6·10³⁶ at the ×1000 event count — inside 38
+    // digits, ANSI-loud past); ONE double division, 6dp floor.
+    // Scale shape: the B145 grid verbatim — one keyed agg to the
+    // value grain + one value-grain-bounded global prefix window.
+    Q("cramer_von_mises",
+      """WITH e AS (
+        |  SELECT event_type = 'purchase' AS g1,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |v AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS l,
+        |    CAST(count(*) FILTER (g1) AS BIGINT) AS l1
+        |  FROM e GROUP BY c),
+        |w AS (
+        |  SELECT c, l, l1,
+        |    CAST(sum(l) OVER (ORDER BY c) AS BIGINT) AS b,
+        |    CAST(sum(l1) OVER (ORDER BY c) AS BIGINT) AS m1
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(l1) AS BIGINT) AS n1,
+        |          CAST(sum(l - l1) AS BIGINT) AS n2,
+        |          CAST(sum(l) AS BIGINT) AS n FROM v),
+        |s AS (
+        |  SELECT sum(CAST(w.l AS HUGEINT)
+        |    * (w.m1 * t.n2 - (w.b - w.m1) * t.n1)
+        |    * (w.m1 * t.n2 - (w.b - w.m1) * t.n1)) AS num
+        |  FROM w, tot t)
+        |SELECT t.n1, t.n2,
+        |  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |    floor(CAST(coalesce(s.num, 0) AS DOUBLE)
+        |      / (CAST(t.n1 AS DOUBLE) * t.n2 * t.n * t.n)
+        |      * 1000000 + 0.5) / 1000000 END AS cvm_stat
+        |FROM tot t, s""".stripMargin) { (s, dir) =>
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("l"), sum(col("g1").cast("long")).as("l1"))
+        .localCheckpoint() // the prefix pass and the totals read it
+      val w = v.select(col("c"), col("l"), col("l1"),
+        sum(col("l")).over(Window.orderBy(col("c"))).as("b"),
+        sum(col("l1")).over(Window.orderBy(col("c"))).as("m1"))
+      val tot = v.agg(sum(col("l1")).as("n1"),
+        sum(col("l") - col("l1")).as("n2"), sum(col("l")).as("n"))
+      // d widened to decimal BEFORE the square (the B146 lesson:
+      // widen-before-multiply or ANSI throws at clone scale)
+      val num = w.crossJoin(broadcast(tot))
+        .select((col("l").cast("decimal(38,0)")
+          * (col("m1") * col("n2") - (col("b") - col("m1")) * col("n1"))
+            .cast("decimal(38,0)")
+          * (col("m1") * col("n2") - (col("b") - col("m1")) * col("n1")))
+          .as("term"))
+        .agg(sum(col("term")).as("num"))
+      broadcast(tot).crossJoin(broadcast(num))
+        .select(col("n1"), col("n2"),
+          when(col("n1") > 0 && col("n2") > 0,
+            floor(coalesce(col("num"), lit(0)).cast("double")
+              / (col("n1").cast("double") * col("n2") * col("n") * col("n"))
+              * 1000000 + lit(0.5)) / 1000000).as("cvm_stat"))
+    },
+
+    // B180: CLIFF'S DELTA (Cliff, Psychological Bulletin 1993) —
+    // the ORDINAL effect size for purchase vs view values: δ =
+    // (#(x > y) − #(x < y)) / (n₁n₂) ∈ [−1, 1], the
+    // dominance-probability difference the B114 Mann-Whitney z must
+    // be read with (z grows with N; δ answers whether the dominance
+    // MATTERS — the B147-for-ranks). Exact spelling on the cents
+    // grid: #(x > y) = Σ_v l1_v · b2_{v−} (purchases at v beat views
+    // strictly below), #(x < y) symmetric, both DECIMAL(38,0)/
+    // HUGEINT products summed exactly; ONE division, 6dp floor.
+    // Scale shape: the B145 grid verbatim (value-grain prefix pass).
+    Q("cliff_delta",
+      """WITH e AS (
+        |  SELECT event_type = 'purchase' AS g1,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |v AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS l,
+        |    CAST(count(*) FILTER (g1) AS BIGINT) AS l1
+        |  FROM e GROUP BY c),
+        |w AS (
+        |  SELECT c, l, l1, l - l1 AS l2,
+        |    CAST(sum(l - l1) OVER (ORDER BY c) AS BIGINT) - (l - l1) AS b2m
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(l1) AS BIGINT) AS n1,
+        |          CAST(sum(l - l1) AS BIGINT) AS n2 FROM v),
+        |dom AS (
+        |  SELECT sum(CAST(w.l1 AS HUGEINT) * w.b2m) AS gt,
+        |    sum(CAST(w.l1 AS HUGEINT) * (t.n2 - w.b2m - w.l2)) AS lt
+        |  FROM w, tot t)
+        |SELECT t.n1, t.n2,
+        |  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |    floor((CAST(coalesce(d.gt, 0) AS DOUBLE)
+        |        - CAST(coalesce(d.lt, 0) AS DOUBLE))
+        |      / (CAST(t.n1 AS DOUBLE) * t.n2)
+        |      * 1000000 + 0.5) / 1000000 END AS cliff_delta
+        |FROM tot t, dom d""".stripMargin) { (s, dir) =>
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("l"), sum(col("g1").cast("long")).as("l1"))
+        .localCheckpoint()
+      val w = v.select(col("c"), col("l1"), (col("l") - col("l1")).as("l2"))
+        .withColumn("b2m",
+          sum(col("l2")).over(Window.orderBy(col("c"))) - col("l2"))
+      val tot = v.agg(sum(col("l1")).as("n1"),
+        sum(col("l") - col("l1")).as("n2"))
+      val dom = w.crossJoin(broadcast(tot))
+        .agg(sum(col("l1").cast("decimal(38,0)") * col("b2m")).as("gt"),
+          sum(col("l1").cast("decimal(38,0)")
+            * (col("n2") - col("b2m") - col("l2"))).as("lt"))
+      broadcast(tot).crossJoin(broadcast(dom))
+        .select(col("n1"), col("n2"),
+          when(col("n1") > 0 && col("n2") > 0,
+            floor((coalesce(col("gt"), lit(0)).cast("double")
+                - coalesce(col("lt"), lit(0)).cast("double"))
+              / (col("n1").cast("double") * col("n2"))
+              * 1000000 + lit(0.5)) / 1000000).as("cliff_delta"))
+    },
+
     // B146: JONCKHEERE-TERPSTRA ORDERED-TREND TEST (Jonckheere
     // Biometrika 1954; Terpstra 1952) of order value across the five
     // priorities IN THEIR NATURAL ORDER — the test B142 cannot be:
@@ -961,6 +1093,105 @@ object ApexQueries {
             floor(((col("k") - 1) * col("n2")).cast("double")
               / col("d2").cast("double") * 1000000 + lit(0.5)) / 1000000)
             .as("chi2_friedman"))
+    },
+
+    // B178: PAGE'S TREND TEST (Page, JASA 1963) — the ORDERED
+    // alternative to B149: Friedman asks "does any type differ",
+    // Page's L asks "do the types' within-day ranks INCREASE along a
+    // hypothesized ordering" — the right test when the factor is
+    // ordinal (the B146-vs-B142 distinction lifted to the block
+    // design). The hypothesized order is PINNED to the alphabetical
+    // event-type order (deterministic and documented; the test's
+    // sign says whether revenue rank grows along it). Exact
+    // spelling: B149's dense 0-filled grid and doubled tie-averaged
+    // within-day ranks verbatim; L2 = Σ_j c_j·R2_j in exact BIGINTs
+    // (c_j = 1..k alphabetical; r2 = 2cb + cnt + 1 is TWICE the
+    // tie-averaged midrank ⇒ L2 = 2L); z off the DOUBLED-rank null
+    // moments μ = 2μ_L = n·k(k+1)²/2, σ² = 4σ²_L =
+    // n·k²(k+1)²(k−1)/36 (both pinned by the perfect-order plant
+    // landing on z = ±2 exactly; the classic
+    // no-tie-correction normal approximation — the B146 convention)
+    // in DECIMAL(38,0)/HUGEINT into ONE pinned double tree, 6dp
+    // floor. Scale shape: identical to B149 — one keyed (day, type)
+    // agg; everything after is calendar×k-sized.
+    Q("pages_trend_test",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type AS ty,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |tys AS (SELECT DISTINCT ty FROM e),
+        |grid AS (
+        |  SELECT d.day, t.ty, CAST(coalesce(e.v, 0) AS BIGINT) AS v
+        |  FROM days d CROSS JOIN tys t
+        |  LEFT JOIN e ON e.day = d.day AND e.ty = t.ty),
+        |vc AS (
+        |  SELECT day, v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (PARTITION BY day ORDER BY v)
+        |      AS BIGINT) - CAST(count(*) AS BIGINT) AS cb
+        |  FROM grid GROUP BY day, v),
+        |r AS (
+        |  SELECT g.day, g.ty, 2 * vc.cb + vc.cnt + 1 AS r2
+        |  FROM grid g JOIN vc ON vc.day = g.day AND vc.v = g.v),
+        |ord AS (
+        |  SELECT ty, CAST(row_number() OVER (ORDER BY ty) AS BIGINT) AS cj
+        |  FROM tys),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT ty) AS BIGINT) AS k
+        |  FROM r),
+        |rj AS (SELECT ty, CAST(sum(r2) AS BIGINT) AS r2j FROM r GROUP BY ty),
+        |l AS (
+        |  SELECT CAST(sum(o.cj * rj.r2j) AS BIGINT) AS l2
+        |  FROM rj JOIN ord o USING (ty))
+        |SELECT d.n AS n_days, d.k AS n_types, l.l2,
+        |  CASE WHEN d.k > 1 AND d.n > 0 THEN
+        |    floor((CAST(l.l2 AS DOUBLE)
+        |        - CAST(CAST(d.n AS HUGEINT) * d.k * (d.k + 1) * (d.k + 1)
+        |            AS DOUBLE) / 2.0)
+        |      / sqrt(CAST(CAST(d.n AS HUGEINT) * d.k * d.k * (d.k + 1)
+        |          * (d.k + 1) * (d.k - 1) AS DOUBLE) / 36.0)
+        |      * 1000000 + 0.5) / 1000000 END AS z
+        |FROM dims d, l""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          col("event_type").as("ty"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day"), col("ty")).agg(sum(col("c")).as("v"))
+        .localCheckpoint() // feeds days, types, and the grid
+      val days = e.select(col("day")).distinct()
+      val tys = e.select(col("ty")).distinct()
+      val grid = days.crossJoin(broadcast(tys))
+        .join(e, Seq("day", "ty"), "left")
+        .select(col("day"), col("ty"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint()
+      val vc = grid.groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", sum(col("cnt")).over(
+          Window.partitionBy(col("day")).orderBy(col("v"))) - col("cnt"))
+      val r = grid.join(vc, Seq("day", "v"))
+        .select(col("day"), col("ty"),
+          (col("cb") * 2 + col("cnt") + 1).as("r2"))
+        .localCheckpoint()
+      val ord = tys.select(col("ty"),
+        row_number().over(Window.orderBy(col("ty"))).cast("long").as("cj"))
+      val dims = r.agg(countDistinct(col("day")).as("n"),
+        countDistinct(col("ty")).as("k"))
+      val l = r.groupBy(col("ty")).agg(sum(col("r2")).as("r2j"))
+        .join(broadcast(ord), Seq("ty"))
+        .agg(sum(col("cj") * col("r2j")).as("l2"))
+      broadcast(dims).crossJoin(broadcast(l))
+        .select(col("n").as("n_days"), col("k").as("n_types"), col("l2"),
+          when(col("k") > 1 && col("n") > 0,
+            floor((col("l2").cast("double")
+                - (col("n").cast("decimal(38,0)") * col("k")
+                  * (col("k") + 1) * (col("k") + 1)).cast("double") / 2.0)
+              / sqrt((col("n").cast("decimal(38,0)") * col("k") * col("k")
+                  * (col("k") + 1) * (col("k") + 1) * (col("k") - 1))
+                .cast("double") / 36.0)
+              * 1000000 + lit(0.5)) / 1000000).as("z"))
     },
 
     // C121: SHOT SEGMENTATION over the sampled frame stream — the

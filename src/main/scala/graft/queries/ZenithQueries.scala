@@ -874,6 +874,277 @@ object ZenithQueries {
             .as("forecast"))
     },
 
+    // B179: FORECAST-ACCURACY TABLE — Theil's U₁ (Theil 1966, the
+    // bounded [0,1] inequality form: no division by per-step values,
+    // so the zero-filled grid is safe) and MASE (Hyndman & Koehler,
+    // IJF 2006) for the NAIVE forecaster (ŷ_t = y_{t−1}) scaled by
+    // the SEASONAL-naive MAE (m = 7 — the B136 weekly season),
+    // evaluated on the common window day ≥ d₀+7 so both scales see
+    // identical rows. The missing judge of the forecasting family:
+    // B48/B109/B136 PRODUCE forecasts; this row says whether a
+    // forecaster beats the no-skill baselines. Exactness: daily
+    // cents are exact integers on the zero-filled grid; MAE/SSE sums
+    // are BIGINT/DECIMAL(38,0); MASE is ONE exact-integer division;
+    // U₁ = √SSE/(√Σy² + √Σŷ²) — IEEE sqrts of exact integers
+    // (unnormalized sums: the /n cancels), one division tree, 6dp
+    // floors. Scale shape: one keyed day agg (map-side combined);
+    // grid + lags are calendar-bounded (the day-grain class).
+    Q("theil_u_forecast",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT day, CAST(sum(c) AS BIGINT) AS v FROM e GROUP BY day),
+        |sp AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |grid AS (SELECT unnest(range(mn, mx + 1)) AS day FROM sp),
+        |z AS (SELECT grid.day, CAST(coalesce(d.v, 0) AS BIGINT) AS v
+        |      FROM grid LEFT JOIN d USING (day)),
+        |l AS (
+        |  SELECT day, v,
+        |    lag(v, 1) OVER (ORDER BY day) AS p1,
+        |    lag(v, 7) OVER (ORDER BY day) AS p7
+        |  FROM z),
+        |ev AS (SELECT * FROM l WHERE p7 IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(abs(v - p1)) AS BIGINT) AS sae1,
+        |    CAST(sum(abs(v - p7)) AS BIGINT) AS sae7,
+        |    sum(CAST(v - p1 AS HUGEINT) * (v - p1)) AS sse1,
+        |    sum(CAST(v AS HUGEINT) * v) AS ssy,
+        |    sum(CAST(p1 AS HUGEINT) * p1) AS ssp
+        |  FROM ev)
+        |SELECT n AS n_eval,
+        |  CASE WHEN n > 0 THEN
+        |    floor(CAST(sae1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+        |  END AS mae_naive,
+        |  CASE WHEN n > 0 THEN
+        |    floor(CAST(sae7 AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+        |  END AS mae_snaive,
+        |  CASE WHEN sae7 > 0 THEN
+        |    floor(CAST(sae1 AS DOUBLE) / CAST(sae7 AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS mase,
+        |  CASE WHEN sqrt(CAST(ssy AS DOUBLE)) + sqrt(CAST(ssp AS DOUBLE))
+        |      > 0 THEN
+        |    floor(sqrt(CAST(sse1 AS DOUBLE))
+        |      / (sqrt(CAST(ssy AS DOUBLE)) + sqrt(CAST(ssp AS DOUBLE)))
+        |      * 1000000 + 0.5) / 1000000 END AS theil_u1
+        |FROM s""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val grid = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      val z = grid.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+      val wDay = Window.orderBy(col("day"))
+      val ev = z.select(col("day"), col("v"),
+          lag(col("v"), 1).over(wDay).as("p1"),
+          lag(col("v"), 7).over(wDay).as("p7"))
+        .filter(col("p7").isNotNull)
+      val st = ev.agg(count(lit(1)).as("n"),
+        sum(abs(col("v") - col("p1"))).as("sae1"),
+        sum(abs(col("v") - col("p7"))).as("sae7"),
+        sum((col("v") - col("p1")).cast("decimal(38,0)")
+          * (col("v") - col("p1"))).as("sse1"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("ssy"),
+        sum(col("p1").cast("decimal(38,0)") * col("p1")).as("ssp"))
+      val u1den = sqrt(col("ssy").cast("double")) + sqrt(col("ssp").cast("double"))
+      st.select(col("n").as("n_eval"),
+        when(col("n") > 0,
+          floor(col("sae1").cast("double") / col("n") * 1000000 + lit(0.5))
+            / 1000000).as("mae_naive"),
+        when(col("n") > 0,
+          floor(col("sae7").cast("double") / col("n") * 1000000 + lit(0.5))
+            / 1000000).as("mae_snaive"),
+        when(col("sae7") > 0,
+          floor(col("sae1").cast("double") / col("sae7").cast("double")
+            * 1000000 + lit(0.5)) / 1000000).as("mase"),
+        when(u1den > 0,
+          floor(sqrt(col("sse1").cast("double")) / u1den
+            * 1000000 + lit(0.5)) / 1000000).as("theil_u1"))
+    },
+
+    // B181: CROSTON'S METHOD (Croston, OR Quarterly 1972) — the
+    // INTERMITTENT-demand forecaster the smoothing family lacks:
+    // B48/B109/B136 all treat zero days as demand of zero, which
+    // systematically biases sparse series toward zero; Croston
+    // smooths demand SIZE z and demand INTERVAL p as separate
+    // exponential folds updated only on demand days, forecasting
+    // z/p per day. Run on the PURCHASE daily-cents grid (the sparse
+    // series of this corpus). α = 1/4 exact binary; intervals are
+    // exact integers (gap+1, first interval = days from grid start
+    // to first demand, inclusive — pinned); the coupled fold runs in
+    // pinned order (Spark `aggregate` over the sorted series vs
+    // DuckDB recursive CTE — the B136 machinery); round 6dp at the
+    // end, forecast = z/p ONE division 6dp floor. Scale shape: one
+    // keyed day agg (map-side combined); the fold is calendar-sized.
+    Q("croston_intermittent", {
+      val v = "CAST(h.vs[CAST(r.i + 1 AS INT)] AS DOUBLE)"
+      val vPos = s"h.vs[CAST(r.i + 1 AS INT)] > 0"
+      s"""WITH RECURSIVE e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT day, CAST(sum(c) AS BIGINT) AS v FROM e GROUP BY day),
+        |sp AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |grid AS (SELECT unnest(range(mn, mx + 1)) AS day FROM sp),
+        |z AS (SELECT grid.day, CAST(coalesce(d.v, 0) AS BIGINT) AS v
+        |      FROM grid LEFT JOIN d USING (day)),
+        |hw AS (SELECT list(v ORDER BY day) AS vs,
+        |         CAST(count(*) AS BIGINT) AS n FROM z),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS z,
+        |    CAST(0.0 AS DOUBLE) AS p, CAST(0 AS BIGINT) AS gap,
+        |    CAST(0 AS BIGINT) AS started, CAST(0 AS BIGINT) AS ndem
+        |  FROM hw
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    CASE WHEN $vPos THEN
+        |      CASE WHEN r.started = 0 THEN $v
+        |           ELSE r.z + 0.25 * ($v - r.z) END
+        |      ELSE r.z END,
+        |    CASE WHEN $vPos THEN
+        |      CASE WHEN r.started = 0 THEN CAST(r.gap + 1 AS DOUBLE)
+        |           ELSE r.p + 0.25 * (CAST(r.gap + 1 AS DOUBLE) - r.p) END
+        |      ELSE r.p END,
+        |    CASE WHEN $vPos THEN 0 ELSE r.gap + 1 END,
+        |    CASE WHEN $vPos THEN 1 ELSE r.started END,
+        |    r.ndem + CASE WHEN $vPos THEN 1 ELSE 0 END
+        |  FROM rec r, hw h WHERE r.i < h.n),
+        |fin AS (SELECT r.* FROM rec r, hw h WHERE r.i = h.n)
+        |SELECT h.n AS n_days, f.ndem AS n_demand_days,
+        |  CASE WHEN f.started = 1 THEN round(f.z, 6) END AS level,
+        |  CASE WHEN f.started = 1 THEN round(f.p, 6) END AS interval,
+        |  CASE WHEN f.started = 1 AND f.p > 0 THEN
+        |    floor(f.z / f.p * 1000000 + 0.5) / 1000000 END AS forecast
+        |FROM fin f, hw h""".stripMargin
+    }) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val grid = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      val series = grid.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("day"), col("v")))),
+          dv => dv.getField("v")).as("vs"))
+        .select(col("vs"), size(col("vs")).cast("long").as("n"))
+      val folded = series.select(col("n"),
+        aggregate(col("vs"),
+          struct(lit(0.0).as("z"), lit(0.0).as("p"),
+            lit(0L).as("gap"), lit(0L).as("started"), lit(0L).as("ndem")),
+          (acc, vL) => {
+            val v = vL.cast("double")
+            val pos = vL > 0
+            val interval = (acc.getField("gap") + 1).cast("double")
+            struct(
+              when(pos, when(acc.getField("started") === 0, v)
+                .otherwise(acc.getField("z")
+                  + lit(0.25) * (v - acc.getField("z"))))
+                .otherwise(acc.getField("z")).as("z"),
+              when(pos, when(acc.getField("started") === 0, interval)
+                .otherwise(acc.getField("p")
+                  + lit(0.25) * (interval - acc.getField("p"))))
+                .otherwise(acc.getField("p")).as("p"),
+              when(pos, lit(0L)).otherwise(acc.getField("gap") + 1)
+                .as("gap"),
+              when(pos, lit(1L)).otherwise(acc.getField("started"))
+                .as("started"),
+              (acc.getField("ndem") + when(pos, 1L).otherwise(0L))
+                .as("ndem"))
+          }).as("st"))
+      folded.select(col("n").as("n_days"),
+        col("st.ndem").as("n_demand_days"),
+        when(col("st.started") === 1, round(col("st.z"), 6)).as("level"),
+        when(col("st.started") === 1, round(col("st.p"), 6)).as("interval"),
+        when(col("st.started") === 1 && col("st.p") > 0,
+          floor(col("st.z") / col("st.p") * 1000000 + lit(0.5)) / 1000000)
+          .as("forecast"))
+    },
+
+    // B182: TRACKING SIGNAL (Trigg, OR Quarterly 1964 — the
+    // cumulative-error/MAE form every demand-planning dashboard
+    // runs): per event type, TS = Σe / (Σ|e|/n) for the naive
+    // one-step forecast over the type's zero-filled daily grid — a
+    // forecaster can have fine MAE while drifting systematically
+    // one-sided, which is exactly what B179 cannot see and TS exists
+    // to catch. Exactness: e_t = v_t − v_{t−1} exact integer cents;
+    // TS = n·Σe/Σ|e| in DECIMAL(38,0)/HUGEINT cross products into
+    // ONE division, 6dp floor; the |TS| ≥ 4 bias flag is decided on
+    // EXACT integers (|n·Σe| ≥ 4·Σ|e|), immune to the floor. Scale
+    // shape: one (type, day) keyed agg; grid + lag windows are
+    // types×calendar-bounded.
+    Q("tracking_signal",
+      """WITH e AS (
+        |  SELECT event_type AS ty,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT ty, day, CAST(sum(c) AS BIGINT) AS v
+        |      FROM e GROUP BY 1, 2),
+        |sp AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |tys AS (SELECT DISTINCT ty FROM d),
+        |grid AS (
+        |  SELECT t.ty, g.day
+        |  FROM tys t CROSS JOIN
+        |    (SELECT unnest(range(mn, mx + 1)) AS day FROM sp) g),
+        |z AS (
+        |  SELECT grid.ty, grid.day, CAST(coalesce(d.v, 0) AS BIGINT) AS v
+        |  FROM grid LEFT JOIN d ON d.ty = grid.ty AND d.day = grid.day),
+        |l AS (
+        |  SELECT ty, day, v,
+        |    lag(v) OVER (PARTITION BY ty ORDER BY day) AS p
+        |  FROM z),
+        |s AS (
+        |  SELECT ty, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v - p) AS BIGINT) AS se,
+        |    CAST(sum(abs(v - p)) AS BIGINT) AS sae
+        |  FROM l WHERE p IS NOT NULL GROUP BY ty)
+        |SELECT ty AS event_type, n AS n_eval, se AS sum_err,
+        |  sae AS sum_abs_err,
+        |  CASE WHEN sae > 0 THEN
+        |    floor(CAST(CAST(n AS HUGEINT) * se AS DOUBLE)
+        |      / CAST(sae AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS tracking_signal,
+        |  CAST(CASE WHEN sae > 0 AND abs(CAST(n AS HUGEINT) * se)
+        |    >= 4 * CAST(sae AS HUGEINT) THEN 1 ELSE 0 END AS INT)
+        |    AS biased
+        |FROM s""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "events")
+        .select(col("event_type").as("ty"),
+          expr("ts div 1000000000 div 86400").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("ty"), col("day")).agg(sum(col("c")).as("v"))
+        .localCheckpoint() // feeds the span, the type list, the grid
+      val sp = d.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val grid = d.select(col("ty")).distinct()
+        .crossJoin(broadcast(sp))
+        .select(col("ty"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      val z = grid.join(d, Seq("ty", "day"), "left")
+        .select(col("ty"), col("day"), coalesce(col("v"), lit(0L)).as("v"))
+      val l = z.select(col("ty"), col("v"),
+          lag(col("v"), 1).over(
+            Window.partitionBy(col("ty")).orderBy(col("day"))).as("p"))
+        .filter(col("p").isNotNull)
+      val st = l.groupBy(col("ty"))
+        .agg(count(lit(1)).as("n"), sum(col("v") - col("p")).as("se"),
+          sum(abs(col("v") - col("p"))).as("sae"))
+      st.select(col("ty").as("event_type"), col("n").as("n_eval"),
+        col("se").as("sum_err"), col("sae").as("sum_abs_err"),
+        when(col("sae") > 0,
+          floor((col("n").cast("decimal(38,0)") * col("se")).cast("double")
+            / col("sae").cast("double") * 1000000 + lit(0.5)) / 1000000)
+          .as("tracking_signal"),
+        when(col("sae") > 0 &&
+          abs(col("n").cast("decimal(38,0)") * col("se"))
+            >= col("sae").cast("decimal(38,0)") * 4, 1)
+          .otherwise(0).cast("int").as("biased"))
+    },
+
     // C115: SCENE-CUT DETECTION over the sampled frame stream — the
     // shot-boundary pass of any video-curation pipeline (threshold on
     // the inter-frame feature distance; Rasheed & Shah ICIP 2003's
