@@ -539,10 +539,18 @@ object Bench {
       // (day-grain folds, the holt_winters class)
       "croston_intermittent", "tracking_signal",
       // D51: live decayed top-k through bounded per-type heaps
-      "streaming_topk_decay")
+      "streaming_topk_decay",
+      // B183: value-grain median split (the mannwhitney class)
+      "mood_median_test",
+      // B185: 8 day-grain integer-quantized folds (the holt class)
+      "ewma_alpha_sweep",
+      // C143: chunk explode + per-source distinct on 8-byte keys
+      "chunk_dedup_stats")
+    // B184 cochran_armitage carries no probe: one 7-group map-side
+    // agg over events — the 2-cell-agg class (no scale question).
     val newX100 = Seq(
       "ann_ivf_incremental", "rag_chunk_split",
-      "ann_filtered_search", "cramer_von_mises")
+      "ann_filtered_search", "cramer_von_mises", "chunk_dedup_stats")
 
     val x10Names =
       ((if (includeRetired) retiredX10 else Nil) ++ canaryX10 ++ newX10)
@@ -565,9 +573,9 @@ object Bench {
       "kruskal_wallis", "ljung_box", "runs_test_daily",
       "jonckheere_trend",
       "mann_kendall_trend", "graph_jaccard_neighbors",
-      "graph_bfs_layers", "poisson_bootstrap_ci")
-    // (round-11's new statistics/forecast probes all read EVENTS —
-    // no trade clones needed)
+      "graph_bfs_layers", "poisson_bootstrap_ci",
+      // round-11: the median-split test reads orders
+      "mood_median_test")
 
     /** Budget-gated probe loop body: a probe past the global budget
       * records the -3.0 sentinel instead of running (r10 verdict #1 —

@@ -198,6 +198,53 @@ object VectorOps {
       Seq(("cosine", false), ("id", true)), k)
   }
 
+  /** ATTRIBUTE-FILTERED IVF search (the production vector-store
+    * feature every RAG stack needs: "nearest neighbors WHERE
+    * tenant/label/date matches"): [[ivfTopK]] with a candidate
+    * predicate applied to the indexed side BEFORE the probe join —
+    * filter-DURING-search, so the predicate prunes the candidate
+    * scan (at 100 TB, pushed into the index relation's scan) instead
+    * of post-filtering a k-list down to fewer than k results
+    * (post-filtering's recall hole is exactly why stores implement
+    * this natively). Assignment is per-vector, so the filtered
+    * search returns the true top-k of the filtered sub-corpus within
+    * the probed cells. `carryCols` ride the corpus into the
+    * predicate.
+    */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, cidCol: String,
+      centroidVecCol: String, k: Int, nProbe: Int,
+      carryCols: Seq[String], keep: Column): DataFrame = {
+    val c = corpus.select(col(idCol).as("id") +: asDouble(col(vecCol)).as("v")
+      +: carryCols.map(col): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val cent = centroids.select(col(cidCol).as("cid"),
+      asDouble(col(centroidVecCol)).as("cv"))
+    val aggs = first(col("v")).as("v") +:
+      carryCols.map(n => first(col(n)).as(n))
+    val assigned = c.join(broadcast(cent))
+      .withColumn("_d2", d2(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(min_by(col("cid"), struct(col("_d2"), col("cid"))).as("cid"),
+        aggs: _*)
+      .filter(keep) // filter-during-search: prune candidates pre-join
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_d2"), col("cid"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("_d2", d2(col("qv"), col("cv")))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6)
+          .as("cosine"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cosine", false), ("id", true)), k)
+  }
+
   /** IVF ANN over an int8-QUANTIZED candidate stage with exact rerank
     * — the storage-scale variant of [[ivfTopK]]: cell assignment and
     * candidate scoring read the 1-byte/dim [[Quantize]] image of the

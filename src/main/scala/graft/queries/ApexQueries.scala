@@ -820,6 +820,160 @@ object ApexQueries {
               * 1000000 + lit(0.5)) / 1000000).as("z"))
     },
 
+    // B183: MOOD'S MEDIAN TEST (Mood 1950; Brown & Mood 1951) of
+    // order value across the five priorities — the robust k-group
+    // location test that survives what wrecks B131's ANOVA (heavy
+    // tails, outliers — it reduces every value to one bit: above the
+    // POOLED lower median or not) and complements B142's KW (which
+    // uses full ranks; Mood's is the coarser, more outlier-immune
+    // cut). Exact spelling: the pooled lower median off the
+    // value-grain prefix (rank (N+1)//2 — the B114/B120 grain);
+    // per-group above-counts vs expectations as the B115 χ² algebra
+    // with per-cell EXACT integer terms (O·N − r·c)²·10⁶ //
+    // (N·r·c) in DECIMAL(38,0)/HUGEINT floor division, χ² = Σ/10⁶.
+    // Scale shape: one keyed (group, value) agg + one value-grain
+    // prefix window; the k×2 table and χ² are model-sized.
+    Q("mood_median_test",
+      """WITH e AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |v AS (SELECT c, CAST(count(*) AS BIGINT) AS l FROM e GROUP BY c),
+        |w AS (SELECT c, CAST(sum(l) OVER (ORDER BY c) AS BIGINT) AS b,
+        |        l FROM v),
+        |tot AS (SELECT CAST(sum(l) AS BIGINT) AS n FROM v),
+        |med AS (
+        |  SELECT min(c) AS m FROM w, tot
+        |  WHERE b >= (tot.n + 1) // 2),
+        |gc AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(CASE WHEN c > (SELECT m FROM med) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_g
+        |  FROM e GROUP BY g),
+        |ab AS (SELECT CAST(sum(a_g) AS BIGINT) AS a_tot FROM gc),
+        |terms AS (
+        |  SELECT
+        |    CAST(CAST(gc.a_g * t.n - gc.n_g * ab.a_tot AS HUGEINT)
+        |      * (gc.a_g * t.n - gc.n_g * ab.a_tot) * 1000000
+        |      // (CAST(t.n AS HUGEINT) * gc.n_g * ab.a_tot) AS BIGINT)
+        |    + CAST(CAST((gc.n_g - gc.a_g) * t.n - gc.n_g * (t.n - ab.a_tot)
+        |        AS HUGEINT)
+        |      * ((gc.n_g - gc.a_g) * t.n - gc.n_g * (t.n - ab.a_tot))
+        |      * 1000000
+        |      // (CAST(t.n AS HUGEINT) * gc.n_g * (t.n - ab.a_tot))
+        |      AS BIGINT) AS contrib
+        |  FROM gc, tot t, ab WHERE ab.a_tot > 0 AND ab.a_tot < t.n),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM gc)
+        |SELECT t.n AS n_rows, med.m AS median_cents, k.k - 1 AS df,
+        |  floor(CAST(coalesce((SELECT sum(contrib) FROM terms), 0)
+        |    AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000 AS chi2
+        |FROM tot t, med, k""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .localCheckpoint() // feeds the grain, the median, the table
+      val v = e.groupBy(col("c")).agg(count(lit(1)).as("l"))
+      val w = v.select(col("c"),
+        sum(col("l")).over(Window.orderBy(col("c"))).as("b"))
+      val tot = v.agg(sum(col("l")).as("n"))
+      // integer floor division — Column `/` is DOUBLE division, which
+      // shifts the rank by 0.5 for even N (caught by the oracle gate)
+      val med = w.crossJoin(broadcast(tot))
+        .filter(col("b") >= expr("(n + 1) div 2"))
+        .agg(min(col("c")).as("m"))
+      val gc = e.crossJoin(broadcast(med))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(when(col("c") > col("m"), 1L).otherwise(0L)).as("a_g"))
+        .localCheckpoint() // feeds the above-total and the terms
+      val ab = gc.agg(sum(col("a_g")).as("a_tot"))
+      val terms = gc.crossJoin(broadcast(tot)).crossJoin(broadcast(ab))
+        .filter(col("a_tot") > 0 && col("a_tot") < col("n"))
+        .select((
+          expr("""cast(cast(a_g * n - n_g * a_tot as decimal(38,0))
+                 |  * (a_g * n - n_g * a_tot) * 1000000
+                 |  div (cast(n as decimal(38,0)) * n_g * a_tot)
+                 |  as bigint)""".stripMargin)
+          + expr("""cast(cast((n_g - a_g) * n - n_g * (n - a_tot)
+                   |    as decimal(38,0))
+                   |  * ((n_g - a_g) * n - n_g * (n - a_tot)) * 1000000
+                   |  div (cast(n as decimal(38,0)) * n_g * (n - a_tot))
+                   |  as bigint)""".stripMargin)).as("contrib"))
+      val chi = terms.agg(coalesce(sum(col("contrib")), lit(0L)).as("s"))
+      val k = gc.agg(count(lit(1)).as("k"))
+      broadcast(tot).crossJoin(broadcast(med)).crossJoin(broadcast(k))
+        .crossJoin(broadcast(chi))
+        .select(col("n").as("n_rows"), col("m").as("median_cents"),
+          (col("k") - 1).as("df"),
+          (floor(col("s").cast("double") / 1000000 * 1000000 + lit(0.5))
+            / 1000000).as("chi2"))
+    },
+
+    // B184: COCHRAN-ARMITAGE TREND TEST (Cochran 1954; Armitage
+    // 1955) for a TREND in proportions across ordered groups —
+    // "does the purchase share of events rise through the week":
+    // groups = weekday 0-6 (Monday 0; epoch day 0 is a THURSDAY —
+    // the (day+3)%7 convention), scores s_i = weekday index, outcome
+    // = purchase vs not. B115/B147 ask IF the table associates;
+    // CA asks if the proportion moves MONOTONICALLY with the score —
+    // the dose-response test. Exact spelling: z = (N·Σsr − R·Σsn) ·
+    // √N / √(R·(N−R)·(N·Σs²n − (Σsn)²)) — every inner term an exact
+    // DECIMAL(38,0)/HUGEINT product of BIGINT sums, two IEEE sqrts,
+    // ONE division, 6dp floor. Scale shape: one 7-group keyed agg
+    // (map-side combined); everything after is 7 rows.
+    Q("cochran_armitage",
+      """WITH e AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7
+        |      AS wd,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        |  FROM events),
+        |g AS (
+        |  SELECT wd, CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(sum(x) AS BIGINT) AS r_i
+        |  FROM e GROUP BY wd),
+        |s AS (
+        |  SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |    CAST(sum(r_i) AS BIGINT) AS r,
+        |    CAST(sum(wd * r_i) AS BIGINT) AS sr,
+        |    CAST(sum(wd * n_i) AS BIGINT) AS sn,
+        |    CAST(sum(wd * wd * n_i) AS BIGINT) AS s2n
+        |  FROM g)
+        |SELECT n AS n_events, r AS n_purchases,
+        |  CASE WHEN r > 0 AND r < n
+        |    AND CAST(n AS HUGEINT) * s2n - CAST(sn AS HUGEINT) * sn > 0
+        |  THEN
+        |    floor(CAST(CAST(n AS HUGEINT) * sr - CAST(r AS HUGEINT) * sn
+        |        AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+        |      / sqrt(CAST(CAST(r AS HUGEINT) * (n - r)
+        |        * (CAST(n AS HUGEINT) * s2n - CAST(sn AS HUGEINT) * sn)
+        |        AS DOUBLE))
+        |      * 1000000 + 0.5) / 1000000 END AS z
+        |FROM s""".stripMargin) { (s, dir) =>
+      val g = table(s, dir, "events")
+        .select(expr("(ts div 1000000000 div 86400 + 3) % 7").as("wd"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+        .groupBy(col("wd"))
+        .agg(count(lit(1)).as("n_i"), sum(col("x")).as("r_i"))
+      val st = g.agg(sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+        sum(col("wd") * col("r_i")).as("sr"),
+        sum(col("wd") * col("n_i")).as("sn"),
+        sum(col("wd") * col("wd") * col("n_i")).as("s2n"))
+      // parenthesized as ONE expression: a continuation line that
+      // STARTS with `-` is a separate discarded unary-minus statement
+      // under Scala semicolon inference — the round-11 cochran bug
+      // (b silently became n·s2n; caught by the oracle gate)
+      val b = (col("n").cast("decimal(38,0)") * col("s2n")
+        - col("sn").cast("decimal(38,0)") * col("sn"))
+      st.select(col("n").as("n_events"), col("r").as("n_purchases"),
+        when(col("r") > 0 && col("r") < col("n") && b > 0,
+          floor((col("n").cast("decimal(38,0)") * col("sr")
+              - col("r").cast("decimal(38,0)") * col("sn")).cast("double")
+            * sqrt(col("n").cast("double"))
+            / sqrt((col("r").cast("decimal(38,0)") * (col("n") - col("r"))
+              * b).cast("double"))
+            * 1000000 + lit(0.5)) / 1000000).as("z"))
+    },
+
     // B147: CRAMÉR'S V EFFECT SIZE (Cramér 1946) for the segment ×
     // region contingency — the statistic the B115 chi-square test
     // should be read WITH (χ² grows with N, so at corpus scale

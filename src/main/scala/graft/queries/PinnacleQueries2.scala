@@ -1225,6 +1225,129 @@ object PinnacleQueries2 {
           coalesce(col("hit"), lit(0)).cast("int").as("in_bf"))
     },
 
+    // C141: BALANCED INTERLEAVING (Joachims SIGKDD 2002) of the C7b
+    // IVF and C7 LSH rankings — the ONLINE-eval primitive C125's RRF
+    // is the offline half of: RRF fuses two rankings into one list
+    // to SERVE; interleaving merges them so user clicks can JUDGE
+    // which ranker wins (the merged list alternates contributions,
+    // clicks credit the contributing side). Deterministic A-first
+    // variant (operators/Interleave.scala — the per-impression coin
+    // flip is a serving-time concern); the skip-duplicates process
+    // is inherently sequential (a priority-sort closed form provably
+    // disagrees once a duplicate skips), so both engines run the
+    // SAME bounded fold: Spark `aggregate` over the two ≤10 arrays,
+    // DuckDB `list_reduce`, state = one BIGINT list with the source
+    // in the low bit. Composition: reuses the two ANN queries' plans
+    // and oracles verbatim (the C125 convention). Scale shape: two
+    // bounded ANN passes + a model-sized |Q|-row fold.
+    Q("interleaved_ranking", {
+      val ivf = DedupQueries.all.find(_.name == "ann_ivf_topk").get
+        .oracle.get
+      val lsh = DedupQueries.all.find(_.name == "ann_lsh_topk").get
+        .oracle.get
+      def np(side: String) =
+        s"list_filter($side, x -> NOT list_contains(list_transform(acc, y -> y // 2), x))"
+      val ra = np("ab.a")
+      val rb = np("ab.b")
+      s"""WITH ivf AS (SELECT * FROM ($ivf)),
+         |lsh AS (SELECT * FROM ($lsh)),
+         |la AS (SELECT query_id, list(id ORDER BY rnk) AS a
+         |       FROM ivf GROUP BY 1),
+         |lb AS (SELECT query_id, list(id ORDER BY rnk) AS b
+         |       FROM lsh GROUP BY 1),
+         |ab AS (SELECT la.query_id, la.a, lb.b
+         |       FROM la JOIN lb USING (query_id)),
+         |m AS (
+         |  SELECT query_id,
+         |    list_reduce(
+         |      list_prepend(CAST([] AS BIGINT[]),
+         |        list_transform(range(len(ab.a) + len(ab.b)),
+         |          t -> CAST([] AS BIGINT[]))),
+         |      (acc, e) -> CASE
+         |        WHEN len($ra) = 0 AND len($rb) = 0 THEN acc
+         |        WHEN (len(acc) % 2 = 0 AND len($ra) > 0)
+         |          OR len($rb) = 0
+         |          THEN list_append(acc, ($ra)[1] * 2)
+         |        ELSE list_append(acc, ($rb)[1] * 2 + 1) END) AS enc
+         |  FROM ab),
+         |ex AS (
+         |  SELECT query_id, unnest(enc) AS e,
+         |    unnest(range(1, len(enc) + 1)) AS pos
+         |  FROM m)
+         |SELECT query_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(e // 2 AS BIGINT) AS id,
+         |  CASE WHEN e % 2 = 0 THEN 'ivf' ELSE 'lsh' END AS src
+         |FROM ex""".stripMargin
+    }) { (s, dir) =>
+      def rankedIds(name: String, out: String) =
+        DedupQueries.all.find(_.name == name).get.spark(s, dir)
+          .groupBy(col("query_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("rnk"), col("id")))),
+            x => x.getField("id")).as(out))
+      val m = rankedIds("ann_ivf_topk", "a")
+        .join(rankedIds("ann_lsh_topk", "b"), Seq("query_id"))
+        .select(col("query_id"),
+          graft.operators.Interleave.merged(col("a"), col("b")).as("enc"))
+      m.select(col("query_id"), posexplode(col("enc")).as(Seq("p", "e")))
+        .select(col("query_id"), (col("p") + 1).cast("long").as("pos"),
+          graft.operators.Interleave.decodeId(col("e")).as("id"),
+          graft.operators.Interleave.decodeSrc(col("e"), "ivf", "lsh")
+            .as("src"))
+    },
+
+    // C142: ATTRIBUTE-FILTERED IVF SEARCH — the production
+    // vector-store feature every RAG stack needs ("nearest neighbors
+    // WHERE label matches") and the reason stores implement
+    // filter-DURING-search natively: post-filtering a k-list returns
+    // fewer than k (or misses everything when the filter is
+    // selective), pre-filtering rebuilds the index per predicate;
+    // in-search filtering prunes the probed candidate scan and still
+    // returns the true top-k of the filtered sub-corpus (assignment
+    // is per-vector, so the filtered candidates are exactly the
+    // filtered cells' members). Predicate pinned: label < 4 (~25%
+    // of the corpus). Exactness: the C7b closed-form oracle with the
+    // label carried through assignment and the same filter on the
+    // candidate side. Scale shape: the probed-cell join with a
+    // pruned candidate scan — strictly cheaper than ann_ivf_topk.
+    Q("ann_filtered_search", {
+      val d2 = "list_dot_product(%s, %s) - 2 * list_dot_product(%s, c.cv) + list_dot_product(c.cv, c.cv)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, v, label, cid FROM (
+         |    SELECT e.vec_id, e.v, e.label, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${d2.format("e.v", "e.v", "e.v")}, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${d2.format("q.qv", "q.qv", "q.qv")}, c.cid) AS rn
+         |    FROM q, cent c) WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS id,
+         |    round(list_dot_product(p.qv, a.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+         |  FROM asg a JOIN probes p USING (cid)
+         |  WHERE a.vec_id <> p.query_id AND a.label < 4)
+         |SELECT query_id, id, cosine, rnk FROM (
+         |  SELECT query_id, id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 10""".stripMargin
+    }) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      val cents = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      graft.operators.VectorOps.ivfTopKFiltered(
+        vecs, vecs.filter(col("vec_id") < 5), cents,
+        "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3,
+        carryCols = Seq("label"), keep = col("label") < 4)
+    },
+
     // B169: PARTIAL CORRELATION (Fisher 1924's r_xy·z) between the
     // daily purchase and view series CONTROLLING FOR TIME — "do the
     // two streams co-move beyond both just trending": r_xy·z =

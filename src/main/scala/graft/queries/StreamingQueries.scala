@@ -2190,6 +2190,65 @@ object StreamingQueries {
             .as("decayed"))
     },
 
+    // D51: STREAMING DECAYED TOP-K — the live "who is hot RIGHT NOW"
+    // leaderboard (trending users per event type), composing D37's
+    // additive day-decay discipline with the B39 bounded-heap top-k:
+    // live state is per (type, user, day) exact counts (additive —
+    // merges commute under any batch split; O(active user-days),
+    // never the raw stream); the read-out decays every user's day
+    // histogram to the corpus max day T with the D37 scaled-BIGINT
+    // weights (cnt·2^(32−(T−d)), 32-day horizon, shifts not pow —
+    // exact), then ranks users per type through TopKPerKey's bounded
+    // heaps (map-side combined, never a per-type window sort of the
+    // user population). Ties pinned (score desc, user_id). Scale
+    // shape: one stateful keyed count + a user-grain decay agg + the
+    // bounded-heap top-3.
+    Q("streaming_topk_decay",
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |b AS (SELECT event_type, user_id, day,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT max(day) AS td FROM b),
+        |s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN t.td - day <= 32
+        |      THEN cnt * (CAST(1 AS BIGINT) << CAST(32 - (t.td - day) AS INT))
+        |      ELSE 0 END) AS BIGINT) AS decayed_scaled
+        |  FROM b, t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n_events, decayed_scaled,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY decayed_scaled DESC, user_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT event_type, rnk, user_id, n_events, decayed_scaled,
+        |  round(CAST(decayed_scaled AS DOUBLE) / 4294967296.0, 6) AS decayed
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val ev = tableStream(s, dir, "events").select(col("event_type"),
+        col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      val binned = ev.groupBy(col("event_type"), col("user_id"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val snap = runToMemory(s, binned, "graft_stream_topkdecay",
+        mode = "complete").localCheckpoint()
+      val t = snap.agg(max(col("day")).as("td"))
+      val scored = snap.crossJoin(broadcast(t))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("cnt")).as("n_events"),
+          sum(when(col("td") - col("day") <= 32,
+            col("cnt") * expr("shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(32 - (td - day) AS INT))"))
+            .otherwise(0L)).as("decayed_scaled"))
+      graft.plans.TopK.perKey(scored, Seq("event_type"),
+          Seq(("decayed_scaled", false), ("user_id", true)), 3)
+        .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+          col("user_id"), col("n_events"), col("decayed_scaled"),
+          round(col("decayed_scaled").cast("double") / 4294967296.0, 6)
+            .as("decayed"))
+    },
+
     // D38: STREAMING DDSketch QUANTILES — B108's relative-error
     // decimal sketch as LIVE per-key state, completing the pair with
     // D33 (fixed equi-width bins, ABSOLUTE error): per event_type the

@@ -47,6 +47,114 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
 
+    // C140: RAG CHUNK SPLIT — the retrieval-ingestion primitive
+    // (fixed-size token windows with overlap; every RAG/embedding
+    // pipeline runs exactly this before the embed step, and chunk
+    // boundaries must be REPRODUCIBLE or the vector store and the
+    // source corpus drift apart): windows of 64 whitespace tokens
+    // (the C11 token grain) at stride 48 (16-token overlap), last
+    // window keeps the tail. Chunk count = 1 for n ≤ 64 else
+    // 1 + ⌈(n−64)/48⌉ = 1 + (n−17) div 48 — EXACT integer algebra
+    // identical in both engines; chunk char width is the length of
+    // the space-joined token slice (integer, exact both sides —
+    // norm has single spaces). Scale shape: map-only explode,
+    // chunks/doc bounded by doc length — token-linear, the C16
+    // class; no shuffle at all.
+    Q("rag_chunk_split",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |c AS (SELECT doc_id, toks, n,
+         |  CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 17) // 48 END AS nc
+         |  FROM n),
+         |x AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(i * 48 AS BIGINT) AS tok_start,
+         |  CAST(least(i * 48 + 64, n) AS BIGINT) AS tok_end,
+         |  CAST(least(64, n - i * 48) AS BIGINT) AS n_tok,
+         |  CAST(length(array_to_string(
+         |    toks[CAST(i * 48 + 1 AS INT):CAST(least(i * 48 + 64, n) AS INT)],
+         |    ' ')) AS BIGINT) AS n_chars,
+         |  toks[CAST(i * 48 + 1 AS INT)] AS first_tok,
+         |  toks[CAST(least(i * 48 + 64, n) AS INT)] AS last_tok
+         |FROM x""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), TF.wsTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          when(col("n") <= 64, 1L)
+            .otherwise(lit(1L) + expr("(n - 17) div 48")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("i"))
+      val start = col("i") * 48
+      val len = least(lit(64L), col("n") - start)
+      val chunk = slice(col("toks"), (start + 1).cast("int"), len.cast("int"))
+      t.select(col("doc_id"), col("i").as("chunk_idx"),
+        start.cast("long").as("tok_start"),
+        (start + len).cast("long").as("tok_end"),
+        len.cast("long").as("n_tok"),
+        length(array_join(chunk, " ")).cast("long").as("n_chars"),
+        element_at(col("toks"), (start + 1).cast("int")).as("first_tok"),
+        element_at(col("toks"), (start + len).cast("int")).as("last_tok"))
+    },
+
+    // C143: CHUNK-GRAIN DEDUP STATS — the boilerplate mass audit at
+    // the RETRIEVAL grain (C140's chunks are what gets embedded and
+    // stored; repeated chunks — headers, footers, navigation — cost
+    // vector-store space AND poison retrieval with duplicate hits,
+    // so this per-source ratio decides where chunk-dedup pays):
+    // per source, total chunks vs distinct chunk TEXTS, removable
+    // mass = n − distinct, ratio 6dp. Engine spelling: Spark
+    // shuffles 8-byte xxhash64 chunk keys, never the ~300-char
+    // strings (the C132 discipline — collision probability ~n²/2⁶⁴,
+    // the documented fingerprint convention); the oracle groups the
+    // chunk STRINGS (the specification). Scale shape: the C140
+    // map-only explode + one keyed distinct-count — linear shuffles
+    // on fixed-width keys.
+    Q("chunk_dedup_stats",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, source, toks,
+         |        CAST(len(toks) AS BIGINT) AS n FROM t),
+         |c AS (SELECT doc_id, source, toks, n,
+         |  CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 17) // 48 END AS nc
+         |  FROM n),
+         |x AS (SELECT source,
+         |  array_to_string(
+         |    toks[CAST(i * 48 + 1 AS INT):CAST(least(i * 48 + 64, n) AS INT)],
+         |    ' ') AS chunk
+         |  FROM (SELECT source, toks, n, unnest(range(nc)) AS i FROM c)),
+         |st AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct
+         |  FROM x GROUP BY source)
+         |SELECT source, n_chunks, n_distinct,
+         |  n_chunks - n_distinct AS n_removable,
+         |  floor(CAST(n_chunks - n_distinct AS DOUBLE) / n_chunks
+         |    * 1000000 + 0.5) / 1000000 AS dup_ratio
+         |FROM st""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("source"), TF.wsTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          when(col("n") <= 64, 1L)
+            .otherwise(lit(1L) + expr("(n - 17) div 48")))
+        .select(col("source"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("i"))
+      val start = col("i") * 48
+      val len = least(lit(64L), col("n") - start)
+      val chunks = t.select(col("source"),
+        xxhash64(array_join(
+          slice(col("toks"), (start + 1).cast("int"), len.cast("int")),
+          " ")).as("ch"))
+      chunks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("ch")).as("n_distinct"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          (col("n_chunks") - col("n_distinct")).as("n_removable"),
+          (floor((col("n_chunks") - col("n_distinct")).cast("double")
+            / col("n_chunks") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("dup_ratio"))
+    },
+
     // C11: token counting — whitespace tokens + BPE-ish subword runs.
     Q("text_tokencount",
       s"""SELECT doc_id,

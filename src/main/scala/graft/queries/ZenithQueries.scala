@@ -965,6 +965,102 @@ object ZenithQueries {
             * 1000000 + lit(0.5)) / 1000000).as("theil_u1"))
     },
 
+    // B185: SES ALPHA SWEEP — grid model selection for simple
+    // exponential smoothing (the missing step between B48's
+    // fixed-alpha EWMA and B136's fixed-alpha Holt-Winters: which
+    // alpha actually fits THIS series?): eight alpha = a/16,
+    // a in {1,2,4,6,8,10,12,14}, each running a one-step-ahead SES
+    // fold over the zero-filled daily cents grid (level seeded on
+    // day 1, errors scored from day 2), reporting SSE + MAE with the
+    // arg-min flagged. EXACT spelling — the INTEGER-QUANTIZED SES
+    // recursion l' = ((16-a)*l + a*v) div 16 (floor; level error vs
+    // real SES bounded by 1 cent/step, irrelevant to ranking alphas
+    // and worth the determinism: a raw double fold diverged by 1 ULP
+    // cross-engine at sf0.1, where ULP(SSE~4e12) > the 6dp grid):
+    // e = v - l exact BIGINT, SSE = sum e^2 in DECIMAL(38,0)/HUGEINT
+    // (~2.4e23 at the x1000 clone scale - inside 38 digits,
+    // ANSI-loud past), MAE one exact division 6dp, arg-min decided
+    // on exact integers. Scale shape: one keyed day agg; 8
+    // calendar-sized folds.
+    Q("ewma_alpha_sweep", {
+      val v = "h.vs[CAST(r.i + 1 AS INT)]"
+      s"""WITH RECURSIVE e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT day, CAST(sum(c) AS BIGINT) AS v FROM e GROUP BY day),
+        |sp AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |grid AS (SELECT unnest(range(mn, mx + 1)) AS day FROM sp),
+        |z AS (SELECT grid.day, CAST(coalesce(d.v, 0) AS BIGINT) AS v
+        |      FROM grid LEFT JOIN d USING (day)),
+        |hw AS (SELECT list(v ORDER BY day) AS vs,
+        |         CAST(count(*) AS BIGINT) AS n FROM z),
+        |al AS (SELECT unnest([1, 2, 4, 6, 8, 10, 12, 14]) AS a16),
+        |rec AS (
+        |  SELECT al.a16, CAST(1 AS BIGINT) AS i,
+        |    CAST(h.vs[1] AS BIGINT) AS l,
+        |    CAST(0 AS HUGEINT) AS sse, CAST(0 AS BIGINT) AS sae
+        |  FROM al, hw h
+        |  UNION ALL
+        |  SELECT r.a16, r.i + 1,
+        |    CAST(((16 - r.a16) * r.l + r.a16 * $v) // 16 AS BIGINT),
+        |    r.sse + CAST($v - r.l AS HUGEINT) * ($v - r.l),
+        |    r.sae + abs($v - r.l)
+        |  FROM rec r, hw h WHERE r.i < h.n),
+        |fin AS (SELECT r.* FROM rec r, hw h WHERE r.i = h.n),
+        |rk AS (
+        |  SELECT a16, sse, sae,
+        |    row_number() OVER (ORDER BY sse, a16) AS rnk
+        |  FROM fin)
+        |SELECT a16 / 16.0 AS alpha, h.n AS n_days,
+        |  CAST(sse AS DOUBLE) AS sse,
+        |  CASE WHEN h.n > 1 THEN
+        |    floor(CAST(sae AS DOUBLE) / (h.n - 1) * 1000000 + 0.5)
+        |      / 1000000 END AS mae,
+        |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INT) AS best
+        |FROM rk, hw h""".stripMargin
+    }) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val grid = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      val series = grid.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("day"), col("v")))),
+          dv => dv.getField("v")).as("vs"))
+        .select(col("vs"), size(col("vs")).cast("long").as("n"))
+      val alphas = Seq(1, 2, 4, 6, 8, 10, 12, 14)
+      val swept = series.select(col("vs"), col("n"),
+          explode(array(alphas.map(a => lit(a)): _*)).as("a16"))
+        .select(col("a16"), col("n"),
+          aggregate(
+            expr("slice(vs, 2, greatest(cast(size(vs) as int) - 1, 0))"),
+            struct(element_at(col("vs"), 1).as("l"),
+              lit(BigDecimal(0)).cast("decimal(38,0)").as("sse"),
+              lit(0L).as("sae")),
+            (acc, v) => {
+              val e = v - acc.getField("l")
+              struct(
+                // floor-div by 16 as a shift (all terms non-negative)
+                shiftright((lit(16L) - col("a16")) * acc.getField("l")
+                  + col("a16") * v, 4).as("l"),
+                (acc.getField("sse") + e.cast("decimal(38,0)") * e)
+                  .cast("decimal(38,0)").as("sse"),
+                (acc.getField("sae") + abs(e)).as("sae"))
+            }).as("st"))
+      val rk = swept.withColumn("rnk",
+        row_number().over(Window.orderBy(col("st.sse"), col("a16"))))
+      rk.select((col("a16") / 16.0).as("alpha"), col("n").as("n_days"),
+        col("st.sse").cast("double").as("sse"),
+        when(col("n") > 1,
+          floor(col("st.sae").cast("double") / (col("n") - 1)
+            * 1000000 + lit(0.5)) / 1000000).as("mae"),
+        when(col("rnk") === 1, 1).otherwise(0).cast("int").as("best"))
+    },
+
     // B181: CROSTON'S METHOD (Croston, OR Quarterly 1972) — the
     // INTERMITTENT-demand forecaster the smoothing family lacks:
     // B48/B109/B136 all treat zero days as demand of zero, which
