@@ -820,6 +820,223 @@ object ApexQueries {
               * 1000000 + lit(0.5)) / 1000000).as("z"))
     },
 
+    // B186: WELCH'S ANOVA (Welch, Biometrika 1951) of order value
+    // across the five priorities — the UNEQUAL-VARIANCE k-group test
+    // B131 cannot be (classic ANOVA's pooled variance is wrong the
+    // moment group spreads differ — B130 exists precisely to detect
+    // that; Welch's F* weights each group by n_g/s²_g and is the
+    // test to reach for when B130 rejects). Exactness: per-group
+    // sufficient stats (n, Σc, Σc²) are exact integers; w_g =
+    // n_g²(n_g−1)/(n_g·Q_g − S_g²) and m_g = S_g/n_g are ONE
+    // division each off exact DECIMAL(38,0) terms; everything after
+    // runs as g-ASCENDING ORDERED FOLDS from 0.0 (the cramers_v
+    // convention — unordered double sums would hang on engine add
+    // order): W, Σwm, then A = Σw(m−m̄)²/(k−1) and Λ =
+    // Σ(1−w/W)²/(n_g−1), F* = A/(1 + 2(k−2)/(k²−1)·Λ), Welch df2 =
+    // (k²−1)/(3Λ); 6dp floors at the end. Groups need n_g ≥ 2 and
+    // positive variance (documented precondition; degenerate groups
+    // are excluded on both sides). Scale shape: one keyed agg
+    // (map-side combined); the folds are k-sized.
+    Q("welch_anova",
+      """WITH e AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |gs AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+        |  FROM e GROUP BY g),
+        |gw AS (
+        |  SELECT g, n,
+        |    CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)
+        |      / CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE) AS w,
+        |    CAST(s AS DOUBLE) / n AS m
+        |  FROM gs
+        |  WHERE n > 1 AND n * q - CAST(s AS HUGEINT) * s > 0),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM gw),
+        |f1 AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(w ORDER BY g)), (a, v) -> a + v) AS bigw,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(w * m ORDER BY g)), (a, v) -> a + v) AS wm
+        |  FROM gw),
+        |f2 AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(w * (m - f1.wm / f1.bigw) * (m - f1.wm / f1.bigw)
+        |        ORDER BY g)), (a, v) -> a + v) AS aterm,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((1.0 - w / f1.bigw) * (1.0 - w / f1.bigw) / (n - 1)
+        |        ORDER BY g)), (a, v) -> a + v) AS lam
+        |  FROM gw, f1 GROUP BY f1.wm, f1.bigw)
+        |SELECT k.k AS n_groups,
+        |  CASE WHEN k.k > 1 THEN
+        |    floor(f2.aterm / (k.k - 1)
+        |      / (1.0 + 2.0 * (k.k - 2) / (CAST(k.k AS DOUBLE) * k.k - 1)
+        |        * f2.lam)
+        |      * 1000000 + 0.5) / 1000000 END AS f_welch,
+        |  CASE WHEN f2.lam > 0 THEN
+        |    floor((CAST(k.k AS DOUBLE) * k.k - 1) / (3.0 * f2.lam)
+        |      * 1000000 + 0.5) / 1000000 END AS df2
+        |FROM k, f2""".stripMargin) { (s, dir) =>
+      val gs = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
+      val varNum = (col("n") * col("q")
+        - col("s").cast("decimal(38,0)") * col("s"))
+      val gw = gs
+        .filter(col("n") > 1 && varNum > 0)
+        .select(col("g"), col("n"),
+          ((col("n").cast("decimal(38,0)") * col("n") * (col("n") - 1))
+            .cast("double") / varNum.cast("double")).as("w"),
+          (col("s").cast("double") / col("n")).as("m"))
+        .localCheckpoint() // k, the folds, and the read-out share it
+      // g-ascending ordered folds on the k-row relation
+      val arr = gw
+        .agg(transform(sort_array(collect_list(struct(col("g"), col("w"),
+          col("m"), col("n")))), x => struct(x.getField("w").as("w"),
+          x.getField("m").as("m"), x.getField("n").as("n"))).as("gs"),
+          count(lit(1)).as("k"))
+      val bigw = aggregate(col("gs"), lit(0.0), (a, x) => a + x.getField("w"))
+      val wm = aggregate(col("gs"), lit(0.0),
+        (a, x) => a + x.getField("w") * x.getField("m"))
+      val withW = arr.select(col("gs"), col("k"), bigw.as("bigw"),
+        (wm / bigw).as("mbar"))
+      val aterm = aggregate(col("gs"), lit(0.0), (a, x) =>
+        a + x.getField("w") * (x.getField("m") - col("mbar"))
+          * (x.getField("m") - col("mbar")))
+      val lam = aggregate(col("gs"), lit(0.0), (a, x) =>
+        a + (lit(1.0) - x.getField("w") / col("bigw"))
+          * (lit(1.0) - x.getField("w") / col("bigw"))
+          / (x.getField("n") - 1))
+      withW.select(col("k").as("n_groups"), aterm.as("aterm"),
+          lam.as("lam"))
+        .select(col("n_groups"),
+          when(col("n_groups") > 1,
+            floor(col("aterm") / (col("n_groups") - 1)
+              / (lit(1.0) + lit(2.0) * (col("n_groups") - 2)
+                / (col("n_groups").cast("double") * col("n_groups") - 1)
+                * col("lam"))
+              * 1000000 + lit(0.5)) / 1000000).as("f_welch"),
+          when(col("lam") > 0,
+            floor((col("n_groups").cast("double") * col("n_groups") - 1)
+              / (lit(3.0) * col("lam"))
+              * 1000000 + lit(0.5)) / 1000000).as("df2"))
+    },
+
+    // B187: QUADE TEST (Quade, JASA 1979) — the block-design rank
+    // test that WEIGHTS blocks by how much is at stake in them:
+    // B149's Friedman treats a day where the five types' revenues
+    // differ by cents identically to one where they differ by
+    // thousands; Quade ranks the days by their value RANGE and
+    // weights each day's within-day ranks by that rank — the
+    // sensitive alternative when block sizes vary wildly (exactly
+    // this corpus). Exact spelling: within-day doubled tie-averaged
+    // ranks r2 (the B149 grain) and doubled range-ranks Q2 across
+    // days; S' = Q2·(r2 − (k+1)) exact BIGINT (the 1/4 of the
+    // textbook S cancels in F), T'_j = Σ_b S'; F = (n−1)·ΣT'² /
+    // (n·ΣS'² − ΣT'²) — EXACT HUGEINT integers into ONE division,
+    // 6dp floor; all-tied (denominator 0) → NULL. Scale shape: the
+    // B149 grid + one day-grain range rank; calendar×k-sized after
+    // the keyed agg.
+    Q("quade_test",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type AS ty,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |tys AS (SELECT DISTINCT ty FROM e),
+        |grid AS (
+        |  SELECT d.day, t.ty, CAST(coalesce(e.v, 0) AS BIGINT) AS v
+        |  FROM days d CROSS JOIN tys t
+        |  LEFT JOIN e ON e.day = d.day AND e.ty = t.ty),
+        |vc AS (
+        |  SELECT day, v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (PARTITION BY day ORDER BY v)
+        |      AS BIGINT) - CAST(count(*) AS BIGINT) AS cb
+        |  FROM grid GROUP BY day, v),
+        |r AS (
+        |  SELECT g.day, g.ty, 2 * vc.cb + vc.cnt + 1 AS r2
+        |  FROM grid g JOIN vc ON vc.day = g.day AND vc.v = g.v),
+        |rng AS (
+        |  SELECT day, max(v) - min(v) AS rg FROM grid GROUP BY day),
+        |rc AS (
+        |  SELECT rg, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (ORDER BY rg) AS BIGINT)
+        |      - CAST(count(*) AS BIGINT) AS cb
+        |  FROM rng GROUP BY rg),
+        |qd AS (
+        |  SELECT rng.day, 2 * rc.cb + rc.cnt + 1 AS q2
+        |  FROM rng JOIN rc USING (rg)),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT ty) AS BIGINT) AS k FROM r),
+        |sp AS (
+        |  SELECT r.ty, CAST(qd.q2 * (r.r2 - (d.k + 1)) AS BIGINT) AS s
+        |  FROM r JOIN qd USING (day), dims d),
+        |tj AS (SELECT ty, CAST(sum(s) AS BIGINT) AS t FROM sp GROUP BY ty),
+        |agg AS (
+        |  SELECT
+        |    (SELECT CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) FROM sp)
+        |      AS ss,
+        |    (SELECT CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) FROM tj)
+        |      AS st)
+        |SELECT d.n AS n_days, d.k AS n_types,
+        |  CASE WHEN d.n * agg.ss - agg.st > 0 THEN
+        |    floor(CAST((d.n - 1) * agg.st AS DOUBLE)
+        |      / CAST(d.n * agg.ss - agg.st AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS f_quade
+        |FROM dims d, agg""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"),
+          col("event_type").as("ty"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("day"), col("ty")).agg(sum(col("c")).as("v"))
+        .localCheckpoint() // feeds days, types, and the grid
+      val days = e.select(col("day")).distinct()
+      val tys = e.select(col("ty")).distinct()
+      val grid = days.crossJoin(broadcast(tys))
+        .join(e, Seq("day", "ty"), "left")
+        .select(col("day"), col("ty"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint() // within-day ranks + day ranges read it
+      val vc = grid.groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", sum(col("cnt")).over(
+          Window.partitionBy(col("day")).orderBy(col("v"))) - col("cnt"))
+      val r = grid.join(vc, Seq("day", "v"))
+        .select(col("day"), col("ty"),
+          (col("cb") * 2 + col("cnt") + 1).as("r2"))
+      val rng = grid.groupBy(col("day"))
+        .agg((max(col("v")) - min(col("v"))).as("rg"))
+      val rc = rng.groupBy(col("rg")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cb",
+          sum(col("cnt")).over(Window.orderBy(col("rg"))) - col("cnt"))
+      val qd = rng.join(rc, Seq("rg"))
+        .select(col("day"), (col("cb") * 2 + col("cnt") + 1).as("q2"))
+      val dims = r.agg(countDistinct(col("day")).as("n"),
+        countDistinct(col("ty")).as("k"))
+      val sp = r.join(qd, Seq("day")).crossJoin(broadcast(dims))
+        .select(col("ty"),
+          (col("q2") * (col("r2") - (col("k") + 1))).as("s"))
+        .localCheckpoint() // feeds ΣS'² and the per-type sums
+      val ss = sp.agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"))
+      val st = sp.groupBy(col("ty")).agg(sum(col("s")).as("t"))
+        .agg(sum(col("t").cast("decimal(38,0)") * col("t")).as("st"))
+      broadcast(dims).crossJoin(broadcast(ss)).crossJoin(broadcast(st))
+        .select(col("n").as("n_days"), col("k").as("n_types"),
+          when(col("n") * col("ss") - col("st") > 0,
+            floor(((col("n") - 1) * col("st")).cast("double")
+              / (col("n") * col("ss") - col("st")).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("f_quade"))
+    },
+
     // B183: MOOD'S MEDIAN TEST (Mood 1950; Brown & Mood 1951) of
     // order value across the five priorities — the robust k-group
     // location test that survives what wrecks B131's ANOVA (heavy

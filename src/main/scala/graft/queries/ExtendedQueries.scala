@@ -1028,6 +1028,47 @@ object ExtendedQueries {
           round(sum(col("l_extendedprice")), 2).as("sample_price_sum"))
     },
 
+    // C148: STRATIFIED K-FOLD SPLIT (round 11) — the deterministic
+    // 5-fold assignment stratified by source that C102's CV loop and
+    // C72's train/eval split presuppose (a fold must be reproducible
+    // across runs, partitionings, and engines, and stratification
+    // keeps every source's mix constant per fold — random splits
+    // leak source skew into fold variance): fold = Knuth-
+    // multiplicative hash of doc_id mod 5 (the B38 seedless integer
+    // spelling, oracle-exact at the SET level), audited per
+    // (source, fold) with doc counts, char mass, and the fold's
+    // share of its stratum (ONE division, 6dp). Scale shape: one
+    // map-only hash + a keyed count; the audit is sources×5 rows.
+    Q("stratified_kfold_split",
+      """WITH f AS (
+        |  SELECT source, n_chars,
+        |    ((doc_id % 1000003) * 2654435761 + 7) % 5 AS fold
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, fold, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM f GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot
+        |      FROM c GROUP BY source)
+        |SELECT c.source, CAST(c.fold AS BIGINT) AS fold, c.n_docs,
+        |  c.chars,
+        |  floor(CAST(c.n_docs AS DOUBLE) / t.tot * 1000000 + 0.5)
+        |    / 1000000 AS share
+        |FROM c JOIN t USING (source)""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          (((col("doc_id") % 1000003L) * 2654435761L + 7L) % 5L).as("fold"))
+        .groupBy(col("source"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .localCheckpoint() // the stratum totals and the audit read it
+      val t = c.groupBy(col("source")).agg(sum(col("n_docs")).as("tot"))
+      c.join(broadcast(t), Seq("source"))
+        .select(col("source"), col("fold").cast("long").as("fold"),
+          col("n_docs"), col("chars"),
+          (floor(col("n_docs").cast("double") / col("tot") * lit(1000000)
+            + lit(0.5)) / lit(1000000)).as("share"))
+    },
+
     // B43: explicit salted skew join — the hot-key escape hatch for
     // when AQE can't split (aggregation-free pipelines,
     // pre-partitioning for a downstream stage). The salted plan emits

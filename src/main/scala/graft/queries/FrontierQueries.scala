@@ -508,6 +508,72 @@ object FrontierQueries {
     // BOUNDED (16), the lead() window sorts ≤ 16 rows per item, the
     // shingle join is a capped equi-join — the MinHash-LSH
     // band-bucket shape — and the pair agg is keyed.
+    // C146: AUDIO VOICE-ACTIVITY SEGMENTS — the energy-gate VAD every
+    // speech-data pipeline runs before transcription/dedup (ITU-T
+    // G.729B's energy rule reduced to its deterministic core): a
+    // window is ACTIVE when its energy exceeds the item's mean
+    // window energy, and consecutive active windows group into
+    // SEGMENTS (gaps-and-islands) — the unit speech curation
+    // operates on, as C121's shots are for video. Determinism: the
+    // C98 window energies are exact dyadic rationals (multiples of
+    // 2⁻¹⁶, sums ≪ 2⁵³ — order-independent); the threshold compare
+    // runs CROSS-MULTIPLIED (e·n > Σe — exact, no mean division);
+    // segment energies are exact dyadic sums, 6dp display round.
+    // Scale shape: the C20 batched decode explode (map-only,
+    // bounded ≤ 16 windows/item) + per-doc windows over ≤ 16 rows +
+    // one keyed segment rollup.
+    Q("mm_audio_vad_segments",
+      s"""WITH ${MediaOracle.frameFeatureCtes(step = 1, maxFrames = 16L)},
+         |en AS (
+         |  SELECT doc_id, f, list_sum(feats) AS e FROM ft),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |    sum(e) AS te
+         |  FROM en GROUP BY doc_id),
+         |v AS (
+         |  SELECT en.doc_id, en.f, en.e,
+         |    row_number() OVER (PARTITION BY en.doc_id ORDER BY en.f)
+         |      AS rn
+         |  FROM en JOIN tot USING (doc_id)
+         |  WHERE en.e * tot.nw > tot.te),
+         |seg AS (
+         |  SELECT doc_id, f - rn AS grp,
+         |    CAST(min(f) AS BIGINT) AS start_f,
+         |    CAST(max(f) AS BIGINT) AS end_f,
+         |    CAST(count(*) AS BIGINT) AS n_windows,
+         |    round(sum(e), 6) AS energy
+         |  FROM v GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_f)
+         |    AS BIGINT) AS seg_idx,
+         |  start_f, end_f, n_windows, energy
+         |FROM seg""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val fr = graft.operators.Multimodal.sampleFrames(s,
+          graft.operators.Multimodal.asMedia(docs, "text")
+            .select(col("doc_id"), col("media")),
+          "doc_id", frameBytes = 64, everyN = 1)
+        .filter(col("frame_idx") < 16)
+      val en = fr.select(col("id").as("doc_id"), col("frame_idx").as("f"),
+        expr("aggregate(features, 0D, (a, y) -> a + y)").as("e"))
+        .localCheckpoint() // the item totals and the gate read it
+      val tot = en.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nw"), sum(col("e")).as("te"))
+      val v = en.join(tot, Seq("doc_id"))
+        .filter(col("e") * col("nw") > col("te"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"))))
+      val seg = v.groupBy(col("doc_id"), (col("f") - col("rn")).as("grp"))
+        .agg(min(col("f")).cast("long").as("start_f"),
+          max(col("f")).cast("long").as("end_f"),
+          count(lit(1)).as("n_windows"),
+          round(sum(col("e")), 6).as("energy"))
+      seg.select(col("doc_id"),
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("start_f"))).cast("long").as("seg_idx"),
+        col("start_f"), col("end_f"), col("n_windows"), col("energy"))
+    },
+
     Q("mm_audio_fingerprint",
       s"""WITH ${MediaOracle.frameFeatureCtes(step = 1, maxFrames = 16L)},
          |fpb AS (

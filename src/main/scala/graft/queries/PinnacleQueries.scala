@@ -210,6 +210,61 @@ object PinnacleQueries {
             .cast("int").as("correct"))
     },
 
+    // C147: LABEL-NOISE SCREEN — confident-learning-lite (Northcutt
+    // et al., JAIR 2021's counting core): a training point whose
+    // neighborhood votes CONFIDENTLY for a different label is a
+    // mislabel candidate — the data-quality pass that runs before
+    // any classifier training (C124 classifies; this AUDITS the
+    // labels themselves). Over the first 50 vectors: exact cosine
+    // top-10 neighbor votes; a point is confident noise when the
+    // majority label disagrees with its own label with ≥ 7/10 votes
+    // (pinned margin — a bare majority flags boundary points, not
+    // mislabels). Output per (true, voted) label pair: candidate
+    // counts + per-true-label noise rate, ONE division 6dp. Scale
+    // shape: the C123/C124 bounded-heap machinery verbatim;
+    // everything after model-sized.
+    Q("label_noise_screen",
+      s"""WITH ${topSql(50)},
+         |votes AS (
+         |  SELECT query_id, qlabel, lbl, CAST(count(*) AS BIGINT) AS votes
+         |  FROM top GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT query_id, qlabel, lbl, votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, lbl) AS vr
+         |  FROM votes),
+         |flag AS (
+         |  SELECT CAST(qlabel AS INT) AS true_label,
+         |    CAST(lbl AS INT) AS voted_label,
+         |    CASE WHEN lbl <> qlabel AND votes >= 7 THEN 1 ELSE 0 END
+         |      AS noisy
+         |  FROM best WHERE vr = 1)
+         |SELECT true_label, voted_label,
+         |  CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(sum(noisy) AS BIGINT) AS n_confident_noise,
+         |  floor(CAST(sum(noisy) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         |    / 1000000 AS noise_rate
+         |FROM flag GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val votes = sparkTop(s, dir, nq = 50)
+        .groupBy(col("query_id"), col("qlabel"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val best = votes.withColumn("vr",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("votes").desc, col("lbl"))))
+        .filter(col("vr") === 1)
+        .select(col("qlabel").cast("int").as("true_label"),
+          col("lbl").cast("int").as("voted_label"),
+          when(col("lbl") =!= col("qlabel") && col("votes") >= 7, 1L)
+            .otherwise(0L).as("noisy"))
+      best.groupBy(col("true_label"), col("voted_label"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("noisy")).as("n_confident_noise"))
+        .select(col("true_label"), col("voted_label"), col("n_points"),
+          col("n_confident_noise"),
+          (floor(col("n_confident_noise").cast("double") / col("n_points")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("noise_rate"))
+    },
+
     // B152: MANN-KENDALL trend test (Mann 1945, Kendall 1975) on the
     // daily-revenue series — the NONPARAMETRIC monotone-trend test
     // that needs no linearity (vs B73's OLS slope) and no rank

@@ -1225,6 +1225,80 @@ object PinnacleQueries2 {
           coalesce(col("hit"), lit(0)).cast("int").as("in_bf"))
     },
 
+    // C145: RECALL@K CURVE — the eval table every ANN deployment
+    // reads before picking an index (C123's MRR/MAP/NDCG judge
+    // RANKING quality; recall@k judges COVERAGE at each cutoff,
+    // which is what IVF probes / LSH bands actually trade): for
+    // k ∈ {1, 5, 10} and method ∈ {ivf, lsh}, the fraction of the
+    // brute-force top-k the method's top-k recovers, pooled over the
+    // query set. Exact: hit counts are integers off the three
+    // reused ANN plans/oracles (the C125 composition convention);
+    // recall = hits/(k·|Q|) ONE division 6dp. Scale shape: three
+    // bounded ANN passes + model-sized |Q|·k joins.
+    Q("retrieval_recall_curve", {
+      val ivf = DedupQueries.all.find(_.name == "ann_ivf_topk").get
+        .oracle.get
+      val lsh = DedupQueries.all.find(_.name == "ann_lsh_topk").get
+        .oracle.get
+      val bf = DedupQueries.all.find(_.name == "ann_bruteforce_topk").get
+        .oracle.get
+      s"""WITH ivf AS (SELECT * FROM ($ivf)),
+         |lsh AS (SELECT * FROM ($lsh)),
+         |bf AS (SELECT * FROM ($bf)),
+         |ap AS (
+         |  SELECT 'ivf' AS method, query_id, id, rnk FROM ivf
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, query_id, id, rnk FROM lsh),
+         |ks AS (SELECT unnest([1, 5, 10]) AS k),
+         |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+         |       FROM bf),
+         |hits AS (
+         |  SELECT a.method, ks.k, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ap a
+         |  JOIN ks ON a.rnk <= ks.k
+         |  JOIN bf b ON b.query_id = a.query_id AND b.id = a.id
+         |    AND b.rnk <= ks.k
+         |  GROUP BY 1, 2)
+         |SELECT ks.k AS k, m.method, nq.nq AS n_queries,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  floor(CAST(coalesce(h.hits, 0) AS DOUBLE) / (ks.k * nq.nq)
+         |    * 1000000 + 0.5) / 1000000 AS recall
+         |FROM ks CROSS JOIN (SELECT DISTINCT method FROM ap) m
+         |CROSS JOIN nq
+         |LEFT JOIN hits h ON h.k = ks.k AND h.method = m.method"""
+        .stripMargin
+    }) { (s, dir) =>
+      def ranked(name: String, tag: String) =
+        DedupQueries.all.find(_.name == name).get.spark(s, dir)
+          .select(lit(tag).as("method"), col("query_id"), col("id"),
+            col("rnk"))
+      val ap = ranked("ann_ivf_topk", "ivf")
+        .unionByName(ranked("ann_lsh_topk", "lsh"))
+      val bf = DedupQueries.all.find(_.name == "ann_bruteforce_topk").get
+        .spark(s, dir)
+        .select(col("query_id"), col("id"), col("rnk").as("brnk"))
+        .localCheckpoint() // nq and the hit join read it
+      val ks = s.range(0, 3).select(
+        element_at(array(lit(1L), lit(5L), lit(10L)),
+          (col("id") + 1).cast("int")).as("k"))
+      val nq = bf.agg(countDistinct(col("query_id")).as("nq"))
+      val hits = ap.crossJoin(broadcast(ks))
+        .filter(col("rnk") <= col("k"))
+        .join(bf, Seq("query_id", "id"))
+        .filter(col("brnk") <= col("k"))
+        .groupBy(col("method"), col("k"))
+        .agg(count(lit(1)).as("hits"))
+      val frame = ks.crossJoin(
+          ap.select(col("method")).distinct())
+        .crossJoin(broadcast(nq))
+      frame.join(hits, Seq("method", "k"), "left")
+        .select(col("k"), col("method"), col("nq").as("n_queries"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (floor(coalesce(col("hits"), lit(0L)).cast("double")
+            / (col("k") * col("nq")) * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("recall"))
+    },
+
     // C141: BALANCED INTERLEAVING (Joachims SIGKDD 2002) of the C7b
     // IVF and C7 LSH rankings — the ONLINE-eval primitive C125's RRF
     // is the offline half of: RRF fuses two rankings into one list

@@ -1354,6 +1354,84 @@ object TextQueries {
     // floor; off-diagonal rows carry the margins so the full matrix
     // is pinned, not just the diagonal). ONE map-only prediction
     // pass + a ≤ |langs|² count; margins on the model-sized matrix.
+    // C144: COHEN'S KAPPA for the language-ID screen (Cohen 1960) —
+    // the chance-corrected agreement C108's confusion matrix must be
+    // READ with (raw accuracy flatters any classifier on a skewed
+    // lang mix; κ subtracts the agreement a margin-matched random
+    // rater gets for free). Exact spelling off the SAME matrix:
+    // κ = (N·D − P)/(N² − P) with D = Σ diagonal, P = Σ_c row_c·col_c
+    // — all BIGINT/DECIMAL(38,0)/HUGEINT products, ONE division, 6dp
+    // floor; po/pe emitted alongside (each one division). Scale
+    // shape: the C108 map-only prediction pass + a ≤|langs|² count;
+    // everything after model-sized.
+    Q("langid_kappa", {
+      val predSql = s"""CASE WHEN regexp_matches(text,
+        | '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        | WHEN ${hitsSql(TF.EnStop)} = 0 AND ${hitsSql(TF.EsStop)} = 0
+        |   AND ${hitsSql(TF.DeStop)} = 0 AND ${hitsSql(TF.FrStop)} = 0
+        |   THEN 'und'
+        | WHEN ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.EsStop)}
+        |   AND ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.DeStop)}
+        |   AND ${hitsSql(TF.EnStop)} >= ${hitsSql(TF.FrStop)} THEN 'en'
+        | WHEN ${hitsSql(TF.EsStop)} >= ${hitsSql(TF.DeStop)}
+        |   AND ${hitsSql(TF.EsStop)} >= ${hitsSql(TF.FrStop)} THEN 'es'
+        | WHEN ${hitsSql(TF.DeStop)} >= ${hitsSql(TF.FrStop)} THEN 'de'
+        | ELSE 'fr' END""".stripMargin.replace("\n", "")
+      s"""WITH p AS (SELECT lang, $predSql AS lang_pred FROM documents),
+        |cells AS (SELECT lang, lang_pred,
+        |            CAST(count(*) AS BIGINT) AS n
+        |          FROM p GROUP BY lang, lang_pred),
+        |rt AS (SELECT lang AS c, CAST(sum(n) AS BIGINT) AS row_tot
+        |       FROM cells GROUP BY lang),
+        |ct AS (SELECT lang_pred AS c, CAST(sum(n) AS BIGINT) AS col_tot
+        |       FROM cells GROUP BY lang_pred),
+        |s AS (
+        |  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_docs,
+        |    (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cells
+        |     WHERE lang = lang_pred) AS d,
+        |    (SELECT CAST(coalesce(sum(CAST(rt.row_tot AS HUGEINT)
+        |       * ct.col_tot), 0) AS HUGEINT)
+        |     FROM rt JOIN ct USING (c)) AS p)
+        |SELECT n_docs, d AS n_agree,
+        |  floor(CAST(d AS DOUBLE) / n_docs * 1000000 + 0.5) / 1000000
+        |    AS po,
+        |  floor(CAST(p AS DOUBLE) / (CAST(n_docs AS HUGEINT) * n_docs)
+        |    * 1000000 + 0.5) / 1000000 AS pe,
+        |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - p > 0 THEN
+        |    floor(CAST(CAST(n_docs AS HUGEINT) * d - p AS DOUBLE)
+        |      / CAST(CAST(n_docs AS HUGEINT) * n_docs - p AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS kappa
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      val cells = table(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // margins, diagonal, and the total read it
+      val rt = cells.groupBy(col("lang").as("c"))
+        .agg(sum(col("n")).as("row_tot"))
+      val ct = cells.groupBy(col("lang_pred").as("c"))
+        .agg(sum(col("n")).as("col_tot"))
+      val tot = cells.agg(sum(col("n")).as("n_docs"))
+      val diag = cells.filter(col("lang") === col("lang_pred"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("d"))
+      val pexp = rt.join(ct, Seq("c"))
+        .agg(coalesce(sum(col("row_tot").cast("decimal(38,0)")
+          * col("col_tot")), lit(0).cast("decimal(38,0)")).as("p"))
+      val n2 = col("n_docs").cast("decimal(38,0)") * col("n_docs")
+      broadcast(tot).crossJoin(broadcast(diag)).crossJoin(broadcast(pexp))
+        .select(col("n_docs"), col("d").as("n_agree"),
+          (floor(col("d").cast("double") / col("n_docs") * 1000000
+            + lit(0.5)) / 1000000).as("po"),
+          (floor(col("p").cast("double") / n2.cast("double") * 1000000
+            + lit(0.5)) / 1000000).as("pe"),
+          when(n2 - col("p") > 0,
+            floor((col("n_docs").cast("decimal(38,0)") * col("d")
+                - col("p")).cast("double")
+              / (n2 - col("p")).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("kappa"))
+    },
+
     Q("langid_confusion", {
       val predSql = s"""CASE WHEN regexp_matches(text,
         | '[\\x{4e00}-\\x{9fff}]') THEN 'zh'

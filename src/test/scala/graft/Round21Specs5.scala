@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 fifth wave — plants: C147 label_noise_screen, C148
+  * stratified_kfold_split.
+  */
+class Round21Specs5 extends SparkTestBase {
+  import spark.implicits._
+
+  test("label_noise_screen: the planted mislabel is the only confident flag") {
+    val dir = java.nio.file.Files.createTempDirectory("noise").toString
+    // cluster X (ids 0-29) along (1000, i) — labels 1 except id 0,
+    // which is MISLABELED 2; cluster Y (ids 30-59) along (i, 1000) —
+    // labels 2. Queries are ids < 50 (all X + 20 Y).
+    val rows =
+      (0 to 29).map(i => (i.toLong, Array(1000f, i.toFloat),
+        if (i == 0) 2 else 1)) ++
+      (30 to 59).map(i => (i.toLong, Array((i - 30).toFloat, 1000f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("label_noise_screen")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("voted_label"))
+        -> ((r.getAs[Long]("n_points"), r.getAs[Long]("n_confident_noise"),
+          r.getAs[Double]("noise_rate")))).toMap
+    assert(got((2, 1)) == ((1L, 1L, 1.0)),
+      "the mislabeled X point must be confidently flagged")
+    assert(got((1, 1)) == ((29L, 0L, 0.0)))
+    assert(got((2, 2)) == ((20L, 0L, 0.0)))
+    assert(got.size == 3)
+  }
+
+  test("stratified_kfold_split matches a plain-Scala recompute of the hash folds") {
+    val dir = java.nio.file.Files.createTempDirectory("kfold").toString
+    val docs = (0L until 50L).map(i =>
+      (i, "text " + i, "en", if (i % 3 == 0) "web" else "book", 10L + i))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = docs
+      .groupBy(d => (d._4, ((d._1 % 1000003L) * 2654435761L + 7L) % 5L))
+      .map { case ((src, fold), ds) =>
+        (src, fold) -> ((ds.size.toLong, ds.map(_._5).sum)) }
+    val bySrc = docs.groupBy(_._4).map { case (s0, ds) => s0 -> ds.size }
+    val got = SparkEntry.queries("stratified_kfold_split")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("fold")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chars"),
+          r.getAs[Double]("share")))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, (n, chars)) =>
+      val (gn, gc, gs) = got(k)
+      assert(gn == n && gc == chars, s"$k")
+      assert(gs == math.floor(n.toDouble / bySrc(k._1) * 1e6 + 0.5) / 1e6)
+    }
+  }
+}
