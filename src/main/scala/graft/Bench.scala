@@ -565,8 +565,9 @@ object Bench {
     // No probe, by rationale: B184 cochran_armitage (one 7-group
     // map-side agg — the 2-cell-agg class); C144 langid_kappa (the
     // probed C108 map-only pass + a model-sized matrix); C145
-    // retrieval_recall_curve (three probed ANN plans + model-sized
-    // joins — the rank_fusion rationale).
+    // retrieval_recall_curve and C149 embedding_dim_truncation_eval
+    // (probed brute-force/ANN scan class + model-sized joins — the
+    // rank_fusion/retrieval_eval rationale).
     val newX100 = Seq(
       "ann_ivf_incremental", "rag_chunk_split",
       "ann_filtered_search", "cramer_von_mises", "chunk_dedup_stats",

@@ -922,6 +922,81 @@ object VectorQueries {
           lit(if (diffs == 0) 1 else 0).cast("int"))
     },
 
+    // C149: DIMENSION-TRUNCATION EVAL (the Matryoshka question —
+    // Kusupati et al. NeurIPS 2022: how much retrieval quality
+    // survives keeping only the first d' dimensions? — the eval run
+    // before shipping truncated embeddings to cut index cost 2-4×):
+    // for d' ∈ {16, 32, 64}, brute-force cosine top-10 on the
+    // truncated vectors vs the full-dimension top-10 truth, pooled
+    // recall per d' (d' = 64 is the built-in identity row — recall
+    // 1.0 by construction, a free self-check). Exact: sliced
+    // sequential-fold dots replay bit-identically (list slicing both
+    // engines), hits are integers, ONE division per row, 6dp. Scale
+    // shape: three bounded |Q|-broadcast corpus scans through
+    // TopKPerKey heaps + model-sized joins.
+    Q("embedding_dim_truncation_eval", {
+      def bfCte(tag: String, dp: Int) =
+        s"""sc_$tag AS (
+           |  SELECT q.query_id, e.vec_id AS id,
+           |    round(list_dot_product(q.qv[1:$dp], e.v[1:$dp])
+           |      / (sqrt(list_dot_product(q.qv[1:$dp], q.qv[1:$dp]))
+           |        * sqrt(list_dot_product(e.v[1:$dp], e.v[1:$dp]))), 6)
+           |      AS cosine
+           |  FROM e, q WHERE e.vec_id <> q.query_id),
+           |top_$tag AS (
+           |  SELECT query_id, id FROM (
+           |    SELECT query_id, id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, id) AS rnk
+           |    FROM sc_$tag) WHERE rnk <= 10)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |  WHERE vec_id < 5),
+         |${bfCte("d16", 16)},
+         |${bfCte("d32", 32)},
+         |${bfCte("d64", 64)},
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+         |h AS (
+         |  SELECT 16 AS dim, CAST(count(*) AS BIGINT) AS hits
+         |  FROM top_d16 t JOIN top_d64 f USING (query_id, id)
+         |  UNION ALL
+         |  SELECT 32, CAST(count(*) AS BIGINT)
+         |  FROM top_d32 t JOIN top_d64 f USING (query_id, id)
+         |  UNION ALL
+         |  SELECT 64, CAST(count(*) AS BIGINT)
+         |  FROM top_d64 t JOIN top_d64 f USING (query_id, id))
+         |SELECT CAST(h.dim AS INT) AS dim, nq.nq AS n_queries, h.hits,
+         |  floor(CAST(h.hits AS DOUBLE) / (10 * nq.nq) * 1000000 + 0.5)
+         |    / 1000000 AS recall
+         |FROM h, nq""".stripMargin
+    }) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint() // three truncated scans + the truth read it
+      def top(dp: Int) = {
+        val sliced = vecs.select(col("vec_id"),
+          slice(col("v"), 1, dp).as("vd"))
+        VectorOps.bruteForceTopK(sliced,
+            sliced.filter(col("vec_id") < 5), "vec_id", "vd", k = 10)
+          .select(col("query_id"), col("id"))
+      }
+      val full = top(64).localCheckpoint()
+      val nq = full.select(col("query_id")).distinct().count()
+      Seq(16, 32, 64).map { dp =>
+          val hits = (if (dp == 64) full else top(dp))
+            .join(full, Seq("query_id", "id")).count()
+          (dp, hits)
+        }.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          case (acc, (dp, hits)) =>
+            val row = s.range(1).select(lit(dp).cast("int").as("dim"),
+              lit(nq).as("n_queries"), lit(hits).as("hits"),
+              (floor(lit(hits).cast("double") / (10 * nq) * lit(1000000)
+                + lit(0.5)) / lit(1000000)).as("recall"))
+            Some(acc.map(_.unionByName(row)).getOrElse(row))
+        }.get
+    },
+
     // C18: elementwise per-label centroid.
     // C107: EMBEDDING OUTLIER DETECTION — distance-to-centroid
     // ranking (the curation screen that catches mis-embedded /

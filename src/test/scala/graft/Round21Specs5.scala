@@ -31,6 +31,32 @@ class Round21Specs5 extends SparkTestBase {
     assert(got.size == 3)
   }
 
+  test("embedding_dim_truncation_eval: identity row exact, truncated rows recomputed") {
+    import graft.operators.VectorOps
+    val got = SparkEntry.queries("embedding_dim_truncation_eval")(
+        spark, sfDir).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("hits"),
+          r.getAs[Double]("recall")))).toMap
+    assert(got.size == 3)
+    val (nq, h64, r64) = got(64)
+    assert(h64 == 10 * nq && r64 == 1.0, "dim-64 must be the identity row")
+    // independent recompute of the dim-16 row via raw operator calls
+    val vecs = GraftSession.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def ids(dp: Int) = {
+      val sl = vecs.select(col("vec_id"), slice(col("v"), 1, dp).as("vd"))
+      VectorOps.bruteForceTopK(sl, sl.filter(col("vec_id") < 5),
+          "vec_id", "vd", 10)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+        .toSet
+    }
+    val hits16 = (ids(16) intersect ids(64)).size.toLong
+    assert(got(16)._2 == hits16)
+    assert(got(16)._3 ==
+      math.floor(hits16.toDouble / (10 * nq) * 1e6 + 0.5) / 1e6)
+  }
+
   test("stratified_kfold_split matches a plain-Scala recompute of the hash folds") {
     val dir = java.nio.file.Files.createTempDirectory("kfold").toString
     val docs = (0L until 50L).map(i =>
