@@ -42,6 +42,36 @@ class Round21PlanSpec extends SparkTestBase {
       s"label filter not on the scan side below the probe join:\n$plan")
   }
 
+  test("welch_anova combines the k-group sufficient stats map-side") {
+    val plan = planOf("welch_anova")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"group stats reach the exchange un-combined:\n$plan")
+    assert(!plan.contains("o_orderdate"),
+      s"scan reads columns Welch never touches:\n$plan")
+  }
+
+  test("label_noise_screen votes through the bounded TopKPerKey heap") {
+    val plan = planOf("label_noise_screen")
+    assert(plan.contains("TopKPerKey"),
+      s"the corpus x |Q| score relation misses the bounded heap:\n$plan")
+  }
+
+  test("stratified_kfold_split is map-only into a combined keyed count") {
+    val plan = planOf("stratified_kfold_split")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"fold counts reach the exchange un-combined:\n$plan")
+    assert(!plan.contains("text#"),
+      s"scan reads the text column the fold hash never touches:\n$plan")
+  }
+
+  test("mm_audio_vad_segments windows partition per doc, never globally") {
+    val plan = planOf("mm_audio_vad_segments")
+    assert(!plan.contains("Window [") ||
+      !plan.split("\n").exists(l => l.contains("Window [")
+        && !l.contains("doc_id")),
+      s"a global (un-partitioned) window crept into the VAD plan:\n$plan")
+  }
+
   test("ann_ivf_incremental searches through dynamic partition pruning on the cell dirs") {
     val df = SparkEntry.queries("ann_ivf_incremental")(spark, sfDir)
     // the row itself is model-sized; the claim is about the final
