@@ -561,7 +561,9 @@ object Bench {
       // C147: brute-force |Q|×corpus scan (the retrieval_eval class)
       "label_noise_screen",
       // C148: map-only hash + keyed count (the blocklist_tag class)
-      "stratified_kfold_split")
+      "stratified_kfold_split",
+      // B188: value-grain prefix pass (the mannwhitney/cvm class)
+      "energy_distance")
     // No probe, by rationale: B184 cochran_armitage (one 7-group
     // map-side agg — the 2-cell-agg class); C144 langid_kappa (the
     // probed C108 map-only pass + a model-sized matrix); C145
@@ -571,7 +573,8 @@ object Bench {
     val newX100 = Seq(
       "ann_ivf_incremental", "rag_chunk_split",
       "ann_filtered_search", "cramer_von_mises", "chunk_dedup_stats",
-      "welch_anova", "quade_test", "mm_audio_vad_segments")
+      "welch_anova", "quade_test", "mm_audio_vad_segments",
+      "energy_distance")
 
     val x10Names =
       ((if (includeRetired) retiredX10 else Nil) ++ canaryX10 ++ newX10)

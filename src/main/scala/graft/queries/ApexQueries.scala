@@ -666,6 +666,116 @@ object ApexQueries {
               * 1000000 + lit(0.5)) / 1000000).as("cvm_stat"))
     },
 
+    // B188: ENERGY DISTANCE two-sample test (Székely & Rizzo 2004)
+    // between purchase and view values — the E-statistic family's
+    // answer to "do the distributions differ AT ALL" with full
+    // metric sensitivity (KS sees the worst CDF gap, CvM the
+    // integrated gap; energy distance is a strict metric on
+    // distributions: T = 0 iff equal): e = 2·E|X−Y| − E|X−X'| −
+    // E|Y−Y'|, T = n₁n₂/(n₁+n₂)·e. Exact spelling: every pairwise
+    // |·| sum collapses on the cents value grain via the prefix
+    // identity Σ_v cnt_a(v)·(2v·b_b(v) − 2s_b(v) + S_b − v·n_b) —
+    // prefix counts AND prefix value-sums of the grid, all
+    // DECIMAL(38,0)/HUGEINT integers; the final combination is a
+    // PINNED tree of four divisions of exact integers (the B186
+    // convention — a single common denominator overflows 38 digits
+    // at the ×1000 clone scale), 6dp floors. Scale shape: the B145
+    // grid + one value-grain prefix window carrying (count, v·count)
+    // prefixes for both samples.
+    Q("energy_distance",
+      """WITH e AS (
+        |  SELECT event_type = 'purchase' AS g1,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |v AS (
+        |  SELECT c, CAST(count(*) FILTER (g1) AS BIGINT) AS l1,
+        |    CAST(count(*) FILTER (NOT g1) AS BIGINT) AS l2
+        |  FROM e GROUP BY c),
+        |w AS (
+        |  SELECT c, l1, l2,
+        |    CAST(sum(l1) OVER (ORDER BY c) AS BIGINT) AS b1,
+        |    CAST(sum(l2) OVER (ORDER BY c) AS BIGINT) AS b2,
+        |    CAST(sum(c * l1) OVER (ORDER BY c) AS HUGEINT) AS s1,
+        |    CAST(sum(c * l2) OVER (ORDER BY c) AS HUGEINT) AS s2
+        |  FROM v),
+        |tot AS (
+        |  SELECT CAST(sum(l1) AS BIGINT) AS n1,
+        |    CAST(sum(l2) AS BIGINT) AS n2,
+        |    CAST(sum(c * l1) AS HUGEINT) AS t1,
+        |    CAST(sum(c * l2) AS HUGEINT) AS t2
+        |  FROM v),
+        |sums AS (
+        |  SELECT
+        |    sum(CAST(w.l1 AS HUGEINT)
+        |      * (2 * w.c * w.b2 - 2 * w.s2 + t.t2 - w.c * t.n2)) AS axy,
+        |    sum(CAST(w.l1 AS HUGEINT)
+        |      * (2 * w.c * w.b1 - 2 * w.s1 + t.t1 - w.c * t.n1)) AS axx,
+        |    sum(CAST(w.l2 AS HUGEINT)
+        |      * (2 * w.c * w.b2 - 2 * w.s2 + t.t2 - w.c * t.n2)) AS ayy
+        |  FROM w, tot t)
+        |SELECT t.n1, t.n2,
+        |  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |    floor((2.0 * (CAST(s.axy AS DOUBLE)
+        |        / (CAST(t.n1 AS DOUBLE) * t.n2))
+        |      - CAST(s.axx AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n1)
+        |      - CAST(s.ayy AS DOUBLE) / (CAST(t.n2 AS DOUBLE) * t.n2))
+        |      * 1000000 + 0.5) / 1000000 END AS e_stat,
+        |  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |    floor(CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2)
+        |      * (2.0 * (CAST(s.axy AS DOUBLE)
+        |          / (CAST(t.n1 AS DOUBLE) * t.n2))
+        |        - CAST(s.axx AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n1)
+        |        - CAST(s.ayy AS DOUBLE) / (CAST(t.n2 AS DOUBLE) * t.n2))
+        |      * 1000000 + 0.5) / 1000000 END AS t_stat
+        |FROM tot t, sums s""".stripMargin) { (s, dir) =>
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("l1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("l2"))
+        .localCheckpoint() // the prefix pass and the totals read it
+      val wDay = Window.orderBy(col("c"))
+      val w = v.select(col("c"), col("l1"), col("l2"),
+        sum(col("l1")).over(wDay).as("b1"),
+        sum(col("l2")).over(wDay).as("b2"),
+        sum((col("c") * col("l1")).cast("decimal(38,0)")).over(wDay)
+          .as("s1"),
+        sum((col("c") * col("l2")).cast("decimal(38,0)")).over(wDay)
+          .as("s2"))
+      val tot = v.agg(sum(col("l1")).as("n1"), sum(col("l2")).as("n2"),
+        sum((col("c") * col("l1")).cast("decimal(38,0)")).as("t1"),
+        sum((col("c") * col("l2")).cast("decimal(38,0)")).as("t2"))
+      def cross(lCnt: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column, sPre: org.apache.spark.sql.Column,
+          t: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        sum(lCnt.cast("decimal(38,0)")
+          * (col("c").cast("decimal(38,0)") * b * 2 - sPre * 2 + t
+            - col("c").cast("decimal(38,0)") * n))
+      val sums = w.crossJoin(broadcast(tot))
+        .agg(cross(col("l1"), col("b2"), col("s2"), col("t2"), col("n2"))
+            .as("axy"),
+          cross(col("l1"), col("b1"), col("s1"), col("t1"), col("n1"))
+            .as("axx"),
+          cross(col("l2"), col("b2"), col("s2"), col("t2"), col("n2"))
+            .as("ayy"))
+      val eStat = (lit(2.0) * (col("axy").cast("double")
+          / (col("n1").cast("double") * col("n2")))
+        - col("axx").cast("double")
+          / (col("n1").cast("double") * col("n1"))
+        - col("ayy").cast("double")
+          / (col("n2").cast("double") * col("n2")))
+      broadcast(tot).crossJoin(broadcast(sums))
+        .select(col("n1"), col("n2"),
+          when(col("n1") > 0 && col("n2") > 0,
+            floor(eStat * 1000000 + lit(0.5)) / 1000000).as("e_stat"),
+          when(col("n1") > 0 && col("n2") > 0,
+            floor(col("n1").cast("double") * col("n2")
+              / (col("n1") + col("n2")) * eStat
+              * 1000000 + lit(0.5)) / 1000000).as("t_stat"))
+    },
+
     // B180: CLIFF'S DELTA (Cliff, Psychological Bulletin 1993) —
     // the ORDINAL effect size for purchase vs view values: δ =
     // (#(x > y) − #(x < y)) / (n₁n₂) ∈ [−1, 1], the

@@ -57,6 +57,28 @@ class Round21Specs5 extends SparkTestBase {
       math.floor(hits16.toDouble / (10 * nq) * 1e6 + 0.5) / 1e6)
   }
 
+  test("energy_distance: singleton gap T = d, identical samples T = 0") {
+    def dir(xs: Seq[Double], ys: Seq[Double]) = {
+      val d = java.nio.file.Files.createTempDirectory("energy").toString
+      (xs.map(("purchase", _)) ++ ys.map(("view", _))).zipWithIndex
+        .map { case ((ty, v), i) =>
+          (i.toLong, 1L, ty, v, new java.sql.Timestamp(1000L * (i + 1))) }
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    // X = {1 cent}, Y = {3 cents}: e = 2·|1−3| = 4, T = (1/2)·4 = 2
+    val r1 = SparkEntry.queries("energy_distance")(
+      spark, dir(Seq(0.01), Seq(0.03))).collect().head
+    assert(r1.getAs[Double]("e_stat") == 4.0)
+    assert(r1.getAs[Double]("t_stat") == 2.0)
+    // identical two-point samples: the metric property pins T = 0
+    val r2 = SparkEntry.queries("energy_distance")(
+      spark, dir(Seq(0.01, 0.03), Seq(0.01, 0.03))).collect().head
+    assert(r2.getAs[Double]("e_stat") == 0.0)
+    assert(r2.getAs[Double]("t_stat") == 0.0)
+  }
+
   test("stratified_kfold_split matches a plain-Scala recompute of the hash folds") {
     val dir = java.nio.file.Files.createTempDirectory("kfold").toString
     val docs = (0L until 50L).map(i =>
