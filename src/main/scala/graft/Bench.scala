@@ -569,7 +569,8 @@ object Bench {
     // probed C108 map-only pass + a model-sized matrix); C145
     // retrieval_recall_curve and C149 embedding_dim_truncation_eval
     // (probed brute-force/ANN scan class + model-sized joins — the
-    // rank_fusion/retrieval_eval rationale).
+    // rank_fusion/retrieval_eval rationale); B189 km_median_survival
+    // (the probed B173 duration machinery + a death-day-grain pass).
     val newX100 = Seq(
       "ann_ivf_incremental", "rag_chunk_split",
       "ann_filtered_search", "cramer_von_mises", "chunk_dedup_stats",

@@ -1928,6 +1928,132 @@ object PinnacleQueries2 {
           (floor(col("s_raw") * 1000000 + lit(0.5)) / 1000000).as("s_km"))
     },
 
+    // B189: MEDIAN SURVIVAL TIME (round 11) — the single number every
+    // B173 Kaplan-Meier curve gets read for ("how long until half
+    // the cohort converts"): the first death day whose UNROUNDED
+    // survival product drops to ≤ 0.5 (the fold doubles are
+    // bit-identical across engines — the B173 contract — so the
+    // threshold compare is deterministic without any rounding
+    // grid), NULL when the curve never reaches 0.5 inside the
+    // horizon (reported with S at the horizon instead). Scale
+    // shape: B173's machinery verbatim; the extra pass is
+    // death-day-grain.
+    Q("km_median_survival",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |ue AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup'
+        |    THEN sec END) AS s_sec
+        |  FROM e GROUP BY 1),
+        |us AS (SELECT user_id, s_sec FROM ue WHERE s_sec IS NOT NULL),
+        |tm AS (SELECT max(sec) AS t_max FROM e),
+        |pu AS (
+        |  SELECT e.user_id, min(e.sec) AS p_sec
+        |  FROM e JOIN us ON us.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= us.s_sec
+        |  GROUP BY 1),
+        |durs AS (
+        |  SELECT us.user_id,
+        |    CASE WHEN pu.p_sec IS NOT NULL
+        |      THEN (pu.p_sec - us.s_sec) // 86400
+        |      ELSE (tm.t_max - us.s_sec) // 86400 END AS day,
+        |    CASE WHEN pu.p_sec IS NOT NULL THEN 1 ELSE 0 END AS died
+        |  FROM us LEFT JOIN pu ON us.user_id = pu.user_id, tm),
+        |gd AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_end,
+        |    CAST(sum(died) AS BIGINT) AS d
+        |  FROM durs GROUP BY 1),
+        |n0 AS (SELECT CAST(sum(n_end) AS BIGINT) AS n FROM gd),
+        |risk AS (
+        |  SELECT gd.day, gd.d,
+        |    n0.n - CAST(coalesce(sum(gd.n_end) OVER (ORDER BY gd.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM gd, n0),
+        |dd AS (SELECT day, d, n_risk FROM risk WHERE d > 0),
+        |terms AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list(day ORDER BY day) AS ds,
+        |    list(CAST(n_risk - d AS DOUBLE) / n_risk ORDER BY day) AS ts
+        |  FROM dd),
+        |km AS (
+        |  SELECT ds[CAST(i AS INT)] AS day,
+        |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      ts[1:CAST(i AS INT)]), (a, v) -> a * v) AS s_raw
+        |  FROM terms, unnest(range(1, CAST(k + 1 AS INT))) AS u(i)),
+        |med AS (SELECT min(day) AS md FROM km WHERE s_raw <= 0.5),
+        |tail AS (
+        |  SELECT min(s_raw) FILTER (WHERE day = (SELECT md FROM med))
+        |      AS sm,
+        |    min(s_raw) AS s_end -- S is nonincreasing: min = horizon S
+        |  FROM km),
+        |conv AS (SELECT CAST(sum(d) AS BIGINT) AS n_conv FROM dd)
+        |SELECT n0.n AS n_users, conv.n_conv AS n_converted,
+        |  CAST(med.md AS BIGINT) AS median_day,
+        |  floor(coalesce(tail.sm, tail.s_end) * 1000000 + 0.5) / 1000000
+        |    AS s_at_read
+        |FROM n0, conv, med, tail""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+        .localCheckpoint()
+      val us = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("sec")))
+          .as("s_sec"))
+        .filter(col("s_sec").isNotNull)
+      val tm = e.agg(max(col("sec")).as("t_max"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(us, Seq("user_id"))
+        .filter(col("sec") >= col("s_sec"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
+      val durs = us.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(tm))
+        .select(
+          when(col("p_sec").isNotNull, expr("(p_sec - s_sec) div 86400"))
+            .otherwise(expr("(t_max - s_sec) div 86400")).as("day"),
+          when(col("p_sec").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("died"))
+      val gd = durs.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_end"), sum(col("died")).as("d"))
+        .localCheckpoint()
+      val n0 = gd.agg(sum(col("n_end")).as("n"))
+      val risk = gd.crossJoin(broadcast(n0))
+        .withColumn("ended_before",
+          coalesce(sum(col("n_end")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("day"), col("d"),
+          (col("n") - col("ended_before")).as("n_risk"))
+        .filter(col("d") > 0)
+        .localCheckpoint() // the fold and the conversions read it
+      val conv = risk.agg(sum(col("d")).as("n_conv"))
+      val km = risk.agg(
+          transform(sort_array(collect_list(struct(col("day"),
+            struct(col("n_risk"), col("d")).as("v")))),
+            x => x.getField("v")).as("vs"),
+          sort_array(collect_list(col("day"))).as("ds"))
+        .select(explode(expr("sequence(1, size(ds))")).as("i"),
+          col("ds"), col("vs"))
+        .select(element_at(col("ds"), col("i")).as("day"),
+          aggregate(
+            expr("""transform(slice(vs, 1, i),
+              v -> cast(v.n_risk - v.d as double) / v.n_risk)"""),
+            lit(1.0), (a, v) => a * v).as("s_raw"))
+        .localCheckpoint() // median search + tail read it
+      val med = km.filter(col("s_raw") <= 0.5).agg(min(col("day")).as("md"))
+      val sAt = km.crossJoin(broadcast(med))
+        .agg(min(when(col("day") === col("md"), col("s_raw"))).as("sm"),
+          // S is nonincreasing: the min IS the horizon value
+          min(col("s_raw")).as("s_end"))
+      broadcast(n0).crossJoin(broadcast(conv)).crossJoin(broadcast(med))
+        .crossJoin(broadcast(sAt))
+        .select(col("n").as("n_users"), col("n_conv").as("n_converted"),
+          col("md").cast("long").as("median_day"),
+          (floor(coalesce(col("sm"), col("s_end")) * 1000000 + lit(0.5))
+            / 1000000).as("s_at_read"))
+    },
+
     // B174: TIME-DECAY ATTRIBUTION (the fourth member of the credit
     // family — B93 last-touch, B94 linear, B141 U-shaped, B148
     // Markov; industry half-life weighting): each purchase's cents

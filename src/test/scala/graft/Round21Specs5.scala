@@ -57,6 +57,27 @@ class Round21Specs5 extends SparkTestBase {
       math.floor(hits16.toDouble / (10 * nq) * 1e6 + 0.5) / 1e6)
   }
 
+  test("km_median_survival: S hits exactly 0.5 at the hand-solved day") {
+    val dir = java.nio.file.Files.createTempDirectory("kmmed").toString
+    // 4 signups day 0; u1 converts day 1 (S = 3/4), u2 day 2
+    // (S = 3/4 · 2/3 = 0.5 → median day 2); u3/u4 censored at day 10
+    val ev = Seq(
+      (1L, 1L, "signup", 0L), (2L, 2L, "signup", 0L),
+      (3L, 3L, "signup", 0L), (4L, 4L, "signup", 0L),
+      (5L, 1L, "purchase", 86400L), (6L, 2L, "purchase", 2 * 86400L),
+      (7L, 9L, "view", 10 * 86400L))
+    ev.map { case (eid, uid, ty, sec) =>
+      (eid, uid, ty, 1.0, new java.sql.Timestamp(sec * 1000L))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("km_median_survival")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Long]("median_day") == 2L)
+    assert(r.getAs[Double]("s_at_read") == 0.5)
+  }
+
   test("energy_distance: singleton gap T = d, identical samples T = 0") {
     def dir(xs: Seq[Double], ys: Seq[Double]) = {
       val d = java.nio.file.Files.createTempDirectory("energy").toString
