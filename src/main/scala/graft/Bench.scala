@@ -563,7 +563,9 @@ object Bench {
       // C148: map-only hash + keyed count (the blocklist_tag class)
       "stratified_kfold_split",
       // B188: value-grain prefix pass (the mannwhitney/cvm class)
-      "energy_distance")
+      "energy_distance",
+      // C150: token-linear chunk explode (the C140 class)
+      "text_sttr")
     // No probe, by rationale: B184 cochran_armitage (one 7-group
     // map-side agg — the 2-cell-agg class); C144 langid_kappa (the
     // probed C108 map-only pass + a model-sized matrix); C145

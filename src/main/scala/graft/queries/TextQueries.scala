@@ -155,6 +155,64 @@ object TextQueries {
             .as("dup_ratio"))
     },
 
+    // C150: STANDARDIZED TYPE-TOKEN RATIO (Johnson 1944's STTR — the
+    // lexical-diversity metric plain TTR cannot be, because TTR
+    // mechanically shrinks with document length; STTR averages TTR
+    // over fixed NON-overlapping 64-token chunks, so long and short
+    // documents compare on the same footing — the corpus-linguistics
+    // companion to C126's Yule K, which measures repetition rather
+    // than diversity): per doc, distinct-type counts over each
+    // COMPLETE 64-token chunk (the standard definition drops the
+    // ragged tail), STTR = Σ distinct / (64·k) — exact integers into
+    // ONE division, 6dp floor; docs under 64 tokens report k = 0 and
+    // NULL. Scale shape: map-only chunk explode (token-linear, the
+    // C140 class) + one keyed doc rollup.
+    Q("text_sttr",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |      FROM t),
+         |x AS (
+         |  SELECT doc_id, n,
+         |    CAST(len(list_distinct(
+         |      toks[CAST(i * 64 + 1 AS INT):CAST(i * 64 + 64 AS INT)]))
+         |      AS BIGINT) AS d
+         |  FROM (SELECT doc_id, toks, n, unnest(range(n // 64)) AS i
+         |        FROM n)),
+         |agg AS (
+         |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok,
+         |    CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(d) AS BIGINT) AS sd
+         |  FROM x GROUP BY doc_id)
+         |SELECT n.doc_id, n.n AS n_tok,
+         |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  CASE WHEN a.n_chunks > 0 THEN
+         |    floor(CAST(a.sd AS DOUBLE) / (64 * a.n_chunks)
+         |      * 1000000 + 0.5) / 1000000 END AS sttr
+         |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, dir) =>
+      val n = table(s, dir, "documents")
+        .select(col("doc_id"), TF.wsTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .localCheckpoint() // the chunk explode and the left join read it
+      // filter BEFORE the explode: Spark's sequence(0, -1) generates
+      // a DESCENDING [0, -1] for sub-64-token docs, not an empty list
+      val x = n.filter(col("n") >= 64)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), expr("n div 64") - 1)).as("i"),
+          col("toks"))
+        .select(col("doc_id"),
+          size(array_distinct(slice(col("toks"),
+            (col("i") * 64 + 1).cast("int"), lit(64)))).cast("long")
+            .as("d"))
+      val agg = x.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("d")).as("sd"))
+      n.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tok"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          when(col("n_chunks") > 0,
+            floor(col("sd").cast("double") / (col("n_chunks") * 64)
+              * lit(1000000) + lit(0.5)) / lit(1000000)).as("sttr"))
+    },
+
     // C11: token counting — whitespace tokens + BPE-ish subword runs.
     Q("text_tokencount",
       s"""SELECT doc_id,

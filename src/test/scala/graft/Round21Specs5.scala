@@ -57,6 +57,22 @@ class Round21Specs5 extends SparkTestBase {
       math.floor(hits16.toDouble / (10 * nq) * 1e6 + 0.5) / 1e6)
   }
 
+  test("text_sttr: all-distinct + all-same chunks average to 65/128") {
+    val dir = java.nio.file.Files.createTempDirectory("sttr").toString
+    val text = ((0 until 64).map("t" + _) ++ Seq.fill(64)("x"))
+      .mkString(" ")
+    Seq((1L, text, "en", "web", 0L), (2L, "a b c", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_sttr")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_tok") == 128L)
+    assert(got(1L).getAs[Long]("n_chunks") == 2L)
+    assert(got(1L).getAs[Double]("sttr") == 0.507813) // floor((64+1)/128 e6 + .5)
+    assert(got(2L).getAs[Long]("n_chunks") == 0L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("sttr")))
+  }
+
   test("km_median_survival: S hits exactly 0.5 at the hand-solved day") {
     val dir = java.nio.file.Files.createTempDirectory("kmmed").toString
     // 4 signups day 0; u1 converts day 1 (S = 3/4), u2 day 2
