@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *
   * The fold state is ONE array<long> with source encoded in the low
   * bit (id·2 + 0 for A, id·2 + 1 for B) — decode with
-  * [[decodeId]]/[[decodeSrc]]. Requires non-negative ids.
+  * [[decodeId]]/[[decodeSrc]]. Requires non-negative ids below 2^62
+  * (the encode multiplies by 2); the decode is exact integer
+  * arithmetic (arithmetic shift = floor division by 2, matching the
+  * oracle's `// 2`) for ALL longs — no double-precision bound.
   */
 object Interleave {
 
@@ -30,8 +33,8 @@ object Interleave {
     */
   def merged(a: Column, b: Column): Column = {
     def notPicked(side: Column, acc: Column): Column =
-      filter(side, x => !array_contains(transform(acc, y => y.divide(2)
-        .cast("long")), x))
+      filter(side, x => !array_contains(transform(acc,
+        y => shiftright(y, 1)), x))
     aggregate(
       sequence(lit(1), size(a) + size(b)),
       array().cast("array<long>"),
@@ -45,7 +48,7 @@ object Interleave {
       })
   }
 
-  def decodeId(e: Column): Column = e.divide(2).cast("long")
+  def decodeId(e: Column): Column = shiftright(e, 1)
 
   def decodeSrc(e: Column, aName: String, bName: String): Column =
     when(e % 2 === 0, aName).otherwise(bName)

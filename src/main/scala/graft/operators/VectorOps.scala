@@ -472,9 +472,13 @@ object VectorOps {
       base: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, cidCol: String, centroidVecCol: String,
       path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // FS resolved from the PATH, not the default scheme: an index on
+    // a non-default warehouse (s3a://, hdfs://) must be wiped on ITS
+    // filesystem — FileSystem.get(conf) would target the default FS
+    // and silently delete nothing (or the wrong tree).
+    val idxPath = new org.apache.hadoop.fs.Path(path)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(idxPath, true)
     fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
     val assigned = assignWithD2(
       base, centroids, idCol, vecCol, cidCol, centroidVecCol)
@@ -533,9 +537,32 @@ object VectorOps {
     val rows = merged.collect()
     require(rows.length <= 65536,
       s"ivfAppendIndex: ${rows.length} cells exceed the model-size bound")
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema)
-      .write.mode("overwrite").parquet(statsPath(path))
+    writeStatsAtomic(spark, path, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema))
+  }
+
+  /** Replace the stats sidecar via temp-write + rename (crash
+    * discipline for the append chain: the parquet append and the
+    * sidecar rewrite are two separate commits, and a crash between
+    * them must not leave a HALF-WRITTEN sidecar — a rename swap is
+    * single-FS-operation on both local and HDFS semantics, so the
+    * sidecar is always either the complete old or the complete new
+    * generation. A crash between the index append and this swap
+    * still leaves the sidecar one batch stale — the documented
+    * recovery is re-running the append's stats merge or re-init;
+    * the drift query's counters are monitoring, not search
+    * correctness, which reads only the index files). FS is resolved
+    * from the path (non-default schemes — see init).
+    */
+  private def writeStatsAtomic(spark: org.apache.spark.sql.SparkSession,
+      path: String, stats: DataFrame): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(statsPath(path))
+    val tmp = new org.apache.hadoop.fs.Path(statsPath(path) + "_tmp")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stats.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(sp, true)
+    require(fs.rename(tmp, sp),
+      s"ivfAppendIndex: rename $tmp -> $sp failed; sidecar left at $tmp")
   }
 
   /** Read the incremental index's per-cell stats sidecar. */

@@ -580,12 +580,12 @@ object ApexQueries {
       val terms = w.crossJoin(broadcast(tot))
         .filter(col("b") < col("n"))
         .select((col("l") * (
-          expr("""cast(cast(m1 * n - n1 * b as decimal(38,0))
-                 |  * (m1 * n - n1 * b) * 1000000
+          expr("""cast((cast(m1 as decimal(38,0)) * n - cast(n1 as decimal(38,0)) * b)
+                 |  * (cast(m1 as decimal(38,0)) * n - cast(n1 as decimal(38,0)) * b) * 1000000
                  |  div (cast(n1 as decimal(38,0)) * n * b * (n - b))
                  |  as bigint)""".stripMargin)
-          + expr("""cast(cast((b - m1) * n - n2 * b as decimal(38,0))
-                   |  * ((b - m1) * n - n2 * b) * 1000000
+          + expr("""cast((cast(b - m1 as decimal(38,0)) * n - cast(n2 as decimal(38,0)) * b)
+                   |  * (cast(b - m1 as decimal(38,0)) * n - cast(n2 as decimal(38,0)) * b) * 1000000
                    |  div (cast(n2 as decimal(38,0)) * n * b * (n - b))
                    |  as bigint)""".stripMargin))).as("contrib"))
       val ad = terms.agg(coalesce(sum(col("contrib")), lit(0L)).as("s"))
@@ -653,9 +653,10 @@ object ApexQueries {
       // widen-before-multiply or ANSI throws at clone scale)
       val num = w.crossJoin(broadcast(tot))
         .select((col("l").cast("decimal(38,0)")
-          * (col("m1") * col("n2") - (col("b") - col("m1")) * col("n1"))
-            .cast("decimal(38,0)")
-          * (col("m1") * col("n2") - (col("b") - col("m1")) * col("n1")))
+          * (col("m1").cast("decimal(38,0)") * col("n2")
+            - (col("b") - col("m1")).cast("decimal(38,0)") * col("n1"))
+          * (col("m1").cast("decimal(38,0)") * col("n2")
+            - (col("b") - col("m1")).cast("decimal(38,0)") * col("n1")))
           .as("term"))
         .agg(sum(col("term")).as("num"))
       broadcast(tot).crossJoin(broadcast(num))

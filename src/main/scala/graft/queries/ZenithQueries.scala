@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object ZenithQueries {
 
+  /** graph_clustering_coeff's closing-join builder, public so the
+    * Round22PlanSpec plan gate can assert BOTH modes on the exact
+    * production code path: the broadcast hint is applied only while
+    * the COUNTED oriented-edge list fits the budget (default 8M rows
+    * ≈ ~128 MB serialized); past it the join degrades to the keyed
+    * shuffle join — same asymptotics, no forced multi-GB broadcast.
+    */
+  def ccClosingJoin(wedges: org.apache.spark.sql.DataFrame,
+      oEdges: org.apache.spark.sql.DataFrame,
+      edgeCount: Long, bound: Long): org.apache.spark.sql.DataFrame = {
+    val closing = if (edgeCount <= bound) broadcast(oEdges) else oEdges
+    wedges.join(closing, Seq("a", "b"))
+  }
+
   // DuckDB fragments — the TextQueries normalization contract
   private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val toksSql = s"string_split($normSql, ' ')"
@@ -662,10 +676,11 @@ object ZenithQueries {
     // arithmetic into ONE double division. Scale shape: B59's
     // Schank-Wagner degree orientation bounds the wedge join
     // (O(E^1.5) wedges); the closing join broadcasts the oriented
-    // edges (16 B/row — drop the hint past the broadcast budget and
-    // it becomes a keyed shuffle join, same asymptotics); each
-    // triangle is found ONCE and credits its three corners via one
-    // 3-way explode.
+    // edges (16 B/row) ONLY while |E| sits under the broadcast
+    // budget — the counted edge list (free: localCheckpoint'd)
+    // gates the hint, and past the bound the join runs as a keyed
+    // shuffle join, same asymptotics; each triangle is found ONCE
+    // and credits its three corners via one 3-way explode.
     Q("graph_clustering_coeff", {
       val ord = "du.d < dv.d OR (du.d = dv.d AND e.u < e.v)"
       s"""WITH it AS (
@@ -743,9 +758,25 @@ object ZenithQueries {
               (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
         .select(col("x.src").as("s"), col("x.dst").as("a"),
           col("y.dst").as("b"))
-      val tri = wedges
-        .join(broadcast(o.select(col("src").as("a"), col("dst").as("b"))),
-          Seq("a", "b"))
+      // Conditional broadcast (r11 verdict #2): the closing-join
+      // probe side is exactly the |E| oriented edges (16 B/row) —
+      // comfortably broadcastable on real sparse graphs, but a
+      // saturated projection of the 16,381-node domain admits ~134M
+      // oriented edges (~2–3 GB serialized), which an unconditional
+      // hint would force onto every executor, a plan Spark would
+      // never choose itself. `o` is already localCheckpoint'd, so
+      // the count is a free metadata read: under the bound
+      // (default 8M rows ≈ ~128 MB serialized, the executor
+      // broadcast budget) the hint keeps the closing join
+      // shuffle-free; above it the join runs as the keyed shuffle
+      // join the scaladoc promises — same asymptotics (the O(E^1.5)
+      // wedge join dominates either way). Bound overridable via
+      // spark.graft.cc.broadcastEdgeBound (Round22PlanSpec pins
+      // BOTH plan modes).
+      val ccBound = s.conf.getOption("spark.graft.cc.broadcastEdgeBound")
+        .map(_.toLong).getOrElse(8000000L)
+      val oEdges = o.select(col("src").as("a"), col("dst").as("b"))
+      val tri = ccClosingJoin(wedges, oEdges, o.count(), ccBound)
         .select(col("s"), col("a"), col("b"))
       val tn = tri.select(col("s").as("node"))
         .unionAll(tri.select(col("a").as("node")))
