@@ -497,8 +497,9 @@ case class TokenEntropyStats(child: Expression)
     val it = tokCounts.values().iterator()
     while (it.hasNext) {
       val c = it.next()(0)
-      val m = byCount.get(c)
-      byCount.put(c, (if (m == null) 0 else m.intValue()) + 1)
+      // getOrDefault: TreeMap[Int, Int].get unboxes an absent key's
+      // null to 0 silently — spell the default instead of relying on it
+      byCount.put(c, byCount.getOrDefault(c, 0) + 1)
     }
     var s = 0.0
     val ct = byCount.entrySet().iterator()

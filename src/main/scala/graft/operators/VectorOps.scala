@@ -456,6 +456,7 @@ object VectorOps {
   }
 
   private def statsPath(path: String): String = path + "_stats"
+  private def tombPath(path: String): String = path + "_tombstones"
 
   /** C139: INITIALIZE an incrementally-maintainable IVF index — the
     * [[ivfWriteIndex]] layout (cell-partitioned parquet, searchable
@@ -480,6 +481,7 @@ object VectorOps {
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(idxPath, true)
     fs.delete(new org.apache.hadoop.fs.Path(statsPath(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tombPath(path)), true)
     val assigned = assignWithD2(
       base, centroids, idCol, vecCol, cidCol, centroidVecCol)
       .localCheckpoint() // one assignment feeds both the index write and the stats seed
@@ -565,6 +567,78 @@ object VectorOps {
       s"ivfAppendIndex: rename $tmp -> $sp failed; sidecar left at $tmp")
   }
 
+  /** C151: DELETE vectors from a persisted incremental IVF index
+    * WITHOUT rewriting any cell file — the tombstone half of real
+    * index maintenance (C139 covers append + drift; a store that
+    * can only grow isn't maintainable). Mechanics:
+    *
+    *   - deletes are IDEMPOTENT: ids already tombstoned are dropped
+    *     up front (anti-join against the tombstone relation), so a
+    *     retried delete never double-decrements the sidecar;
+    *   - the surviving ids' per-cell mass — (count, Σd2e6) against
+    *     their ASSIGNED centroid, the exact [[assignWithD2]]
+    *     arithmetic, so decrements cancel the init/append increments
+    *     exactly — is read from the index via a keyed join (never a
+    *     full-index rewrite);
+    *   - tombstones are appended FIRST (search correctness: a crash
+    *     after this point can at worst leave the sidecar's
+    *     monitoring counters one batch stale — same recovery story
+    *     as the append chain — while the deleted vectors are already
+    *     invisible to search), then the sidecar gains/extends
+    *     `n_del`/`sum_d2e6_del` columns via the atomic temp+rename
+    *     swap.
+    *
+    * [[ivfSearchIndex]] is tombstone-aware: live rows are the index
+    * anti-joined against the tombstone ids, so search over the
+    * deleted index returns EXACTLY the from-scratch result over the
+    * live sub-corpus (the `ann_ivf_delete` oracle gate). Physical
+    * reclamation is a separate explicit compaction (rewrite the
+    * cells whose `n_del/(n_base+n_app)` crossed the bound — the
+    * query surfaces that trigger).
+    */
+  def ivfDeleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteIds: DataFrame, idCol: String,
+      centroids: DataFrame, cidCol: String,
+      centroidVecCol: String): Unit = {
+    val del = deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(tp))
+        del.join(spark.read.parquet(tombPath(path)), Seq("id"), "left_anti")
+      else del
+    val cent = centroids.select(col(cidCol).cast("int").as("cid"),
+      asDouble(col(centroidVecCol)).as("cv"))
+    // only ids actually IN the index count (a delete of an unknown id
+    // is a no-op, not an error): the keyed join drops the rest
+    val victims = spark.read.parquet(path)
+      .join(fresh, Seq("id"))
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("id"), col("cid"),
+        floor(d2(col("v"), col("cv")) * lit(1000000) + lit(0.5))
+          .cast("long").as("d2e6"))
+      .localCheckpoint() // feeds the tombstone write AND the stats merge
+    victims.select(col("id")).write.mode("append").parquet(tombPath(path))
+    val delStats = victims.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_del_b"), sum(col("d2e6")).as("sum_d2e6_del_b"))
+    val old = spark.read.parquet(statsPath(path))
+    val old7 =
+      if (old.columns.contains("n_del")) old
+      else old.withColumn("n_del", lit(0L))
+        .withColumn("sum_d2e6_del", lit(0L))
+    val merged = old7.join(delStats, Seq("cid"), "left")
+      .select(col("cid"), col("n_base"), col("sum_d2e6_base"),
+        col("n_app"), col("sum_d2e6_app"),
+        (col("n_del") + coalesce(col("n_del_b"), lit(0L))).as("n_del"),
+        (col("sum_d2e6_del")
+          + coalesce(col("sum_d2e6_del_b"), lit(0L))).as("sum_d2e6_del"))
+    val rows = merged.collect()
+    require(rows.length <= 65536,
+      s"ivfDeleteFromIndex: ${rows.length} cells exceed the model-size bound")
+    writeStatsAtomic(spark, path, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema))
+  }
+
   /** Read the incremental index's per-cell stats sidecar. */
   def ivfReadStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
@@ -592,7 +666,16 @@ object VectorOps {
       .withColumn("_rn", row_number().over(probeW))
       .filter(col("_rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").cast("int").as("cid"))
-    val idx = spark.read.parquet(path)
+    // tombstone-aware (C151): deleted ids are excluded via a keyed
+    // anti-join — cell files are never rewritten by a delete, so the
+    // raw scan still contains the victims until compaction
+    val idxRaw = spark.read.parquet(path)
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx =
+      if (tfs.exists(tp))
+        idxRaw.join(spark.read.parquet(tombPath(path)), Seq("id"), "left_anti")
+      else idxRaw
     val scored = idx.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),

@@ -222,8 +222,19 @@ object VectorQueries {
     * tables folded ascending from 0.0 — run over RESIDUALS with the
     * candidate set restricted to the query's 3 probed cells.
     */
-  private val ivfpqOracleSql: String = {
+  private val ivfpqOracleSql: String = ivfpqOracleSqlWith(None)
+
+  /** IVF-PQ oracle builder, optionally ATTRIBUTE-FILTERED: with a
+    * predicate, the `label` column rides assignment → residuals →
+    * codes and the ADC scan keeps only matching candidates
+    * (filter-DURING-search — the C142 semantics on the C89 index).
+    */
+  private def ivfpqOracleSqlWith(labelPred: Option[String]): String = {
     val m = 4; val sub = 16; val kSub = 4
+    val lab = if (labelPred.isDefined) ", label" else ""
+    val labE = if (labelPred.isDefined) ", e.label" else ""
+    val labK = if (labelPred.isDefined) ", s.label" else ""
+    val scFilter = labelPred.map(p => s" AND k.$p").getOrElse("")
     val d2c = "list_dot_product(%s, %s) - 2 * list_dot_product(%s, c.cv) + list_dot_product(c.cv, c.cv)"
     val perSub = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = s * sub + sub
@@ -239,19 +250,19 @@ object VectorQueries {
       .map(s => s"SELECT $s AS sub, cluster AS cid, cv FROM c2_$s")
       .mkString("\nUNION ALL ")
     val rsvUnion = (0 until m)
-      .map(s => s"SELECT vec_id, cell, $s AS sub, rv[${s * sub + 1}:${s * sub + sub}] AS rsv FROM res")
+      .map(s => s"SELECT vec_id, cell$lab, $s AS sub, rv[${s * sub + 1}:${s * sub + sub}] AS rsv FROM res")
       .mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v$lab FROM embeddings),
        |cent AS (SELECT vec_id AS cell, v AS ccv FROM e WHERE vec_id < 8),
        |asg AS (
-       |  SELECT vec_id, v, cell, ccv FROM (
-       |    SELECT e.vec_id, e.v, c.cell, c.ccv,
+       |  SELECT vec_id, v$lab, cell, ccv FROM (
+       |    SELECT e.vec_id, e.v$labE, c.cell, c.ccv,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.ccv)
        |          + list_dot_product(c.ccv, c.ccv), c.cell) AS rn
        |    FROM e, cent c) WHERE rn = 1),
        |res AS (
-       |  SELECT vec_id, cell,
+       |  SELECT vec_id, cell$lab,
        |    list_transform(range(1, ${m * sub + 1}),
        |      i -> v[CAST(i AS INT)] - ccv[CAST(i AS INT)]) AS rv
        |  FROM asg),
@@ -259,8 +270,8 @@ object VectorQueries {
        |pqc AS ($centUnion),
        |rsv AS ($rsvUnion),
        |codes AS (
-       |  SELECT vec_id, cell, sub, cid FROM (
-       |    SELECT s.vec_id, s.cell, s.sub, c.cid,
+       |  SELECT vec_id, cell, sub$lab, cid FROM (
+       |    SELECT s.vec_id, s.cell, s.sub$labK, c.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
        |        round(list_dot_product(s.rsv, s.rsv) - 2 * list_dot_product(s.rsv, c.cv)
        |          + list_dot_product(c.cv, c.cv), 6), c.cid) AS rn
@@ -288,12 +299,104 @@ object VectorQueries {
        |    list_reduce(list_prepend(0.0, list(d.term ORDER BY d.sub)),
        |      (a, b) -> a + b) AS adc_d2
        |  FROM codes k JOIN dt d ON k.cell = d.cell AND k.sub = d.sub AND k.cid = d.cid
-       |  WHERE k.vec_id <> d.query_id
+       |  WHERE k.vec_id <> d.query_id$scFilter
        |  GROUP BY d.query_id, k.vec_id)
        |SELECT query_id, vec_id AS id, adc_d2, rnk FROM (
        |  SELECT query_id, vec_id, adc_d2,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rnk
        |  FROM sc) WHERE rnk <= 10""".stripMargin
+  }
+
+  /** Shared IVF-PQ chain (C89 ann_ivfpq_topk / C152
+    * ann_ivfpq_filtered): coarse IVF assign → residual PQ codebook
+    * (ONE shared codebook across cells, trained on the full corpus —
+    * the FAISS layout; filtering is a search-time concern) → codes →
+    * per-query ADC over 3 probed cells → top-10. With `keep`, the
+    * `label` attribute rides assignment → residuals → codes and the
+    * predicate prunes the CODES relation before the ADC join
+    * (filter-during-scan — the C142 semantics on the C89 index).
+    */
+  private def ivfPqChain(s: org.apache.spark.sql.SparkSession, dir: String,
+      keep: Option[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
+    val m = 4; val sub = 16; val kSub = 4
+    val withLab = keep.isDefined
+    def labCols = if (withLab) Seq(col("label")) else Nil
+    val e = table(s, dir, "embeddings")
+      .select(Seq(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")) ++ labCols: _*)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("ccv"))
+    val d2cell = VectorOps.dot(col("v"), col("v")) -
+      lit(2) * VectorOps.dot(col("v"), col("ccv")) +
+      VectorOps.dot(col("ccv"), col("ccv"))
+    val asgAggs = Seq(first(col("v")).as("v")) ++
+      (if (withLab) Seq(first(col("label")).as("label")) else Nil)
+    val asg = e.crossJoin(broadcast(cents))
+      .withColumn("_d2", d2cell)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("ccv")),
+        struct(col("_d2"), col("cell"))).as("c"), asgAggs: _*)
+      .select(Seq(col("vec_id"), col("v"), col("c.cell").as("cell"),
+        zip_with(col("v"), col("c.ccv"), (a, b) => a - b).as("rv"))
+        ++ labCols: _*)
+    val rsv = asg.select(Seq(col("vec_id"), col("cell")) ++ labCols ++ Seq(
+        explode(array((0 until m).map(si =>
+          struct(lit(si).as("sub"),
+            slice(col("rv"), si * sub + 1, sub).as("rsv"))): _*)).as("p")): _*)
+      .select(Seq(col("vec_id"), col("cell")) ++ labCols ++ Seq(
+        col("p.sub").as("sub"), col("p.rsv").as("rsv")): _*)
+      .localCheckpoint() // residuals feed train + encode, one compute
+    val codebook = graft.operators.KMeans.fitPerGroup(
+        rsv, "sub", "vec_id", "rsv", k = kSub, iterations = 2,
+        roundTo = Some(6))
+      .select(col("grp").as("sub"), col("cluster").as("cid"), col("cv"))
+      .localCheckpoint()
+    val d2pq = round(
+      VectorOps.dot(col("rsv"), col("rsv"))
+        - lit(2) * VectorOps.dot(col("rsv"), col("cv"))
+        + VectorOps.dot(col("cv"), col("cv")), 6)
+    val codeAggs = Seq(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid")) ++
+      (if (withLab) Seq(first(col("label")).as("label")) else Nil)
+    val codesAll = rsv.join(broadcast(codebook), Seq("sub"))
+      .select(Seq(col("vec_id"), col("cell"), col("sub"),
+        col("cid"), d2pq.as("d2")) ++ labCols: _*)
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+    // filter-during-scan: prune the codes relation BEFORE ADC
+    val codes = keep.map(codesAll.filter).getOrElse(codesAll)
+    // probes: top-3 cells per query by raw d² (cell tie-break)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qd2 = VectorOps.dot(col("qv"), col("qv")) -
+      lit(2) * VectorOps.dot(col("qv"), col("ccv")) +
+      VectorOps.dot(col("ccv"), col("ccv"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(qd2, col("cell"))))
+      .filter(col("_r") <= 3)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qrv"))
+    val qrsv = probes.select(col("query_id"), col("cell"),
+        explode(array((0 until m).map(si =>
+          struct(lit(si).as("sub"),
+            slice(col("qrv"), si * sub + 1, sub).as("rsv"))): _*)).as("p"))
+      .select(col("query_id"), col("cell"), col("p.sub").as("sub"),
+        col("p.rsv").as("rsv"))
+    val dt = qrsv.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("cid"),
+        d2pq.as("term"))
+      .localCheckpoint() // tiny: queries × 3 cells × 16 entries
+    val scored = codes.join(broadcast(dt), Seq("cell", "sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("sub"), col("term")))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("adc_d2"))
+      .select(col("query_id"), col("vec_id").as("id"), col("adc_d2"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("adc_d2", true), ("id", true)), 10)
   }
 
   val all: Seq[Q] = Seq(
@@ -463,73 +566,25 @@ object VectorQueries {
     // residual subtraction, 6dp Lloyd rounds + encode, ADC folded
     // ascending from 0.0.
     Q("ann_ivfpq_topk", ivfpqOracleSql) { (s, dir) =>
-      val m = 4; val sub = 16; val kSub = 4
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cell"), col("v").as("ccv"))
-      val d2cell = VectorOps.dot(col("v"), col("v")) -
-        lit(2) * VectorOps.dot(col("v"), col("ccv")) +
-        VectorOps.dot(col("ccv"), col("ccv"))
-      val asg = e.crossJoin(broadcast(cents))
-        .withColumn("_d2", d2cell)
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cell"), col("ccv")), struct(col("_d2"), col("cell"))).as("c"),
-          first(col("v")).as("v"))
-        .select(col("vec_id"), col("v"), col("c.cell").as("cell"),
-          zip_with(col("v"), col("c.ccv"), (a, b) => a - b).as("rv"))
-      val rsv = asg.select(col("vec_id"), col("cell"),
-          explode(array((0 until m).map(si =>
-            struct(lit(si).as("sub"),
-              slice(col("rv"), si * sub + 1, sub).as("rsv"))): _*)).as("p"))
-        .select(col("vec_id"), col("cell"), col("p.sub").as("sub"),
-          col("p.rsv").as("rsv"))
-        .localCheckpoint() // residuals feed train + encode, one compute
-      val codebook = graft.operators.KMeans.fitPerGroup(
-          rsv, "sub", "vec_id", "rsv", k = kSub, iterations = 2,
-          roundTo = Some(6))
-        .select(col("grp").as("sub"), col("cluster").as("cid"), col("cv"))
-        .localCheckpoint()
-      val d2pq = round(
-        VectorOps.dot(col("rsv"), col("rsv"))
-          - lit(2) * VectorOps.dot(col("rsv"), col("cv"))
-          + VectorOps.dot(col("cv"), col("cv")), 6)
-      val codes = rsv.join(broadcast(codebook), Seq("sub"))
-        .select(col("vec_id"), col("cell"), col("sub"), col("cid"), d2pq.as("d2"))
-        .groupBy(col("vec_id"), col("cell"), col("sub"))
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      // probes: top-3 cells per query by raw d² (cell tie-break)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val qd2 = VectorOps.dot(col("qv"), col("qv")) -
-        lit(2) * VectorOps.dot(col("qv"), col("ccv")) +
-        VectorOps.dot(col("ccv"), col("ccv"))
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("_r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id")).orderBy(qd2, col("cell"))))
-        .filter(col("_r") <= 3)
-        .select(col("query_id"), col("cell"),
-          zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qrv"))
-      val qrsv = probes.select(col("query_id"), col("cell"),
-          explode(array((0 until m).map(si =>
-            struct(lit(si).as("sub"),
-              slice(col("qrv"), si * sub + 1, sub).as("rsv"))): _*)).as("p"))
-        .select(col("query_id"), col("cell"), col("p.sub").as("sub"),
-          col("p.rsv").as("rsv"))
-      val dt = qrsv.join(broadcast(codebook), Seq("sub"))
-        .select(col("query_id"), col("cell"), col("sub"), col("cid"),
-          d2pq.as("term"))
-        .localCheckpoint() // tiny: queries × 3 cells × 16 entries
-      val scored = codes.join(broadcast(dt), Seq("cell", "sub", "cid"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("sub"), col("term")))),
-          lit(0.0), (a, x) => a + x.getField("term")).as("adc_d2"))
-        .select(col("query_id"), col("vec_id").as("id"), col("adc_d2"))
-      graft.plans.TopK.perKey(scored, Seq("query_id"),
-        Seq(("adc_d2", true), ("id", true)), 10)
+      ivfPqChain(s, dir, keep = None)
+    },
+
+    // C152: ATTRIBUTE-FILTERED IVF-PQ search (round 12; r11 verdict
+    // #8 — C142 filters the FLAT IVF, but the production index is
+    // IVF-PQ): the C89 chain with the predicate (label < 4, ~25% of
+    // the corpus) applied to the CODES relation before the ADC join —
+    // filter-during-ADC-scan, so non-matching candidates never cost
+    // an ADC lookup (at 100 TB the predicate pushes into the codes
+    // table scan; post-filtering a k-list would instead return fewer
+    // than k — the recall hole filtered search exists to close). The
+    // PQ codebook trains on the FULL corpus residuals (filtering is a
+    // search-time concern; the index is shared across predicates).
+    // Exactness: the C89 closed-form oracle with `label` riding
+    // assignment → residuals → codes and the same filter in the ADC
+    // CTE. Scale shape: strictly cheaper than ann_ivfpq_topk — the
+    // same probed-cell joins over a pruned codes scan.
+    Q("ann_ivfpq_filtered", ivfpqOracleSqlWith(Some("label < 4"))) { (s, dir) =>
+      ivfPqChain(s, dir, keep = Some(col("label") < 4))
     },
 
     // C43: product quantization + asymmetric-distance search — the
@@ -918,6 +973,93 @@ object VectorQueries {
           ratio.as("drift_ratio"))
         .withColumn("retrain",
           when(col("drift_ratio") >= 1.25, 1).otherwise(0).cast("int"))
+        .withColumn("search_match",
+          lit(if (diffs == 0) 1 else 0).cast("int"))
+    },
+
+    // C151: IVF TOMBSTONE DELETION (round 12; r11 verdict #6 — C139
+    // covers append + drift, real index maintenance also needs
+    // deletes): the incrementally-built index (base % 4 < 2, one
+    // append of the rest) takes a DELETE of every vec_id % 7 = 3 —
+    // tombstones appended, sidecar decremented per cell with the
+    // exact assignWithD2 arithmetic, NO cell file rewritten
+    // (IvfIncrementalSpec pins file reuse + delete idempotence).
+    // Output per cell: live/deleted member counts, the deleted
+    // fraction (ONE pinned division, 6dp floor) with the compaction
+    // trigger at ≥ 0.15 (a cell mostly tombstones is a cell whose
+    // scan wastes its read budget — the FAISS/Lucene "merge when
+    // deletes cross the bound" rule), and the LIVE d2e6 mass — the
+    // oracle recomputes every number from scratch over the live
+    // sub-corpus, so equality proves the decrement chain is
+    // lossless. `search_match` is computed for real on the Spark
+    // side: searching the tombstoned index must return EXACTLY the
+    // from-scratch ivfTopK over the live corpus (deleted vectors
+    // invisible, no recall hole); the oracle pins 1. Scale shape:
+    // delete = one keyed join against the index + a model-sized
+    // sidecar swap; search adds one keyed anti-join.
+    Q("ann_ivf_delete", {
+      val d2 = "list_dot_product(%s, %s) - 2 * list_dot_product(%s, c.cv) + list_dot_product(c.cv, c.cv)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, cid,
+         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2e6
+         |  FROM (
+         |    SELECT e.vec_id, c.cid, ${d2.format("e.v", "e.v", "e.v")} AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${d2.format("e.v", "e.v", "e.v")}, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |st AS (
+         |  SELECT cid,
+         |    CAST(count(*) FILTER (vec_id % 7 <> 3) AS BIGINT) AS n_live,
+         |    CAST(count(*) FILTER (vec_id % 7 = 3) AS BIGINT) AS n_deleted,
+         |    CAST(coalesce(sum(d2e6) FILTER (vec_id % 7 <> 3), 0) AS BIGINT)
+         |      AS live_d2e6
+         |  FROM asg GROUP BY cid)
+         |SELECT CAST(cid AS INT) AS cid, n_live, n_deleted,
+         |  floor(CAST(n_deleted AS DOUBLE) / (n_live + n_deleted)
+         |    * 1000000 + 0.5) / 1000000 AS del_frac,
+         |  live_d2e6,
+         |  CAST(CASE WHEN floor(CAST(n_deleted AS DOUBLE)
+         |      / (n_live + n_deleted) * 1000000 + 0.5) / 1000000 >= 0.15
+         |    THEN 1 ELSE 0 END AS INT) AS compact,
+         |  CAST(1 AS INT) AS search_match
+         |FROM st""".stripMargin }) { (s, dir) =>
+      val vecs = table(s, dir, "embeddings")
+      val cents = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_ivf_del").toString
+      VectorOps.ivfInitIndexIncremental(s,
+        vecs.filter(col("vec_id") % 4 < 2), cents,
+        "vec_id", "embedding", "cid", "cv", loc)
+      VectorOps.ivfAppendIndex(s, loc,
+        vecs.filter(col("vec_id") % 4 >= 2), cents,
+        "vec_id", "embedding", "cid", "cv")
+      VectorOps.ivfDeleteFromIndex(s, loc,
+        vecs.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        "vec_id", cents, "cid", "cv")
+      // deletion recall gate: the tombstoned index must search
+      // IDENTICALLY to a from-scratch assignment over the LIVE corpus
+      val qs = vecs.filter(col("vec_id") < 5)
+      val inc = VectorOps.ivfSearchIndex(s, loc, qs, cents,
+        "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
+      val full = VectorOps.ivfTopK(
+        vecs.filter(col("vec_id") % 7 =!= 3), qs, cents,
+        "vec_id", "embedding", "cid", "cv", k = 10, nProbe = 3)
+      val diffs = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+      val stats = VectorOps.ivfReadStats(s, loc)
+      val delFrac = floor(col("n_deleted").cast("double")
+        / (col("n_live") + col("n_deleted")) * lit(1000000) + lit(0.5)) /
+        lit(1000000)
+      stats.select(col("cid").cast("int").as("cid"),
+          (col("n_base") + col("n_app") - col("n_del")).as("n_live"),
+          col("n_del").as("n_deleted"),
+          (col("sum_d2e6_base") + col("sum_d2e6_app")
+            - col("sum_d2e6_del")).as("live_d2e6"))
+        .select(col("cid"), col("n_live"), col("n_deleted"),
+          delFrac.as("del_frac"), col("live_d2e6"),
+          when(delFrac >= 0.15, 1).otherwise(0).cast("int").as("compact"))
         .withColumn("search_match",
           lit(if (diffs == 0) 1 else 0).cast("int"))
     },

@@ -126,4 +126,53 @@ class IvfIncrementalSpec extends SparkTestBase {
     // the incremental recall gate computed 1 on real data
     assert(out.values.forall(_.getAs[Int]("search_match") == 1))
   }
+
+  test("delete: tombstones hide victims from search, NO cell file rewritten") {
+    val loc = java.nio.file.Files.createTempDirectory("ivf_del").toString + "/idx"
+    val all = Seq(
+      (10L, Array(0f, 1f)), (11L, Array(1f, 0f)),
+      (12L, Array(10f, 11f)), (13L, Array(11f, 10f)),
+      (20L, Array(0f, 2f)), (21L, Array(10f, 12f)))
+    VectorOps.ivfInitIndexIncremental(spark, df(all), centDf,
+      "vec_id", "embedding", "cid", "cv", loc)
+    val cell0Before = listFiles(s"$loc/cid=0")
+    val cell1Before = listFiles(s"$loc/cid=1")
+    VectorOps.ivfDeleteFromIndex(spark, loc,
+      Seq(11L, 21L).toDF("vec_id"), "vec_id", centDf, "cid", "cv")
+    // deletes never touch cell files — only tombstones + sidecar
+    assert(listFiles(s"$loc/cid=0") == cell0Before)
+    assert(listFiles(s"$loc/cid=1") == cell1Before)
+    // search excludes the victims and matches from-scratch over live
+    val qs = df(all.take(1))
+    val tombed = VectorOps.ivfSearchIndex(spark, loc, qs, centDf,
+      "vec_id", "embedding", "cid", "cv", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val live = all.filterNot(r => r._1 == 11L || r._1 == 21L)
+    val scratch = VectorOps.ivfTopK(df(live), qs, centDf,
+      "vec_id", "embedding", "cid", "cv", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(tombed == scratch && tombed.nonEmpty)
+    assert(!tombed.exists(_.contains(11L)) && !tombed.exists(_.contains(21L)))
+  }
+
+  test("delete is idempotent: re-deleting tombstoned ids never double-decrements") {
+    val loc = java.nio.file.Files.createTempDirectory("ivf_del2").toString + "/idx"
+    val base = df(Seq(
+      (10L, Array(0f, 1f)), (11L, Array(1f, 0f)),     // cell 0, d2 = 1 each
+      (12L, Array(10f, 11f)), (13L, Array(11f, 10f)))) // cell 1, d2 = 1 each
+    VectorOps.ivfInitIndexIncremental(spark, base, centDf,
+      "vec_id", "embedding", "cid", "cv", loc)
+    def stats() = VectorOps.ivfReadStats(spark, loc)
+      .collect().map(r => r.getAs[Int]("cid") ->
+        ((r.getAs[Long]("n_del"), r.getAs[Long]("sum_d2e6_del")))).toMap
+    VectorOps.ivfDeleteFromIndex(spark, loc,
+      Seq(10L).toDF("vec_id"), "vec_id", centDf, "cid", "cv")
+    val once = stats()
+    assert(once(0) == ((1L, 1000000L)) && once(1) == ((0L, 0L)))
+    // a RETRIED delete of the same id (plus an id not in the index)
+    // must change nothing
+    VectorOps.ivfDeleteFromIndex(spark, loc,
+      Seq(10L, 999L).toDF("vec_id"), "vec_id", centDf, "cid", "cv")
+    assert(stats() == once, "retried delete double-decremented the sidecar")
+  }
 }
