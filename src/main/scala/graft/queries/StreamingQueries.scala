@@ -631,6 +631,104 @@ object StreamingQueries {
       } finally graft.sources.Sources.restoreStateStore(s, prev)
     },
 
+    // D30 ORACLE-GATED (round 12; r11 verdict #4 — promoted from the
+    // WatermarkDropSpec pin the way D50 was): LATE-DATA ACCOUNTING
+    // under the watermark, the first observability row a production
+    // streaming team asks for (silent late-row loss is an incident;
+    // a drop METRIC with reconciled totals is a healthy pipeline).
+    // Protocol: the event table is replayed in THREE deterministic
+    // arrival waves (user_id % 3 — each wave spans the full time
+    // range, so wave 2 arrives heavily behind the watermark wave 0
+    // advanced), one single-file wave per micro-batch
+    // (maxFilesPerTrigger = 1, file order pinned by explicit
+    // mtimes), through a watermarked (delay = 3600 s) streaming
+    // dedup on the already-unique (event_id, ets) key — the dedup
+    // operator is the ROW-GRAIN ledger: its late filter applies to
+    // raw input rows (a windowed agg filters post-partial-agg rows,
+    // whose count depends on file splits — measured and rejected),
+    // and every kept row is emitted in append mode. The oracle
+    // replays Spark's dual-watermark protocol closed-form, measured
+    // against the engine (LateAcctDebugSpec-era probe, kept in git
+    // history): the late filter of batch k uses the PREVIOUS batch's
+    // watermark W(k−1), W(j) = max(tsec over batches ≤ j−1) − delay
+    // (watermarks advance over ALL input rows, dropped included) —
+    // so wave 1 is never dropped (W(0) = epoch) and wave-2 rows drop
+    // iff tsec < max(wave0) − 3600 (strict: the engine predicate is
+    // ts ≤ wm − 1 ms on whole-second stamps). Gated numbers: the
+    // engine-REPORTED numRowsDroppedByWatermark summed over batches,
+    // the emitted-row count and cents mass, and the
+    // dropped + emitted = input reconciliation (the operator's whole
+    // point — pinned 1). Scale shape: one row-grain stateful pass;
+    // the wave split is one hash filter per wave.
+    Q("streaming_late_accounting",
+      s"""WITH e AS (
+         |  SELECT user_id % 3 AS wave,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |m AS (SELECT max(CASE WHEN wave = 0 THEN tsec END) - $DelayS
+         |        AS w1 FROM e),
+         |cls AS (
+         |  SELECT e.*, CASE WHEN wave = 2 AND tsec < m.w1
+         |              THEN 1 ELSE 0 END AS dropped
+         |  FROM e, m)
+         |SELECT
+         |  CAST(count(*) AS BIGINT) AS n_input,
+         |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+         |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_on_time,
+         |  CAST(sum(CASE WHEN dropped = 0 THEN cents ELSE 0 END)
+         |    AS BIGINT) AS on_time_cents,
+         |  CAST(1 AS INT) AS reconciled
+         |FROM cls""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events").select(col("user_id"),
+          col("event_id"), expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_late_acct").toString
+      val src = s"$tmp/in"
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val fs = srcPath.getFileSystem(s.sessionState.newHadoopConf())
+      // one FILE per wave with pinned ascending mtimes: the file
+      // source processes files in mtime order, so batch k = wave k
+      var seen = Set.empty[String]
+      (0 until 3).foreach { k =>
+        ev.filter(pmod(col("user_id"), lit(3)) === k).coalesce(1)
+          .write.mode(if (k == 0) "overwrite" else "append").parquet(src)
+        fs.listStatus(srcPath).map(_.getPath)
+          .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+          .filterNot(p => seen(p.getName))
+          .foreach { p => fs.setTimes(p, (k + 1) * 60000L, -1L)
+            seen += p.getName }
+      }
+      require(seen.size == 3, s"expected 3 wave files, found ${seen.size}")
+      val sch = s.read.parquet(src).schema
+      val kept = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("ets", timestamp_seconds(col("tsec")))
+        .withWatermark("ets", s"$DelayS seconds")
+        .dropDuplicates("event_id", "ets")
+      withStatePartitions(s, 8) {
+        val name = s"graft_stream_late_${System.nanoTime()}"
+        val q = kept.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the ENGINE-REPORTED late-row ledger, summed over batches
+        val dropped = q.recentProgress
+          .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+          .sum
+        val nInput = ev.count()
+        s.table(name)
+          .agg(count(lit(1)).as("n_on_time"),
+            coalesce(sum(col("cents")), lit(0L)).as("on_time_cents"))
+          .select(lit(nInput).as("n_input"), lit(dropped).as("n_dropped"),
+            col("n_on_time"), col("on_time_cents"),
+            when(lit(dropped) + col("n_on_time") === lit(nInput), 1)
+              .otherwise(0).cast("int").as("reconciled"))
+      }
+    },
+
     // D34: STREAMING CEP — the B106 MATCH_RECOGNIZE-lite operator
     // (per-session event-initial strings + regex signal extraction)
     // running inside transformWithState state instead of a batch
