@@ -22,11 +22,21 @@ import java.nio.file.{Files, Paths}
   *     exceeded, every remaining probe records the sentinel -3.0
   *     ("skipped_budget") instead of running. The headline block is
   *     budget-EXEMPT — it is the record;
-  *   - probe blocks run headline → ×10 → ×1000 → ×100: ×10 carries
-  *     the new-query evidence, ×1000 carries the verdict-gating
-  *     third-decade rows (so they outrank ×100, whose canary rows
-  *     all have two green official decades already — ×100 is the
-  *     block a budget squeeze sacrifices first);
+  *   - probe blocks run headline → ×10 → ×100 → ×1000 (round 12,
+  *     r11 verdict #1: the r11 official record budget-sentineled all
+  *     27 ×100 rows — the second decade must live in the OFFICIAL
+  *     record, not only in rehearsals). The ×1000 block runs last
+  *     but is TRIMMED to its verdict-bearing rows (the heavy
+  *     dedup/corpus family + the holt_winters re-pin + the
+  *     corpus_pretrain_pipeline composition, r11 verdict #7) so the
+  *     whole shape fits the budget with the measured ~500 s idle
+  *     margin; the settled ×1000 rows are frozen in retiredX1000
+  *     below (SPARK_GRAFT_PROBE_RETIRED=1 resurrects);
+  *   - a PER-QUERY REGRESSION GATE (r11 verdict #5): BenchPins pins
+  *     each query's round-11 min (official record ∧ idle rehearsal);
+  *     a query whose current min-of-samples exceeds 2× its pin lands
+  *     in the record's `regressed` list — load only inflates, so a
+  *     2×-inflated MIN is a code regression, not noise;
   *   - PROBE RETIREMENT (round 11): settled probes — two rounds of
   *     green official records plus a judge isolation table (VERDICT
   *     r10) — are frozen in `retiredX10`/`retiredX100` below and no
@@ -74,6 +84,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2600").toDouble
     def budgetLeft(): Boolean = elapsedS() < budgetS
     val SkippedBudget = -3.0
+    val UnknownName = -4.0
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c → time only those queries (local
     // iteration aid; the driver always runs the full set).
@@ -191,7 +202,15 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val loadSuspectJson =
         loadSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"headline_first_then_x10_x1000_x100","scale_probe_runs":"min_of_2_fast_confirm_skip_x1000_expected_guard","bench_budget_s":$budgetS%.0f,"elapsed_s":${elapsedS()}%.1f,"skip_codes":{"failed":-1,"timeout":-2,"skipped_budget":-3},"load_suspect":$loadSuspectJson,"block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
+      // regression gate (r11 verdict #5): min > 2x the round-11 pin.
+      // The MIN is the load-robust statistic — a min that doubled is
+      // a code regression. Unpinned (post-r11) queries are skipped.
+      val regressed = mins.collect {
+        case (n, mn) if mn >= 0 &&
+          BenchPins.headlineMinSf01.get(n).exists(mn > _ * 2.0) => n
+      }.toSeq.sorted
+      val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"headline_first_then_x10_x100_x1000","scale_probe_runs":"min_of_2_fast_confirm_skip_x1000_expected_guard","bench_budget_s":$budgetS%.0f,"elapsed_s":${elapsedS()}%.1f,"skip_codes":{"failed":-1,"timeout":-2,"skipped_budget":-3,"unknown_name":-4},"regressed":$regressedJson,"load_suspect":$loadSuspectJson,"block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
     }
     def flush(complete: Boolean = false): String = {
       val json = buildJson(complete)
@@ -577,12 +596,40 @@ object Bench {
       "ann_ivf_incremental", "rag_chunk_split",
       "ann_filtered_search", "cramer_von_mises", "chunk_dedup_stats",
       "welch_anova", "quade_test", "mm_audio_vad_segments",
-      "energy_distance")
+      "energy_distance",
+      // round-12 additions (one line of rationale each, x10 list)
+      "ann_ivf_delete", "ann_ivfpq_filtered", "streaming_late_accounting")
 
-    val x10Names =
-      ((if (includeRetired) retiredX10 else Nil) ++ canaryX10 ++ newX10)
-        .distinct.filter(n => only.isEmpty || only(n))
-        .filter(SparkEntry.queries.contains)
+    // Round-12 additions to newX10:
+    //   ann_ivf_delete — the incremental chain + one keyed delete
+    //     join + the tombstone anti-join on search;
+    //   ann_ivfpq_filtered — the probed IVF-PQ shape over a pruned
+    //     codes scan (must stay ≤ ann_ivfpq_topk);
+    //   streaming_late_accounting — row-grain stateful pass + three
+    //     single-file wave writes (the wave write is the linear part).
+    val newX10r12 = Seq(
+      "ann_ivf_delete", "ann_ivfpq_filtered", "streaming_late_accounting")
+
+    /** ADVICE r11 #4: a typo'd or renamed probe name must not vanish
+      * silently — unknown names are recorded with the -4.0 sentinel
+      * and shouted to stderr instead of being filtered out.
+      */
+    def knownProbes(names: Seq[String], tag: String,
+        sink: scala.collection.mutable.Map[String, Double]): Seq[String] = {
+      val (known, unknown) = names.distinct
+        .filter(n => only.isEmpty || only(n))
+        .partition(SparkEntry.queries.contains)
+      unknown.foreach { n =>
+        System.err.println(
+          s"[bench] UNKNOWN $tag probe name '$n' — not in SparkEntry.queries; recording -4.0")
+        sink(n) = UnknownName
+      }
+      known
+    }
+
+    val x10Names = knownProbes(
+      (if (includeRetired) retiredX10 else Nil) ++ canaryX10 ++ newX10
+        ++ newX10r12, "x10", sfx10)
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
@@ -705,11 +752,14 @@ object Bench {
       }
     }
 
-    // ---- sf_x1000 probe (runs BEFORE ×100 since round 11: its rows
-    // gate verdicts — every ×1000 row is kept by the retirement
-    // policy — while the ×100 canary rows all carry two green
-    // official decades; under a budget squeeze ×100 is the block to
-    // sacrifice). A THIRD decade of scale evidence for the LINEAR
+    // ---- sf_x1000 probe (runs LAST since round 12 — r11 verdict #1:
+    // the ×100 canary must land in the official record, so ×100 now
+    // outranks ×1000 and the ×1000 list is TRIMMED to its
+    // verdict-bearing rows; the settled ×1000 rows — each carrying
+    // two green official records (r8/r11) plus three r11 rehearsals —
+    // are frozen in retiredX1000 below, resurrectable via
+    // SPARK_GRAFT_PROBE_RETIRED=1, last-green pointers in SURVEY
+    // §20). A THIRD decade of scale evidence for the LINEAR
     // dedup/ANN family only (5M docs / 2M vectors — the realistic
     // crawl-shard size). semantic_dedup is excluded BY DESIGN here
     // the way dedup_embed_cosine is excluded at ×100: its codebook
@@ -739,17 +789,25 @@ object Bench {
       "span_dup_intervals" -> 3.7, "tokenizer_fertility" -> 4.6,
       "zipf_law_fit" -> 4.0)
     val x1000Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X1000", "1") != "0"
-    val x1000Names = Seq(
-      "dedup_exact_docs", "dedup_minhash_pairs", "dedup_simhash",
-      "dedup_clusters", "line_dedup", "incremental_dedup",
-      "ann_lsh_topk", "span_dedup_docs",
-      "semantic_dedup_sharded", "span_dup_intervals",
-      "ann_binary_rerank", "span_dedup_rewrite",
-      "mm_audio_fingerprint", "naive_bayes_score",
-      "corpus_doremi_weights", "gopher_rules", "blocklist_tag",
-      "tokenizer_fertility", "hist_emd_langs",
-      "holt_winters", "zipf_law_fit")
-      .filter(n => only.isEmpty || only(n))
+    // Settled ×1000 rows (round 12): two green official records each
+    // (r8 closing + r11 official, SURVEY §19/§20) plus the three r11
+    // rehearsals — frozen; SPARK_GRAFT_PROBE_RETIRED=1 resurrects.
+    val retiredX1000 = Seq(
+      "dedup_exact_docs", "incremental_dedup", "ann_lsh_topk",
+      "span_dedup_docs", "span_dup_intervals", "ann_binary_rerank",
+      "span_dedup_rewrite", "corpus_doremi_weights", "blocklist_tag",
+      "tokenizer_fertility", "hist_emd_langs", "zipf_law_fit")
+    // Kept: the verdict-bearing heavy dedup/corpus/classifier family
+    // (the rows every round's verdict reads first), holt_winters (the
+    // r11 load_suspect — re-pinned here, r11 verdict #3), and the
+    // composed end-to-end corpus_pretrain_pipeline (r11 verdict #7:
+    // the composition is where 100 TB surprises hide).
+    val x1000Names = knownProbes(
+      (if (includeRetired) retiredX1000 else Nil) ++ Seq(
+        "dedup_minhash_pairs", "dedup_simhash", "dedup_clusters",
+        "line_dedup", "semantic_dedup_sharded",
+        "mm_audio_fingerprint", "naive_bayes_score", "gopher_rules",
+        "holt_winters", "corpus_pretrain_pipeline"), "x1000", sfx1000)
     def runX1000Row(name: String, dir: String, ceilingSec: Int): Double = {
       var best = runCeiling(name, dir, ceilingSec, "x1000")
       if (best < 0) return best // timeout/failure IS the finding
@@ -781,41 +839,20 @@ object Bench {
       }
       best
     }
-    if (scaleProbe && x1000Probe && x1000Names.nonEmpty) measureBlock("x1000") {
-      val x1000Dir = sys.env.getOrElse("SPARK_GRAFT_X1000_DIR", "/tmp/graft_sfx1000")
-      val ceilingSec =
-        // ~10× the ×100 ceiling's headroom logic: the heaviest linear
-        // query here (line_dedup, ~47 s official) projects well under
-        // it; 300 s flags anything super-linear by >5× while
-        // tolerating a loaded harness.
-        sys.env.getOrElse("SPARK_GRAFT_X1000_CEILING_SEC", "300").toInt
-      if (!budgetLeft()) { x1000Names.foreach(n => { sfx1000(n) = SkippedBudget }); flush() }
-      else {
-        cloneTables(x1000Dir, 1000)
-        val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_X1000_PARTITIONS", "512"))
-        try x1000Names.foreach { n =>
-          probeOrSkip(n, sfx1000)(runX1000Row(n, x1000Dir, ceilingSec))
-        }
-        finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
-      }
-    }
-
-    // ---- sf_x100 probe: the second decade for the canary families
-    // plus this round's additions. Each runs min-of-2 under a
-    // wall-clock ceiling (default 180 s — a query that can't finish a
-    // 100× corpus in that budget is reported as -2.0 "timeout", which
-    // IS the probe's finding). dedup_embed_cosine is excluded by
+    // ---- sf_x100 probe (runs BEFORE ×1000 since round 12 — r11
+    // verdict #1): the second decade for the canary families plus
+    // this round's additions. Each runs min-of-2 under a wall-clock
+    // ceiling (default 180 s — a query that can't finish a 100×
+    // corpus in that budget is reported as -2.0 "timeout", which IS
+    // the probe's finding). dedup_embed_cosine is excluded by
     // design: it is the exact-O(n²) specification baseline and would
     // trivially exceed any ceiling at 100× — its approximate
     // replacements (minhash/simhash/semantic) are exactly what this
     // probe gates.
     val x100Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X100", "1") != "0"
-    val x100Names =
-      ((if (includeRetired) retiredX100 else Nil) ++ canaryX100 ++ newX100)
-        .distinct.filter(n => only.isEmpty || only(n))
-        .filter(SparkEntry.queries.contains)
+    val x100Names = knownProbes(
+      (if (includeRetired) retiredX100 else Nil) ++ canaryX100 ++ newX100,
+      "x100", sfx100)
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")
       val ceilingSec =
@@ -841,6 +878,31 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_X100_PARTITIONS", "256"))
         try x100Names.foreach { n =>
           probeOrSkip(n, sfx100)(runCeilingMin2(n, x100Dir, ceilingSec, "x100"))
+        }
+        finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
+      }
+    }
+
+    // ---- sf_x1000 probe — LAST (see the trimmed-list rationale at
+    // x1000Names above): under a budget squeeze this is the block
+    // that sacrifices, and every row here carries pinned expected
+    // values plus r11 official/rehearsal records.
+    if (scaleProbe && x1000Probe && x1000Names.nonEmpty) measureBlock("x1000") {
+      val x1000Dir = sys.env.getOrElse("SPARK_GRAFT_X1000_DIR", "/tmp/graft_sfx1000")
+      val ceilingSec =
+        // ~10× the ×100 ceiling's headroom logic: the heaviest linear
+        // query here (line_dedup, ~47 s official) projects well under
+        // it; 300 s flags anything super-linear by >5× while
+        // tolerating a loaded harness.
+        sys.env.getOrElse("SPARK_GRAFT_X1000_CEILING_SEC", "300").toInt
+      if (!budgetLeft()) { x1000Names.foreach(n => { sfx1000(n) = SkippedBudget }); flush() }
+      else {
+        cloneTables(x1000Dir, 1000)
+        val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_X1000_PARTITIONS", "512"))
+        try x1000Names.foreach { n =>
+          probeOrSkip(n, sfx1000)(runX1000Row(n, x1000Dir, ceilingSec))
         }
         finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
       }
