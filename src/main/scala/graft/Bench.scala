@@ -787,7 +787,11 @@ object Bench {
       "naive_bayes_score" -> 37.2, "semantic_dedup_sharded" -> 24.7,
       "span_dedup_docs" -> 5.9, "span_dedup_rewrite" -> 7.1,
       "span_dup_intervals" -> 3.7, "tokenizer_fertility" -> 4.6,
-      "zipf_law_fit" -> 4.0)
+      "zipf_law_fit" -> 4.0,
+      // round-12 addition (r11 verdict #7): measured 2026-08-16 on
+      // this box, idle, reused x1000 clones — 11.2 s (3.1 s at x10:
+      // the composed pipeline's corpus caps keep the tail sublinear)
+      "corpus_pretrain_pipeline" -> 11.2)
     val x1000Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X1000", "1") != "0"
     // Settled ×1000 rows (round 12): two green official records each
     // (r8 closing + r11 official, SURVEY §19/§20) plus the three r11
