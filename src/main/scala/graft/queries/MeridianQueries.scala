@@ -305,5 +305,362 @@ object MeridianQueries {
         (floor((col("d_pos") + col("d_neg")).cast("double")
           / (col("n1").cast("double") * col("n2").cast("double"))
           * lit(1000000) + lit(0.5)) / lit(1000000)).as("kuiper_v"))
+    },
+
+    // B192: DIXON'S Q TEST (Dixon 1950/1951, the r10 ratio) on the
+    // top-8 daily revenues — the small-sample outlier screen ops
+    // teams run on "our biggest days": is the single largest day an
+    // outlier against the rest of the top tail, Q = gap/range =
+    // (x₍₁₎−x₍₂₎)/(x₍₁₎−x₍₈₎)? The fixed-n companion to B153's
+    // Grubbs (which assumes normality and uses all days); Dixon is
+    // the ranked-extremes form. Exact: order statistics of the daily
+    // cents multiset (tie order irrelevant to the VALUES), integer
+    // gap/range, ONE division, 6dp; flag at the pinned n=8 α=0.05
+    // critical value 0.526. Scale shape: one keyed day agg + a
+    // bounded top-8.
+    Q("dixon_q",
+      """WITH o AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |t8 AS (SELECT cents FROM o ORDER BY cents DESC, day LIMIT 8),
+        |l AS (SELECT list(cents ORDER BY cents DESC) AS xs FROM t8)
+        |SELECT CAST(8 AS BIGINT) AS n_top,
+        |  xs[1] AS x_max, xs[1] - xs[2] AS gap, xs[1] - xs[8] AS range_,
+        |  CASE WHEN xs[1] > xs[8] THEN
+        |    floor(CAST(xs[1] - xs[2] AS DOUBLE)
+        |      / CAST(xs[1] - xs[8] AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS dixon_q,
+        |  CAST(CASE WHEN xs[1] > xs[8] AND
+        |      CAST(xs[1] - xs[2] AS DOUBLE) / CAST(xs[1] - xs[8] AS DOUBLE)
+        |        > 0.526
+        |    THEN 1 ELSE 0 END AS INT) AS outlier
+        |FROM l""".stripMargin) { (s, dir) =>
+      val top8 = table(s, dir, "orders")
+        .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+        .orderBy(col("cents").desc, col("day")).limit(8)
+      val l = top8.agg(
+        sort_array(collect_list(col("cents")), asc = false).as("xs"))
+      val q = (element_at(col("xs"), 1) - element_at(col("xs"), 2))
+        .cast("double") /
+        (element_at(col("xs"), 1) - element_at(col("xs"), 8)).cast("double")
+      l.select(lit(8L).as("n_top"),
+        element_at(col("xs"), 1).as("x_max"),
+        (element_at(col("xs"), 1) - element_at(col("xs"), 2)).as("gap"),
+        (element_at(col("xs"), 1) - element_at(col("xs"), 8)).as("range_"),
+        when(element_at(col("xs"), 1) > element_at(col("xs"), 8),
+          floor(q * lit(1000000) + lit(0.5)) / lit(1000000)).as("dixon_q"),
+        when(element_at(col("xs"), 1) > element_at(col("xs"), 8) &&
+          q > 0.526, 1).otherwise(0).cast("int").as("outlier"))
+    },
+
+    // B193: ORDINAL ASSOCIATION — Goodman-Kruskal gamma (1954) and
+    // Somers' d_yx (1962) between order priority (ordinal 1-5) and
+    // order-value quartile: the ordinal×ordinal dependence measures
+    // B117's Kendall tau-b approximates on continuous data and
+    // B147's Cramér's V ignores the ORDER of. Gamma uses concordant/
+    // discordant pairs only; Somers' D additionally charges pairs
+    // tied on the dependent (quartile) axis — the asymmetric
+    // "does priority PREDICT value band" form. Exact: quartile cuts
+    // at EXACT interpolated breakpoints (DistributedQuantile ≡
+    // quantile_cont bit-for-bit, the decile_lift precedent);
+    // C/D/T_y are sums of widened cell-count products over the
+    // ≤20-row contingency relation; two divisions, 6dp floors.
+    // Scale shape: ONE map-side-combinable 20-cell count; all pair
+    // arithmetic on the model relation.
+    Q("ordinal_association",
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+        |    quantile_cont(o_totalprice, 0.50) AS b2,
+        |    quantile_cont(o_totalprice, 0.75) AS b3
+        |  FROM orders),
+        |cells AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS p,
+        |    CAST((CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END) AS INT)
+        |      AS y,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders, b GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN x.p < z.p AND x.y < z.y
+        |      THEN CAST(x.n AS HUGEINT) * z.n ELSE 0 END) AS HUGEINT) AS c,
+        |    CAST(sum(CASE WHEN x.p < z.p AND x.y > z.y
+        |      THEN CAST(x.n AS HUGEINT) * z.n ELSE 0 END) AS HUGEINT) AS d,
+        |    CAST(sum(CASE WHEN x.p < z.p AND x.y = z.y
+        |      THEN CAST(x.n AS HUGEINT) * z.n ELSE 0 END) AS HUGEINT) AS ty
+        |  FROM cells x, cells z)
+        |SELECT CAST(c AS DECIMAL(38,0)) AS concordant,
+        |  CAST(d AS DECIMAL(38,0)) AS discordant,
+        |  CAST(ty AS DECIMAL(38,0)) AS ties_y,
+        |  CASE WHEN c + d > 0 THEN
+        |    floor(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS gamma,
+        |  CASE WHEN c + d + ty > 0 THEN
+        |    floor(CAST(c - d AS DOUBLE) / CAST(c + d + ty AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS somers_d
+        |FROM pairs""".stripMargin) { (s, dir) =>
+      import graft.operators.DistributedQuantile
+      val orders = table(s, dir, "orders")
+      val bps = DistributedQuantile.quantiles(
+          orders.withColumn("_g", lit("all")), "_g", "o_totalprice",
+          Seq("b1" -> 0.25, "b2" -> 0.50, "b3" -> 0.75))
+        .drop("g")
+      val y = (1 to 3)
+        .map(k => (col("o_totalprice") > col(s"b$k")).cast("int"))
+        .reduce(_ + _)
+      val cells = orders.crossJoin(broadcast(bps))
+        .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("p"),
+          y.cast("int").as("y"))
+        .groupBy(col("p"), col("y")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // the model relation feeds a self-join
+      val x = cells.select(col("p").as("px"), col("y").as("yx"),
+        col("n").cast("decimal(38,0)").as("nx"))
+      val z = cells.select(col("p").as("pz"), col("y").as("yz"),
+        col("n").cast("decimal(38,0)").as("nz"))
+      val pairs = x.crossJoin(z).agg(
+        sum(when(col("px") < col("pz") && col("yx") < col("yz"),
+          col("nx") * col("nz")).otherwise(lit(0))).as("c"),
+        sum(when(col("px") < col("pz") && col("yx") > col("yz"),
+          col("nx") * col("nz")).otherwise(lit(0))).as("d"),
+        sum(when(col("px") < col("pz") && col("yx") === col("yz"),
+          col("nx") * col("nz")).otherwise(lit(0))).as("ty"))
+      pairs.select(col("c").cast("decimal(38,0)").as("concordant"),
+        col("d").cast("decimal(38,0)").as("discordant"),
+        col("ty").cast("decimal(38,0)").as("ties_y"),
+        when(col("c") + col("d") > 0,
+          floor((col("c") - col("d")).cast("double")
+            / (col("c") + col("d")).cast("double") * lit(1000000)
+            + lit(0.5)) / lit(1000000)).as("gamma"),
+        when(col("c") + col("d") + col("ty") > 0,
+          floor((col("c") - col("d")).cast("double")
+            / (col("c") + col("d") + col("ty")).cast("double")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("somers_d"))
+    },
+
+    // B196: CHOW STRUCTURAL-BREAK TEST (Chow 1960) of the daily
+    // revenue trend at the calendar midpoint — "did the regime
+    // change": fit y = a + b·day on the full grid and on each half,
+    // F = ((SSR_p − SSR_a − SSR_b)/2)/((SSR_a + SSR_b)/(n−4)); the
+    // REGRESSION-form changepoint beside B194's rank form and
+    // B122's mean-shift form, and the diagnostic completing the
+    // B47/B160/B163/B165 OLS family. Exact spelling: per-segment
+    // sufficient sums (n, Σx, Σy, Σx², Σxy, Σy²) as DECIMAL(38,0)
+    // integers, pooled = the exact componentwise sum; n-scaled
+    // central moments Cxx/Cxy/Cyy exact; SSR = (Cyy − Cxy/Cxx·Cxy)/n
+    // a PINNED double tree (Cxy² would overflow 38 digits at clone
+    // scale — divide first, the stated order both engines spell);
+    // one F expression, 6dp floor; the fit-quality read-out is RMSE
+    // = √(SSR/n) rather than raw SSR (dollar² sums overflow the 6dp
+    // quantization long at clone scale; RMSE is scale-safe and the
+    // number an operator actually reads). Scale shape: one keyed day
+    // agg; everything after on a 2-row segment relation.
+    Q("chow_test", {
+      s"""WITH $dailyDollarsSql,
+         |mid AS (SELECT (min(day) + max(day)) // 2 AS m FROM x),
+         |seg AS (
+         |  SELECT CASE WHEN x.day <= mid.m THEN 0 ELSE 1 END AS sg,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x.day) AS HUGEINT) AS sx,
+         |    CAST(sum(x.v) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x.day AS HUGEINT) * x.day) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(x.day AS HUGEINT) * x.v) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x.v AS HUGEINT) * x.v) AS HUGEINT) AS syy
+         |  FROM x, mid GROUP BY 1),
+         |ssr AS (
+         |  SELECT sg, n,
+         |    (CAST(n * syy - sy * sy AS DOUBLE)
+         |      - CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(n * sxy - sx * sy AS DOUBLE)) / n AS ssr
+         |  FROM seg),
+         |pool AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    (CAST(sum(n) * sum(syy) - sum(sy) * sum(sy) AS DOUBLE)
+         |      - CAST(sum(n) * sum(sxy) - sum(sx) * sum(sy) AS DOUBLE)
+         |        / CAST(sum(n) * sum(sxx) - sum(sx) * sum(sx) AS DOUBLE)
+         |        * CAST(sum(n) * sum(sxy) - sum(sx) * sum(sy) AS DOUBLE))
+         |      / sum(n) AS ssr_p
+         |  FROM seg),
+         |parts AS (SELECT sum(ssr) AS ssr_ab FROM ssr)
+         |SELECT pool.n AS n_days, mid.m AS break_day,
+         |  floor(sqrt(pool.ssr_p / pool.n) * 1000000 + 0.5) / 1000000
+         |    AS rmse_pooled,
+         |  floor(sqrt(parts.ssr_ab / pool.n) * 1000000 + 0.5) / 1000000
+         |    AS rmse_split,
+         |  CASE WHEN parts.ssr_ab > 0 AND pool.n > 4 THEN
+         |    floor(((pool.ssr_p - parts.ssr_ab) / 2)
+         |      / (parts.ssr_ab / (pool.n - 4)) * 1000000 + 0.5) / 1000000
+         |  END AS chow_f
+         |FROM pool, parts, mid""".stripMargin }) { (s, dir) =>
+      val x = dailyDollars(s, dir)
+        .localCheckpoint() // feeds the midpoint and the segment sums
+      val mid = x.agg(expr("(min(day) + max(day)) div 2").as("m"))
+      val seg = x.crossJoin(broadcast(mid))
+        .select(when(col("day") <= col("m"), 0).otherwise(1).as("sg"),
+          col("day").cast("decimal(38,0)").as("dd"),
+          col("v").cast("decimal(38,0)").as("vv"))
+        .groupBy(col("sg"))
+        .agg(count(lit(1)).as("n"), sum(col("dd")).as("sx"),
+          sum(col("vv")).as("sy"), sum(col("dd") * col("dd")).as("sxx"),
+          sum(col("dd") * col("vv")).as("sxy"),
+          sum(col("vv") * col("vv")).as("syy"))
+        .localCheckpoint() // feeds per-segment AND pooled SSR
+      def ssrExpr(n: org.apache.spark.sql.Column,
+          sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+          sxx: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column,
+          syy: org.apache.spark.sql.Column) =
+        ((n.cast("decimal(38,0)") * syy - sy * sy).cast("double")
+          - (n.cast("decimal(38,0)") * sxy - sx * sy).cast("double")
+            / (n.cast("decimal(38,0)") * sxx - sx * sx).cast("double")
+            * (n.cast("decimal(38,0)") * sxy - sx * sy).cast("double")) / n
+      val parts = seg
+        .select(ssrExpr(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("sxy"), col("syy")).as("ssr"))
+        .agg(sum(col("ssr")).as("ssr_ab"))
+      val pool = seg.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+          sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+          sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"))
+        .select(col("n"), ssrExpr(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("sxy"), col("syy")).as("ssr_p"))
+      broadcast(pool).crossJoin(broadcast(parts)).crossJoin(broadcast(mid))
+        .select(col("n").as("n_days"), col("m").as("break_day"),
+          (floor(sqrt(col("ssr_p") / col("n")) * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("rmse_pooled"),
+          (floor(sqrt(col("ssr_ab") / col("n")) * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("rmse_split"),
+          when(col("ssr_ab") > 0 && col("n") > 4,
+            floor(((col("ssr_p") - col("ssr_ab")) / 2)
+              / (col("ssr_ab") / (col("n") - 4)) * lit(1000000) + lit(0.5))
+              / lit(1000000)).as("chow_f"))
+    },
+
+    // B195: YUEN'S TRIMMED-MEANS TEST (Yuen 1974) between purchase
+    // and view values — the ROBUST two-sample location test (B60's t
+    // breaks under heavy tails, B114's Mann-Whitney changes the
+    // hypothesis to stochastic dominance; Yuen keeps "do the means
+    // differ" but 20%-trims each side and studentizes with the
+    // winsorized variance). Exact spelling on the cents value grain:
+    // per group g = n div 5 trimmed from each tail; the trim-window
+    // membership of every cents level is exact interval arithmetic
+    // on the prefix counts (copies = min(cum, hi) − max(cum−cnt,
+    // lo−1) clamped ≥ 0); winsorized sums add L·(lo−1) and
+    // U·(n−hi) with L/U the exact order statistics; SSDw =
+    // (n·Σw² − (Σw)²)/n and d = SSDw/(h(h−1)) pinned double trees,
+    // t ONE subtraction over ONE sqrt, 6dp floors. Scale shape: one
+    // keyed cents agg (map-side combined) + the DistributedPrefixSum
+    // pass; everything after on the two-row group relation.
+    Q("yuen_trimmed_t",
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 'p' ELSE 'v' END
+        |    AS grp,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |v AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT grp, c, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY c) AS BIGINT)
+        |          AS k
+        |      FROM v),
+        |t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+        |        CAST(sum(cnt) // 5 AS BIGINT) AS g FROM v GROUP BY 1),
+        |lu AS (
+        |  SELECT t.grp, t.n, t.g,
+        |    (SELECT min(c) FROM w WHERE w.grp = t.grp AND w.k >= t.g + 1)
+        |      AS lo_v,
+        |    (SELECT min(c) FROM w WHERE w.grp = t.grp AND w.k >= t.n - t.g)
+        |      AS hi_v
+        |  FROM t),
+        |sums AS (
+        |  SELECT w.grp,
+        |    CAST(sum(w.c * greatest(CAST(0 AS BIGINT),
+        |      least(w.k, lu.n - lu.g) - greatest(w.k - w.cnt, lu.g)))
+        |      AS HUGEINT) AS tsum,
+        |    CAST(sum(CAST(w.c AS HUGEINT) * w.c
+        |      * greatest(CAST(0 AS BIGINT),
+        |        least(w.k, lu.n - lu.g) - greatest(w.k - w.cnt, lu.g)))
+        |      AS HUGEINT) AS tsq
+        |  FROM w JOIN lu ON w.grp = lu.grp GROUP BY 1),
+        |gst AS (
+        |  SELECT lu.grp, lu.n, lu.g, lu.n - 2 * lu.g AS h,
+        |    CAST(sums.tsum + lu.lo_v * lu.g + lu.hi_v * lu.g AS HUGEINT)
+        |      AS ws,
+        |    CAST(sums.tsq + CAST(lu.lo_v AS HUGEINT) * lu.lo_v * lu.g
+        |      + CAST(lu.hi_v AS HUGEINT) * lu.hi_v * lu.g AS HUGEINT)
+        |      AS wss,
+        |    CAST(sums.tsum AS DOUBLE) / (lu.n - 2 * lu.g) AS tmean
+        |  FROM lu JOIN sums ON lu.grp = sums.grp),
+        |d AS (
+        |  SELECT grp, n, h, tmean,
+        |    (CAST(n * wss - ws * ws AS DOUBLE) / n)
+        |      / (CAST(h AS DOUBLE) * (h - 1)) AS dv
+        |  FROM gst)
+        |SELECT p.n AS n1, v.n AS n2,
+        |  floor(p.tmean * 1000000 + 0.5) / 1000000 AS tmean_purchase,
+        |  floor(v.tmean * 1000000 + 0.5) / 1000000 AS tmean_view,
+        |  CASE WHEN p.dv + v.dv > 0 THEN
+        |    floor((p.tmean - v.tmean) / sqrt(p.dv + v.dv)
+        |      * 1000000 + 0.5) / 1000000 END AS yuen_t
+        |FROM d p, d v WHERE p.grp = 'p' AND v.grp = 'v'""".stripMargin) {
+      (s, dir) =>
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(when(col("event_type") === "purchase", "p").otherwise("v")
+          .as("grp"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("grp"), col("c")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // prefix pass + totals read it
+      val w = DistributedPrefixSum.running(v, "grp", Seq("c"), "cnt", "k")
+        .localCheckpoint() // L/U lookups + the trim-window sum read it
+      val t = v.groupBy(col("grp"))
+        .agg(sum(col("cnt")).as("n"), expr("sum(cnt) div 5").as("g"))
+      val wt = w.join(broadcast(t), Seq("grp"))
+      val loV = wt.filter(col("k") >= col("g") + 1)
+        .groupBy(col("grp")).agg(min(col("c")).as("lo_v"))
+      val hiV = wt.filter(col("k") >= col("n") - col("g"))
+        .groupBy(col("grp")).agg(min(col("c")).as("hi_v"))
+      val copies = greatest(lit(0L),
+        least(col("k"), col("n") - col("g"))
+          - greatest(col("k") - col("cnt"), col("g")))
+      val sums = wt.select(col("grp"),
+          (col("c").cast("decimal(38,0)") * copies).as("tc"),
+          (col("c").cast("decimal(38,0)") * col("c") * copies).as("tc2"))
+        .groupBy(col("grp"))
+        .agg(sum(col("tc")).as("tsum"), sum(col("tc2")).as("tsq"))
+      val gst = t.join(broadcast(loV), Seq("grp"))
+        .join(broadcast(hiV), Seq("grp"))
+        .join(broadcast(sums), Seq("grp"))
+        .select(col("grp"), col("n"), (col("n") - col("g") * 2).as("h"),
+          (col("tsum") + col("lo_v").cast("decimal(38,0)") * col("g")
+            + col("hi_v").cast("decimal(38,0)") * col("g")).as("ws"),
+          (col("tsq")
+            + col("lo_v").cast("decimal(38,0)") * col("lo_v") * col("g")
+            + col("hi_v").cast("decimal(38,0)") * col("hi_v") * col("g"))
+            .as("wss"),
+          (col("tsum").cast("double") / (col("n") - col("g") * 2))
+            .as("tmean"))
+      val d = gst.select(col("grp"), col("n"), col("h"), col("tmean"),
+        (((col("n").cast("decimal(38,0)") * col("wss")
+          - col("ws") * col("ws")).cast("double") / col("n"))
+          / (col("h").cast("double") * (col("h") - 1))).as("dv"))
+      val p = d.filter(col("grp") === "p")
+        .select(col("n").as("n1"), col("tmean").as("tm1"),
+          col("dv").as("dv1"))
+      val vv = d.filter(col("grp") === "v")
+        .select(col("n").as("n2"), col("tmean").as("tm2"),
+          col("dv").as("dv2"))
+      broadcast(p).crossJoin(broadcast(vv))
+        .select(col("n1"), col("n2"),
+          (floor(col("tm1") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("tmean_purchase"),
+          (floor(col("tm2") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("tmean_view"),
+          when(col("dv1") + col("dv2") > 0,
+            floor((col("tm1") - col("tm2")) / sqrt(col("dv1") + col("dv2"))
+              * lit(1000000) + lit(0.5)) / lit(1000000)).as("yuen_t"))
     })
 }
