@@ -662,5 +662,215 @@ object MeridianQueries {
           when(col("dv1") + col("dv2") > 0,
             floor((col("tm1") - col("tm2")) / sqrt(col("dv1") + col("dv2"))
               * lit(1000000) + lit(0.5)) / lit(1000000)).as("yuen_t"))
+    },
+
+    // C155: ISOTONIC CALIBRATION (PAVA — Zadrozny & Elkan KDD 2002;
+    // Barlow et al. 1972) of the conversion rate against the
+    // account-balance decile score: THE production probability-
+    // calibration step after any trained filter (C91 DIAGNOSES
+    // mis-calibration, this FIXES it — the monotone regression that
+    // maps raw scores to honest probabilities). Exact spelling: PAVA
+    // computed via its max-min characterization iso_d =
+    // max_{j≤d} min_{k≥d} rate(j..k) — on ≤10 bins that is a 55-row
+    // interval relation with EXACT integer (Σpos, Σn) prefix sums;
+    // rates compared as pos·10¹² div n integer keys (distinct
+    // rationals collide only below 1e-12 — both engines quantize
+    // identically), read out in exact micro-units (NO doubles
+    // anywhere). Deciles at EXACT interpolated breakpoints
+    // (DistributedQuantile ≡ quantile_cont, the decile_lift
+    // precedent). Scale shape: one broadcast-breakpoint corpus pass
+    // + one anti-joinable converted flag; everything after on the
+    // 10-row model relation.
+    Q("isotonic_calibration",
+      s"""WITH conv AS (
+         |  SELECT c_custkey, c_acctbal,
+         |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+         |      THEN 1 ELSE 0 END AS pos
+         |  FROM customer),
+         |b AS (
+         |  SELECT ${(1 to 9).map(k => s"quantile_cont(c_acctbal, 0.$k) AS b$k").mkString(", ")}
+         |  FROM customer),
+         |d AS (
+         |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN c_acctbal > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS bin,
+         |    pos
+         |  FROM conv, b),
+         |g AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS pos
+         |  FROM d GROUP BY bin),
+         |pre AS (
+         |  SELECT bin, n, pos,
+         |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+         |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+         |  FROM g),
+         |iv AS (
+         |  SELECT a.i AS j, z.i AS k,
+         |    CAST((z.cp - a.cp + a.pos) AS HUGEINT) * 1000000000000
+         |      // (z.cn - a.cn + a.n) AS rq
+         |  FROM pre a, pre z WHERE a.i <= z.i),
+         |mins AS (
+         |  SELECT o.i, v.j, min(v.rq) AS mn
+         |  FROM pre o JOIN iv v ON v.j <= o.i AND v.k >= o.i
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_q FROM mins
+         |        GROUP BY 1)
+         |SELECT p.bin AS decile, p.n, p.pos,
+         |  CAST((p.pos * 1000000) // p.n AS BIGINT) AS raw_micro,
+         |  CAST(iso.iso_q // 1000000 AS BIGINT) AS iso_micro
+         |FROM pre p JOIN iso ON p.i = iso.i""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.DistributedQuantile
+      val cust = table(s, dir, "customer")
+      val conv = cust
+        .join(table(s, dir, "orders").select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_acctbal"),
+          when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+      val bps = DistributedQuantile
+        .quantiles(cust.withColumn("_g", lit("all")), "_g", "c_acctbal",
+          (1 to 9).map(k => s"b$k" -> k / 10.0))
+        .drop("g")
+      val bin = (1 to 9)
+        .map(k => (col("c_acctbal") > col(s"b$k")).cast("int"))
+        .reduce(_ + _)
+      val g = conv.crossJoin(broadcast(bps))
+        .select(bin.cast("int").as("bin"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+      val pre = g.select(col("bin"), col("n"), col("pos"),
+          row_number().over(Window.orderBy(col("bin"))).cast("long").as("i"),
+          sum(col("n")).over(Window.orderBy(col("bin"))).as("cn"),
+          sum(col("pos")).over(Window.orderBy(col("bin"))).as("cp"))
+        .localCheckpoint() // the 10-row model relation, read 3x
+      val a = pre.select(col("i").as("j"), col("n").as("na"),
+        col("cn").as("cna"), col("pos").as("pa"), col("cp").as("cpa"))
+      val z = pre.select(col("i").as("k"), col("n").as("nz"),
+        col("cn").as("cnz"), col("pos").as("pz"), col("cp").as("cpz"))
+      val iv = a.crossJoin(z).filter(col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          expr("""cast((cpz - cpa + pa) as decimal(38,0)) * 1000000000000
+                 |  div (cnz - cna + na)""".stripMargin).as("rq"))
+      val mins = pre.select(col("i")).crossJoin(iv)
+        .filter(col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("rq")).as("mn"))
+      val iso = mins.groupBy(col("i"))
+        .agg(max(col("mn")).cast("decimal(38,0)").as("iso_q"))
+      pre.join(broadcast(iso), Seq("i"))
+        .select(col("bin").as("decile"), col("n"), col("pos"),
+          expr("(pos * 1000000) div n").as("raw_micro"),
+          expr("cast(iso_q div 1000000 as bigint)").as("iso_micro"))
+    },
+
+    // C153: BRADLEY-TERRY PREFERENCE-STRENGTH FIT (Bradley & Terry
+    // 1952; the MM algorithm of Hunter 2004) — the model behind
+    // reward modeling on pairwise preference data (C120 CONSTRUCTS
+    // DPO preference pairs; BT is what you FIT on them to get
+    // per-item strengths and Elo-style rankings). Tournament: on
+    // each day where both priorities traded, priority i beats j if
+    // its daily revenue is strictly higher — exact integer win
+    // counts w_ij. Fit: 8 FIXED MM iterations p_i ← W_i / Σ_j
+    // g_ij/(p_i+p_j) (g = w_ij + w_ji), each inner sum an ascending-j
+    // fold from 0.0 (the B128/ADC ordered-fold convention) so every
+    // intermediate double is bit-identical to DuckDB's recursive-CTE
+    // replay carrying the 5-strength DOUBLE[] state (the B128
+    // list-state precedent — base case CAST, the documented DuckDB
+    // literal-typing trap); zero-game items hold their strength
+    // (stated CASE, both engines). The 5×5 matrix is the only
+    // collect — guarded model-size. Scale shape: one keyed (day,
+    // priority) agg + one day-keyed model join; the fit is O(k²·8)
+    // on k = 5.
+    Q("bradley_terry", {
+      val denom = (pv: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(1, 6), j ->
+           |    CASE WHEN j <> i AND m[CAST(i AS INT)][CAST(j AS INT)]
+           |        + m[CAST(j AS INT)][CAST(i AS INT)] > 0
+           |      THEN CAST(m[CAST(i AS INT)][CAST(j AS INT)]
+           |        + m[CAST(j AS INT)][CAST(i AS INT)] AS DOUBLE)
+           |        / ($pv[CAST(i AS INT)] + $pv[CAST(j AS INT)])
+           |      ELSE CAST(0.0 AS DOUBLE) END)),
+           |  (a, b) -> a + b)""".stripMargin
+      s"""WITH RECURSIVE o AS (
+         |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS p,
+         |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |pair AS (
+         |  SELECT a.p AS i, b.p AS j,
+         |    CAST(count(*) FILTER (a.cents > b.cents) AS BIGINT) AS w
+         |  FROM o a JOIN o b ON a.day = b.day AND a.p <> b.p
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j
+         |  FROM (SELECT unnest(range(1, 6)) AS i) gi,
+         |       (SELECT unnest(range(1, 6)) AS j) gj),
+         |cells AS (
+         |  SELECT g.i, g.j, CAST(coalesce(pair.w, 0) AS BIGINT) AS w
+         |  FROM grid g LEFT JOIN pair ON g.i = pair.i AND g.j = pair.j),
+         |rows_ AS (
+         |  SELECT i, list(w ORDER BY j) AS wr FROM cells GROUP BY i),
+         |base AS (SELECT list(wr ORDER BY i) AS m FROM rows_),
+         |it AS (
+         |  SELECT 0 AS step,
+         |    CAST([1.0, 1.0, 1.0, 1.0, 1.0] AS DOUBLE[]) AS p
+         |  UNION ALL
+         |  SELECT step + 1,
+         |    list_transform(range(1, 6), i ->
+         |      CASE WHEN ${denom("it.p")} > 0
+         |        THEN CAST(list_sum(m[CAST(i AS INT)]) AS DOUBLE)
+         |          / ${denom("it.p")}
+         |        ELSE it.p[CAST(i AS INT)] END)
+         |  FROM it, base WHERE step < 8),
+         |fin AS (SELECT p FROM it WHERE step = 8),
+         |stats AS (
+         |  SELECT c.i AS priority,
+         |    CAST(sum(c.w) AS BIGINT) AS wins,
+         |    CAST(sum(c.w) + sum(d.w) AS BIGINT) AS games
+         |  FROM cells c JOIN cells d ON c.i = d.j AND c.j = d.i
+         |  GROUP BY 1)
+         |SELECT s.priority, s.wins, s.games,
+         |  floor(f.p[s.priority] * 1000000 + 0.5) / 1000000 AS strength
+         |FROM stats s, fin f""".stripMargin }) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("p"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day"), col("p")).agg(sum(col("cents")).as("cents"))
+        .localCheckpoint() // both tournament sides read it
+      val pair = o.as("a").join(o.as("b"),
+          col("a.day") === col("b.day") && col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+        .agg(sum((col("a.cents") > col("b.cents")).cast("long")).as("w"))
+      // the only collect: the k×k win matrix, model-sized (k = 5)
+      val rows = pair.collect()
+      require(rows.length <= 25,
+        s"bradley_terry: ${rows.length} matrix cells exceed the model bound")
+      val w = Array.ofDim[Long](6, 6)
+      rows.foreach { r =>
+        w(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("w") }
+      var p = Array.fill(6)(1.0)
+      for (_ <- 1 to 8) {
+        val np = new Array[Double](6)
+        for (i <- 1 to 5) {
+          // ascending-j fold from 0.0 — the exact DuckDB list_reduce
+          var denom = 0.0
+          for (j <- 1 to 5)
+            denom += (if (j != i && w(i)(j) + w(j)(i) > 0)
+              (w(i)(j) + w(j)(i)).toDouble / (p(i) + p(j))
+            else 0.0)
+          val wi = (1 to 5).map(j => w(i)(j)).sum.toDouble
+          np(i) = if (denom > 0) wi / denom else p(i)
+        }
+        p = np
+      }
+      val out = (1 to 5).map { i =>
+        val wins = (1 to 5).map(j => w(i)(j)).sum
+        val games = wins + (1 to 5).map(j => w(j)(i)).sum
+        (i, wins, games, math.floor(p(i) * 1000000 + 0.5) / 1000000)
+      }
+      import s.implicits._
+      out.toDF("priority", "wins", "games", "strength")
     })
 }

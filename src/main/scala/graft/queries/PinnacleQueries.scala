@@ -175,6 +175,57 @@ object PinnacleQueries {
               .otherwise(lit(0.0)).as("ndcg"))
     },
 
+    // C154: EXPECTED RECIPROCAL RANK — ERR@10 (Chapelle et al. CIKM
+    // 2009), the CASCADE-model ranking metric C123's trio misses:
+    // RR sees only the first hit, NDCG discounts independently; ERR
+    // models a user who stops at each relevant result with
+    // probability R, so later hits earn credit only through the
+    // survival product Π(1−R_i). With binary relevance R = 1/2, so
+    // ERR = Σ_{rel ranks r} (1/r)·(1/2)^{relcnt(r)} is an exact
+    // DYADIC rational over the lcm grid: scaled by 2520·2¹⁰ every
+    // term is the exact BIGINT (2520/r)·2^(10−relcnt) — ONE double
+    // division at the end, 6dp floor. Scale shape: identical to C123
+    // (bounded TopKPerKey heap, then |Q|·10 model-sized rows).
+    Q("retrieval_err",
+      s"""WITH ${topSql(10)},
+         |rel AS (
+         |  SELECT query_id, rnk,
+         |    CASE WHEN lbl = qlabel THEN 1 ELSE 0 END AS rel
+         |  FROM top),
+         |relr AS (
+         |  SELECT query_id, rnk, rel,
+         |    CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rnk)
+         |      AS BIGINT) AS relcnt
+         |  FROM rel),
+         |m AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN rel = 1
+         |      THEN (2520 // rnk) * (1 << CAST(10 - relcnt AS INT))
+         |      ELSE 0 END) AS BIGINT) AS err_num,
+         |    CAST(sum(rel) AS BIGINT) AS n_hits
+         |  FROM relr GROUP BY 1)
+         |SELECT query_id, n_hits,
+         |  floor(CAST(err_num AS DOUBLE) / (2520.0 * 1024)
+         |    * 1000000 + 0.5) / 1000000 AS err
+         |FROM m""".stripMargin) { (s, dir) =>
+      val top = sparkTop(s, dir, nq = 10)
+        .select(col("query_id"), col("rnk"),
+          when(col("lbl") === col("qlabel"), lit(1)).otherwise(lit(0))
+            .as("rel"))
+      val relr = top.withColumn("relcnt",
+        sum(col("rel")).over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rnk"))).cast("long"))
+      relr.groupBy(col("query_id"))
+        .agg(sum(when(col("rel") === 1,
+            (lit(2520) / col("rnk")).cast("long")
+              * expr("shiftleft(1L, cast(10 - relcnt as int))"))
+            .otherwise(lit(0L))).as("err_num"),
+          sum(col("rel").cast("long")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (floor(col("err_num").cast("double") / (lit(2520.0) * 1024)
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("err"))
+    },
+
     // C124: k-NN CLASSIFICATION by retrieval — majority label vote
     // over the exact cosine top-10 (Cover & Hart 1967), the
     // classification-by-index pattern that closes the trained-family
