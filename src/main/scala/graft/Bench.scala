@@ -609,6 +609,15 @@ object Bench {
     //     single-file wave writes (the wave write is the linear part).
     val newX10r12 = Seq(
       "ann_ivf_delete", "ann_ivfpq_filtered", "streaming_late_accounting")
+    // No probe, by rationale (round 12): jarque_bera /
+    // von_neumann_ratio / pettitt_changepoint / chow_test / dixon_q /
+    // bradley_terry — day-grain classes (one keyed day agg, the
+    // holt/acf rationale); kuiper_two_sample / yuen_trimmed_t —
+    // the probed value-grain prefix class (ks_two_sample/
+    // mannwhitney machinery verbatim); ordinal_association /
+    // isotonic_calibration — the decile_lift breakpoint-broadcast
+    // class (one corpus pass + model relation); retrieval_err —
+    // rides the probed retrieval_eval brute-force/TopKPerKey class.
 
     /** ADVICE r11 #4: a typo'd or renamed probe name must not vanish
       * silently — unknown names are recorded with the -4.0 sentinel
