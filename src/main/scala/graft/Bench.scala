@@ -260,9 +260,17 @@ object Bench {
       for (pass <- 1 to runsPerQuery) {
         queries.foreach { case (n, fn) =>
           val prior = headlineSamples.getOrElse(n, Nil)
-          val skip = pass > 1 && prior.nonEmpty &&
-            prior.filter(_ >= 0).forall(_ <= headlineFastSec) &&
-            prior.exists(_ >= 0)
+          // Fast-confirm skip — but NEVER for a sample that would
+          // flag the regression gate (rehearsal-1 lesson: sub-3s
+          // queries kept a single JIT/load-inflated pass-1 sample and
+          // landed in `regressed` on one observation; a pinned query
+          // above 2x its pin earns the confirming run, so the gate
+          // only ever fires on a min-of-2).
+          val valid = prior.filter(_ >= 0)
+          val skip = pass > 1 && valid.nonEmpty &&
+            valid.forall(_ <= headlineFastSec) &&
+            BenchPins.headlineMinSf01.get(n)
+              .forall(p => valid.min <= p * 2.0)
           if (!skip) {
             val t = run(n, fn)
             headlineSamples(n) = t :: prior
@@ -617,7 +625,10 @@ object Bench {
     // mannwhitney machinery verbatim); ordinal_association /
     // isotonic_calibration — the decile_lift breakpoint-broadcast
     // class (one corpus pass + model relation); retrieval_err —
-    // rides the probed retrieval_eval brute-force/TopKPerKey class.
+    // rides the probed retrieval_eval brute-force/TopKPerKey class;
+    // streaming_join_state_audit — one D7-shaped stream-stream join
+    // pass (the probed streaming_attribution chain contains the same
+    // join machinery) + two metadata-scale state-store scans.
 
     /** ADVICE r11 #4: a typo'd or renamed probe name must not vanish
       * silently — unknown names are recorded with the -4.0 sentinel

@@ -729,6 +729,89 @@ object StreamingQueries {
       }
     },
 
+    // D52: STREAM-STREAM JOIN STATE AUDIT (round 12) — D50's
+    // capacity proof for the OTHER big state family: the symmetric
+    // hash join's buffers are the #1 streaming OOM source in
+    // production, and the operational contract is that each side
+    // retains EXACTLY the rows the time-bound condition can still
+    // match. The D7 inner join (clicks × purchases, r_ts ∈ [l_ts,
+    // l_ts + gap], both sides watermarked) runs checkpointed over
+    // the full stream, then the query reads the ACTUAL join state
+    // back through Spark's statestore source (joinSide left/right)
+    // and pins both counts to the closed-form retention rule —
+    // measured against the engine on boundary plants (left keeps
+    // l_ts ≥ W − gap: a click can still match a future purchase
+    // until the watermark passes its window end; right keeps r_ts ≥
+    // W: a purchase matches only older clicks, so it dies at the
+    // watermark itself; W = min(max_l, max_r) − delay, the global
+    // watermark over both inputs). A leaked row on either side — an
+    // eviction bug, a wrong state watermark derivation — turns this
+    // row red. Scale shape: one stream-stream join pass + two
+    // metadata-scale state-store scans; state is O(watermark
+    // horizon), which is THIS query's own theorem.
+    Q("streaming_join_state_audit",
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |wm AS (SELECT least(
+         |    (SELECT max(tsec) FROM e WHERE event_type = 'click'),
+         |    (SELECT max(tsec) FROM e WHERE event_type = 'purchase'))
+         |    - $DelayS AS w FROM e LIMIT 1),
+         |lx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+         |       WHERE event_type = 'click' AND tsec >= w - $GapS),
+         |rx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+         |       WHERE event_type = 'purchase' AND tsec >= w)
+         |SELECT lx.n AS n_left_state, rx.n AS n_right_state,
+         |  lx.n AS n_left_expected, rx.n AS n_right_expected
+         |FROM lx, rx""".stripMargin) { (s, dir) =>
+      val ev = eventStream(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("l_ts"))
+        .withWatermark("l_ts", s"$DelayS seconds")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"),
+          col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("r_ts"))
+        .withWatermark("r_ts", s"$DelayS seconds")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $GapS seconds"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_jsa_ckpt").toString
+      withStatePartitions(s, 8) {
+        val name = s"graft_stream_jsa_${System.nanoTime()}"
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        def sideCount(side: String): Long =
+          s.read.format("statestore").option("path", ckpt)
+            .option("joinSide", side).load().count()
+        val leftN = sideCount("left")
+        val rightN = sideCount("right")
+        // expected retention from batch semantics on the SAME table
+        val e = table(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), expr("ts div 1000000000").as("tsec"))
+          .localCheckpoint() // the watermark and both counts read it
+        val wm = e.groupBy(col("event_type")).agg(max(col("tsec")).as("mx"))
+          .agg((min(col("mx")) - DelayS).as("w"))
+        e.crossJoin(broadcast(wm))
+          .agg(sum((col("event_type") === "click" &&
+              col("tsec") >= col("w") - GapS).cast("long"))
+              .as("n_left_expected"),
+            sum((col("event_type") === "purchase" &&
+              col("tsec") >= col("w")).cast("long"))
+              .as("n_right_expected"))
+          .select(lit(leftN).as("n_left_state"),
+            lit(rightN).as("n_right_state"),
+            col("n_left_expected"), col("n_right_expected"))
+      }
+    },
+
     // D34: STREAMING CEP — the B106 MATCH_RECOGNIZE-lite operator
     // (per-session event-initial strings + regex signal extraction)
     // running inside transformWithState state instead of a batch
