@@ -422,7 +422,7 @@ object MeridianQueries {
         col("n").cast("decimal(38,0)").as("nx"))
       val z = cells.select(col("p").as("pz"), col("y").as("yz"),
         col("n").cast("decimal(38,0)").as("nz"))
-      val pairs = x.crossJoin(z).agg(
+      val pairs = x.crossJoin(broadcast(z)).agg(
         sum(when(col("px") < col("pz") && col("yx") < col("yz"),
           col("nx") * col("nz")).otherwise(lit(0))).as("c"),
         sum(when(col("px") < col("pz") && col("yx") > col("yz"),
@@ -747,11 +747,11 @@ object MeridianQueries {
         col("cn").as("cna"), col("pos").as("pa"), col("cp").as("cpa"))
       val z = pre.select(col("i").as("k"), col("n").as("nz"),
         col("cn").as("cnz"), col("pos").as("pz"), col("cp").as("cpz"))
-      val iv = a.crossJoin(z).filter(col("j") <= col("k"))
+      val iv = a.crossJoin(broadcast(z)).filter(col("j") <= col("k"))
         .select(col("j"), col("k"),
           expr("""cast((cpz - cpa + pa) as decimal(38,0)) * 1000000000000
                  |  div (cnz - cna + na)""".stripMargin).as("rq"))
-      val mins = pre.select(col("i")).crossJoin(iv)
+      val mins = pre.select(col("i")).crossJoin(broadcast(iv))
         .filter(col("j") <= col("i") && col("k") >= col("i"))
         .groupBy(col("i"), col("j")).agg(min(col("rq")).as("mn"))
       val iso = mins.groupBy(col("i"))
@@ -872,5 +872,104 @@ object MeridianQueries {
       }
       import s.implicits._
       out.toDF("priority", "wins", "games", "strength")
+    },
+
+    // C156: UNBIASED pass@k ESTIMATOR (round 12; Chen et al. 2021,
+    // the HumanEval appendix formula — THE statistic every LLM code
+    // eval reports): pass@k = 1 − C(n−c, k)/C(n, k) per task, which
+    // the naive c/n-based plug-in gets wrong (it's biased for k <
+    // n). Task = user, attempts = events, successes = purchases,
+    // k = 3 pinned. Exact spelling: the combinatorial ratio
+    // telescopes to Π_{i<k}(n−c−i)/(n−i) — numerator and denominator
+    // as exact BIGINT 3-term products, pass in micro-units via ONE
+    // integer floor division (n−c < k ⇒ pass = 1 exactly, the
+    // stated branch); the corpus mean is an exact integer division
+    // of micro-unit sums. Scale shape: ONE map-side-combinable keyed
+    // count — nothing after exceeds the task relation.
+    Q("pass_at_k",
+      """WITH t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT * FROM t WHERE n >= 3),
+        |pk AS (
+        |  SELECT user_id,
+        |    CASE WHEN n - c < 3 THEN CAST(1000000 AS BIGINT)
+        |      ELSE 1000000 - ((n - c) * (n - c - 1) * (n - c - 2)
+        |        * 1000000) // (n * (n - 1) * (n - 2)) END AS pass_micro
+        |  FROM e)
+        |SELECT CAST(3 AS INT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_tasks,
+        |  CAST(sum(CASE WHEN pass_micro = 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_certain,
+        |  CAST(sum(pass_micro) // count(*) AS BIGINT) AS mean_pass_micro
+        |FROM pk""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("event_type") === "purchase").cast("long")).as("c"))
+        .filter(col("n") >= 3)
+      val pk = t.select(
+        when(col("n") - col("c") < 3, lit(1000000L))
+          .otherwise(lit(1000000) - expr(
+            """((n - c) * (n - c - 1) * (n - c - 2) * 1000000)
+              |  div (n * (n - 1) * (n - 2))""".stripMargin))
+          .as("pass_micro"))
+      pk.agg(count(lit(1)).as("n_tasks"),
+          sum(when(col("pass_micro") === 1000000L, 1L).otherwise(0L))
+            .as("n_certain"),
+          expr("sum(pass_micro) div count(*)").as("mean_pass_micro"))
+        .select(lit(3).cast("int").as("k"), col("n_tasks"),
+          col("n_certain"), col("mean_pass_micro"))
+    },
+
+    // B198: CAPTURE-RECAPTURE population estimate (round 12;
+    // Lincoln-Petersen with Chapman's 1951 bias correction) — the
+    // "how many users exist that we never saw" estimator (ecology's
+    // mark-recapture, used in DQ for coverage estimation and in
+    // dedup for unseen-duplicate mass): occasion A = users active in
+    // the first half of the calendar range, B = second half, N̂ =
+    // (n_A+1)(n_B+1)/(m+1) − 1. This corpus KNOWS its ground truth,
+    // so the row carries the audit the field method can't have:
+    // estimate vs true distinct users (the estimator is unbiased
+    // only under equal catchability — the gap IS the finding).
+    // Exact: all counts integers, Chapman ONE integer floor
+    // division. Scale shape: one keyed per-user min/max day agg.
+    Q("capture_recapture",
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN day > mid THEN 1 ELSE 0 END) AS in_b
+        |  FROM e, b GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+        |    CAST(sum(in_b) AS BIGINT) AS n_b,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |    CAST(count(*) AS BIGINT) AS true_users
+        |  FROM u)
+        |SELECT n_a, n_b, n_both,
+        |  CAST(((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1 AS BIGINT)
+        |    AS chapman_est,
+        |  true_users
+        |FROM s""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      val b = e.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val u = e.crossJoin(broadcast(b))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("day") <= col("mid"), 1).otherwise(0)).as("in_a"),
+          max(when(col("day") > col("mid"), 1).otherwise(0)).as("in_b"))
+      u.agg(sum(col("in_a")).cast("long").as("n_a"),
+          sum(col("in_b")).cast("long").as("n_b"),
+          sum(col("in_a") * col("in_b")).cast("long").as("n_both"),
+          count(lit(1)).as("true_users"))
+        .select(col("n_a"), col("n_b"), col("n_both"),
+          expr("((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1")
+            .as("chapman_est"),
+          col("true_users"))
     })
 }

@@ -196,6 +196,38 @@ class Round22Specs extends SparkTestBase {
     assert(res.count() > 0)
   }
 
+  test("pass_at_k: planted 3/4-attempt users hand-solve the estimator") {
+    // u1: n=3, c=1 → n−c < 3 → pass 1 exactly; u2: n=4, c=1 →
+    // 1 − C(3,3)/C(4,3) = 1 − 6/24 = 0.75; u3: n=2 excluded
+    val dir = eventsDir(Seq(
+      (1L, 1L, "purchase", 1.0, 100L), (2L, 1L, "view", 1.0, 200L),
+      (3L, 1L, "view", 1.0, 300L),
+      (4L, 2L, "purchase", 1.0, 100L), (5L, 2L, "view", 1.0, 200L),
+      (6L, 2L, "view", 1.0, 300L), (7L, 2L, "view", 1.0, 400L),
+      (8L, 3L, "view", 1.0, 100L), (9L, 3L, "view", 1.0, 200L)))
+    val r = SparkEntry.queries("pass_at_k")(spark, dir).collect().head
+    assert(r.getAs[Int]("k") == 3)
+    assert(r.getAs[Long]("n_tasks") == 2L)
+    assert(r.getAs[Long]("n_certain") == 1L)
+    assert(r.getAs[Long]("mean_pass_micro") == 875000L)
+  }
+
+  test("capture_recapture: planted two-occasion users hit Chapman = truth") {
+    // A-only u1 (day 0), B-only u2 (day 10), both u3 → n_A = n_B = 2,
+    // m = 1 → Chapman (3·3)//2 − 1 = 3 = true distinct users
+    val dir = eventsDir(Seq(
+      (1L, 1L, "view", 1.0, 100L),
+      (2L, 2L, "view", 1.0, 10L * 86400L + 100L),
+      (3L, 3L, "view", 1.0, 200L),
+      (4L, 3L, "view", 1.0, 10L * 86400L + 200L)))
+    val r = SparkEntry.queries("capture_recapture")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_both") == 1L)
+    assert(r.getAs[Long]("chapman_est") == 3L)
+    assert(r.getAs[Long]("true_users") == 3L)
+  }
+
   test("streaming_late_accounting: planted 3-wave replay drops exactly one row") {
     // wave0 (u0): t=100, t=100000 → wm after batch0 = 96400;
     // wave1 (u1): never filtered (late wm still at epoch);
