@@ -636,8 +636,9 @@ object Bench {
     // streaming_join_state_audit — one D7-shaped stream-stream join
     // pass (the probed streaming_attribution chain contains the same
     // join machinery) + two metadata-scale state-store scans;
-    // pass_at_k / capture_recapture — single map-side-combinable
-    // keyed aggs (the 2-cell-agg class).
+    // pass_at_k / capture_recapture / corpus_hhi — single
+    // map-side-combinable keyed aggs (the 2-cell-agg class);
+    // turning_point_test — day-grain (calendar-sized after one agg).
 
     /** ADVICE r11 #4: a typo'd or renamed probe name must not vanish
       * silently — unknown names are recorded with the -4.0 sentinel

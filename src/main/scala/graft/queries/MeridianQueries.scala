@@ -971,5 +971,102 @@ object MeridianQueries {
           expr("((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1")
             .as("chapman_est"),
           col("true_users"))
+    },
+
+    // B199: TURNING-POINT TEST (round 12; Kendall 1962 §3 — the
+    // local-extrema randomness test) on the zero-filled daily
+    // revenue series: T = # strict local peaks/troughs, E[T] =
+    // 2(n−2)/3, Var = (16n−29)/90 under i.i.d. — the third
+    // randomness lens beside B144's median-runs (level crossings)
+    // and B191's von Neumann (variance of differences): turning
+    // points see OSCILLATION structure both miss. Exact: T is an
+    // integer count of sign patterns on exact dollar diffs (ties are
+    // never turning points — strict inequalities, stated); z =
+    // (3T − 2(n−2)) / 3 / sqrt((16n−29)/90) a pinned double tree
+    // with exact integer leaves, 6dp floor. Scale shape: one keyed
+    // day agg; the triple join is calendar-sized.
+    Q("turning_point_test", {
+      s"""WITH $dailyDollarsSql,
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+         |tp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS t FROM x a
+         |  JOIN x b ON b.day = a.day + 1
+         |  JOIN x c ON c.day = a.day + 2
+         |  WHERE (b.v > a.v AND b.v > c.v) OR (b.v < a.v AND b.v < c.v))
+         |SELECT s.n AS n_days, tp.t AS turning_points,
+         |  CASE WHEN s.n >= 4 THEN
+         |    floor((3 * tp.t - 2 * (s.n - 2)) / 3.0
+         |      / sqrt((16 * s.n - 29) / 90.0) * 1000000 + 0.5) / 1000000
+         |  END AS z
+         |FROM s, tp""".stripMargin }) { (s, dir) =>
+      val x = dailyDollars(s, dir)
+        .localCheckpoint() // the count and the triple join read it
+      val st = x.agg(count(lit(1)).as("n"))
+      val a = x.select(col("day").as("da"), col("v").as("va"))
+      val b = x.select(col("day").as("db"), col("v").as("vb"))
+      val c = x.select(col("day").as("dc"), col("v").as("vc"))
+      val tp = a.join(b, col("db") === col("da") + 1)
+        .join(c, col("dc") === col("da") + 2)
+        .filter((col("vb") > col("va") && col("vb") > col("vc")) ||
+          (col("vb") < col("va") && col("vb") < col("vc")))
+        .agg(count(lit(1)).as("t"))
+      broadcast(st).crossJoin(broadcast(tp))
+        .select(col("n").as("n_days"), col("t").as("turning_points"),
+          when(col("n") >= 4,
+            floor((lit(3) * col("t") - lit(2) * (col("n") - 2)) / lit(3.0)
+              / sqrt((lit(16) * col("n") - 29) / lit(90.0))
+              * lit(1000000) + lit(0.5)) / lit(1000000)).as("z"))
+    },
+
+    // C157: CORPUS SOURCE CONCENTRATION — Herfindahl-Hirschman index
+    // (round 12; the antitrust HHI applied to data mixing — the
+    // one-number "is my corpus dominated by one crawl" diagnostic
+    // that motivates C48's domain cap and C33/C81/C87's rebalancers;
+    // 1/HHI is the effective number of sources, the diversity count
+    // C104's datacard reports per-source rows for): HHI = Σ_s
+    // (n_s/N)² = Σn_s²/N² — ONE division of exact widened integers;
+    // effective sources = N²·1e6 div Σn_s² in micro-units (exact
+    // integer division, no double reciprocal); top share ONE more
+    // exact division. Scale shape: one map-side-combinable keyed
+    // count; everything after on the source-sized model relation.
+    Q("corpus_hhi",
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+        |  FROM g),
+        |top AS (
+        |  SELECT source AS top_source, n AS top_n FROM g
+        |  ORDER BY n DESC, source LIMIT 1)
+        |SELECT s.n_sources, top.top_source,
+        |  floor(CAST(top.top_n AS DOUBLE) / s.total * 1000000 + 0.5)
+        |    / 1000000 AS top_share,
+        |  floor(CAST(s.sq AS DOUBLE)
+        |    / (CAST(s.total AS DOUBLE) * s.total) * 1000000 + 0.5)
+        |    / 1000000 AS hhi,
+        |  CAST((CAST(s.total AS HUGEINT) * s.total * 1000000) // s.sq
+        |    AS BIGINT) AS effective_sources_micro
+        |FROM s, top""".stripMargin) { (s, dir) =>
+      val g = table(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // totals + top read the model relation
+      val st = g.agg(count(lit(1)).as("n_sources"),
+        sum(col("n")).as("total"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("sq"))
+      val top = g.orderBy(col("n").desc, col("source")).limit(1)
+        .select(col("source").as("top_source"), col("n").as("top_n"))
+      broadcast(st).crossJoin(broadcast(top))
+        .select(col("n_sources"), col("top_source"),
+          (floor(col("top_n").cast("double") / col("total")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("top_share"),
+          (floor(col("sq").cast("double")
+            / (col("total").cast("double") * col("total"))
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("hhi"),
+          expr("""cast((cast(total as decimal(38,0)) * total * 1000000)
+                 |  div sq as bigint)""".stripMargin)
+            .as("effective_sources_micro"))
     })
 }

@@ -228,6 +228,30 @@ class Round22Specs extends SparkTestBase {
     assert(r.getAs[Long]("true_users") == 3L)
   }
 
+  test("turning_point_test: alternating {1,3,1,3} → T=2, z hand-solved") {
+    // both interior days are strict extrema: T = 2; z =
+    // (6 − 4)/3/√(35/90) = 1.069045
+    val r = SparkEntry.queries("turning_point_test")(
+      spark, dailyDir(Seq(1.0, 3.0, 1.0, 3.0))).collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("turning_points") == 2L)
+    assert(r.getAs[Double]("z") == 1.069045)
+  }
+
+  test("corpus_hhi: 3+1 source split → HHI 0.625, 1.6 effective sources") {
+    val dir = java.nio.file.Files.createTempDirectory("r22hhi").toString
+    Seq((1L, "t", "en", "a", 1L), (2L, "t", "en", "a", 1L),
+      (3L, "t", "en", "a", 1L), (4L, "t", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("corpus_hhi")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[String]("top_source") == "a")
+    assert(r.getAs[Double]("top_share") == 0.75)
+    assert(r.getAs[Double]("hhi") == 0.625)
+    assert(r.getAs[Long]("effective_sources_micro") == 1600000L)
+  }
+
   test("streaming_late_accounting: planted 3-wave replay drops exactly one row") {
     // wave0 (u0): t=100, t=100000 → wm after batch0 = 96400;
     // wave1 (u1): never filtered (late wm still at epoch);
