@@ -46,12 +46,19 @@ import java.nio.file.{Files, Paths}
   *     queries added or changed since the last green record, and
   *     every ×1000 row. Pointers to the frozen rows' last green
   *     records live in SURVEY §20;
-  *   - ×1000 rows are guarded by a PINNED EXPECTED-VALUE table (the
-  *     extension-session official record, idle box, 2026-08-16 —
-  *     SURVEY §19): a sample above 3× its pinned value triggers up
-  *     to two more samples (load can only inflate; min wins), and a
-  *     row still above 3× is flagged in-record as `load_suspect`
-  *     rather than trusted;
+  *   - ×1000 AND ×100 rows are guarded by PINNED EXPECTED-VALUE
+  *     tables (×1000: the extension-session official record, idle
+  *     box, 2026-08-16 — SURVEY §19; ×100: min of the two idle r12
+  *     rehearsals — r12 verdict #7): a sample above 3× its pinned
+  *     value triggers up to two more samples (load can only inflate;
+  *     min wins), and a row still above 3× is flagged in-record as
+  *     `load_suspect` rather than trusted;
+  *   - a START LOAD GATE (r12 verdict #2): the bench refuses to
+  *     start while the 1-min load average exceeds
+  *     SPARK_GRAFT_LOAD_GATE (default 1.5), waiting in 30 s steps up
+  *     to SPARK_GRAFT_LOAD_GATE_WAIT_S (default 600 s); the wait
+  *     counts against the wall budget and the decision is emitted in
+  *     the record (`load_gate*` fields);
   *   - the JSON record is flushed INCREMENTALLY — after every probe
   *     result and every headline sample — so a harness-ceiling kill
   *     at any point leaves every completed measurement parseable;
@@ -142,7 +149,38 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+
+    // ---- START LOAD GATE (r12 verdict #2: BENCH_r12 started at
+    // load_avg 5.86 and paid with a 2.3-2.6×-inflated ×1000 block —
+    // under the 3× load-suspect bar, so nothing self-flagged — plus
+    // 3 budget sentinels; the harness RECORDED the load but did not
+    // act on it). Now the load feeds the decision: wait-and-retry
+    // until the 1-min load drops below the gate or the wait budget
+    // expires; the wait is inside elapsedS(), so a box that never
+    // quiets converts the wait into budget sentinels rather than
+    // silently-inflated numbers. The decision is emitted in the
+    // record (`load_gate*` fields) so a reader can see whether the
+    // gate passed, waited, or was waived.
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
+    val loadGateWaitS =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT_S", "600").toDouble
+    val loadGateT0 = System.nanoTime()
+    var loadNow = loadAvg()
+    while (loadNow >= 0 && loadNow > loadGate &&
+        (System.nanoTime() - loadGateT0) / 1e9 < loadGateWaitS) {
+      System.err.println(
+        f"[bench] load gate: load_avg $loadNow%.2f > $loadGate%.2f — waiting 30 s " +
+          f"(${(System.nanoTime() - loadGateT0) / 1e9}%.0f/${loadGateWaitS}%.0f s)")
+      Thread.sleep(30000)
+      loadNow = loadAvg()
+    }
+    val loadGateWaitedS = (System.nanoTime() - loadGateT0) / 1e9
     val loadStart = loadAvg()
+    val loadGateOk = loadStart < 0 || loadStart <= loadGate
+    if (!loadGateOk) System.err.println(
+      f"[bench] load gate WAIVED after ${loadGateWaitedS}%.0f s: " +
+        f"load_avg_start $loadStart%.2f still > $loadGate%.2f — numbers may be inflated")
 
     // Per-block environment evidence (BENCH_r08 lesson: the official
     // record showed 148.7 s for a query a judge's isolated re-run
@@ -217,7 +255,7 @@ object Bench {
             .exists(p => mn > p * 2.0 && mn > p + 0.25) => n
       }.toSeq.sorted
       val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"headline_first_then_x10_x100_x1000","scale_probe_runs":"min_of_2_fast_confirm_skip_x1000_expected_guard","bench_budget_s":$budgetS%.0f,"elapsed_s":${elapsedS()}%.1f,"skip_codes":{"failed":-1,"timeout":-2,"skipped_budget":-3,"unknown_name":-4},"regressed":$regressedJson,"load_suspect":$loadSuspectJson,"block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"load_gate":$loadGate%.2f,"load_gate_waited_s":$loadGateWaitedS%.1f,"load_gate_ok":$loadGateOk,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"headline_first_then_x10_x100_x1000","scale_probe_runs":"min_of_2_fast_confirm_skip_x100_x1000_expected_guard","bench_budget_s":$budgetS%.0f,"elapsed_s":${elapsedS()}%.1f,"skip_codes":{"failed":-1,"timeout":-2,"skipped_budget":-3,"unknown_name":-4},"regressed":$regressedJson,"load_suspect":$loadSuspectJson,"block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
     }
     def flush(complete: Boolean = false): String = {
       val json = buildJson(complete)
@@ -274,10 +312,15 @@ object Bench {
           // above 2x its pin earns the confirming run, so the gate
           // only ever fires on a min-of-2).
           val valid = prior.filter(_ >= 0)
+          // The guard mirrors the FULL regression-gate predicate
+          // (min > 2×pin AND min > pin + 0.25 s) — r12 advice: with
+          // only the 2× half, a sub-second query sitting just above
+          // 2× its pin but under pin + 0.25 could never flag yet
+          // always lost the skip and burned a confirming run.
           val skip = pass > 1 && valid.nonEmpty &&
             valid.forall(_ <= headlineFastSec) &&
             BenchPins.headlineMinSf01.get(n)
-              .forall(p => valid.min <= p * 2.0)
+              .forall(p => !(valid.min > p * 2.0 && valid.min > p + 0.25))
           if (!skip) {
             val t = run(n, fn)
             headlineSamples(n) = t :: prior
@@ -614,6 +657,7 @@ object Bench {
       "energy_distance",
       // round-12 additions (one line of rationale each, x10 list)
       "ann_ivf_delete", "ann_ivfpq_filtered", "streaming_late_accounting")
+      // round-13 additions live in newX100r13 (rationales at newX10r13)
 
     // Round-12 additions to newX10:
     //   ann_ivf_delete — the incremental chain + one keyed delete
@@ -624,6 +668,24 @@ object Bench {
     //     single-file wave writes (the wave write is the linear part).
     val newX10r12 = Seq(
       "ann_ivf_delete", "ann_ivfpq_filtered", "streaming_late_accounting")
+    // Round-13 additions (one line of rationale each):
+    //   ann_graph_topk — the graph BUILD is the bucketed-pairs
+    //     NN-descent-class floor (~n²·7/2^planes): ×10 gates that the
+    //     probe-bucket join stays subquadratic at 20k vectors; search
+    //     itself is corpus-size-independent. ×100 skip BY DESIGN:
+    //     200k vectors put the build's bucketed pairs at ~4·10⁹ —
+    //     the dedup_embed_cosine exclusion class (at that scale the
+    //     build shards per bucket on a cluster, the stated contract);
+    //   streaming_conformal_gate — row-grain ordered fold over
+    //     bounded 64-counter state (the D44 zscore class, probed at
+    //     both decades there; joins ×10 as the new-shape check);
+    //   suffix_dup_stats — 5 prefix-doubling rounds, each one
+    //     doc-keyed self-join + a range-partition dense rank: token-
+    //     linear per round, probed at ×10 AND ×100 (the log-round
+    //     scale claim is exactly what the decades gate).
+    val newX10r13 = Seq(
+      "ann_graph_topk", "streaming_conformal_gate", "suffix_dup_stats")
+    val newX100r13 = Seq("suffix_dup_stats", "streaming_conformal_gate")
     // No probe, by rationale (round 12): jarque_bera /
     // von_neumann_ratio / pettitt_changepoint / chow_test / dixon_q /
     // bradley_terry — day-grain classes (one keyed day agg, the
@@ -659,7 +721,7 @@ object Bench {
 
     val x10Names = knownProbes(
       (if (includeRetired) retiredX10 else Nil) ++ canaryX10 ++ newX10
-        ++ newX10r12, "x10", sfx10)
+        ++ newX10r12 ++ newX10r13, "x10", sfx10)
     // queries reading orders/lineitem need the trade clone set (a
     // BENCH_ONLY subset shouldn't pay a 10x lineitem write otherwise)
     val tradeQueries = Set("graph_pagerank", "graph_triangles",
@@ -772,15 +834,6 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_FAST_CONFIRM_SEC", "15").toDouble
     val fastConfirmFrac =
       sys.env.getOrElse("SPARK_GRAFT_FAST_CONFIRM_FRAC", "0.5").toDouble
-    def runCeilingMin2(name: String, dir: String, ceilingSec: Int,
-        tag: String): Double = {
-      val a = runCeiling(name, dir, ceilingSec, tag)
-      if (a < 0 || a <= math.max(fastConfirmSec, ceilingSec * fastConfirmFrac)) a
-      else {
-        val b = runCeiling(name, dir, ceilingSec, tag)
-        if (b < 0) a else math.min(a, b)
-      }
-    }
 
     // ---- sf_x1000 probe (runs LAST since round 12 — r11 verdict #1:
     // the ×100 canary must land in the official record, so ×100 now
@@ -842,10 +895,11 @@ object Bench {
         "line_dedup", "semantic_dedup_sharded",
         "mm_audio_fingerprint", "naive_bayes_score", "gopher_rules",
         "holt_winters", "corpus_pretrain_pipeline"), "x1000", sfx1000)
-    def runX1000Row(name: String, dir: String, ceilingSec: Int): Double = {
-      var best = runCeiling(name, dir, ceilingSec, "x1000")
+    def runPinnedRow(name: String, dir: String, ceilingSec: Int,
+        tag: String, expected: Map[String, Double]): Double = {
+      var best = runCeiling(name, dir, ceilingSec, tag)
       if (best < 0) return best // timeout/failure IS the finding
-      val bar = x1000Expected.get(name).map(_ * 3.0)
+      val bar = expected.get(name).map(_ * 3.0)
       val fastKeep =
         best <= math.max(fastConfirmSec, ceilingSec * fastConfirmFrac) &&
           bar.forall(best <= _)
@@ -860,7 +914,7 @@ object Bench {
         // past the global wall budget — three ceiling-length samples
         // of one row could otherwise add ~900 s past the gate.
         while (continue && extra < maxExtra && budgetLeft()) {
-          val s = runCeiling(name, dir, ceilingSec, "x1000")
+          val s = runCeiling(name, dir, ceilingSec, tag)
           if (s >= 0) best = math.min(best, s)
           extra += 1
           continue = bar.exists(best > _)
@@ -868,7 +922,7 @@ object Bench {
         if (bar.exists(best > _)) {
           loadSuspect += name
           System.err.println(
-            f"[bench] x1000 LOAD-SUSPECT $name: min $best%.1f s > 3x pinned ${x1000Expected(name)}%.1f s")
+            f"[bench] $tag LOAD-SUSPECT $name: min $best%.1f s > 3x pinned ${expected(name)}%.1f s")
         }
       }
       best
@@ -884,8 +938,33 @@ object Bench {
     // replacements (minhash/simhash/semantic) are exactly what this
     // probe gates.
     val x100Probe = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_X100", "1") != "0"
+    // ×100 expected-value pins (r12 verdict #7: the ×1000 guard had
+    // no ×100 sibling, so the load-contamination class that inflated
+    // r12's official ×1000 block could hide in the 31-row ×100 block
+    // with no self-flag). Per row: min of the two IDLE r12 rehearsals
+    // (records/BENCH_r12_rehearsal{3,4}.json, load_avg_start
+    // 0.35/0.57); same 3×-bar → third-sample → load_suspect protocol
+    // as ×1000 via runPinnedRow.
+    val x100Expected = Map(
+      "ann_filtered_search" -> 2.3, "ann_ivf_delete" -> 11.9,
+      "ann_ivf_incremental" -> 14.7, "ann_ivf_trained" -> 7.8,
+      "ann_ivfpq_filtered" -> 7.4, "ann_ivfpq_topk" -> 7.8,
+      "attribution_markov" -> 5.6, "chunk_dedup_stats" -> 1.7,
+      "corpus_pretrain_pipeline" -> 3.7, "cramer_von_mises" -> 1.3,
+      "dedup_clusters" -> 3.7, "dedup_minhash_pairs" -> 4.1,
+      "distinct_ngram_diversity" -> 35.6, "energy_distance" -> 1.3,
+      "graph_pagerank" -> 40.1, "line_dedup" -> 4.3,
+      "mannwhitney_values" -> 1.3, "mm_audio_vad_segments" -> 2.2,
+      "mm_scene_cuts" -> 1.2, "quade_test" -> 2.0,
+      "rag_chunk_split" -> 1.4, "semantic_dedup_sharded" -> 8.5,
+      "setsim_prefix_join" -> 8.4, "span_dedup_rewrite" -> 3.2,
+      "spearman_daily" -> 0.9, "streaming_attribution" -> 10.2,
+      "streaming_late_accounting" -> 31.7,
+      "streaming_pattern_match" -> 59.4, "streaming_tws_profile" -> 14.0,
+      "welch_anova" -> 1.1, "window_range_frames" -> 2.9)
     val x100Names = knownProbes(
-      (if (includeRetired) retiredX100 else Nil) ++ canaryX100 ++ newX100,
+      (if (includeRetired) retiredX100 else Nil) ++ canaryX100 ++ newX100
+        ++ newX100r13,
       "x100", sfx100)
     if (scaleProbe && x100Probe && x100Names.nonEmpty) measureBlock("x100") {
       val x100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sfx100")
@@ -911,7 +990,8 @@ object Bench {
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_X100_PARTITIONS", "256"))
         try x100Names.foreach { n =>
-          probeOrSkip(n, sfx100)(runCeilingMin2(n, x100Dir, ceilingSec, "x100"))
+          probeOrSkip(n, sfx100)(
+            runPinnedRow(n, x100Dir, ceilingSec, "x100", x100Expected))
         }
         finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
       }
@@ -936,7 +1016,8 @@ object Bench {
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_X1000_PARTITIONS", "512"))
         try x1000Names.foreach { n =>
-          probeOrSkip(n, sfx1000)(runX1000Row(n, x1000Dir, ceilingSec))
+          probeOrSkip(n, sfx1000)(
+            runPinnedRow(n, x1000Dir, ceilingSec, "x1000", x1000Expected))
         }
         finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
       }

@@ -27,7 +27,24 @@ import org.apache.spark.storage.StorageLevel
   *     ≤ 2·|quantiles| rows per group leave the executors;
   *  5. interpolate with Spark `percentile`'s exact formula
   *     `(hi−pos)·v_lo + (pos−lo)·v_hi` so results are bit-identical
-  *     to the built-in (and to DuckDB's `quantile_cont`).
+  *     to the built-in.
+  *
+  * CROSS-ENGINE CAUTION (round-13 measurement): DuckDB 1.0.0's
+  * `quantile_cont` agrees with this tree bit-for-bit on every real
+  * test-table × q-grid case (re-verified per round by
+  * `tools/quantile_bitcheck.py`), but its tree is the un-fused
+  * `v_lo·(1−d) + v_hi·d`, which on ADVERSARIAL (v_lo, v_hi, q) ulp
+  * cases diverges from this formula ~8% of the time (and no fused or
+  * unfused re-association reproduces it 100%). Two consequences:
+  *  - a quantile used as OUTPUT is safe: every registered q is a
+  *    rational k/m with m | 2000 over cent-grain data, so the true
+  *    breakpoint lies on an exact 1e-6 grid and the standard 6dp
+  *    `floor(x·1e6 + 0.5)/1e6` absorbs any last-ulp disagreement;
+  *  - a quantile used in a COMPARISON (`value > breakpoint`) must
+  *    NOT use this interpolated double — use [[cuts]] + [[cutGt]],
+  *    which compare against the exact bracket-RANK values instead
+  *    (a data value is never strictly between two consecutive ranks,
+  *    so the cut is expressible without any interpolation at all).
   *
   * Driver state is O(partitions × groups present per partition) count
   * entries — guarded by `maxGroups`; for high-cardinality groups use
@@ -142,6 +159,125 @@ object DistributedQuantile {
           val vlo = picked((g, lo))
           if (lo == hi) vlo
           else (hi - pos) * vlo + (pos - lo) * picked((g, hi))
+        }
+        Row.fromSeq(g +: vals)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Exact cut values for quantile-threshold COMPARISONS (round 13).
+    *
+    * For a cut at q = k/m over the SAME column being compared, the
+    * predicate `value > quantile_cont(value, q)` is exactly equivalent
+    * to `value > v_lo` where `v_lo` is the value at 0-indexed rank
+    * `(k·(n−1)) div m`: the interpolated breakpoint b lies in
+    * [v_lo, v_hi) between two CONSECUTIVE ranks of the sorted
+    * multiset, and no data value can fall strictly between them, so
+    * the comparison never observes where inside the bracket b landed.
+    * `v_lo` is a real data double — bit-identical across engines by
+    * selection, immune to the interpolation-tree ulp divergence
+    * documented in the scaladoc above. Likewise `value <= b ⟺ value
+    * <= v_lo`; the ≥/< forms additionally need `rem = (k·(n−1)) mod
+    * m`: `value >= b ⟺ (rem == 0 ? value >= v_lo : value > v_lo)`.
+    *
+    * Rank and remainder are pure Long arithmetic (no double q at
+    * all), mirrored on the oracle side as `(k*(n-1))//m` /
+    * `(k*(n-1))%m` over a row_number ranking.
+    *
+    * @param cuts (outputColumnName, k, m) triples for q = k/m
+    * @param ceilNames cut names whose rank is the CEILING
+    *        (k·(n−1) + m − 1) div m instead of the floor — for
+    *        order-statistic clamps that must sit at-or-above q
+    *        (winsorize_prices); oracle mirror `(k*(n-1)+m-1)//m`
+    * @return one row per group: (g, <name>: double = value at rank
+    *         (k·(n−1)) div m, <name>_rem: long = (k·(n−1)) mod m, …)
+    */
+  def cutValues(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      cuts: Seq[(String, Int, Int)],
+      rangePartitions: Int = 32,
+      maxGroups: Int = 100000,
+      ceilNames: Set[String] = Set.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val sorted = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .repartitionByRange(rangePartitions, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[(String, Double)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val sortedRdd = sorted.rdd
+
+      val pgCounts: Array[(Int, String, Long)] = sortedRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+          m.iterator.map { case (g, c) => (pid, g, c) }.toList.iterator
+        }
+        .collect()
+
+      val groups = pgCounts.map(_._2).distinct
+      require(groups.length <= maxGroups,
+        s"DistributedQuantile.cutValues: ${groups.length} groups exceeds maxGroups=$maxGroups")
+
+      val nByG: Map[String, Long] =
+        pgCounts.groupBy(_._2).map { case (g, rows) => g -> rows.map(_._3).sum }
+
+      val offsets: Map[(Int, String), Long] = {
+        val b = Map.newBuilder[(Int, String), Long]
+        pgCounts.groupBy(_._2).foreach { case (g, rows) =>
+          var acc = 0L
+          rows.sortBy(_._1).foreach { case (pid, _, c) =>
+            b += ((pid, g) -> acc); acc += c
+          }
+        }
+        b.result()
+      }
+
+      def rankOf(name: String, n: Long, k: Int, m: Int): Long =
+        if (ceilNames.contains(name)) (k.toLong * (n - 1) + m - 1) / m.toLong
+        else (k.toLong * (n - 1)) / m.toLong
+      val neededByG: Map[String, Set[Long]] = nByG.map { case (g, n) =>
+        g -> cuts.map { case (nm, k, m) => rankOf(nm, n, k, m) }.toSet
+      }
+
+      val sc = spark.sparkContext
+      val bcOff = sc.broadcast(offsets)
+      val bcNeed = sc.broadcast(neededByG)
+
+      val picked: Map[(String, Long), Double] = sortedRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          var cur: String = null
+          var idx = 0L
+          it.flatMap { case (g, v) =>
+            if (g != cur) { cur = g; idx = bcOff.value.getOrElse((pid, g), 0L) }
+            val r = idx
+            idx += 1
+            if (bcNeed.value.getOrElse(g, Set.empty[Long]).contains(r)) Iterator.single((g, r, v))
+            else Iterator.empty
+          }
+        }
+        .collect()
+        .map { case (g, r, v) => (g, r) -> v }
+        .toMap
+
+      val schema = StructType(
+        StructField("g", StringType, nullable = false) +:
+          cuts.flatMap { case (name, _, _) =>
+            Seq(StructField(name, DoubleType, nullable = false),
+              StructField(s"${name}_rem", org.apache.spark.sql.types.LongType, nullable = false))
+          })
+      val rows: Seq[Row] = nByG.keys.toSeq.sorted.map { g =>
+        val n = nByG(g)
+        val vals = cuts.flatMap { case (nm, k, m) =>
+          Seq[Any](picked((g, rankOf(nm, n, k, m))), (k.toLong * (n - 1)) % m.toLong)
         }
         Row.fromSeq(g +: vals)
       }

@@ -524,7 +524,7 @@ object VectorOps {
       .agg(count(lit(1)).as("n_app"), sum(col("d2e6")).as("sum_d2e6_app"))
       .select(col("cid"), lit(0L).as("n_base"), lit(0L).as("sum_d2e6_base"),
         col("n_app"), col("sum_d2e6_app"))
-    val old = spark.read.parquet(statsPath(path))
+    val old = readStats(spark, path)
       .select(col("cid"), col("n_base"), col("sum_d2e6_base"),
         col("n_app"), col("sum_d2e6_app"))
     val merged = old.unionByName(batchStats)
@@ -543,28 +543,54 @@ object VectorOps {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema))
   }
 
-  /** Replace the stats sidecar via temp-write + rename (crash
-    * discipline for the append chain: the parquet append and the
-    * sidecar rewrite are two separate commits, and a crash between
-    * them must not leave a HALF-WRITTEN sidecar — a rename swap is
-    * single-FS-operation on both local and HDFS semantics, so the
-    * sidecar is always either the complete old or the complete new
-    * generation. A crash between the index append and this swap
+  /** Replace the stats sidecar via temp-write + generation swap
+    * (crash discipline for the append chain: the parquet append and
+    * the sidecar rewrite are two separate commits, and a crash
+    * between them must not leave a HALF-WRITTEN sidecar). Sequence:
+    * write `_tmp` (complete new generation), retire the canonical
+    * dir to `_prev` (never deleted before the new generation is in
+    * place), rename `_tmp` into the canonical path, then drop
+    * `_prev`. Each rename is a single FS operation on both local
+    * and HDFS semantics, so AT EVERY INSTANT a complete generation
+    * exists at the canonical path or at `_prev` — a crash inside
+    * the swap window leaves the canonical path briefly empty but
+    * never truncated, and [[readStats]] recovers by promoting
+    * `_prev` back. (A crash between the index append and this swap
     * still leaves the sidecar one batch stale — the documented
     * recovery is re-running the append's stats merge or re-init;
     * the drift query's counters are monitoring, not search
-    * correctness, which reads only the index files). FS is resolved
+    * correctness, which reads only the index files.) FS is resolved
     * from the path (non-default schemes — see init).
     */
   private def writeStatsAtomic(spark: org.apache.spark.sql.SparkSession,
       path: String, stats: DataFrame): Unit = {
     val sp = new org.apache.hadoop.fs.Path(statsPath(path))
     val tmp = new org.apache.hadoop.fs.Path(statsPath(path) + "_tmp")
+    val prev = new org.apache.hadoop.fs.Path(statsPath(path) + "_prev")
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     stats.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(sp, true)
+    fs.delete(prev, true) // stale _prev from an earlier completed swap
+    if (fs.exists(sp)) require(fs.rename(sp, prev),
+      s"writeStatsAtomic: rename $sp -> $prev failed")
     require(fs.rename(tmp, sp),
-      s"ivfAppendIndex: rename $tmp -> $sp failed; sidecar left at $tmp")
+      s"writeStatsAtomic: rename $tmp -> $sp failed; old generation at $prev")
+    fs.delete(prev, true)
+  }
+
+  /** Read the stats sidecar, recovering from an interrupted
+    * [[writeStatsAtomic]] swap: if the canonical dir is missing but
+    * `_prev` exists (crash between the retire and promote renames),
+    * promote `_prev` back — the complete OLD generation, the stated
+    * staleness contract.
+    */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val sp = new org.apache.hadoop.fs.Path(statsPath(path))
+    val prev = new org.apache.hadoop.fs.Path(statsPath(path) + "_prev")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp) && fs.exists(prev)) require(fs.rename(prev, sp),
+      s"readStats: recovery rename $prev -> $sp failed")
+    spark.read.parquet(sp.toString)
   }
 
   /** C151: DELETE vectors from a persisted incremental IVF index
@@ -621,7 +647,7 @@ object VectorOps {
     victims.select(col("id")).write.mode("append").parquet(tombPath(path))
     val delStats = victims.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_del_b"), sum(col("d2e6")).as("sum_d2e6_del_b"))
-    val old = spark.read.parquet(statsPath(path))
+    val old = readStats(spark, path)
     val old7 =
       if (old.columns.contains("n_del")) old
       else old.withColumn("n_del", lit(0L))
@@ -639,10 +665,12 @@ object VectorOps {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema))
   }
 
-  /** Read the incremental index's per-cell stats sidecar. */
+  /** Read the incremental index's per-cell stats sidecar (recovers
+    * from an interrupted generation swap — see [[readStats]]).
+    */
   def ivfReadStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(statsPath(path))
+    readStats(spark, path)
 
   /** Search a persisted IVF index (written by [[ivfWriteIndex]]):
     * queries rank cells against the same centroids, then join the

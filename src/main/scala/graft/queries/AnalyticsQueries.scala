@@ -800,7 +800,10 @@ object AnalyticsQueries {
 
     // B75: funnel time-to-convert percentiles — B56's funnel composed
     // with B20's DistributedQuantile: the p25/p50/p90 of view→purchase
-    // conversion lag, exact and bit-identical to quantile_cont, with
+    // conversion lag (quantile_cont agrees bit-for-bit on test data —
+    // the quantile_bitcheck canary — and the 4dp round is robust to a
+    // last-ulp tree divergence: integer-second lags put breakpoints
+    // on an exact 1e-4 grid), with
     // the quantile machinery's streamed two-pass plan (only bracketing
     // ranks leave executors — never the unspillable percentile buffer).
     Q("funnel_lag_percentiles",

@@ -1865,9 +1865,11 @@ object ApexQueries {
     // tests can't give (B120/B145 say THAT it moved, B141 gives one
     // shift number; the Q-Q table shows the shift per decile — tail
     // inflation vs uniform translation vs compression). Exactness:
-    // deciles come from DistributedQuantile (streamed sorted passes,
-    // bit-identical to DuckDB's quantile_cont interpolation — the
-    // B20 contract); per-decile values rounded 4dp, the shift one
+    // deciles come from DistributedQuantile (streamed sorted passes;
+    // quantile_cont agrees bit-for-bit on the test data — the
+    // quantile_bitcheck canary — and the 4dp round is robust even to
+    // a last-ulp tree divergence because decile breakpoints of
+    // cent-grain data land on the exact 1e-4 grid); the shift is one
     // IEEE subtraction of identical doubles. Scale shape: ONE
     // two-group quantile pass (never a per-group buffered
     // percentile), then a 9-row join.

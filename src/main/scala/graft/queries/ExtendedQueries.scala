@@ -358,16 +358,24 @@ object ExtendedQueries {
 
     // B20c: equi-depth histogram — decile buckets with ~equal row
     // counts, the selectivity-estimation / data-profiling primitive
-    // (equi-WIDTH binning is histogram_order_value). The 9 breakpoints
-    // come from DistributedQuantile (scale-safe streamed passes, and
-    // bit-identical to quantile_cont — the exact_percentiles
-    // contract), broadcast as one row over one scan; bucket = how many
-    // breakpoints the value strictly exceeds, so edge ties resolve
-    // identically in both engines.
+    // (equi-WIDTH binning is histogram_order_value). The 9 cut values
+    // are the EXACT bracket-rank values at rank (k·(n−1)) div 10
+    // (DistributedQuantile.cutValues — `v > interpolated_b` ⟺
+    // `v > v_lo`, no data value falls strictly between consecutive
+    // ranks, so the cut is a pure rank SELECTION and immune to the
+    // cross-engine interpolation-tree ulp divergence; round-13
+    // measurement in the operator scaladoc), broadcast as one row
+    // over one scan; bucket = how many cut values the row strictly
+    // exceeds, so edge ties resolve identically in both engines.
     Q("equidepth_histogram",
-      s"""WITH b AS (
-         |  SELECT ${(1 to 9).map(k => s"quantile_cont(o_totalprice, 0.${k}) AS b$k").mkString(", ")}
+      s"""WITH rk AS (
+         |  SELECT o_totalprice AS v,
+         |    row_number() OVER (ORDER BY o_totalprice) - 1 AS r,
+         |    count(*) OVER () AS n
          |  FROM orders),
+         |b AS (
+         |  SELECT ${(1 to 9).map(k => s"max(CASE WHEN r = ($k*(n-1))//10 THEN v END) AS b$k").mkString(", ")}
+         |  FROM rk),
          |k AS (
          |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN o_totalprice > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS bucket,
          |    o_totalprice
@@ -379,9 +387,9 @@ object ExtendedQueries {
          |FROM k GROUP BY bucket""".stripMargin) { (s, dir) =>
       val orders = table(s, dir, "orders")
       val bps = DistributedQuantile
-        .quantiles(orders.withColumn("_g", lit("all")), "_g", "o_totalprice",
-          (1 to 9).map(k => s"b$k" -> k / 10.0))
-        .drop("g")
+        .cutValues(orders.withColumn("_g", lit("all")), "_g", "o_totalprice",
+          (1 to 9).map(k => (s"b$k", k, 10)))
+        .drop("g").drop((1 to 9).map(k => s"b${k}_rem"): _*)
       val bucket = (1 to 9)
         .map(k => (col("o_totalprice") > col(s"b$k")).cast("int"))
         .reduce(_ + _)
@@ -402,9 +410,13 @@ object ExtendedQueries {
     // median of |value − median|), each the scale-safe streamed
     // two-pass — never the unspillable percentile buffer agg — with
     // the group-count-sized statistics broadcast over one scan for
-    // the flag count. Both medians are bit-identical to quantile_cont
-    // (the exact_percentiles contract), so the strict > threshold
-    // compare is exact in both engines.
+    // the flag count. Both medians are MEDIANS (q = 0.5): the
+    // interpolation fraction is 0 or exactly 0.5, whose products are
+    // exact halvings, so every interpolation tree yields the same
+    // double — the one q where cross-engine bit-identity holds
+    // unconditionally (see the DistributedQuantile scaladoc caution);
+    // the strict > threshold compare is therefore exact in both
+    // engines without rank-based cuts.
     Q("robust_outliers",
       """WITH m AS (
         |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med

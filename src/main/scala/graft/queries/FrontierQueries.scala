@@ -1023,42 +1023,59 @@ object FrontierQueries {
 
     // C64: QUANTILE LENGTH TRIM — drop token-count outliers outside
     // [p05, p95], the "too short to be prose / too long to be a
-    // document" corpus filter. The two global quantiles come from
-    // DistributedQuantile (streamed two-pass, bit-identical to
-    // quantile_cont — the B20 contract) broadcast over one corpus
-    // scan; the kept SET per language is pinned by count + id-sum
-    // beside the raw (bit-equal) bounds.
+    // document" corpus filter. The trim edges come from
+    // DistributedQuantile.cutValues (streamed two-pass rank
+    // SELECTION): the kept set is identical to the interpolated-
+    // breakpoint form — `ntok <= b95 ⟺ ntok <= v_lo95`, and
+    // `ntok >= b05` needs only the exact integer remainder
+    // (rem == 0 ? ntok >= v_lo05 : ntok > v_lo05) — but every value
+    // compared or reported is a real data double, engine-stable by
+    // construction (the round-13 ulp de-fuse). The kept SET per
+    // language is pinned by count + id-sum beside the bracket-rank
+    // bounds.
     Q("corpus_length_trim", {
       val toksSql = """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
       s"""WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS ntok
          |           FROM documents),
-         |b AS (SELECT quantile_cont(ntok, 0.05) AS q05,
-         |        quantile_cont(ntok, 0.95) AS q95 FROM d)
+         |rk AS (SELECT CAST(ntok AS DOUBLE) AS v,
+         |         row_number() OVER (ORDER BY ntok) - 1 AS r,
+         |         count(*) OVER () AS n
+         |       FROM d),
+         |b AS (SELECT max(CASE WHEN r = (1*(n-1))//20 THEN v END) AS q05,
+         |        max(CASE WHEN r = (19*(n-1))//20 THEN v END) AS q95,
+         |        max((1*(n-1))%20) AS q05_rem FROM rk),
+         |kd AS (
+         |  SELECT doc_id, lang, ntok, q05, q95,
+         |    CASE WHEN q05_rem = 0 THEN ntok >= q05 ELSE ntok > q05 END
+         |      AND ntok <= q95 AS keep
+         |  FROM d, b)
          |SELECT lang,
-         |  CAST(sum(CASE WHEN ntok >= q05 AND ntok <= q95 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_kept,
-         |  CAST(sum(CASE WHEN ntok < q05 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN NOT keep AND ntok <= q05 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_short,
          |  CAST(sum(CASE WHEN ntok > q95 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
-         |  CAST(sum(CASE WHEN ntok >= q05 AND ntok <= q95 THEN doc_id ELSE 0 END)
+         |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END)
          |    AS BIGINT) AS kept_id_sum,
          |  min(q05) AS q05, min(q95) AS q95
-         |FROM d, b GROUP BY lang""".stripMargin
+         |FROM kd GROUP BY lang""".stripMargin
     }) { (s, dir) =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("lang"),
         size(split(TF.normalizeText(col("text")), " ")).cast("long").as("ntok"))
       val qs = graft.operators.DistributedQuantile
-        .quantiles(d.withColumn("_g", lit("all")), "_g", "ntok",
-          Seq("q05" -> 0.05, "q95" -> 0.95))
-        .select(col("q05"), col("q95"))
+        .cutValues(d.withColumn("_g", lit("all")), "_g", "ntok",
+          Seq(("q05", 1, 20), ("q95", 19, 20)))
+        .select(col("q05"), col("q95"), col("q05_rem"))
+      val keep = when(col("q05_rem") === 0, col("ntok") >= col("q05"))
+        .otherwise(col("ntok") > col("q05")) && col("ntok") <= col("q95")
       d.crossJoin(broadcast(qs))
+        .withColumn("keep", keep)
         .groupBy(col("lang"))
         .agg(
-          sum(when(col("ntok") >= col("q05") && col("ntok") <= col("q95"), 1L)
-            .otherwise(0L)).as("n_kept"),
-          sum(when(col("ntok") < col("q05"), 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("keep") && col("ntok") <= col("q05"), 1L)
+            .otherwise(0L)).as("n_short"),
           sum(when(col("ntok") > col("q95"), 1L).otherwise(0L)).as("n_long"),
-          sum(when(col("ntok") >= col("q05") && col("ntok") <= col("q95"),
-            col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"),
           min(col("q05")).as("q05"), min(col("q95")).as("q95"))
     },
 

@@ -313,20 +313,26 @@ object HorizonQueries {
 
     // B98: DECILE LIFT / GAINS TABLE — the model-eval staple: score
     // customers (account balance), cut into deciles at the EXACT
-    // interpolated quantile breakpoints (DistributedQuantile ≡
-    // quantile_cont bit-for-bit — the equidepth_histogram precedent),
-    // and report each decile's conversion (customer placed ≥ 1 order)
-    // against the global rate as exact integer micro-units. One scan
-    // + one broadcast of 9 breakpoints + one keyed agg.
+    // bracket-rank values (DistributedQuantile.cutValues — rank
+    // selection, not interpolation, so the cut is engine-stable by
+    // construction; the equidepth_histogram precedent), and report
+    // each decile's conversion (customer placed ≥ 1 order) against
+    // the global rate as exact integer micro-units. One scan + one
+    // broadcast of 9 cut values + one keyed agg.
     Q("decile_lift",
       s"""WITH conv AS (
          |  SELECT c_custkey, c_acctbal,
          |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
          |      THEN 1 ELSE 0 END AS converted
          |  FROM customer),
-         |b AS (
-         |  SELECT ${(1 to 9).map(k => s"quantile_cont(c_acctbal, 0.$k) AS b$k").mkString(", ")}
+         |rk AS (
+         |  SELECT c_acctbal AS v,
+         |    row_number() OVER (ORDER BY c_acctbal) - 1 AS r,
+         |    count(*) OVER () AS n
          |  FROM customer),
+         |b AS (
+         |  SELECT ${(1 to 9).map(k => s"max(CASE WHEN r = ($k*(n-1))//10 THEN v END) AS b$k").mkString(", ")}
+         |  FROM rk),
          |d AS (
          |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN c_acctbal > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS decile,
          |    converted
@@ -348,9 +354,9 @@ object HorizonQueries {
         .select(col("c_custkey"), col("c_acctbal"),
           when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("converted"))
       val bps = DistributedQuantile
-        .quantiles(cust.withColumn("_g", lit("all")), "_g", "c_acctbal",
-          (1 to 9).map(k => s"b$k" -> k / 10.0))
-        .drop("g")
+        .cutValues(cust.withColumn("_g", lit("all")), "_g", "c_acctbal",
+          (1 to 9).map(k => (s"b$k", k, 10)))
+        .drop("g").drop((1 to 9).map(k => s"b${k}_rem"): _*)
       val decile = (1 to 9)
         .map(k => (col("c_acctbal") > col(s"b$k")).cast("int"))
         .reduce(_ + _)
@@ -368,15 +374,18 @@ object HorizonQueries {
     // B99: RFM SEGMENTATION — the CRM warehouse staple: per customer
     // Recency (last order second), Frequency (order count), Monetary
     // (lifetime cents), each cut into quintiles at the EXACT
-    // interpolated breakpoints (three DistributedQuantile passes ≡
-    // quantile_cont bit-for-bit), then segment cells reported with
+    // bracket-rank values (three DistributedQuantile.cutValues
+    // passes — rank selection, engine-stable by construction; the
+    // decile_lift precedent), then segment cells reported with
     // exact counts and cents. Per-customer metrics are one keyed agg;
-    // the 12 breakpoints broadcast over one pass — no per-customer
+    // the 12 cut values broadcast over one pass — no per-customer
     // window, no global sort.
     Q("rfm_segments", {
       def bpSql(metric: String) =
-        (1 to 4).map(k => s"quantile_cont(CAST($metric AS DOUBLE), 0.${2 * k}) AS ${metric}_b$k")
-          .mkString(", ")
+        s"""(SELECT ${(1 to 4).map(k => s"max(CASE WHEN r = ($k*(n-1))//5 THEN v END) AS ${metric}_b$k").mkString(", ")}
+           | FROM (SELECT CAST($metric AS DOUBLE) AS v,
+           |   row_number() OVER (ORDER BY CAST($metric AS DOUBLE)) - 1 AS r,
+           |   count(*) OVER () AS n FROM m)) ${metric}_b""".stripMargin
       def codeSql(metric: String) =
         "1 + " + (1 to 4).map(k => s"(CASE WHEN CAST($metric AS DOUBLE) > ${metric}_b$k THEN 1 ELSE 0 END)")
           .mkString(" + ")
@@ -386,7 +395,7 @@ object HorizonQueries {
          |    CAST(count(*) AS BIGINT) AS freq,
          |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
          |  FROM orders GROUP BY 1),
-         |b AS (SELECT ${bpSql("rec")}, ${bpSql("freq")}, ${bpSql("mon")} FROM m),
+         |b AS (SELECT * FROM ${bpSql("rec")}, ${bpSql("freq")}, ${bpSql("mon")}),
          |coded AS (
          |  SELECT CAST(${codeSql("rec")} AS INT) AS r_code,
          |    CAST(${codeSql("freq")} AS INT) AS f_code,
@@ -408,12 +417,12 @@ object HorizonQueries {
         .withColumn("freq_d", col("freq").cast("double"))
         .withColumn("mon_d", col("mon").cast("double"))
       def bps(metric: String) = DistributedQuantile
-        .quantiles(md.withColumn("_g", lit("all")), "_g",
-          // quantiles() interpolates on the double image of the
-          // metric — cast first so both engines rank identical values
+        .cutValues(md.withColumn("_g", lit("all")), "_g",
+          // cuts on the double image of the metric — cast first so
+          // both engines rank identical values
           s"${metric}_d",
-          (1 to 4).map(k => s"${metric}_b$k" -> 2 * k / 10.0))
-        .drop("g")
+          (1 to 4).map(k => (s"${metric}_b$k", k, 5)))
+        .drop("g").drop((1 to 4).map(k => s"${metric}_b${k}_rem"): _*)
       def code(metric: String) = (1 to 4)
         .map(k => (col(s"${metric}_d") > col(s"${metric}_b$k")).cast("int"))
         .reduce(_ + _) + 1
@@ -708,16 +717,25 @@ object HorizonQueries {
             .as("utilization_micro"))
     },
 
-    // B105: WINSORIZATION — robust-stats clipping at the exact
-    // interpolated [p01, p99] (DistributedQuantile ≡ quantile_cont
-    // bit-for-bit, so the clamp boundaries are identical doubles in
-    // both engines); clipped sums reported as exact integer cents
-    // per priority. One scan + a 2-value broadcast.
+    // B105: WINSORIZATION — robust-stats clipping at the [p01, p99]
+    // ORDER STATISTICS: lo = the value at rank ⌈0.01·(n−1)⌉, hi = the
+    // value at rank ⌊0.99·(n−1)⌋ (DistributedQuantile.cutValues —
+    // clamp bounds are actual data doubles selected by rank, so both
+    // the comparisons AND the clipped-cents sum are engine-stable by
+    // construction; an interpolated bound would put a synthetic
+    // double into floor(·*100), the ulp hazard the round-13
+    // measurement de-fused). Clipped sums reported as exact integer
+    // cents per priority. One scan + a 2-value broadcast.
     Q("winsorize_prices",
-      """WITH b AS (
-        |  SELECT quantile_cont(o_totalprice, 0.01) AS lo,
-        |    quantile_cont(o_totalprice, 0.99) AS hi
-        |  FROM orders)
+      """WITH rk AS (
+        |  SELECT o_totalprice AS v,
+        |    row_number() OVER (ORDER BY o_totalprice) - 1 AS r,
+        |    count(*) OVER () AS n
+        |  FROM orders),
+        |b AS (
+        |  SELECT max(CASE WHEN r = (1*(n-1)+99)//100 THEN v END) AS lo,
+        |    max(CASE WHEN r = (99*(n-1))//100 THEN v END) AS hi
+        |  FROM rk)
         |SELECT o_orderpriority AS pri,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
@@ -730,9 +748,9 @@ object HorizonQueries {
         |FROM orders, b GROUP BY 1""".stripMargin) { (s, dir) =>
       val orders = table(s, dir, "orders")
       val bps = DistributedQuantile
-        .quantiles(orders.withColumn("_g", lit("all")), "_g", "o_totalprice",
-          Seq("lo" -> 0.01, "hi" -> 0.99))
-        .drop("g")
+        .cutValues(orders.withColumn("_g", lit("all")), "_g", "o_totalprice",
+          Seq(("lo", 1, 100), ("hi", 99, 100)), ceilNames = Set("lo"))
+        .drop("g").drop("lo_rem", "hi_rem")
       orders.crossJoin(broadcast(bps))
         .groupBy(col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).as("n"),

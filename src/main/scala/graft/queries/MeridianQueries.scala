@@ -192,8 +192,10 @@ object MeridianQueries {
     // convention); U2_t = Σ_{i≤t} r2_i − t·(n+1) = 2·U_t via one
     // prefix sum in day order; K = max|U_t| exact (U2 is even);
     // changepoint = earliest argmax day; significance against the
-    // pinned −ln(0.025) = 3.688879 literal (K² > 3.688879·(n³+n²)/6
-    // — cross-multiplied in exact integers, no sqrt needed). Scale
+    // pinned −ln(0.025) = 3.688879 literal, FULLY cross-multiplied:
+    // K²·6·10⁶ > 3688879·(n³+n²) in HUGEINT/DECIMAL(38,0) — no
+    // division anywhere (a /10⁶ would be DuckDB integer-/-to-DOUBLE,
+    // lossy past 2^53 at clone scale), no sqrt. Scale
     // shape: one keyed day agg; ranks/prefix on the calendar-sized
     // grid (the day-grain window class).
     Q("pettitt_changepoint", {
@@ -215,9 +217,9 @@ object MeridianQueries {
          |  SELECT CAST(min(uu.day) AS BIGINT) AS cp_day
          |  FROM uu, k WHERE uu.a2 // 2 = k.k_stat)
          |SELECT s.n AS n_days, k.k_stat, arg.cp_day,
-         |  CAST(CASE WHEN CAST(k.k_stat AS HUGEINT) * k.k_stat * 6
-         |      > CAST(3688879 AS HUGEINT) * (s.n * s.n * s.n + s.n * s.n)
-         |        / 1000000
+         |  CAST(CASE WHEN CAST(k.k_stat AS HUGEINT) * k.k_stat * 6 * 1000000
+         |      > CAST(3688879 AS HUGEINT) * s.n * s.n * s.n
+         |        + CAST(3688879 AS HUGEINT) * s.n * s.n
          |    THEN 1 ELSE 0 END AS INT) AS signif
          |FROM s, k, arg""".stripMargin }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -242,10 +244,15 @@ object MeridianQueries {
         .agg(min(col("day")).as("cp_day"))
       broadcast(k).crossJoin(broadcast(arg))
         .select(col("n").as("n_days"), col("k_stat"), col("cp_day"),
+          // fully cross-multiplied — no division anywhere, so neither
+          // engine's integer-/ semantics (DuckDB / on integers yields
+          // DOUBLE, lossy past 2^53) can touch the boundary
           when(col("k_stat").cast("decimal(38,0)") * col("k_stat") * 6
+                * 1000000
               > lit(3688879).cast("decimal(38,0)")
-                * (col("n") * col("n") * col("n") + col("n") * col("n"))
-                / 1000000, 1)
+                  * col("n") * col("n") * col("n")
+                + lit(3688879).cast("decimal(38,0)") * col("n") * col("n"),
+              1)
             .otherwise(0).cast("int").as("signif"))
     },
 
@@ -365,18 +372,27 @@ object MeridianQueries {
     // discordant pairs only; Somers' D additionally charges pairs
     // tied on the dependent (quartile) axis — the asymmetric
     // "does priority PREDICT value band" form. Exact: quartile cuts
-    // at EXACT interpolated breakpoints (DistributedQuantile ≡
-    // quantile_cont bit-for-bit, the decile_lift precedent);
-    // C/D/T_y are sums of widened cell-count products over the
-    // ≤20-row contingency relation; two divisions, 6dp floors.
-    // Scale shape: ONE map-side-combinable 20-cell count; all pair
-    // arithmetic on the model relation.
+    // at the EXACT bracket-rank values (DistributedQuantile
+    // .cutValues — rank selection, engine-stable by construction;
+    // the decile_lift precedent); C/D/T_y are sums of widened
+    // cell-count products over the ≤20-row contingency relation,
+    // RENDERED as BIGINT (they fit far inside int64 at every test
+    // SF; a raw DECIMAL(38,0) final column hashes as "123" from
+    // Spark parquet but "123.0" through the oracle's pandas bridge —
+    // the round-12 red key); two divisions, 6dp floors. Scale shape:
+    // ONE map-side-combinable 20-cell count; all pair arithmetic on
+    // the model relation.
     Q("ordinal_association",
-      """WITH b AS (
-        |  SELECT quantile_cont(o_totalprice, 0.25) AS b1,
-        |    quantile_cont(o_totalprice, 0.50) AS b2,
-        |    quantile_cont(o_totalprice, 0.75) AS b3
+      """WITH rk AS (
+        |  SELECT o_totalprice AS v,
+        |    row_number() OVER (ORDER BY o_totalprice) - 1 AS r,
+        |    count(*) OVER () AS n
         |  FROM orders),
+        |b AS (
+        |  SELECT max(CASE WHEN r = (1*(n-1))//4 THEN v END) AS b1,
+        |    max(CASE WHEN r = (2*(n-1))//4 THEN v END) AS b2,
+        |    max(CASE WHEN r = (3*(n-1))//4 THEN v END) AS b3
+        |  FROM rk),
         |cells AS (
         |  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS p,
         |    CAST((CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
@@ -394,9 +410,9 @@ object MeridianQueries {
         |    CAST(sum(CASE WHEN x.p < z.p AND x.y = z.y
         |      THEN CAST(x.n AS HUGEINT) * z.n ELSE 0 END) AS HUGEINT) AS ty
         |  FROM cells x, cells z)
-        |SELECT CAST(c AS DECIMAL(38,0)) AS concordant,
-        |  CAST(d AS DECIMAL(38,0)) AS discordant,
-        |  CAST(ty AS DECIMAL(38,0)) AS ties_y,
+        |SELECT CAST(c AS BIGINT) AS concordant,
+        |  CAST(d AS BIGINT) AS discordant,
+        |  CAST(ty AS BIGINT) AS ties_y,
         |  CASE WHEN c + d > 0 THEN
         |    floor(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)
         |      * 1000000 + 0.5) / 1000000 END AS gamma,
@@ -406,10 +422,10 @@ object MeridianQueries {
         |FROM pairs""".stripMargin) { (s, dir) =>
       import graft.operators.DistributedQuantile
       val orders = table(s, dir, "orders")
-      val bps = DistributedQuantile.quantiles(
+      val bps = DistributedQuantile.cutValues(
           orders.withColumn("_g", lit("all")), "_g", "o_totalprice",
-          Seq("b1" -> 0.25, "b2" -> 0.50, "b3" -> 0.75))
-        .drop("g")
+          Seq(("b1", 1, 4), ("b2", 2, 4), ("b3", 3, 4)))
+        .drop("g").drop("b1_rem", "b2_rem", "b3_rem")
       val y = (1 to 3)
         .map(k => (col("o_totalprice") > col(s"b$k")).cast("int"))
         .reduce(_ + _)
@@ -429,9 +445,9 @@ object MeridianQueries {
           col("nx") * col("nz")).otherwise(lit(0))).as("d"),
         sum(when(col("px") < col("pz") && col("yx") === col("yz"),
           col("nx") * col("nz")).otherwise(lit(0))).as("ty"))
-      pairs.select(col("c").cast("decimal(38,0)").as("concordant"),
-        col("d").cast("decimal(38,0)").as("discordant"),
-        col("ty").cast("decimal(38,0)").as("ties_y"),
+      pairs.select(col("c").cast("bigint").as("concordant"),
+        col("d").cast("bigint").as("discordant"),
+        col("ty").cast("bigint").as("ties_y"),
         when(col("c") + col("d") > 0,
           floor((col("c") - col("d")).cast("double")
             / (col("c") + col("d")).cast("double") * lit(1000000)
@@ -676,20 +692,25 @@ object MeridianQueries {
     // rates compared as pos·10¹² div n integer keys (distinct
     // rationals collide only below 1e-12 — both engines quantize
     // identically), read out in exact micro-units (NO doubles
-    // anywhere). Deciles at EXACT interpolated breakpoints
-    // (DistributedQuantile ≡ quantile_cont, the decile_lift
-    // precedent). Scale shape: one broadcast-breakpoint corpus pass
-    // + one anti-joinable converted flag; everything after on the
-    // 10-row model relation.
+    // anywhere). Deciles at the EXACT bracket-rank cut values
+    // (DistributedQuantile.cutValues — rank selection, engine-stable
+    // by construction; the decile_lift precedent). Scale shape: one
+    // broadcast-cut corpus pass + one anti-joinable converted flag;
+    // everything after on the 10-row model relation.
     Q("isotonic_calibration",
       s"""WITH conv AS (
          |  SELECT c_custkey, c_acctbal,
          |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
          |      THEN 1 ELSE 0 END AS pos
          |  FROM customer),
-         |b AS (
-         |  SELECT ${(1 to 9).map(k => s"quantile_cont(c_acctbal, 0.$k) AS b$k").mkString(", ")}
+         |rk AS (
+         |  SELECT c_acctbal AS v,
+         |    row_number() OVER (ORDER BY c_acctbal) - 1 AS r,
+         |    count(*) OVER () AS n
          |  FROM customer),
+         |b AS (
+         |  SELECT ${(1 to 9).map(k => s"max(CASE WHEN r = ($k*(n-1))//10 THEN v END) AS b$k").mkString(", ")}
+         |  FROM rk),
          |d AS (
          |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN c_acctbal > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS bin,
          |    pos
@@ -728,9 +749,9 @@ object MeridianQueries {
         .select(col("c_acctbal"),
           when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
       val bps = DistributedQuantile
-        .quantiles(cust.withColumn("_g", lit("all")), "_g", "c_acctbal",
-          (1 to 9).map(k => s"b$k" -> k / 10.0))
-        .drop("g")
+        .cutValues(cust.withColumn("_g", lit("all")), "_g", "c_acctbal",
+          (1 to 9).map(k => (s"b$k", k, 10)))
+        .drop("g").drop((1 to 9).map(k => s"b${k}_rem"): _*)
       val bin = (1 to 9)
         .map(k => (col("c_acctbal") > col(s"b$k")).cast("int"))
         .reduce(_ + _)
@@ -881,7 +902,11 @@ object MeridianQueries {
     // n). Task = user, attempts = events, successes = purchases,
     // k = 3 pinned. Exact spelling: the combinatorial ratio
     // telescopes to Π_{i<k}(n−c−i)/(n−i) — numerator and denominator
-    // as exact BIGINT 3-term products, pass in micro-units via ONE
+    // as 3-term products WIDENED to HUGEINT/DECIMAL(38,0) before
+    // multiplying (the file convention: a raw-BIGINT (n−c)³·10⁶
+    // silently wraps in non-ANSI Spark past ~21k events/user while
+    // DuckDB raises — wrong answer vs loud error at clone scale),
+    // pass in micro-units via ONE
     // integer floor division (n−c < k ⇒ pass = 1 exactly, the
     // stated branch); the corpus mean is an exact integer division
     // of micro-unit sums. Scale shape: ONE map-side-combinable keyed
@@ -895,8 +920,10 @@ object MeridianQueries {
         |pk AS (
         |  SELECT user_id,
         |    CASE WHEN n - c < 3 THEN CAST(1000000 AS BIGINT)
-        |      ELSE 1000000 - ((n - c) * (n - c - 1) * (n - c - 2)
-        |        * 1000000) // (n * (n - 1) * (n - 2)) END AS pass_micro
+        |      ELSE CAST(1000000 - (CAST(n - c AS HUGEINT) * (n - c - 1)
+        |        * (n - c - 2) * 1000000)
+        |        // (CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS BIGINT)
+        |      END AS pass_micro
         |  FROM e)
         |SELECT CAST(3 AS INT) AS k,
         |  CAST(count(*) AS BIGINT) AS n_tasks,
@@ -912,8 +939,9 @@ object MeridianQueries {
       val pk = t.select(
         when(col("n") - col("c") < 3, lit(1000000L))
           .otherwise(lit(1000000) - expr(
-            """((n - c) * (n - c - 1) * (n - c - 2) * 1000000)
-              |  div (n * (n - 1) * (n - 2))""".stripMargin))
+            """(cast(n - c as decimal(38,0)) * (n - c - 1) * (n - c - 2)
+              |  * 1000000)
+              |  div (cast(n as decimal(38,0)) * (n - 1) * (n - 2))""".stripMargin))
           .as("pass_micro"))
       pk.agg(count(lit(1)).as("n_tasks"),
           sum(when(col("pass_micro") === 1000000L, 1L).otherwise(0L))

@@ -1665,6 +1665,74 @@ object StreamingQueries {
           col("m.sum_cents").as("sum_cents"))
     },
 
+    // D53: STREAMING CONFORMAL p-VALUE GATE (round 13) — the
+    // DISTRIBUTION-FREE sibling of D44's parametric z-gate
+    // (SessionPipeline.statefulConformalFold): per type, each
+    // event's prequential conformal p-value is the exact rank
+    // statistic (1 + #{prior events in a band ≥ mine}) / (n + 1)
+    // over a BOUNDED 64-counter band histogram ($10 bands, clamped),
+    // alarm at the exact integer test 16·(1+cnt_ge) ≤ n+1 after a
+    // 30-event warm-up — valid under exchangeability alone, which a
+    // z-score on skewed telemetry is not. Ordered prefix fold on the
+    // D23/D44 buffered machinery; the oracle replays the prefix
+    // ranks via the bounded band-threshold UNION trick: each folded
+    // event emits one contrib row per band k ≤ its own, so
+    // cnt_ge(q) is a plain per-(type, band) running count with the
+    // query row sorted BEFORE its own contrib row (m ascending) —
+    // O(64·n) rows, no n² self-join.
+    Q("streaming_conformal_gate",
+      s"""WITH e AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |wm AS (SELECT max(tsec) - $DelayS AS fw FROM e),
+         |r AS (SELECT event_type, event_id, tsec,
+         |        CAST(least(greatest(c // 1000, 0), 63) AS BIGINT) AS band
+         |      FROM e, wm WHERE tsec < fw),
+         |contrib AS (
+         |  SELECT event_type, tsec, event_id, CAST(k AS BIGINT) AS k,
+         |    1 AS m
+         |  FROM r, unnest(range(64)) AS u(k) WHERE k <= band),
+         |qry AS (SELECT event_type, tsec, event_id, band AS k, 0 AS m
+         |        FROM r),
+         |st AS (
+         |  SELECT event_type, tsec, event_id, k, m,
+         |    CAST(coalesce(sum(m) OVER (PARTITION BY event_type, k
+         |      ORDER BY tsec, event_id, m
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cge
+         |  FROM (SELECT * FROM contrib UNION ALL SELECT * FROM qry)),
+         |p AS (
+         |  SELECT event_type, k AS band, cge AS cnt_ge,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY tsec, event_id) - 1 AS BIGINT) AS pn
+         |  FROM st WHERE m = 0),
+         |a AS (SELECT event_type, band,
+         |        CASE WHEN pn >= 30 AND 16 * (1 + cnt_ge) <= pn + 1
+         |          THEN 1 ELSE 0 END AS alarm
+         |      FROM p)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_folded,
+         |  CAST(sum(alarm) AS BIGINT) AS n_alarms,
+         |  CAST(sum(CASE WHEN band >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hi_mass
+         |FROM a GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .as[SessionPipeline.AnomEvent]
+      val folded = SessionPipeline.statefulConformalFold(ev, DelayS).toDF()
+      runToMemory(s, folded, "graft_stream_conformal", mode = "update")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_folded"), col("n_alarms"),
+          col("hi_mass"))).as("m"))
+        .select(col("event_type"), col("m.n_folded").as("n_folded"),
+          col("m.n_alarms").as("n_alarms"),
+          col("m.hi_mass").as("hi_mass"))
+    },
+
     // D45: streaming one-way ANOVA — B131's F statistic computed
     // LIVE across event types from additive per-type sufficient
     // statistics (n, Σc, Σc² — bytes of state per type, the

@@ -793,22 +793,28 @@ object TextQueries {
     // 2017's reliability diagram as a relation) — the eval stage that
     // follows ANY trained corpus filter (C86 here; a fasttext/neural
     // scorer in production): cut the score axis into deciles at the
-    // EXACT interpolated quantile breakpoints (DistributedQuantile ≡
-    // quantile_cont bit-for-bit — the decile_lift precedent) and
+    // EXACT bracket-rank cut values (DistributedQuantile.cutValues —
+    // rank selection, engine-stable by construction; the decile_lift
+    // precedent) and
     // report, per bin, the count, positive-label mass, positive-PRED
     // mass, agreement, and exact micro-unit rates — the table that
     // says WHERE on the score axis the filter's confidence is honest
     // (a miscalibrated quality filter silently skews the corpus mix
     // it gates). Scale shape: the C86 scored relation (one corpus
-    // pass, localCheckpointed) → 9 breakpoints broadcast over one
+    // pass, localCheckpointed) → 9 cut values broadcast over one
     // keyed agg into ≤ 10 rows. All counts exact BIGINTs; rates are
     // integer micro-units ((n · 1e6) div count — positive, so DuckDB
     // // and Spark div agree); min/max score exact.
     Q("classifier_calibration",
       s"""$rocchioCtes,
-         |bp AS (
-         |  SELECT ${(1 to 9).map(k => s"quantile_cont(CAST(score AS DOUBLE), 0.$k) AS b$k").mkString(", ")}
+         |srk AS (
+         |  SELECT CAST(score AS DOUBLE) AS v,
+         |    row_number() OVER (ORDER BY CAST(score AS DOUBLE)) - 1 AS r,
+         |    count(*) OVER () AS n
          |  FROM scored),
+         |bp AS (
+         |  SELECT ${(1 to 9).map(k => s"max(CASE WHEN r = ($k*(n-1))//10 THEN v END) AS b$k").mkString(", ")}
+         |  FROM srk),
          |d AS (
          |  SELECT CAST(${(1 to 9).map(k => s"(CASE WHEN score > b$k THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS bin,
          |    label, pred, score
@@ -824,9 +830,9 @@ object TextQueries {
          |FROM d GROUP BY bin""".stripMargin) { (s, dir) =>
       val scored = rocchioScored(s, dir).localCheckpoint()
       val bps = DistributedQuantile
-        .quantiles(scored.withColumn("_g", lit("all")), "_g", "score",
-          (1 to 9).map(k => s"b$k" -> k / 10.0))
-        .drop("g")
+        .cutValues(scored.withColumn("_g", lit("all")), "_g", "score",
+          (1 to 9).map(k => (s"b$k", k, 10)))
+        .drop("g").drop((1 to 9).map(k => s"b${k}_rem"): _*)
       val bin = (1 to 9)
         .map(k => (col("score") > col(s"b$k")).cast("int"))
         .reduce(_ + _)
@@ -863,8 +869,10 @@ object TextQueries {
     // parity separator (the raw ≥ 0 cut lands 10%/90%, letting a
     // majority-class guesser score 89%; centering makes recovery
     // accuracy mean something). The median is the exact interpolated
-    // quantile (DistributedQuantile ≡ quantile_cont bit-for-bit, the
-    // calibration precedent). NB must RECOVER the separator from
+    // quantile — q = 0.5 is the one q where cross-engine bit-identity
+    // holds UNCONDITIONALLY (interpolation fraction 0 or exactly 0.5,
+    // products exact halvings; the robust_outliers precedent), so the
+    // ≥ median compare is engine-stable. NB must RECOVER the separator from
     // labels alone (NaiveBayesSpec pins the recovery accuracy
     // against both class rates). Determinism: every ln is taken on
     // ONE division of

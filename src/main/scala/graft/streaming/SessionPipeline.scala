@@ -432,6 +432,97 @@ object SessionPipeline extends Serializable {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class ConfState(n: Long, hist: Seq[Long], nAlarms: Long,
+      hiMass: Long, buffered: Seq[AnomEvent])
+  case class ConfOut(event_type: String, n_folded: Long, n_alarms: Long,
+      hi_mass: Long)
+
+  /** D53: STREAMING CONFORMAL p-VALUE GATE (round 13; split/
+    * prequential conformal prediction — Vovk et al. 2005; Shafer &
+    * Vovk JMLR 2008) — the DISTRIBUTION-FREE anomaly monitor beside
+    * D44's parametric z-gate: each event's nonconformity score is
+    * its value band, and its prequential p-value is the exact rank
+    * statistic p = (1 + #{prior events with band ≥ mine}) / (n + 1)
+    * over everything folded so far — valid (P(p ≤ α) ≤ α) under
+    * exchangeability with NO distributional assumption, which is
+    * precisely what the z-gate cannot promise on skewed telemetry.
+    * Alarm at α = 1/16 as the exact integer test
+    * 16·(1 + cnt_ge) ≤ n + 1 after a 30-event warm-up.
+    *
+    * BOUNDED STATE: the prefix multiset is kept as a 64-counter band
+    * histogram (band = clamp(cents div 1000, 0..63) — $10 bands,
+    * clamped so any value range fits), so per-key state is 64 longs
+    * + the below-watermark buffer regardless of stream length — the
+    * D33/D35 histogram-state discipline. The prefix rule makes the
+    * fold ORDERED (which events are "prior" is order-determined), so
+    * it rides the D23/D44 buffered-fold machinery: buffer
+    * below-watermark rows, fold in (tsec, event_id) order. Exact
+    * integers end to end; the oracle replays the same prefix ranks
+    * with a bounded band-threshold union trick (each event
+    * contributes one row per band ≤ its own; a per-(key, band)
+    * running count then reads cnt_ge off a plain window).
+    */
+  def statefulConformalFold(events: Dataset[AnomEvent],
+      delayS: Long): Dataset[ConfOut] = {
+    import events.sparkSession.implicits._
+
+    def band(c: Long): Int =
+      math.min(63L, math.max(0L, c / 1000L)).toInt
+
+    def foldReady(key: String, st: ConfState,
+        wmS: Long): (ConfState, Option[ConfOut]) = {
+      val (ready, hold) = st.buffered.partition(_.tsec < wmS)
+      if (ready.isEmpty) (st, None)
+      else {
+        var n = st.n
+        var alarms = st.nAlarms
+        var hi = st.hiMass
+        val h = st.hist.toArray
+        ready.sortBy(r => (r.tsec, r.event_id)).foreach { r =>
+          val b = band(r.cents)
+          var cntGe = 0L
+          var k = b
+          while (k < 64) { cntGe += h(k); k += 1 }
+          if (n >= 30 && 16L * (1L + cntGe) <= n + 1L) alarms += 1
+          if (b >= 32) hi += 1
+          h(b) += 1
+          n += 1
+        }
+        val next = ConfState(n, h.toSeq, alarms, hi, hold)
+        (next, Some(ConfOut(key, n, alarms, hi)))
+      }
+    }
+
+    def update(key: String, rows: Iterator[AnomEvent],
+        state: GroupState[ConfState]): Iterator[ConfOut] = {
+      val wmS = state.getCurrentWatermarkMs() / 1000L
+      val st0 = state.getOption
+        .getOrElse(ConfState(0L, Seq.fill(64)(0L), 0L, 0L, Nil))
+      val withNew =
+        if (state.hasTimedOut) st0
+        else st0.copy(buffered = st0.buffered ++ rows)
+      val (next, out) = foldReady(key, withNew, wmS)
+      if (next.buffered.isEmpty && state.hasTimedOut) state.remove()
+      else {
+        state.update(next)
+        val wake = next.buffered.map(_.tsec * 1000L) match {
+          case Nil => state.getCurrentWatermarkMs() + 1000L
+          case ts => math.max(ts.min + 1L, state.getCurrentWatermarkMs() + 1L)
+        }
+        state.setTimeoutTimestamp(wake)
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", s"$delayS seconds")
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class PhState(n: Long, s: Long, m: Long, minM: Long, maxPh: Long,
       nAlarms: Long, buffered: Seq[AnomEvent])
   case class PhOut(event_type: String, n_folded: Long, max_ph_e6: Long,

@@ -495,6 +495,67 @@ class DistributedQuantileSpec extends SparkTestBase {
   }
 }
 
+/** cutValues (round 13): exact bracket-rank cut values for
+  * quantile-threshold comparisons — the de-fuse of the cross-engine
+  * interpolation-tree ulp hazard (a `v > quantile_cont(q)` cut is
+  * `v > value_at_rank((k·(n−1)) div m)`, a pure selection).
+  */
+class CutValuesSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("planted: rank values, remainders, and ceil ranks by hand") {
+    // sorted values: 10, 20, 30, 40, 50 → n = 5
+    val df = Seq(30.0, 10.0, 50.0, 20.0, 40.0)
+      .map(("all", _)).toDF("g0", "v0").repartition(3)
+    val got = operators.DistributedQuantile
+      .cutValues(df, "g0", "v0",
+        Seq(("q1", 1, 4), ("q2", 2, 4), ("q3", 3, 4), ("p99", 99, 100)),
+        ceilNames = Set("p99"))
+      .collect().head
+    // q1: 1·4/4 = rank 1 → 20, rem 0; q2: rank 2 → 30, rem 0;
+    // q3: rank 3 → 40, rem 0; p99 ceil((99·4)/100) = ceil(3.96) =
+    // rank 4 → 50, rem 99·4 mod 100 = 96
+    assert(got.getAs[Double]("q1") == 20.0 && got.getAs[Long]("q1_rem") == 0L)
+    assert(got.getAs[Double]("q2") == 30.0 && got.getAs[Long]("q2_rem") == 0L)
+    assert(got.getAs[Double]("q3") == 40.0 && got.getAs[Long]("q3_rem") == 0L)
+    assert(got.getAs[Double]("p99") == 50.0 && got.getAs[Long]("p99_rem") == 96L)
+    // n = 6: quartile ranks interpolate — q1 pos = 5/4 → rank 1, rem 1
+    val df6 = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0)
+      .map(("all", _)).toDF("g0", "v0").repartition(4)
+    val got6 = operators.DistributedQuantile
+      .cutValues(df6, "g0", "v0", Seq(("q1", 1, 4), ("q3", 3, 4)))
+      .collect().head
+    assert(got6.getAs[Double]("q1") == 20.0 && got6.getAs[Long]("q1_rem") == 1L)
+    // q3 pos = 15/4 = 3.75 → rank 3 → 40, rem 3
+    assert(got6.getAs[Double]("q3") == 40.0 && got6.getAs[Long]("q3_rem") == 3L)
+  }
+
+  test("cut equivalence: v > interpolated breakpoint == v > rank-lo value") {
+    // the load-bearing identity behind every quartile/decile cut
+    // query: on the SAME column, strict-> comparisons against the
+    // interpolated quantile and against the bracket-lo rank value
+    // select identical row sets
+    val orders = GraftSession.table(spark, sfDir, "orders")
+      .select($"o_totalprice".cast("double").as("v"))
+    val interp = operators.DistributedQuantile
+      .quantiles(orders.withColumn("_g", lit("all")), "_g", "v",
+        (1 to 9).map(k => s"b$k" -> k / 10.0)).drop("g")
+    val cuts = operators.DistributedQuantile
+      .cutValues(orders.withColumn("_g", lit("all")), "_g", "v",
+        (1 to 9).map(k => (s"c$k", k, 10))).drop("g")
+    val counts = orders.crossJoin(broadcast(interp)).crossJoin(broadcast(cuts))
+      .select((1 to 9).flatMap(k => Seq(
+        sum(($"v" > col(s"b$k")).cast("long")).as(s"nb$k"),
+        sum(($"v" > col(s"c$k")).cast("long")).as(s"nc$k"))): _*)
+      .collect().head
+    (1 to 9).foreach { k =>
+      assert(counts.getAs[Long](s"nb$k") == counts.getAs[Long](s"nc$k"),
+        s"decile $k: interpolated-cut and rank-cut select different sets")
+    }
+  }
+}
+
 /** Distributed running total (C16 scale path): identical to a
   * per-group ordered window without its single-reducer serialization.
   */

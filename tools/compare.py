@@ -41,14 +41,47 @@ for name in sorted(oracle):
     if len(s) != len(d):
         print(f"ROWCOUNT MISMATCH {name}: spark={len(s)} duck={len(d)}"); fails.append(name); continue
     # normalize dtypes for compare
+    def render_kind(col):
+        """How the driver's render-then-hash sees this column: 'i' for
+        int-rendered scalars ("123" -- int64, object Decimal(38,0),
+        Python int), 'f' for float-rendered ("123.0"), else dtype kind.
+        DuckDB HUGEINT and DECIMAL(38,0) cross the pandas bridge as
+        float64 or object(Decimal) depending on width/path, so a
+        numeric == compare is NOT the driver's semantics (round-12
+        ordinal_association: Decimal('33242693') vs 33242693.0 passed
+        == but hash-mismatched)."""
+        k = col.dtype.kind
+        if k == "O":
+            import decimal
+            for v in col:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                if isinstance(v, decimal.Decimal):
+                    try:
+                        return "i" if v == v.to_integral_value() \
+                            and str(v) == str(v.to_integral_value()) else "D"
+                    except decimal.InvalidOperation:
+                        return "D"
+                if isinstance(v, bool):
+                    return "b"
+                if isinstance(v, int):
+                    return "i"
+                if isinstance(v, float):
+                    return "f"
+                return k
+        return k
     diffs = []
     for c in sc:
         a, b = s[c], d[c]
-        # the driver hashes rendered values, so an int column on one side
-        # and a float on the other ("123" vs "123.0") is a FAIL even when
-        # numerically equal — DuckDB HUGEINT (sum of BIGINT) lands here.
-        if {a.dtype.kind, b.dtype.kind} == {"i", "f"}:
-            diffs.append(c + " [dtype int-vs-float: would hash-mismatch]")
+        # the driver hashes rendered values, so an int-rendered column on
+        # one side and a float- or scaled-decimal-rendered one on the
+        # other ("123" vs "123.0" vs "123.000000") is a FAIL even when
+        # numerically equal -- int64 vs float64, AND object(Decimal) vs
+        # float64 (the round-12 blind spot: the old guard only looked at
+        # dtype kinds, which Decimal objects don't expose).
+        ka, kb = render_kind(a), render_kind(b)
+        if ka != kb and {ka, kb} <= {"i", "f", "D"}:
+            diffs.append(c + f" [render {ka}-vs-{kb}: would hash-mismatch]")
             continue
         try:
             if a.dtype.kind in "fc" or b.dtype.kind in "fc":
