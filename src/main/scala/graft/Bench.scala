@@ -682,9 +682,23 @@ object Bench {
     //   suffix_dup_stats — 5 prefix-doubling rounds, each one
     //     doc-keyed self-join + a range-partition dense rank: token-
     //     linear per round, probed at ×10 AND ×100 (the log-round
-    //     scale claim is exactly what the decades gate).
+    //     scale claim is exactly what the decades gate);
+    //   corpus_js_divergence — one tokenize pass + source-PAIR ×
+    //     union-vocab joins: the corpus-linear half rides the probed
+    //     tokenize shape, the pair dimension is source-count-bound
+    //     (clones keep the source set), so ×10 alone decides.
+    // No probe, by rationale (round 13): ansari_bradley — the probed
+    // value-grain prefix class (mannwhitney machinery verbatim);
+    // cox_stuart_trend / variance_ratio — day-grain (calendar-sized
+    // after one keyed agg); bowker_symmetry — the B65 per-user lead
+    // window + a k²-model self-join (event_transitions class);
+    // filter_agreement_alpha — ONE map-only text pass + a
+    // map-side-combinable 3-scalar agg (the blocklist_tag class);
+    // streaming_isotonic_calibration — complete-mode band agg (16
+    // cells) + model-side PAVA (the streaming_anova k-cell class).
     val newX10r13 = Seq(
-      "ann_graph_topk", "streaming_conformal_gate", "suffix_dup_stats")
+      "ann_graph_topk", "streaming_conformal_gate", "suffix_dup_stats",
+      "corpus_js_divergence")
     val newX100r13 = Seq("suffix_dup_stats", "streaming_conformal_gate")
     // No probe, by rationale (round 12): jarque_bera /
     // von_neumann_ratio / pettitt_changepoint / chow_test / dixon_q /

@@ -334,6 +334,179 @@ object FrontierQueries {
           col("kl_micro").cast("double") / 1000000.0 / (col("n_p") + col("v")))
     },
 
+    // C161: KRIPPENDORFF'S ALPHA over three corpus quality filters
+    // (round 13; Krippendorff 1970/2004) — the MULTI-coder
+    // chance-corrected agreement C67's pairwise Cohen's κ can't
+    // give: three deterministic binary "coders" rate every doc
+    // (length ≥ 50 tokens; mean token length in [3, 10] via the
+    // integer cross-compare 3·ntok ≤ chars ≤ 10·ntok; digit mass
+    // ≤ 10% via 10·digits ≤ chars), and nominal-binary alpha with
+    // constant m = 3 reduces EXACTLY to
+    // α = 1 − (N−1)·Σ_u n1_u·n0_u / (2·N₁·N₀), N = 3·docs — pure
+    // integer products (≤ ~2e8, exact doubles) and ONE division,
+    // 6dp floor. The filter-ensemble health check: α near 0 means
+    // the filters disagree at chance and a majority vote is noise.
+    // Scale shape: one map-only text pass → 3 flags/doc → one
+    // map-side-combinable agg to 3 scalars.
+    Q("filter_agreement_alpha", {
+      val toksSql = """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS ntok,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS chars,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+         |      AS digits
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST((CASE WHEN ntok >= 50 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN chars >= 3 * ntok AND chars <= 10 * ntok
+         |          THEN 1 ELSE 0 END)
+         |      + (CASE WHEN 10 * digits <= chars THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1
+         |  FROM d),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n1) AS BIGINT) AS n1_tot,
+         |        CAST(sum(n1 * (3 - n1)) AS BIGINT) AS d_obs FROM u)
+         |SELECT n_docs, 3 * n_docs AS n_ratings, n1_tot, d_obs,
+         |  CASE WHEN n1_tot > 0 AND n1_tot < 3 * n_docs THEN
+         |    floor((1.0 - CAST((3 * n_docs - 1) * d_obs AS DOUBLE)
+         |      / CAST(2 * n1_tot * (3 * n_docs - n1_tot) AS DOUBLE))
+         |      * 1000000 + 0.5) / 1000000 END AS alpha
+         |FROM s""".stripMargin
+    }) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        size(split(TF.normalizeText(col("text")), " ")).cast("long")
+          .as("ntok"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long")
+          .as("chars"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("digits"))
+      val u = d.select(
+        ((col("ntok") >= 50).cast("long")
+          + (col("chars") >= col("ntok") * 3
+            && col("chars") <= col("ntok") * 10).cast("long")
+          + (lit(10) * col("digits") <= col("chars")).cast("long"))
+          .as("n1"))
+      u.agg(count(lit(1)).as("n_docs"), sum(col("n1")).as("n1_tot"),
+          sum(col("n1") * (lit(3) - col("n1"))).as("d_obs"))
+        .select(col("n_docs"), (lit(3) * col("n_docs")).as("n_ratings"),
+          col("n1_tot"), col("d_obs"),
+          when(col("n1_tot") > 0 && col("n1_tot") < lit(3) * col("n_docs"),
+            floor((lit(1.0)
+              - ((lit(3) * col("n_docs") - 1) * col("d_obs")).cast("double")
+                / (lit(2) * col("n1_tot")
+                  * (lit(3) * col("n_docs") - col("n1_tot"))).cast("double"))
+              * 1000000 + lit(0.5)) / 1000000).as("alpha"))
+    },
+
+    // C160: JENSEN-SHANNON DIVERGENCE between per-SOURCE token
+    // distributions (round 13; Lin IEEE-IT 1991) — the SYMMETRIC,
+    // bounded companion to C58's directional KL drift (KL explodes
+    // when q misses a word; JS(P,Q) = ½KL(P‖M)+½KL(Q‖M), M the
+    // mixture, is finite and symmetric — the standard corpus-
+    // similarity number in data-mixing reports). Exact spelling on
+    // the C58 recipe: add-one smoothing over each pair's union
+    // vocab; every ln argument is ONE division of exact BIGINT
+    // products — ln(2p/(p+q)) = ln(2(a+1)(B+V) / ((a+1)(B+V) +
+    // (b+1)(A+V))), products ≤ ~2e12 ≪ 2^53 so the double casts are
+    // exact; per-term micro floors, one mirrored double chain for
+    // the read-out. Scale shape: ONE tokenize pass → per-source
+    // counts (model-sized), pair expansion on the source dimension
+    // only (k(k−1)/2 pairs × vocab), keyed joins throughout.
+    Q("corpus_js_divergence", {
+      val toksSql = """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |tc AS (SELECT source, unnest(toks) AS w FROM t),
+         |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |        FROM tc GROUP BY 1, 2),
+         |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |         FROM cnt GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM stot a JOIN stot b ON a.source < b.source),
+         |ua AS (SELECT p.sa, p.sb, c.w, c.c AS a
+         |       FROM cnt c JOIN pairs p ON c.source = p.sa),
+         |ub AS (SELECT p.sa, p.sb, c.w, c.c AS b
+         |       FROM cnt c JOIN pairs p ON c.source = p.sb),
+         |u AS (
+         |  SELECT coalesce(x.sa, y.sa) AS sa, coalesce(x.sb, y.sb) AS sb,
+         |    coalesce(x.w, y.w) AS w,
+         |    coalesce(x.a, 0) AS a, coalesce(y.b, 0) AS b
+         |  FROM ua x FULL OUTER JOIN ub y
+         |    ON x.sa = y.sa AND x.sb = y.sb AND x.w = y.w),
+         |pv AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS v
+         |       FROM u GROUP BY 1, 2),
+         |g AS (
+         |  SELECT u.sa, u.sb, u.a, u.b, pv.v,
+         |    na.n AS an, nb.n AS bn
+         |  FROM u JOIN pv ON u.sa = pv.sa AND u.sb = pv.sb
+         |  JOIN stot na ON na.source = u.sa
+         |  JOIN stot nb ON nb.source = u.sb),
+         |contrib AS (
+         |  SELECT sa, sb, v, an, bn,
+         |    CAST(floor((a + 1) * ln(
+         |      CAST(2 * (a + 1) * (bn + v) AS DOUBLE) /
+         |      CAST((a + 1) * (bn + v) + (b + 1) * (an + v) AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS kp,
+         |    CAST(floor((b + 1) * ln(
+         |      CAST(2 * (b + 1) * (an + v) AS DOUBLE) /
+         |      CAST((a + 1) * (bn + v) + (b + 1) * (an + v) AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS kq
+         |  FROM g)
+         |SELECT sa AS source_a, sb AS source_b, an AS n_a, bn AS n_b, v,
+         |  CAST(sum(kp) AS BIGINT) AS klp_micro,
+         |  CAST(sum(kq) AS BIGINT) AS klq_micro,
+         |  floor((CAST(sum(kp) AS DOUBLE) / 1000000.0 / (an + v)
+         |    + CAST(sum(kq) AS DOUBLE) / 1000000.0 / (bn + v)) / 2
+         |    * 1000000 + 0.5) / 1000000 AS js
+         |FROM contrib GROUP BY sa, sb, v, an, bn""".stripMargin
+    }) { (s, dir) =>
+      val cnt = table(s, dir, "documents")
+        .select(col("source"),
+          explode(split(TF.normalizeText(col("text")), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // model-sized; cut the explode off replays
+      val stot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val pairs = stot.select(col("source").as("sa"))
+        .crossJoin(stot.select(col("source").as("sb")))
+        .filter(col("sa") < col("sb"))
+      val ua = cnt.join(broadcast(pairs), col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("w"), col("c").as("a"))
+      val ub = cnt.join(broadcast(pairs), col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("w"), col("c").as("b"))
+      val u = ua.join(ub, Seq("sa", "sb", "w"), "full_outer")
+        .select(col("sa"), col("sb"),
+          coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+      val pv = u.groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("v"))
+      val g = u.join(broadcast(pv), Seq("sa", "sb"))
+        .join(broadcast(stot.select(col("source").as("sa"), col("n").as("an"))),
+          Seq("sa"))
+        .join(broadcast(stot.select(col("source").as("sb"), col("n").as("bn"))),
+          Seq("sb"))
+      g.withColumn("kp", expr(
+          """CAST(floor((a + 1) * ln(
+            |  CAST(2 * (a + 1) * (bn + v) AS DOUBLE) /
+            |  CAST((a + 1) * (bn + v) + (b + 1) * (an + v) AS DOUBLE))
+            |  * 1000000.0) AS BIGINT)""".stripMargin))
+        .withColumn("kq", expr(
+          """CAST(floor((b + 1) * ln(
+            |  CAST(2 * (b + 1) * (an + v) AS DOUBLE) /
+            |  CAST((a + 1) * (bn + v) + (b + 1) * (an + v) AS DOUBLE))
+            |  * 1000000.0) AS BIGINT)""".stripMargin))
+        .groupBy(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("an").as("n_a"), col("bn").as("n_b"), col("v"))
+        .agg(sum(col("kp")).as("klp_micro"), sum(col("kq")).as("klq_micro"))
+        .withColumn("js",
+          floor((col("klp_micro").cast("double") / 1000000.0
+              / (col("n_a") + col("v"))
+            + col("klq_micro").cast("double") / 1000000.0
+              / (col("n_b") + col("v"))) / 2 * 1000000 + lit(0.5))
+            / 1000000)
+    },
+
     // C59: EMBEDDING DIVERSITY SAMPLE — farthest-point (k-center
     // greedy / Gonzalez) selection of k maximally-spread vectors: the
     // coreset/diversity primitive behind "pick representative docs

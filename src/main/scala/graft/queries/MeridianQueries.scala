@@ -256,6 +256,314 @@ object MeridianQueries {
             .otherwise(0).cast("int").as("signif"))
     },
 
+    // B204: VARIANCE-RATIO TEST (Lo & MacKinlay RFS 1988) on the
+    // zero-filled daily revenue series at horizon q = 7 — the
+    // random-walk/mean-reversion diagnostic the trend family
+    // (B152/B199/B202) doesn't cover: VR(7) = Var(7-day overlapping
+    // differences)/(7·Var(1-day differences)); ≈1 under a random
+    // walk, <1 mean-reverting, >1 trending. Exact: v is integer
+    // dollars so both difference families are exact integers; VR as
+    // the single cross-multiplied rational (n_q·Q_q − S_q²)·n₁² /
+    // (7·n_q²·(n₁·Q₁ − S₁²)) with every inner product in
+    // HUGEINT/DECIMAL(38,0) (Σd² reaches ~2e21 at clone scale —
+    // BIGINT wraps), ONE pinned double division, 6dp floor. Scale
+    // shape: one keyed day agg; the lag joins are self-joins on the
+    // calendar-sized grid.
+    Q("variance_ratio",
+      s"""WITH $dailyDollarsSql,
+         |t AS (SELECT v, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+         |        AS t FROM x),
+         |d1 AS (SELECT b.v - a.v AS d FROM t a JOIN t b ON b.t = a.t + 1),
+         |dq AS (SELECT b.v - a.v AS d FROM t a JOIN t b ON b.t = a.t + 7),
+         |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+         |         CAST(sum(d) AS HUGEINT) AS s1s,
+         |         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS q1 FROM d1),
+         |sq AS (SELECT CAST(count(*) AS BIGINT) AS nq,
+         |         CAST(sum(d) AS HUGEINT) AS sqs,
+         |         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS qq FROM dq),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+         |SELECT nn.n AS n_days, s1.n1 AS n_diff1, sq.nq AS n_diff7,
+         |  CASE WHEN s1.n1 * s1.q1 - s1.s1s * s1.s1s > 0 AND sq.nq > 0 THEN
+         |    floor(CAST(sq.nq * sq.qq - sq.sqs * sq.sqs AS DOUBLE)
+         |      * CAST(s1.n1 * s1.n1 AS DOUBLE)
+         |      / (7.0 * CAST(sq.nq * sq.nq AS DOUBLE)
+         |        * CAST(s1.n1 * s1.q1 - s1.s1s * s1.s1s AS DOUBLE))
+         |      * 1000000 + 0.5) / 1000000
+         |  END AS vr7
+         |FROM nn, s1, sq""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = dailyDollars(s, dir)
+        .select(col("v"),
+          row_number().over(Window.orderBy(col("day"))).cast("long").as("t"))
+        .localCheckpoint() // four readers: two lag joins + the count
+      def diffs(lag: Int) = t.select(col("t"), col("v").as("va"))
+        .join(t.select((col("t") - lag).as("t"), col("v").as("vb")), Seq("t"))
+        .select((col("vb") - col("va")).as("d"))
+      def sums(df: org.apache.spark.sql.DataFrame, n: String, ss: String,
+          qq: String) =
+        df.agg(count(lit(1)).as(n),
+          sum(col("d")).cast("decimal(38,0)").as(ss),
+          sum(expr("cast(d as decimal(38,0)) * d")).as(qq))
+      val s1 = sums(diffs(1), "n1", "s1s", "q1")
+      val sq = sums(diffs(7), "nq", "sqs", "qq")
+      val nn = t.agg(count(lit(1)).as("n"))
+      broadcast(nn).crossJoin(broadcast(s1)).crossJoin(broadcast(sq))
+        .select(col("n").as("n_days"), col("n1").as("n_diff1"),
+          col("nq").as("n_diff7"),
+          when(col("n1") * col("q1") - col("s1s") * col("s1s") > 0
+              && col("nq") > 0,
+            floor((col("nq") * col("qq") - col("sqs") * col("sqs"))
+                .cast("double")
+              * (col("n1") * col("n1")).cast("double")
+              / (lit(7.0) * (col("nq") * col("nq")).cast("double")
+                * (col("n1") * col("q1") - col("s1s") * col("s1s"))
+                  .cast("double"))
+              * 1000000 + lit(0.5)) / 1000000).as("vr7"))
+    },
+
+    // B203: BOWKER SYMMETRY TEST (Bowker JASA 1948 — McNemar's k×k
+    // generalization) on the B65 event-transition matrix: is the
+    // user-journey flow SYMMETRIC (as many view→purchase as
+    // purchase→view transitions, per pair)? χ² = Σ_{i<j}
+    // (n_ij − n_ji)²/(n_ij + n_ji) over unordered type pairs with
+    // any traffic, df = # such pairs. The directional-flow
+    // diagnostic B65 (raw transition counts) and B175 (McNemar, one
+    // 2×2) bracket. Exact: per-pair contribution as the integer
+    // floor (d²·10⁶) div s (the mood_median contrib convention —
+    // identical integer arithmetic both engines), χ² read out at
+    // 6dp. Scale shape: the B65 per-user lead window (small groups)
+    // → one keyed transition count → the ≤k² model relation
+    // self-joined on unordered pairs.
+    Q("bowker_symmetry",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |t AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE to_type IS NOT NULL AND from_type <> to_type
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.from_type AS ta, a.to_type AS tb,
+        |    a.n AS nij, coalesce(b.n, 0) AS nji
+        |  FROM t a LEFT JOIN t b
+        |    ON b.from_type = a.to_type AND b.to_type = a.from_type
+        |  WHERE a.from_type < a.to_type
+        |  UNION ALL
+        |  SELECT b.to_type AS ta, b.from_type AS tb, 0 AS nij, b.n AS nji
+        |  FROM t b LEFT JOIN t a
+        |    ON a.from_type = b.to_type AND a.to_type = b.from_type
+        |  WHERE b.from_type > b.to_type AND a.from_type IS NULL),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(CAST(nij - nji AS HUGEINT) * (nij - nji) * 1000000
+        |      // (nij + nji)) AS HUGEINT) AS s6
+        |  FROM p WHERE nij + nji > 0)
+        |SELECT df,
+        |  floor(CAST(s6 AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000
+        |    AS chi2
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("tsec"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      val t = e.select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull
+          && col("from_type") =!= col("to_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // the ≤k² model relation, self-joined
+      val fwd = t.filter(col("from_type") < col("to_type"))
+        .select(col("from_type").as("ta"), col("to_type").as("tb"),
+          col("n").as("nij"))
+      val rev = t.filter(col("from_type") > col("to_type"))
+        .select(col("to_type").as("ta"), col("from_type").as("tb"),
+          col("n").as("nji"))
+      val p = fwd.join(rev, Seq("ta", "tb"), "full")
+        .select(coalesce(col("nij"), lit(0L)).as("nij"),
+          coalesce(col("nji"), lit(0L)).as("nji"))
+      p.filter(col("nij") + col("nji") > 0)
+        .agg(count(lit(1)).as("df"),
+          sum(expr("""cast(nij - nji as decimal(38,0)) * (nij - nji)
+                     |  * 1000000 div (nij + nji)""".stripMargin))
+            .as("s6"))
+        .select(col("df"),
+          (floor(col("s6").cast("double") / 1000000 * 1000000 + lit(0.5))
+            / 1000000).as("chi2"))
+    },
+
+    // B200: ANSARI-BRADLEY SCALE TEST (Ansari & Bradley AMS 1960)
+    // purchase vs view values — the RANK test for equal DISPERSION
+    // (B130 Levene is the moment form; B114 Mann-Whitney tests
+    // location, this tests spread): pooled positions score a(j) =
+    // min(j, N+1−j) — small at both extremes, large in the middle —
+    // so a sample with more mass in the tails scores LOW. Exact
+    // spelling on the B114 value grain: per tied cents value the
+    // positions [cum−cnt+1, cum] get the exact integer score-block
+    // sum via the closed form S(x) = x(x+1)/2 below the fold
+    // h = ⌊(N+1)/2⌋ and h(h+1) + (x−h)(N+1) − x(x+1)/2 above it
+    // (midrank tie handling — the tie group's AVERAGE score, not the
+    // score of the average rank, which differ when a group straddles
+    // the fold); per-element score in exact micro-units
+    // (gsum·10⁶ div cnt — the repo's integer-floor convention,
+    // mirrored literally). AB₁ = Σ n1c·a_e6; E = n1·Σcnt·a_e6 div N;
+    // z = (AB₁ − E)/√(n1·n2·(N·Q − S²)/(N²(N−1))) — inner terms
+    // exact HUGEINT/DECIMAL(38,0), ONE pinned double tree, 6dp
+    // floor. Scale shape: one keyed agg to the value grain + the
+    // DistributedPrefixSum streamed pass (the B114 plan verbatim).
+    Q("ansari_bradley", {
+      val hS = "(nn.n + 1) // 2"
+      def sS(x: String) =
+        s"""(CASE WHEN $x <= $hS THEN $x * ($x + 1) // 2
+           |  ELSE ($hS) * ($hS + 1) + ($x - $hS) * (nn.n + 1)
+           |    - $x * ($x + 1) // 2 END)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_type = 'purchase' AS g1,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |v AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+         |        CAST(count(*) FILTER (g1) AS BIGINT) AS n1c
+         |      FROM e GROUP BY c),
+         |w AS (SELECT c, cnt, n1c,
+         |        CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS cum
+         |      FROM v),
+         |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |         CAST(sum(n1c) AS BIGINT) AS n1 FROM v),
+         |sd AS (
+         |  SELECT w.cnt, w.n1c,
+         |    CAST((${sS("w.cum")} - ${sS("(w.cum - w.cnt)")})
+         |      * 1000000 // w.cnt AS BIGINT) AS a_e6
+         |  FROM w, nn),
+         |agg AS (SELECT
+         |    CAST(sum(n1c * a_e6) AS HUGEINT) AS ab1,
+         |    CAST(sum(cnt * a_e6) AS HUGEINT) AS s_tot,
+         |    CAST(sum(CAST(cnt AS HUGEINT) * a_e6 * a_e6) AS HUGEINT)
+         |      AS q_tot
+         |  FROM sd)
+         |SELECT nn.n1, nn.n - nn.n1 AS n2,
+         |  CAST(agg.ab1 AS BIGINT) AS ab1_e6,
+         |  CAST(nn.n1 * agg.s_tot // nn.n AS BIGINT) AS e_ab1_e6,
+         |  CASE WHEN nn.n > 1 AND nn.n1 > 0 AND nn.n1 < nn.n
+         |      AND nn.n * agg.q_tot - agg.s_tot * agg.s_tot > 0 THEN
+         |    floor((CAST(agg.ab1 AS DOUBLE)
+         |        - CAST(CAST(nn.n1 * agg.s_tot // nn.n AS BIGINT) AS DOUBLE))
+         |      / sqrt(CAST(nn.n1 AS DOUBLE) * CAST(nn.n - nn.n1 AS DOUBLE)
+         |        * CAST(nn.n * agg.q_tot - agg.s_tot * agg.s_tot AS DOUBLE)
+         |        / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         |        / CAST(nn.n - 1 AS DOUBLE))
+         |      * 1000000 + 0.5) / 1000000
+         |  END AS z
+         |FROM nn, agg""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.DistributedPrefixSum
+      val v = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("g1"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("cnt"), sum(col("g1").cast("long")).as("n1c"))
+        .localCheckpoint() // feeds the totals and the prefix pass
+      val w = DistributedPrefixSum.running(
+        v.withColumn("_g", lit("all")), "_g", Seq("c"), "cnt", "cum")
+      val nn = v.agg(sum(col("cnt")).as("n"), sum(col("n1c")).as("n1"))
+      def sS(x: String) =
+        s"""(CASE WHEN $x <= h THEN $x * ($x + 1) div 2
+           |  ELSE h * (h + 1) + ($x - h) * (n + 1)
+           |    - $x * ($x + 1) div 2 END)""".stripMargin
+      val sd = w.crossJoin(broadcast(nn))
+        .withColumn("h", expr("(n + 1) div 2"))
+        .withColumn("a_e6",
+          expr(s"(${sS("cum")} - ${sS("(cum - cnt)")}) * 1000000 div cnt"))
+      val agg = sd.agg(
+        sum(col("n1c") * col("a_e6")).cast("decimal(38,0)").as("ab1"),
+        sum(col("cnt") * col("a_e6")).cast("decimal(38,0)").as("s_tot"),
+        sum(expr("cast(cnt as decimal(38,0)) * a_e6 * a_e6")).as("q_tot"))
+      broadcast(nn).crossJoin(broadcast(agg))
+        .withColumn("e_ab1", expr("cast(n1 * s_tot div n as bigint)"))
+        .withColumn("nqs2", expr("n * q_tot - s_tot * s_tot"))
+        .select(col("n1"), (col("n") - col("n1")).as("n2"),
+          col("ab1").cast("bigint").as("ab1_e6"),
+          col("e_ab1").as("e_ab1_e6"),
+          when(col("n") > 1 && col("n1") > 0 && col("n1") < col("n")
+              && col("nqs2") > 0,
+            floor((col("ab1").cast("double") - col("e_ab1").cast("double"))
+              / sqrt(col("n1").cast("double")
+                * (col("n") - col("n1")).cast("double")
+                * col("nqs2").cast("double")
+                / col("n").cast("double") / col("n").cast("double")
+                / (col("n") - 1).cast("double"))
+              * 1000000 + lit(0.5)) / 1000000).as("z"))
+    },
+
+    // B202: COX-STUART TREND TEST (Cox & Stuart Biometrika 1955) on
+    // the zero-filled daily revenue series — the SIGN-test trend
+    // detector beside B152's rank-based Mann-Kendall and B199's
+    // turning-point randomness check: pair day t with day t + c,
+    // c = ⌈n/2⌉ (odd n drops the middle day), count strictly
+    // positive/negative second-half-minus-first-half differences;
+    // under no-trend S⁺ ~ Binomial(n', 1/2). Exact: v is integer
+    // dollars, diffs exact; significance two-sided at 5% via the
+    // pinned z²₀.₉₇₅ = 3.841459 literal fully cross-multiplied —
+    // (2S⁺ − n')²·10⁶ > 3841459·n', HUGEINT/DECIMAL(38,0), no
+    // division, no sqrt (the pettitt convention). Scale shape: one
+    // keyed day agg; the pairing is ONE self-join on the
+    // calendar-sized grid.
+    Q("cox_stuart_trend",
+      s"""WITH $dailyDollarsSql,
+         |t AS (SELECT v, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+         |        AS t FROM x),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+         |pr AS (SELECT a.t, b.v - a.v AS d
+         |       FROM t a, nn JOIN t b ON b.t = a.t + (nn.n + 1) // 2
+         |       WHERE a.t <= nn.n - (nn.n + 1) // 2),
+         |s AS (SELECT
+         |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS sp,
+         |    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS sm,
+         |    CAST(count(*) AS BIGINT) AS np FROM pr)
+         |SELECT nn.n AS n_days, s.np AS n_pairs, s.sp AS s_plus,
+         |  s.sm AS s_minus,
+         |  CAST(CASE WHEN s.sp + s.sm > 0 AND
+         |      CAST(2 * s.sp - (s.sp + s.sm) AS HUGEINT)
+         |        * (2 * s.sp - (s.sp + s.sm)) * 1000000
+         |      > 3841459 * CAST(s.sp + s.sm AS HUGEINT)
+         |    THEN 1 ELSE 0 END AS INT) AS signif
+         |FROM nn, s""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val x = dailyDollars(s, dir)
+      val t = x.select(col("v"),
+        row_number().over(Window.orderBy(col("day"))).cast("long").as("t"))
+        .localCheckpoint() // both pairing sides + the count read it
+      val nn = t.agg(count(lit(1)).as("n"))
+      val a = t.select(col("t"), col("v").as("va"))
+        .crossJoin(broadcast(nn))
+        .filter(col("t") <= col("n") - expr("(n + 1) div 2"))
+      val b = t.select(col("t").as("tb"), col("v").as("vb"))
+      val pr = a.join(b, col("tb") === col("t") + expr("(n + 1) div 2"))
+        .select((col("vb") - col("va")).as("d"))
+      val st = pr.agg(
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("sp"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("sm"),
+        count(lit(1)).as("np"))
+      broadcast(nn).crossJoin(broadcast(st))
+        .select(col("n").as("n_days"), col("np").as("n_pairs"),
+          col("sp").as("s_plus"), col("sm").as("s_minus"),
+          when(col("sp") + col("sm") > 0 &&
+              (lit(2) * col("sp") - (col("sp") + col("sm")))
+                .cast("decimal(38,0)")
+                * (lit(2) * col("sp") - (col("sp") + col("sm")))
+                * 1000000
+              > lit(3841459).cast("decimal(38,0)")
+                * (col("sp") + col("sm")), 1)
+            .otherwise(0).cast("int").as("signif"))
+    },
+
     // B197: KUIPER TWO-SAMPLE TEST (Kuiper 1960) between purchase
     // and view value distributions — V = D⁺ + D⁻ (sup of F₁−F₂ plus
     // sup of F₂−F₁): where B120's KS sees only the single worst CDF

@@ -1733,6 +1733,81 @@ object StreamingQueries {
           col("m.hi_mass").as("hi_mass"))
     },
 
+    // D54: STREAMING ISOTONIC CALIBRATION (round 13) — C155's PAVA
+    // run LIVE: per $10 value band (16 bands, clamped), the
+    // complete-mode streaming agg maintains (n, purchases); the
+    // snapshot's monotone-regressed purchase rate comes from PAVA's
+    // max-min characterization iso_b = max_{j≤b} min_{k≥b}
+    // rate(j..k) on the ≤16-row band relation — EXACT integer
+    // (Σpos, Σn) prefix sums, rates as pos·10¹² div n integer keys,
+    // micro-unit read-out, NO doubles (the C155 spelling verbatim).
+    // The pair (D53 conformal p-values, D54 isotonic rates) is the
+    // live calibration stack the r12 verdict named. Oracle: complete
+    // mode folds every event, so the replay is the plain batch
+    // PAVA over the events table.
+    Q("streaming_isotonic_calibration",
+      """WITH g AS (
+        |  SELECT CAST(least(greatest(
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000, 0), 15)
+        |      AS BIGINT) AS band,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM events GROUP BY 1),
+        |pre AS (
+        |  SELECT band, n, pos,
+        |    CAST(row_number() OVER (ORDER BY band) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY band) AS BIGINT) AS cp
+        |  FROM g),
+        |iv AS (
+        |  SELECT a.i AS j, z.i AS k,
+        |    CAST((z.cp - a.cp + a.pos) AS HUGEINT) * 1000000000000
+        |      // (z.cn - a.cn + a.n) AS rq
+        |  FROM pre a, pre z WHERE a.i <= z.i),
+        |mins AS (
+        |  SELECT o.i, v.j, min(v.rq) AS mn
+        |  FROM pre o JOIN iv v ON v.j <= o.i AND v.k >= o.i
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_q FROM mins
+        |        GROUP BY 1)
+        |SELECT p.band, p.n, p.pos,
+        |  CAST((p.pos * 1000000) // p.n AS BIGINT) AS raw_micro,
+        |  CAST(iso.iso_q // 1000000 AS BIGINT) AS iso_micro
+        |FROM pre p JOIN iso ON p.i = iso.i""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val live = eventStream(s, dir)
+        .select(
+          least(greatest(expr("cast(floor(value * 100 + 0.5) as bigint) div 1000"),
+            lit(0L)), lit(15L)).as("band"),
+          (col("event_type") === "purchase").cast("long").as("p"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("pos"))
+      val g = runToMemory(s, live, "graft_stream_isotonic", mode = "complete")
+      val pre = g.select(col("band"), col("n"), col("pos"),
+          row_number().over(Window.orderBy(col("band"))).cast("long").as("i"),
+          sum(col("n")).over(Window.orderBy(col("band"))).as("cn"),
+          sum(col("pos")).over(Window.orderBy(col("band"))).as("cp"))
+        .localCheckpoint() // the ≤16-row model relation, read 3x
+      val a = pre.select(col("i").as("j"), col("n").as("na"),
+        col("cn").as("cna"), col("pos").as("pa"), col("cp").as("cpa"))
+      val z = pre.select(col("i").as("k"), col("cn").as("cnz"),
+        col("cp").as("cpz"))
+      val iv = a.crossJoin(broadcast(z)).filter(col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          expr("""cast((cpz - cpa + pa) as decimal(38,0)) * 1000000000000
+                 |  div (cnz - cna + na)""".stripMargin).as("rq"))
+      val mins = pre.select(col("i")).crossJoin(broadcast(iv))
+        .filter(col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("rq")).as("mn"))
+      val iso = mins.groupBy(col("i"))
+        .agg(max(col("mn")).cast("decimal(38,0)").as("iso_q"))
+      pre.join(broadcast(iso), Seq("i"))
+        .select(col("band"), col("n"), col("pos"),
+          expr("(pos * 1000000) div n").as("raw_micro"),
+          expr("cast(iso_q div 1000000 as bigint)").as("iso_micro"))
+    },
+
     // D45: streaming one-way ANOVA — B131's F statistic computed
     // LIVE across event types from additive per-type sufficient
     // statistics (n, Σc, Σc² — bytes of state per type, the

@@ -99,8 +99,11 @@ class Round22Specs extends SparkTestBase {
       (3L, day0, 30.0, "3-MEDIUM"), (4L, day0, 40.0, "4-NOT SPECIFIED")))
     val r = SparkEntry.queries("ordinal_association")(spark, dir)
       .collect().head
-    assert(r.getAs[java.math.BigDecimal]("concordant").longValueExact == 6L)
-    assert(r.getAs[java.math.BigDecimal]("discordant").longValueExact == 0L)
+    // BIGINT since round 13 (the r12 hash fail: raw DECIMAL(38,0)
+    // renders "6" from Spark but "6.0" through the oracle's pandas
+    // bridge)
+    assert(r.getAs[Long]("concordant") == 6L)
+    assert(r.getAs[Long]("discordant") == 0L)
     assert(r.getAs[Double]("gamma") == 1.0)
     assert(r.getAs[Double]("somers_d") == 1.0)
   }

@@ -205,3 +205,172 @@ class SuffixRanksSpec extends SparkTestBase {
     }
   }
 }
+
+/** Round-13 wave-4 operators: hand-solved plants + corpus invariants
+  * for ansari_bradley, cox_stuart_trend, bowker_symmetry,
+  * variance_ratio, corpus_js_divergence, filter_agreement_alpha,
+  * streaming_isotonic_calibration.
+  */
+class Round13StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("ansari_bradley planted: extremes-vs-middle, z = -sqrt(3) exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ab").toString
+    val t0 = 19723L * 86400
+    // purchases take the extreme positions (scores 1, 1), views the
+    // middle (scores 2, 2): sorted cents 1, 49, 50, 100
+    writeEvents(dir, Seq(
+      (1L, t0 * 1000000000L, 1L, "purchase", 0.01, "{}"),
+      (2L, (t0 + 1) * 1000000000L, 1L, "purchase", 1.00, "{}"),
+      (3L, (t0 + 2) * 1000000000L, 2L, "view", 0.49, "{}"),
+      (4L, (t0 + 3) * 1000000000L, 2L, "view", 0.50, "{}")))
+    val r = SparkEntry.queries("ansari_bradley")(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("ab1_e6") == 2000000L)
+    assert(r.getAs[Long]("e_ab1_e6") == 3000000L)
+    // z = -1e6 / (1e6/sqrt(3)) = -sqrt(3), 6dp-floored
+    assert(r.getAs[Double]("z") == -1.732051)
+  }
+
+  test("ansari_bradley corpus: scores bounded, AB1 within score-sum range") {
+    val r = SparkEntry.queries("ansari_bradley")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n1") > 0 && r.getAs[Long]("n2") > 0)
+    assert(r.getAs[Long]("ab1_e6") > 0)
+    assert(!r.isNullAt(r.fieldIndex("z")))
+  }
+
+  private def writeOrders(dir: String, rows: Seq[(Int, Double)]): Unit = {
+    val t0 = java.time.LocalDate.of(2024, 1, 1)
+    rows.map { case (d, v) =>
+      (java.sql.Date.valueOf(t0.plusDays(d)), v)
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  test("cox_stuart planted: strictly rising 10-day series is significant") {
+    val dir = java.nio.file.Files.createTempDirectory("cs").toString
+    writeOrders(dir, (0 until 10).map(d => (d, (d + 1) * 1.0)))
+    val r = SparkEntry.queries("cox_stuart_trend")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Long]("n_pairs") == 5L)
+    assert(r.getAs[Long]("s_plus") == 5L && r.getAs[Long]("s_minus") == 0L)
+    // (2*5-5)^2 * 1e6 = 25e6 > 3841459 * 5
+    assert(r.getAs[Int]("signif") == 1)
+  }
+
+  test("variance_ratio planted: alternating series gives VR(7) = 1/7") {
+    val dir = java.nio.file.Files.createTempDirectory("vr").toString
+    // $1 on odd grid days only; the zero-filled grid supplies the 0s:
+    // v = 1,0,1,...,1 over 15 days
+    writeOrders(dir, (0 until 15 by 2).map(d => (d, 1.0)))
+    val r = SparkEntry.queries("variance_ratio")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 15L)
+    assert(r.getAs[Long]("n_diff1") == 14L && r.getAs[Long]("n_diff7") == 8L)
+    // VR = (8*8)*(14*14) / (7 * 8*8 * 14*14) = 1/7 -> 0.142857
+    assert(r.getAs[Double]("vr7") == 0.142857)
+  }
+
+  test("bowker planted: one symmetric and one asymmetric pair") {
+    val dir = java.nio.file.Files.createTempDirectory("bw").toString
+    val t0 = 19723L * 86400
+    // user 1: A B A B A -> A->B x2, B->A x2 (symmetric, contrib 0)
+    // user 2: A C A C   -> A->C x2, C->A x1 (d=1, s=3 -> 333333)
+    val u1 = Seq("A", "B", "A", "B", "A").zipWithIndex.map { case (ty, i) =>
+      (i.toLong, (t0 + i) * 1000000000L, 1L, ty, 1.0, "{}")
+    }
+    val u2 = Seq("A", "C", "A", "C").zipWithIndex.map { case (ty, i) =>
+      (10L + i, (t0 + i) * 1000000000L, 2L, ty, 1.0, "{}")
+    }
+    writeEvents(dir, u1 ++ u2)
+    val r = SparkEntry.queries("bowker_symmetry")(spark, dir).collect().head
+    assert(r.getAs[Long]("df") == 2L)
+    assert(r.getAs[Double]("chi2") == 0.333333)
+  }
+
+  test("js divergence planted: {a a b} vs {a b b} -> js 0.020135") {
+    val dir = java.nio.file.Files.createTempDirectory("js").toString
+    Seq((1L, "a a b", "en", "S1"), (2L, "a b b", "en", "S2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("corpus_js_divergence")(spark, dir)
+      .collect().head
+    assert(r.getAs[String]("source_a") == "S1")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("v") == 2L)
+    // kp = floor(3*ln(1.2)*1e6) + floor(2*ln(0.8)*1e6)
+    //    = 546964 - 446288 = 100676; symmetric corpus -> klq equal
+    assert(r.getAs[Long]("klp_micro") == 100676L)
+    assert(r.getAs[Long]("klq_micro") == 100676L)
+    assert(r.getAs[Double]("js") == 0.020135)
+  }
+
+  test("js divergence corpus: symmetric roles, js >= 0, all source pairs") {
+    val out = SparkEntry.queries("corpus_js_divergence")(spark, sfDir)
+      .collect()
+    val k = out.map(r => Set(r.getAs[String]("source_a"),
+      r.getAs[String]("source_b"))).distinct.length
+    assert(out.length == k) // one row per unordered pair
+    out.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Double]("js") >= 0.0)
+      // JS with natural log is bounded by ln 2
+      assert(r.getAs[Double]("js") <= 0.693148)
+    }
+  }
+
+  test("krippendorff alpha planted: {3,0,2}-positive docs give alpha 0.6") {
+    val dir = java.nio.file.Files.createTempDirectory("ka").toString
+    val doc1 = Seq.fill(60)("abcde").mkString(" ") // passes all 3
+    val doc2 = "1 22"                              // fails all 3
+    val doc3 = Seq.fill(60)("ab").mkString(" ")    // fails mean-length only
+    Seq((1L, doc1, "en", "s"), (2L, doc2, "en", "s"), (3L, doc3, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("filter_agreement_alpha")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_ratings") == 9L)
+    assert(r.getAs[Long]("n1_tot") == 5L && r.getAs[Long]("d_obs") == 2L)
+    // alpha = 1 - 8*2/(2*5*4) = 0.6
+    assert(r.getAs[Double]("alpha") == 0.6)
+  }
+
+  test("streaming isotonic planted: PAVA pools the rate violation") {
+    val dir = java.nio.file.Files.createTempDirectory("iso").toString
+    val t0 = 19723L * 86400
+    def batch(band: Int, nPurchase: Int, nView: Int, idBase: Long) = {
+      val v = band * 10.0 + 5.0 // lands in band `band`
+      (0 until nPurchase).map(i =>
+        (idBase + i, (t0 + i) * 1000000000L, 1L, "purchase", v, "{}")) ++
+      (0 until nView).map(i =>
+        (idBase + 100 + i, (t0 + i) * 1000000000L, 1L, "view", v, "{}"))
+    }
+    // raw rates .25, 0, .5 -> PAVA pools bands 0,1 to .125
+    writeEvents(dir, batch(0, 1, 3, 0L) ++ batch(1, 0, 4, 200L)
+      ++ batch(2, 2, 2, 400L))
+    val out = SparkEntry.queries("streaming_isotonic_calibration")(spark, dir)
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    assert(out(0L).getAs[Long]("raw_micro") == 250000L)
+    assert(out(0L).getAs[Long]("iso_micro") == 125000L)
+    assert(out(1L).getAs[Long]("raw_micro") == 0L)
+    assert(out(1L).getAs[Long]("iso_micro") == 125000L)
+    assert(out(2L).getAs[Long]("raw_micro") == 500000L)
+    assert(out(2L).getAs[Long]("iso_micro") == 500000L)
+  }
+
+  test("streaming isotonic corpus: iso rates monotone nondecreasing in band") {
+    val out = SparkEntry.queries("streaming_isotonic_calibration")(
+        spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("band"))
+    assert(out.nonEmpty)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("iso_micro") <= b.getAs[Long]("iso_micro"))
+      case _ =>
+    }
+  }
+}
