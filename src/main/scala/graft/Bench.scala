@@ -17,7 +17,7 @@ import java.nio.file.{Files, Paths}
   *     with MEDIAN + MIN reported (min is the load-robust statistic:
   *     external load only ever inflates a sample);
   *   - a GLOBAL WALL BUDGET (`SPARK_GRAFT_BENCH_BUDGET_S`, default
-  *     2,600 s of bench-JVM wall) is checked before every probe
+  *     2,900 s of bench-JVM wall since round 13) is checked before every probe
   *     measurement and before every clone-table write; once
   *     exceeded, every remaining probe records the sentinel -3.0
   *     ("skipped_budget") instead of running. The headline block is
@@ -87,8 +87,14 @@ object Bench {
     // driver kill zone.
     val benchStartNanos = System.nanoTime()
     def elapsedS(): Double = (System.nanoTime() - benchStartNanos) / 1e9
+    // 2600 → 2900 (round 13): the headline grew to ~437 queries and
+    // r13 rehearsal 1 budget-sentineled the ENTIRE ×1000 block at
+    // 2,746 s elapsed; the observed driver kill zone is ~3,600 s
+    // from process start and warm sbt launch+compile lands in
+    // ~60–120 s, so 2,900 s of bench wall still leaves ~580 s of
+    // kill margin.
     val budgetS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2600").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2900").toDouble
     def budgetLeft(): Boolean = elapsedS() < budgetS
     val SkippedBudget = -3.0
     val UnknownName = -4.0
@@ -240,22 +246,45 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val loadSuspectJson =
         loadSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // regression gate (r11 verdict #5): min > 2x the round-11 pin
+      // regression gate (r11 verdict #5): min > 2x the pinned min
       // AND > pin + 0.25 s. The MIN is the load-robust statistic — a
       // min that doubled is a code regression; the absolute floor
       // keeps sub-second queries (whose fixed JVM/scheduling overhead
       // dominates — rehearsal 2 measured a 0.196 s pin sampling at
       // 0.396 s on identical code) from flagging on noise while the
       // heavy queries, where regressions matter, still gate at 2x.
-      // Unpinned (post-r11) queries are skipped until the next
+      // Unpinned (post-refresh) queries are skipped until the next
       // manifest refresh.
+      //
+      // ENV NORMALIZATION (round 13): r13 rehearsal 1 measured a
+      // UNIFORM 1.21 median min-ratio across all 422 pinned queries
+      // (none above 2x) — a box-level slowdown, invisible to
+      // load_avg inside the VM, that tripped six sub-second pins at
+      // once. The gate now scales every pin by the suite-wide MEDIAN
+      // ratio (floored at 1): a single-query code regression cannot
+      // move the median of 400+ ratios, so it still flags at ~2x,
+      // while a global environment shift is discounted by exactly
+      // its own factor. A global CODE regression would be hidden
+      // here by design — but it is precisely what the headline
+      // total vs the prior record shows; the per-query gate exists
+      // to LOCALIZE, not to detect global drift. The applied factor
+      // is emitted as `pin_env_ratio`.
+      val pinRatios = mins.toSeq.collect {
+        case (n, mn) if mn >= 0 =>
+          BenchPins.headlineMinSf01.get(n)
+            .collect { case p if p > 0.05 => mn / p }
+      }.flatten.sorted
+      val envRatio =
+        if (pinRatios.isEmpty) 1.0
+        else math.max(1.0, pinRatios(pinRatios.length / 2))
       val regressed = mins.collect {
         case (n, mn) if mn >= 0 &&
           BenchPins.headlineMinSf01.get(n)
-            .exists(p => mn > p * 2.0 && mn > p + 0.25) => n
+            .exists(p => mn > p * envRatio * 2.0 &&
+              mn > p * envRatio + 0.25) => n
       }.toSeq.sorted
       val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"load_gate":$loadGate%.2f,"load_gate_waited_s":$loadGateWaitedS%.1f,"load_gate_ok":$loadGateOk,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"headline_first_then_x10_x100_x1000","scale_probe_runs":"min_of_2_fast_confirm_skip_x100_x1000_expected_guard","bench_budget_s":$budgetS%.0f,"elapsed_s":${elapsedS()}%.1f,"skip_codes":{"failed":-1,"timeout":-2,"skipped_budget":-3,"unknown_name":-4},"regressed":$regressedJson,"load_suspect":$loadSuspectJson,"block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"complete":$complete,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"load_gate":$loadGate%.2f,"load_gate_waited_s":$loadGateWaitedS%.1f,"load_gate_ok":$loadGateOk,"cpus":$cpus,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"runs_per_query":$runsPerQuery,"scale_order":"headline_first_then_x10_x100_x1000","scale_probe_runs":"min_of_2_fast_confirm_skip_x100_x1000_expected_guard","bench_budget_s":$budgetS%.0f,"elapsed_s":${elapsedS()}%.1f,"skip_codes":{"failed":-1,"timeout":-2,"skipped_budget":-3,"unknown_name":-4},"pin_env_ratio":$envRatio%.3f,"regressed":$regressedJson,"load_suspect":$loadSuspectJson,"block_env":$blockEnvJson,"sf_x10":${jsonMap(sfx10)},"sf_x100":${jsonMap(sfx100)},"sf_x1000":${jsonMap(sfx1000)},"sf":"$sfDir"}"""
     }
     def flush(complete: Boolean = false): String = {
       val json = buildJson(complete)
@@ -689,13 +718,19 @@ object Bench {
     //     (clones keep the source set), so ×10 alone decides.
     // No probe, by rationale (round 13): ansari_bradley — the probed
     // value-grain prefix class (mannwhitney machinery verbatim);
-    // cox_stuart_trend / variance_ratio — day-grain (calendar-sized
-    // after one keyed agg); bowker_symmetry — the B65 per-user lead
+    // cox_stuart_trend / variance_ratio / periodogram_seasonal —
+    // day-grain (calendar-sized after one keyed agg);
+    // bowker_symmetry — the B65 per-user lead
     // window + a k²-model self-join (event_transitions class);
     // filter_agreement_alpha — ONE map-only text pass + a
     // map-side-combinable 3-scalar agg (the blocklist_tag class);
     // streaming_isotonic_calibration — complete-mode band agg (16
-    // cells) + model-side PAVA (the streaming_anova k-cell class).
+    // cells) + model-side PAVA (the streaming_anova k-cell class);
+    // anova_effect_size — B131's probed 2-cell-agg class verbatim;
+    // theil_index — the gini_segment value-grain class (one keyed
+    // agg + model read-out); classifier_auprc / classifier_brier —
+    // ride the probed rocchio scored shape (one corpus pass) + a
+    // value-grain prefix / source-model agg.
     val newX10r13 = Seq(
       "ann_graph_topk", "streaming_conformal_gate", "suffix_dup_stats",
       "corpus_js_divergence")
@@ -914,8 +949,16 @@ object Bench {
       var best = runCeiling(name, dir, ceilingSec, tag)
       if (best < 0) return best // timeout/failure IS the finding
       val bar = expected.get(name).map(_ * 3.0)
+      // fast-keep: a sample under the wall threshold, OR — round 13 —
+      // within 1.5x its own pin even above it (a long-but-pinned row
+      // sitting at its known cost has already answered the scale
+      // question; load can only inflate, so keeping the single
+      // sample is the conservative direction — r13 rehearsal 1
+      // measured suffix_dup_stats x100 paying a 130 s confirming run
+      // to "confirm" a value 1.2x its idle cost)
       val fastKeep =
-        best <= math.max(fastConfirmSec, ceilingSec * fastConfirmFrac) &&
+        (best <= math.max(fastConfirmSec, ceilingSec * fastConfirmFrac) ||
+          expected.get(name).exists(p => best <= p * 1.5)) &&
           bar.forall(best <= _)
       if (!fastKeep) {
         // confirming sample (generic min-of-2), plus — for a row
@@ -975,7 +1018,10 @@ object Bench {
       "spearman_daily" -> 0.9, "streaming_attribution" -> 10.2,
       "streaming_late_accounting" -> 31.7,
       "streaming_pattern_match" -> 59.4, "streaming_tws_profile" -> 14.0,
-      "welch_anova" -> 1.1, "window_range_frames" -> 2.9)
+      "welch_anova" -> 1.1, "window_range_frames" -> 2.9,
+      // round-13 rows: r13 rehearsal-1 values deflated by its 1.21
+      // uniform env ratio (the box ran ~20% slow that day)
+      "suffix_dup_stats" -> 106.0, "streaming_conformal_gate" -> 25.0)
     val x100Names = knownProbes(
       (if (includeRetired) retiredX100 else Nil) ++ canaryX100 ++ newX100
         ++ newX100r13,

@@ -256,6 +256,72 @@ object MeridianQueries {
             .otherwise(0).cast("int").as("signif"))
     },
 
+    // B207: PERIODOGRAM AT CANDIDATE SEASONAL PERIODS (round 13;
+    // Schuster 1898; the DFT power the STL/Holt-Winters family
+    // ASSUMES a period for — B136 pins weekly seasonality, this
+    // DETECTS it): for each candidate period p ∈ {2, 3, 5, 7, 14},
+    // A_p = Σ_t v_t·cos(2π·(day mod p)/p), B_p the sine sum, power
+    // = (A² + B²)/n² — the weekly cycle shows up as the argmax.
+    // Exact spelling: the trig constants are PINNED integer-micro
+    // literals round(cos(2πk/p)·10⁶) generated once and embedded in
+    // BOTH engines (the LSH-hyperplane-literal convention — no live
+    // trig anywhere), so A/B are exact integer sums (DECIMAL(38,0)/
+    // HUGEINT — micro-scaled daily dollars reach ~2e19 at clone
+    // scale); the power is ONE pinned double tree (A² would
+    // overflow 38 digits at clone scale — square in doubles, the
+    // B122 argmax-score precedent), 6dp floor. Scale shape: one
+    // keyed day agg; per period one map-side-combinable sum over
+    // the calendar grid.
+    Q("periodogram_seasonal", {
+      def cs(p: Int, fn: Double => Double): String =
+        (0 until p).map { k =>
+          val c = math.round(fn(2.0 * math.Pi * k / p) * 1e6)
+          s"WHEN day % $p = $k THEN $c"
+        }.mkString("CASE ", " ", " ELSE 0 END")
+      val rows = Seq(2, 3, 5, 7, 14).map { p =>
+        s"""SELECT $p AS period,
+           |  CAST(sum(CAST(v AS HUGEINT) * (${cs(p, math.cos)}))
+           |    AS HUGEINT) AS a6,
+           |  CAST(sum(CAST(v AS HUGEINT) * (${cs(p, math.sin)}))
+           |    AS HUGEINT) AS b6,
+           |  CAST(count(*) AS BIGINT) AS n FROM x""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $dailyDollarsSql,
+         |per AS ($rows)
+         |SELECT period, CAST(a6 AS DOUBLE) AS a_micro,
+         |  CAST(b6 AS DOUBLE) AS b_micro,
+         |  floor((CAST(a6 AS DOUBLE) * CAST(a6 AS DOUBLE)
+         |    + CAST(b6 AS DOUBLE) * CAST(b6 AS DOUBLE))
+         |    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+         |    * 1000000 + 0.5) / 1000000 AS power
+         |FROM per""".stripMargin
+    }) { (s, dir) =>
+      val x = dailyDollars(s, dir)
+        .localCheckpoint() // five period scans read the same grid
+      def cs(p: Int, fn: Double => Double) =
+        (0 until p).map { k =>
+          val c = math.round(fn(2.0 * math.Pi * k / p) * 1e6)
+          s"WHEN day % $p = $k THEN ${c}L"
+        }.mkString("CASE ", " ", " ELSE 0L END")
+      val per = Seq(2, 3, 5, 7, 14).map { p =>
+        x.agg(
+          sum(expr(s"cast(v as decimal(38,0)) * (${cs(p, math.cos)})"))
+            .cast("decimal(38,0)").as("a6"),
+          sum(expr(s"cast(v as decimal(38,0)) * (${cs(p, math.sin)})"))
+            .cast("decimal(38,0)").as("b6"),
+          count(lit(1)).as("n"))
+          .select(lit(p).as("period"), col("a6"), col("b6"), col("n"))
+      }.reduce(_ unionByName _)
+      per.select(col("period"),
+        col("a6").cast("double").as("a_micro"),
+        col("b6").cast("double").as("b_micro"),
+        (floor((col("a6").cast("double") * col("a6").cast("double")
+            + col("b6").cast("double") * col("b6").cast("double"))
+          / col("n").cast("double") / col("n").cast("double")
+          / lit(1000000000000.0)
+          * 1000000 + lit(0.5)) / 1000000).as("power"))
+    },
+
     // B204: VARIANCE-RATIO TEST (Lo & MacKinlay RFS 1988) on the
     // zero-filled daily revenue series at horizon q = 7 — the
     // random-walk/mean-reversion diagnostic the trend family

@@ -853,6 +853,108 @@ object TextQueries {
           col("min_score"), col("max_score"))
     },
 
+    // C162: AVERAGE PRECISION / AUC-PR (round 13; the
+    // precision-recall summary — Davis & Goadrich ICML 2006 on why
+    // PR beats ROC under class imbalance, exactly the regime corpus
+    // quality filters live in: C101's ROC-AUC flatters a filter
+    // when positives are rare, AP does not). Threshold grain =
+    // distinct score descending (the step-interpolated definition):
+    // AP = Σ_g (tp_g/P)·(cumTP_g/(cumTP_g+cumFP_g)). Exact: per
+    // threshold one integer pico-floor contribution
+    // (tp·cumTP·10¹²) div (cumTP+cumFP) in HUGEINT/DECIMAL(38,0),
+    // summed then ONE integer division by P·10⁶ → ap_micro — no
+    // doubles anywhere. Scale shape: the C86 scored relation → one
+    // score-grain agg → the DistributedPrefixSum streamed pass
+    // (score DESC via the negated key — the B114 plan).
+    Q("classifier_auprc",
+      s"""$rocchioCtes,
+         |sg AS (
+         |  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(label) AS BIGINT) AS tp
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT score, cnt, tp,
+         |    CAST(sum(tp) OVER (ORDER BY score DESC) AS BIGINT) AS ct,
+         |    CAST(sum(cnt - tp) OVER (ORDER BY score DESC) AS BIGINT) AS cf
+         |  FROM sg),
+         |tot AS (SELECT CAST(sum(tp) AS BIGINT) AS p,
+         |          CAST(sum(cnt - tp) AS BIGINT) AS ng,
+         |          CAST(count(*) AS BIGINT) AS nthr FROM sg),
+         |ap AS (
+         |  SELECT CAST(sum(CAST(tp AS HUGEINT) * ct * 1000000000000
+         |    // (ct + cf)) AS HUGEINT) AS s FROM cum)
+         |SELECT tot.p AS n_pos, tot.ng AS n_neg, tot.nthr AS n_thresholds,
+         |  CAST(CASE WHEN tot.p > 0 THEN ap.s // (tot.p * 1000000)
+         |    ELSE 0 END AS BIGINT) AS ap_micro
+         |FROM tot, ap""".stripMargin) { (s, dir) =>
+      apFromScored(rocchioScored(s, dir))
+    },
+
+    // C163: BRIER SCORE + MURPHY DECOMPOSITION (round 13; Brier
+    // 1950; Murphy JAM 1973) — the probability-forecast eval for an
+    // in-engine calibrated filter: forecasts are per-SOURCE positive
+    // rates fit on the even-doc_id TRAIN split (quantized to exact
+    // integer micro — stated, so every term below is pure integer
+    // arithmetic), evaluated on the odd-doc_id docs against the C86
+    // label. Brier·10¹² = Σ(f₆ − y·10⁶)²/N plus the reliability /
+    // resolution / uncertainty read-outs (REL = Σn_b(f_b−ȳ_b)²/N,
+    // RES = Σn_b(ȳ_b−ȳ)²/N, UNC = ȳ(1−ȳ) — Brier ≈ REL − RES + UNC
+    // up to the stated micro quantization). C91 diagnoses
+    // calibration on the SCORE axis; this scores an actual forecast
+    // and says how much of its error is mis-calibration (REL,
+    // fixable by C155) vs missing discrimination (RES). Scale
+    // shape: the scored relation → two keyed source aggs + one
+    // broadcast model join.
+    Q("classifier_brier",
+      s"""$rocchioCtes,
+         |sd AS (SELECT s.doc_id, s.label, d.source,
+         |         s.doc_id % 2 AS odd
+         |       FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |tr AS (
+         |  SELECT source,
+         |    CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS f6
+         |  FROM sd WHERE odd = 0 GROUP BY source),
+         |ev AS (SELECT sd.source, sd.label, tr.f6
+         |       FROM sd JOIN tr ON sd.source = tr.source WHERE odd = 1),
+         |b AS (
+         |  SELECT source, f6, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(label) AS BIGINT) AS pb,
+         |    CAST(sum(CAST(f6 - label * 1000000 AS HUGEINT)
+         |      * (f6 - label * 1000000)) AS HUGEINT) AS se
+         |  FROM ev GROUP BY source, f6),
+         |bt AS (
+         |  SELECT CAST(sum(nb) AS BIGINT) AS n,
+         |    CAST(sum(pb) AS BIGINT) AS pos,
+         |    CAST(sum(se) AS HUGEINT) AS se_tot,
+         |    CAST(sum(CAST(nb AS HUGEINT)
+         |      * (f6 - (pb * 1000000) // nb)
+         |      * (f6 - (pb * 1000000) // nb)) AS HUGEINT) AS rel_n
+         |  FROM b),
+         |bt2 AS (
+         |  SELECT bt.n, bt.pos, bt.se_tot, bt.rel_n,
+         |    CAST((SELECT sum(CAST(nb AS HUGEINT)
+         |        * ((pb * 1000000) // nb - (bt.pos * 1000000) // bt.n)
+         |        * ((pb * 1000000) // nb - (bt.pos * 1000000) // bt.n))
+         |      FROM b) AS HUGEINT) AS res_n
+         |  FROM bt)
+         |SELECT n AS n_eval, pos AS n_pos,
+         |  floor(CAST(se_tot AS DOUBLE) / CAST(n AS DOUBLE)
+         |    / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS brier,
+         |  floor(CAST(rel_n AS DOUBLE) / CAST(n AS DOUBLE)
+         |    / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS reliability,
+         |  floor(CAST(res_n AS DOUBLE) / CAST(n AS DOUBLE)
+         |    / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS resolution,
+         |  floor(CAST((pos * 1000000) // n AS DOUBLE)
+         |    * CAST(1000000 - (pos * 1000000) // n AS DOUBLE)
+         |    / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS uncertainty
+         |FROM bt2""".stripMargin) { (s, dir) =>
+      brierFromSplit(rocchioScored(s, dir)
+        .join(table(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), col("label"),
+          (col("doc_id") % 2).as("odd")))
+    },
+
     // C96: MULTINOMIAL NAIVE BAYES text classifier (the generative
     // member of the closed-form trained-filter family — McCallum &
     // Nigam 1998; fasttext-style corpus quality/spam filters are
@@ -1867,6 +1969,81 @@ object TextQueries {
     * shape): one tokenize→hash corpus pass, a 16-row model collect,
     * a broadcast scoring join → (doc_id, label, score, pred).
     */
+  /** C162's AP arithmetic over any (label, score) relation — split
+    * out so the spec can feed a hand-solved ranking (the planted
+    * test the rocchio chain would otherwise bury).
+    */
+  private[graft] def apFromScored(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.DistributedPrefixSum
+    val sg = scored
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("label")).as("tp"))
+      .withColumn("nscore", -col("score"))
+      .localCheckpoint() // feeds totals + two prefix passes
+    val ct = DistributedPrefixSum.running(
+      sg.withColumn("_g", lit("all")), "_g", Seq("nscore"), "tp", "ct")
+    val cum = DistributedPrefixSum.running(
+      ct.withColumn("fp", col("cnt") - col("tp")),
+      "_g", Seq("nscore"), "fp", "cfp")
+    val tot = sg.agg(sum(col("tp")).as("p"),
+      sum(col("cnt") - col("tp")).as("ng"), count(lit(1)).as("nthr"))
+    val ap = cum.agg(
+      sum(expr("""cast(tp as decimal(38,0)) * ct * 1000000000000
+                 |  div (ct + cfp)""".stripMargin)).cast("decimal(38,0)")
+        .as("s"))
+    broadcast(tot).crossJoin(broadcast(ap))
+      .select(col("p").as("n_pos"), col("ng").as("n_neg"),
+        col("nthr").as("n_thresholds"),
+        when(col("p") > 0, expr("cast(s div (p * 1000000) as bigint)"))
+          .otherwise(0L).as("ap_micro"))
+  }
+
+  /** C163's Brier + Murphy decomposition over any (source, label,
+    * odd) split relation — split out for the hand-solved plant.
+    */
+  private[graft] def brierFromSplit(
+      sdIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sd = sdIn.localCheckpoint() // train and eval splits both read it
+    val tr = sd.filter(col("odd") === 0)
+      .groupBy(col("source"))
+      .agg(expr("(sum(label) * 1000000) div count(*)").as("f6"))
+    val ev = sd.filter(col("odd") === 1)
+      .join(broadcast(tr), Seq("source"))
+    val b = ev.groupBy(col("source"), col("f6"))
+      .agg(count(lit(1)).as("nb"), sum(col("label")).as("pb"),
+        sum(expr("""cast(f6 - label * 1000000 as decimal(38,0))
+                   |  * (f6 - label * 1000000)""".stripMargin)).as("se"))
+      .localCheckpoint() // the model relation, read 3x
+    val t = b.agg(sum(col("nb")).as("n"), sum(col("pb")).as("pos"),
+      sum(col("se")).cast("decimal(38,0)").as("se_tot"),
+      sum(expr("""cast(nb as decimal(38,0))
+                 |  * (f6 - (pb * 1000000) div nb)
+                 |  * (f6 - (pb * 1000000) div nb)""".stripMargin))
+        .cast("decimal(38,0)").as("rel_n"))
+    val res = b.crossJoin(broadcast(t.select(col("n").as("tn"),
+        col("pos").as("tpos"))))
+      .agg(sum(expr("""cast(nb as decimal(38,0))
+                     |  * ((pb * 1000000) div nb - (tpos * 1000000) div tn)
+                     |  * ((pb * 1000000) div nb - (tpos * 1000000) div tn)"""
+        .stripMargin)).cast("decimal(38,0)").as("res_n"))
+    broadcast(t).crossJoin(broadcast(res))
+      .select(col("n").as("n_eval"), col("pos").as("n_pos"),
+        (floor(col("se_tot").cast("double") / col("n").cast("double")
+          / lit(1000000000000.0) * 1000000 + lit(0.5)) / 1000000)
+          .as("brier"),
+        (floor(col("rel_n").cast("double") / col("n").cast("double")
+          / lit(1000000000000.0) * 1000000 + lit(0.5)) / 1000000)
+          .as("reliability"),
+        (floor(col("res_n").cast("double") / col("n").cast("double")
+          / lit(1000000000000.0) * 1000000 + lit(0.5)) / 1000000)
+          .as("resolution"),
+        (floor(expr("cast((pos * 1000000) div n as double)")
+          * expr("cast(1000000 - (pos * 1000000) div n as double)")
+          / lit(1000000000000.0) * 1000000 + lit(0.5)) / 1000000)
+          .as("uncertainty"))
+  }
+
   private def rocchioScored(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._

@@ -119,6 +119,81 @@ object ZenithQueries {
               * 1000000 + lit(0.5)) / 1000000).as("f_stat"))
     },
 
+    // B205: ANOVA EFFECT SIZES — η² and ω² (round 13; Hays 1963 /
+    // Olejnik & Algina 2003) for B131's one-way ANOVA: the F
+    // statistic says WHETHER priorities differ, these say HOW MUCH
+    // of the variance the grouping explains (η² = SSB/SST, biased
+    // up in small samples; ω² = (SSB − (k−1)·MSW)/(SST + MSW), the
+    // unbiased estimate every methods section now asks for beside
+    // the p-value — the B147/B148 effect-size discipline applied to
+    // the F family). Exact: rides B131's integer sufficient-sum
+    // algebra verbatim (SSB/SSW as exact DECIMAL(38,0)); each
+    // effect size fully cross-multiplied to ONE double division —
+    // ω² = (SSB·(n−k) − (k−1)·SSW)/(SST·(n−k) + SSW) — 6dp floors.
+    // Scale shape: ONE map-side-combinable keyed agg; everything
+    // after on the k-row relation.
+    Q("anova_effect_size",
+      """WITH g AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      * CAST(floor(o_totalprice) AS BIGINT) AS HUGEINT)) AS HUGEINT)
+        |      AS q
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS HUGEINT) AS ss,
+        |    CAST(sum(q) AS HUGEINT) AS qq,
+        |    CAST(sum(CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+        |      AS HUGEINT) AS tt
+        |  FROM g),
+        |f AS (
+        |  SELECT k, nn,
+        |    greatest(tt - ss * ss // nn, 0) AS ssb,
+        |    greatest(qq - tt, 0) AS ssw
+        |  FROM t)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    floor(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS eta2,
+        |  CASE WHEN nn > k AND (ssb + ssw) * (nn - k) + ssw > 0 THEN
+        |    floor(CAST(ssb * (nn - k) - (k - 1) * ssw AS DOUBLE)
+        |      / CAST((ssb + ssw) * (nn - k) + ssw AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS omega2
+        |FROM f""".stripMargin) { (s, dir) =>
+      val dollars = floor(col("o_totalprice")).cast("long")
+      val g = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), dollars.as("d"))
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("q"))
+      val t = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s").cast("decimal(38,0)")).as("ss"),
+        sum(col("q")).as("qq"),
+        sum(expr("cast(cast(s as decimal(38,0)) * s div n as decimal(38,0))"))
+          .as("tt"))
+      t.select(col("k"), col("nn"),
+          greatest(col("tt") - expr("ss * ss div nn"), lit(0))
+            .cast("decimal(38,0)").as("ssb"),
+          greatest(col("qq") - col("tt"), lit(0)).cast("decimal(38,0)")
+            .as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_rows"),
+          when(col("ssb") + col("ssw") > 0,
+            floor(col("ssb").cast("double")
+              / (col("ssb") + col("ssw")).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("eta2"),
+          when(col("nn") > col("k")
+              && (col("ssb") + col("ssw")) * (col("nn") - col("k"))
+                + col("ssw") > 0,
+            floor((col("ssb") * (col("nn") - col("k"))
+                - (col("k") - 1) * col("ssw")).cast("double")
+              / ((col("ssb") + col("ssw")) * (col("nn") - col("k"))
+                + col("ssw")).cast("double")
+              * 1000000 + lit(0.5)) / 1000000).as("omega2"))
+    },
+
     // B130: BROWN-FORSYTHE / LEVENE variance-homogeneity test
     // (Brown & Forsythe JASA 1974 — the robust median-centered
     // Levene) across the five order priorities: W = the one-way
@@ -288,6 +363,72 @@ object ZenithQueries {
                 .cast("double")
               / (col("n").cast("decimal(38,0)") * col("sx")).cast("double")
               * 1000000 + lit(0.5)) / 1000000).as("gini"))
+    },
+
+    // B206: THEIL T INEQUALITY INDEX (round 13; Theil 1967) of
+    // per-customer revenue within each market segment — the
+    // DECOMPOSABLE inequality measure beside B132's Gini (Gini ranks,
+    // Theil is entropy-based and additively decomposes across
+    // subgroups — the concentration number data-mixing reports pair
+    // with HHI): T = (1/n)·Σ (x_i/μ)·ln(x_i/μ). Exact spelling: per
+    // distinct cents value, ONE ln of the exact rational x·n/S
+    // (products ≤ ~1e13 ≪ 2^53 so the double casts are exact — the
+    // C58 ln convention), contribution micro-floored per VALUE then
+    // multiplied by the value's count (clone-invariant value grain),
+    // read-out one mirrored double division, 6dp. Scale shape: one
+    // keyed (segment, customer) agg → value grain → k-row read-out.
+    Q("theil_index",
+      """WITH cust AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |vc AS (
+        |  SELECT segment, cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cust GROUP BY 1, 2),
+        |g AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS n,
+        |        CAST(sum(cents * cnt) AS BIGINT) AS sx
+        |      FROM vc GROUP BY 1),
+        |ct AS (
+        |  SELECT v.segment,
+        |    v.cnt * CAST(floor(
+        |      CAST(v.cents * g.n AS DOUBLE) / CAST(g.sx AS DOUBLE)
+        |      * ln(CAST(v.cents * g.n AS DOUBLE) / CAST(g.sx AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS contrib
+        |  FROM vc v JOIN g ON v.segment = g.segment
+        |  WHERE v.cents > 0 AND g.sx > 0)
+        |SELECT g.segment, g.n AS n_customers, g.sx AS total_cents,
+        |  floor(CAST(s.sc AS DOUBLE) / CAST(g.n AS DOUBLE) + 0.5)
+        |    / 1000000 AS theil_t
+        |FROM g JOIN (SELECT segment, CAST(sum(contrib) AS BIGINT) AS sc
+        |             FROM ct GROUP BY 1) s ON g.segment = s.segment""".stripMargin) { (s, dir) =>
+      val cust = table(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .join(table(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_mktsegment").as("segment")), Seq("ck"))
+        .groupBy(col("segment"), col("ck"))
+        .agg(sum(col("c")).as("cents"))
+      val vc = cust.groupBy(col("segment"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the totals and the contrib pass
+      val g = vc.groupBy(col("segment"))
+        .agg(sum(col("cnt")).as("n"), sum(col("cents") * col("cnt")).as("sx"))
+      val ct = vc.join(broadcast(g), Seq("segment"))
+        .filter(col("cents") > 0 && col("sx") > 0)
+        .select(col("segment"), (col("cnt") * expr(
+          """CAST(floor(
+            |  CAST(cents * n AS DOUBLE) / CAST(sx AS DOUBLE)
+            |  * ln(CAST(cents * n AS DOUBLE) / CAST(sx AS DOUBLE))
+            |  * 1000000.0) AS BIGINT)""".stripMargin)).as("contrib"))
+        .groupBy(col("segment")).agg(sum(col("contrib")).as("sc"))
+      broadcast(g).join(broadcast(ct), Seq("segment"))
+        .select(col("segment"), col("n").as("n_customers"),
+          col("sx").as("total_cents"),
+          (floor(col("sc").cast("double") / col("n").cast("double")
+            + lit(0.5)) / 1000000).as("theil_t"))
     },
 
     // B133: MUTUAL INFORMATION (in nats) between market segment and

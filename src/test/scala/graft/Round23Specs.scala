@@ -374,3 +374,113 @@ class Round13StatsSpec extends SparkTestBase {
     }
   }
 }
+
+/** Round-13 wave-6 operators: anova_effect_size, theil_index,
+  * periodogram_seasonal, classifier_auprc (via apFromScored),
+  * classifier_brier (via brierFromSplit).
+  */
+class Round13Wave6Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("anova effect sizes planted: separated groups eta2=1; identical groups omega2<0") {
+    val dir = java.nio.file.Files.createTempDirectory("ef").toString
+    def write(rows: Seq[(String, Double)]): Unit =
+      rows.toDF("o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // {0,0} vs {2,2}: all variance between groups
+    write(Seq(("1-A", 0.0), ("1-A", 0.0), ("2-B", 2.0), ("2-B", 2.0)))
+    val r1 = SparkEntry.queries("anova_effect_size")(spark, dir)
+      .collect().head
+    assert(r1.getAs[Double]("eta2") == 1.0)
+    assert(r1.getAs[Double]("omega2") == 1.0)
+    // {0,2} vs {0,2}: zero between-group variance; omega2 goes
+    // negative (the small-sample correction at work)
+    write(Seq(("1-A", 0.0), ("1-A", 2.0), ("2-B", 0.0), ("2-B", 2.0)))
+    val r2 = SparkEntry.queries("anova_effect_size")(spark, dir)
+      .collect().head
+    assert(r2.getAs[Double]("eta2") == 0.0)
+    assert(r2.getAs[Double]("omega2") == -0.333333)
+  }
+
+  test("theil planted: equal incomes 0; {1,3} split gives 0.130812") {
+    val dir = java.nio.file.Files.createTempDirectory("th").toString
+    Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 0.01), (2L, 0.01), (3L, 0.01), (4L, 0.03))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("theil_index")(spark, dir)
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    assert(out("A").getAs[Double]("theil_t") == 0.0)
+    // 0.5·ln0.5 + 1.5·ln1.5 micro-floored = (-346574 + 608197)/2
+    assert(out("B").getAs[Double]("theil_t") == 0.130812)
+  }
+
+  test("periodogram planted: a pure 7-day cycle concentrates at period 7") {
+    val dir = java.nio.file.Files.createTempDirectory("pg").toString
+    // $100 on two days exactly 7 apart whose epoch day is ≡ 0 (mod 7)
+    // (2024-01-04 = epoch day 19726 = 7·2818); the zero-filled grid
+    // spans 8 days
+    Seq((java.sql.Date.valueOf("2024-01-04"), 100.0),
+        (java.sql.Date.valueOf("2024-01-11"), 100.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("periodogram_seasonal")(spark, dir)
+      .collect().map(r => r.getAs[Int]("period") -> r).toMap
+    // A7 = 2·100·1e6 (both days at phase 0), B7 = 0:
+    // power = (2e8)^2/8^2/1e12 = 625
+    assert(out(7).getAs[Double]("power") == 625.0)
+    // period 2: phases 0 and 1 cancel exactly
+    assert(out(2).getAs[Double]("power") == 0.0)
+    // period 14: phases 0 and 7 cancel exactly
+    assert(out(14).getAs[Double]("power") == 0.0)
+    assert(out(7).getAs[Double]("power") > out(5).getAs[Double]("power"))
+  }
+
+  test("average precision planted: ranking (1,0,1) gives AP = 5/6") {
+    val scored = Seq((3L, 1L), (2L, 0L), (1L, 1L)).toDF("score", "label")
+    val r = graft.queries.TextQueries.apFromScored(scored).collect().head
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Long]("n_thresholds") == 3L)
+    // AP = (1/2)·(1 + 2/3) = 5/6 → pico-contrib sum 1666666666666
+    // div 2e6 = 833333
+    assert(r.getAs[Long]("ap_micro") == 833333L)
+  }
+
+  test("brier planted: two-source split — decomposition identity holds") {
+    // source X: train rate 1/2, eval {1,0}; source Y: train rate 1,
+    // eval {1,1} → brier .125, rel 0, res .0625, unc .1875
+    val sd = Seq(
+      ("X", 1L, 0L), ("X", 0L, 0L), ("X", 1L, 1L), ("X", 0L, 1L),
+      ("Y", 1L, 0L), ("Y", 1L, 0L), ("Y", 1L, 1L), ("Y", 1L, 1L))
+      .toDF("source", "label", "odd")
+    val r = graft.queries.TextQueries.brierFromSplit(sd).collect().head
+    assert(r.getAs[Long]("n_eval") == 4L && r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Double]("brier") == 0.125)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.1875)
+  }
+
+  test("corpus invariants: ap in [0,1], brier terms nonnegative, eta2 in [0,1]") {
+    val ap = SparkEntry.queries("classifier_auprc")(spark, sfDir)
+      .collect().head
+    assert(ap.getAs[Long]("ap_micro") >= 0L
+      && ap.getAs[Long]("ap_micro") <= 1000000L)
+    val br = SparkEntry.queries("classifier_brier")(spark, sfDir)
+      .collect().head
+    assert(br.getAs[Double]("brier") >= 0.0 && br.getAs[Double]("brier") <= 1.0)
+    assert(br.getAs[Double]("reliability") >= 0.0)
+    assert(br.getAs[Double]("resolution") >= 0.0)
+    assert(br.getAs[Double]("uncertainty") >= 0.0
+      && br.getAs[Double]("uncertainty") <= 0.25)
+    val ef = SparkEntry.queries("anova_effect_size")(spark, sfDir)
+      .collect().head
+    val eta2 = ef.getAs[Double]("eta2")
+    assert(eta2 >= 0.0 && eta2 <= 1.0)
+    assert(ef.getAs[Double]("omega2") <= eta2)
+    val th = SparkEntry.queries("theil_index")(spark, sfDir).collect()
+    th.foreach(r => assert(r.getAs[Double]("theil_t") >= -0.000001))
+  }
+}
