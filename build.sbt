@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g → 16g (round 13): the r13 bench rehearsal spent 203 s of its
+  // 1,291 s headline wall in GC on the 8g heap (432 queries × eager
+  // localCheckpoints competing with execution memory); the sandbox
+  // has 128 GiB. Still env-overridable for smaller boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -409,7 +409,8 @@ object Bench {
       if (toGen.isEmpty) return
       def duplicate(tbl: String, idCols: Seq[String],
           fixedShifts: Map[String, Long] = Map.empty): Map[String, Long] = {
-        val t = spark.read.parquet(s"$sfDir/$tbl.parquet")
+        val basePath = s"$sfDir/$tbl.parquet"
+        val t = spark.read.parquet(basePath)
         // Shifts derive from the BASE table (max id + 1) — computed
         // even for skipped tables, since a regenerated table's shift
         // may depend on a reused one's (lineitem on orders).
@@ -424,18 +425,41 @@ object Bench {
         // plan with `copies` scan branches — at the ×1000 probe
         // that is an unplannable 1000-leaf tree, while this is one
         // scan × a 8-byte-per-replica broadcast (same output rows).
-        val reps = broadcast(
-          spark.range(copies.toLong).select(col("id").as("_rep")))
-        shifts.foldLeft(t.crossJoin(reps)) { case (df, (c, shift)) =>
-            df.withColumn(c, col(c) + col("_rep") * lit(shift))
-          }
-          .drop("_rep")
-          // the broadcast crossJoin preserves the (often single)
-          // input partition — repartition so the written table has
-          // enough splits for a 32-core read (1 giant file starved
-          // the ×100 scan of parallelism: minhash 4 s → 32 s)
-          .repartition(math.max(8, math.min(64, copies)))
-          .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
+        //
+        // Round-13 harness fix (guide §2.5 — this is clone
+        // GENERATION, not a measurement): the keyless
+        // `.repartition(8..64)` below round-robins the expanded rows
+        // so every written file's dictionary spans the full
+        // distinct-content set — the r12 on-disk layout the probe
+        // pins were taken against (a replica-CLUSTERED layout
+        // measured 13× smaller on disk and its scan size estimate
+        // flipped dedup_minhash_pairs ×100 to a broadcast-heavy
+        // initial plan: 4.1 → 23 s — so the round-robin mix stays).
+        // What goes: sortBeforeRepartition — at ×100 it sorted the
+        // 60M-row expanded lineitem inside ONE task before the
+        // shuffle. The sort exists to keep row→partition assignment
+        // reproducible under partial fetch-failure recomputes
+        // (SPARK-38388); clone generation is a deterministic local
+        // pipeline with no fetch-failure regime, and the written
+        // CONTENT is the same multiset under any assignment, so the
+        // sort buys nothing here. Scoped to this write and restored.
+        val targetTasks = math.max(8, math.min(64, copies))
+        val priorSort =
+          spark.conf.get("spark.sql.execution.sortBeforeRepartition", "true")
+        spark.conf.set("spark.sql.execution.sortBeforeRepartition", "false")
+        try {
+          val expanded = t
+            .crossJoin(broadcast(
+              spark.range(copies.toLong).select(col("id").as("_rep"))))
+          shifts.foldLeft(expanded) { case (df, (c, shift)) =>
+              df.withColumn(c, col(c) + col("_rep") * lit(shift))
+            }
+            .drop("_rep")
+            .repartition(targetTasks)
+            .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
+        } finally {
+          spark.conf.set("spark.sql.execution.sortBeforeRepartition", priorSort)
+        }
         shifts.toMap
       }
       duplicate("documents", Seq("doc_id"))

@@ -55,12 +55,20 @@ object PageRank {
     // mode r9's naive_bayes ×1000 probe found, rediscovered here by
     // the round-10 ×100 graph probe. Edges stream from local disk
     // once per round; only the node-sized rank table lives in memory.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    //
+    // Round-13 optimization (guide §2.4): outdeg is folded in with
+    // ONE window over src instead of the groupBy + self-join — the
+    // edge lineage is scanned and persisted ONCE (r12 persisted e0,
+    // then built and persisted e = e0⋈outdeg: two edge-scale disk
+    // materializations, one thrown away).
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .persist()
-    val n = nodes.count()
+    val n = nodes.count() // materializes e too
     require(n > 0, "PageRank.run: empty edge table — no nodes to rank")
     require(dampingPct >= 0 && dampingPct < 100,
       s"PageRank.run: dampingPct must be in [0, 100), got $dampingPct")
@@ -75,26 +83,29 @@ object PageRank {
       s"PageRank.run: $n nodes exceeds the teleport resolution " +
         s"($teleportMass at unit=$unit); per-node teleport would floor to 0 " +
         "and all ranks decay — raise `unit` (e.g. 1e12)")
-    // outdeg is a STATIC property of the edge table — fold it into
-    // the checkpointed edges ONCE instead of re-joining it to the
-    // contribution stream every round (one keyed join + one shuffle
-    // saved per iteration; at ×10 scale the avoidable outdeg join
-    // was the single largest per-round cost).
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(outdeg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    e.count() // materialize while e0 is still pinned
-    e0.unpersist(blocking = false)
+    // Round-13 optimization (guide §3.1): the rank table is
+    // NODE-scale — broadcast it into the per-iteration join so the
+    // EDGE-scale table never shuffles (each round becomes one
+    // streaming scan of the disk-persisted edges + a map-side-
+    // combined sum into the node domain). The ×100 trade clone has
+    // 1.6M nodes (~80 MB hashed) — inside the bound; a graph past
+    // the bound degrades to the r12 keyed shuffle join, same
+    // arithmetic. Bound overridable for cluster-sized graphs.
+    val bcastBound = edges.sparkSession.conf
+      .getOption("spark.graft.pagerank.broadcastNodeBound")
+      .map(_.toLong).getOrElse(4000000L)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (n <= bcastBound) broadcast(df) else df
     val teleport = teleportMass / n
     var pr = nodes.select(col("node"), lit(unit / n).as("pr"))
     var i = 0
     while (i < iterations) {
-      val contrib = pr.join(e, pr("node") === e("src"))
+      val contrib = e.join(maybeBroadcast(pr), col("src") === col("node"))
         // DIV, not `/`: Spark's / on longs is DOUBLE division — the
         // whole point here is exact integer floor arithmetic
         .select(col("dst").as("node"), expr("pr DIV outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(maybeBroadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100"))
@@ -129,12 +140,15 @@ object PageRank {
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, iterations: Int = 2,
       dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
-    // DISK_ONLY for the edge-scale relations — see [[run]].
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // DISK_ONLY for the edge-scale relation; outdeg folded in with
+    // one window over src — see [[run]] (round-13 optimization).
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val seedSet = seeds.select(col("node")).distinct()
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false))
         .as("is_seed"))
@@ -154,20 +168,24 @@ object PageRank {
       s"PageRank.runPersonalized: $ns seeds exceed the teleport " +
         s"resolution ($teleportMass at unit=$unit); per-seed teleport would " +
         "floor to 0 — raise `unit` (e.g. 1e12)")
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(outdeg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    e.count() // materialize while e0 is still pinned
-    e0.unpersist(blocking = false)
+    // Broadcast the node-scale rank table into the per-iteration
+    // join so the edge-scale table never shuffles — see [[run]].
+    val nAll = nodes.count()
+    val bcastBound = edges.sparkSession.conf
+      .getOption("spark.graft.pagerank.broadcastNodeBound")
+      .map(_.toLong).getOrElse(4000000L)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nAll <= bcastBound) broadcast(df) else df
     val seedTeleport = teleportMass / ns
     var pr = nodes.select(col("node"), col("is_seed"),
       when(col("is_seed"), lit(unit / ns)).otherwise(lit(0L)).as("pr"))
     var i = 0
     while (i < iterations) {
-      val contrib = pr.join(e, pr("node") === e("src"))
+      val contrib = e.join(maybeBroadcast(pr.drop("is_seed")),
+          col("src") === col("node"))
         .select(col("dst").as("node"), expr("pr DIV outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(maybeBroadcast(contrib), Seq("node"), "left")
         .select(col("node"), col("is_seed"),
           (when(col("is_seed"), lit(seedTeleport)).otherwise(lit(0L)) +
             expr(s"($dampingPct * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100"))

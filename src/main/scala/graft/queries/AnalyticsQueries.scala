@@ -99,42 +99,23 @@ object AnalyticsQueries {
          |    AS n_wedges,
          |  (SELECT CAST(nt AS BIGINT) FROM t) AS n_triangles""".stripMargin
     }) { (s, dir) =>
-      val items = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          (col("l_partkey") % TriNodes).as("node"))
-        .distinct()
-      val e = items.as("a").join(items.as("b"),
-          col("a.ok") === col("b.ok") && col("a.node") < col("b.node"))
-        .select(col("a.node").as("u"), col("b.node").as("v"))
-        .distinct()
+      // Round-13 optimization: the O(Σ od²) wedge self-join +
+      // closing join (46M wedge rows at sf0.1, ~3G at ×10) is
+      // replaced by the TriangleBitset kernel — per oriented edge,
+      // popcount(N⁺(src) ∧ N⁺(dst)) against a ≤16,381-row broadcast
+      // bitset adjacency (≈34 MB at FULL saturation — broadcastable
+      // at any SF by construction). Identical count: each triangle
+      // is witnessed exactly once on its (n1,n2) orientation-order
+      // edge. The DuckDB oracle keeps the wedge-join spelling.
+      import graft.operators.TriangleBitset
+      val e = TriangleBitset.coOrderEdges(table(s, dir, "lineitem"))
         .localCheckpoint() // edges feed 4 consumers — one materialization
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val withDeg = e
-        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
-      val lower = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val o = withDeg.select(
-          when(lower, col("u")).otherwise(col("v")).as("src"),
-          when(lower, col("v")).otherwise(col("u")).as("dst"),
-          when(lower, col("dv")).otherwise(col("du")).as("ddeg"))
-        .localCheckpoint() // oriented edges feed the wedge AND closing join
-      val wedges = o.as("x").join(o.as("y"),
-          col("x.src") === col("y.src") &&
-            (col("x.ddeg") < col("y.ddeg") ||
-              (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
-        .select(col("x.dst").as("a"), col("y.dst").as("b"))
-      // closing join BROADCASTS the edge list: the O(E^1.5) wedge set
-      // then never shuffles — each task filters its wedges against the
-      // hashed edges in-stage. Edges are 16 B/row; when E outgrows the
-      // broadcast budget on a real cluster, drop the hint and this
-      // becomes a plain keyed shuffle join — same result, same
-      // asymptotics, one more exchange.
-      val tri = wedges
-        .join(broadcast(o.select(col("src").as("a"), col("dst").as("b"))),
-          Seq("a", "b"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val deg = TriangleBitset.degrees(e)
+      val o = TriangleBitset.orient(e, deg)
+        .localCheckpoint() // oriented edges feed adjacency + edge scan
+      val adj = TriangleBitset.outBitsets(o)
+        .localCheckpoint() // one bitset build feeds both broadcasts
+      val tri = TriangleBitset.triangleCount(o, adj)
       // wedge COUNT from out-degrees (Σ od·(od−1)/2) — identical to
       // counting the wedge rows, without materializing the O(E^1.5)
       // wedge set a second time for the count alone
@@ -1705,55 +1686,70 @@ object AnalyticsQueries {
         .stripMargin
     }) { (s, dir) =>
       import graft.operators.DistributedPrefixSum
+      // Round-13 optimization (guide §1.2/§2.3): the r12 spelling ran
+      // FIVE independent fold chains serially — 5 train groupBys, 5
+      // checkpoints, 10 prefix-sum passes, 5 broadcast test scans.
+      // All folds now ride ONE pass each: per-(c, fold) counts once;
+      // fold f's train counts are the exact integer complement
+      // total(c) − fold(c, f) (rows with complement 0 are dropped to
+      // reproduce the per-fold groupBy row set exactly); ONE grouped
+      // prefix-sum with group = fold ranks all five folds; the five
+      // best rows broadcast as one relation into ONE test scan keyed
+      // on eid % 5. Identical per-fold arithmetic, identical rows.
       val e = table(s, dir, "events")
         .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"),
           col("event_id").as("eid"))
-        .select(col("c"), col("eid"),
+        .select(col("c"), (col("eid") % 5).as("f"),
           ((col("c") >= 3000) =!= (col("eid") % 7 === 0))
             .cast("long").as("y"))
-        .localCheckpoint() // 5 train scans + 5 test scans read it
-      val folds = (0 to 4).map { f =>
-        val v = e.filter(col("eid") % 5 =!= f)
-          .groupBy(col("c"))
-          .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-          .withColumn("_g", lit("all"))
-          .localCheckpoint()
-        val w1 = DistributedPrefixSum.running(v, "_g", Seq("c"), "cnt", "nl")
-        val w = DistributedPrefixSum.running(w1, "_g", Seq("c"), "pos", "pl")
-        val tot = v.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("npos"))
-        val sc = w.crossJoin(broadcast(tot))
-          .filter(col("nl") < col("n"))
-          .select(col("c").as("threshold"), col("nl"), col("pl"), col("n"),
-            col("npos"),
-            ((col("pl") * col("pl")
-                + (col("nl") - col("pl")) * (col("nl") - col("pl")))
-              .cast("double") / col("nl").cast("double")
-            + ((col("npos") - col("pl")) * (col("npos") - col("pl"))
-                + ((col("n") - col("nl")) - (col("npos") - col("pl")))
-                  * ((col("n") - col("nl")) - (col("npos") - col("pl"))))
-              .cast("double") / (col("n") - col("nl")).cast("double"))
-              .as("score"))
-        val best = sc
-          .agg(max(struct(col("score"), (-col("threshold")).as("negt"),
-            col("nl"), col("pl"), col("n"), col("npos"))).as("b"))
-          .select((-col("b.negt")).as("threshold"),
-            (lit(2) * col("b.pl") >= col("b.nl")).cast("long").as("ml"),
-            (lit(2) * (col("b.npos") - col("b.pl"))
-              >= col("b.n") - col("b.nl")).cast("long").as("mr"),
-            col("b.n").as("n_train"))
-        e.filter(col("eid") % 5 === f)
-          .crossJoin(broadcast(best))
-          .groupBy(col("threshold"), col("n_train"))
-          .agg(count(lit(1)).as("n_test"),
-            sum((when(col("c") <= col("threshold"), col("ml"))
-              .otherwise(col("mr")) === col("y")).cast("long"))
-              .as("n_correct"))
-          .select(lit(f).cast("int").as("fold"), col("threshold"),
-            col("n_train"), col("n_test"),
-            (floor(col("n_correct").cast("double")
-              / col("n_test").cast("double") * lit(1000000) + lit(0.5))
-              / lit(1000000)).as("test_acc"))
-      }
-      folds.reduce(_ unionByName _)
+        .localCheckpoint() // the train rollup + the test scan read it
+      val cf = e.groupBy(col("c"), col("f"))
+        .agg(count(lit(1)).as("cnt_f"), sum(col("y")).as("pos_f"))
+        .localCheckpoint() // totals + the 5-fold complement read it
+      val totC = cf.groupBy(col("c"))
+        .agg(sum(col("cnt_f")).as("cnt_t"), sum(col("pos_f")).as("pos_t"))
+      val foldIds = s.range(5).select(col("id").as("f"))
+      val v = totC.crossJoin(broadcast(foldIds))
+        .join(cf, Seq("c", "f"), "left")
+        .select(col("f"), col("c"),
+          (col("cnt_t") - coalesce(col("cnt_f"), lit(0L))).as("cnt"),
+          (col("pos_t") - coalesce(col("pos_f"), lit(0L))).as("pos"))
+        .filter(col("cnt") > 0)
+        .localCheckpoint() // prefix sums + per-fold totals read it
+      val w1 = DistributedPrefixSum.running(v, "f", Seq("c"), "cnt", "nl")
+      val w = DistributedPrefixSum.running(w1, "f", Seq("c"), "pos", "pl")
+      val tot = v.groupBy(col("f"))
+        .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("npos"))
+      val sc = w.join(broadcast(tot), Seq("f"))
+        .filter(col("nl") < col("n"))
+        .select(col("f"), col("c").as("threshold"), col("nl"), col("pl"),
+          col("n"), col("npos"),
+          ((col("pl") * col("pl")
+              + (col("nl") - col("pl")) * (col("nl") - col("pl")))
+            .cast("double") / col("nl").cast("double")
+          + ((col("npos") - col("pl")) * (col("npos") - col("pl"))
+              + ((col("n") - col("nl")) - (col("npos") - col("pl")))
+                * ((col("n") - col("nl")) - (col("npos") - col("pl"))))
+            .cast("double") / (col("n") - col("nl")).cast("double"))
+            .as("score"))
+      val best = sc.groupBy(col("f"))
+        .agg(max(struct(col("score"), (-col("threshold")).as("negt"),
+          col("nl"), col("pl"), col("n"), col("npos"))).as("b"))
+        .select(col("f"), (-col("b.negt")).as("threshold"),
+          (lit(2) * col("b.pl") >= col("b.nl")).cast("long").as("ml"),
+          (lit(2) * (col("b.npos") - col("b.pl"))
+            >= col("b.n") - col("b.nl")).cast("long").as("mr"),
+          col("b.n").as("n_train"))
+      e.join(broadcast(best), Seq("f"))
+        .groupBy(col("f"), col("threshold"), col("n_train"))
+        .agg(count(lit(1)).as("n_test"),
+          sum((when(col("c") <= col("threshold"), col("ml"))
+            .otherwise(col("mr")) === col("y")).cast("long"))
+            .as("n_correct"))
+        .select(col("f").cast("int").as("fold"), col("threshold"),
+          col("n_train"), col("n_test"),
+          (floor(col("n_correct").cast("double")
+            / col("n_test").cast("double") * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("test_acc"))
     })
 }

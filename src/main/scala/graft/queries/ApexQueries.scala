@@ -907,12 +907,23 @@ object ApexQueries {
         .withColumn("cb",
           sum(col("cnt")).over(
             Window.partitionBy(col("g")).orderBy(col("c"))) - col("cnt"))
-        .localCheckpoint() // both sides of the ordered-pair join
-      val j = grid.as("a").join(grid.as("b"),
-          col("a.c") === col("b.c") && col("a.g") < col("b.g"))
-        .agg(sum(col("b.cnt").cast("decimal(38,0)")
-          * (col("a.cb") * 2 + col("a.cnt")))
-          .as("j2"))
+      // Round-13 optimization (guide §2.4): the ordered-pair term
+      // sums per VALUE over the ≤k(=5)-group slice at that value, so
+      // the r12 grid⋈grid self-join (two shuffles + merge of the
+      // zero-filled grid) collapses to ONE groupBy(c) + an in-row
+      // fold over the sorted (g, cnt, cb) array — identical pair
+      // terms (sort_array orders by g first; x before y ⟺ a.g < b.g),
+      // identical DECIMAL(38,0) arithmetic.
+      val j = grid
+        .groupBy(col("c"))
+        .agg(sort_array(collect_list(
+          struct(col("g"), col("cnt"), col("cb")))).as("arr"))
+        .select(explode(expr(
+          """flatten(transform(arr, (x, i) ->
+            |  transform(slice(arr, i + 2, size(arr)), y ->
+            |    CAST(y.cnt AS DECIMAL(38,0)) * (x.cb * 2 + x.cnt))))"""
+            .stripMargin)).as("t"))
+        .agg(sum(col("t")).as("j2"))
       // widen BEFORE multiplying: n_g³ passes Long at the ×100 clone
       // scale (3e6³ ≈ 3e19 > 2⁶³ — found by the ×100 probe, ANSI-loud)
       val ns = vc.groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
@@ -1976,10 +1987,19 @@ object ApexQueries {
           floor(lit(1000000.0) / log(col("d").cast("double")) + lit(0.5))
             .cast("long").as("term_e6"))
         .localCheckpoint() // both sides of the wedge self-join
-      val wedge = ctr.as("a").join(ctr.as("b"),
-          col("a.ctr") === col("b.ctr") && col("a.nbr") < col("b.nbr"))
-        .select(col("a.nbr").as("u"), col("b.nbr").as("w"),
-          col("a.term_e6").as("term_e6"))
+      // Round-13 optimization (guide §2.4): wedges enumerate IN-ROW
+      // from each center's collected (≤64, degree-capped) neighbor
+      // list — one keyed groupBy replaces the r12 center self-join;
+      // term_e6 is a per-CENTER constant, carried via first(). Same
+      // (u < w, term) multiset: pairs of a sorted distinct array.
+      val wedge = ctr.groupBy(col("ctr"))
+        .agg(sort_array(collect_list(col("nbr"))).as("ns"),
+          first(col("term_e6")).as("term_e6"))
+        .select(col("term_e6"), explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)),
+            |    y -> struct(x AS u, y AS w))))""".stripMargin)).as("p"))
+        .select(col("p.u").as("u"), col("p.w").as("w"), col("term_e6"))
       val cand = wedge.groupBy(col("u"), col("w"))
         .agg(count(lit(1)).as("n_common"), sum(col("term_e6")).as("aa_e6"))
       // existing-edge exclusion: composite-key left_anti on the

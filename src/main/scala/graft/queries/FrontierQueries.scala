@@ -1591,9 +1591,12 @@ object FrontierQueries {
         .agg(min(col("a.cents") + col("b.cents")).as("w"))
         .localCheckpoint() // reused by the source slice and the hop join
       val src = e0.filter(col("u") < 5)
-      val hop2 = src.select(col("u"), col("v").as("mid"), col("w").as("w1"))
-        .join(e0.select(col("u").as("mid"), col("v"), col("w").as("w2")),
-          Seq("mid"))
+      // Round-13 optimization (guide §3.1): the source slice is ≤ 5
+      // nodes' out-edges (≤ ~5·16,381 rows by construction) —
+      // broadcast it so the full edge table never shuffles.
+      val hop2 = e0.select(col("u").as("mid"), col("v"), col("w").as("w2"))
+        .join(broadcast(src.select(col("u"), col("v").as("mid"),
+          col("w").as("w1"))), Seq("mid"))
         .filter(col("v") =!= col("u"))
         .groupBy(col("u"), col("v")).agg(min(col("w1") + col("w2")).as("w"))
       src.select(col("u"), col("v"), col("w"))

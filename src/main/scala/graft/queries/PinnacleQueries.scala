@@ -1070,9 +1070,18 @@ object PinnacleQueries {
         .select(col("ctr"), col("nbr"))
         .localCheckpoint() // capped degrees + both wedge sides
       val cdeg = ctr.groupBy(col("nbr").as("n")).agg(count(lit(1)).as("cd"))
-      val wedge = ctr.as("a").join(ctr.as("b"),
-          col("a.ctr") === col("b.ctr") && col("a.nbr") < col("b.nbr"))
-        .select(col("a.nbr").as("u"), col("b.nbr").as("w"))
+      // Round-13 optimization (guide §2.4): wedges enumerate IN-ROW
+      // from each center's collected (≤64, degree-capped) neighbor
+      // list — one keyed groupBy replaces the r12 center self-join
+      // (two shuffled join sides + merge). Same (u < w) pair
+      // multiset: pairs of a sorted distinct array.
+      val wedge = ctr.groupBy(col("ctr"))
+        .agg(sort_array(collect_list(col("nbr"))).as("ns"))
+        .select(explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)),
+            |    y -> struct(x AS u, y AS w))))""".stripMargin)).as("p"))
+        .select(col("p.u").as("u"), col("p.w").as("w"))
       val cand = wedge.groupBy(col("u"), col("w"))
         .agg(count(lit(1)).as("n_common"))
       val j = cand
@@ -1142,10 +1151,13 @@ object PinnacleQueries {
       var frontierSize = frontier.count() // model-bounded driver loop
       while (hop < 10 && frontierSize > 0) {
         hop += 1
-        val next = frontier.select(col("node"))
-          .join(adj, Seq("node"))
+        // Round-13 optimization (guide §3.1): frontier and settled
+        // are node-scale (≤16,381 rows by construction) — broadcast
+        // both so the edge-scale adjacency never shuffles per round.
+        val next = adj
+          .join(broadcast(frontier.select(col("node"))), Seq("node"))
           .select(col("nbr").as("node")).distinct()
-          .join(settled.select(col("node")), Seq("node"), "left_anti")
+          .join(broadcast(settled.select(col("node"))), Seq("node"), "left_anti")
           .withColumn("dist", lit(hop))
           .localCheckpoint() // cut the per-round lineage
         frontierSize = next.count()

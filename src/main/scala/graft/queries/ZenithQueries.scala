@@ -24,20 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object ZenithQueries {
 
-  /** graph_clustering_coeff's closing-join builder, public so the
-    * Round22PlanSpec plan gate can assert BOTH modes on the exact
-    * production code path: the broadcast hint is applied only while
-    * the COUNTED oriented-edge list fits the budget (default 8M rows
-    * ≈ ~128 MB serialized); past it the join degrades to the keyed
-    * shuffle join — same asymptotics, no forced multi-GB broadcast.
-    */
-  def ccClosingJoin(wedges: org.apache.spark.sql.DataFrame,
-      oEdges: org.apache.spark.sql.DataFrame,
-      edgeCount: Long, bound: Long): org.apache.spark.sql.DataFrame = {
-    val closing = if (edgeCount <= bound) broadcast(oEdges) else oEdges
-    wedges.join(closing, Seq("a", "b"))
-  }
-
   // DuckDB fragments — the TextQueries normalization contract
   private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val toksSql = s"string_split($normSql, ' ')"
@@ -711,8 +697,13 @@ object ZenithQueries {
         t.filter(size(col("toks")) >= n)
           .select(col("source"), lit(n).as("n"), gcol.as("gram"))
       }
+      // Round-13 optimization (guide §2.3): the distinct/total
+      // readout needs only gram IDENTITY, so the exchange carries
+      // the 8-byte xxhash64 of each gram instead of the gram string
+      // (the C31 hash-on-the-exchange convention — identical up to
+      // 64-bit collisions; the oracle keeps counting strings).
       (1 to 3).map(grams).reduce(_ unionAll _)
-        .groupBy(col("source"), col("n"), col("gram"))
+        .groupBy(col("source"), col("n"), xxhash64(col("gram")).as("gram"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("source"), col("n"))
         .agg(sum(col("cnt")).as("total_ngrams"),
@@ -871,58 +862,28 @@ object ZenithQueries {
          |  CAST(cc_e6 AS DOUBLE) / 1000000 AS cc, n_nodes, avg_cc
          |FROM r, g WHERE rnk <= 20""".stripMargin
     }) { (s, dir) =>
-      val items = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          (col("l_partkey") % 16381).as("node"))
-        .distinct()
-      val e = items.as("a").join(items.as("b"),
-          col("a.ok") === col("b.ok") && col("a.node") < col("b.node"))
-        .select(col("a.node").as("u"), col("b.node").as("v"))
-        .distinct()
+      // Round-13 optimization: the O(Σ od²) wedge self-join +
+      // closing join (46M wedge rows at sf0.1) is replaced by the
+      // TriangleBitset kernel — per oriented edge, the witness set
+      // N⁺(src) ∩ N⁺(dst) against a ≤16,381-row broadcast bitset
+      // adjacency (≈34 MB at FULL saturation — broadcastable at any
+      // SF by construction, so the r12 conditional-broadcast bound
+      // is obsolete). Per-node counts are the same decomposition the
+      // wedge spelling produced: edge (u,v) with k witnesses adds k
+      // to u, k to v, 1 to each witness — every node of every
+      // triangle gets exactly +1 per triangle. The DuckDB oracle
+      // keeps the wedge-join spelling.
+      import graft.operators.TriangleBitset
+      val e = TriangleBitset.coOrderEdges(table(s, dir, "lineitem"))
         .localCheckpoint() // edges feed degrees + orientation
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val deg = TriangleBitset.degrees(e)
         .localCheckpoint() // degrees feed orientation + the cc join
-      val withDeg = e
-        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
-      val lower = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val o = withDeg.select(
-          when(lower, col("u")).otherwise(col("v")).as("src"),
-          when(lower, col("v")).otherwise(col("u")).as("dst"),
-          when(lower, col("dv")).otherwise(col("du")).as("ddeg"))
-        .localCheckpoint() // oriented edges feed wedge + closing join
-      val wedges = o.as("x").join(o.as("y"),
-          col("x.src") === col("y.src") &&
-            (col("x.ddeg") < col("y.ddeg") ||
-              (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
-        .select(col("x.src").as("s"), col("x.dst").as("a"),
-          col("y.dst").as("b"))
-      // Conditional broadcast (r11 verdict #2): the closing-join
-      // probe side is exactly the |E| oriented edges (16 B/row) —
-      // comfortably broadcastable on real sparse graphs, but a
-      // saturated projection of the 16,381-node domain admits ~134M
-      // oriented edges (~2–3 GB serialized), which an unconditional
-      // hint would force onto every executor, a plan Spark would
-      // never choose itself. `o` is already localCheckpoint'd, so
-      // the count is a free metadata read: under the bound
-      // (default 8M rows ≈ ~128 MB serialized, the executor
-      // broadcast budget) the hint keeps the closing join
-      // shuffle-free; above it the join runs as the keyed shuffle
-      // join the scaladoc promises — same asymptotics (the O(E^1.5)
-      // wedge join dominates either way). Bound overridable via
-      // spark.graft.cc.broadcastEdgeBound (Round22PlanSpec pins
-      // BOTH plan modes).
-      val ccBound = s.conf.getOption("spark.graft.cc.broadcastEdgeBound")
-        .map(_.toLong).getOrElse(8000000L)
-      val oEdges = o.select(col("src").as("a"), col("dst").as("b"))
-      val tri = ccClosingJoin(wedges, oEdges, o.count(), ccBound)
-        .select(col("s"), col("a"), col("b"))
-      val tn = tri.select(col("s").as("node"))
-        .unionAll(tri.select(col("a").as("node")))
-        .unionAll(tri.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      val o = TriangleBitset.orient(e, deg)
+        .localCheckpoint() // oriented edges feed adjacency + edge scan
+      val adj = TriangleBitset.outBitsets(o)
+        .localCheckpoint() // one bitset build feeds both broadcasts
+      val tn = TriangleBitset.perNodeTriangles(
+        TriangleBitset.edgesWithWitnesses(o, adj))
       val cc = deg.filter(col("d") >= 2)
         .join(tn.withColumnRenamed("node", "n"), Seq("n"), "left")
         .select(col("n").as("node"), col("d"),
