@@ -469,8 +469,34 @@ object CorpusQueries {
         |FROM n LEFT JOIN k USING (doc_id)""".stripMargin) { (s, dir) =>
       val toks = split(col("text"), " ")
       val nSeg = ceil(size(toks).cast("double") / lit(10.0)).cast("int")
-      val lines = table(s, dir, "documents").select(
-        col("doc_id"),
+      // Round-13 optimization (guide §2.3/§2.4 — clone-collapse):
+      // the segment explode costs tokens-per-CORPUS, but docs with
+      // IDENTICAL text have identical segment sets at identical
+      // line_idx, and the corpus-wide first occurrence of a line by
+      // (doc_id, line_idx) always lives in the MINIMUM doc_id of a
+      // winning text group (every other member of the group repeats
+      // the line at the same index under a larger doc_id — it can
+      // never win, and keeps NOTHING: each of its lines recurs in
+      // its own group's canonical doc). So the explode + dedup run
+      // once per UNIQUE text keyed by the group's min doc_id; the
+      // per-doc readout is n_lines (text-determined) plus the kept
+      // lines for the canonical doc and (0, '') for every other
+      // group member. Fingerprint + third-hash guard as in
+      // dedup_exact_docs; the oracle keeps the full-corpus window.
+      val keyed = table(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        xxhash64(col("text")).as("f1"),
+        xxhash64(lit(42L), col("text")).as("f2"),
+        length(col("text")).as("fl"))
+      val uniq = keyed
+        .groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(min(col("doc_id")).as("doc"), first(col("text")).as("text"),
+          countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in line_dedup")).isNull)
+        .localCheckpoint() // the explode and the readout both scan it
+      val lines = uniq.select(
+        col("doc").as("doc_id"),
         posexplode(transform(sequence(lit(0), nSeg - 1),
           i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))))
           .as(Seq("line_idx", "line")))
@@ -484,18 +510,23 @@ object CorpusQueries {
           countDistinct(xxhash64(lit(1337L), col("line"))).as("_nfp"))
         .filter(assert_true(col("_nfp") === 1,
           lit("fingerprint collision in line_dedup")).isNull)
-        .select(col("first.doc_id").as("doc_id"),
+        .select(col("first.doc_id").as("doc"),
           col("first.line_idx").as("line_idx"), col("first.line").as("line"))
-      val kept = firsts.groupBy(col("doc_id")).agg(
+      val kept = firsts.groupBy(col("doc")).agg(
         count(lit(1)).as("n_kept"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(struct(line_idx, line))), x -> x.line)"))
           .as("kept_text"))
-      lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
-        .join(kept, Seq("doc_id"), "left")
+      keyed.select(col("doc_id"), col("f1"), col("f2"), col("fl"))
+        .join(uniq.select(col("f1"), col("f2"), col("fl"), col("doc"),
+          nSeg.cast("long").as("n_lines")), Seq("f1", "f2", "fl"))
+        .join(kept, Seq("doc"), "left")
         .select(col("doc_id"), col("n_lines"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("kept_text"), lit("")).as("kept_text"))
+          when(col("doc_id") === col("doc"),
+            coalesce(col("n_kept"), lit(0L))).otherwise(lit(0L)).as("n_kept"),
+          when(col("doc_id") === col("doc"),
+            coalesce(col("kept_text"), lit(""))).otherwise(lit(""))
+            .as("kept_text"))
     },
 
     // C85: BOILERPLATE line scrub (CCNet §4.1 / OSCAR: navigation

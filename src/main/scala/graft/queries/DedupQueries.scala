@@ -671,11 +671,37 @@ object DedupQueries {
          |FROM d GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
       import graft.operators.SuffixRanks
-      val t = table(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val dl = t.select(col("doc_id"),
+      // Round-13 optimization (guide §2.3/§2.4 — the C31
+      // clone-collapse applied to the suffix-array path): every rank
+      // round costs tokens-per-CORPUS, but dense-rank GROUP IDENTITY
+      // is equality of doc-bounded token windows, and exact-duplicate
+      // texts contribute identical windows at identical positions. So
+      // the explode + all four rank rounds run once per UNIQUE text;
+      // the corpus-wide duplication decision re-weights each rank
+      // group by clone multiplicity (sum(mult) ≥ 2 ⟺ the full-corpus
+      // position count ≥ 2 — clones of a position always share its
+      // rank); per-doc stats are text-determined and re-attach by the
+      // 128-bit+length fingerprint (the dedup_exact_docs guard
+      // family: a third fingerprint must be unique per group or the
+      // query fails loudly). The oracle keeps the full-corpus ranks.
+      val keyed = table(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        xxhash64(col("text")).as("f1"),
+        xxhash64(lit(42L), col("text")).as("f2"),
+        length(col("text")).as("fl"))
+      val uniq = keyed
+        .groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(min(col("doc_id")).as("doc"), count(lit(1)).as("mult"),
+          first(col("text")).as("text"),
+          countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in suffix_dup_stats")).isNull)
+        .select(col("f1"), col("f2"), col("fl"), col("doc"), col("mult"),
+          split(col("text"), " ").as("toks"))
+        .localCheckpoint() // feeds lengths, the gram explode, re-attach
+      val dl = uniq.select(col("doc"), col("mult"),
         size(col("toks")).cast("long").as("n_tokens"))
-      val p = t.select(col("doc_id").as("doc"),
+      val p = uniq.select(col("doc"),
           posexplode(expr(
             "transform(sequence(1, size(toks)), i -> array_join(slice(toks, i, 4), ' '))"))
             .as(Seq("pos0", "gram")))
@@ -685,26 +711,31 @@ object DedupQueries {
                            // and both rank passes — build it once
       val r2 = SuffixRanks.withDenseRank(p, Seq("gram"), "r2").drop("gram")
       val g = SuffixRanks.doubleFrom(r2, 2, 5)
-        .withColumnRenamed("doc", "doc_id")
-        .join(dl, Seq("doc_id"))
+        .join(dl, Seq("doc"))
         .localCheckpoint() // read by four count joins + the final agg
       def cnt(k: Int) = g
         .filter(col("pos") + ((1L << k) - 1) <= col("n_tokens"))
-        .groupBy(col(s"r$k")).agg(count(lit(1)).as(s"c$k"))
+        .groupBy(col(s"r$k")).agg(sum(col("mult")).as(s"c$k"))
       var d = g
       for (k <- 2 to 5) d = d.join(cnt(k), Seq(s"r$k"), "left")
       val dups = (2 to 5).map { k =>
         (when(col("pos") + ((1L << k) - 1) <= col("n_tokens")
           && coalesce(col(s"c$k"), lit(0L)) >= 2, 1).otherwise(0)).as(s"d$k")
       }
-      d.select(Seq(col("doc_id"), col("n_tokens")) ++ dups: _*)
-        .groupBy(col("doc_id"))
+      val perText = d.select(Seq(col("doc"), col("n_tokens")) ++ dups: _*)
+        .groupBy(col("doc"))
         .agg(min(col("n_tokens")).as("n_tokens"),
           sum(col("d2")).as("n_pos4"),
           sum(col("d5")).as("n_pos32"),
           max(when(col("d5") === 1, 32).when(col("d4") === 1, 16)
             .when(col("d3") === 1, 8).when(col("d2") === 1, 4)
             .otherwise(0)).cast("int").as("max_dup_len"))
+      keyed.select(col("doc_id"), col("f1"), col("f2"), col("fl"))
+        .join(uniq.select(col("f1"), col("f2"), col("fl"), col("doc")),
+          Seq("f1", "f2", "fl"))
+        .join(perText, Seq("doc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_pos4"),
+          col("n_pos32"), col("max_dup_len"))
     },
 
     // C93: EXECUTE the ExactSubstr cut (Lee et al. 2022 §4 — C88

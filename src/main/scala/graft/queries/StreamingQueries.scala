@@ -689,16 +689,24 @@ object StreamingQueries {
       val srcPath = new org.apache.hadoop.fs.Path(src)
       val fs = srcPath.getFileSystem(s.sessionState.newHadoopConf())
       // one FILE per wave with pinned ascending mtimes: the file
-      // source processes files in mtime order, so batch k = wave k
+      // source processes files in mtime order, so batch k = wave k.
+      // Round-13 optimization (guide §1.2): ONE pass writes all three
+      // waves — `repartition(3, wave)` puts each wave's rows in one
+      // task and `partitionBy("wave")` routes them to one file per
+      // wave directory, replacing the r12 3× (filter + coalesce(1))
+      // chains, each of which ran the whole scan AND the whole write
+      // single-threaded, serially. Batch composition is unchanged:
+      // the same three single-file waves in the same mtime order.
+      ev.withColumn("wave", pmod(col("user_id"), lit(3)))
+        .repartition(3, col("wave"))
+        .write.partitionBy("wave").mode("overwrite").parquet(src)
       var seen = Set.empty[String]
       (0 until 3).foreach { k =>
-        ev.filter(pmod(col("user_id"), lit(3)) === k).coalesce(1)
-          .write.mode(if (k == 0) "overwrite" else "append").parquet(src)
-        fs.listStatus(srcPath).map(_.getPath)
+        val waveDir = new org.apache.hadoop.fs.Path(src, s"wave=$k")
+        fs.listStatus(waveDir).map(_.getPath)
           .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-          .filterNot(p => seen(p.getName))
           .foreach { p => fs.setTimes(p, (k + 1) * 60000L, -1L)
-            seen += p.getName }
+            seen += s"wave=$k/" + p.getName }
       }
       require(seen.size == 3, s"expected 3 wave files, found ${seen.size}")
       val sch = s.read.parquet(src).schema
@@ -2782,7 +2790,9 @@ object StreamingQueries {
   private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    val eff = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(n)
+    spark.conf.set(key, eff.toString)
     try f finally spark.conf.set(key, prev)
   }
 

@@ -1035,37 +1035,72 @@ object TextQueries {
          |SELECT s.doc_id, CAST(y AS INT) AS label, wx + b AS score_micro,
          |  CAST(CASE WHEN wx + b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
          |FROM s JOIN lab USING (doc_id), bi""".stripMargin) { (s, dir) =>
-      val f = table(s, dir, "documents").select(col("doc_id"),
+      // Round-13 optimization (guide §2.3/§2.4 — clone-collapse):
+      // the tokenize→hash explode costs tokens-per-CORPUS, but every
+      // downstream quantity is a SUM over docs of text-determined
+      // integers — so the explode runs once per UNIQUE text and the
+      // class sums / priors re-weight by clone multiplicity
+      // (Σ_docs = Σ_uniq mult·x, exact integers). The one global
+      // non-sum, the label median, is computed over the SAME
+      // doc-level zs multiset as before: zs per unique text expands
+      // back to one row per doc (doc-count rows — model-sized next
+      // to the token explode) and feeds the identical
+      // DistributedQuantile call. Scores/labels are text-determined
+      // and re-attach by fingerprint (dedup_exact_docs guard family).
+      // The oracle keeps the full-corpus spelling.
+      val keyed = table(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        xxhash64(col("text")).as("f1"),
+        xxhash64(lit(42L), col("text")).as("f2"),
+        length(col("text")).as("fl"))
+      val uniq = keyed
+        .groupBy(col("f1"), col("f2"), col("fl"))
+        .agg(min(col("doc_id")).as("doc"), count(lit(1)).as("mult"),
+          first(col("text")).as("text"),
+          countDistinct(xxhash64(lit(1337L), col("text"))).as("_nfp"))
+        .filter(assert_true(col("_nfp") === 1,
+          lit("fingerprint collision in naive_bayes_score")).isNull)
+        .localCheckpoint() // feeds the explode and the re-attach join
+      val docFp = keyed.select(col("doc_id"), col("f1"), col("f2"), col("fl"))
+      val fpDoc = uniq.select(col("f1"), col("f2"), col("fl"), col("doc"))
+      val f = uniq.select(col("doc"), col("mult"),
           explode(transform(TF.wsTokens(col("text")),
             t => Fingerprint64.fingerprint64(t))).as("h"))
-        .groupBy(col("doc_id"),
+        .groupBy(col("doc"), col("mult"),
           col("h").bitwiseAND(lit(15L)).cast("int").as("dim"))
         .agg(count(lit(1)).as("cnt"))
         // labels, class sums and scoring all read it — DISK_ONLY, not
-        // localCheckpoint: at ×1000 this relation is ~80M rows and a
-        // memory-resident checkpoint squeezed execution memory to
-        // UNABLE_TO_ACQUIRE in the bench JVM; disk-backed reuse keeps
-        // the explode single-run without competing for the heap
+        // localCheckpoint: pre-collapse this relation was ~80M rows at
+        // ×1000 and a memory-resident checkpoint squeezed execution
+        // memory to UNABLE_TO_ACQUIRE in the bench JVM; disk-backed
+        // reuse keeps the explode single-run without heap pressure
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val z = f.groupBy(col("doc_id"))
+      val zu = f.groupBy(col("doc"), col("mult"))
         .agg(sum(when(col("dim") % 2 === 1, col("cnt"))
           .otherwise(-col("cnt"))).as("zs"))
+      // the median's input is the per-DOC zs multiset, exactly as the
+      // oracle states it — expand the unique-text zs back over clones
+      val z = docFp.join(fpDoc, Seq("f1", "f2", "fl"))
+        .join(zu.select(col("doc"), col("zs")), Seq("doc"))
+        .select(col("doc_id"), col("zs"))
       val med = DistributedQuantile
         .quantiles(z.withColumn("_g", lit("all"))
           .withColumn("zsd", col("zs").cast("double")), "_g", "zsd",
           Seq("m" -> 0.5))
         .drop("g")
-      val lab = z.crossJoin(broadcast(med))
-        .select(col("doc_id"),
+      val lab = zu.crossJoin(broadcast(med))
+        .select(col("doc"), col("mult"),
           when(col("zs").cast("double") >= col("m"), 1L).otherwise(0L)
             .as("y"))
-      val pr = lab.agg(sum(col("y")).as("n1"),
-        (count(lit(1)) - sum(col("y"))).as("n0"))
+      val pr = lab.agg(sum(col("mult") * col("y")).as("n1"),
+        (sum(col("mult")) - sum(col("mult") * col("y"))).as("n0"))
       val dom = s.range(16).select(col("id").cast("int").as("dim"))
-      val sc = f.join(lab, Seq("doc_id"))
+      val sc = f.join(lab.select(col("doc"), col("y")), Seq("doc"))
         .groupBy(col("dim"))
-        .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("s1"),
-          sum(when(col("y") === 0, col("cnt")).otherwise(0L)).as("s0"))
+        .agg(sum(when(col("y") === 1, col("mult") * col("cnt"))
+            .otherwise(0L)).as("s1"),
+          sum(when(col("y") === 0, col("mult") * col("cnt"))
+            .otherwise(0L)).as("s0"))
       val sd = dom.join(sc, Seq("dim"), "left")
         .select(col("dim"), coalesce(col("s1"), lit(0L)).as("s1"),
           coalesce(col("s0"), lit(0L)).as("s0"))
@@ -1079,15 +1114,18 @@ object TextQueries {
       val bi = pr.select(floor(
         log((col("n1") + 1).cast("double") / (col("n0") + 1).cast("double"))
         * 1000000 + lit(0.5)).cast("long").as("b"))
-      f.join(broadcast(w), Seq("dim"))
-        .groupBy(col("doc_id"))
+      val su = f.join(broadcast(w), Seq("dim"))
+        .groupBy(col("doc"))
         .agg(sum(col("cnt") * col("lr")).cast("long").as("wx"))
-        .join(lab, Seq("doc_id"))
+        .join(lab.select(col("doc"), col("y")), Seq("doc"))
         .crossJoin(broadcast(bi))
-        .select(col("doc_id"), col("y").cast("int").as("label"),
+        .select(col("doc"), col("y").cast("int").as("label"),
           (col("wx") + col("b")).as("score_micro"),
           when(col("wx") + col("b") >= 0, 1).otherwise(0).cast("int")
             .as("pred"))
+      docFp.join(fpDoc, Seq("f1", "f2", "fl"))
+        .join(su, Seq("doc"))
+        .select(col("doc_id"), col("label"), col("score_micro"), col("pred"))
     },
     // C41: PMI collocation scoring — the corpus-statistics operator
     // behind phrase mining / tokenizer seeding (Church & Hanks 1990):

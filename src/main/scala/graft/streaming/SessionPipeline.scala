@@ -432,8 +432,17 @@ object SessionPipeline extends Serializable {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // Round-13 optimization (guide §2.3 "narrower types", applied to
+  // the STATE encoder): the below-watermark buffer is three parallel
+  // primitive arrays (tsec, event_id, cents) instead of
+  // Seq[AnomEvent] — at the ×100 replay the whole corpus sits in
+  // this buffer for one batch, and the per-row product encoding
+  // (incl. a redundant event_type string per row — it equals the
+  // key) dominated the state commit. Array[Long] fields encode as
+  // three binary blobs. Fold order and emissions are unchanged: the
+  // ready set is still sorted by (tsec, event_id) before folding.
   case class ConfState(n: Long, hist: Seq[Long], nAlarms: Long,
-      hiMass: Long, buffered: Seq[AnomEvent])
+      hiMass: Long, bufT: Array[Long], bufI: Array[Long], bufC: Array[Long])
   case class ConfOut(event_type: String, n_folded: Long, n_alarms: Long,
       hi_mass: Long)
 
@@ -471,15 +480,34 @@ object SessionPipeline extends Serializable {
 
     def foldReady(key: String, st: ConfState,
         wmS: Long): (ConfState, Option[ConfOut]) = {
-      val (ready, hold) = st.buffered.partition(_.tsec < wmS)
-      if (ready.isEmpty) (st, None)
+      val nb = st.bufT.length
+      var nReady = 0
+      var i = 0
+      while (i < nb) { if (st.bufT(i) < wmS) nReady += 1; i += 1 }
+      if (nReady == 0) (st, None)
       else {
+        val ready = new Array[Integer](nReady)
+        val holdT = new Array[Long](nb - nReady)
+        val holdI = new Array[Long](nb - nReady)
+        val holdC = new Array[Long](nb - nReady)
+        var r = 0; var o = 0; i = 0
+        while (i < nb) {
+          if (st.bufT(i) < wmS) { ready(r) = i; r += 1 }
+          else { holdT(o) = st.bufT(i); holdI(o) = st.bufI(i)
+            holdC(o) = st.bufC(i); o += 1 }
+          i += 1
+        }
+        java.util.Arrays.sort(ready, (a: Integer, b: Integer) => {
+          val c = java.lang.Long.compare(st.bufT(a), st.bufT(b))
+          if (c != 0) c else java.lang.Long.compare(st.bufI(a), st.bufI(b))
+        })
         var n = st.n
         var alarms = st.nAlarms
         var hi = st.hiMass
         val h = st.hist.toArray
-        ready.sortBy(r => (r.tsec, r.event_id)).foreach { r =>
-          val b = band(r.cents)
+        var j = 0
+        while (j < nReady) {
+          val b = band(st.bufC(ready(j)))
           var cntGe = 0L
           var k = b
           while (k < 64) { cntGe += h(k); k += 1 }
@@ -487,8 +515,9 @@ object SessionPipeline extends Serializable {
           if (b >= 32) hi += 1
           h(b) += 1
           n += 1
+          j += 1
         }
-        val next = ConfState(n, h.toSeq, alarms, hi, hold)
+        val next = ConfState(n, h.toSeq, alarms, hi, holdT, holdI, holdC)
         (next, Some(ConfOut(key, n, alarms, hi)))
       }
     }
@@ -497,18 +526,27 @@ object SessionPipeline extends Serializable {
         state: GroupState[ConfState]): Iterator[ConfOut] = {
       val wmS = state.getCurrentWatermarkMs() / 1000L
       val st0 = state.getOption
-        .getOrElse(ConfState(0L, Seq.fill(64)(0L), 0L, 0L, Nil))
+        .getOrElse(ConfState(0L, Seq.fill(64)(0L), 0L, 0L,
+          Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray))
       val withNew =
         if (state.hasTimedOut) st0
-        else st0.copy(buffered = st0.buffered ++ rows)
+        else {
+          val bt = scala.collection.mutable.ArrayBuilder.make[Long]
+          val bi = scala.collection.mutable.ArrayBuilder.make[Long]
+          val bc = scala.collection.mutable.ArrayBuilder.make[Long]
+          rows.foreach { e => bt += e.tsec; bi += e.event_id; bc += e.cents }
+          st0.copy(bufT = st0.bufT ++ bt.result(),
+            bufI = st0.bufI ++ bi.result(),
+            bufC = st0.bufC ++ bc.result())
+        }
       val (next, out) = foldReady(key, withNew, wmS)
-      if (next.buffered.isEmpty && state.hasTimedOut) state.remove()
+      if (next.bufT.isEmpty && state.hasTimedOut) state.remove()
       else {
         state.update(next)
-        val wake = next.buffered.map(_.tsec * 1000L) match {
-          case Nil => state.getCurrentWatermarkMs() + 1000L
-          case ts => math.max(ts.min + 1L, state.getCurrentWatermarkMs() + 1L)
-        }
+        val wake =
+          if (next.bufT.isEmpty) state.getCurrentWatermarkMs() + 1000L
+          else math.max(next.bufT.min * 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L)
         state.setTimeoutTimestamp(wake)
       }
       out.iterator
