@@ -30,6 +30,22 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schema per table PATH, inferred once per JVM. Every bare
+    * `spark.read.parquet(path)` runs a footer-inference JOB (tens of
+    * ms of scheduler latency) before the real scan; across a bench
+    * pass that is hundreds of constant-cost jobs (guide §1.2 — the
+    * round-13 "191 sub-second queries ≈ 119 s of fixed overhead"
+    * finding). The schema of a test table never changes within a run
+    * (clone regeneration rewrites rows, not columns), so infer once
+    * and pass it explicitly; the file LISTING deliberately stays
+    * per-read so rewritten clone dirs are never served stale. At
+    * warehouse scale this is the same discipline as reading through a
+    * catalog instead of sampling footers per query.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   /** Raw file read, no column normalization (streaming sources need
     * the on-disk schema verbatim for `readStream.schema`). */
   def rawTable(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -40,7 +56,10 @@ object GraftSession {
       // unaffected by this conf.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** The driver has shipped events.ts under two physical types across

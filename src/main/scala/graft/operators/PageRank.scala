@@ -56,17 +56,27 @@ object PageRank {
     // the round-10 ×100 graph probe. Edges stream from local disk
     // once per round; only the node-sized rank table lives in memory.
     //
-    // Round-13 optimization (guide §2.4): outdeg is folded in with
-    // ONE window over src instead of the groupBy + self-join — the
-    // edge lineage is scanned and persisted ONCE (r12 persisted e0,
-    // then built and persisted e = e0⋈outdeg: two edge-scale disk
-    // materializations, one thrown away).
+    // Round-14 optimization (guide §2.3/§2.4): round 13 folded outdeg
+    // in with ONE window over src — but the window SHUFFLES AND SORTS
+    // the full edge table and persists a 3-column row; at the ×100
+    // trade clone (~tens of millions of edges) that sort-shuffle was
+    // the regression the r14 probe isolated (75.9 s vs r12's 50.3).
+    // outdeg is NODE-scale, so it belongs on the node-scale rank
+    // table, not on the edge rows: persist the NARROW (src, dst)
+    // edges once (2 longs/row — the minimum the iterations can
+    // possibly stream), aggregate outdeg map-side-combined (a
+    // node-scale shuffle), and carry outdeg as a column of the rank
+    // table through the rounds. The edge table is never shuffled and
+    // never sorted at any scale.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .withColumn("outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .persist()
     val n = nodes.count() // materializes e too
     require(n > 0, "PageRank.run: empty edge table — no nodes to rank")
@@ -85,19 +95,32 @@ object PageRank {
         "and all ranks decay — raise `unit` (e.g. 1e12)")
     // Round-13 optimization (guide §3.1): the rank table is
     // NODE-scale — broadcast it into the per-iteration join so the
-    // EDGE-scale table never shuffles (each round becomes one
-    // streaming scan of the disk-persisted edges + a map-side-
-    // combined sum into the node domain). The ×100 trade clone has
-    // 1.6M nodes (~80 MB hashed) — inside the bound; a graph past
-    // the bound degrades to the r12 keyed shuffle join, same
-    // arithmetic. Bound overridable for cluster-sized graphs.
+    // EDGE-scale table never shuffles. Round-14 re-measurement: the
+    // r13 default bound (4M) let the ×100 trade clone's 1.6M-node
+    // rank table be broadcast-BUILT per join per iteration (collect
+    // to driver + ship + destroy, ×4), which the driver's r13 bench
+    // timed out (> 180 s in both runs); with the bound at 500k the
+    // same graph takes the keyed shuffle join over the NARROW
+    // (src, dst) edges and the ×100 probe reads 52.7-63.9 s vs
+    // 73.6-82.3 s broadcast on the same box (plans/r14). Headline and
+    // ×10 graphs (≤ ~160k nodes) stay under the bound and keep the
+    // broadcast win. Bound overridable for cluster-sized memory.
     val bcastBound = edges.sparkSession.conf
       .getOption("spark.graft.pagerank.broadcastNodeBound")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(500000L)
+    // Past the bound: SHUFFLE_HASH-hint the node-scale side so the
+    // per-iteration join hashes it per partition instead of
+    // SORT-MERGE-sorting the edge-scale side every round (§3.1; a
+    // post-shuffle node partition is n/parallelism rows — far under
+    // any task heap).
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (n <= bcastBound) broadcast(df) else df
+      if (n <= bcastBound) broadcast(df) else df.hint("shuffle_hash")
     val teleport = teleportMass / n
-    var pr = nodes.select(col("node"), lit(unit / n).as("pr"))
+    // The rank table carries outdeg (node-scale, computed once above)
+    // so the per-round edge join attaches BOTH pr and outdeg in one
+    // broadcast — the edge rows stay (src, dst).
+    var pr = nodes.select(col("node"), col("outdeg"),
+      lit(unit / n).as("pr"))
     var i = 0
     while (i < iterations) {
       val contrib = e.join(maybeBroadcast(pr), col("src") === col("node"))
@@ -106,7 +129,7 @@ object PageRank {
         .select(col("dst").as("node"), expr("pr DIV outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val next = nodes.join(maybeBroadcast(contrib), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100"))
             .as("pr"))
@@ -140,18 +163,22 @@ object PageRank {
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, iterations: Int = 2,
       dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
-    // DISK_ONLY for the edge-scale relation; outdeg folded in with
-    // one window over src — see [[run]] (round-13 optimization).
+    // DISK_ONLY for the edge-scale relation, NARROW (src, dst) rows;
+    // outdeg lives on the node-scale table — see [[run]] (round-14
+    // optimization: the r13 outdeg window sort-shuffled the full edge
+    // table).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .withColumn("outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
     val seedSet = seeds.select(col("node")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .join(outdeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false))
-        .as("is_seed"))
+        .as("is_seed"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .persist()
     val ns = nodes.filter(col("is_seed")).count()
     require(ns > 0, "PageRank.runPersonalized: no seed appears in the graph")
@@ -173,11 +200,11 @@ object PageRank {
     val nAll = nodes.count()
     val bcastBound = edges.sparkSession.conf
       .getOption("spark.graft.pagerank.broadcastNodeBound")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(500000L)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (nAll <= bcastBound) broadcast(df) else df
+      if (nAll <= bcastBound) broadcast(df) else df.hint("shuffle_hash")
     val seedTeleport = teleportMass / ns
-    var pr = nodes.select(col("node"), col("is_seed"),
+    var pr = nodes.select(col("node"), col("is_seed"), col("outdeg"),
       when(col("is_seed"), lit(unit / ns)).otherwise(lit(0L)).as("pr"))
     var i = 0
     while (i < iterations) {
@@ -186,7 +213,7 @@ object PageRank {
         .select(col("dst").as("node"), expr("pr DIV outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val next = nodes.join(maybeBroadcast(contrib), Seq("node"), "left")
-        .select(col("node"), col("is_seed"),
+        .select(col("node"), col("is_seed"), col("outdeg"),
           (when(col("is_seed"), lit(seedTeleport)).otherwise(lit(0L)) +
             expr(s"($dampingPct * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100"))
             .as("pr"))

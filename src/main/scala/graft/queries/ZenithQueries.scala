@@ -685,25 +685,32 @@ object ZenithQueries {
         |  floor(CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
         |    * 1000000 + 0.5) / 1000000 AS diversity
         |FROM g""".stripMargin) { (s, dir) =>
+      // Round-14 optimization (guide §2.3, extending the r13
+      // hash-on-the-exchange): the readout needs only gram IDENTITY,
+      // so hash every TOKEN to 8 bytes ONCE per document and derive
+      // each n-gram's identity by hashing the n member hashes —
+      // no concatenated gram string is ever built (r13 still
+      // allocated one string per gram before hashing it), the
+      // checkpoint carries array<long> instead of array<string>, and
+      // the explode emits longs. Identical up to 64-bit collisions —
+      // the same declared contract as r13 (the oracle keeps counting
+      // strings); n=1 identities are bit-identical to r13's.
       val t = table(s, dir, "documents")
-        .select(col("source"), sparkToks.as("toks"))
+        .select(col("source"),
+          transform(sparkToks, tk => xxhash64(tk)).as("hs"))
         .localCheckpoint() // feeds three n-gram explodes
       def grams(n: Int): org.apache.spark.sql.DataFrame = {
         val gcol =
-          if (n == 1) explode(col("toks"))
+          if (n == 1) explode(col("hs"))
           else explode(expr(
-            s"transform(sequence(1, size(toks) - ${n - 1}), " +
-              s"i -> concat_ws(' ', slice(toks, i, $n)))"))
-        t.filter(size(col("toks")) >= n)
+            s"transform(sequence(1, size(hs) - ${n - 1}), " +
+              s"i -> xxhash64(${(0 until n)
+                .map(k => s"element_at(hs, i + $k)").mkString(", ")}))"))
+        t.filter(size(col("hs")) >= n)
           .select(col("source"), lit(n).as("n"), gcol.as("gram"))
       }
-      // Round-13 optimization (guide §2.3): the distinct/total
-      // readout needs only gram IDENTITY, so the exchange carries
-      // the 8-byte xxhash64 of each gram instead of the gram string
-      // (the C31 hash-on-the-exchange convention — identical up to
-      // 64-bit collisions; the oracle keeps counting strings).
       (1 to 3).map(grams).reduce(_ unionAll _)
-        .groupBy(col("source"), col("n"), xxhash64(col("gram")).as("gram"))
+        .groupBy(col("source"), col("n"), col("gram"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("source"), col("n"))
         .agg(sum(col("cnt")).as("total_ngrams"),

@@ -54,6 +54,11 @@ class TwsPatternProcessor(gapS: Long, maxLen: Int)
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
+  /** Timer-path close: the open session's events live in state (the
+    * batch path below persists the full open session at batch end),
+    * so the timer close reads/clears the list once — bounded by the
+    * number of closes, never by input rows.
+    */
   private def close(uid: Long): PatOut = {
     val sorted = evs.get().toSeq.sortBy(e => (e.tsec, e.event_id))
     val n = (if (seqNo.exists()) seqNo.get() else 0L) + 1L
@@ -62,35 +67,70 @@ class TwsPatternProcessor(gapS: Long, maxLen: Int)
     PatOut(uid, n, sorted.iterator.map(_.ini).mkString)
   }
 
-  private def append(e: PatEv, nEv: Long): Unit = {
+  private def guardLen(nEv: Long): Unit =
     if (nEv > maxLen)
       throw new IllegalStateException(
         s"streaming_pattern_match: per-session collected series length " +
           s"$nEv exceeds ${graft.functions.Guards.MaxSeriesKey}=$maxLen — " +
           "a power key this size would OOM the state store; raise the " +
           "limit, pre-aggregate, or shard the key upstream")
-    evs.appendValue(e)
-  }
 
   private def dropTimerIfAny(): Unit =
     if (deadline.exists()) { getHandle.deleteTimer(deadline.get()); deadline.clear() }
 
+  // Round-14 optimization (guide §1.2/§5 — the TwsProfile batch-local
+  // fold, r13): the r13 spelling touched RocksDB once PER INPUT ROW
+  // (ListState.appendValue) plus a seqNo get+update and an evs
+  // get+clear PER CLOSE. New events now fold into a plain in-memory
+  // buffer; per (key, batch) the state store sees at most one
+  // evs.get() (lazy — only if the session open at batch start closes
+  // in-batch), one evs.clear(), one evs.appendList(), one seqNo read
+  // and one seqNo write. The emission set is IDENTICAL: each close
+  // sorts the same event multiset (prior-state events ++ this batch's
+  // in-memory events) by the same (tsec, event_id) key, and seqNo
+  // increments once per close in the same order — StreamingPatternSpec
+  // pins batch-split equality.
   override def handleInputRows(key: Long, rows: Iterator[PatEv],
       timerValues: TimerValues): Iterator[PatOut] = {
     val sorted = rows.toSeq.sortBy(e => (e.tsec, e.event_id))
     val out = scala.collection.mutable.ArrayBuffer.empty[PatOut]
     var st = if (bounds.exists()) Some(bounds.get()) else None
+    val hadOpenAtStart = st.isDefined
+    // events of the CURRENTLY open session that arrived this batch
+    val pending = scala.collection.mutable.ArrayBuffer.empty[PatEv]
+    // does the open session predate this batch (its earlier events
+    // are in the state list)?
+    var openIsFromState = hadOpenAtStart
+    var stateEvs: Seq[PatEv] = null
+    var seqNoVal = 0L
+    var anyClose = false
+    def closeNow(): PatOut = {
+      val all =
+        if (openIsFromState) {
+          if (stateEvs == null) stateEvs = evs.get().toSeq
+          stateEvs ++ pending
+        } else pending
+      if (!anyClose) { seqNoVal = if (seqNo.exists()) seqNo.get() else 0L; anyClose = true }
+      seqNoVal += 1L
+      val s = all.sortBy(e => (e.tsec, e.event_id))
+      PatOut(key, seqNoVal, s.iterator.map(_.ini).mkString)
+    }
     sorted.foreach { e =>
       st match {
         case None =>
-          append(e, 1L)
+          guardLen(1L)
+          pending += e
           st = Some((e.tsec, e.tsec, 1L))
         case Some((_, lastS, _)) if e.tsec - lastS > gapS =>
-          out += close(key)
-          append(e, 1L)
+          out += closeNow()
+          pending.clear()
+          openIsFromState = false
+          guardLen(1L)
+          pending += e
           st = Some((e.tsec, e.tsec, 1L))
         case Some((startS, lastS, nEv)) =>
-          append(e, nEv + 1L)
+          guardLen(nEv + 1L)
+          pending += e
           st = Some((startS, math.max(lastS, e.tsec), nEv + 1L))
       }
     }
@@ -99,15 +139,21 @@ class TwsPatternProcessor(gapS: Long, maxLen: Int)
         val deadlineMs = (lastS + gapS) * 1000L
         dropTimerIfAny()
         if (deadlineMs <= timerValues.getCurrentWatermarkInMs()) {
-          out += close(key)
+          out += closeNow()
           bounds.clear()
+          if (hadOpenAtStart) evs.clear()
         } else {
           bounds.update(st.get)
           deadline.update(deadlineMs)
           getHandle.registerTimer(deadlineMs)
+          // persist the open session so the timer path (and the next
+          // batch) sees its full event list in state
+          if (!openIsFromState && hadOpenAtStart) evs.clear()
+          if (pending.nonEmpty) evs.appendList(pending.toArray)
         }
       case None =>
     }
+    if (anyClose) seqNo.update(seqNoVal)
     out.iterator
   }
 

@@ -50,6 +50,35 @@ class StreamingPatternSpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("batch-split invariance: one batch vs per-event batches vs " +
+      "mid-session splits emit the identical set (r14 batch-local fold)") {
+    // user 1: three sessions (gap 10) — VC | PE | V; user 2 advances
+    // the watermark so sessions 1-3 all close. Exercises every state
+    // path of the folded handleInputRows: in-batch close of a session
+    // whose earlier events live in state (state ++ pending merge),
+    // fully-in-batch close (pending only), multi-close batches (seqNo
+    // folded once), carry of an open session started in a previous
+    // batch (appendList without clear) and after an in-batch close
+    // (clear + appendList), and the timer close from persisted state.
+    val evs = Seq(
+      PatEv(1L, 1L, 100L, "V"), PatEv(1L, 2L, 105L, "C"),
+      PatEv(1L, 3L, 200L, "P"), PatEv(1L, 4L, 203L, "E"),
+      PatEv(1L, 5L, 300L, "V"), PatEv(2L, 6L, 400L, "E"))
+    val expected = Set((1L, 1L, "VC"), (1L, 2L, "PE"), (1L, 3L, "V"))
+    val splits: Seq[Seq[Seq[PatEv]]] = Seq(
+      Seq(evs),                        // everything in one batch
+      evs.map(Seq(_)),                 // one event per batch
+      Seq(evs.take(1), evs.drop(1)),   // split inside session 1
+      Seq(evs.take(4), evs.drop(4)))   // split at a session boundary
+    splits.foreach { batches =>
+      val out = runPattern(maxLen = 100) { (ms, q) =>
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      }
+      assert(out.toSet == expected,
+        s"split ${batches.map(_.size).mkString("+")} got $out")
+    }
+  }
+
   test("a session over the collected-series ceiling fails loudly") {
     val thrown = intercept[Throwable] {
       runPattern(maxLen = 2) { (ms, q) =>
