@@ -36,4 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // localCheckpoints competing with execution memory); the sandbox
   // has 128 GiB. Still env-overridable for smaller boxes.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Round 14 (r13 verdict #2): the 16 g heap let G1's young gen
+  // balloon, and the longer minor pauses landed inside sub-second
+  // timed regions — an idle A/B on 10 untouched sub-2 s queries read
+  // median 0.77× at 8 g vs 16 g. Capping the G1 pause target keeps
+  // the 16 g ceiling (the ×100 blocks and the r13-measured 203 s of
+  // 8 g GC need it) while sizing young collections for the
+  // sub-second tail. Env-overridable for A/B.
+  s"-XX:MaxGCPauseMillis=${sys.env.getOrElse("SPARK_GC_PAUSE_MS", "50")}",
 )

@@ -711,15 +711,19 @@ object SummitQueries {
         .select((lit(600000L) + col("id") * 100000L).as("threshold_ppm"))
       val hit = pairs.crossJoin(broadcast(bands))
         .filter(col("jac_ppm") >= col("threshold_ppm"))
-      val np = hit.groupBy(col("threshold_ppm"))
-        .agg(count(lit(1)).as("n_pairs"))
-      val nd = hit
+      // Round-14 (guide §1.2, r13 verdict #9): ONE aggregation pass
+      // over the banded pair table instead of two (pair count +
+      // distinct docs were separate groupBys, each re-scanning the
+      // checkpoint and shuffling). Every pair has doc_a < doc_b, so
+      // the exploded view carries exactly 2 rows per pair —
+      // n_pairs = count DIV 2, exact.
+      val agg = hit
         .select(col("threshold_ppm"),
           explode(array(col("doc_a"), col("doc_b"))).as("d"))
         .groupBy(col("threshold_ppm"))
-        .agg(countDistinct(col("d")).as("n_dup_docs"))
-      bands.join(np, Seq("threshold_ppm"), "left")
-        .join(nd, Seq("threshold_ppm"), "left")
+        .agg(expr("count(1) DIV 2").as("n_pairs"),
+          countDistinct(col("d")).as("n_dup_docs"))
+      bands.join(agg, Seq("threshold_ppm"), "left")
         .select(col("threshold_ppm"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
